@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Embedding similarity search (north-star extension, BASELINE.json).
+  *
+  * All vector math is built from codegen'd higher-order functions
+  * (`zip_with` + `aggregate`) over `array<double>` — no UDFs, so the whole
+  * scoring pipeline stays inside whole-stage codegen.
+  *
+  * Scale path: brute-force top-k is a single scan + broadcast of the query
+  * vector (embarrassingly parallel — fine at any scale for one query
+  * vector). For many-query or kNN-join workloads use `ivfTopK`: vectors are
+  * bucketed by nearest centroid (the IVF coarse quantizer) and only
+  * `nprobe` buckets are scanned per query — turning a full-data scan into a
+  * pruned partition scan.
+  */
+object Similarity {
+
+  /** dot(a, b) via zip_with + aggregate (codegen'd, no UDF). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(zip_with(a, a, (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k of `embeddings` vs the vector with `targetId`.
+    * The single target row is broadcast; the scan side is never shuffled
+    * (top-k is a TakeOrdered, not a global sort). */
+  def bruteForceTopK(emb: DataFrame, targetId: Long, k: Int): DataFrame = {
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val target = v.filter(col("vec_id") === targetId).select(col("v").as("t"))
+    v.crossJoin(broadcast(target))
+      .select(col("vec_id"), cosine(col("v"), col("t")).as("sim_raw"))
+      .orderBy(col("sim_raw").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** SparkEntry query: top-10 cosine neighbours of vec_id=0; similarity
+    * rounded to 4 dp for engine-independent comparison. */
+  def similarityTopK(s: SparkSession, d: String): DataFrame =
+    bruteForceTopK(Tables.embeddings(s, d), targetId = 0L, k = 10)
+      .select(col("vec_id"), round(col("sim_raw"), 4).as("sim"))
+
+  /** IVF-style ANN: assign every vector to its nearest centroid (broadcast
+    * centroid table), then for a query probe only the `nprobe` closest
+    * centroid buckets. `centroids` must carry (centroid_id, cvec).
+    * At 100 TB the assignment is written once (partitioned by centroid_id →
+    * parquet partition pruning makes each probe read ~nprobe/K of the data).
+    */
+  def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val c = centroids.select(col("centroid_id"), col("cvec").cast("array<double>").as("cvec"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("centroid_id").asc)
+    v.crossJoin(broadcast(c))
+      .withColumn("dist", lit(1.0) - cosine(col("v"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "v", "centroid_id")
+  }
+
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame,
+              queryVec: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+    val qv = array(queryVec.map(lit): _*)
+    val c = centroids.select(col("centroid_id"), col("cvec").cast("array<double>").as("cvec"))
+    val probed = c.select(col("centroid_id"),
+        (lit(1.0) - cosine(col("cvec"), qv)).as("qdist"))
+      .orderBy(col("qdist").asc, col("centroid_id").asc)
+      .limit(nprobe)
+      .select("centroid_id")
+    assigned.join(broadcast(probed), Seq("centroid_id"), "left_semi")
+      .select(col("vec_id"), cosine(col("v"), qv).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Deterministic k-means-ish centroids without MLlib: average vector per
+    * hash bucket of vec_id — cheap, reproducible coarse quantizer good
+    * enough for bucketing tests (a real deployment would train k-means). */
+  def hashCentroids(emb: DataFrame, kCentroids: Int): DataFrame = {
+    val v = emb.select(
+      (pmod(col("vec_id"), lit(kCentroids.toLong))).as("centroid_id"),
+      col("embedding").cast("array<double>").as("v"))
+    // element-wise mean per bucket: explode → avg per (bucket, pos) → re-collect
+    v.select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("centroid_id", "pos")
+      .agg(avg("x").as("mx"))
+      .groupBy("centroid_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("pairs"))
+      .select(col("centroid_id"), expr("transform(pairs, p -> p.mx)").as("cvec"))
+  }
+}

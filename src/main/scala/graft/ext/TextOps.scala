@@ -1,0 +1,130 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Text-analysis operators for LLM training-data pipelines (north-star
+  * extension, BASELINE.json): tokenization, quality scoring, language ID,
+  * fingerprinting. Everything is built from codegen'd built-ins (split /
+  * transform / aggregate / xxhash64) — no UDFs — so a 100 TB corpus pass is
+  * one whole-stage-codegen'd scan per operator.
+  */
+object TextOps {
+
+  /** Whitespace tokens of trimmed, lowercased text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Token count (whitespace tokenizer). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: word-chunks + digits + punctuation as separate
+    * tokens (a deterministic regex stand-in for a real BPE vocab). */
+  def bpeishCount(text: Column): Column =
+    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => length(t) > 0))
+
+  /** Character n-gram array (for language ID / fingerprinting). */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = lower(text)
+    transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
+      i => t.substr(i, lit(n)))
+  }
+
+  /** Word n-gram (shingle) array with a join character. */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** Quality-score features: doc length, punctuation ratio, stopword ratio,
+    * mean word length — the standard cheap quality heuristics. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "this", "that")
+
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def stopwordRatio(toks: Column): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(sw, t))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  def meanWordLen(toks: Column): Column =
+    aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1]: long-enough, low punctuation, sane
+    * stopword density, plausible word length. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val swr = stopwordRatio(toks)
+    val swScore = lit(1.0) - least(abs(swr - 0.4) * 2.0, lit(1.0))
+    val mwl = meanWordLen(toks)
+    val wlScore = lit(1.0) - least(abs(mwl - 5.0) / 5.0, lit(1.0))
+    round((lenScore + punctScore + swScore + wlScore) / 4.0, 6)
+  }
+
+  /** Language ID via stopword-hit heuristic over small per-language stopword
+    * lists (n-gram/dictionary heuristic; deterministic, no model). */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "une", "du"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "des"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = langStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val sw = array(words.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(sw, t))).as("hits"),
+             lit(lang).as("lang"))
+    }
+    // max by (hits, lang) — deterministic tie-break on lang name
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** 64-bit content fingerprint (xxhash64 of normalized text) and a
+    * win(k)-style robust fingerprint: min xxhash64 over word shingles —
+    * stable under small edits at the shingle granularity. */
+  def fingerprint(text: Column): Column = xxhash64(trim(lower(text)))
+
+  def robustFingerprint(text: Column, shingleN: Int = 3): Column =
+    array_min(transform(wordShingles(tokens(text), shingleN), s => xxhash64(s)))
+
+  // ------------------------------------------------------- SparkEntry queries
+
+  /** token counts per document (oracle: regexp split in DuckDB). */
+  def tokenCountQuery(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+
+  /** per-language corpus stats. */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
+  /** quality + language-ID + fingerprint panel (rows-only check: the exact
+    * heuristics are engine-specific; ScalaTest pins their behavior). */
+  def textAnalysisQuery(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        qualityScore(col("text")).as("quality"),
+        langId(col("text")).as("lang_pred"),
+        fingerprint(col("text")).as("fp"))
+}

@@ -1,0 +1,71 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Recursive Datalog rules (Q9, SURVEY.md §2.2) — e.g. the `depends` rule in
+  * `/root/reference/src/dataworks/db/app_db.clj:122-126`:
+  * `(depends d1 d2) :- edge | edge ∘ depends`.
+  *
+  * Spark (≤4.x) has no recursive logical plans, so recursion is a
+  * driver-side semi-naive fixpoint: each iteration only extends the frontier
+  * (`delta`) discovered in the previous one, never re-joins the full
+  * accumulator against the edge set — the classic Datalog evaluation
+  * strategy, which at 100 TB is the difference between O(depth) incremental
+  * joins and O(depth) full-relation joins.
+  *
+  * Scale posture: per-iteration results are materialized via eager
+  * `localCheckpoint` (cuts lineage — without it the plan doubles every
+  * iteration and Catalyst analysis time explodes); termination is checked
+  * with `isEmpty` (a limit-1 job), never `collect`.
+  */
+object Fixpoint {
+
+  /** Transitive closure of `edges(src, dst)` → all reachable `(src, dst)`. */
+  def transitiveClosure(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val e = edges.select("src", "dst").distinct().localCheckpoint(true)
+    var acc = e
+    var delta = e
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      val extended = delta.as("d")
+        .join(e.as("g"), col("d.dst") === col("g.src"))
+        .select(col("d.src").as("src"), col("g.dst").as("dst"))
+        .distinct()
+      val fresh = extended.join(acc, Seq("src", "dst"), "left_anti")
+        .localCheckpoint(true)
+      if (fresh.isEmpty) done = true
+      else {
+        acc = acc.union(fresh).localCheckpoint(true)
+        delta = fresh
+      }
+      i += 1
+    }
+    acc
+  }
+
+  /** General semi-naive fixpoint: `step(delta)` derives new tuples from the
+    * latest frontier; iteration stops when nothing new appears. `keys` are
+    * the dedup columns (rule-head variables — Datalog set semantics). */
+  def fixpoint(base: DataFrame, step: DataFrame => DataFrame,
+               keys: Seq[String], maxIter: Int = 50): DataFrame = {
+    var acc = base.select(keys.map(col): _*).distinct().localCheckpoint(true)
+    var delta = acc
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      val fresh = step(delta)
+        .select(keys.map(col): _*).distinct()
+        .join(acc, keys, "left_anti")
+        .localCheckpoint(true)
+      if (fresh.isEmpty) done = true
+      else {
+        acc = acc.union(fresh).localCheckpoint(true)
+        delta = fresh
+      }
+      i += 1
+    }
+    acc
+  }
+}

@@ -1,0 +1,267 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Batch relational surface: the Crux-Datalog query capabilities the
+  * reference exposes to every stored function through its 3-arity `query`
+  * wrappers (`/root/reference/src/dataworks/db/user_db.clj:33-43`,
+  * `/root/reference/src/dataworks/db/app_db.clj:33-43`), re-expressed as
+  * declarative DataFrame plans so Catalyst does clause ordering, predicate
+  * pushdown and join selection (replacing Crux's EAV index planner wholesale,
+  * SURVEY.md §4).
+  *
+  * Operator keys (SURVEY.md §2.2): Q2/Q3 triple-pattern scans → pushed
+  * filters; Q4 `:find` projection (+ implicit set semantics Q18 →
+  * `.distinct()`); Q5 unification joins; Q6 predicate clauses; Q12 range
+  * predicates; Q13 `or` → union+distinct; Q14 `not` → left_anti; Q15
+  * aggregates; Q16 order/limit; Q8 rules → named plan-producing functions.
+  *
+  * Scale notes (100 TB posture): dimension tables (region/nation/customer at
+  * TPC-H ratios) are `broadcast()` so fact-side joins shuffle only once on
+  * the fact key; all money/quantity sums go through exact DECIMAL casts so
+  * results are independent of partial-aggregation order (needed both for the
+  * DuckDB oracle and for run-to-run determinism on a real cluster).
+  */
+object Relational {
+
+  /** Exact, order-independent sum of a double column: per-row cast to a
+    * fixed-scale decimal (deterministic given identical input doubles), then
+    * integer-exact decimal summation, then one final cast back to double.
+    * Mirrors `CAST(sum(CAST(x AS DECIMAL(p,s))) AS DOUBLE)` in the oracle.
+    */
+  def exactSum(c: Column, prec: Int = 28, scale: Int = 6): Column =
+    sum(c.cast(s"decimal($prec,$scale)")).cast("double")
+
+  // ---------------------------------------------------------------- scans
+
+  /** Q2+Q4+Q18: attribute projection with Datalog set semantics. */
+  def scanProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+      .distinct()
+
+  /** Q3: triple pattern with constant value → pushed equality filter. */
+  def filterEq(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+
+  /** Q12: range predicates `[(<= 5 ?q)] [(< ?q 25)]`. */
+  def filterRange(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 5 && col("l_quantity") < 25)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+
+  /** Q6: predicate clause — `clojure.string/starts-with?` as a filter
+    * (`/root/reference/src/dataworks/utils/auth.clj:91-96`). */
+  def filterStringPred(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_name").startsWith("Customer#00000001"))
+      .select("c_custkey", "c_name")
+
+  /** Q1: entity lookup by id (`crux/entity`,
+    * `/root/reference/src/dataworks/db/app_db.clj:45-48`). */
+  def entityLookup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") === 1L)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+  // ---------------------------------------------------------------- joins
+
+  /** Q5: unification join — shared logic var across entities. */
+  def joinEqui(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+
+  /** Q5 (multiway): lineitem⋈orders⋈customer⋈nation⋈region rollup.
+    * customer/nation/region are broadcast dims; the only shuffle is the
+    * lineitem⋈orders fact join + final aggregation. */
+  def joinMultiway(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        count(lit(1)).as("n_items"),
+        exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+
+  /** Q14: negation (`not` clause) → anti-join. */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** Q5+Q18: existence → semi-join (join + distinct in Datalog terms). */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+
+  /** Q13: `or` of clause branches → union + distinct. */
+  def unionOr(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+    p.filter(col("p_brand") === "Brand#12")
+      .union(p.filter(col("p_size") > 40))
+      .distinct()
+  }
+
+  /** Q18: implicit DISTINCT of `:find` projections. */
+  def distinctProjection(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select("c_mktsegment").distinct()
+
+  // ----------------------------------------------------------- aggregates
+
+  /** Q15: TPC-H Q1-style grouped aggregates (sum/avg/count).
+    * avg is expressed as exact-decimal sum / count so the value is
+    * bit-identical regardless of partial-agg order. */
+  def aggGroupBy(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        exactSum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice")).as("sum_base_price"),
+        exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+
+  /** Q15: count-distinct aggregate. */
+  def aggCountDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+
+  /** Q15: min/max (exact on doubles — no ordering sensitivity). */
+  def aggMinMax(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        count(lit(1)).as("n_orders"))
+
+  /** Q15: statistical aggregates (variance/stddev/median).
+    * Crux's `variance`/`stddev`/`median` (crux 1.16 `:find` aggregates).
+    * variance is computed from exact decimal sums of x and x², combined in
+    * double with an expression tree mirrored verbatim in the oracle SQL, so
+    * both engines execute identical IEEE operations. median is exact
+    * (interpolating) in both Spark (`median`) and DuckDB. */
+  def aggStats(s: SparkSession, d: String): DataFrame = {
+    // Measure is l_quantity: its decimal sums keep raw unscaled values
+    // < 2^53, where decimal→double conversion is correctly rounded and
+    // therefore bit-identical across engines (extendedprice² sums are not).
+    val x = col("l_quantity")
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        exactSum(x, 28, 6).as("sx"),
+        exactSum(x * x, 38, 6).as("sx2"),
+        median(x).as("median_price"))
+      .withColumn("var_price",
+        (col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+      .withColumn("stddev_price", sqrt(col("var_price")))
+      .select("l_returnflag", "n", "var_price", "stddev_price", "median_price")
+  }
+
+  /** Q16: order-by + limit (top-k) with deterministic tie-break. */
+  def orderByLimit(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  // ---------------------------------------------------------------- rules
+
+  /** Q8: a rule is a named, reusable plan-producing function (multiple
+    * bodies would union). Here: the `high-value-order` rule... */
+  def highValueOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_totalprice") > 300000.0)
+      .select("o_custkey", "o_totalprice")
+
+  /** ...reused by an outer query (rule application = plan inlining). */
+  def ruleView(s: SparkSession, d: String): DataFrame =
+    highValueOrders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        exactSum(col("o_totalprice")).as("total"))
+
+  /** Q9: recursive rule (transitive closure) over the namespaced edge union
+    * customer→nation ∪ nation→region ∪ supplier→nation. The recursion itself
+    * is Fixpoint.transitiveClosure (driver-side semi-naive loop — Spark has
+    * no recursive plans; SURVEY.md §4). */
+  def recursiveReach(s: SparkSession, d: String): DataFrame = {
+    val edges =
+      Tables.customer(s, d)
+        .select(concat(lit("c"), col("c_custkey")).as("src"),
+                concat(lit("n"), col("c_nationkey")).as("dst"))
+      .union(Tables.nation(s, d)
+        .select(concat(lit("n"), col("n_nationkey")).as("src"),
+                concat(lit("r"), col("n_regionkey")).as("dst")))
+      .union(Tables.supplier(s, d)
+        .select(concat(lit("s"), col("s_suppkey")).as("src"),
+                concat(lit("n"), col("s_nationkey")).as("dst")))
+    Fixpoint.transitiveClosure(edges)
+  }
+
+  // ----------------------------------------------------- bitemporal as-of
+
+  /** Q10: as-of (valid-time) snapshot — latest visible version per entity.
+    * events is read as a versions table (id=user_id, valid_from=ts);
+    * `row_number()=1` over desc valid-time is the snapshot view
+    * (SURVEY.md §1.1 bitemporal mapping). */
+  def asofSnapshot(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .filter(col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("value").as("latest_value"))
+  }
+
+  /** Q11: bitemporal — both valid-time and transaction-time cuts
+    * (event_id as the tx-time proxy per FIXTURES.md). */
+  def bitemporalAsof(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .filter(col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp") &&
+              col("event_id") <= 700L)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("value").as("latest_value"))
+  }
+
+  // ------------------------------------------------------ scalar functions
+
+  /** X1/X3: truncate-to-unit time coercion (`consume-time`'s keyword-unit
+    * arm, `/root/reference/src/dataworks/utils/time.clj:76-79`). */
+  def timeTruncate(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** X5: JSON decode (cheshire in the reference) → `get_json_object`. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+
+  /** T3/T4/T5 batch-equivalent of the README stream pipeline
+    * (`/root/reference/ReadMe.org:44-46`): map `:value`, map `inc`, and the
+    * engine's forced null-drop (`(filter some?)`,
+    * `/root/reference/src/dataworks/stream.clj:47`). */
+  def streamMapFilterBatch(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), (col("value") + 1.0).as("v"))
+}
