@@ -1,0 +1,76 @@
+package graft.core
+
+import java.sql.Timestamp
+
+/** Core engine types (SURVEY.md §1.1).
+  *
+  * A document is an arbitrary map keyed by `:crux.db/id` in the reference
+  * (`/root/reference/src/dataworks/db/app_db.clj:45-48`); here: a JSON
+  * payload plus a string id, versioned bitemporally.
+  */
+final case class VersionedDoc(
+    id: String,
+    validFrom: Timestamp, // Crux valid-time (caller-suppliable; future-dated puts allowed)
+    txTime: Timestamp,    // transaction time (engine-assigned, monotonic)
+    deleted: Boolean,     // tombstone (S5 delete)
+    doc: String)          // JSON payload (open-map escape hatch, SURVEY.md §1.3)
+
+/** Stream-node naming: `kafka/<topic>` is an external Kafka topic node,
+  * `stream/<name>` an internal node
+  * (`/root/reference/src/dataworks/utils/stream.clj:104-110`). */
+sealed trait NodeName { def name: String; def full: String }
+object NodeName {
+  final case class KafkaTopic(name: String) extends NodeName { def full = s"kafka/$name" }
+  final case class Internal(name: String) extends NodeName { def full = s"stream/$name" }
+
+  def parse(s: String): NodeName = s.split("/", 2) match {
+    case Array("kafka", t)  => KafkaTopic(t)
+    case Array("stream", n) => Internal(n)
+    case _ => throw new IllegalArgumentException(
+      s"node name must be kafka/<topic> or stream/<name>: $s")
+  }
+}
+
+/** Declarative op-spec for stream-node transducers (SURVEY.md §7.4 risk 5):
+  * the reference evals arbitrary Clojure transducer strings
+  * (`/root/reference/src/dataworks/stream.clj:30-34`); we deliberately
+  * narrow to a composable ADT whose `expr` strings are Spark SQL
+  * expressions (parsed by Catalyst, no runtime code eval) plus named
+  * registered functions (F1 surface).
+  */
+sealed trait OpSpec
+object OpSpec {
+  /** map: project value through a SQL expression over column `value`. */
+  final case class MapExpr(expr: String) extends OpSpec
+  /** filter: keep rows where the SQL predicate holds. */
+  final case class FilterExpr(predicate: String) extends OpSpec
+  /** select: arbitrary named column expressions (schema reshape). */
+  final case class SelectExpr(exprs: Seq[String]) extends OpSpec
+  /** invoke a named registered transformer (graft.registry.Functions). */
+  final case class Named(name: String, args: Seq[String] = Nil) extends OpSpec
+  /** composition — transducer `comp` (T5). */
+  final case class Comp(stages: Seq[OpSpec]) extends OpSpec
+}
+
+/** Buffer policy for a stream node (T7-T9,
+  * `/root/reference/src/dataworks/stream.clj:83-95`). Structured Streaming
+  * has no per-node bounded channel; fixed buffers map to source rate limits
+  * (`maxOffsetsPerTrigger`), sliding/dropping are documented divergences
+  * approximated by rate limiting (SURVEY.md §7.3). */
+sealed trait BufferSpec
+object BufferSpec {
+  final case class Fixed(n: Int) extends BufferSpec
+  final case class Sliding(n: Int) extends BufferSpec
+  final case class Dropping(n: Int) extends BufferSpec
+}
+
+/** A stream node (T1): name + upstream edges + transducer + buffer +
+  * error-handler sink, mirroring `create-stream!` params
+  * (`/root/reference/src/dataworks/stream.clj:117-133`). */
+final case class StreamNode(
+    name: NodeName,
+    upstream: Set[String],
+    transducer: Option[OpSpec],
+    buffer: Option[BufferSpec],
+    errorSink: Option[String],
+    format: String = "json")

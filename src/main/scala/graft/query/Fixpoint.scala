@@ -14,16 +14,27 @@ import org.apache.spark.sql.functions._
   * strategy, which at 100 TB is the difference between O(depth) incremental
   * joins and O(depth) full-relation joins.
   *
-  * Scale posture: per-iteration results are materialized via eager
-  * `localCheckpoint` (cuts lineage — without it the plan doubles every
-  * iteration and Catalyst analysis time explodes); termination is checked
-  * with `isEmpty` (a limit-1 job), never `collect`.
+  * Scale posture: per-iteration results are materialized (eager
+  * localCheckpoint — without it the plan doubles every iteration and
+  * Catalyst analysis time explodes); termination is checked with `isEmpty`
+  * (a limit-1 job), never `collect`.
   */
 object Fixpoint {
 
+  /** Eagerly materialize and rebase a DataFrame: localCheckpoint cuts the
+    * lineage, and rewrapping the checkpointed RDD mints fresh attribute ids
+    * with no carried-over constraints. Both matter: checkpointed plans keep
+    * their original ExprIds/constraints, and reusing them across iterations
+    * trips Catalyst's Union constraint rewrite (NoSuchElementException in
+    * UnionBase.rewriteConstraints) and self-join ambiguity. */
+  private def materialize(df: DataFrame): DataFrame = {
+    val ckpt = df.localCheckpoint(true)
+    ckpt.sparkSession.createDataFrame(ckpt.rdd, ckpt.schema)
+  }
+
   /** Transitive closure of `edges(src, dst)` → all reachable `(src, dst)`. */
   def transitiveClosure(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val e = edges.select("src", "dst").distinct().localCheckpoint(true)
+    val e = materialize(edges.select("src", "dst").distinct())
     var acc = e
     var delta = e
     var i = 0
@@ -33,11 +44,10 @@ object Fixpoint {
         .join(e.as("g"), col("d.dst") === col("g.src"))
         .select(col("d.src").as("src"), col("g.dst").as("dst"))
         .distinct()
-      val fresh = extended.join(acc, Seq("src", "dst"), "left_anti")
-        .localCheckpoint(true)
+      val fresh = materialize(extended.join(acc, Seq("src", "dst"), "left_anti"))
       if (fresh.isEmpty) done = true
       else {
-        acc = acc.union(fresh).localCheckpoint(true)
+        acc = materialize(acc.union(fresh))
         delta = fresh
       }
       i += 1
@@ -50,18 +60,18 @@ object Fixpoint {
     * the dedup columns (rule-head variables — Datalog set semantics). */
   def fixpoint(base: DataFrame, step: DataFrame => DataFrame,
                keys: Seq[String], maxIter: Int = 50): DataFrame = {
-    var acc = base.select(keys.map(col): _*).distinct().localCheckpoint(true)
+    var acc = materialize(base.select(keys.map(col): _*).distinct())
     var delta = acc
     var i = 0
     var done = false
     while (!done && i < maxIter) {
-      val fresh = step(delta)
-        .select(keys.map(col): _*).distinct()
-        .join(acc, keys, "left_anti")
-        .localCheckpoint(true)
+      val fresh = materialize(
+        step(delta)
+          .select(keys.map(col): _*).distinct()
+          .join(acc, keys, "left_anti"))
       if (fresh.isEmpty) done = true
       else {
-        acc = acc.union(fresh).localCheckpoint(true)
+        acc = materialize(acc.union(fresh))
         delta = fresh
       }
       i += 1

@@ -1,0 +1,152 @@
+package graft.store
+
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.VersionedDoc
+
+/** Bitemporal document store: the Crux semantics the reference exposes to
+  * every stored function (`/root/reference/src/dataworks/db/app_db.clj:95-113`,
+  * `/root/reference/src/dataworks/db/user_db.clj:28-48`), rebuilt as an
+  * append-only versioned Parquet table + window-based as-of views.
+  *
+  * Operations (SURVEY.md §2.1):
+  *  - S1 `put`            — upsert, valid-from = now
+  *  - S2 `put` @ future   — caller-supplied valid-from; invisible until due
+  *  - S3 `match`+put      — optimistic concurrency (compare current, then append)
+  *  - S4 `cas`            — compare-and-swap payloads
+  *  - S5 `delete`         — tombstone row ending validity
+  *  - S6 `await-tx`       — synchronous commit (writes here are synchronous)
+  *  - Q1 `entity`         — whole doc at a snapshot
+  *  - Q10/Q11 `asOf`      — valid-time / bitemporal snapshot views
+  *
+  * Write path & scale: Crux serializes all transactions through a single
+  * Kafka tx-log (`/root/reference/example-config.edn:3-14`); we funnel
+  * writes through one commit point per store instance (a JVM lock +
+  * monotonic tx clock — the moral equivalent for a driver-owned control
+  * plane; match/cas REQUIRE that serialization, SURVEY.md §7.4 risk 1).
+  * Data layout: rows are partitioned by `valid_date` so as-of reads prune
+  * historical partitions, and each append is a small parquet file — at
+  * warehouse scale you'd compact these, but the read view is identical.
+  *
+  * Read path: `asOf(vt, tt)` = filter(valid_from <= vt && tx_time <= tt)
+  * → row_number() over (partition by id, order by valid_from desc, tx_time
+  * desc) = 1 → drop tombstones. The filter is pushed to parquet; the
+  * window shuffles by id exactly once.
+  */
+class DocumentStore(val spark: SparkSession, val path: String) {
+  import spark.implicits._
+
+  private val lock = new Object
+  private val lastTx = new AtomicLong(0L)
+
+  /** Monotonic tx clock: real time, bumped by 1ms under collision so tx
+    * order is total (Crux tx-ids are totally ordered by the tx-log). */
+  private def nextTxTime(): Timestamp = {
+    val t = lastTx.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
+    new Timestamp(t)
+  }
+
+  def now(): Timestamp = new Timestamp(System.currentTimeMillis())
+
+  private def append(rows: Seq[VersionedDoc]): Unit =
+    rows.toDS()
+      .withColumn("valid_date", to_date(col("validFrom")))
+      .write.mode(SaveMode.Append).partitionBy("valid_date").parquet(path)
+
+  /** Full version history (all rows, including tombstones). */
+  def versions(): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(path).drop("valid_date")
+    else spark.emptyDataset[VersionedDoc].toDF()
+  }
+
+  // ----------------------------------------------------------------- writes
+
+  /** S1/S2: put a document; `validFrom` defaults to now, future values give
+    * scheduled visibility (`/root/reference/doc/demo-app-1.org:125-127`). */
+  def put(id: String, doc: String, validFrom: Option[Timestamp] = None): Timestamp =
+    lock.synchronized {
+      val tx = nextTxTime()
+      append(Seq(VersionedDoc(id, validFrom.getOrElse(tx), tx, deleted = false, doc)))
+      tx
+    }
+
+  /** S5: delete — tombstone ending validity now (or at `validFrom`). */
+  def delete(id: String, validFrom: Option[Timestamp] = None): Timestamp =
+    lock.synchronized {
+      val tx = nextTxTime()
+      append(Seq(VersionedDoc(id, validFrom.getOrElse(tx), tx, deleted = true, doc = null)))
+      tx
+    }
+
+  /** S3: match + put — transaction commits only if the current visible doc
+    * equals `expected` (None = must not exist), mirroring
+    * `[[:crux.tx/match][:crux.tx/put]]`
+    * (`/root/reference/src/dataworks/db/app_db.clj:102-105`). */
+  def matchPut(id: String, expected: Option[String], doc: String,
+               validFrom: Option[Timestamp] = None): Boolean =
+    lock.synchronized {
+      if (entity(id) == expected) { put(id, doc, validFrom); true } else false
+    }
+
+  /** S4: cas — compare-and-swap against the current payload
+    * (`/root/reference/src/dataworks/utils/auth.clj:139-146`). */
+  def cas(id: String, oldDoc: String, newDoc: String): Boolean =
+    matchPut(id, Some(oldDoc), newDoc)
+
+  /** S6: writes are synchronous — a returned tx-time IS committed. */
+  def awaitTx(tx: Timestamp): Boolean = txCommitted(tx)
+  def txCommitted(tx: Timestamp): Boolean = tx.getTime <= lastTx.get()
+
+  // ------------------------------------------------------------------ reads
+
+  /** Q10/Q11: snapshot of all documents visible at (valid-time, tx-time).
+    * Result schema: (id, validFrom, txTime, doc). */
+  def asOf(validTime: Timestamp, txTime: Timestamp): DataFrame = {
+    val w = Window.partitionBy("id")
+      .orderBy(col("validFrom").desc, col("txTime").desc)
+    versions()
+      .filter(col("validFrom") <= lit(validTime) && col("txTime") <= lit(txTime))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && !col("deleted"))
+      .select("id", "validFrom", "txTime", "doc")
+  }
+
+  def asOf(validTime: Timestamp): DataFrame = asOf(validTime, new Timestamp(Long.MaxValue >> 12))
+
+  /** Current snapshot (Crux `(db node)`). */
+  def db(): DataFrame = asOf(now())
+
+  /** Q1: entity lookup — current doc payload for `id`, if visible. */
+  def entity(id: String): Option[String] = entity(id, now())
+
+  def entity(id: String, validTime: Timestamp): Option[String] = {
+    // id filter applied BEFORE the window so parquet only surfaces this
+    // entity's versions (predicate pushdown; no full-table window).
+    val w = Window.partitionBy("id")
+      .orderBy(col("validFrom").desc, col("txTime").desc)
+    versions()
+      .filter(col("id") === id && col("validFrom") <= lit(validTime))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && !col("deleted"))
+      .select("doc")
+      .as[String].collect().headOption
+  }
+
+  /** Typed view of the history for Dataset-style callers. */
+  def history(): Dataset[VersionedDoc] = {
+    versions()
+      .select("id", "validFrom", "txTime", "deleted", "doc").as[VersionedDoc]
+  }
+}
+
+object DocumentStore {
+  def apply(spark: SparkSession, path: String): DocumentStore =
+    new DocumentStore(spark, path)
+}

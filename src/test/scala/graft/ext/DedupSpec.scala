@@ -1,0 +1,66 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Near-dup operators pinned on planted duplicates (the sf fixtures carry
+  * no labeled dup pairs, so specs construct their own corpus). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep green forest to hide from every hunter"
+  private val nearDup = base.replace("green", "dark") // one token changed
+  private val unrelated = "completely different words about spark catalyst " +
+    "optimizer plans shuffles partitions and codegen stages in a cluster"
+
+  private lazy val docs = Seq(
+    (1L, base), (2L, nearDup), (3L, unrelated), (4L, base)
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per identical text") {
+    val d = Dedup.exactDedup(docs)
+    val byText = d.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(byText.contains((base, 1L, 2L)))   // ids 1 and 4 collapse to 1
+    assert(d.count() === 3)
+  }
+
+  test("minhash finds the planted near-dup pair and the exact pair") {
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)), "identical docs must collide")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      "one-token-edit near-dup should collide in some band")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not pair")
+  }
+
+  test("simhash: identical docs at distance 0; near-dups close; unrelated far") {
+    val fps = docs.select($"doc_id", Dedup.simhash($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(1L), fps(2L)) < ham(fps(1L), fps(3L)),
+      s"near-dup ${ham(fps(1L), fps(2L))} should beat unrelated ${ham(fps(1L), fps(3L))}")
+    val pairs = Dedup.simhashNearDups(docs, maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("ngram jaccard scores the planted pair high") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)), "1-token edit over 22 tokens keeps jaccard > 0.5")
+  }
+
+  test("embedding near-dup: SRP buckets put identical vectors together") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Array(1.0f, 0.01f, 0.5f, 0.2f)), // near-identical
+      (3L, Array(-1.0f, 0.9f, -0.5f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, threshold = 0.99, nBits = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.store
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Bitemporal invariants per the reference's Crux usage:
+  * put/entity (`app_db.clj:95-113`), future-valid-time visibility
+  * (`demo-app-1.org:125-127`, `alert.clj:9-31`), match/cas (`auth.clj:139-146`),
+  * delete (`alert.clj:31`), bitemporal reads (`app_db.clj:33-43`). */
+class DocumentStoreSpec extends SparkSpec {
+
+  private def freshStore() =
+    DocumentStore(spark, Files.createTempDirectory("docstore").toString + "/db")
+
+  test("put then entity returns latest doc; update wins") {
+    val s = freshStore()
+    s.put("user/alice", """{"name":"alice","role":"dev"}""")
+    assert(s.entity("user/alice").contains("""{"name":"alice","role":"dev"}"""))
+    s.put("user/alice", """{"name":"alice","role":"admin"}""")
+    assert(s.entity("user/alice").contains("""{"name":"alice","role":"admin"}"""))
+  }
+
+  test("missing entity is None") {
+    val s = freshStore()
+    s.put("a", "{}")
+    assert(s.entity("nope").isEmpty)
+  }
+
+  test("future valid-time put is invisible until due (alert-scheduler contract)") {
+    val s = freshStore()
+    val future = new Timestamp(System.currentTimeMillis() + 3600 * 1000L)
+    s.put("app/alert", """{"handler":"sendText"}""", Some(future))
+    assert(s.entity("app/alert").isEmpty, "future doc must be hidden now")
+    assert(s.entity("app/alert", new Timestamp(future.getTime + 1000))
+      .contains("""{"handler":"sendText"}"""), "visible once valid-time arrives")
+    assert(s.asOf(s.now()).filter("id = 'app/alert'").count() === 0)
+    assert(s.asOf(new Timestamp(future.getTime + 1000))
+      .filter("id = 'app/alert'").count() === 1)
+  }
+
+  test("delete tombstones the doc") {
+    val s = freshStore()
+    s.put("k", """{"v":1}""")
+    s.delete("k")
+    assert(s.entity("k").isEmpty)
+    assert(s.db().filter("id = 'k'").count() === 0)
+  }
+
+  test("matchPut commits only when current matches expected") {
+    val s = freshStore()
+    // create-if-absent (reference's create path matches on nil)
+    assert(s.matchPut("fn/t1", None, """{"v":1}"""))
+    // stale expectation aborts
+    assert(!s.matchPut("fn/t1", Some("""{"v":0}"""), """{"v":2}"""))
+    assert(s.entity("fn/t1").contains("""{"v":1}"""))
+    // correct expectation commits
+    assert(s.matchPut("fn/t1", Some("""{"v":1}"""), """{"v":2}"""))
+    assert(s.entity("fn/t1").contains("""{"v":2}"""))
+  }
+
+  test("cas swaps only from the expected payload") {
+    val s = freshStore()
+    s.put("user/bob", """{"role":"dev"}""")
+    assert(s.cas("user/bob", """{"role":"dev"}""", """{"role":"admin"}"""))
+    assert(!s.cas("user/bob", """{"role":"dev"}""", """{"role":"root"}"""))
+    assert(s.entity("user/bob").contains("""{"role":"admin"}"""))
+  }
+
+  test("bitemporal: tx-time cut sees the past state (time travel)") {
+    val s = freshStore()
+    val tx1 = s.put("doc", """{"v":1}""")
+    val tx2 = s.put("doc", """{"v":2}""")
+    val nowTs = s.now()
+    // as of (now, tx1): only v1 had been transacted
+    val at1 = s.asOf(nowTs, tx1).filter("id = 'doc'").select("doc").collect()
+    assert(at1.map(_.getString(0)).toSeq == Seq("""{"v":1}"""))
+    val at2 = s.asOf(nowTs, tx2).filter("id = 'doc'").select("doc").collect()
+    assert(at2.map(_.getString(0)).toSeq == Seq("""{"v":2}"""))
+  }
+
+  test("await-tx / tx-committed") {
+    val s = freshStore()
+    val tx = s.put("x", "{}")
+    assert(s.awaitTx(tx) && s.txCommitted(tx))
+  }
+}
