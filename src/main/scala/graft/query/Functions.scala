@@ -1,0 +1,145 @@
+package graft.query
+
+import java.time._
+import java.time.temporal.ChronoUnit
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The scalar-function toolkit the reference hands to every stored function
+  * (SURVEY.md §2.5).
+  *
+  * `consumeTime` replicates the full coercion matrix of `consume-time`
+  * (`/root/reference/src/dataworks/utils/time.clj:11-86`): a polymorphic,
+  * no-throw coercion of "time-like things" to an Instant — the documented
+  * contract is totality (`time.clj:37-39` warns it returns nil rather than
+  * throwing). `Never` models the `:never` sentinel.
+  *
+  * Column-level equivalents use built-ins (codegen'd) where they exist:
+  * `date_trunc`, `next_day`, interval arithmetic; the driver-side Scala
+  * version covers the reference's dynamic arms (keywords, sequences).
+  */
+object Functions {
+
+  /** `:never` sentinel — sorts after every real instant
+    * (`time.clj`'s :never arm; used by alert scheduling). */
+  val Never: Instant = Instant.ofEpochMilli(Long.MaxValue >> 12)
+
+  private val chronoUnits: Map[String, ChronoUnit] = Map(
+    "milli" -> ChronoUnit.MILLIS, "millis" -> ChronoUnit.MILLIS,
+    "second" -> ChronoUnit.SECONDS, "seconds" -> ChronoUnit.SECONDS,
+    "minute" -> ChronoUnit.MINUTES, "minutes" -> ChronoUnit.MINUTES,
+    "hour" -> ChronoUnit.HOURS, "hours" -> ChronoUnit.HOURS,
+    "day" -> ChronoUnit.DAYS, "days" -> ChronoUnit.DAYS,
+    "week" -> ChronoUnit.WEEKS, "weeks" -> ChronoUnit.WEEKS)
+
+  /** Full coercion matrix. Total: never throws; unparseable → None.
+    * Arms mirror `time.clj:11-86` case order. */
+  def consumeTime(value: Any, now: Instant = Instant.now()): Option[Instant] =
+    try {
+      value match {
+        case null => None
+        case i: Instant => Some(i)
+        case d: java.util.Date => Some(d.toInstant) // java.sql.Timestamp included
+        case ld: LocalDate => Some(ld.atStartOfDay(ZoneOffset.UTC).toInstant)
+        case d: Duration => Some(now.plus(d))
+        case p: Period => // today + period, at midnight (time.clj Period arm)
+          Some(LocalDate.ofInstant(now, ZoneOffset.UTC).plus(p)
+            .atStartOfDay(ZoneOffset.UTC).toInstant)
+        case dow: DayOfWeek => // next such weekday, midnight (time.clj:70-73)
+          var d = LocalDate.ofInstant(now, ZoneOffset.UTC).plusDays(1)
+          while (d.getDayOfWeek != dow) d = d.plusDays(1)
+          Some(d.atStartOfDay(ZoneOffset.UTC).toInstant)
+        case ms: Int => Some(now.plusMillis(ms.toLong)) // int millis-from-now
+        case ms: Long => Some(now.plusMillis(ms))
+        case ":never" | "never" => Some(Never)
+        case kw: String if chronoUnits.contains(kw.stripPrefix(":")) =>
+          // keyword unit: now + 1 unit, truncated to unit (time.clj:76-79).
+          // WEEKS is not a supported truncation unit; truncate to days first.
+          val u = chronoUnits(kw.stripPrefix(":"))
+          if (u == ChronoUnit.WEEKS) {
+            val d = LocalDate.ofInstant(now, ZoneOffset.UTC).plusWeeks(1)
+            Some(d.minusDays((d.getDayOfWeek.getValue - 1).toLong)
+              .atStartOfDay(ZoneOffset.UTC).toInstant)
+          } else Some(now.plus(1, u).truncatedTo(u))
+        case s: String => parseTimeString(s, now)
+        case xs: Seq[_] => // sequence → running reductions (time.clj:80-86):
+          // each element coerced relative to the previous result; final value.
+          xs.foldLeft(Option(now)) {
+            case (Some(acc), v) => consumeTime(v, acc)
+            case (None, _) => None
+          }
+        case _ => None
+      }
+    } catch { case _: Throwable => None }
+
+  private def parseTimeString(s: String, now: Instant): Option[Instant] = {
+    val t = s.trim
+    def tryParse(f: => Instant): Option[Instant] =
+      try Some(f) catch { case _: Throwable => None }
+    tryParse(Instant.parse(t))
+      .orElse(tryParse(LocalDateTime.parse(t).toInstant(ZoneOffset.UTC)))
+      .orElse(tryParse(LocalDate.parse(t).atStartOfDay(ZoneOffset.UTC).toInstant))
+      .orElse(tryParse(now.plus(Duration.parse(t))))
+      .orElse(tryParse { // day-of-week name → next such day
+        val dow = DayOfWeek.valueOf(t.stripPrefix(":").toUpperCase)
+        consumeTime(dow, now).get
+      })
+  }
+
+  /** `get-millis` (`time.clj:90-94`): millis from `now` until the coerced
+    * instant; None when uncoercible. */
+  def getMillis(value: Any, now: Instant = Instant.now()): Option[Long] =
+    consumeTime(value, now).map(i => i.toEpochMilli - now.toEpochMilli)
+
+  // ------------------------------------------------------ column-level (X1-X4)
+
+  /** X3: truncate-to-unit — `date_trunc` (codegen'd). */
+  def truncateTo(ts: Column, unit: String): Column = date_trunc(unit, ts)
+
+  /** X4: next day-of-week at midnight — `next_day` + cast. */
+  def nextDayOfWeek(ts: Column, dow: String): Column =
+    next_day(ts.cast("date"), dow).cast("timestamp")
+
+  /** X2 column form: millis until `ts` from `current_timestamp()`. */
+  def millisUntil(ts: Column): Column =
+    unix_millis(ts) - unix_millis(current_timestamp())
+
+  /** Registers the dynamic arms as SQL UDFs for expression-string use
+    * (`consume_time(str)`, `edn_to_json(str)`). */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("consume_time", (s: String) =>
+      consumeTime(s).map(i => new java.sql.Timestamp(i.toEpochMilli)).orNull)
+    spark.udf.register("edn_to_json", (s: String) => Edn.toJson(s))
+  }
+
+  // ------------------------------------------------------- case conversion (X7)
+
+  /** camel-snake-kebab surface: the reference imports it into every user
+    * namespace for key renaming (`/root/reference/src/dataworks/collectors.clj:3-4`). */
+  def toSnake(s: String): String =
+    s.replaceAll("([a-z0-9])([A-Z])", "$1_$2").replace('-', '_').toLowerCase
+  def toKebab(s: String): String =
+    s.replaceAll("([a-z0-9])([A-Z])", "$1-$2").replace('_', '-').toLowerCase
+  def toCamel(s: String): String = {
+    val parts = s.split("[-_]").filter(_.nonEmpty)
+    (parts.headOption.getOrElse("") +: parts.drop(1).map(_.capitalize)).mkString
+  }
+
+  /** Rename every column through a case converter (schema reshape). */
+  def renameColumns(df: DataFrame, f: String => String): DataFrame =
+    df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, f(c)))
+
+  // ------------------------------------------------------- keyword utils (X8)
+
+  /** `stringify-keyword` (`common.clj:120-126`): ":ns/name" → "ns/name". */
+  def stringifyKeyword(s: String): String = s.stripPrefix(":")
+
+  /** Namespaced-id helpers mirroring `set-ns` conventions
+    * (`common.clj:405-412`): ":<type>/<name>". */
+  def namespacedId(tpe: String, name: String): String = s":$tpe/$name"
+  def idNamespace(id: String): String = stringifyKeyword(id).split("/", 2)(0)
+  def idName(id: String): String = {
+    val p = stringifyKeyword(id).split("/", 2); if (p.length > 1) p(1) else p(0)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.stream
+
+import java.sql.Timestamp
+import java.util.concurrent.{Executors, ScheduledExecutorService, TimeUnit}
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.registry.FunctionRegistry
+import graft.store.DocumentStore
+
+/** T20 alert scheduler (`/root/reference/src/dataworks/utils/alert.clj:9-51`):
+  * timers are *future-valid-time documents* — a put at valid-from = due-time
+  * is invisible until due (S2), and a 1 s poll over the as-of view picks it
+  * up, claims it, invokes the named handler, then deletes it.
+  *
+  * Alert doc shape (FIXTURES.md): `{"appName":…, "alertHandler":…,
+  * "alertParams":[…], "alertClaim":…}` under an id ending in "/alert".
+  *
+  * Divergence, deliberate: the reference's claim is racy (an unconditional
+  * put that always commits, noted at SURVEY.md §2.3 T20); here the claim is
+  * a real compare-and-set through the store's serialized write path, so two
+  * scheduler instances can't both fire one alert — replicating intent, not
+  * the race. */
+class AlertScheduler(store: DocumentStore,
+                     registry: FunctionRegistry = FunctionRegistry.default,
+                     pollMillis: Long = 1000, // faithful to alert.clj:36
+                     claimId: String = java.util.UUID.randomUUID().toString) {
+
+  private implicit val formats: Formats = DefaultFormats
+  @volatile private var exec: Option[ScheduledExecutorService] = None
+  @volatile private var firedCount: Long = 0L
+
+  def fired: Long = firedCount
+
+  /** One poll: due (= now-visible) alert docs → claim → handle → delete. */
+  def tick(now: Timestamp = store.now()): Unit = {
+    import store.spark.implicits._
+    val due = store.asOf(now)
+      .filter("id LIKE '%/alert'")
+      .select("id", "doc")
+      .as[(String, String)]
+      .collect() // alert docs are control-plane-scale (few), like the 1 s poll loop
+    due.foreach { case (id, doc) =>
+      try {
+        val parsed = JsonMethods.parse(doc)
+        val alreadyClaimed = (parsed \ "alertClaim") != JNothing
+        if (!alreadyClaimed) {
+          val claimed = JsonMethods.compact(JsonMethods.render(
+            parsed.merge(JObject("alertClaim" -> JString(claimId)))))
+          // real CAS claim: only one scheduler instance wins (cf. alert.clj:20-28)
+          if (store.cas(id, doc, claimed)) {
+            val handler = (parsed \ "alertHandler").extractOpt[String]
+            val params = (parsed \ "alertParams") match {
+              case JArray(xs) => xs.map(x => JsonMethods.compact(JsonMethods.render(x)))
+              case JNothing => Nil
+              case other => List(JsonMethods.compact(JsonMethods.render(other)))
+            }
+            handler.foreach { h =>
+              registry.transact(h, params) // fire-and-forget, like transact!
+              firedCount += 1
+            }
+            store.delete(id) // alert.clj:31
+          }
+        }
+      } catch { case _: Throwable => () } // a bad alert doc never kills the loop
+    }
+  }
+
+  def start(): Unit = synchronized {
+    if (exec.isEmpty) {
+      val e = Executors.newSingleThreadScheduledExecutor(r => {
+        val t = new Thread(r, "graft-alerts"); t.setDaemon(true); t
+      })
+      e.scheduleWithFixedDelay(() => tick(), pollMillis, pollMillis, TimeUnit.MILLISECONDS)
+      exec = Some(e)
+    }
+  }
+
+  def stop(): Unit = synchronized { exec.foreach(_.shutdownNow()); exec = None }
+}

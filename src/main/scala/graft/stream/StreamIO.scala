@@ -1,0 +1,120 @@
+package graft.stream
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** External-stream abstraction behind the topology (S7/S8, SURVEY.md §2.1).
+  *
+  * The normalized message row mirrors `consume-record`
+  * (`/root/reference/src/dataworks/utils/kafka.clj:93-100`):
+  * `(key STRING, value STRING, ts TIMESTAMP, topic STRING)` — payloads ride
+  * as JSON text (EDN topics go through the `edn_to_json` UDF, S10).
+  */
+trait StreamIO {
+  def spark: SparkSession
+  /** Source streaming DataFrame for an external topic. */
+  def source(topic: String): DataFrame
+  /** Start a sink writing `df` to an external topic; `queryName` keys the
+    * checkpoint so a hot-swap restart resumes at the committed offsets. */
+  def sink(topic: String, df: DataFrame, queryName: String): StreamingQuery
+  /** S9: ensure the topic exists before wiring (AdminClient for Kafka). */
+  def ensureTopic(topic: String): Unit
+}
+
+/** Kafka-backed IO (S7-S9). Requires the spark-sql-kafka connector +
+  * kafka-clients on the runtime classpath (not shipped in this build env,
+  * so this class is exercised in prod deployments, MemoryIO in tests).
+  *
+  * Options mirror the reference consumer/producer settings where they make
+  * sense under Structured Streaming: `startingOffsets=latest` matches
+  * `auto.offset.reset=latest` (`kafka.clj:84-88`); offset tracking moves
+  * from Kafka auto-commit (at-most-once-ish, `kafka.clj:108-109`) to the
+  * checkpoint (at-least-once) — an intentional upgrade (SURVEY.md §3.3). */
+class KafkaIO(val spark: SparkSession, bootstrapServers: String,
+              checkpointRoot: String) extends StreamIO {
+
+  def source(topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .load()
+      .select(
+        col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"),
+        col("timestamp").as("ts"),
+        col("topic"))
+
+  def sink(topic: String, df: DataFrame, queryName: String): StreamingQuery =
+    df.select(
+        col("key").cast("binary").as("key"),
+        to_json(struct(df.columns.map(col): _*)).cast("binary").as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", s"$checkpointRoot/$queryName")
+      .queryName(queryName)
+      .trigger(Trigger.ProcessingTime("100 milliseconds")) // poll cadence (kafka.clj:108)
+      .start()
+
+  def ensureTopic(topic: String): Unit = ()
+  // Topic auto-creation (kafka.clj:26-50: 6 partitions / RF 3) needs
+  // kafka-clients' AdminClient, absent from this build env; deployments
+  // inject it here.
+}
+
+/** In-memory IO for tests and local topologies: MemoryStream per source
+  * topic, a collecting foreachBatch sink per sink topic. The collecting
+  * sink survives query restarts (hot-swap!) while the per-query checkpoint
+  * guarantees already-committed offsets aren't reprocessed — exactly the
+  * "old messages old code, new messages new code" contract
+  * (`/root/reference/ReadMe.org:64`). */
+class MemoryIO(val spark: SparkSession) extends StreamIO {
+  import spark.implicits._
+
+  private val sources = new ConcurrentHashMap[String, MemoryStream[(String, String, Timestamp)]]()
+  private val outputs = new ConcurrentHashMap[String, mutable.Buffer[Row]]()
+  private val checkpointRoot = Files.createTempDirectory("graft-ckpt").toString
+
+  private def stream(topic: String): MemoryStream[(String, String, Timestamp)] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    sources.computeIfAbsent(topic, _ => MemoryStream[(String, String, Timestamp)])
+  }
+
+  /** Push a message into a source topic (test harness side of T16). */
+  def publish(topic: String, key: String, value: String): Unit =
+    stream(topic).addData((key, value, new Timestamp(System.currentTimeMillis())))
+
+  /** Collected sink rows for a topic (in arrival order). */
+  def collected(topic: String): Seq[Row] =
+    Option(outputs.get(topic)).map(_.toSeq).getOrElse(Seq.empty)
+
+  def source(topic: String): DataFrame =
+    stream(topic).toDF()
+      .toDF("key", "value", "ts")
+      .withColumn("topic", lit(topic))
+
+  def sink(topic: String, df: DataFrame, queryName: String): StreamingQuery = {
+    val buf = outputs.computeIfAbsent(topic, _ => mutable.Buffer.empty[Row])
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect()
+        buf.synchronized { buf ++= rows }
+        ()
+      }
+      .option("checkpointLocation", s"$checkpointRoot/$queryName")
+      .queryName(queryName)
+      .start()
+  }
+
+  def ensureTopic(topic: String): Unit = { stream(topic); () }
+}

@@ -1,0 +1,119 @@
+package graft.stream
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.{NodeName, OpSpec, StreamNode}
+import graft.registry.FunctionRegistry
+
+/** The stream-node dataflow graph (T1, T11-T14, SURVEY.md §2.3).
+  *
+  * Reference model: named core.async channels carrying transducers, wired
+  * by `:upstream` sets into a DAG with `mult`/`tap` fan-out
+  * (`/root/reference/src/dataworks/utils/stream.clj:11-17,45-53,87-102`).
+  * Spark model: each node's output is a streaming DataFrame; fan-in is
+  * `unionByName` of upstream outputs (T12), fan-out falls out of several
+  * downstream plans referencing one upstream plan (T11), and the engine's
+  * forced `(filter some?)` null-drop after every user transducer
+  * (`/root/reference/src/dataworks/stream.clj:47`) is a `value IS NOT NULL`
+  * filter.
+  *
+  * Scale: nodes are narrow transformations over the Kafka-partitioned
+  * stream — no shuffle is introduced unless an op-spec aggregates; the DAG
+  * compiles into one Catalyst plan per sink, so whole-stage codegen fuses
+  * each node chain exactly like transducer composition fused element steps
+  * (SURVEY.md §4 row 1).
+  */
+class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegistry.default) {
+
+  private val nodeMap = TrieMap.empty[String, StreamNode]
+
+  def nodes: Map[String, StreamNode] = nodeMap.toMap
+  def node(full: String): Option[StreamNode] = nodeMap.get(full)
+
+  /** Validation mirrors `create-stream!`'s railway
+    * (`/root/reference/src/dataworks/stream.clj:117-133,50-57`): an error
+    * handler requires a transducer, a transducer requires a buffer. */
+  def validate(n: StreamNode): Either[String, StreamNode] =
+    if (n.errorSink.isDefined && n.transducer.isEmpty)
+      Left(s"${n.name.full}: error-handler requires a transducer")
+    else if (n.transducer.isDefined && n.buffer.isEmpty)
+      Left(s"${n.name.full}: transducer requires a buffer")
+    else Right(n)
+
+  def addNode(n: StreamNode): Either[String, StreamNode] =
+    validate(n).map { ok => nodeMap.put(ok.name.full, ok); io.ensureTopic(ok.name.full); ok }
+
+  def removeNode(full: String): Unit = { nodeMap.remove(full); () }
+
+  /** `get-edges` (`utils/stream.clj:11-17`): (upstream, downstream). */
+  def edges: Seq[(String, String)] =
+    nodeMap.values.flatMap(n => n.upstream.toSeq.sorted.map(u => (u, n.name.full))).toSeq
+
+  /** T14 `query-graph`: everything reachable downstream of `full`
+    * (the affected subgraph on a hot-swap — only these re-wire). */
+  def downstreamOf(full: String): Set[String] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var acc = Set.empty[String]
+    var frontier = Set(full)
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(out.getOrElse(_, Set.empty)) -- acc
+      acc ++= next
+      frontier = next
+    }
+    acc
+  }
+
+  /** Sink nodes: kafka topics fed by upstreams (producer side of
+    * `handle-topic`, `utils/stream.clj:80-85`). */
+  def sinkNodes: Seq[StreamNode] =
+    nodeMap.values.filter(n => n.upstream.nonEmpty &&
+      n.name.isInstanceOf[NodeName.KafkaTopic]).toSeq
+
+  /** Apply an op-spec stage chain (T3-T5) to a node input. */
+  def applyOpSpec(df: DataFrame, spec: OpSpec): DataFrame = spec match {
+    case OpSpec.MapExpr(e)      => df.withColumn("value", expr(e))
+    case OpSpec.FilterExpr(p)   => df.filter(expr(p))
+    case OpSpec.SelectExpr(es)  => df.selectExpr(es: _*)
+    case OpSpec.Named(name, _)  => registry.transform(name, df)
+    case OpSpec.Comp(stages)    => stages.foldLeft(df)(applyOpSpec)
+  }
+
+  /** Build the output plan of a node: fan-in of upstream outputs, user
+    * transducer, forced null-drop. Source nodes (no upstream) read their
+    * backing topic — pushing into any node by name (T16 `stream!`) is a
+    * publish to that topic. */
+  def buildPlan(full: String, building: Set[String] = Set.empty): DataFrame = {
+    if (building.contains(full))
+      throw new IllegalStateException(s"cycle through $full")
+    val n = nodeMap.getOrElse(full,
+      throw new NoSuchElementException(s"unknown node $full"))
+    val input =
+      if (n.upstream.isEmpty) io.source(full)
+      else n.upstream.toSeq.sorted
+        .map(buildPlan(_, building + full))
+        .reduce(_.unionByName(_))
+    val transformed = n.transducer.fold(input)(applyOpSpec(input, _))
+    // engine-forced (filter some?) — only when the payload column survived
+    if (transformed.columns.contains("value"))
+      transformed.filter(col("value").isNotNull)
+    else transformed
+  }
+
+  /** Rows dropped by the forced null-drop (the error-handler feed, T10):
+    * user expressions that fail evaluate to NULL under SQL semantics, so
+    * the dead rows are exactly the pre-drop/post-transducer nulls. */
+  def deadLetterPlan(full: String): Option[DataFrame] = {
+    val n = nodeMap(full)
+    n.errorSink.map { _ =>
+      val input =
+        if (n.upstream.isEmpty) io.source(full)
+        else n.upstream.toSeq.sorted.map(buildPlan(_)).reduce(_.unionByName(_))
+      val transformed = n.transducer.fold(input)(applyOpSpec(input, _))
+      if (transformed.columns.contains("value")) transformed.filter(col("value").isNull)
+      else transformed.limit(0)
+    }
+  }
+}

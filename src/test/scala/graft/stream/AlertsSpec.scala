@@ -1,0 +1,64 @@
+package graft.stream
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import graft.SparkSpec
+import graft.registry.FunctionRegistry
+import graft.store.DocumentStore
+
+/** T20: alerts are future-valid-time puts; the scheduler fires them when
+  * their valid-time arrives, exactly once, then deletes
+  * (`/root/reference/src/dataworks/utils/alert.clj:9-51`). */
+class AlertsSpec extends SparkSpec {
+
+  private def freshStore() =
+    DocumentStore(spark, Files.createTempDirectory("alerts").toString + "/db")
+
+  test("future alert fires only when due, invokes handler, then deletes") {
+    val store = freshStore()
+    val reg = new FunctionRegistry
+    val calls = new ConcurrentLinkedQueue[String]()
+    reg.registerTransactor("sendText", args => { calls.add(args.mkString(",")); () })
+
+    val due = new Timestamp(System.currentTimeMillis() + 500)
+    store.put("demo/alert",
+      """{"appName":"demo","alertHandler":"sendText","alertParams":["hello"]}""",
+      Some(due))
+
+    val sched = new AlertScheduler(store, reg, pollMillis = 100)
+    sched.tick() // before due: invisible, nothing fires
+    assert(calls.isEmpty && store.entity("demo/alert", due).isDefined)
+
+    sched.tick(new Timestamp(due.getTime + 1)) // due now
+    // transact! is async — wait briefly
+    val deadline = System.currentTimeMillis() + 5000
+    while (calls.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(calls.toArray.toSeq == Seq("\"hello\""))
+    // deleted after firing — a later tick must not re-fire
+    sched.tick(new Timestamp(due.getTime + 1000))
+    Thread.sleep(200)
+    assert(calls.size == 1, "alert must fire exactly once")
+    assert(store.entity("demo/alert", new Timestamp(due.getTime + 2000)).isEmpty)
+  }
+
+  test("two scheduler instances: CAS claim lets only one fire") {
+    val store = freshStore()
+    val reg = new FunctionRegistry
+    val calls = new ConcurrentLinkedQueue[String]()
+    reg.registerTransactor("ping", args => { calls.add("x"); () })
+    store.put("app/alert", """{"alertHandler":"ping","alertParams":[]}""",
+      Some(new Timestamp(System.currentTimeMillis() - 1000)))
+    val s1 = new AlertScheduler(store, reg, claimId = "node-1")
+    val s2 = new AlertScheduler(store, reg, claimId = "node-2")
+    // both poll the same due alert — the serialized CAS admits exactly one
+    val t1 = new Thread(() => s1.tick())
+    val t2 = new Thread(() => s2.tick())
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val deadline = System.currentTimeMillis() + 5000
+    while (calls.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    Thread.sleep(300) // allow a hypothetical double-fire to land
+    assert(calls.size == 1, s"exactly one scheduler must win, got ${calls.size}")
+  }
+}
