@@ -47,6 +47,8 @@ object SparkEntry {
     "json_extract"        -> (Relational.jsonExtract(_, _)),
     // §2.3 streaming dataflow, batch-equivalent
     "stream_map_filter_batch" -> (Relational.streamMapFilterBatch(_, _)),
+    // §2.2 Datalog compiler end-to-end (triple patterns → Catalyst plan)
+    "datalog_query"       -> (graft.query.datalog.DatalogDb.datalogQuery(_, _)),
     // north-star LLM-pipeline extensions
     "dedup_exact"         -> (Dedup.dedupExactQuery(_, _)),
     "dedup_minhash"       -> (Dedup.minhashQuery(_, _)),
@@ -159,6 +161,10 @@ object SparkEntry {
          FROM events GROUP BY event_type""",
     "stream_map_filter_batch" ->
       "SELECT event_id, value + 1.0 AS v FROM events WHERE value IS NOT NULL",
+    "datalog_query" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_totalprice > 300000.0 GROUP BY c_mktsegment""",
     "dedup_exact" ->
       """SELECT lang, count(*) AS n_docs FROM (
            SELECT arg_min(lang, doc_id) AS lang FROM documents GROUP BY text)

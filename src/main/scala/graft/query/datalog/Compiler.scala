@@ -1,0 +1,258 @@
+package graft.query.datalog
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.query.Fixpoint
+import graft.registry.FunctionRegistry
+import Ast._
+
+/** Compiles Datalog queries to DataFrame plans — the Catalyst replacement
+  * for Crux's EAV-index query engine (SURVEY.md §4: clause ordering, index
+  * selection and join planning all become Catalyst's problem; we emit a
+  * declarative plan and let the optimizer reorder).
+  *
+  * Execution model: documents are ONE wide relation with an `id` column
+  * (Crux's single document universe). A triple pattern `[?e :a ?v]`
+  * projects `(id → e, a → v)` rows where `a` is present; conjunction is a
+  * natural join on shared variables (unification, Q5); `not` is an
+  * anti-join; `or` a union; `:find` projection applies Datalog set
+  * semantics (`.distinct()`, Q18) or grouped aggregates (Q15).
+  *
+  * Scale notes: pattern filters (`a IS NOT NULL`, constants) sit directly
+  * above the scan, so Catalyst pushes them into the source; variable-free
+  * joins degrade to cross joins only if the query genuinely asks for a
+  * cartesian product. Recursive rules run through [[Fixpoint]] (driver-side
+  * semi-naive loop, the standard Spark answer to recursion).
+  */
+class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
+
+  /** A compiled clause set = bindings relation; columns are variable names. */
+  private type Rel = DataFrame
+
+  def run(docs: DataFrame, q: Query): DataFrame = {
+    require(docs.columns.contains("id"), "document relation needs an `id` column")
+    val ruleMap = q.rules.groupBy(_.name).view.mapValues(_.head).toMap
+    val body = compileClauses(docs, substArgs(q.where, q.args), ruleMap)
+    project(body, q)
+  }
+
+  // ------------------------------------------------------------ args (Q7)
+
+  private def substArgs(cs: Seq[Clause], args: Map[String, Any]): Seq[Clause] =
+    if (args.isEmpty) cs else cs.map(substClause(_, args))
+
+  private def substTerm(t: Term, args: Map[String, Any]): Term = t match {
+    case V(n) if args.contains(n) => C(args(n))
+    case other => other
+  }
+
+  private def substClause(c: Clause, args: Map[String, Any]): Clause = c match {
+    case Pattern(e, a, v) => Pattern(substTerm(e, args), a, substTerm(v, args))
+    case Pred(op, ts) => Pred(op, ts.map(substTerm(_, args)))
+    case Bind(f, ts, out) => Bind(f, ts.map(substTerm(_, args)), out)
+    case Not(cs) => Not(cs.map(substClause(_, args)))
+    case Or(bs) => Or(bs.map(_.map(substClause(_, args))))
+    case RuleApp(n, ts) => RuleApp(n, ts.map(substTerm(_, args)))
+  }
+
+  // ------------------------------------------------------- clause compiler
+
+  private def compileClauses(docs: DataFrame, cs: Seq[Clause],
+                             rules: Map[String, Rule]): Rel = {
+    // Patterns and rule-apps produce relations; preds/binds apply to the
+    // running join once their variables are in scope.
+    var rel: Option[Rel] = None
+    def merge(r: Rel): Unit = rel = Some(rel.fold(r)(naturalJoin(_, r)))
+    cs.foreach {
+      case p: Pattern => merge(compilePattern(docs, p))
+      case RuleApp(name, as) =>
+        val rule = rules.getOrElse(name,
+          throw new NoSuchElementException(s"unknown rule $name"))
+        merge(applyRule(docs, rule, as, rules))
+      case Pred(op, as) =>
+        val r = rel.getOrElse(throw new IllegalStateException(
+          s"predicate ($op …) before any pattern binds its variables"))
+        rel = Some(r.filter(predColumn(op, as)))
+      case Bind(f, as, out) =>
+        val r = rel.getOrElse(throw new IllegalStateException(
+          s"bind [($f …) ?${out.name}] before any pattern"))
+        rel = Some(r.withColumn(out.name, fnColumn(f, as)))
+      case Not(inner) =>
+        val r = rel.getOrElse(throw new IllegalStateException("(not …) first"))
+        val n = compileClauses(docs, inner, rules)
+        val shared = r.columns.intersect(n.columns).toSeq
+        require(shared.nonEmpty, "(not …) must share variables with the outer query")
+        rel = Some(r.join(n.select(shared.map(col): _*), shared, "left_anti"))
+      case Or(branches) =>
+        val compiled = branches.map(b => compileClauses(docs, b, rules))
+        val shared = compiled.map(_.columns.toSet).reduce(_ intersect _).toSeq.sorted
+        require(shared.nonEmpty, "(or …) branches must share variables")
+        val unioned = compiled.map(_.select(shared.map(col): _*).distinct())
+          .reduce(_.unionByName(_)).distinct()
+        merge(unioned)
+    }
+    rel.getOrElse(throw new IllegalStateException("empty :where"))
+  }
+
+  /** `[e :attr v]` over the wide doc relation. */
+  private def compilePattern(docs: DataFrame, p: Pattern): Rel = {
+    require(docs.columns.contains(p.attr), s"unknown attribute ${p.attr}")
+    val present = docs.filter(col(p.attr).isNotNull) // attr exists (Q2)
+    (p.e, p.v) match {
+      case (V(e), V(v)) if e == v => // [?x :a ?x] self-unification
+        present.filter(col("id") === col(p.attr)).select(col("id").as(e))
+      case (V(e), V(v)) =>
+        present.select(col("id").as(e), col(p.attr).as(v))
+      case (V(e), C(c)) => // constant value (Q3)
+        present.filter(col(p.attr) === lit(c)).select(col("id").as(e))
+      case (C(c), V(v)) => // entity lookup (Q1)
+        present.filter(col("id") === lit(c)).select(col(p.attr).as(v))
+      case (C(c), C(cv)) => // existence check → 0/1-row marker relation
+        present.filter(col("id") === lit(c) && col(p.attr) === lit(cv))
+          .select(lit(1).as("__exists")).limit(1)
+    }
+  }
+
+  /** Unification join: natural join on shared variable columns; disjoint
+    * variable sets → cartesian product (Datalog semantics). */
+  private def naturalJoin(a: Rel, b: Rel): Rel = {
+    val shared = a.columns.intersect(b.columns).toSeq
+    if (shared.isEmpty) a.crossJoin(b) else a.join(b, shared)
+  }
+
+  /** Rule application: rename the rule's head params to the caller's
+    * variables (or filter on constants). Non-recursive rules inline
+    * (multi-body = union, Q8); self-referencing rules run a semi-naive
+    * fixpoint (Q9). */
+  private def applyRule(docs: DataFrame, rule: Rule, args: Seq[Term],
+                        rules: Map[String, Rule]): Rel = {
+    require(args.length == rule.params.length,
+      s"rule ${rule.name} arity ${rule.params.length} got ${args.length}")
+    val selfRec = rule.bodies.exists(_.exists {
+      case RuleApp(n, _) => n == rule.name
+      case _ => false
+    })
+    val paramNames = rule.params.map(_.name)
+    val resolved: Rel =
+      if (!selfRec)
+        rule.bodies.map(b => compileClauses(docs, b, rules)
+            .select(paramNames.map(col): _*))
+          .reduce(_.unionByName(_)).distinct()
+      else {
+        val (baseBodies, recBodies) = rule.bodies.partition(
+          _.forall { case RuleApp(n, _) => n != rule.name; case _ => true })
+        require(baseBodies.nonEmpty, s"recursive rule ${rule.name} needs a base body")
+        val base = baseBodies.map(b => compileClauses(docs, b, rules)
+            .select(paramNames.map(col): _*))
+          .reduce(_.unionByName(_)).distinct()
+        Fixpoint.fixpoint(base, delta => {
+          // substitute the recursive call with the current frontier
+          recBodies.map { body =>
+            var rel: Option[Rel] = None
+            def merge(r: Rel): Unit = rel = Some(rel.fold(r)(naturalJoin(_, r)))
+            body.foreach {
+              case RuleApp(n, as) if n == rule.name =>
+                merge(renameTo(delta, paramNames, as))
+              case p: Pattern => merge(compilePattern(docs, p))
+              case RuleApp(n, as) =>
+                merge(applyRule(docs, rules(n), as, rules))
+              case Pred(op, as) => rel = Some(rel.get.filter(predColumn(op, as)))
+              case Bind(f, as, out) =>
+                rel = Some(rel.get.withColumn(out.name, fnColumn(f, as)))
+              case other => throw new UnsupportedOperationException(
+                s"clause $other inside recursive body")
+            }
+            rel.get.select(paramNames.map(col): _*)
+          }.reduce(_.unionByName(_))
+        }, paramNames)
+      }
+    renameTo(resolved, paramNames, args)
+  }
+
+  /** Rename a relation's param columns to caller terms: vars rename,
+    * constants filter-and-drop. */
+  private def renameTo(rel: Rel, params: Seq[String], args: Seq[Term]): Rel = {
+    var out = rel
+    params.zip(args).foreach {
+      case (p, V(n)) => out = out.withColumnRenamed(p, n)
+      case (p, C(c)) => out = out.filter(col(p) === lit(c)).drop(p)
+    }
+    out
+  }
+
+  // -------------------------------------------------- predicates & functions
+
+  private def termCol(t: Term): Column = t match {
+    case V(n) => col(n)
+    case C(c) => lit(c)
+  }
+
+  /** Predicate ops (Q6/Q12): comparison + common string predicates; any
+    * other name resolves as a boolean-returning registered/builtin fn. */
+  private def predColumn(op: String, args: Seq[Term]): Column = {
+    val cs = args.map(termCol)
+    op match {
+      case "<" => cs(0) < cs(1)
+      case "<=" => cs(0) <= cs(1)
+      case ">" => cs(0) > cs(1)
+      case ">=" => cs(0) >= cs(1)
+      case "=" | "==" => cs(0) === cs(1)
+      case "!=" | "not=" => cs(0) =!= cs(1)
+      case "starts-with?" | "clojure.string/starts-with?" => cs(0).startsWith(cs(1))
+      case "ends-with?" | "clojure.string/ends-with?" => cs(0).endsWith(cs(1))
+      case "includes?" | "clojure.string/includes?" => cs(0).contains(cs(1))
+      case "like" => cs(0).like(args(1) match { case C(s: String) => s; case _ => "%" })
+      case other => fnColumn(other, args)
+    }
+  }
+
+  /** Function resolution for binds (Q17): registry column fns first (the
+    * named-transformer surface, F1), then Spark builtins. */
+  private def fnColumn(fn: String, args: Seq[Term]): Column = {
+    val cs = args.map(termCol)
+    registry.columnFn(fn).map(_(cs)).getOrElse(call_function(fn, cs: _*))
+  }
+
+  // -------------------------------------------------------- :find projection
+
+  private def aggColumn(fn: String, v: String): Column = fn match {
+    case "count" => count(col(v))
+    case "count-distinct" => countDistinct(col(v))
+    case "sum" => sum(col(v))
+    case "avg" => avg(col(v))
+    case "min" => min(col(v))
+    case "max" => max(col(v))
+    case "median" => median(col(v))
+    case "variance" => var_samp(col(v))
+    case "stddev" => stddev_samp(col(v))
+    case "distinct" => collect_set(col(v))
+    case other => throw new UnsupportedOperationException(s"aggregate $other")
+  }
+
+  private def project(rel: Rel, q: Query): DataFrame = {
+    val aggs = q.find.collect { case a: FindAgg => a }
+    val vars = q.find.collect { case FindVar(v) => v.name }
+    val projected =
+      if (aggs.isEmpty) rel.select(vars.map(col): _*).distinct() // Q18 set semantics
+      else {
+        // non-aggregated find vars act as the GROUP BY key; crux aggregates
+        // over the DISTINCT binding tuples of the find variables (its
+        // documented set semantics — `:with` to keep duplicates is not in
+        // the reference's surface, so not implemented)
+        val involved = (vars ++ aggs.map(_.v.name)).distinct
+        val deduped = rel.select(involved.map(col): _*).distinct()
+        val aggCols = aggs.map(a =>
+          aggColumn(a.fn, a.v.name).as(a.alias.getOrElse(s"${a.fn.replace("-", "_")}_${a.v.name}")))
+        if (vars.isEmpty) deduped.agg(aggCols.head, aggCols.tail: _*)
+        else deduped.groupBy(vars.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      }
+    val ordered =
+      if (q.orderBy.isEmpty) projected
+      else projected.orderBy(q.orderBy.map { case (v, asc) =>
+        if (asc) col(v).asc else col(v).desc }: _*)
+    val limited = q.limit.fold(ordered)(n =>
+      q.offset.fold(ordered.limit(n))(o => ordered.offset(o).limit(n)))
+    q.limit.fold(q.offset.fold(limited)(o => limited.offset(o)))(_ => limited)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.query.datalog
+
+/** Datalog IR — the query language the reference exposes through `crux/q`
+  * (`/root/reference/src/dataworks/db/user_db.clj:28-48`, examples at
+  * `/root/reference/src/dataworks/utils/alert.clj:9-15`,
+  * `/root/reference/src/dataworks/utils/auth.clj:91-96`,
+  * `/root/reference/src/dataworks/db/app_db.clj:115-126`).
+  *
+  * EDN form                                  | IR
+  * ------------------------------------------|------------------------------
+  * `[?e :attr ?v]`                           | `Pattern(V("e"), "attr", V("v"))`
+  * `[?e :attr const]`                        | `Pattern(V("e"), "attr", C(const))`
+  * `[(< ?x 5)]`                              | `Pred("<", Seq(V("x"), C(5)))`
+  * `[(f ?x) ?y]`                             | `Bind("f", Seq(V("x")), V("y"))`
+  * `(not …)`                                 | `Not(clauses)`
+  * `(or … …)`                                | `Or(branches)`
+  * `(rule ?a ?b)`                            | `RuleApp("rule", Seq(V("a"), V("b")))`
+  * `:find [?a (sum ?x)]`                     | `Seq(FindVar, FindAgg("sum", x))`
+  * `:args [{?x 42}]`                         | `args Map("x" -> 42)`
+  * `:rules [[(r ?a ?b) body…] …]`            | `Rule("r", params, bodies)` (multi-body = union; self-reference = recursion)
+  */
+object Ast {
+  sealed trait Term
+  final case class V(name: String) extends Term   // logic variable
+  final case class C(value: Any) extends Term     // constant
+
+  sealed trait Clause
+  /** Triple pattern `[e :attr v]` — entity/attribute/value (Q2/Q3). */
+  final case class Pattern(e: Term, attr: String, v: Term) extends Clause
+  /** Predicate clause `[(op args…)]` (Q6/Q12). */
+  final case class Pred(op: String, args: Seq[Term]) extends Clause
+  /** Function/binding clause `[(f args…) ?out]` (Q17). */
+  final case class Bind(fn: String, args: Seq[Term], out: V) extends Clause
+  /** Negation `(not …)` (Q14). */
+  final case class Not(clauses: Seq[Clause]) extends Clause
+  /** Disjunction `(or …)` — each branch a clause seq (Q13). */
+  final case class Or(branches: Seq[Seq[Clause]]) extends Clause
+  /** Rule application (Q8/Q9). */
+  final case class RuleApp(name: String, args: Seq[Term]) extends Clause
+
+  /** `:rules` entry: multiple bodies union; a body mentioning the rule
+    * itself makes the rule recursive (evaluated via semi-naive fixpoint). */
+  final case class Rule(name: String, params: Seq[V], bodies: Seq[Seq[Clause]])
+
+  sealed trait FindElem
+  final case class FindVar(v: V) extends FindElem
+  /** Crux 1.16 `:find` aggregates (Q15): count, count-distinct, sum, avg,
+    * min, max, median, variance, stddev, distinct. */
+  final case class FindAgg(fn: String, v: V, alias: Option[String] = None) extends FindElem
+
+  final case class Query(
+      find: Seq[FindElem],
+      where: Seq[Clause],
+      rules: Seq[Rule] = Nil,
+      args: Map[String, Any] = Map.empty,       // Q7 parameter binding
+      orderBy: Seq[(String, Boolean)] = Nil,    // (var, ascending) — Q16
+      limit: Option[Int] = None,
+      offset: Option[Int] = None)
+}

@@ -1,0 +1,56 @@
+package graft.query.datalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.query.datalog.Ast._
+import graft.registry.FunctionRegistry
+
+/** Helpers for running Datalog over the fixture tables: Crux has ONE
+  * document universe, so multiple typed tables become one wide sparse
+  * relation — each table's rows carry namespaced ids and nulls for foreign
+  * attributes; entity references are namespaced-id columns. Pattern filters
+  * (`attr IS NOT NULL` / constants) are pushed by Catalyst through the
+  * union into each branch's parquet scan, so a pattern effectively reads
+  * only its own table. */
+object DatalogDb {
+
+  /** Wide union of any number of (idPrefix, idCol, table) with the union of
+    * all their columns; missing attributes are typed nulls. */
+  def widen(tables: Seq[(String, String, DataFrame)]): DataFrame = {
+    val allCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      tables.flatMap { case (_, idCol, df) =>
+        df.schema.fields.filterNot(_.name == idCol).map(f => f.name -> f.dataType)
+      }.distinctBy(_._1)
+    tables.map { case (prefix, idCol, df) =>
+      val present = df.columns.toSet
+      val cols = concat(lit(prefix), col(idCol).cast("string")).as("id") +:
+        allCols.map { case (name, dt) =>
+          if (present.contains(name)) col(name) else lit(null).cast(dt).as(name)
+        }
+      df.select(cols: _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** orders ⋈ customer universe with an `order_cust` entity-ref attribute. */
+  def ordersCustomers(s: SparkSession, d: String): DataFrame = widen(Seq(
+    ("o", "o_orderkey",
+      Tables.orders(s, d).withColumn("order_cust",
+        concat(lit("c"), col("o_custkey").cast("string"))).drop("o_custkey")),
+    ("c", "c_custkey", Tables.customer(s, d))))
+
+  /** SparkEntry query `datalog_query`: a Datalog program — high-value
+    * orders joined to their customer's market segment, counted per segment
+    * — compiled by [[DatalogCompiler]] and oracle-checked in SQL. */
+  def datalogQuery(s: SparkSession, d: String): DataFrame = {
+    val q = Query(
+      find = Seq(FindVar(V("seg")), FindAgg("count", V("o"), Some("n_orders"))),
+      where = Seq(
+        Pattern(V("o"), "o_totalprice", V("t")),
+        Pred(">", Seq(V("t"), C(300000.0))),
+        Pattern(V("o"), "order_cust", V("c")),
+        Pattern(V("c"), "c_mktsegment", V("seg"))))
+    new DatalogCompiler(FunctionRegistry.default).run(ordersCustomers(s, d), q)
+  }
+}

@@ -1,0 +1,142 @@
+package graft.query.datalog
+
+import graft.SparkSpec
+import graft.registry.FunctionRegistry
+import Ast._
+
+/** Datalog-compiler semantics, mirroring the reference's query shapes:
+  * same-entity attribute joins (alert.clj:11-15), string predicates
+  * (auth.clj:91-96), recursive rules (app_db.clj:115-126), aggregates and
+  * order/limit ([lib] crux 1.16 surface). */
+class DatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    // id, name, dept, salary, manager
+    ("e1", "ada", "eng", 120.0, null),
+    ("e2", "bob", "eng", 90.0, "e1"),
+    ("e3", "cid", "ops", 80.0, "e1"),
+    ("e4", "dee", "eng", 100.0, "e2"),
+    ("e5", "eva", "ops", 70.0, "e3")
+  ).toDF("id", "name", "dept", "salary", "manager")
+
+  private val compiler = new DatalogCompiler(new FunctionRegistry)
+
+  test("same-entity attribute join + constant filter (alert.clj shape)") {
+    val q = Query(
+      find = Seq(FindVar(V("n")), FindVar(V("s"))),
+      where = Seq(
+        Pattern(V("e"), "dept", C("eng")),
+        Pattern(V("e"), "name", V("n")),
+        Pattern(V("e"), "salary", V("s"))))
+    val got = compiler.run(docs, q).as[(String, Double)].collect().toSet
+    assert(got == Set(("ada", 120.0), ("bob", 90.0), ("dee", 100.0)))
+  }
+
+  test("cross-entity unification join: employee → manager name") {
+    val q = Query(
+      find = Seq(FindVar(V("n")), FindVar(V("mn"))),
+      where = Seq(
+        Pattern(V("e"), "name", V("n")),
+        Pattern(V("e"), "manager", V("m")),
+        Pattern(V("m"), "name", V("mn"))))
+    val got = compiler.run(docs, q).as[(String, String)].collect().toSet
+    assert(got == Set(("bob", "ada"), ("cid", "ada"), ("dee", "bob"), ("eva", "cid")))
+  }
+
+  test("range predicate and string predicate clauses") {
+    val q = Query(
+      find = Seq(FindVar(V("n"))),
+      where = Seq(
+        Pattern(V("e"), "name", V("n")),
+        Pattern(V("e"), "salary", V("s")),
+        Pred(">=", Seq(V("s"), C(90.0))),
+        Pred("clojure.string/starts-with?", Seq(V("n"), C("b")))))
+    assert(compiler.run(docs, q).as[String].collect().toSeq == Seq("bob"))
+  }
+
+  test("bind clause computes new variables (Q17)") {
+    val q = Query(
+      find = Seq(FindVar(V("u"))),
+      where = Seq(
+        Pattern(V("e"), "dept", C("ops")),
+        Pattern(V("e"), "name", V("n")),
+        Bind("upper", Seq(V("n")), V("u"))))
+    assert(compiler.run(docs, q).as[String].collect().toSet == Set("CID", "EVA"))
+  }
+
+  test("not (anti-join) and or (union) clauses") {
+    val notQ = Query(
+      find = Seq(FindVar(V("n"))),
+      where = Seq(
+        Pattern(V("e"), "name", V("n")),
+        Not(Seq(Pattern(V("e"), "dept", C("eng"))))))
+    assert(compiler.run(docs, notQ).as[String].collect().toSet == Set("cid", "eva"))
+
+    val orQ = Query(
+      find = Seq(FindVar(V("n"))),
+      where = Seq(
+        Pattern(V("e"), "name", V("n")),
+        Or(Seq(
+          Seq(Pattern(V("e"), "salary", V("s")), Pred(">", Seq(V("s"), C(110.0)))),
+          Seq(Pattern(V("e"), "dept", C("ops")))))))
+    assert(compiler.run(docs, orQ).as[String].collect().toSet == Set("ada", "cid", "eva"))
+  }
+
+  test("entity lookup with constant id (Q1)") {
+    val q = Query(
+      find = Seq(FindVar(V("n"))),
+      where = Seq(Pattern(C("e4"), "name", V("n"))))
+    assert(compiler.run(docs, q).as[String].collect().toSeq == Seq("dee"))
+  }
+
+  test("aggregates group by non-agg find vars (crux Q15 semantics)") {
+    val q = Query(
+      find = Seq(FindVar(V("d")), FindAgg("sum", V("s"), Some("total")),
+        FindAgg("count", V("e"), Some("n"))),
+      where = Seq(
+        Pattern(V("e"), "dept", V("d")),
+        Pattern(V("e"), "salary", V("s"))))
+    val got = compiler.run(docs, q).as[(String, Double, Long)].collect().toSet
+    assert(got == Set(("eng", 310.0, 3L), ("ops", 150.0, 2L)))
+  }
+
+  test("args parameter binding (Q7) + order-by/limit (Q16)") {
+    val q = Query(
+      find = Seq(FindVar(V("n")), FindVar(V("s"))),
+      where = Seq(
+        Pattern(V("e"), "dept", V("d")),
+        Pattern(V("e"), "name", V("n")),
+        Pattern(V("e"), "salary", V("s"))),
+      args = Map("d" -> "eng"),
+      orderBy = Seq(("s", false)),
+      limit = Some(2))
+    val got = compiler.run(docs, q).as[(String, Double)].collect().toSeq
+    assert(got == Seq(("ada", 120.0), ("dee", 100.0)))
+  }
+
+  test("non-recursive rule with multiple bodies unions (Q8)") {
+    val rule = Rule("senior", Seq(V("p")), Seq(
+      Seq(Pattern(V("p"), "salary", V("s")), Pred(">=", Seq(V("s"), C(100.0)))),
+      Seq(Pattern(V("p"), "dept", C("ops")), Pattern(V("p"), "salary", V("s")),
+        Pred(">=", Seq(V("s"), C(80.0))))))
+    val q = Query(
+      find = Seq(FindVar(V("n"))),
+      where = Seq(RuleApp("senior", Seq(V("x"))), Pattern(V("x"), "name", V("n"))),
+      rules = Seq(rule))
+    assert(compiler.run(docs, q).as[String].collect().toSet == Set("ada", "dee", "cid"))
+  }
+
+  test("recursive rule: transitive reports-to (Q9, app_db.clj depends rule)") {
+    val rule = Rule("reports", Seq(V("a"), V("b")), Seq(
+      Seq(Pattern(V("a"), "manager", V("b"))),
+      Seq(Pattern(V("a"), "manager", V("m")), RuleApp("reports", Seq(V("m"), V("b"))))))
+    val q = Query(
+      find = Seq(FindVar(V("a"))),
+      where = Seq(RuleApp("reports", Seq(V("a"), C("e1")))),
+      rules = Seq(rule))
+    // everyone below ada transitively: e2, e3, e4, e5
+    assert(compiler.run(docs, q).as[String].collect().toSet ==
+      Set("e2", "e3", "e4", "e5"))
+  }
+}
