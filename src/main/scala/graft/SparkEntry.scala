@@ -59,6 +59,7 @@ object SparkEntry {
     "text_stats"          -> (TextOps.textStats(_, _)),
     "token_count"         -> (TextOps.tokenCountQuery(_, _)),
     "text_analysis"       -> (TextOps.textAnalysisQuery(_, _)),
+    "multimodal_pipeline" -> (graft.ext.Multimodal.multimodalQuery(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

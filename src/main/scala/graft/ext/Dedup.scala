@@ -94,9 +94,9 @@ object Dedup {
     pairs
       .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", // |A∪B| = |A|+|B|−|A∩B| — avoids the costlier array_union
+        col("__i") / (size(col("sh_a")) + size(col("sh_b")) - col("__i")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -181,9 +181,9 @@ object Dedup {
     cand
       .join(withSh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(withSh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", // |A∪B| = |A|+|B|−|A∩B| — avoids the costlier array_union
+        col("__i") / (size(col("sh_a")) + size(col("sh_b")) - col("__i")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -222,10 +222,15 @@ object Dedup {
     * path is measured against; fine up to ~10⁵ vectors, after which
     * `embeddingNearDups`' SRP bucketing is the scale path). */
   def embeddingExactPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // pre-normalize once (persisted; both join sides reuse), so each of the
+    // O(n²) pairs costs exactly one codegen'd dot product
+    val v = Similarity.normalized(
+        emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")))
+      .withColumnRenamed("embedding", "v")
+      .persist()
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        Similarity.cosine(col("a.v"), col("b.v")).as("cos"))
+        Similarity.dot(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

@@ -1,0 +1,135 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Multimodal-column support for training-data pipelines (north-star
+  * extension, BASELINE.json): image/audio/video ride as opaque `binary`
+  * columns with a typed metadata struct; decode / feature-extract / resize /
+  * frame-sample run as partition-batched typed transforms.
+  *
+  * The actual codecs are STUBBED (this environment ships no image/audio
+  * libraries): `StubCodec` derives deterministic fake dimensions/frames/
+  * features from the bytes, clearly marked. Everything around the stub —
+  * the schema, the `Dataset[MediaRow]` encoder, the mapPartitions batch
+  * shape (iterator-chunked like mapInPandas batches), the explode of
+  * sampled frames, and the size-aware repartitioning — is real Spark
+  * plumbing a production codec drops into.
+  *
+  * Scale notes: blobs are the heavy column — `repartitionBySize` targets a
+  * bytes-per-partition budget instead of a row count so one partition never
+  * holds 10 GB of video while another holds thumbnails; decode output
+  * projects the blob AWAY as early as possible (metadata + features are
+  * small); frame sampling explodes AFTER repartitioning so the shuffle
+  * moves encoded bytes once.
+  */
+object Multimodal {
+
+  /** A multimodal row: opaque payload + typed metadata. */
+  final case class MediaRow(
+      media_id: Long, kind: String, bytes: Array[Byte],
+      format: String, width: Int, height: Int,
+      sample_rate: Int, duration_ms: Long)
+
+  final case class DecodedMedia(
+      media_id: Long, kind: String, width: Int, height: Int,
+      n_frames: Int, features: Array[Double])
+
+  final case class Frame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
+
+  /** ??? codec boundary ??? — deterministic fakes standing in for
+    * libjpeg/ffmpeg/etc. Each is a pure function of the bytes so tests and
+    * oracle-less queries are reproducible. */
+  object StubCodec {
+    /** STUB image decode: dims derived from a byte hash; a real codec
+      * returns the actual pixel buffer dims. */
+    def decodeDims(bytes: Array[Byte]): (Int, Int) = {
+      val h = java.util.Arrays.hashCode(bytes)
+      (64 + math.abs(h % 512), 64 + math.abs((h >> 9) % 512))
+    }
+    /** STUB feature extraction: 8-bucket byte histogram, L1-normalized —
+      * shaped like a real embedding/MFCC output (fixed-width Array[Double]). */
+    def features(bytes: Array[Byte]): Array[Double] = {
+      val hist = new Array[Double](8)
+      bytes.foreach(b => hist((b & 0xFF) >> 5) += 1.0)
+      val n = math.max(bytes.length, 1).toDouble
+      hist.map(_ / n)
+    }
+    /** STUB frame count: one "frame" per 256 bytes (a real demuxer reads
+      * container metadata). */
+    def frameCount(bytes: Array[Byte]): Int = math.max(bytes.length / 256, 1)
+    /** STUB frame extraction: the frame's byte slice. */
+    def frame(bytes: Array[Byte], i: Int): Array[Byte] =
+      bytes.slice(i * 256, math.min((i + 1) * 256, bytes.length))
+    /** STUB resize: re-derive dims, keep a byte prefix proportional to the
+      * area ratio (a real codec re-encodes). */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+      bytes.take(math.max(64, math.min(bytes.length, w * h / 64)))
+  }
+
+  /** Size-aware repartition: balance partitions by cumulative blob bytes
+    * (targetBytes per partition), not row count. */
+  def repartitionBySize(media: DataFrame, targetBytes: Long): DataFrame = {
+    val withSize = media.withColumn("__sz", length(col("bytes")).cast("long"))
+    val total = withSize.agg(sum(col("__sz"))).first().getLong(0)
+    val parts = math.max(1, math.min(Int.MaxValue.toLong, total / math.max(targetBytes, 1))).toInt
+    withSize.repartition(parts, col("media_id")).drop("__sz")
+  }
+
+  /** Decode + feature-extract, partition-batched (the mapInPandas shape:
+    * an iterator of rows per partition, processed without materializing
+    * the whole partition). Projects the blob away in the output. */
+  def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h) = StubCodec.decodeDims(r.bytes)
+        DecodedMedia(r.media_id, r.kind, w, h,
+          StubCodec.frameCount(r.bytes), StubCodec.features(r.bytes))
+      }
+    }
+  }
+
+  /** Sample every `everyN`th frame of video rows → one row per frame. */
+  def sampleFrames(media: Dataset[MediaRow], everyN: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      (0 until StubCodec.frameCount(r.bytes) by everyN)
+        .map(i => Frame(r.media_id, i, StubCodec.frame(r.bytes, i)))
+    }
+  }
+
+  /** Resize images: metadata updated, payload re-encoded (stub). */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      if (r.kind == "image")
+        r.copy(bytes = StubCodec.resize(r.bytes, w, h), width = w, height = h)
+      else r
+    }
+  }
+
+  /** SparkEntry query (rows-only): the full pipeline over a synthetic media
+    * table derived from documents.parquet (text bytes as payload — the
+    * fixtures ship no real media). Exercises schema, size-repartition,
+    * batched decode, and the small projected output. */
+  def multimodalQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, "image")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+          .otherwise("video").as("kind"),
+        col("text").cast("binary").as("bytes"),
+        lit("stub").as("format"), lit(0).as("width"), lit(0).as("height"),
+        lit(16000).as("sample_rate"), lit(0L).as("duration_ms"))
+    val sized = repartitionBySize(media, targetBytes = 1 << 20)
+    decode(sized.as[MediaRow]).toDF()
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_media"),
+        min(col("width")).as("min_w"), max(col("height")).as("max_h"),
+        sum(col("n_frames")).as("total_frames"))
+  }
+}

@@ -20,14 +20,22 @@ import graft.core.Tables
   */
 object Similarity {
 
-  /** dot(a, b) via zip_with + aggregate (codegen'd, no UDF). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** dot/norm/cosine via native codegen'd Catalyst expressions
+    * (graft.functions.VectorExpressions): a tight primitive loop inside
+    * whole-stage codegen instead of interpreted per-element lambdas —
+    * orders of magnitude faster on all-pairs joins. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.vec_dot(a, b)
+  def norm(a: Column): Column = graft.functions.VectorExpressions.vec_norm(a)
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorExpressions.vec_cosine(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(zip_with(a, a, (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Project to unit-length vectors once, so pairwise cosine downstream is
+    * a single dot product (norms are not recomputed per pair). */
+  def normalized(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    emb.withColumn("__n", norm(v))
+      .withColumn(vecCol, when(col("__n") > 0, transform(v, x => x / col("__n"))).otherwise(v))
+      .drop("__n")
+  }
 
   /** Brute-force cosine top-k of `embeddings` vs the vector with `targetId`.
     * The single target row is broadcast; the scan side is never shuffled

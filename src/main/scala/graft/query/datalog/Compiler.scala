@@ -60,12 +60,20 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
 
   private def compileClauses(docs: DataFrame, cs: Seq[Clause],
                              rules: Map[String, Rule]): Rel = {
-    // Patterns and rule-apps produce relations; preds/binds apply to the
-    // running join once their variables are in scope.
+    // Conjunction is order-independent, so all patterns sharing an entity
+    // term coalesce into ONE multi-column scan of the doc relation (instead
+    // of one scan per pattern self-joined on id — N patterns on an entity
+    // would otherwise read the store N times; at warehouse scale this is
+    // the compiler's most important planning rule). Other clauses keep
+    // their relative order (preds/binds need their variables in scope).
     var rel: Option[Rel] = None
     def merge(r: Rel): Unit = rel = Some(rel.fold(r)(naturalJoin(_, r)))
+    val patternGroups = cs.collect { case p: Pattern => p }.groupBy(_.e)
+    patternGroups.toSeq.sortBy(_._1.toString).foreach { case (e, ps) =>
+      merge(compilePatternGroup(docs, e, ps))
+    }
     cs.foreach {
-      case p: Pattern => merge(compilePattern(docs, p))
+      case _: Pattern => () // handled above
       case RuleApp(name, as) =>
         val rule = rules.getOrElse(name,
           throw new NoSuchElementException(s"unknown rule $name"))
@@ -77,7 +85,10 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
       case Bind(f, as, out) =>
         val r = rel.getOrElse(throw new IllegalStateException(
           s"bind [($f …) ?${out.name}] before any pattern"))
-        rel = Some(r.withColumn(out.name, fnColumn(f, as)))
+        // binding an already-bound variable unifies (filters), not rebinds
+        rel = Some(
+          if (r.columns.contains(out.name)) r.filter(col(out.name) === fnColumn(f, as))
+          else r.withColumn(out.name, fnColumn(f, as)))
       case Not(inner) =>
         val r = rel.getOrElse(throw new IllegalStateException("(not …) first"))
         val n = compileClauses(docs, inner, rules)
@@ -93,6 +104,42 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
         merge(unioned)
     }
     rel.getOrElse(throw new IllegalStateException("empty :where"))
+  }
+
+  /** All patterns sharing one entity term → a single scan: conjunct the
+    * attr-present / constant filters, handle repeated value vars (equality)
+    * and value-var = entity-var unification, then project each variable
+    * once. Equivalent to the per-pattern self-join, minus N-1 scans. */
+  private def compilePatternGroup(docs: DataFrame, entity: Term,
+                                  ps: Seq[Pattern]): Rel = {
+    if (ps.length == 1) return compilePattern(docs, ps.head)
+    ps.foreach(p => require(docs.columns.contains(p.attr),
+      s"unknown attribute ${p.attr}"))
+    var df = docs
+    ps.foreach(p => df = df.filter(col(p.attr).isNotNull))
+    entity match {
+      case C(c) => df = df.filter(col("id") === lit(c))
+      case _ => ()
+    }
+    ps.foreach { p => p.v match {
+      case C(c) => df = df.filter(col(p.attr) === lit(c))
+      case _ => ()
+    }}
+    val entityVar = entity match { case V(n) => Some(n); case _ => None }
+    // variable → attrs bound to it; repeated vars unify by equality
+    val varAttrs: Seq[(String, Seq[String])] = ps
+      .collect { case Pattern(_, a, V(v)) => (v, a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+    varAttrs.foreach { case (v, attrs) =>
+      attrs.drop(1).foreach(a2 => df = df.filter(col(attrs.head) === col(a2)))
+      if (entityVar.contains(v)) df = df.filter(col("id") === col(attrs.head))
+    }
+    val outCols =
+      entityVar.map(e => col("id").as(e)).toSeq ++
+        varAttrs.filterNot { case (v, _) => entityVar.contains(v) }
+          .map { case (v, attrs) => col(attrs.head).as(v) }
+    if (outCols.isEmpty) df.select(lit(1).as("__exists")).limit(1)
+    else df.select(outCols: _*)
   }
 
   /** `[e :attr v]` over the wide doc relation. */

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public `new Column(Expression)` constructor; the
+  * supported bridge (`classic.ExpressionUtils`) is package-private to
+  * org.apache.spark.sql, so this shim re-exports the two conversions the
+  * engine needs for its custom Catalyst expressions. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
