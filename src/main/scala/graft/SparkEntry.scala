@@ -44,6 +44,7 @@ object SparkEntry {
     "bitemporal_asof"     -> (Relational.bitemporalAsof(_, _)),
     // §2.5 scalar-function surface
     "time_truncate"       -> (Relational.timeTruncate(_, _)),
+    "time_next_day"       -> (Relational.timeNextDay(_, _)),
     "json_extract"        -> (Relational.jsonExtract(_, _)),
     // §2.3 streaming dataflow, batch-equivalent
     "stream_map_filter_batch" -> (Relational.streamMapFilterBatch(_, _)),
@@ -157,6 +158,9 @@ object SparkEntry {
          WHERE rn = 1""",
     "time_truncate" ->
       "SELECT date_trunc('hour', ts) AS bucket, count(*) AS n FROM events GROUP BY date_trunc('hour', ts)",
+    "time_next_day" ->
+      """SELECT CAST(ts AS DATE) + INTERVAL ((8 - isodow(CAST(ts AS DATE)))) DAY AS next_monday, count(*) AS n
+         FROM events GROUP BY 1""",
     "json_extract" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY event_type""",

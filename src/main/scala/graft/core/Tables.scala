@@ -32,6 +32,16 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
+
+  /** events with `ts` as the RAW nanosecond long. Time-range queries should
+    * filter on this column — a predicate on the converted timestamp wraps
+    * the column in `timestamp_micros(ts div 1000)` and parquet can't push
+    * it; the equivalent raw-long comparison pushes to the scan (and prunes
+    * row groups via min/max stats). */
+  def eventsRawTs(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(s, d, "events")
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -219,10 +219,16 @@ object Relational {
     * `row_number()=1` over desc valid-time is the snapshot view
     * (SURVEY.md §1.1 bitemporal mapping). */
   def asofSnapshot(s: SparkSession, d: String): DataFrame = {
+    // Filter + order on the RAW nanosecond long: a predicate on the
+    // converted timestamp can't push past timestamp_micros(ts div 1000);
+    // the raw comparison reaches parquet (row-group pruning via stats).
+    // Ordering by raw nanos ≡ ordering by the converted timestamp.
+    val cutNs = java.time.Instant.parse("2024-01-15T00:00:00Z")
+      .getEpochSecond * 1000000000L
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts").desc, col("event_id").desc)
-    Tables.events(s, d)
-      .filter(col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp"))
+    Tables.eventsRawTs(s, d)
+      .filter(col("ts") <= lit(cutNs))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("value").as("latest_value"))
@@ -231,11 +237,12 @@ object Relational {
   /** Q11: bitemporal — both valid-time and transaction-time cuts
     * (event_id as the tx-time proxy per FIXTURES.md). */
   def bitemporalAsof(s: SparkSession, d: String): DataFrame = {
+    val cutNs = java.time.Instant.parse("2024-01-15T00:00:00Z")
+      .getEpochSecond * 1000000000L
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts").desc, col("event_id").desc)
-    Tables.events(s, d)
-      .filter(col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp") &&
-              col("event_id") <= 700L)
+    Tables.eventsRawTs(s, d)
+      .filter(col("ts") <= lit(cutNs) && col("event_id") <= 700L)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("value").as("latest_value"))
@@ -248,6 +255,14 @@ object Relational {
   def timeTruncate(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** X4: next day-of-week (`consume-time`'s DayOfWeek arm,
+    * `/root/reference/src/dataworks/utils/time.clj:70-73`): events counted
+    * by the next Monday strictly after their timestamp. */
+  def timeNextDay(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(next_day(col("ts").cast("date"), "Mon").as("next_monday"))
       .agg(count(lit(1)).as("n"))
 
   /** X5: JSON decode (cheshire in the reference) → `get_json_object`. */

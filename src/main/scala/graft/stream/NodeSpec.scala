@@ -1,0 +1,94 @@
+package graft.stream
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.core.{BufferSpec, NodeName, OpSpec, StreamNode}
+
+/** JSON (de)serialization of stream-node specs — the stored-function doc
+  * payload for `:stored-function/type :stream` (FIXTURES.md §B; field names
+  * mirror `create-stream!` params,
+  * `/root/reference/src/dataworks/stream.clj:117-133`).
+  *
+  * Shape:
+  * ```json
+  * { "name": "stream/process", "upstream": ["kafka/input"],
+  *   "buffer": 1000 | {"sliding": 10} | {"dropping": 10},
+  *   "transducer": {"map": "<sql expr>"} | {"filter": "<pred>"} |
+  *                 {"select": ["e1", …]} | {"named": "fn"} |
+  *                 {"comp": [ …stages… ]},
+  *   "errorSink": "kafka/errors", "format": "json" | "edn" }
+  * ```
+  * Replaces the reference's eval of Clojure transducer strings with a
+  * declarative spec (SURVEY.md §7.4 risk 5) — same deploy surface (a doc in
+  * the app db + a control-plane event), no runtime code eval.
+  */
+object NodeSpec {
+  private implicit val formats: Formats = DefaultFormats
+
+  def parseOpSpec(j: JValue): Option[OpSpec] = j match {
+    case JObject(fields) => fields.toMap match {
+      case m if m.contains("map") => m("map").extractOpt[String].map(OpSpec.MapExpr)
+      case m if m.contains("filter") => m("filter").extractOpt[String].map(OpSpec.FilterExpr)
+      case m if m.contains("select") =>
+        m("select").extractOpt[Seq[String]].map(OpSpec.SelectExpr)
+      case m if m.contains("named") => m("named").extractOpt[String].map(OpSpec.Named(_))
+      case m if m.contains("comp") => m("comp") match {
+        case JArray(stages) =>
+          val parsed = stages.map(parseOpSpec)
+          if (parsed.forall(_.isDefined)) Some(OpSpec.Comp(parsed.flatten)) else None
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def parseBuffer(j: JValue): Option[BufferSpec] = j match {
+    case JInt(n) => Some(BufferSpec.Fixed(n.toInt))
+    case JObject(fs) => fs.toMap match {
+      case m if m.contains("sliding") => m("sliding").extractOpt[Int].map(BufferSpec.Sliding)
+      case m if m.contains("dropping") => m("dropping").extractOpt[Int].map(BufferSpec.Dropping)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Total: malformed spec → None (the validation railway reports upstream). */
+  def parse(json: String): Option[StreamNode] =
+    try {
+      val j = JsonMethods.parse(json)
+      (j \ "name").extractOpt[String].map { name =>
+        StreamNode(
+          NodeName.parse(name),
+          (j \ "upstream").extractOpt[Set[String]].getOrElse(Set.empty),
+          parseOpSpec(j \ "transducer"),
+          parseBuffer(j \ "buffer"),
+          (j \ "errorSink").extractOpt[String],
+          (j \ "format").extractOpt[String].getOrElse("json"))
+      }
+    } catch { case _: Throwable => None }
+
+  def toJson(n: StreamNode): String = {
+    def op(o: OpSpec): JValue = o match {
+      case OpSpec.MapExpr(e) => JObject("map" -> JString(e))
+      case OpSpec.FilterExpr(p) => JObject("filter" -> JString(p))
+      case OpSpec.SelectExpr(es) => JObject("select" -> JArray(es.map(JString(_)).toList))
+      case OpSpec.Named(f, _) => JObject("named" -> JString(f))
+      case OpSpec.Comp(ss) => JObject("comp" -> JArray(ss.map(op).toList))
+    }
+    val buf: Option[JValue] = n.buffer.map {
+      case BufferSpec.Fixed(x) => JInt(x)
+      case BufferSpec.Sliding(x) => JObject("sliding" -> JInt(x))
+      case BufferSpec.Dropping(x) => JObject("dropping" -> JInt(x))
+    }
+    val fields: List[(String, JValue)] = List[Option[(String, JValue)]](
+      Some("name" -> JString(n.name.full)),
+      Some("upstream" -> JArray(n.upstream.toList.sorted.map(JString(_)))),
+      n.transducer.map(t => "transducer" -> op(t)),
+      buf.map("buffer" -> _),
+      n.errorSink.map(e => "errorSink" -> JString(e)),
+      Some("format" -> JString(n.format))).flatten
+    JsonMethods.compact(JsonMethods.render(JObject(fields: _*)))
+  }
+}

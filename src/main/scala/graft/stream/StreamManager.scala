@@ -84,6 +84,18 @@ class StreamManager(val topology: Topology) {
     topology.removeNode(full)
   }
 
+  /** T19 startup bootstrap: load every `:stream/…` stored-function doc from
+    * the app db, parse its declarative spec, wire the graph, start sinks
+    * (`/root/reference/src/dataworks/utils/function.clj:11-36`). */
+  def bootstrapFromStore(store: DocumentStore): Seq[StreamingQuery] = {
+    import store.spark.implicits._
+    store.db().filter("id LIKE ':stream/%'")
+      .select("doc").as[String].collect()
+      .flatMap(NodeSpec.parse)
+      .foreach(topology.addNode)
+    applyGraph()
+  }
+
   // ----------------------------------------------------------- control plane
 
   /** T18: subscribe to the internal function-update topic; each event

@@ -81,6 +81,19 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
     case OpSpec.Comp(stages)    => stages.foldLeft(df)(applyOpSpec)
   }
 
+  /** Per-topic serde (S10): the reference selects Edn/Json serializers per
+    * topic format (`/root/reference/src/dataworks/utils/kafka.clj:77-78,112-128`).
+    * JSON payloads pass through; EDN payloads are decoded to JSON text so
+    * the whole downstream expression surface (`get_json_object`,
+    * `from_json`) applies uniformly. Malformed EDN → null → force-dropped. */
+  private lazy val ednToJsonUdf = udf((s: String) => graft.query.Edn.toJson(s))
+
+  private def applyFormat(df: DataFrame, n: StreamNode): DataFrame =
+    n.format match {
+      case "edn" => df.withColumn("value", ednToJsonUdf(col("value")))
+      case _ => df
+    }
+
   /** Build the output plan of a node: fan-in of upstream outputs, user
     * transducer, forced null-drop. Source nodes (no upstream) read their
     * backing topic — pushing into any node by name (T16 `stream!`) is a
@@ -91,7 +104,7 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
     val n = nodeMap.getOrElse(full,
       throw new NoSuchElementException(s"unknown node $full"))
     val input =
-      if (n.upstream.isEmpty) io.source(full)
+      if (n.upstream.isEmpty) applyFormat(io.source(full), n)
       else n.upstream.toSeq.sorted
         .map(buildPlan(_, building + full))
         .reduce(_.unionByName(_))

@@ -1,0 +1,77 @@
+package graft.query
+
+import graft.SparkSpec
+
+/** Plan-quality guards: these assertions pin the 100 TB design posture —
+  * filters/projections reach the parquet scan, dimension joins broadcast,
+  * aggregates map-side combine, vector math stays in whole-stage codegen.
+  * A regression here is a performance bug even while results stay correct. */
+class PlanQualitySpec extends SparkSpec {
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+  test("filter_range pushes predicate and prunes columns at the scan") {
+    val df = Relational.filterRange(spark, sf("sf0.001"))
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PushedFilters") &&
+      (scan.contains("GreaterThanOrEqual(l_quantity,5.0)") ||
+       scan.contains("GreaterThanOrEqual(l_quantity")),
+      s"range filter must reach parquet: $scan")
+    assert(!scan.contains("l_extendedprice"),
+      "unprojected columns must not be read (column pruning)")
+  }
+
+  test("join_multiway broadcasts every dimension table") {
+    val plan = executedPlan(Relational.joinMultiway(spark, sf("sf0.001")))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3,
+      s"customer/nation/region joins must broadcast, got $broadcasts in:\n$plan")
+  }
+
+  test("agg_group_by does a map-side partial aggregate before the shuffle") {
+    val plan = executedPlan(Relational.aggGroupBy(spark, sf("sf0.001")))
+    val hashAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(hashAggs >= 2, s"expect partial+final HashAggregate:\n$plan")
+    assert(plan.contains("Exchange"), "grouped agg shuffles exactly on the keys")
+  }
+
+  test("order_by_limit is a TakeOrdered, not a global sort") {
+    val plan = executedPlan(Relational.orderByLimit(spark, sf("sf0.001")))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not globally sort:\n$plan")
+  }
+
+  test("entity_lookup pushes the key equality to the scan") {
+    val scan = Relational.entityLookup(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("EqualTo(o_orderkey,1)"),
+      s"point lookup must push to parquet: $scan")
+  }
+
+  test("similarity top-k keeps the scan unshuffled (broadcast target, take-ordered)") {
+    val df = graft.ext.Similarity.similarityTopK(spark, sf("sf0.001"))
+    val plan = executedPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must be take-ordered")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "the single target vector must broadcast")
+  }
+
+  test("datalog same-entity patterns compile to a single scan per table") {
+    val df = graft.query.datalog.DatalogDb.datalogQuery(spark, sf("sf0.001"))
+    // count relation leaves in the optimized logical plan (the compiler's
+    // output; the AQE physical string double-prints stages)
+    val scans = df.queryExecution.optimizedPlan.collectLeaves().length
+    assert(scans == 2, s"orders + customer = exactly 2 scans, got $scans")
+  }
+
+  test("bitemporal as-of filters before the window (partition pruning path)") {
+    val df = Relational.asofSnapshot(spark, sf("sf0.001"))
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    // the valid-time cut must reach the scan (raw-nanos comparison), not
+    // sit above the window behind a timestamp conversion
+    assert(scan.contains("LessThanOrEqual(ts,"),
+      s"as-of time cut must push down: $scan")
+  }
+}

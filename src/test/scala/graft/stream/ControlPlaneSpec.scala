@@ -1,0 +1,94 @@
+package graft.stream
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.core.{NodeName, OpSpec}
+import graft.store.DocumentStore
+
+/** T18/T19 end-to-end: stored-function docs in the app db drive topology
+  * bootstrap; a function-update event on the internal control topic
+  * re-fetches the doc and hot-swaps the node — the full deploy path of
+  * SURVEY.md §3.1 steps 4-6 (persist → activate → cluster broadcast). */
+class ControlPlaneSpec extends SparkSpec {
+
+  private def specJson(expr: String): String =
+    s"""{"name":"stream/process","upstream":["kafka/input"],
+        "transducer":{"map":"$expr"},"buffer":1000,"format":"json"}"""
+      .replaceAll("\n\\s*", "")
+
+  test("node spec JSON round-trips") {
+    val n = NodeSpec.parse(specJson("TRY_CAST(value AS DOUBLE) + 1")).get
+    assert(n.name == NodeName.parse("stream/process"))
+    assert(n.upstream == Set("kafka/input"))
+    assert(n.transducer.contains(OpSpec.MapExpr("TRY_CAST(value AS DOUBLE) + 1")))
+    assert(NodeSpec.parse(NodeSpec.toJson(n)).contains(n))
+    assert(NodeSpec.parse("""{"garbage": true}""").isEmpty)
+    assert(NodeSpec.parse("not json at all").isEmpty)
+  }
+
+  test("bootstrap from store wires and starts the persisted topology (T19)") {
+    val store = DocumentStore(spark,
+      Files.createTempDirectory("cp").toString + "/db")
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    val mgr = new StreamManager(topo)
+    store.put(":stream/input", """{"name":"kafka/input","upstream":[]}""")
+    store.put(":stream/process", specJson("TRY_CAST(value AS DOUBLE) + 1"))
+    store.put(":stream/output", """{"name":"kafka/output","upstream":["stream/process"]}""")
+    io.publish("kafka/input", "k", "5")
+    mgr.bootstrapFromStore(store)
+    mgr.processAllAvailable()
+    assert(io.collected("output").map(_.getAs[Double]("value")) == Seq(6.0))
+    mgr.stopAll()
+  }
+
+  test("control-plane event hot-swaps the node from the store (T18)") {
+    val store = DocumentStore(spark,
+      Files.createTempDirectory("cp2").toString + "/db")
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    val mgr = new StreamManager(topo)
+    store.put(":stream/input", """{"name":"kafka/input","upstream":[]}""")
+    store.put(":stream/process", specJson("TRY_CAST(value AS DOUBLE) + 1"))
+    store.put(":stream/output", """{"name":"kafka/output","upstream":["stream/process"]}""")
+    mgr.bootstrapFromStore(store)
+    mgr.startControlPlane(store, NodeSpec.parse)
+    io.publish("kafka/input", "a", "10")
+    mgr.processAllAvailable()
+
+    // deploy an update: new doc version in the db + event on the topic
+    store.put(":stream/process", specJson("TRY_CAST(value AS DOUBLE) * 100"))
+    io.publish(mgr.controlTopic, "k", ":stream/process")
+    mgr.processAllAvailable() // control-plane batch applies the swap
+    io.publish("kafka/input", "b", "10")
+    mgr.processAllAvailable()
+
+    val vals = io.collected("output").map(_.getAs[Double]("value"))
+    assert(vals == Seq(11.0, 1000.0),
+      s"pre-swap +1, post-swap *100, no reprocessing; got $vals")
+    assert(topo.node("stream/process").get.transducer
+      .contains(OpSpec.MapExpr("TRY_CAST(value AS DOUBLE) * 100")))
+    mgr.stopAll()
+  }
+
+  test("edn-format source topics decode to JSON before the transducer (S10)") {
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    val mgr = new StreamManager(topo)
+    topo.addNode(NodeSpec.parse(
+      """{"name":"kafka/edn-in","upstream":[],"format":"edn"}""").get)
+    topo.addNode(NodeSpec.parse(
+      """{"name":"stream/extract","upstream":["kafka/edn-in"],
+         "transducer":{"map":"get_json_object(value, '$.amount')"},"buffer":10}"""
+        .replaceAll("\n\\s*", "")).get)
+    topo.addNode(NodeSpec.parse(
+      """{"name":"kafka/json-out","upstream":["stream/extract"]}""").get)
+    io.publish("kafka/edn-in", "k", "{:event :purchase, :amount 99.5}")
+    io.publish("kafka/edn-in", "k", "{:broken edn")  // malformed → null → dropped
+    mgr.applyGraph()
+    mgr.processAllAvailable()
+    assert(io.collected("json-out").map(_.getAs[String]("value")) == Seq("99.5"))
+    mgr.stopAll()
+  }
+}
