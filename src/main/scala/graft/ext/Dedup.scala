@@ -166,7 +166,7 @@ object Dedup {
     * never produces a quadratic bucket. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", shingleN: Int = 3,
-                        threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
+                        threshold: Double = 0.5, maxDf: Int = 20): DataFrame = {
     val withSh = docs.select(col(idCol).as("id"),
       array_distinct(TextOps.wordShingles(TextOps.tokens(col(textCol)), shingleN)).as("sh"))
       .persist()

@@ -132,6 +132,29 @@ object Functions {
 
   // ------------------------------------------------------- keyword utils (X8)
 
+  // --------------------------------------------------- ns-key ops (F8)
+
+  /** Map key-namespace operators (`select-ns-keys` / `ns-keys` / `set-ns` /
+    * `exclude-ns-keys`, `/root/reference/src/dataworks/utils/common.clj:382-424`):
+    * documents namespace their keys (`:transformer/name`); as columns the
+    * namespace is a `<ns>_` prefix, and these become select/rename ops. */
+  def selectNsKeys(df: DataFrame, ns: String): DataFrame = {
+    val cols = df.columns.filter(_.startsWith(s"${ns}_"))
+    df.select(cols.map(col).toSeq: _*)
+  }
+
+  def excludeNsKeys(df: DataFrame, ns: String): DataFrame =
+    df.drop(df.columns.filter(_.startsWith(s"${ns}_")).toSeq: _*)
+
+  /** `ns-keys`: move columns INTO a namespace (prefix them). */
+  def nsKeys(df: DataFrame, ns: String, names: Seq[String]): DataFrame =
+    names.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${ns}_$c"))
+
+  /** `set-ns`: re-namespace every column (strip any existing prefix). */
+  def setNs(df: DataFrame, ns: String): DataFrame =
+    df.columns.foldLeft(df)((d, c) =>
+      d.withColumnRenamed(c, s"${ns}_${c.split("_", 2).last}"))
+
   /** `stringify-keyword` (`common.clj:120-126`): ":ns/name" → "ns/name". */
   def stringifyKeyword(s: String): String = s.stripPrefix(":")
 

@@ -21,11 +21,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 trait StreamIO {
   def spark: SparkSession
-  /** Source streaming DataFrame for an external topic. */
-  def source(topic: String): DataFrame
+  /** Source streaming DataFrame for an external topic. `rateLimit` maps the
+    * node's fixed-buffer bound (T7) to source backpressure
+    * (`maxOffsetsPerTrigger` for Kafka) — sliding/dropping buffers have no
+    * Structured Streaming analog and degrade to the same rate limit
+    * (documented divergence, SURVEY.md §2.3 T8/T9). */
+  def source(topic: String, rateLimit: Option[Long] = None): DataFrame
   /** Start a sink writing `df` to an external topic; `queryName` keys the
     * checkpoint so a hot-swap restart resumes at the committed offsets. */
   def sink(topic: String, df: DataFrame, queryName: String): StreamingQuery
+  /** T16 `stream!`: push one message into a node/topic by name from any
+    * stored function. */
+  def publish(topic: String, key: String, value: String): Unit
   /** S9: ensure the topic exists before wiring (AdminClient for Kafka). */
   def ensureTopic(topic: String): Unit
 }
@@ -42,17 +49,30 @@ trait StreamIO {
 class KafkaIO(val spark: SparkSession, bootstrapServers: String,
               checkpointRoot: String) extends StreamIO {
 
-  def source(topic: String): DataFrame =
-    spark.readStream.format("kafka")
+  def source(topic: String, rateLimit: Option[Long] = None): DataFrame = {
+    val base = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topic)
       .option("startingOffsets", "latest")
-      .load()
+    rateLimit.foreach(n => base.option("maxOffsetsPerTrigger", n))
+    base.load()
       .select(
         col("key").cast("string").as("key"),
         col("value").cast("string").as("value"),
         col("timestamp").as("ts"),
         col("topic"))
+  }
+
+  /** T16 push: a one-row batch write through the Kafka connector. */
+  def publish(topic: String, key: String, value: String): Unit = {
+    import spark.implicits._
+    Seq((key, value)).toDF("key", "value")
+      .selectExpr("CAST(key AS BINARY) AS key", "CAST(value AS BINARY) AS value")
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .save()
+  }
 
   def sink(topic: String, df: DataFrame, queryName: String): StreamingQuery =
     df.select(
@@ -98,7 +118,7 @@ class MemoryIO(val spark: SparkSession) extends StreamIO {
   def collected(topic: String): Seq[Row] =
     Option(outputs.get(topic)).map(_.toSeq).getOrElse(Seq.empty)
 
-  def source(topic: String): DataFrame =
+  def source(topic: String, rateLimit: Option[Long] = None): DataFrame =
     stream(topic).toDF()
       .toDF("key", "value", "ts")
       .withColumn("topic", lit(topic))

@@ -55,6 +55,21 @@ class StreamManager(val topology: Topology) {
 
   def runningQueries: Map[String, StreamingQuery] = running.toMap
 
+  /** T16 `stream!`: push data into any node by name
+    * (`/root/reference/src/dataworks/streams.clj:21-24`). */
+  def stream(nodeName: String, key: String, value: String): Unit =
+    topology.io.publish(nodeName, key, value)
+
+  /** T17 drain: consume-and-discard a node's output to keep it flowing
+    * (`take-while`, `/root/reference/src/dataworks/utils/stream.clj:120-126`)
+    * — the `noop` sink. */
+  def drain(full: String): StreamingQuery = {
+    val q = topology.buildPlan(full)
+      .writeStream.format("noop").queryName(queryName(full) + "_drain").start()
+    running.put(full + "#drain", q)
+    q
+  }
+
   def stopSink(full: String): Unit =
     running.remove(full).foreach(_.stop())
 

@@ -103,8 +103,13 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
       throw new IllegalStateException(s"cycle through $full")
     val n = nodeMap.getOrElse(full,
       throw new NoSuchElementException(s"unknown node $full"))
+    val rateLimit = n.buffer.map {
+      case graft.core.BufferSpec.Fixed(x) => x.toLong
+      case graft.core.BufferSpec.Sliding(x) => x.toLong  // approximated (T8)
+      case graft.core.BufferSpec.Dropping(x) => x.toLong // approximated (T9)
+    }
     val input =
-      if (n.upstream.isEmpty) applyFormat(io.source(full), n)
+      if (n.upstream.isEmpty) applyFormat(io.source(full, rateLimit), n)
       else n.upstream.toSeq.sorted
         .map(buildPlan(_, building + full))
         .reduce(_.unionByName(_))
