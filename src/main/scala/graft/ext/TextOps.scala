@@ -22,7 +22,7 @@ object TextOps {
     * tokens (a deterministic regex stand-in for a real BPE vocab). */
   def bpeishCount(text: Column): Column =
     size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-      t => length(t) > 0))
+      t => length(trim(t)) > 0))
 
   /** Character n-gram array (for language ID / fingerprinting). */
   def charNgrams(text: Column, n: Int): Column = {

@@ -1,0 +1,55 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute-force top-k: self first (sim=1), ordered desc, k rows") {
+    val got = Similarity.similarityTopK(spark, sf("sf0.001")).collect()
+    assert(got.length == 10)
+    assert(got.head.getAs[Long]("vec_id") == 0L && got.head.getAs[Double]("sim") == 1.0)
+    val sims = got.map(_.getAs[Double]("sim")).toSeq
+    assert(sims == sims.sorted.reverse, "descending similarity")
+  }
+
+  test("normalized() produces unit vectors") {
+    val emb = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val norms = Similarity.normalized(emb)
+      .select(Similarity.norm(col("embedding").cast("array<double>")))
+      .as[Double].collect().sorted
+    assert(math.abs(norms(1) - 1.0) < 1e-12)
+    assert(norms(0) == 0.0, "zero vector stays zero, no NaN")
+  }
+
+  test("IVF: centroid assignment + probed search finds true neighbors") {
+    val emb = Tables_embeddings()
+    val centroids = Similarity.hashCentroids(emb, kCentroids = 8)
+    assert(centroids.count() == 8)
+    val assigned = Similarity.ivfAssign(emb, centroids).persist()
+    assert(assigned.count() == emb.count(), "every vector assigned")
+    assert(assigned.select("centroid_id").distinct().count() > 1,
+      "assignment spreads across buckets")
+    // query with vec_id 0's own vector: full-probe IVF must find it at sim 1
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .as[Seq[Double]].head
+    val full = Similarity.ivfTopK(assigned, centroids, q, k = 5, nprobe = 8)
+      .collect()
+    assert(full.head.getAs[Long]("vec_id") == 0L &&
+      math.abs(full.head.getAs[Double]("sim") - 1.0) < 1e-9)
+    // pruned probe (nprobe=2) still returns k results from a SUBSET of buckets
+    val pruned = Similarity.ivfTopK(assigned, centroids, q, k = 5, nprobe = 2)
+    assert(pruned.count() == 5)
+    // recall vs brute force at nprobe=8 (all buckets) must be exact
+    val brute = Similarity.bruteForceTopK(emb, 0L, 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full.map(_.getAs[Long]("vec_id")).toSet == brute,
+      "all-bucket IVF == brute force")
+  }
+
+  private def Tables_embeddings() =
+    graft.core.Tables.embeddings(spark, sf("sf0.001"))
+}

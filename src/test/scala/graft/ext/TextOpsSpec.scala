@@ -1,0 +1,65 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog"),
+    (2L, "the QUICK brown   fox jumps over the lazy dog"), // case/space variant
+    (3L, "el gato y el perro en la casa de la abuela"),
+    (4L, "!!! ??? ... ;;; :::")
+  ).toDF("doc_id", "text")
+
+  test("token count: whitespace runs collapse; case-insensitive") {
+    val counts = docs.select($"doc_id", TextOps.tokenCount($"text"))
+      .as[(Long, Int)].collect().toMap
+    assert(counts(1L) == 9 && counts(2L) == 9)
+  }
+
+  test("bpe-ish count splits punctuation and digits apart") {
+    val n = docs.filter($"doc_id" === 4L)
+      .select(TextOps.bpeishCount($"text")).as[Int].head
+    assert(n == 15, "each punctuation char is its own token + spaces dropped")
+    val m = Seq("ab12cd").toDF("t").select(TextOps.bpeishCount($"t")).as[Int].head
+    assert(m == 1, "alnum runs stay together")
+  }
+
+  test("language ID picks the right stopword family; deterministic") {
+    val langs = docs.select($"doc_id", TextOps.langId($"text"))
+      .as[(Long, String)].collect().toMap
+    assert(langs(1L) == "en" && langs(2L) == "en")
+    assert(langs(3L) == "es")
+    assert(langs(4L) == "und", "no stopword hits → und")
+  }
+
+  test("quality score: clean prose beats punctuation soup; bounded [0,1]") {
+    val q = docs.select($"doc_id", TextOps.qualityScore($"text"))
+      .as[(Long, Double)].collect().toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(4L))
+  }
+
+  test("fingerprints: exact fp equal only for identical normalized text; robust fp survives 1-token edit") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val edit = base.replace("theta", "THETA") // normalization folds case
+    val real = base.replace("theta", "other")
+    val df = Seq((1L, base), (2L, edit), (3L, real)).toDF("doc_id", "text")
+    val fps = df.select($"doc_id", TextOps.fingerprint($"text"),
+        TextOps.robustFingerprint($"text")).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(fps(1L)._1 == fps(2L)._1, "case-folded identical text → same fp")
+    assert(fps(1L)._1 != fps(3L)._1)
+    // robust (min-shingle-hash) fingerprint: a 1-token change far from the
+    // minimum shingle usually preserves it; identical docs always match
+    assert(fps(1L)._2 == fps(2L)._2)
+  }
+
+  test("char n-grams cover the string with stride 1") {
+    val grams = Seq(("abcd", 1)).toDF("t", "i")
+      .select(TextOps.charNgrams($"t", 2)).as[Seq[String]].head
+    assert(grams == Seq("ab", "bc", "cd"))
+  }
+}
