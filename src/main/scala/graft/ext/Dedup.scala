@@ -10,9 +10,10 @@ import graft.core.Tables
   *
   * Scale design: every near-dup path is LSH-style — candidate generation is
   * a band/bucket equi-join (shuffle on a small hash key, never an O(n²)
-  * cross join); exact pair verification only runs inside buckets. Signatures
-  * are built from codegen'd built-ins (split/transform/aggregate/hash/
-  * xxhash64) — no UDFs, no driver-side loops.
+  * cross join); exact pair verification only runs inside buckets.
+  * Signatures (shingles, minhash, simhash) are native Catalyst expressions
+  * (graft.functions.TextHashExpressions): one tight loop per document
+  * inside whole-stage codegen — no UDFs, no driver-side loops.
   */
 object Dedup {
 
@@ -36,20 +37,12 @@ object Dedup {
   // --------------------------------------------------------------- MinHash
 
   /** MinHash signature: numPerm independent min-hashes over word shingles.
-    * Permutation i is murmur3 `hash(shingle, i)` (seeded by position).
-    *
-    * Loop structure matters: the shingle array is the single `aggregate`
-    * input (evaluated ONCE per row) and the accumulator is the running
-    * 64-wide minimum — the naive "transform over permutations, min over
-    * shingles" nesting re-evaluates the shingle build per permutation
-    * (64× per row), which is catastrophic on a large corpus. */
+    * Permutation i is murmur3(shingle, seed=i); shingling + signature are
+    * single-pass native expressions. */
   def minhashSignature(text: Column, shingleN: Int = 3,
                        numPerm: Int = 64): Column = {
-    val sh = array_distinct(TextOps.wordShingles(TextOps.tokens(text), shingleN))
-    aggregate(sh,
-      array_repeat(lit(Int.MaxValue), numPerm),
-      (acc, s) => zip_with(acc, sequence(lit(0), lit(numPerm - 1)),
-        (m, i) => least(m, hash(s, i))))
+    val sh = graft.functions.TextHashExpressions.word_shingles(TextOps.tokens(text), shingleN)
+    graft.functions.TextHashExpressions.minhash_sig(sh, numPerm)
   }
 
   /** LSH banding: split the signature into `bands` bands of `rows` hashes;
@@ -74,7 +67,8 @@ object Dedup {
     // this materialization is the signature table you'd write to storage.
     val withSh = docs.select(
       col(idCol).as("id"),
-      array_distinct(TextOps.wordShingles(TextOps.tokens(col(textCol)), shingleN)).as("sh"))
+      graft.functions.TextHashExpressions.word_shingles(
+        TextOps.tokens(col(textCol)), shingleN).as("sh"))
       .persist()
     val withSig = docs.select(
       col(idCol).as("id"),
@@ -108,25 +102,11 @@ object Dedup {
 
   // --------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.
-    * Built as: counts[b] = Σ_tokens (bit b of xxhash64(token) ? 1 : -1);
-    * fingerprint bit b set iff counts[b] > 0. */
-  def simhash(text: Column): Column = {
-    // Single pass over token hashes (the aggregate input — evaluated once);
-    // accumulator = 64 per-bit vote counters; then one zip_with packs the
-    // counter signs against the power-of-two table. Every subexpression is
-    // referenced exactly once, so nothing is re-evaluated per bit.
-    val hashes = transform(TextOps.tokens(text), t => xxhash64(t))
-    val counts = aggregate(hashes, array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (a, b) => a +
-          when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1).otherwise(-1)))
-    val powers = transform(sequence(lit(0), lit(63)),
-      b => call_function("shiftleft", lit(1L), b))
-    aggregate(zip_with(counts, powers,
-        (c, p) => when(c > 0, p).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
-  }
+  /** 64-bit SimHash over tokens: per-bit majority vote of xxhash64(token);
+    * fingerprint bit b set iff the vote count is positive (native
+    * single-pass expression). */
+  def simhash(text: Column): Column =
+    graft.functions.TextHashExpressions.simhash64(TextOps.tokens(text))
 
   /** SimHash near-dups: LSH on 4×16-bit chunks (two docs within Hamming
     * distance ≤ 3 of each other on 64 bits must share at least one exact
@@ -166,18 +146,27 @@ object Dedup {
     * never produces a quadratic bucket. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", shingleN: Int = 3,
-                        threshold: Double = 0.5, maxDf: Int = 20): DataFrame = {
+                        threshold: Double = 0.5, maxDf: Int = 20,
+                        minCommon: Int = 2): DataFrame = {
     val withSh = docs.select(col(idCol).as("id"),
-      array_distinct(TextOps.wordShingles(TextOps.tokens(col(textCol)), shingleN)).as("sh"))
+      graft.functions.TextHashExpressions.word_shingles(
+        TextOps.tokens(col(textCol)), shingleN).as("sh"))
       .persist()
     val posting = withSh.select(col("id"), explode(col("sh")).as("shingle"))
     val rare = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
     val pruned = posting.join(rare, Seq("shingle"), "left_semi")
+    // Candidate pairs ranked by how many rare shingles they share: a true
+    // near-dup shares many, an incidental vocabulary collision shares one
+    // or two — requiring `minCommon` slashes the verify-join fan-in without
+    // touching recall at any meaningful threshold (a pair at jaccard ≥ 0.5
+    // over ≥ (2·minCommon/(1-maxDf/n))-shingle docs shares far more).
     val cand = pruned.as("a").join(pruned.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+      .select("id_a", "id_b")
     cand
       .join(withSh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(withSh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))

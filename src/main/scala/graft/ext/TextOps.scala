@@ -98,7 +98,9 @@ object TextOps {
   def fingerprint(text: Column): Column = xxhash64(trim(lower(text)))
 
   def robustFingerprint(text: Column, shingleN: Int = 3): Column =
-    array_min(transform(wordShingles(tokens(text), shingleN), s => xxhash64(s)))
+    array_min(transform(
+      graft.functions.TextHashExpressions.word_shingles(tokens(text), shingleN),
+      s => xxhash64(s)))
 
   // ------------------------------------------------------- SparkEntry queries
 
