@@ -50,6 +50,21 @@ object OpSpec {
   final case class Named(name: String, args: Seq[String] = Nil) extends OpSpec
   /** composition — transducer `comp` (T5). */
   final case class Comp(stages: Seq[OpSpec]) extends OpSpec
+
+  /** Event-time windowed aggregation with a watermark — a capability the
+    * reference lacks entirely (its transducers are per-element; time-based
+    * behavior is hand-rolled via the alert pattern, SURVEY.md §2.6) but
+    * that Structured Streaming provides natively; exposed as a first-class
+    * node spec. `aggs` are SQL aggregate expressions (e.g.
+    * "count(*) AS n"); empty `slide` = tumbling window. */
+  final case class WindowAgg(tsCol: String, windowDuration: String,
+                             slide: Option[String], watermark: String,
+                             groupBy: Seq[String], aggs: Seq[String]) extends OpSpec
+
+  /** Streaming dedup by key within a watermark — the streaming face of the
+    * LLM-pipeline dedup suite (drop exact repeats as they arrive). */
+  final case class DedupeKeys(keys: Seq[String], tsCol: String,
+                              watermark: String) extends OpSpec
 }
 
 /** Buffer policy for a stream node (T7-T9,

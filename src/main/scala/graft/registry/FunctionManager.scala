@@ -1,0 +1,97 @@
+package graft.registry
+
+import graft.query.Functions
+import graft.store.DocumentStore
+import graft.stream.{NodeSpec, StreamManager}
+
+/** Stored-function management plane: the create!/update!/delete lifecycle
+  * the reference exposes per function type
+  * (`/root/reference/src/dataworks/resource/dev.clj:22-86`), with the `->?`
+  * validation railway (`/root/reference/src/dataworks/utils/common.clj:8-27`)
+  * as an Either chain (F5) and the reference's validators (F6):
+  * `valid-name?`, `parseable?`, duplicate-check on create,
+  * `updating-correct-function?` on update.
+  *
+  * Persistence is the bitemporal app db (every deploy is a new doc version
+  * — full audit history, time-travel debuggable); activation is the
+  * control-plane broadcast (T18) every node consumes.
+  */
+class FunctionManager(store: DocumentStore, manager: StreamManager) {
+
+  val functionTypes = Set("collector", "transformer", "transactor", "stream")
+
+  private def validName(name: String): Either[String, String] =
+    if (name.matches("[A-Za-z][A-Za-z0-9._-]*")) Right(name)
+    else Left(s"invalid name '$name' (letters, digits, . _ - ; must start with a letter)")
+
+  private def validType(tpe: String): Either[String, String] =
+    if (functionTypes.contains(tpe)) Right(tpe)
+    else Left(s"unknown stored-function type '$tpe' (one of ${functionTypes.mkString(", ")})")
+
+  private def parseableSpec(tpe: String, specJson: String): Either[String, String] =
+    tpe match {
+      case "stream" =>
+        NodeSpec.parse(specJson).toRight(s"unparseable stream spec: $specJson")
+          .flatMap(manager.topology.validate)
+          .map(_ => specJson)
+      case _ => // non-stream types carry opaque registry references
+        if (specJson != null && specJson.trim.startsWith("{")) Right(specJson)
+        else Left("spec must be a JSON object")
+    }
+
+  /** create!: railway — name → type → parse → must-not-exist (the
+    * reference's duplicate check + `match nil` create transaction,
+    * `/root/reference/src/dataworks/db/app_db.clj:95-113`). */
+  def create(tpe: String, name: String, specJson: String): Either[String, String] =
+    for {
+      _ <- validType(tpe)
+      _ <- validName(name)
+      _ <- parseableSpec(tpe, specJson)
+      id = Functions.namespacedId(tpe, name)
+      _ <- if (store.matchPut(id, None, specJson)) Right(id)
+           else Left(s"$id already exists (use update)")
+    } yield {
+      activate(tpe, id, specJson)
+      id
+    }
+
+  /** update!: must exist (`updating-correct-function?` — fixes the
+    * silent-create hole), compare-and-swap the doc, then broadcast. */
+  def update(tpe: String, name: String, specJson: String): Either[String, String] =
+    for {
+      _ <- validType(tpe)
+      _ <- validName(name)
+      _ <- parseableSpec(tpe, specJson)
+      id = Functions.namespacedId(tpe, name)
+      current <- store.entity(id).toRight(s"$id does not exist (use create)")
+      _ <- if (store.cas(id, current, specJson)) Right(id)
+           else Left(s"$id changed concurrently; retry")
+    } yield {
+      activate(tpe, id, specJson)
+      id
+    }
+
+  /** delete: tombstone the doc (history preserved), tear down the local
+    * node + everything downstream, broadcast. */
+  def delete(tpe: String, name: String): Either[String, String] = {
+    val id = Functions.namespacedId(tpe, name)
+    store.entity(id).toRight(s"$id does not exist").map { spec =>
+      store.delete(id)
+      if (tpe == "stream")
+        NodeSpec.parse(spec).foreach(n => manager.deleteNode(n.name.full))
+      broadcast(id)
+      id
+    }
+  }
+
+  /** Local activation + cluster broadcast (SURVEY.md §3.1 steps 5-6). */
+  private def activate(tpe: String, id: String, specJson: String): Unit = {
+    if (tpe == "stream")
+      NodeSpec.parse(specJson).foreach(manager.updateNode)
+    broadcast(id)
+  }
+
+  private def broadcast(id: String): Unit =
+    try manager.topology.io.publish(manager.controlTopic, "function-update", id)
+    catch { case _: Throwable => () } // broadcast is best-effort; local applied
+}

@@ -39,6 +39,22 @@ object NodeSpec {
           if (parsed.forall(_.isDefined)) Some(OpSpec.Comp(parsed.flatten)) else None
         case _ => None
       }
+      case m if m.contains("windowAgg") =>
+        val w = m("windowAgg")
+        for {
+          ts <- (w \ "ts").extractOpt[String]
+          dur <- (w \ "window").extractOpt[String]
+          wm <- (w \ "watermark").extractOpt[String]
+          aggs <- (w \ "aggs").extractOpt[Seq[String]] if aggs.nonEmpty
+        } yield OpSpec.WindowAgg(ts, dur, (w \ "slide").extractOpt[String], wm,
+          (w \ "groupBy").extractOpt[Seq[String]].getOrElse(Nil), aggs)
+      case m if m.contains("dedupe") =>
+        val d = m("dedupe")
+        for {
+          keys <- (d \ "keys").extractOpt[Seq[String]] if keys.nonEmpty
+          ts <- (d \ "ts").extractOpt[String]
+          wm <- (d \ "watermark").extractOpt[String]
+        } yield OpSpec.DedupeKeys(keys, ts, wm)
       case _ => None
     }
     case _ => None
@@ -76,6 +92,18 @@ object NodeSpec {
       case OpSpec.SelectExpr(es) => JObject("select" -> JArray(es.map(JString(_)).toList))
       case OpSpec.Named(f, _) => JObject("named" -> JString(f))
       case OpSpec.Comp(ss) => JObject("comp" -> JArray(ss.map(op).toList))
+      case OpSpec.WindowAgg(ts, dur, slide, wm, keys, aggs) =>
+        JObject("windowAgg" -> JObject(List(
+          Some("ts" -> (JString(ts): JValue)),
+          Some("window" -> (JString(dur): JValue)),
+          slide.map(s => "slide" -> (JString(s): JValue)),
+          Some("watermark" -> (JString(wm): JValue)),
+          Some("groupBy" -> (JArray(keys.map(JString(_)).toList): JValue)),
+          Some("aggs" -> (JArray(aggs.map(JString(_)).toList): JValue))).flatten: _*))
+      case OpSpec.DedupeKeys(keys, ts, wm) =>
+        JObject("dedupe" -> JObject(
+          "keys" -> JArray(keys.map(JString(_)).toList),
+          "ts" -> JString(ts), "watermark" -> JString(wm)))
     }
     val buf: Option[JValue] = n.buffer.map {
       case BufferSpec.Fixed(x) => JInt(x)

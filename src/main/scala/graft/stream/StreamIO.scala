@@ -114,6 +114,10 @@ class MemoryIO(val spark: SparkSession) extends StreamIO {
   def publish(topic: String, key: String, value: String): Unit =
     stream(topic).addData((key, value, new Timestamp(System.currentTimeMillis())))
 
+  /** Push with an explicit event time (drives watermark/window tests). */
+  def publishAt(topic: String, key: String, value: String, ts: Timestamp): Unit =
+    stream(topic).addData((key, value, ts))
+
   /** Collected sink rows for a topic (in arrival order). */
   def collected(topic: String): Seq[Row] =
     Option(outputs.get(topic)).map(_.toSeq).getOrElse(Seq.empty)

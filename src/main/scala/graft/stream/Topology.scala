@@ -79,6 +79,19 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
     case OpSpec.SelectExpr(es)  => df.selectExpr(es: _*)
     case OpSpec.Named(name, _)  => registry.transform(name, df)
     case OpSpec.Comp(stages)    => stages.foldLeft(df)(applyOpSpec)
+    case OpSpec.WindowAgg(ts, dur, slide, wm, keys, aggs) =>
+      val windowed = slide match {
+        case Some(s) => window(col(ts), dur, s)
+        case None    => window(col(ts), dur)
+      }
+      val aggCols = aggs.map(expr)
+      df.withWatermark(ts, wm)
+        .groupBy(windowed.as("window") +: keys.map(col): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+    case OpSpec.DedupeKeys(keys, ts, wm) =>
+      // watermark bounds the dedup state (old keys age out) — at 100 TB/day
+      // this is what keeps streaming exact-dedup state finite
+      df.withWatermark(ts, wm).dropDuplicatesWithinWatermark(keys)
   }
 
   /** Per-topic serde (S10): the reference selects Edn/Json serializers per

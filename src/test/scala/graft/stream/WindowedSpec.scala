@@ -1,0 +1,73 @@
+package graft.stream
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.core.{BufferSpec, NodeName, OpSpec, StreamNode}
+
+/** Event-time windowed aggregation + streaming dedup op-specs — the
+  * Structured-Streaming capabilities the reference's per-element transducer
+  * model lacks (SURVEY.md §2.6), exposed as first-class node specs. */
+class WindowedSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumbling window count with watermark emits finalized windows") {
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    topo.addNode(StreamNode(NodeName.parse("kafka/ev"), Set.empty, None, None, None))
+    topo.addNode(StreamNode(NodeName.parse("stream/agg"), Set("kafka/ev"),
+      Some(OpSpec.WindowAgg("ts", "10 minutes", None, "5 minutes",
+        Seq("key"), Seq("count(*) AS n"))),
+      Some(BufferSpec.Fixed(1000)), None))
+    topo.addNode(StreamNode(NodeName.parse("kafka/out"), Set("stream/agg"), None, None, None))
+    val mgr = new StreamManager(topo)
+    io.publishAt("kafka/ev", "a", "1", ts(1))
+    io.publishAt("kafka/ev", "a", "2", ts(4))
+    io.publishAt("kafka/ev", "b", "3", ts(7))
+    mgr.applyGraph()
+    mgr.processAllAvailable()
+    // watermark pusher: event far past the first window finalizes it
+    io.publishAt("kafka/ev", "a", "9", ts(31))
+    mgr.processAllAvailable()
+    io.publishAt("kafka/ev", "z", "x", ts(55)) // push watermark again
+    mgr.processAllAvailable()
+    val rows = io.collected("out")
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("n"))).toSet
+    assert(rows.contains(("a", 2L)), s"key a had 2 events in 10:00-10:10: $rows")
+    assert(rows.contains(("b", 1L)), s"key b had 1 event: $rows")
+    mgr.stopAll()
+  }
+
+  test("streaming dedupe-by-key drops repeats within the watermark") {
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    topo.addNode(StreamNode(NodeName.parse("kafka/raw"), Set.empty, None, None, None))
+    topo.addNode(StreamNode(NodeName.parse("stream/uniq"), Set("kafka/raw"),
+      Some(OpSpec.DedupeKeys(Seq("value"), "ts", "10 minutes")),
+      Some(BufferSpec.Fixed(1000)), None))
+    topo.addNode(StreamNode(NodeName.parse("kafka/clean"), Set("stream/uniq"), None, None, None))
+    val mgr = new StreamManager(topo)
+    io.publishAt("kafka/raw", "k1", "doc-A", ts(1))
+    io.publishAt("kafka/raw", "k2", "doc-A", ts(2)) // exact repeat payload
+    io.publishAt("kafka/raw", "k3", "doc-B", ts(3))
+    io.publishAt("kafka/raw", "k4", "doc-A", ts(4)) // repeat again
+    mgr.applyGraph()
+    mgr.processAllAvailable()
+    val vals = io.collected("clean").map(_.getAs[String]("value")).sorted
+    assert(vals == Seq("doc-A", "doc-B"), s"repeats dropped: $vals")
+    mgr.stopAll()
+  }
+
+  test("windowAgg + dedupe specs round-trip through NodeSpec JSON") {
+    val w = OpSpec.WindowAgg("ts", "10 minutes", Some("5 minutes"), "1 minute",
+      Seq("key"), Seq("count(*) AS n", "sum(CAST(value AS DOUBLE)) AS total"))
+    val d = OpSpec.DedupeKeys(Seq("value"), "ts", "10 minutes")
+    for (spec <- Seq(w, d)) {
+      val n = StreamNode(NodeName.parse("stream/x"), Set("kafka/in"),
+        Some(spec), Some(BufferSpec.Fixed(5)), None)
+      assert(NodeSpec.parse(NodeSpec.toJson(n)).contains(n), NodeSpec.toJson(n))
+    }
+  }
+}
