@@ -50,6 +50,7 @@ object SparkEntry {
     "stream_map_filter_batch" -> (Relational.streamMapFilterBatch(_, _)),
     // §2.2 Datalog compiler end-to-end (triple patterns → Catalyst plan)
     "datalog_query"       -> (graft.query.datalog.DatalogDb.datalogQuery(_, _)),
+    "datalog_edn"         -> (graft.query.datalog.DatalogDb.datalogEdnQuery(_, _)),
     // north-star LLM-pipeline extensions
     "dedup_exact"         -> (Dedup.dedupExactQuery(_, _)),
     "dedup_minhash"       -> (Dedup.minhashQuery(_, _)),
@@ -168,6 +169,10 @@ object SparkEntry {
       "SELECT event_id, value + 1.0 AS v FROM events WHERE value IS NOT NULL",
     "datalog_query" ->
       """SELECT c_mktsegment AS seg, count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_totalprice > 300000.0 GROUP BY c_mktsegment""",
+    "datalog_edn" ->
+      """SELECT c_mktsegment AS seg, count(*) AS count_o
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_totalprice > 300000.0 GROUP BY c_mktsegment""",
     "dedup_exact" ->

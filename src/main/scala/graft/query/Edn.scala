@@ -27,6 +27,9 @@ object Edn {
   final case class Kw(name: String) extends Value      // :ns/name → name "ns/name"
   final case class Sym(name: String) extends Value
   final case class Vec(items: List[Value]) extends Value
+  /** Lists are kept distinct from vectors: Datalog clause syntax relies on
+    * it (`[?e :a ?v]` pattern vs `(not …)`/`(or …)`/`(rule ?x)` call). */
+  final case class Lst(items: List[Value]) extends Value
   final case class SetV(items: List[Value]) extends Value
   final case class MapV(entries: List[(Value, Value)]) extends Value
   final case class Tagged(tag: String, value: Value) extends Value
@@ -53,6 +56,7 @@ object Edn {
     case Kw(n) => quote(n)
     case Sym(n) => quote(n)
     case Vec(xs) => xs.map(jsonify).mkString("[", ",", "]")
+    case Lst(xs) => xs.map(jsonify).mkString("[", ",", "]")
     case SetV(xs) => xs.map(jsonify).mkString("[", ",", "]")
     case MapV(es) => es.map { case (k, value) =>
         val key = k match {
@@ -96,7 +100,7 @@ object Edn {
       if (atEnd) throw new IllegalArgumentException("eof")
       s(i) match {
         case '[' => i += 1; Vec(readSeq(']'))
-        case '(' => i += 1; Vec(readSeq(')')) // lists render as arrays
+        case '(' => i += 1; Lst(readSeq(')'))
         case '{' => i += 1; readMap()
         case '"' => Str(readString())
         case ':' => i += 1; Kw(readToken())

@@ -43,6 +43,18 @@ object DatalogDb {
   /** SparkEntry query `datalog_query`: a Datalog program — high-value
     * orders joined to their customer's market segment, counted per segment
     * — compiled by [[DatalogCompiler]] and oracle-checked in SQL. */
+  /** SparkEntry query `datalog_edn`: the same program submitted in the
+    * reference's OWN syntax — an EDN query map parsed by [[EdnDatalog]].
+    * A dataworks user can paste their `crux/q` maps in unchanged. */
+  def datalogEdnQuery(s: SparkSession, d: String): DataFrame =
+    EdnDatalog.run(ordersCustomers(s, d),
+      """{:find  [?seg (count ?o)]
+          :where [[?o :o-totalprice ?t]
+                  [(> ?t 300000.0)]
+                  [?o :order-cust ?c]
+                  [?c :c-mktsegment ?seg]]}""")
+      .fold(e => throw new IllegalArgumentException(e), identity)
+
   def datalogQuery(s: SparkSession, d: String): DataFrame = {
     val q = Query(
       find = Seq(FindVar(V("seg")), FindAgg("count", V("o"), Some("n_orders"))),

@@ -1,0 +1,188 @@
+package graft.query.datalog
+
+import graft.query.Edn
+import graft.query.Edn.{Bool, Dbl, Kw, Lng, Lst, Str, Sym, Value, Vec}
+import Ast._
+
+/** Parses the reference's ACTUAL query syntax — Crux EDN Datalog as it
+  * appears throughout the repo (`/root/reference/src/dataworks/utils/alert.clj:9-15`,
+  * `/root/reference/src/dataworks/db/app_db.clj:58-69,115-126`,
+  * `/root/reference/src/dataworks/utils/auth.clj:91-96`) — into the
+  * [[Ast.Query]] IR, so a dataworks user can submit the same query maps
+  * they run today:
+  *
+  * ```clojure
+  * {:find  [?n (sum ?s)]
+  *  :where [[?e :dept "eng"] [?e :name ?n] [?e :salary ?s]
+  *          [(>= ?s 90)] (not [?e :on-leave true])]
+  *  :rules [[(senior ?p) [?p :level "l6"]]]
+  *  :args  [{?d "eng"}]
+  *  :order-by [[?n :asc]] :limit 10}
+  * ```
+  *
+  * Syntax mapping: vectors = patterns / predicate-binding clauses; lists =
+  * `(not …)`, `(or …)`, `(agg ?v)` in :find, and rule invocations.
+  * Keyword attributes map to wide-table column names with `/` and `-`
+  * folded to `_` (`:stored-function/type` → `stored_function_type`,
+  * SURVEY.md §1.1). Total: malformed queries → Left(reason), no throw.
+  */
+object EdnDatalog {
+
+  private val aggFns = Set("count", "count-distinct", "sum", "avg", "min",
+    "max", "median", "variance", "stddev", "distinct")
+
+  private val freshId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def kwToAttr(k: String): String = k.replace('/', '_').replace('-', '_')
+
+  def parseQuery(edn: String): Either[String, Query] =
+    Edn.parse(edn).toRight(s"unparseable EDN: $edn").flatMap {
+      case Edn.MapV(entries) =>
+        val m = entries.collect { case (Kw(k), v) => k -> v }.toMap
+        for {
+          findV <- m.get("find").toRight(":find is required")
+          find <- parseFind(findV)
+          whereV <- m.get("where").toRight(":where is required")
+          where <- parseClauses(whereV)
+          rules <- m.get("rules").map(parseRules).getOrElse(Right(Nil))
+          args <- m.get("args").map(parseArgs).getOrElse(Right(Map.empty[String, Any]))
+          orderBy <- m.get("order-by").map(parseOrderBy).getOrElse(Right(Nil))
+          limit <- parseIntOpt(m.get("limit"), "limit")
+          offset <- parseIntOpt(m.get("offset"), "offset")
+        } yield Query(find, where, rules, args, orderBy, limit, offset)
+      case _ => Left("query must be an EDN map")
+    }
+
+  /** Run an EDN query directly against a wide document relation. */
+  def run(docs: org.apache.spark.sql.DataFrame, edn: String,
+          compiler: DatalogCompiler = new DatalogCompiler())
+      : Either[String, org.apache.spark.sql.DataFrame] =
+    parseQuery(edn).map(q => compiler.run(docs, q))
+
+  // ------------------------------------------------------------------ pieces
+
+  private def parseVar(v: Value): Either[String, V] = v match {
+    case Sym(n) if n.startsWith("?") => Right(V(n.stripPrefix("?")))
+    case other => Left(s"expected logic variable (?x), got $other")
+  }
+
+  private def term(v: Value): Term = v match {
+    case Sym(n) if n.startsWith("?") => V(n.stripPrefix("?"))
+    case other => C(const(other))
+  }
+
+  private def const(v: Value): Any = v match {
+    case Str(s) => s
+    case Lng(l) => l
+    case Dbl(d) => d
+    case Bool(b) => b
+    case Kw(k) => k        // keyword constants compare as their name string
+    case Sym(s) => s
+    case Edn.Nil => null
+    case other => other.toString
+  }
+
+  private def parseFind(v: Value): Either[String, Seq[FindElem]] = v match {
+    case Vec(items) if items.nonEmpty =>
+      sequenceE(items.map {
+        case Sym(n) if n.startsWith("?") => Right(FindVar(V(n.stripPrefix("?"))))
+        case Lst(Sym(fn) :: rest) if aggFns.contains(fn) =>
+          rest match {
+            case List(Sym(n)) if n.startsWith("?") =>
+              Right(FindAgg(fn, V(n.stripPrefix("?"))))
+            case _ => Left(s"aggregate ($fn …) takes one variable")
+          }
+        case other => Left(s"bad :find element $other")
+      })
+    case _ => Left(":find must be a non-empty vector")
+  }
+
+  private def parseClauses(v: Value): Either[String, Seq[Clause]] = v match {
+    case Vec(items) if items.nonEmpty => sequenceE(items.map(parseClause))
+    case _ => Left(":where must be a non-empty vector")
+  }
+
+  private def parseClause(v: Value): Either[String, Clause] = v match {
+    // triple pattern [e :attr v?] — attr-exists form has 2 elements; the
+    // value binds a fresh throwaway var (unique per occurrence so two
+    // exists-checks on the same attribute never accidentally unify)
+    case Vec(List(e, Kw(a))) =>
+      Right(Pattern(term(e), kwToAttr(a),
+        V(s"__exists_${kwToAttr(a)}_${freshId.incrementAndGet()}")))
+    case Vec(List(e, Kw(a), value)) =>
+      Right(Pattern(term(e), kwToAttr(a), term(value)))
+    // [(pred args…)] or [(fn args…) ?out]
+    case Vec(List(Lst(Sym(op) :: args))) =>
+      Right(Pred(op, args.map(term)))
+    case Vec(List(Lst(Sym(fn) :: args), out)) =>
+      parseVar(out).map(o => Bind(fn, args.map(term), o))
+    // (not …) / (or …) / (rule args…)
+    case Lst(Sym("not") :: inner) =>
+      sequenceE(inner.map(parseClause)).map(Not(_))
+    case Lst(Sym("or") :: branches) =>
+      sequenceE(branches.map {
+        case Lst(Sym("and") :: cs) => sequenceE(cs.map(parseClause))
+        case single => parseClause(single).map(Seq(_))
+      }).map(Or(_))
+    case Lst(Sym(rule) :: args) =>
+      Right(RuleApp(rule, args.map(term)))
+    case other => Left(s"bad :where clause $other")
+  }
+
+  private def parseRules(v: Value): Either[String, Seq[Rule]] = v match {
+    case Vec(ruleVecs) =>
+      // group multiple bodies of the same rule name (crux multi-body form:
+      // each [[(name params…) body…]] entry contributes one body)
+      sequenceE(ruleVecs.map {
+        case Vec(Lst(Sym(name) :: params) :: body) =>
+          for {
+            ps <- sequenceE(params.map(parseVar))
+            cs <- sequenceE(body.map(parseClause))
+          } yield Rule(name, ps, Seq(cs))
+        case other => Left(s"bad rule $other")
+      }).map { rules =>
+        rules.groupBy(_.name).map { case (name, rs) =>
+          Rule(name, rs.head.params, rs.flatMap(_.bodies))
+        }.toSeq
+      }
+    case _ => Left(":rules must be a vector")
+  }
+
+  private def parseArgs(v: Value): Either[String, Map[String, Any]] = v match {
+    case Vec(maps) =>
+      sequenceE(maps.map {
+        case Edn.MapV(entries) =>
+          sequenceE(entries.map {
+            case (Sym(n), value) if n.startsWith("?") =>
+              Right(n.stripPrefix("?") -> const(value))
+            case (k, _) => Left(s"args keys must be ?vars, got $k")
+          }).map(_.toMap)
+        case other => Left(s":args entries must be maps, got $other")
+      }).map(_.foldLeft(Map.empty[String, Any])(_ ++ _))
+    case _ => Left(":args must be a vector of maps")
+  }
+
+  private def parseOrderBy(v: Value): Either[String, Seq[(String, Boolean)]] = v match {
+    case Vec(items) =>
+      sequenceE(items.map {
+        case Vec(List(Sym(n), Kw(dir))) if n.startsWith("?") =>
+          Right(n.stripPrefix("?") -> (dir == "asc"))
+        case Vec(List(Sym(n))) if n.startsWith("?") =>
+          Right(n.stripPrefix("?") -> true)
+        case other => Left(s"bad :order-by entry $other")
+      })
+    case _ => Left(":order-by must be a vector")
+  }
+
+  private def parseIntOpt(v: Option[Value], what: String): Either[String, Option[Int]] =
+    v match {
+      case None => Right(None)
+      case Some(Lng(l)) => Right(Some(l.toInt))
+      case Some(other) => Left(s":$what must be an integer, got $other")
+    }
+
+  private def sequenceE[A](xs: Seq[Either[String, A]]): Either[String, Seq[A]] =
+    xs.foldRight(Right(Nil): Either[String, List[A]]) {
+      case (e, acc) => for (x <- e; rest <- acc) yield x :: rest
+    }
+}
