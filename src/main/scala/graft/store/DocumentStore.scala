@@ -77,6 +77,38 @@ class DocumentStore(val spark: SparkSession, val path: String) {
       tx
     }
 
+  /** Batch put: one transaction (one tx-time, one parquet file) for many
+    * documents — Crux transactions carry many ops under one tx id; this is
+    * also the high-frequency-write answer (one file per batch, not per
+    * doc). */
+  def putAll(docs: Seq[(String, String)],
+             validFrom: Option[Timestamp] = None): Timestamp =
+    lock.synchronized {
+      val tx = nextTxTime()
+      append(docs.map { case (id, doc) =>
+        VersionedDoc(id, validFrom.getOrElse(tx), tx, deleted = false, doc) })
+      tx
+    }
+
+  /** Compact the version log: rewrite the accumulated per-put files into
+    * one file per valid_date partition (read view unchanged — same rows).
+    * At warehouse scale this is the periodic compaction job every
+    * append-log table needs; here it runs under the store's write lock. */
+  def compact(): Unit = lock.synchronized {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val tmp = new Path(path + ".compact")
+    versions()
+      .withColumn("valid_date", to_date(col("validFrom")))
+      .repartition(col("valid_date"))
+      .write.mode(SaveMode.Overwrite).partitionBy("valid_date")
+      .parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
+
   /** S5: delete — tombstone ending validity now (or at `validFrom`). */
   def delete(id: String, validFrom: Option[Timestamp] = None): Timestamp =
     lock.synchronized {
@@ -144,6 +176,31 @@ class DocumentStore(val spark: SparkSession, val path: String) {
     versions()
       .select("id", "validFrom", "txTime", "deleted", "doc").as[VersionedDoc]
   }
+
+  // --------------------------------------------------- Datalog over the store
+
+  /** Wide relation over a snapshot: JSON doc payloads expanded to typed
+    * columns via `schema` (plus `id`) — the document universe the Datalog
+    * compiler runs against. */
+  def relation(schema: org.apache.spark.sql.types.StructType,
+               validTime: Timestamp, txTime: Timestamp): DataFrame =
+    asOf(validTime, txTime)
+      .select(col("id"), from_json(col("doc"), schema).as("d"))
+      .select(col("id") +: schema.fieldNames.toSeq.map(f => col(s"d.$f")): _*)
+
+  /** The full Crux query surface over this store: an EDN Datalog query
+    * against the (valid-time, tx-time) snapshot — `query(vt, tt, q)`
+    * (`/root/reference/src/dataworks/db/user_db.clj:33-43`). */
+  def q(edn: String, schema: org.apache.spark.sql.types.StructType,
+        validTime: Timestamp, txTime: Timestamp): Either[String, DataFrame] =
+    graft.query.datalog.EdnDatalog.run(relation(schema, validTime, txTime), edn)
+
+  def q(edn: String, schema: org.apache.spark.sql.types.StructType,
+        validTime: Timestamp): Either[String, DataFrame] =
+    q(edn, schema, validTime, new Timestamp(Long.MaxValue >> 12))
+
+  def q(edn: String, schema: org.apache.spark.sql.types.StructType): Either[String, DataFrame] =
+    q(edn, schema, now())
 }
 
 object DocumentStore {
