@@ -146,7 +146,7 @@ object Dedup {
     * never produces a quadratic bucket. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", shingleN: Int = 3,
-                        threshold: Double = 0.5, maxDf: Int = 20,
+                        threshold: Double = 0.5, maxDf: Int = 10,
                         minCommon: Int = 2): DataFrame = {
     val withSh = docs.select(col(idCol).as("id"),
       graft.functions.TextHashExpressions.word_shingles(
