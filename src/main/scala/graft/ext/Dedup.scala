@@ -129,13 +129,15 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming) // before the dedup shuffle
       .dropDuplicates("id_a", "id_b")
-      .filter(col("hamming") <= maxHamming)
   }
 
-  /** SparkEntry query (rows-only): SimHash near-dup pairs, Hamming ≤ 12. */
+  /** SparkEntry query (rows-only): SimHash near-dup pairs at Hamming ≤ 3 —
+    * the regime where the 4-chunk LSH guarantees full recall (pigeonhole:
+    * ≤3 flipped bits leave at least one 16-bit chunk intact). */
   def simhashQuery(s: SparkSession, d: String): DataFrame =
-    simhashNearDups(Tables.documents(s, d), maxHamming = 12)
+    simhashNearDups(Tables.documents(s, d), maxHamming = 3)
 
   // ------------------------------------------------------- n-gram Jaccard
 
