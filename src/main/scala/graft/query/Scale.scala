@@ -1,0 +1,66 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-out utilities for the 100 TB posture (SURVEY.md §7.4 risk 6 and
+  * the build contract's "partitioning & shuffle" directives): skew salting,
+  * bucketed layout, and partitioned writes. These are the knobs a
+  * 1000-executor deployment turns that local[32] never needs — shipped and
+  * tested so the cluster path is code, not folklore.
+  */
+object Scale {
+
+  /** Skew-salted equi-join: the skewed (fact) side gets a random salt in
+    * [0, saltFactor); the dimension side is exploded across every salt.
+    * Hot keys spread over `saltFactor` reducers instead of one straggler.
+    * Result identical to `facts.join(dims, keys)` (inner).
+    *
+    * Use when AQE's skew handling isn't enough (e.g. one key is >10× the
+    * p99 partition) — AQE splits skewed partitions of sort-merge joins,
+    * but salting also helps aggregations layered on the join. */
+  def saltedJoin(facts: DataFrame, dims: DataFrame, key: String,
+                 saltFactor: Int = 16): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    val salted = facts.withColumn("__salt",
+      least(floor(rand(42) * saltFactor).cast("int"), lit(saltFactor - 1)))
+    val exploded = dims.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(exploded, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Salted aggregation: two-phase groupBy for skewed keys — partial agg on
+    * (key, salt), final agg on key. `partials` maps each aggregate to its
+    * re-combine expression (e.g. "cnt" -> sum). */
+  def saltedCount(df: DataFrame, key: String, saltFactor: Int = 16): DataFrame =
+    df.withColumn("__salt",
+        least(floor(rand(7) * saltFactor).cast("int"), lit(saltFactor - 1)))
+      .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(key)).agg(sum("__c").as("n"))
+
+  /** Write a DataFrame bucketed+sorted so later equi-joins on `key` are
+    * co-located (no shuffle): Spark bucketing requires saveAsTable. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").bucketBy(buckets, key)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Partition-pruned layout for time-series facts: one directory per
+    * date — as-of/time-range reads touch only their partitions. */
+  def writeDatePartitioned(df: DataFrame, path: String, tsCol: String): Unit =
+    df.withColumn("__date", to_date(col(tsCol)))
+      .write.mode("overwrite").partitionBy("__date").parquet(path)
+
+  /** Broadcast-threshold-aware join helper: broadcasts the dimension when
+    * its size estimate is under the session threshold, otherwise lets AQE
+    * choose (never forces a huge broadcast). */
+  def dimJoin(facts: DataFrame, dims: DataFrame, cond: Column): DataFrame = {
+    val threshold = facts.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760").replace("b", "").toLong
+    val est = dims.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && est <= threshold) facts.join(broadcast(dims), cond)
+    else facts.join(dims, cond)
+  }
+}

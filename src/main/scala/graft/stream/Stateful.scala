@@ -1,0 +1,74 @@
+package graft.stream
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Arbitrary keyed state over streams via `mapGroupsWithState` /
+  * `flatMapGroupsWithState` — the custom-state capability class the
+  * reference approximates with hand-rolled channel state and the alert
+  * poll loop (SURVEY.md §2.3 T20). State lives in the checkpointed state
+  * store (survives restarts/hot-swaps); timeouts bound its lifetime.
+  */
+object Stateful {
+
+  final case class KeyedEvent(key: String, value: String, ts: Timestamp)
+  final case class RunningCount(key: String, n: Long, lastValue: String)
+  final case class Session(key: String, nEvents: Long,
+                           startTs: Timestamp, endTs: Timestamp)
+
+  /** Running per-key counter (update-mode): emits (key, n, lastValue) on
+    * every batch a key appears in; state never expires (a registry-style
+    * accumulator). */
+  def runningCounts(df: DataFrame): Dataset[RunningCount] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.selectExpr("CAST(key AS STRING) key", "CAST(value AS STRING) value", "ts")
+      .as[KeyedEvent]
+      .groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, events: Iterator[KeyedEvent], state: GroupState[RunningCount]) =>
+          var current = state.getOption.getOrElse(RunningCount(key, 0L, null))
+          events.foreach(e => current = RunningCount(key, current.n + 1, e.value))
+          state.update(current)
+          current
+      }
+  }
+
+  /** Event-time session windows (append-mode): a key's events group into
+    * one session until `gapMillis` of event-time silence; the closed
+    * session is emitted when the watermark passes the gap — per-key
+    * event-time timers, which the reference could only fake with the 1 s
+    * alert poll. (Event-time, not processing-time: deterministic under
+    * replay/backfill, and a processing-time timeout livelocks
+    * `processAllAvailable`-style draining.) */
+  def sessionize(df: DataFrame, gapMillis: Long): Dataset[Session] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.selectExpr("CAST(key AS STRING) key", "CAST(value AS STRING) value", "ts")
+      .withWatermark("ts", "0 milliseconds")
+      .as[KeyedEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, events: Iterator[KeyedEvent], state: GroupState[Session]) =>
+          if (state.hasTimedOut) {
+            val done = state.get
+            state.remove()
+            Iterator.single(done)
+          } else {
+            val evs = events.toSeq
+            val prev = state.getOption
+            val s = Session(key,
+              prev.map(_.nEvents).getOrElse(0L) + evs.size,
+              prev.map(_.startTs).getOrElse(evs.map(_.ts).min),
+              evs.map(_.ts).max)
+            state.update(s)
+            state.setTimeoutTimestamp(s.endTs.getTime + gapMillis)
+            Iterator.empty
+          }
+      }
+  }
+}
