@@ -248,6 +248,55 @@ object Relational {
       .select(col("user_id"), col("value").as("latest_value"))
   }
 
+  /** As-of (point-in-time) join — for each left row, the single latest
+    * right row with the same key and `rightTs <= leftTs`. Spark has no
+    * native ASOF JOIN; the naive theta-join + window is O(matches) and
+    * skew-prone. This is the scalable formulation: tag and UNION both
+    * sides, one window over (key, ts) propagating the last-seen right row
+    * (`last(_, ignoreNulls)`), then keep left rows — exactly ONE shuffle
+    * on the key, no join explosion, same technique at any scale.
+    * Right rows sort before left rows on ts ties (inclusive semantics,
+    * matching DuckDB's `ON l.ts >= r.ts`). Left rows with no prior right
+    * row are dropped (inner as-of). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               carry: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightSide = right.select(
+      Seq(col(key).as("__k"), col(rightTs).as("__t"), lit(0).as("__side")) ++
+        carry.map(c => col(c).as(s"__carry_$c")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")): _*)
+    val leftSide = left.select(
+      Seq(col(key).as("__k"), col(leftTs).as("__t"), lit(1).as("__side")) ++
+        carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"__carry_$c")) ++
+        leftCols.map(c => col(c).as(s"__l_$c")): _*)
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = carry.foldLeft(rightSide.unionByName(leftSide))((df, c) =>
+      df.withColumn(s"__asof_$c", last(col(s"__carry_$c"), ignoreNulls = true).over(w)))
+    filled.filter(col("__side") === 1)
+      .select(leftCols.map(c => col(s"__l_$c").as(c)) ++
+        carry.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+      .na.drop("any", carry.map(c => s"asof_$c"))
+  }
+
+  /** Gate query: for every purchase event, the user's latest preceding (or
+    * simultaneous) click — oracle: DuckDB's native ASOF JOIN. Clicks are
+    * deduplicated per (user, ts) by max event_id on both sides so ties are
+    * deterministic. */
+  def asofJoinQuery(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("click_id"))
+    asofJoin(purchases, clicks, key = "user_id",
+      leftTs = "ts", rightTs = "ts", carry = Seq("click_id"))
+      .select(col("event_id"), col("user_id"), col("asof_click_id"))
+  }
+
   // ------------------------------------------------------ scalar functions
 
   /** X1/X3: truncate-to-unit time coercion (`consume-time`'s keyword-unit
