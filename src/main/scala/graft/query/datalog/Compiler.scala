@@ -51,8 +51,8 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
     case Pattern(e, a, v) => Pattern(substTerm(e, args), a, substTerm(v, args))
     case Pred(op, ts) => Pred(op, ts.map(substTerm(_, args)))
     case Bind(f, ts, out) => Bind(f, ts.map(substTerm(_, args)), out)
-    case Not(cs) => Not(cs.map(substClause(_, args)))
-    case Or(bs) => Or(bs.map(_.map(substClause(_, args))))
+    case Not(cs, uv) => Not(cs.map(substClause(_, args)), uv)
+    case Or(bs, uv) => Or(bs.map(_.map(substClause(_, args))), uv)
     case RuleApp(n, ts) => RuleApp(n, ts.map(substTerm(_, args)))
   }
 
@@ -89,16 +89,27 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
         rel = Some(
           if (r.columns.contains(out.name)) r.filter(col(out.name) === fnColumn(f, as))
           else r.withColumn(out.name, fnColumn(f, as)))
-      case Not(inner) =>
+      case Not(inner, unifyVars) =>
         val r = rel.getOrElse(throw new IllegalStateException("(not …) first"))
         val n = compileClauses(docs, inner, rules)
-        val shared = r.columns.intersect(n.columns).toSeq
+        // not-join restricts unification to the declared vars (Q14)
+        val shared =
+          if (unifyVars.nonEmpty) unifyVars.map(_.name)
+          else r.columns.intersect(n.columns).toSeq
         require(shared.nonEmpty, "(not …) must share variables with the outer query")
+        require(shared.forall(n.columns.contains),
+          s"(not-join …) vars ${shared.mkString(",")} must be bound inside the negation")
         rel = Some(r.join(n.select(shared.map(col): _*), shared, "left_anti"))
-      case Or(branches) =>
+      case Or(branches, unifyVars) =>
         val compiled = branches.map(b => compileClauses(docs, b, rules))
-        val shared = compiled.map(_.columns.toSet).reduce(_ intersect _).toSeq.sorted
+        // or-join projects each branch to the declared vars (Q13); plain
+        // `or` requires every branch to bind the same shared set
+        val shared =
+          if (unifyVars.nonEmpty) unifyVars.map(_.name)
+          else compiled.map(_.columns.toSet).reduce(_ intersect _).toSeq.sorted
         require(shared.nonEmpty, "(or …) branches must share variables")
+        compiled.foreach(c => require(shared.forall(c.columns.contains),
+          s"every (or …) branch must bind ${shared.mkString(",")}"))
         val unioned = compiled.map(_.select(shared.map(col): _*).distinct())
           .reduce(_.unionByName(_)).distinct()
         merge(unioned)

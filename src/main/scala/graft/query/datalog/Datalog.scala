@@ -31,10 +31,15 @@ object Ast {
   final case class Pred(op: String, args: Seq[Term]) extends Clause
   /** Function/binding clause `[(f args…) ?out]` (Q17). */
   final case class Bind(fn: String, args: Seq[Term], out: V) extends Clause
-  /** Negation `(not …)` (Q14). */
-  final case class Not(clauses: Seq[Clause]) extends Clause
-  /** Disjunction `(or …)` — each branch a clause seq (Q13). */
-  final case class Or(branches: Seq[Seq[Clause]]) extends Clause
+  /** Negation `(not …)` (Q14); `unifyVars` nonempty = `(not-join [vars] …)`
+    * — only the declared vars unify with the outer query. */
+  final case class Not(clauses: Seq[Clause],
+                       unifyVars: Seq[V] = Nil) extends Clause
+  /** Disjunction `(or …)` — each branch a clause seq (Q13); `unifyVars`
+    * nonempty = `(or-join [vars] …)` — branches join the outer query only
+    * on the declared vars (branches may bind private vars freely). */
+  final case class Or(branches: Seq[Seq[Clause]],
+                      unifyVars: Seq[V] = Nil) extends Clause
   /** Rule application (Q8/Q9). */
   final case class RuleApp(name: String, args: Seq[Term]) extends Clause
 

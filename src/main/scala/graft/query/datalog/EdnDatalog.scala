@@ -53,11 +53,16 @@ object EdnDatalog {
       case _ => Left("query must be an EDN map")
     }
 
-  /** Run an EDN query directly against a wide document relation. */
+  /** Run an EDN query directly against a wide document relation. Fully
+    * total: parse errors AND plan-compilation errors (unknown attributes,
+    * unbound or-join/not-join vars, arity mismatches) land in Left. */
   def run(docs: org.apache.spark.sql.DataFrame, edn: String,
           compiler: DatalogCompiler = new DatalogCompiler())
       : Either[String, org.apache.spark.sql.DataFrame] =
-    parseQuery(edn).map(q => compiler.run(docs, q))
+    parseQuery(edn).flatMap { q =>
+      try Right(compiler.run(docs, q))
+      catch { case e: Exception => Left(Option(e.getMessage).getOrElse(e.toString)) }
+    }
 
   // ------------------------------------------------------------------ pieces
 
@@ -116,14 +121,27 @@ object EdnDatalog {
       Right(Pred(op, args.map(term)))
     case Vec(List(Lst(Sym(fn) :: args), out)) =>
       parseVar(out).map(o => Bind(fn, args.map(term), o))
-    // (not …) / (or …) / (rule args…)
+    // (not …) / (not-join [vars] …) / (or …) / (or-join [vars] …) / (rule args…)
     case Lst(Sym("not") :: inner) =>
       sequenceE(inner.map(parseClause)).map(Not(_))
+    case Lst(Sym("not-join") :: Vec(vars) :: inner) =>
+      for {
+        vs <- sequenceE(vars.map(parseVar))
+        cs <- sequenceE(inner.map(parseClause))
+      } yield Not(cs, vs)
     case Lst(Sym("or") :: branches) =>
       sequenceE(branches.map {
         case Lst(Sym("and") :: cs) => sequenceE(cs.map(parseClause))
         case single => parseClause(single).map(Seq(_))
       }).map(Or(_))
+    case Lst(Sym("or-join") :: Vec(vars) :: branches) =>
+      for {
+        vs <- sequenceE(vars.map(parseVar))
+        bs <- sequenceE(branches.map {
+          case Lst(Sym("and") :: cs) => sequenceE(cs.map(parseClause))
+          case single => parseClause(single).map(Seq(_))
+        })
+      } yield Or(bs, vs)
     case Lst(Sym(rule) :: args) =>
       Right(RuleApp(rule, args.map(term)))
     case other => Left(s"bad :where clause $other")

@@ -65,6 +65,25 @@ class EdnDatalogSpec extends SparkSpec {
       .as[String].collect().toSet == Set("ada", "cid", "eva"))
   }
 
+  test("or-join and not-join restrict unification to declared vars") {
+    // or-join: each branch binds ?e via different private vars
+    val orj = run(
+      """{:find [?n]
+          :where [[?e :name ?n]
+                  (or-join [?e]
+                    (and [?e :salary ?s1] [(> ?s1 110)])
+                    (and [?e :dept ?d2] [(= ?d2 "ops")]))]}""")
+      .as[String].collect().toSet
+    assert(orj == Set("ada", "cid", "eva"))
+    // not-join: negate on ?m only — people who manage nobody
+    val nj = run(
+      """{:find [?n]
+          :where [[?e :name ?n]
+                  (not-join [?e] [?x :manager ?e])]}""")
+      .as[String].collect().toSet
+    assert(nj == Set("dee", "eva"), s"leaf employees: $nj")
+  }
+
   test("aggregates with group keys") {
     val got = run(
       """{:find [?d (sum ?s) (count ?e)]
