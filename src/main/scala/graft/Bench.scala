@@ -10,17 +10,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/codegen warmup: one throwaway scan+agg so the first timed query
-    // doesn't absorb ~4s of JVM warmup (measured; not a query cost).
-    try {
-      val warm = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", sfDir)
-      spark.read.parquet(s"$warm/lineitem.parquet")
-        .groupBy("l_returnflag").count().collect()
-    } catch { case _: Throwable => () }
+    // Warmup: one untimed pass over every query (JIT + codegen + parquet
+    // footer caches), so timed numbers measure the PLAN, not first-run JVM
+    // warmup — makes round-over-round comparisons meaningful. Disable with
+    // SPARK_GRAFT_BENCH_WARMUP=0.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        graft.core.CacheRegistry.unpersistAll()
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.core.CacheRegistry.unpersistAll() // release per-query caches
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

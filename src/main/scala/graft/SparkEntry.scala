@@ -57,7 +57,7 @@ object SparkEntry {
     "dedup_minhash"       -> (Dedup.minhashQuery(_, _)),
     "dedup_simhash"       -> (Dedup.simhashQuery(_, _)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccardQuery(_, _)),
-    "dedup_embedding"     -> (Dedup.embeddingDedupQuery(_, _)),
+    "dedup_embedding_lsh" -> (Dedup.embeddingLshQuery(_, _)),
     "similarity_topk"     -> (Similarity.similarityTopK(_, _)),
     "text_stats"          -> (TextOps.textStats(_, _)),
     "token_count"         -> (TextOps.tokenCountQuery(_, _)),
@@ -186,12 +186,33 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs FROM (
            SELECT arg_min(lang, doc_id) AS lang FROM documents GROUP BY text)
          GROUP BY lang""",
-    "dedup_embedding" ->
-      """SELECT id_a, id_b, round(cos, 4) AS cos FROM (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
-           FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
-         WHERE cos >= 0.4""",
+    // dedup_embedding_lsh: no oracle — SRP bucketing is hash-seeded and
+    // engine-specific; recall vs the exact O(n²) baseline is pinned in
+    // DedupSpec instead (LSH pairs ⊇ exact pairs on planted twins).
+    "dedup_ngram_jaccard" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+         ), sh AS (
+           SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_distinct([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
+             END AS sh
+           FROM tok
+         ), posting AS (
+           SELECT doc_id, unnest(sh) AS shingle FROM sh
+         ), rare AS (
+           SELECT shingle FROM posting GROUP BY shingle HAVING count(*) BETWEEN 2 AND 10
+         ), cand AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM posting a JOIN rare USING (shingle) JOIN posting b USING (shingle)
+           WHERE a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 2
+         )
+         SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
+           SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+               (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+           FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
+         WHERE j >= 0.5""",
     "similarity_topk" ->
       """SELECT vec_id, round(sim, 4) AS sim FROM (
            SELECT e.vec_id,

@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{CacheRegistry, Tables}
 
 /** Deduplication operators for LLM training-data pipelines (north-star
   * extension, BASELINE.json): exact, MinHash+LSH, SimHash, n-gram Jaccard,
@@ -65,15 +65,13 @@ object Dedup {
     // CollapseProject from inlining the signature expression into the
     // per-band slice (which would re-run it per band). At warehouse scale
     // this materialization is the signature table you'd write to storage.
-    val withSh = docs.select(
+    val withSh = CacheRegistry.persisted(docs.select(
       col(idCol).as("id"),
       graft.functions.TextHashExpressions.word_shingles(
-        TextOps.tokens(col(textCol)), shingleN).as("sh"))
-      .persist()
-    val withSig = docs.select(
+        TextOps.tokens(col(textCol)), shingleN).as("sh")))
+    val withSig = CacheRegistry.persisted(docs.select(
       col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleN, numPerm).as("sig"))
-      .persist()
+      minhashSignature(col(textCol), shingleN, numPerm).as("sig")))
     // buckets carry only (id, band, bucket) — the shingle arrays are joined
     // back in AFTER candidate dedup so the band-explode shuffle stays thin.
     val buckets = withSig
@@ -110,27 +108,60 @@ object Dedup {
 
   /** SimHash near-dups: LSH on 4×16-bit chunks (two docs within Hamming
     * distance ≤ 3 of each other on 64 bits must share at least one exact
-    * 16-bit chunk — pigeonhole), verified by true Hamming distance. */
+    * 16-bit chunk — pigeonhole), verified by true Hamming distance.
+    *
+    * Scale posture (the two hot-bucket guards):
+    *  1. Identical fingerprints collapse into ONE class before any join.
+    *    Real corpora put thousands of boilerplate docs on a single
+    *    fingerprint; without this the (chunk,key) self-join goes quadratic
+    *    inside that bucket. One representative per DISTINCT fingerprint
+    *    enters the LSH join; class members expand back at the end, so the
+    *    output pairs are unchanged.
+    *  2. A (chunk,key) bucket holding more than `maxBucket` DISTINCT
+    *    fingerprints is skipped (mirrors `ngramJaccardPairs`' `maxDf`).
+    *    A qualifying pair is lost only if EVERY 16-bit chunk it shares is
+    *    over the cap — vanishingly rare once exact-dup classes are
+    *    collapsed, and bounded: candidate fan-in is ≤ 4·maxBucket per
+    *    fingerprint regardless of corpus skew. */
   def simhashNearDups(docs: DataFrame, textCol: String = "text",
-                      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
-    // persist: self-joined below, and chunk extraction must read the stored
-    // fingerprint rather than re-inline the simhash expression per chunk.
-    val withFp = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
-      .persist()
-    val chunks = withFp.select(col("id"), col("fp"),
+                      idCol: String = "doc_id", maxHamming: Int = 3,
+                      maxBucket: Int = 256): DataFrame = {
+    // persist: classes feed three consumers (chunk join, member expansion,
+    // intra-class pairs) and must not re-run the simhash expression.
+    val classes = CacheRegistry.persisted(
+      docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+        .groupBy("fp").agg(sort_array(collect_list(col("id"))).as("members")))
+    val chunks = classes.select(col("fp"),
         explode(transform(sequence(lit(0), lit(3)),
           c => struct(c.as("chunk"),
             call_function("shiftright", col("fp"), c * 16)
               .bitwiseAND(0xFFFFL).as("key")))).as("ck"))
-      .select(col("id"), col("fp"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-    chunks.as("a")
-      .join(chunks.as("b"),
+      .select(col("fp"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    val usable = chunks.groupBy("chunk", "key").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxBucket)
+    val pruned = chunks.join(usable.select("chunk", "key"), Seq("chunk", "key"), "left_semi")
+    val fpPairs = pruned.as("a")
+      .join(pruned.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming) // before the dedup shuffle
-      .dropDuplicates("id_a", "id_b")
+          col("a.fp") < col("b.fp"))
+      .select(col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+    val members = classes.select(col("fp"), explode(col("members")).as("id"))
+    val inter = fpPairs
+      .join(members.select(col("fp").as("fp_a"), col("id").as("ia")), Seq("fp_a"))
+      .join(members.select(col("fp").as("fp_b"), col("id").as("ib")), Seq("fp_b"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    // intra-class pairs: identical fingerprints are Hamming distance 0
+    val intra = classes.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("id_a"), col("members"))
+      .select(col("id_a"), explode(col("members")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        lit(0).cast("integer").as("hamming"))
+    inter.unionByName(intra)
   }
 
   /** SparkEntry query (rows-only): SimHash near-dup pairs at Hamming ≤ 3 —
@@ -150,10 +181,9 @@ object Dedup {
                         idCol: String = "doc_id", shingleN: Int = 3,
                         threshold: Double = 0.5, maxDf: Int = 10,
                         minCommon: Int = 2): DataFrame = {
-    val withSh = docs.select(col(idCol).as("id"),
+    val withSh = CacheRegistry.persisted(docs.select(col(idCol).as("id"),
       graft.functions.TextHashExpressions.word_shingles(
-        TextOps.tokens(col(textCol)), shingleN).as("sh"))
-      .persist()
+        TextOps.tokens(col(textCol)), shingleN).as("sh")))
     val posting = withSh.select(col("id"), explode(col("sh")).as("shingle"))
     val rare = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
@@ -189,46 +219,78 @@ object Dedup {
   /** Embedding-cosine near-dup pairs: bucket by SRP (signed random
     * projection) sign bits — cosine-similar vectors collide — then verify
     * exact cosine within buckets. Projection vectors are deterministic
-    * (hash-derived), so results are reproducible. */
+    * (hash-derived), so results are reproducible.
+    *
+    * `tables` independent hash tables are OR-banded: a pair is a candidate
+    * if its nBits-bit signature matches in ANY table, so the miss
+    * probability is (1 − p^nBits)^tables with p = 1 − θ/π — at cos ≥ 0.95
+    * and the 8-bit × 8-table default, recall ≈ 0.99; tighter pairs are
+    * found with near-certainty. The candidate join is an equi-join on
+    * (table, bucket) carrying only (vec_id, table, bucket) — never O(n²) —
+    * and cosine is verified on the deduped candidate pairs only. */
   def embeddingNearDups(emb: DataFrame, threshold: Double = 0.95,
-                        nBits: Int = 8): DataFrame = {
-    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    // srp bit b: sign of Σ_i v[i] * r(b,i), r = deterministic ±1 from hash
-    val bits = transform(sequence(lit(0), lit(nBits - 1)), b =>
-      when(aggregate(
-        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
-          (x, i) => x * when(pmod(hash(b, i), lit(2)) === 0, 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, x) => acc + x) > 0, 1).otherwise(0))
-    val bucketed = v.withColumn("bucket",
-      aggregate(bits, lit(0), (acc, x) => acc * 2 + x))
-      .persist()
-    bucketed.as("a").join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        Similarity.cosine(col("a.v"), col("b.v")).as("cos"))
+                        nBits: Int = 8, tables: Int = 8): DataFrame = {
+    // normalize once so verification is a single codegen'd dot product
+    val v = CacheRegistry.persisted(Similarity.normalized(
+        emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")))
+      .withColumnRenamed("embedding", "v"))
+    // srp bit (t,b): sign of Σ_i v[i] * r(t,b,i), r = deterministic ±1 —
+    // computed by a native codegen'd expression (one primitive loop per
+    // vector; the HOF formulation re-evaluated the projection lambda per
+    // (table, bit) through the interpreter)
+    val sigs = v.select(col("vec_id"),
+        posexplode(graft.functions.VectorExpressions.srp_sig(col("v"), nBits, tables))
+          .as(Seq("t", "bucket")))
+    // thin (vec_id, t, bucket) shuffle; vectors join back only for verify
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(v.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(v.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), Similarity.dot(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
-  /** Exact all-pairs cosine ≥ threshold (the verification baseline the LSH
-    * path is measured against; fine up to ~10⁵ vectors, after which
-    * `embeddingNearDups`' SRP bucketing is the scale path). */
+  /** Exact all-pairs cosine ≥ threshold — the small-scale RECALL ORACLE the
+    * LSH path is measured against in DedupSpec (deliberately O(n²); NOT
+    * registered as a gate/bench query — `embeddingNearDups` is the
+    * registered scale path). */
   def embeddingExactPairs(emb: DataFrame, threshold: Double): DataFrame = {
     // pre-normalize once (persisted; both join sides reuse), so each of the
     // O(n²) pairs costs exactly one codegen'd dot product
-    val v = Similarity.normalized(
+    val v = CacheRegistry.persisted(Similarity.normalized(
         emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")))
-      .withColumnRenamed("embedding", "v")
-      .persist()
+      .withColumnRenamed("embedding", "v"))
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         Similarity.dot(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
-  /** SparkEntry query (DuckDB-oracled): exact embedding-similarity pairs at
-    * cosine ≥ 0.4 (the fixture vectors' top-pair range — near-dup semantics
-    * with a data-appropriate threshold). */
-  def embeddingDedupQuery(s: SparkSession, d: String): DataFrame =
-    embeddingExactPairs(Tables.embeddings(s, d), threshold = 0.4)
+  /** The fixture embeddings are random (no natural near-dup pairs at
+    * cos ≥ 0.95), so the LSH gate query plants them: each vector gets a
+    * slightly-perturbed twin (deterministic hash noise, cos ≈ 0.999) under
+    * vec_id + 10⁹. The corpus doubles linearly — no quadratic anything —
+    * and the near-dup regime the operator targets exists at every SF. */
+  def withPlantedTwins(emb: DataFrame, noise: Double = 0.02): DataFrame = {
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val twins = v.select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+      zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+        (x, i) => x + lit(noise) *
+          (pmod(hash(col("vec_id"), i), lit(1000)).cast("double") / 1000.0 - 0.5))
+        .as("embedding"))
+    v.unionByName(twins)
+  }
+
+  /** SparkEntry query (rows-only): SRP-LSH embedding near-dup pairs at
+    * cos ≥ 0.95 over the planted-twin corpus — the 100 TB path (bucketed
+    * equi-join candidates; the O(n²) exact join never runs here). DedupSpec
+    * asserts LSH pairs ⊇ exact pairs on the same construction. */
+  def embeddingLshQuery(s: SparkSession, d: String): DataFrame =
+    embeddingNearDups(withPlantedTwins(Tables.embeddings(s, d)),
+        threshold = 0.95, nBits = 8, tables = 8)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
 }

@@ -3,9 +3,10 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
 
 /** Native Catalyst expressions for the vector hot path (SURVEY.md §7.3:
   * similarity/dedup are the north-star ops that must survive 100 TB).
@@ -81,6 +82,50 @@ case class L2Norm(child: Expression) extends UnaryExpression {
     })
 }
 
+/** Static helper shared by `eval` and generated code (same pattern as
+  * TextHashes): SRP-LSH bucket per hash table — bit (t,b) is the sign of
+  * the projection onto a deterministic ±1 vector r(t,b,·) derived from
+  * murmur3. One tight primitive loop per vector instead of
+  * tables × nBits nested interpreted lambdas. */
+object VectorHashes {
+  def srpBuckets(v: ArrayData, nBits: Int, tables: Int): ArrayData = {
+    val dim = v.numElements()
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var b = 0
+      while (b < nBits) {
+        val seed = t * 4096 + b
+        var s = 0.0
+        var i = 0
+        while (i < dim) {
+          val r = if ((Murmur3_x86_32.hashInt(i, seed) & 1) == 0) 1.0 else -1.0
+          s += v.getDouble(i) * r
+          i += 1
+        }
+        bucket = (bucket << 1) | (if (s > 0) 1 else 0)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `srp_sig(vec, nBits, tables)` — array<double> → array<int> of length
+  * `tables`: the vector's SRP-LSH bucket in each hash table. */
+case class SrpSig(child: Expression, nBits: Int, tables: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def withNewChildInternal(c: Expression): SrpSig = copy(child = c)
+  override def nullSafeEval(a: Any): Any =
+    VectorHashes.srpBuckets(a.asInstanceOf[ArrayData], nBits, tables)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorHashes.srpBuckets($a, $nBits, $tables);")
+}
+
 object VectorExpressions {
   /** Column builders (expect `array<double>` inputs). */
   private def toExpr(c: Column): Expression = ColumnBridge.expression(c)
@@ -89,6 +134,8 @@ object VectorExpressions {
   def vec_norm(a: Column): Column = ColumnBridge.column(L2Norm(toExpr(a)))
   def vec_cosine(a: Column, b: Column): Column =
     vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+  def srp_sig(a: Column, nBits: Int, tables: Int): Column =
+    ColumnBridge.column(SrpSig(toExpr(a), nBits, tables))
 
   /** SQL registration: `vec_dot(a, b)`, `vec_norm(a)`. */
   def register(spark: SparkSession): Unit = {

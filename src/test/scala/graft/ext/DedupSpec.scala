@@ -63,4 +63,34 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("embedding LSH recall: bucketed pairs ⊇ exact O(n²) pairs on planted twins") {
+    // the gate-query construction at small scale: every vector gets a
+    // hash-perturbed twin at cos ≈ 0.999; the LSH path must find every pair
+    // the exact all-pairs baseline finds at the gate threshold
+    val emb = graft.core.Tables.embeddings(spark, sf("sf0.001")).limit(100)
+    val planted = Dedup.withPlantedTwins(emb)
+    val exact = Dedup.embeddingExactPairs(planted, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDups(planted, threshold = 0.95, nBits = 8, tables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "planted twins must produce exact pairs")
+    assert(exact.subsetOf(lsh),
+      s"LSH missed ${(exact -- lsh).take(5)} of ${exact.size} exact pairs")
+  }
+
+  test("simhash: identical-fp classes collapse before the LSH join, pairs survive the cap") {
+    // 30 copies of one boilerplate doc + the near-dup: all 435 intra-class
+    // pairs and the cross pairs must come out even with a tiny bucket cap —
+    // the cap counts DISTINCT fingerprints, not documents
+    val many = (10L to 39L).map(i => (i, base)) ++ Seq((40L, nearDup), (41L, unrelated))
+    val df = many.toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(df, maxHamming = 10, maxBucket = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val intra = (for (a <- 10L to 39L; b <- (a + 1) to 39L) yield (a, b)).toSet
+    assert(intra.subsetOf(pairs), "all intra-class (hamming 0) pairs must be emitted")
+    assert((10L to 39L).forall(a => pairs.contains((a, 40L))),
+      "near-dup pairs with every class member must survive fp pre-grouping")
+    assert(!pairs.exists(p => p._1 == 41L || p._2 == 41L))
+  }
 }
