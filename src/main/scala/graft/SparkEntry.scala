@@ -52,6 +52,7 @@ object SparkEntry {
     // §2.2 Datalog compiler end-to-end (triple patterns → Catalyst plan)
     "datalog_query"       -> (graft.query.datalog.DatalogDb.datalogQuery(_, _)),
     "datalog_edn"         -> (graft.query.datalog.DatalogDb.datalogEdnQuery(_, _)),
+    "datalog_sample"      -> (graft.query.datalog.DatalogDb.datalogSampleQuery(_, _)),
     // north-star LLM-pipeline extensions
     "dedup_exact"         -> (Dedup.dedupExactQuery(_, _)),
     "dedup_minhash"       -> (Dedup.minhashQuery(_, _)),

@@ -70,12 +70,18 @@ object Multimodal {
   }
 
   /** Size-aware repartition: balance partitions by cumulative blob bytes
-    * (targetBytes per partition), not row count. */
-  def repartitionBySize(media: DataFrame, targetBytes: Long): DataFrame = {
-    val withSize = media.withColumn("__sz", length(col("bytes")).cast("long"))
-    val total = withSize.agg(sum(col("__sz"))).first().getLong(0)
-    val parts = math.max(1, math.min(Int.MaxValue.toLong, total / math.max(targetBytes, 1))).toInt
-    withSize.repartition(parts, col("media_id")).drop("__sz")
+    * (targetBytes per partition), not row count. The total size comes from
+    * the optimizer's plan statistics (file sizes / column stats propagated
+    * through the plan) — NOT a data scan: sizing must never add a pass over
+    * the blob column, which at 100 TB would double the pipeline's IO.
+    * `maxParts` bounds the count against wildly-pessimistic estimates
+    * (unknown-stats plans default to huge sizeInBytes). */
+  def repartitionBySize(media: DataFrame, targetBytes: Long,
+                        maxParts: Int = 65536): DataFrame = {
+    val total = media.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = (total / BigInt(math.max(targetBytes, 1L)))
+      .min(BigInt(maxParts)).max(BigInt(1)).toInt
+    media.repartition(parts, col("media_id"))
   }
 
   /** Decode + feature-extract, partition-batched (the mapInPandas shape:

@@ -59,7 +59,8 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
   // ------------------------------------------------------- clause compiler
 
   private def compileClauses(docs: DataFrame, cs: Seq[Clause],
-                             rules: Map[String, Rule]): Rel = {
+                             rules: Map[String, Rule],
+                             applying: Set[String] = Set.empty): Rel = {
     // Conjunction is order-independent, so all patterns sharing an entity
     // term coalesce into ONE multi-column scan of the doc relation (instead
     // of one scan per pattern self-joined on id — N patterns on an entity
@@ -77,7 +78,7 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
       case RuleApp(name, as) =>
         val rule = rules.getOrElse(name,
           throw new NoSuchElementException(s"unknown rule $name"))
-        merge(applyRule(docs, rule, as, rules))
+        merge(applyRule(docs, rule, as, rules, applying))
       case Pred(op, as) =>
         val r = rel.getOrElse(throw new IllegalStateException(
           s"predicate ($op …) before any pattern binds its variables"))
@@ -91,7 +92,7 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
           else r.withColumn(out.name, fnColumn(f, as)))
       case Not(inner, unifyVars) =>
         val r = rel.getOrElse(throw new IllegalStateException("(not …) first"))
-        val n = compileClauses(docs, inner, rules)
+        val n = compileClauses(docs, inner, rules, applying)
         // not-join restricts unification to the declared vars (Q14)
         val shared =
           if (unifyVars.nonEmpty) unifyVars.map(_.name)
@@ -101,7 +102,7 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
           s"(not-join …) vars ${shared.mkString(",")} must be bound inside the negation")
         rel = Some(r.join(n.select(shared.map(col): _*), shared, "left_anti"))
       case Or(branches, unifyVars) =>
-        val compiled = branches.map(b => compileClauses(docs, b, rules))
+        val compiled = branches.map(b => compileClauses(docs, b, rules, applying))
         // or-join projects each branch to the declared vars (Q13); plain
         // `or` requires every branch to bind the same shared set
         val shared =
@@ -182,11 +183,26 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
   /** Rule application: rename the rule's head params to the caller's
     * variables (or filter on constants). Non-recursive rules inline
     * (multi-body = union, Q8); self-referencing rules run a semi-naive
-    * fixpoint (Q9). */
+    * fixpoint (Q9) — including NONLINEAR bodies (several self-references):
+    * each self-reference in turn gets the frontier while the others get
+    * the full accumulator, so a derivation pairing a new tuple with an old
+    * one is never lost (the classic semi-naive rewrite; delta⋈delta alone
+    * would be incomplete).
+    *
+    * `applying` tracks in-progress rule expansions: a rule reached again
+    * through ANOTHER rule's body is mutual recursion, which this compiler
+    * does not stratify — rejected with a clear error instead of a
+    * StackOverflowError escaping the totality guarantee. */
   private def applyRule(docs: DataFrame, rule: Rule, args: Seq[Term],
-                        rules: Map[String, Rule]): Rel = {
+                        rules: Map[String, Rule],
+                        applying: Set[String] = Set.empty): Rel = {
     require(args.length == rule.params.length,
       s"rule ${rule.name} arity ${rule.params.length} got ${args.length}")
+    if (applying.contains(rule.name))
+      throw new UnsupportedOperationException(
+        s"mutual recursion involving rule ${rule.name} is not supported " +
+          "(only direct self-recursion); inline the intermediate rule")
+    val inProgress = applying + rule.name
     val selfRec = rule.bodies.exists(_.exists {
       case RuleApp(n, _) => n == rule.name
       case _ => false
@@ -194,34 +210,40 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
     val paramNames = rule.params.map(_.name)
     val resolved: Rel =
       if (!selfRec)
-        rule.bodies.map(b => compileClauses(docs, b, rules)
+        rule.bodies.map(b => compileClauses(docs, b, rules, inProgress)
             .select(paramNames.map(col): _*))
           .reduce(_.unionByName(_)).distinct()
       else {
         val (baseBodies, recBodies) = rule.bodies.partition(
           _.forall { case RuleApp(n, _) => n != rule.name; case _ => true })
         require(baseBodies.nonEmpty, s"recursive rule ${rule.name} needs a base body")
-        val base = baseBodies.map(b => compileClauses(docs, b, rules)
+        val base = baseBodies.map(b => compileClauses(docs, b, rules, inProgress)
             .select(paramNames.map(col): _*))
           .reduce(_.unionByName(_)).distinct()
-        Fixpoint.fixpoint(base, delta => {
-          // substitute the recursive call with the current frontier
-          recBodies.map { body =>
-            var rel: Option[Rel] = None
-            def merge(r: Rel): Unit = rel = Some(rel.fold(r)(naturalJoin(_, r)))
-            body.foreach {
-              case RuleApp(n, as) if n == rule.name =>
-                merge(renameTo(delta, paramNames, as))
-              case p: Pattern => merge(compilePattern(docs, p))
-              case RuleApp(n, as) =>
-                merge(applyRule(docs, rules(n), as, rules))
-              case Pred(op, as) => rel = Some(rel.get.filter(predColumn(op, as)))
-              case Bind(f, as, out) =>
-                rel = Some(rel.get.withColumn(out.name, fnColumn(f, as)))
-              case other => throw new UnsupportedOperationException(
-                s"clause $other inside recursive body")
+        Fixpoint.fixpoint2(base, (delta, acc) => {
+          // one compiled conjunction per (body, chosen self-reference):
+          // the chosen occurrence binds to delta, every other one to acc
+          recBodies.flatMap { body =>
+            val selfPositions = body.zipWithIndex.collect {
+              case (RuleApp(n, _), i) if n == rule.name => i
             }
-            rel.get.select(paramNames.map(col): _*)
+            selfPositions.map { chosen =>
+              var rel: Option[Rel] = None
+              def merge(r: Rel): Unit = rel = Some(rel.fold(r)(naturalJoin(_, r)))
+              body.zipWithIndex.foreach {
+                case (RuleApp(n, as), i) if n == rule.name =>
+                  merge(renameTo(if (i == chosen) delta else acc, paramNames, as))
+                case (p: Pattern, _) => merge(compilePattern(docs, p))
+                case (RuleApp(n, as), _) =>
+                  merge(applyRule(docs, rules(n), as, rules, inProgress))
+                case (Pred(op, as), _) => rel = Some(rel.get.filter(predColumn(op, as)))
+                case (Bind(f, as, out), _) =>
+                  rel = Some(rel.get.withColumn(out.name, fnColumn(f, as)))
+                case (other, _) => throw new UnsupportedOperationException(
+                  s"clause $other inside recursive body")
+              }
+              rel.get.select(paramNames.map(col): _*)
+            }
           }.reduce(_.unionByName(_))
         }, paramNames)
       }
@@ -274,7 +296,7 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
 
   // -------------------------------------------------------- :find projection
 
-  private def aggColumn(fn: String, v: String): Column = fn match {
+  private def aggColumn(fn: String, v: String, n: Option[Int] = None): Column = fn match {
     case "count" => count(col(v))
     case "count-distinct" => countDistinct(col(v))
     case "sum" => sum(col(v))
@@ -285,6 +307,21 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
     case "variance" => var_samp(col(v))
     case "stddev" => stddev_samp(col(v))
     case "distinct" => collect_set(col(v))
+    // crux 1.16 two-arg aggregates. Deterministic pseudo-randomness (seeded
+    // hash order, not java.util.Random) so a query is reproducible across
+    // runs and engines — sampling N items per group stays O(group size).
+    case "rand" => // N picks WITH replacement: hash-indexed element picks
+      val k = n.getOrElse(1)
+      val arr = collect_list(col(v))
+      transform(sequence(lit(1), lit(k)),
+        i => element_at(arr, (pmod(hash(i, lit(42)), size(arr)) + 1)))
+    case "sample" => // N DISTINCT picks: value set in seeded-hash order
+      val k = n.getOrElse(1)
+      val hashOrder = (l: Column, r: Column) =>
+        when(hash(l, lit(42)) < hash(r, lit(42)), -1)
+          .when(hash(l, lit(42)) > hash(r, lit(42)), 1)
+          .when(l < r, -1).when(l > r, 1).otherwise(0)
+      slice(array_sort(collect_set(col(v)), hashOrder), 1, k)
     case other => throw new UnsupportedOperationException(s"aggregate $other")
   }
 
@@ -301,7 +338,7 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
         val involved = (vars ++ aggs.map(_.v.name)).distinct
         val deduped = rel.select(involved.map(col): _*).distinct()
         val aggCols = aggs.map(a =>
-          aggColumn(a.fn, a.v.name).as(a.alias.getOrElse(s"${a.fn.replace("-", "_")}_${a.v.name}")))
+          aggColumn(a.fn, a.v.name, a.n).as(a.alias.getOrElse(s"${a.fn.replace("-", "_")}_${a.v.name}")))
         if (vars.isEmpty) deduped.agg(aggCols.head, aggCols.tail: _*)
         else deduped.groupBy(vars.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
       }

@@ -50,8 +50,11 @@ object Ast {
   sealed trait FindElem
   final case class FindVar(v: V) extends FindElem
   /** Crux 1.16 `:find` aggregates (Q15): count, count-distinct, sum, avg,
-    * min, max, median, variance, stddev, distinct. */
-  final case class FindAgg(fn: String, v: V, alias: Option[String] = None) extends FindElem
+    * min, max, median, variance, stddev, distinct — plus the two-argument
+    * forms `(rand N ?x)` (N picks with replacement) and `(sample N ?x)`
+    * (N distinct picks), whose N rides in `n`. */
+  final case class FindAgg(fn: String, v: V, alias: Option[String] = None,
+                           n: Option[Int] = None) extends FindElem
 
   final case class Query(
       find: Seq[FindElem],

@@ -55,6 +55,22 @@ object DatalogDb {
                   [?c :c-mktsegment ?seg]]}""")
       .fold(e => throw new IllegalArgumentException(e), identity)
 
+  /** SparkEntry query `datalog_sample` (rows-only — crux's rand/sample
+    * picks are engine-specific; ours are seeded-hash deterministic and
+    * pinned in EdnDatalogSpec): the crux 1.16 two-arg `:find` aggregates
+    * `(sample N ?x)` / `(rand N ?x)` over the customer universe. */
+  def datalogSampleQuery(s: SparkSession, d: String): DataFrame =
+    EdnDatalog.run(ordersCustomers(s, d),
+      """{:find  [?seg (count ?c) (sample 3 ?n) (rand 2 ?n)]
+          :where [[?c :c-mktsegment ?seg]
+                  [?c :c-name ?n]]}""")
+      .fold(e => throw new IllegalArgumentException(e), identity)
+      // gate outputs stay scalar-typed (the driver's row-sorting compare
+      // can't order array cells) — flatten the picks to CSV strings
+      .select(col("seg"), col("count_c"),
+        concat_ws(",", col("sample_n")).as("sample_names"),
+        concat_ws(",", col("rand_n")).as("rand_names"))
+
   def datalogQuery(s: SparkSession, d: String): DataFrame = {
     val q = Query(
       find = Seq(FindVar(V("seg")), FindAgg("count", V("o"), Some("n_orders"))),

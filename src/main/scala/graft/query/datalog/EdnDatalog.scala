@@ -31,6 +31,9 @@ object EdnDatalog {
   private val aggFns = Set("count", "count-distinct", "sum", "avg", "min",
     "max", "median", "variance", "stddev", "distinct")
 
+  /** crux 1.16 two-argument aggregates: `(rand N ?x)` / `(sample N ?x)`. */
+  private val aggFns2 = Set("rand", "sample")
+
   private val freshId = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def kwToAttr(k: String): String = k.replace('/', '_').replace('-', '_')
@@ -96,6 +99,12 @@ object EdnDatalog {
             case List(Sym(n)) if n.startsWith("?") =>
               Right(FindAgg(fn, V(n.stripPrefix("?"))))
             case _ => Left(s"aggregate ($fn …) takes one variable")
+          }
+        case Lst(Sym(fn) :: rest) if aggFns2.contains(fn) =>
+          rest match {
+            case List(Lng(k), Sym(n)) if n.startsWith("?") && k > 0 =>
+              Right(FindAgg(fn, V(n.stripPrefix("?")), n = Some(k.toInt)))
+            case _ => Left(s"aggregate ($fn …) takes a positive count and a variable")
           }
         case other => Left(s"bad :find element $other")
       })

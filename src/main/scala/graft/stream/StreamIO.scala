@@ -118,6 +118,13 @@ class MemoryIO(val spark: SparkSession) extends StreamIO {
   def publishAt(topic: String, key: String, value: String, ts: Timestamp): Unit =
     stream(topic).addData((key, value, ts))
 
+  /** Push many messages as ONE block (= one input partition in the next
+    * micro-batch) — lets tests overflow a bounded buffer deterministically. */
+  def publishBatch(topic: String, kvs: Seq[(String, String)]): Unit = {
+    val now = new Timestamp(System.currentTimeMillis())
+    stream(topic).addData(kvs.map { case (k, v) => (k, v, now) })
+  }
+
   /** Collected sink rows for a topic (in arrival order). */
   def collected(topic: String): Seq[Row] =
     Option(outputs.get(topic)).map(_.toSeq).getOrElse(Seq.empty)

@@ -39,19 +39,29 @@ class StreamManager(val topology: Topology) {
     val plan = topology.buildPlan(n.name.full)
     val q = topology.io.sink(topic, plan, queryName(n.name.full))
     running.put(n.name.full, q)
-    // dead-letter route (T10): dropped rows go to the error sink topic
-    topology.deadLetterPlan(n.name.full).foreach { dead =>
-      val errTopic = n.errorSink.get
-      val eq = topology.io.sink(errTopic, dead, queryName(n.name.full) + "_errors")
-      running.put(n.name.full + "#errors", eq)
-    }
     q
   }
 
-  /** T13/T19 `apply-graph!` + startup bootstrap: start every sink not yet
-    * running. Idempotent. */
-  def applyGraph(): Seq[StreamingQuery] =
-    topology.sinkNodes.filterNot(n => running.contains(n.name.full)).map(startSink)
+  /** Dead-letter route (T10) for ANY node with an error handler — sink or
+    * intermediate: rows its transducer nulled out go to the error topic. */
+  def startDeadLetter(n: StreamNode): Option[StreamingQuery] =
+    topology.deadLetterPlan(n.name.full).map { dead =>
+      val eq = topology.io.sink(n.errorSink.get, dead,
+        queryName(n.name.full) + "_errors")
+      running.put(n.name.full + "#errors", eq)
+      eq
+    }
+
+  /** T13/T19 `apply-graph!` + startup bootstrap: start every sink query and
+    * every error-handler's dead-letter query not yet running. Idempotent. */
+  def applyGraph(): Seq[StreamingQuery] = {
+    val mains = topology.sinkNodes.sortBy(_.name.full)
+      .filterNot(n => running.contains(n.name.full)).map(startSink)
+    val deads = topology.nodes.values.toSeq.sortBy(_.name.full)
+      .filter(n => n.errorSink.isDefined && !running.contains(n.name.full + "#errors"))
+      .flatMap(startDeadLetter)
+    mains ++ deads
+  }
 
   def runningQueries: Map[String, StreamingQuery] = running.toMap
 
@@ -70,8 +80,15 @@ class StreamManager(val topology: Topology) {
     q
   }
 
+  /** Stop a node's sink query AND its companion queries — the dead-letter
+    * sink (`#errors`) and drain (`#drain`) registered under suffixed keys.
+    * Without this, a hot-swap of a node with an errorSink would try to
+    * start a second `<name>_errors` query while the old one still runs
+    * (Spark rejects duplicate active query names → updateNode would fail),
+    * and deleteNode would leak a running query bound to a removed node. */
   def stopSink(full: String): Unit =
-    running.remove(full).foreach(_.stop())
+    Seq(full, full + "#errors", full + "#drain")
+      .foreach(k => running.remove(k).foreach(_.stop()))
 
   def stopAll(): Unit = { running.keys.toSeq.foreach(stopSink); () }
 
@@ -84,10 +101,13 @@ class StreamManager(val topology: Topology) {
 
   /** T15 `update-stream!`: validate, swap the node, restart only the
     * affected subgraph's sinks from their checkpoints. */
+  private def hasRunningQueries(full: String): Boolean =
+    Seq(full, full + "#errors", full + "#drain").exists(running.contains)
+
   def updateNode(n: StreamNode): Either[String, Seq[StreamingQuery]] =
     topology.validate(n).map { ok =>
       val affectedSinks = (topology.downstreamOf(ok.name.full) + ok.name.full)
-        .filter(f => running.contains(f))
+        .filter(hasRunningQueries)
       affectedSinks.foreach(stopSink)
       topology.addNode(ok)
       applyGraph()
@@ -95,7 +115,7 @@ class StreamManager(val topology: Topology) {
 
   /** Remove a node and stop everything downstream of it. */
   def deleteNode(full: String): Unit = {
-    (topology.downstreamOf(full) + full).filter(running.contains).foreach(stopSink)
+    (topology.downstreamOf(full) + full).filter(hasRunningQueries).foreach(stopSink)
     topology.removeNode(full)
   }
 

@@ -2,10 +2,10 @@ package graft.stream
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 
-import graft.core.{NodeName, OpSpec, StreamNode}
+import graft.core.{BufferSpec, NodeName, OpSpec, StreamNode}
 import graft.registry.FunctionRegistry
 
 /** The stream-node dataflow graph (T1, T11-T14, SURVEY.md §2.3).
@@ -107,6 +107,67 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
       case _ => df
     }
 
+  // ------------------------------------------------- buffer semantics (T7-T9)
+
+  /** Distinguishes multiple `observe` nodes of the same topology node
+    * within one sink plan (fan-in diamonds embed a node's plan twice). */
+  private val observeId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Lossy buffer semantics per micro-batch, per partition — the Spark
+    * analog of core.async's bounded channel buffers
+    * (`/root/reference/src/dataworks/stream.clj:88-91`):
+    * `Dropping(x)` keeps the FIRST x rows of a partition's batch (a full
+    * buffer rejects new items); `Sliding(x)` keeps the LAST x (new items
+    * evict the oldest), with O(x) ring-buffer memory. Rows in/out are
+    * `observe`d so [[DropMetrics]] can surface a per-node dropped-rows
+    * counter — the observable behavior a reference user relies on.
+    * `Fixed(x)` is NOT lossy: it maps to source backpressure (rate limit)
+    * in [[nodeInput]]. */
+  private def applyBuffer(df: DataFrame, n: StreamNode): DataFrame = {
+    def lossy(keep: Iterator[Row] => Iterator[Row]): DataFrame = {
+      DropMetrics.forSession(io.spark) // ensure the listener is registered
+      val id = observeId.incrementAndGet()
+      val observed = df.observe(DropMetrics.inName(n.name.full, id), count(lit(1)).as("rows"))
+      observed.mapPartitions(keep)(Encoders.row(df.schema))
+        .observe(DropMetrics.outName(n.name.full, id), count(lit(1)).as("rows"))
+    }
+    n.buffer match {
+      case Some(BufferSpec.Dropping(x)) => lossy { it =>
+        // consume the WHOLE iterator (the in-observe must see every row the
+        // buffer rejected), keep the first x
+        val kept = new scala.collection.mutable.ArrayBuffer[Row](x)
+        while (it.hasNext) { val r = it.next(); if (kept.size < x) kept += r }
+        kept.iterator
+      }
+      case Some(BufferSpec.Sliding(x)) => lossy { it =>
+        val ring = new Array[Row](x)
+        var seen = 0L
+        var pos = 0
+        while (it.hasNext) { ring(pos) = it.next(); pos = (pos + 1) % x; seen += 1 }
+        val kept = math.min(seen, x.toLong).toInt
+        Iterator.tabulate(kept)(i => ring(((pos - kept + i) % x + x) % x))
+      }
+      case _ => df
+    }
+  }
+
+  /** Rows discarded so far by `full`'s sliding/dropping buffer (T8/T9). */
+  def droppedRows(full: String): Long =
+    DropMetrics.forSession(io.spark).droppedRows(full)
+
+  /** A node's input relation — shared VERBATIM by [[buildPlan]] and
+    * [[deadLetterPlan]] so the error feed sees exactly the rows the main
+    * path saw (same serde, same rate limit, same buffer). */
+  private def nodeInput(n: StreamNode, building: Set[String]): DataFrame = {
+    val rateLimit = n.buffer.collect { case BufferSpec.Fixed(x) => x.toLong }
+    val raw =
+      if (n.upstream.isEmpty) applyFormat(io.source(n.name.full, rateLimit), n)
+      else n.upstream.toSeq.sorted
+        .map(buildPlan(_, building + n.name.full))
+        .reduce(_.unionByName(_))
+    applyBuffer(raw, n)
+  }
+
   /** Build the output plan of a node: fan-in of upstream outputs, user
     * transducer, forced null-drop. Source nodes (no upstream) read their
     * backing topic — pushing into any node by name (T16 `stream!`) is a
@@ -116,16 +177,7 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
       throw new IllegalStateException(s"cycle through $full")
     val n = nodeMap.getOrElse(full,
       throw new NoSuchElementException(s"unknown node $full"))
-    val rateLimit = n.buffer.map {
-      case graft.core.BufferSpec.Fixed(x) => x.toLong
-      case graft.core.BufferSpec.Sliding(x) => x.toLong  // approximated (T8)
-      case graft.core.BufferSpec.Dropping(x) => x.toLong // approximated (T9)
-    }
-    val input =
-      if (n.upstream.isEmpty) applyFormat(io.source(full, rateLimit), n)
-      else n.upstream.toSeq.sorted
-        .map(buildPlan(_, building + full))
-        .reduce(_.unionByName(_))
+    val input = nodeInput(n, building)
     val transformed = n.transducer.fold(input)(applyOpSpec(input, _))
     // engine-forced (filter some?) — only when the payload column survived
     if (transformed.columns.contains("value"))
@@ -139,9 +191,7 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
   def deadLetterPlan(full: String): Option[DataFrame] = {
     val n = nodeMap(full)
     n.errorSink.map { _ =>
-      val input =
-        if (n.upstream.isEmpty) io.source(full)
-        else n.upstream.toSeq.sorted.map(buildPlan(_)).reduce(_.unionByName(_))
+      val input = nodeInput(n, Set.empty)
       val transformed = n.transducer.fold(input)(applyOpSpec(input, _))
       if (transformed.columns.contains("value")) transformed.filter(col("value").isNull)
       else transformed.limit(0)

@@ -42,12 +42,23 @@ class MultimodalSpec extends SparkSpec {
     assert(out.find(_.media_id == 3L).get.width == 0, "audio untouched")
   }
 
-  test("size-aware repartition balances by bytes") {
+  test("size-aware repartition sizes from plan statistics, not a data scan") {
     val df = media.toDF()
-    val parts = repartitionBySize(df, targetBytes = 1500)
-    // ~4.2KB total / 1.5KB target → 2 partitions; all rows retained
+    val statBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = repartitionBySize(df, targetBytes = (statBytes / 2).toLong)
+    // target = half the estimated size → 2 partitions; all rows retained
     assert(parts.rdd.getNumPartitions == 2)
     assert(parts.count() == 4)
+    // sizing must not inject an extra aggregate/scan into the plan: the
+    // repartition output is the input plan + exactly one exchange
+    val plan = parts.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("aggregate"), s"unexpected aggregate in:\n$plan")
+  }
+
+  test("pipeline plan reads the media table exactly once") {
+    val out = multimodalQuery(spark, sf("sf0.001"))
+    val leaves = out.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size == 1, s"expected a single scan, got: $leaves")
   }
 
   test("pipeline query over fixture-derived media returns per-kind stats") {

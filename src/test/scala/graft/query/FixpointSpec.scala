@@ -21,6 +21,30 @@ class FixpointSpec extends SparkSpec {
     assert(got == Set(("a", "b"), ("b", "a"), ("a", "a"), ("b", "b")))
   }
 
+  test("non-convergence within maxIter throws instead of returning a truncated result") {
+    val edges = (1 to 20).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      Fixpoint.transitiveClosure(edges, maxIter = 3)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // and with enough iterations the same input converges fine
+    assert(Fixpoint.transitiveClosure(edges, maxIter = 25).count() == 20 * 21 / 2)
+  }
+
+  test("reliable checkpoint dir flag switches off localCheckpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fixpoint-ckpt").toString
+    spark.conf.set(Fixpoint.CheckpointDirKey, dir)
+    try {
+      val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+      val got = Fixpoint.transitiveClosure(edges).as[(String, String)].collect().toSet
+      assert(got == Set(("a", "b"), ("b", "c"), ("a", "c")))
+      // reliable checkpoints actually landed in the configured directory
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "expected checkpoint files under the reliable dir")
+    } finally spark.conf.unset(Fixpoint.CheckpointDirKey)
+  }
+
   test("generic fixpoint: even reachability levels only") {
     val edges = Seq((1, 2), (2, 3), (3, 4)).toDF("src", "dst")
     val closure = Fixpoint.fixpoint(

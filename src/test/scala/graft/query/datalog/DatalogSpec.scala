@@ -139,4 +139,39 @@ class DatalogSpec extends SparkSpec {
     assert(compiler.run(docs, q).as[String].collect().toSet ==
       Set("e2", "e3", "e4", "e5"))
   }
+
+  test("NONLINEAR recursion: path ∘ path derives delta⋈acc combinations too") {
+    // 5-node chain: distance-3 pairs only arise from (distance-2 Δ) ⋈
+    // (distance-1 tuple already in the accumulator) — delta⋈delta alone
+    // would silently drop them
+    val chain = Seq(
+      ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")
+    ).toDF("id", "next")
+    val rule = Rule("path", Seq(V("x"), V("y")), Seq(
+      Seq(Pattern(V("x"), "next", V("y"))),
+      Seq(RuleApp("path", Seq(V("x"), V("m"))), RuleApp("path", Seq(V("m"), V("y"))))))
+    val q = Query(
+      find = Seq(FindVar(V("x")), FindVar(V("y"))),
+      where = Seq(RuleApp("path", Seq(V("x"), V("y")))),
+      rules = Seq(rule))
+    val got = compiler.run(chain, q).as[(String, String)].collect().toSet
+    val want = for {
+      (s, i) <- Seq("a", "b", "c", "d", "e").zipWithIndex
+      t <- Seq("a", "b", "c", "d", "e").drop(i + 1)
+    } yield (s, t)
+    assert(got == want.toSet, s"missing: ${want.toSet -- got}")
+  }
+
+  test("mutual recursion is rejected with a clear error, not a StackOverflow") {
+    val p = Rule("p", Seq(V("x")), Seq(Seq(RuleApp("q", Seq(V("x"))))))
+    val qr = Rule("q", Seq(V("x")), Seq(
+      Seq(Pattern(V("x"), "dept", C("eng"))),
+      Seq(RuleApp("p", Seq(V("x"))))))
+    val query = Query(
+      find = Seq(FindVar(V("x"))),
+      where = Seq(RuleApp("p", Seq(V("x")))),
+      rules = Seq(p, qr))
+    val ex = intercept[UnsupportedOperationException] { compiler.run(docs, query) }
+    assert(ex.getMessage.contains("mutual recursion"))
+  }
 }

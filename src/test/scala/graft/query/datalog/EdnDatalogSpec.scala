@@ -112,6 +112,34 @@ class EdnDatalogSpec extends SparkSpec {
     assert(got == Seq(("ada", 120.0), ("dee", 100.0)))
   }
 
+  test("(rand N ?x) / (sample N ?x) two-arg aggregates (crux 1.16 Q15)") {
+    // sample: N DISTINCT values drawn from the group's value set
+    val sampled = run(
+      """{:find [?d (sample 2 ?n)] :where [[?e :dept ?d] [?e :name ?n]]}""")
+      .as[(String, Seq[String])].collect().toMap
+    assert(sampled.keySet == Set("eng", "ops"))
+    assert(sampled("eng").size == 2 && sampled("eng").distinct.size == 2)
+    assert(sampled("eng").toSet.subsetOf(Set("ada", "bob", "dee")))
+    assert(sampled("ops").toSet.subsetOf(Set("cid", "eva")))
+    // sample N > group size returns the whole set
+    val all = run("""{:find [(sample 10 ?d)] :where [[?e :dept ?d]]}""")
+      .as[Seq[String]].collect().head
+    assert(all.toSet == Set("eng", "ops"))
+    // rand: exactly N picks WITH replacement, all from the group
+    val rand = run(
+      """{:find [(rand 7 ?n)] :where [[?e :dept "ops"] [?e :name ?n]]}""")
+      .as[Seq[String]].collect().head
+    assert(rand.size == 7 && rand.toSet.subsetOf(Set("cid", "eva")))
+    // deterministic: the same query twice gives the same picks
+    val again = run(
+      """{:find [(rand 7 ?n)] :where [[?e :dept "ops"] [?e :name ?n]]}""")
+      .as[Seq[String]].collect().head
+    assert(rand == again)
+    // malformed two-arg forms are rejected totally
+    assert(EdnDatalog.run(docs, "{:find [(rand ?x)] :where [[?e :name ?x]]}").isLeft)
+    assert(EdnDatalog.run(docs, "{:find [(sample 0 ?x)] :where [[?e :name ?x]]}").isLeft)
+  }
+
   test("malformed queries give Left, never throw") {
     for (bad <- Seq("{}", "{:find []}", "{:find [?x]}", "[1 2 3]", "{:find [?x] :where [[?x",
                     "{:find [?x] :where [[?x :name ?n]] :limit \"ten\"}"))

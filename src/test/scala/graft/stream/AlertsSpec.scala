@@ -22,7 +22,10 @@ class AlertsSpec extends SparkSpec {
     val calls = new ConcurrentLinkedQueue[String]()
     reg.registerTransactor("sendText", args => { calls.add(args.mkString(",")); () })
 
-    val due = new Timestamp(System.currentTimeMillis() + 500)
+    // margin wide enough that put()+tick() finish before due even under
+    // load (500 ms flaked), yet short enough to sleep past: the claim CAS
+    // runs at wall-clock valid time, so firing requires due to REALLY pass
+    val due = new Timestamp(System.currentTimeMillis() + 6000)
     store.put("demo/alert",
       """{"appName":"demo","alertHandler":"sendText","alertParams":["hello"]}""",
       Some(due))
@@ -31,6 +34,7 @@ class AlertsSpec extends SparkSpec {
     sched.tick() // before due: invisible, nothing fires
     assert(calls.isEmpty && store.entity("demo/alert", due).isDefined)
 
+    Thread.sleep(math.max(0L, due.getTime + 50 - System.currentTimeMillis()))
     sched.tick(new Timestamp(due.getTime + 1)) // due now
     // transact! is async — wait briefly
     val deadline = System.currentTimeMillis() + 5000
@@ -40,7 +44,10 @@ class AlertsSpec extends SparkSpec {
     sched.tick(new Timestamp(due.getTime + 1000))
     Thread.sleep(200)
     assert(calls.size == 1, "alert must fire exactly once")
-    assert(store.entity("demo/alert", new Timestamp(due.getTime + 2000)).isEmpty)
+    // the delete tombstone's valid-from is the wall clock at delete time —
+    // probe a comfortably later instant
+    assert(store.entity("demo/alert",
+      new Timestamp(System.currentTimeMillis() + 60000)).isEmpty)
   }
 
   test("two scheduler instances: CAS claim lets only one fire") {

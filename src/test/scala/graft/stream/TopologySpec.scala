@@ -85,6 +85,82 @@ class TopologySpec extends SparkSpec {
     mgr.stopAll()
   }
 
+  /** Listener-bus delivery is async: poll until the counter settles. */
+  private def awaitDropped(topo: Topology, node: String, want: Long): Long = {
+    val deadline = System.currentTimeMillis() + 10000
+    while (topo.droppedRows(node) != want && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    topo.droppedRows(node)
+  }
+
+  test("dropping buffer keeps first x per batch partition and counts drops (T9)") {
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    topo.addNode(StreamNode(NodeName.parse("kafka/in"), Set.empty, None, None, None))
+    topo.addNode(StreamNode(NodeName.parse("stream/tight"), Set("kafka/in"),
+      Some(OpSpec.MapExpr("value")), Some(BufferSpec.Dropping(3)), None))
+    topo.addNode(StreamNode(NodeName.parse("kafka/out"), Set("stream/tight"), None, None, None))
+    val mgr = new StreamManager(topo)
+    try {
+      // one block = one partition: 10 rows hit a capacity-3 dropping buffer
+      io.publishBatch("kafka/in", (1 to 10).map(i => (s"k$i", s"v$i")))
+      mgr.applyGraph()
+      mgr.processAllAvailable()
+      val vals = io.collected("out").map(_.getAs[String]("value"))
+      assert(vals == Seq("v1", "v2", "v3"), s"dropping keeps the FIRST x: $vals")
+      assert(awaitDropped(topo, "stream/tight", 7L) == 7L)
+    } finally mgr.stopAll()
+  }
+
+  test("sliding buffer keeps last x per batch partition and counts drops (T8)") {
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    topo.addNode(StreamNode(NodeName.parse("kafka/in"), Set.empty, None, None, None))
+    topo.addNode(StreamNode(NodeName.parse("stream/slide"), Set("kafka/in"),
+      Some(OpSpec.MapExpr("value")), Some(BufferSpec.Sliding(2)), None))
+    topo.addNode(StreamNode(NodeName.parse("kafka/out"), Set("stream/slide"), None, None, None))
+    val mgr = new StreamManager(topo)
+    try {
+      io.publishBatch("kafka/in", (1 to 5).map(i => (s"k$i", s"v$i")))
+      mgr.applyGraph()
+      mgr.processAllAvailable()
+      val vals = io.collected("out").map(_.getAs[String]("value"))
+      assert(vals == Seq("v4", "v5"), s"sliding keeps the LAST x: $vals")
+      assert(awaitDropped(topo, "stream/slide", 3L) == 3L)
+    } finally mgr.stopAll()
+  }
+
+  test("hot-swap of a node WITH an error sink restarts its dead-letter query too") {
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    topo.addNode(StreamNode(NodeName.parse("kafka/in"), Set.empty, None, None, None))
+    def procNode(e: String) = StreamNode(NodeName.parse("stream/proc"), Set("kafka/in"),
+      Some(OpSpec.MapExpr(e)), Some(BufferSpec.Fixed(100)), Some("errs"))
+    topo.addNode(procNode("TRY_CAST(value AS DOUBLE) + 1"))
+    topo.addNode(StreamNode(NodeName.parse("kafka/out"), Set("stream/proc"), None, None, None))
+    val mgr = new StreamManager(topo)
+    try {
+      io.publish("kafka/in", "a", "1")
+      io.publish("kafka/in", "b", "oops")
+      mgr.applyGraph()
+      mgr.processAllAvailable()
+      assert(io.collected("errs").map(_.getAs[String]("key")) == Seq("b"),
+        "failed row lands on the error sink")
+      // the swap must stop the companion #errors query as well — otherwise
+      // starting the new one fails on the duplicate active query name
+      val swapped = mgr.updateNode(procNode("TRY_CAST(value AS DOUBLE) - 1"))
+      assert(swapped.isRight, s"hot-swap with errorSink failed: $swapped")
+      io.publish("kafka/in", "c", "10")
+      io.publish("kafka/in", "d", "bad")
+      mgr.processAllAvailable()
+      val outVals = io.collected("out").map(_.getAs[Double]("value"))
+      assert(outVals.contains(2.0) && outVals.contains(9.0), s"got $outVals")
+      assert(io.collected("errs").map(_.getAs[String]("key")).sorted == Seq("b", "d"),
+        "post-swap failures keep flowing to the restarted error sink")
+    } finally mgr.stopAll()
+    assert(mgr.runningQueries.isEmpty, "stopAll must stop companion queries too")
+  }
+
   test("validation railway: error-handler requires transducer requires buffer") {
     val io = new MemoryIO(spark)
     val topo = new Topology(io)
