@@ -63,6 +63,7 @@ object SparkEntry {
     "text_stats"          -> (TextOps.textStats(_, _)),
     "token_count"         -> (TextOps.tokenCountQuery(_, _)),
     "text_analysis"       -> (TextOps.textAnalysisQuery(_, _)),
+    "text_quality"        -> (TextOps.textQualityQuery(_, _)),
     "multimodal_pipeline" -> (graft.ext.Multimodal.multimodalQuery(_, _)),
   )
 
@@ -228,5 +229,30 @@ object SparkEntry {
     "token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens
          FROM documents""",
+    "text_quality" ->
+      """WITH tok AS (
+           SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+         ), feat AS (
+           SELECT doc_id, len(t) AS n_tokens,
+             least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+             1.0 - least(CAST(len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+                         / greatest(len(text), 1) * 5.0, 1.0) AS punct_score,
+             CAST(len(list_filter(t, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','this','that'], x))) AS DOUBLE)
+               / greatest(len(t), 1) AS swr,
+             CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / greatest(len(t), 1) AS mwl,
+             list_sort([
+               {'hits': len(list_filter(t, x -> list_contains(['the','and','of','to','is','in','that','it','for','with'], x))), 'lang': 'en'},
+               {'hits': len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','los','del','las','por'], x))), 'lang': 'es'},
+               {'hits': len(list_filter(t, x -> list_contains(['le','la','de','et','les','des','en','un','une','du'], x))), 'lang': 'fr'},
+               {'hits': len(list_filter(t, x -> list_contains(['der','die','und','das','von','zu','den','mit','ist','des'], x))), 'lang': 'de'},
+               {'hits': len(list_filter(t, x -> list_contains(['的','了','是','在','我','有','和','就','不','人'], x))), 'lang': 'zh'}
+             ])[-1] AS best
+           FROM tok
+         )
+         SELECT doc_id, n_tokens,
+           round((len_score + punct_score + (1.0 - least(abs(swr - 0.4) * 2.0, 1.0))
+                  + (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0))) / 4.0, 6) AS quality,
+           CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred
+         FROM feat""",
   )
 }

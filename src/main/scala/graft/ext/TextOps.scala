@@ -119,6 +119,19 @@ object TextOps {
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))
 
+  /** quality + language-ID panel, DuckDB-oracled: every heuristic
+    * (length/punct/stopword/word-length scores, stopword-hit langID with
+    * the (hits, lang) tie-break) is deterministic relational algebra, so
+    * the oracle replays it exactly — unlike the xxhash fingerprint, which
+    * stays in the rows-only `text_analysis` panel. */
+  def textQualityQuery(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        qualityScore(col("text")).as("quality"),
+        langId(col("text")).as("lang_pred"))
+
   /** quality + language-ID + fingerprint panel (rows-only check: the exact
     * heuristics are engine-specific; ScalaTest pins their behavior). */
   def textAnalysisQuery(s: SparkSession, d: String): DataFrame =

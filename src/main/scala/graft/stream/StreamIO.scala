@@ -86,10 +86,42 @@ class KafkaIO(val spark: SparkSession, bootstrapServers: String,
       .trigger(Trigger.ProcessingTime("100 milliseconds")) // poll cadence (kafka.clj:108)
       .start()
 
-  def ensureTopic(topic: String): Unit = ()
-  // Topic auto-creation (kafka.clj:26-50: 6 partitions / RF 3) needs
-  // kafka-clients' AdminClient, absent from this build env; deployments
-  // inject it here.
+  /** S9 topic auto-creation (kafka.clj:26-50: 6 partitions / RF 3).
+    * kafka-clients is a runtime dependency of real deployments (the Spark
+    * Kafka connector pulls it in) but absent from this build environment,
+    * so the AdminClient is reached REFLECTIVELY: compiles clean here, and
+    * creates the topic (idempotently) wherever the jar is present. Without
+    * the jar this degrades to the documented no-op. */
+  def ensureTopic(topic: String): Unit =
+    try {
+      val props = new java.util.Properties()
+      props.put("bootstrap.servers", bootstrapServers)
+      val adminCls = Class.forName("org.apache.kafka.clients.admin.AdminClient")
+      val admin = adminCls.getMethod("create", classOf[java.util.Properties])
+        .invoke(null, props)
+      try {
+        val newTopicCls = Class.forName("org.apache.kafka.clients.admin.NewTopic")
+        val newTopic = newTopicCls
+          .getConstructor(classOf[String], classOf[Int], classOf[Short])
+          .newInstance(topic, Int.box(6), Short.box(3.toShort)) // kafka.clj:36-37
+        val result = adminCls
+          .getMethod("createTopics", classOf[java.util.Collection[_]])
+          .invoke(admin, java.util.Collections.singleton(newTopic))
+        val future = result.getClass.getMethod("all").invoke(result)
+        Class.forName("org.apache.kafka.common.KafkaFuture")
+          .getMethod("get").invoke(future) // block until created
+      } finally adminCls.getMethod("close").invoke(admin)
+    } catch {
+      case _: ClassNotFoundException => () // no kafka-clients on classpath
+      case e: java.lang.reflect.InvocationTargetException
+          if rootCauseIsTopicExists(e) => () // already there — idempotent
+    }
+
+  private def rootCauseIsTopicExists(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t.getCause != null && t.getCause != t) t = t.getCause
+    t.getClass.getName.endsWith("TopicExistsException")
+  }
 }
 
 /** In-memory IO for tests and local topologies: MemoryStream per source

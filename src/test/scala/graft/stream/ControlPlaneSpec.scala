@@ -91,4 +91,11 @@ class ControlPlaneSpec extends SparkSpec {
     assert(io.collected("json-out").map(_.getAs[String]("value")) == Seq("99.5"))
     mgr.stopAll()
   }
+
+  test("S9 ensureTopic degrades to a clean no-op without kafka-clients") {
+    // this env ships no kafka-clients jar: the reflective AdminClient hook
+    // must swallow ClassNotFoundException, not blow up topology wiring
+    val kio = new KafkaIO(spark, "localhost:9092", "/tmp/graft-kafka-ckpt")
+    kio.ensureTopic("some/topic") // must not throw
+  }
 }
