@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, L2Norm, MinHashSig, SimHash64, SrpSig, WordShingles}
+
+/** Spark-native integration point: `spark.sql.extensions=graft.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`) injects the library's
+  * codegen'd expressions into the SQL function registry, so pure-SQL users
+  * get the hot-path surface without touching the Scala API:
+  *
+  * {{{
+  *   SELECT vec_dot(a.embedding, b.embedding)              -- similarity
+  *   SELECT simhash64(split(lower(text), '\\s+'))          -- dedup sigs
+  *   SELECT minhash_sig(word_shingles(split(text,' '), 3), 64)
+  *   SELECT srp_sig(embedding, 8, 8)                       -- SRP-LSH buckets
+  * }}}
+  *
+  * Every function resolves to a native `Expression` with `doGenCode`, so a
+  * SQL query plans identically to the DataFrame API — whole-stage codegen
+  * intact, no UDF wrappers (the build contract's preference order). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, _, builder) =>
+      // 3-arg ExpressionInfo: the 5-arg form validates `usage`/`source`
+      // markup the plain one-liners don't carry
+      ext.injectFunction(
+        (FunctionIdentifier(name),
+          new ExpressionInfo("graft.functions", null, name),
+          builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def one(name: String)(f: Expression => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(a) => f(a)
+    case args => throw new IllegalArgumentException(
+      s"$name expects 1 argument, got ${args.length}")
+  }
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** (name, usage, builder) for every injected function. */
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("vec_dot", "vec_dot(a, b) - dot product of two array<double>", {
+      case Seq(a, b) => DotProduct(a, b)
+      case args => throw new IllegalArgumentException(
+        s"vec_dot expects 2 arguments, got ${args.length}")
+    }),
+    ("vec_norm", "vec_norm(a) - L2 norm of array<double>",
+      one("vec_norm")(L2Norm)),
+    ("simhash64", "simhash64(tokens) - 64-bit SimHash of array<string>",
+      one("simhash64")(SimHash64)),
+    ("word_shingles", "word_shingles(tokens, n) - distinct word n-grams", {
+      case Seq(t, n) => WordShingles(t, intLit(n, "word_shingles n"))
+      case args => throw new IllegalArgumentException(
+        s"word_shingles expects 2 arguments, got ${args.length}")
+    }),
+    ("minhash_sig", "minhash_sig(shingles, numPerm) - MinHash signature", {
+      case Seq(s, p) => MinHashSig(s, intLit(p, "minhash_sig numPerm"))
+      case args => throw new IllegalArgumentException(
+        s"minhash_sig expects 2 arguments, got ${args.length}")
+    }),
+    ("srp_sig", "srp_sig(vec, nBits, tables) - SRP-LSH bucket per hash table", {
+      case Seq(v, b, t) =>
+        SrpSig(v, intLit(b, "srp_sig nBits"), intLit(t, "srp_sig tables"))
+      case args => throw new IllegalArgumentException(
+        s"srp_sig expects 3 arguments, got ${args.length}")
+    }))
+}

@@ -60,6 +60,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccardQuery(_, _)),
     "dedup_embedding_lsh" -> (Dedup.embeddingLshQuery(_, _)),
     "similarity_topk"     -> (Similarity.similarityTopK(_, _)),
+    "similarity_ivf"      -> (Similarity.similarityIvfQuery(_, _)),
     "text_stats"          -> (TextOps.textStats(_, _)),
     "token_count"         -> (TextOps.tokenCountQuery(_, _)),
     "text_analysis"       -> (TextOps.textAnalysisQuery(_, _)),

@@ -61,16 +61,10 @@ object Similarity {
     * At 100 TB the assignment is written once (partitioned by centroid_id →
     * parquet partition pruning makes each probe read ~nprobe/K of the data).
     */
-  def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val c = centroids.select(col("centroid_id"), col("cvec").cast("array<double>").as("cvec"))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("centroid_id").asc)
-    v.crossJoin(broadcast(c))
-      .withColumn("dist", lit(1.0) - cosine(col("v"), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "v", "centroid_id")
-  }
+  def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame =
+    assignToNearest(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      centroids)
 
   def ivfTopK(assigned: DataFrame, centroids: DataFrame,
               queryVec: Seq[Double], k: Int, nprobe: Int): DataFrame = {
@@ -87,19 +81,65 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic k-means-ish centroids without MLlib: average vector per
-    * hash bucket of vec_id — cheap, reproducible coarse quantizer good
-    * enough for bucketing tests (a real deployment would train k-means). */
-  def hashCentroids(emb: DataFrame, kCentroids: Int): DataFrame = {
-    val v = emb.select(
-      (pmod(col("vec_id"), lit(kCentroids.toLong))).as("centroid_id"),
-      col("embedding").cast("array<double>").as("v"))
-    // element-wise mean per bucket: explode → avg per (bucket, pos) → re-collect
-    v.select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
+  /** Element-wise mean vector per assigned bucket. The mean is an exact
+    * DECIMAL sum divided by the count, so centroids are bit-identical
+    * across runs regardless of partial-aggregation order — keeping the
+    * whole IVF structure reproducible. */
+  private def meanPerBucket(assigned: DataFrame): DataFrame =
+    assigned.select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("centroid_id", "pos")
-      .agg(avg("x").as("mx"))
+      .agg((sum(col("x").cast("decimal(27,15)")) / count(lit(1)))
+        .cast("double").as("mx"))
       .groupBy("centroid_id")
       .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("pairs"))
       .select(col("centroid_id"), expr("transform(pairs, p -> p.mx)").as("cvec"))
+
+  /** Deterministic k-means-ish centroids without MLlib: average vector per
+    * hash bucket of vec_id — cheap, reproducible coarse quantizer; the
+    * init [[trainCentroids]] refines. */
+  def hashCentroids(emb: DataFrame, kCentroids: Int): DataFrame =
+    meanPerBucket(emb.select(
+      (pmod(col("vec_id"), lit(kCentroids.toLong))).as("centroid_id"),
+      col("embedding").cast("array<double>").as("v")))
+
+  /** Lloyd-refined IVF coarse quantizer: hash-bucket means as the
+    * (reproducible) init, then `iters` rounds of assign-to-nearest +
+    * re-average. One round = one scan with a broadcast centroid join + one
+    * aggregation — the standard distributed k-means step, linear in data
+    * size and embarrassingly parallel at 100 TB. Clusters that lose all
+    * members drop out (k shrinks instead of seeding randomly, keeping the
+    * whole pipeline deterministic). */
+  def trainCentroids(emb: DataFrame, kCentroids: Int, iters: Int = 3): DataFrame = {
+    val v = graft.core.CacheRegistry.persisted(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+    var cents = hashCentroids(emb, kCentroids)
+    for (_ <- 1 to iters)
+      cents = graft.core.CacheRegistry.persisted(
+        meanPerBucket(assignToNearest(v, cents).select("centroid_id", "v")))
+    cents
+  }
+
+  private def assignToNearest(v: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = centroids.select(col("centroid_id"), col("cvec").cast("array<double>").as("cvec"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("centroid_id").asc)
+    v.crossJoin(broadcast(c))
+      .withColumn("dist", lit(1.0) - cosine(col("v"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "v", "centroid_id")
+  }
+
+  /** SparkEntry query (rows-only): trained-IVF approximate top-10 for
+    * vec 0's vector, probing 4 of 16 buckets. The single-row query-vector
+    * fetch is control-plane (one `first()`); the search itself is a
+    * partition-pruned scan — the 100 TB ANN shape. */
+  def similarityIvfQuery(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = trainCentroids(emb, kCentroids = 16, iters = 2)
+    val assigned = ivfAssign(emb, cents)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).first().getSeq[Double](0)
+    ivfTopK(assigned, cents, q, k = 10, nprobe = 4)
+      .select(col("vec_id"), round(col("sim"), 4).as("sim"))
   }
 }

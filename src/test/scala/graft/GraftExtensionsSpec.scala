@@ -1,0 +1,54 @@
+package graft
+
+import graft.SparkSpec
+
+/** The SQL surface injected by [[GraftExtensions]]: every graft native
+  * expression callable from pure SQL, planning identically to the
+  * DataFrame API (no UDF wrappers). The shared test session can't be
+  * rebuilt with extensions, so the spec injects through the same
+  * registry path `injectFunction` uses. */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val registered: Unit =
+    GraftExtensions.functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+
+  test("vec_dot / vec_norm work from SQL and match the Scala API") {
+    registered
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "vec_norm(array(3.0d, 4.0d)) AS n").as[(Double, Double)].head()
+    assert(r == ((11.0, 5.0)))
+  }
+
+  test("simhash64 / word_shingles / minhash_sig / srp_sig from SQL") {
+    registered
+    val (fp, sh, sig, srp) = spark.sql(
+      """SELECT
+           simhash64(split('the quick brown fox', ' ')) AS fp,
+           word_shingles(split('a b c d', ' '), 3) AS sh,
+           minhash_sig(word_shingles(split('a b c d', ' '), 3), 16) AS sig,
+           srp_sig(array(0.5d, -0.25d, 1.0d), 8, 4) AS srp""")
+      .as[(Long, Seq[String], Seq[Int], Seq[Int])].head()
+    // parity with the column API on identical inputs
+    val colFp = Seq("the quick brown fox").toDF("t")
+      .select(graft.functions.TextHashExpressions.simhash64(
+        org.apache.spark.sql.functions.split($"t", " ")))
+      .as[Long].head()
+    assert(fp == colFp)
+    assert(sh == Seq("a b c", "b c d"))
+    assert(sig.length == 16)
+    assert(srp.length == 4 && srp.forall(b => b >= 0 && b < 256))
+  }
+
+  test("SQL-registered expressions stay codegen'd (no UDF wrapper in the plan)") {
+    registered
+    val df = spark.range(1).selectExpr("vec_dot(array(1.0d), array(2.0d)) AS d")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"expected a native expression plan:\n$plan")
+  }
+}

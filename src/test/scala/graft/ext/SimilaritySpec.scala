@@ -50,6 +50,34 @@ class SimilaritySpec extends SparkSpec {
       "all-bucket IVF == brute force")
   }
 
+  test("trained k-means centroids: Lloyd rounds reduce mean distance, stay deterministic") {
+    val emb = Tables_embeddings().limit(200)
+    def meanDist(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.ivfAssign(emb, cents)
+        .join(cents, "centroid_id")
+        .select(avg(lit(1.0) - Similarity.cosine(col("v"), col("cvec"))))
+        .as[Double].head
+    val init = Similarity.hashCentroids(emb, kCentroids = 8)
+    val trained = Similarity.trainCentroids(emb, kCentroids = 8, iters = 3)
+    assert(trained.count() <= 8 && trained.count() > 0)
+    assert(meanDist(trained) <= meanDist(init) + 1e-12,
+      "Lloyd iterations must not worsen the quantizer")
+    // deterministic: training twice yields identical centroids
+    val again = Similarity.trainCentroids(emb, kCentroids = 8, iters = 3)
+    val a = trained.orderBy("centroid_id").as[(Long, Seq[Double])].collect().toSeq
+    val b = again.orderBy("centroid_id").as[(Long, Seq[Double])].collect().toSeq
+    assert(a == b, "decimal-exact means keep training reproducible")
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
+  test("similarity_ivf gate query returns k probed neighbors led by self") {
+    val got = Similarity.similarityIvfQuery(spark, sf("sf0.001")).collect()
+    assert(got.length == 10)
+    assert(got.head.getAs[Long]("vec_id") == 0L && got.head.getAs[Double]("sim") == 1.0,
+      "vec 0's own bucket is always probed; self leads at sim 1")
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   private def Tables_embeddings() =
     graft.core.Tables.embeddings(spark, sf("sf0.001"))
 }

@@ -66,6 +66,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans == 2, s"orders + customer = exactly 2 scans, got $scans")
   }
 
+  test("near-dup candidate generation never degenerates to a cartesian product") {
+    // the 100 TB contract of every LSH path: candidates come from an
+    // EQUI-join on a small hash key; a CartesianProduct/BroadcastNestedLoop
+    // anywhere means an O(n²) regression snuck in
+    val docs = graft.core.Tables.documents(spark, sf("sf0.001")).limit(200)
+    val emb = graft.core.Tables.embeddings(spark, sf("sf0.001")).limit(200)
+    for ((name, df) <- Seq(
+        "simhash" -> graft.ext.Dedup.simhashNearDups(docs),
+        "minhash" -> graft.ext.Dedup.minhashNearDups(docs),
+        "ngram" -> graft.ext.Dedup.ngramJaccardPairs(docs),
+        "embedding-lsh" -> graft.ext.Dedup.embeddingNearDups(emb, threshold = 0.9))) {
+      val plan = executedPlan(df)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name candidate join must be an equi-join:\n$plan")
+      graft.core.CacheRegistry.unpersistAll()
+    }
+  }
+
   test("bitemporal as-of filters before the window (partition pruning path)") {
     val df = Relational.asofSnapshot(spark, sf("sf0.001"))
     val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
