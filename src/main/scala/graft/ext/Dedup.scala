@@ -184,7 +184,13 @@ object Dedup {
     val withSh = CacheRegistry.persisted(docs.select(col(idCol).as("id"),
       graft.functions.TextHashExpressions.word_shingles(
         TextOps.tokens(col(textCol)), shingleN).as("sh")))
-    val posting = withSh.select(col("id"), explode(col("sh")).as("shingle"))
+    // posting lists join on the shingle's 64-bit hash, not the string: the
+    // df-count and candidate shuffles carry 8-byte keys instead of n-gram
+    // text (hash collisions would need two distinct shingles in one corpus
+    // to share an xxhash64 — ~2⁻⁶⁴ per pair, immaterial even at 100 TB;
+    // exact verification below still runs on the true shingle sets)
+    val posting = withSh.select(col("id"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("shingle"))
     val rare = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
     val pruned = posting.join(rare, Seq("shingle"), "left_semi")
