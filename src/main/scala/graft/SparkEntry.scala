@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> (Dedup.embeddingLshQuery(_, _)),
     "similarity_topk"     -> (Similarity.similarityTopK(_, _)),
     "similarity_ivf"      -> (Similarity.similarityIvfQuery(_, _)),
+    "similarity_knn_join" -> (Similarity.similarityKnnJoinQuery(_, _)),
     "text_stats"          -> (TextOps.textStats(_, _)),
     "token_count"         -> (TextOps.tokenCountQuery(_, _)),
     "text_analysis"       -> (TextOps.textAnalysisQuery(_, _)),
@@ -222,6 +223,15 @@ object SparkEntry {
              list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[])) AS sim
            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) t)
          ORDER BY sim DESC, vec_id LIMIT 10""",
+    "similarity_knn_join" ->
+      """SELECT q_id, vec_id, round(sim, 4) AS sim FROM (
+           SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+           FROM (
+             SELECT q.vec_id AS q_id, e.vec_id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS sim
+             FROM embeddings e, embeddings q WHERE q.vec_id < 5))
+         WHERE rn <= 5""",
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,

@@ -129,6 +129,38 @@ object Similarity {
       .select("vec_id", "v", "centroid_id")
   }
 
+  /** kNN JOIN: top-k corpus neighbors for EVERY query vector in one pass —
+    * the many-query form of top-k that `bruteForceTopK` (one query) and
+    * `ivfTopK` (one query, probed) don't cover.
+    *
+    * Scale shape: the query batch broadcasts (batches are small — a
+    * retrieval request, a dedup probe set), the corpus is scanned ONCE,
+    * and the per-(query, partition) partial [[graft.functions.TopKByScore]]
+    * aggregate ships at most k pairs per query per map task to the final
+    * reduce — no window sort, no per-group spill, shuffle bounded by
+    * |queries|·k·partitions regardless of corpus size. */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val c = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKExpressions.top_k_by(col("sim"), col("vec_id"), k)
+        .as("topk"))
+  }
+
+  /** SparkEntry query (DuckDB-oracled): kNN join of the first 5 vectors
+    * against the whole corpus, k=5 — the oracle replays it with a window
+    * rank, pinning the aggregate's (score DESC, id ASC) tie order. */
+  def similarityKnnJoinQuery(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    knnJoin(emb.filter(col("vec_id") < 5), emb, k = 5)
+      .select(col("q_id"), explode(col("topk")).as("t"))
+      .select(col("q_id"), col("t.id").as("vec_id"),
+        round(col("t.score"), 4).as("sim"))
+  }
+
   /** SparkEntry query (rows-only): trained-IVF approximate top-10 for
     * vec 0's vector, probing 4 of 16 buckets. The single-row query-vector
     * fetch is control-plane (one `first()`); the search itself is a

@@ -78,6 +78,26 @@ class SimilaritySpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("knn join: per-query top-k matches per-query brute force, partial-aggregated") {
+    val emb = Tables_embeddings()
+    val joined = Similarity.knnJoin(emb.filter(col("vec_id") < 3), emb, k = 4)
+    val got = joined.select(col("q_id"), explode(col("topk")).as("t"))
+      .select(col("q_id"), col("t.id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (q <- 0L to 2L) {
+      val brute = Similarity.bruteForceTopK(emb, q, 4)
+        .select("vec_id").as[Long].collect().toSet
+      assert(got(q) == brute, s"query $q: knn join must equal brute force")
+    }
+    // the aggregate must run partial+final (ObjectHashAggregate appears
+    // twice) — the map-side top-k is the whole point of the operator
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final object hash aggregate:\n$plan")
+    assert(!plan.contains("Window"), "knn join must not fall back to a window sort")
+  }
+
   private def Tables_embeddings() =
     graft.core.Tables.embeddings(spark, sf("sf0.001"))
 }
