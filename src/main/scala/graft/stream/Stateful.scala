@@ -2,9 +2,10 @@ package graft.stream
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Arbitrary keyed state over streams via `mapGroupsWithState` /
   * `flatMapGroupsWithState` — the custom-state capability class the
@@ -71,4 +72,40 @@ object Stateful {
           }
       }
   }
+
+  /** Spark 4 `transformWithState` (state API v2): streaming exact dedup
+    * whose per-key state EXPIRES after `ttlMillis` of processing time —
+    * the store-native TTL that `dropDuplicatesWithinWatermark` (event-time
+    * only) and `mapGroupsWithState` (manual timeout bookkeeping) can't
+    * express. At 100 TB/day this is the bound that keeps a forever-running
+    * dedup node's RocksDB state proportional to the TTL window, not the
+    * stream's lifetime. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`), which is what
+    * backs transformWithState. */
+  def dedupKeysTtl(df: DataFrame, ttlMillis: Long): Dataset[KeyedEvent] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.selectExpr("CAST(key AS STRING) key", "CAST(value AS STRING) value", "ts")
+      .as[KeyedEvent]
+      .groupByKey(_.key)
+      .transformWithState(new TtlDedupProcessor(ttlMillis),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+}
+
+/** First event per key passes; repeats are dropped until the key's state
+  * ages out via the store's TTL. */
+class TtlDedupProcessor(ttlMillis: Long)
+    extends StatefulProcessor[String, Stateful.KeyedEvent, Stateful.KeyedEvent] {
+
+  @transient private var seen: ValueState[Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getValueState[Boolean]("seen", Encoders.scalaBoolean,
+      TTLConfig(java.time.Duration.ofMillis(ttlMillis)))
+
+  override def handleInputRows(key: String, rows: Iterator[Stateful.KeyedEvent],
+                               timerValues: TimerValues): Iterator[Stateful.KeyedEvent] =
+    if (seen.exists()) Iterator.empty
+    else { seen.update(true); rows.take(1) }
 }

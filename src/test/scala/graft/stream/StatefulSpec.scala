@@ -56,4 +56,63 @@ class StatefulSpec extends SparkSpec {
     assert(byKey.get("u2").contains(1L), s"u2 closed after the gap: $byKey")
     q.stop()
   }
+
+  test("transformWithState TTL dedup: repeats dropped, state re-admits after expiry") {
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // changelog checkpointing: commit writes a small changelog instead of
+    // zipping+uploading a full RocksDB snapshot per store per micro-batch
+    // (the full-snapshot path stalls for minutes even on toy state here)
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    // Spark 4.1's checksum checkpoint file manager awaits a background
+    // checksum-write future that never completes under local[4] here
+    // (threads park in ChecksumCheckpointFileManager.createWithChecksum);
+    // checksums are a corruption probe, not a semantics change — off
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    topo.addNode(StreamNode(NodeName.parse("kafka/docs"), Set.empty, None, None, None))
+    val seen = scala.collection.mutable.Buffer.empty[(String, String)]
+    val session = spark
+    // ProcessingTime TimeMode re-arms a micro-batch every trigger, so
+    // processAllAvailable livelocks (the T20-era gotcha, now on
+    // transformWithState). Data still flows batch to batch — so the test
+    // polls the sink and uses SENTINEL keys for ordering: once a sentinel
+    // published AFTER an event shows up, that event's batch has committed.
+    val deduped = Stateful.dedupKeysTtl(topo.buildPlan("kafka/docs"), ttlMillis = 2000)
+    val q = deduped.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Stateful.KeyedEvent], _: Long) =>
+        org.apache.spark.sql.SparkSession.setActiveSession(session)
+        seen.synchronized { seen ++= batch.collect().map(e => e.key -> e.value) }
+        ()
+      }.start()
+    def awaitSeen(key: String, value: String): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!seen.synchronized(seen.contains(key -> value)) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(seen.synchronized(seen.contains(key -> value)),
+        s"expected $key -> $value in $seen")
+    }
+    try {
+      io.publish("kafka/docs", "doc1", "v1")
+      io.publish("kafka/docs", "doc2", "v1")
+      awaitSeen("doc1", "v1"); awaitSeen("doc2", "v1")
+      io.publish("kafka/docs", "doc1", "v2") // dup within TTL → dropped
+      io.publish("kafka/docs", "sentinel1", "x")
+      awaitSeen("sentinel1", "x") // dup's batch committed by now
+      assert(!seen.synchronized(seen.contains("doc1" -> "v2")),
+        s"dup within TTL must drop: $seen")
+      Thread.sleep(3000) // let doc1's state pass its 2 s TTL
+      io.publish("kafka/docs", "doc1", "v3") // state expired → re-admitted
+      awaitSeen("doc1", "v3")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
