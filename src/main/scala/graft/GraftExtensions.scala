@@ -23,7 +23,7 @@ import graft.functions.{DotProduct, L2Norm, MinHashSig, SimHash64, SrpSig, WordS
   * intact, no UDF wrappers (the build contract's preference order). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, _, builder) =>
       // 3-arg ExpressionInfo: the 5-arg form validates `usage`/`source`
       // markup the plain one-liners don't carry
@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           new ExpressionInfo("graft.functions", null, name),
           builder))
     }
+    // size(array_intersect(a, b)) → allocation-free IntersectionSize
+    ext.injectOptimizerRule(_ => graft.functions.IntersectionSizeRule)
+  }
 }
 
 object GraftExtensions {

@@ -86,7 +86,9 @@ object Dedup {
     pairs
       .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      // native |A∩B| count — no intermediate intersection array per pair
+      .withColumn("__i", graft.functions.SetExpressions
+        .intersection_size(col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("jaccard", // |A∪B| = |A|+|B|−|A∩B| — avoids the costlier array_union
         col("__i") / (size(col("sh_a")) + size(col("sh_b")) - col("__i")))
       .filter(col("jaccard") >= threshold)
@@ -208,7 +210,9 @@ object Dedup {
     cand
       .join(withSh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(withSh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
-      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      // native |A∩B| count — no intermediate intersection array per pair
+      .withColumn("__i", graft.functions.SetExpressions
+        .intersection_size(col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("jaccard", // |A∪B| = |A|+|B|−|A∩B| — avoids the costlier array_union
         col("__i") / (size(col("sh_a")) + size(col("sh_b")) - col("__i")))
       .filter(col("jaccard") >= threshold)

@@ -44,6 +44,34 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(srp.length == 4 && srp.forall(b => b >= 0 && b < 256))
   }
 
+  test("intersection_size matches size(array_intersect) incl. duplicate elements") {
+    val df = Seq(
+      (Seq("a", "b", "c", "b"), Seq("b", "c", "d", "c")),
+      (Seq("x"), Seq("y")),
+      (Seq.empty[String], Seq("a"))
+    ).toDF("a", "b")
+    val got = df.select(
+        graft.functions.SetExpressions.intersection_size($"a", $"b"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.array_intersect($"a", $"b")))
+      .as[(Int, Int)].collect()
+    got.foreach { case (fast, ref) => assert(fast == ref) }
+  }
+
+  test("optimizer rule rewrites size(array_intersect) for non-null-element arrays") {
+    import org.apache.spark.sql.functions.{array_intersect, lit, sequence, size}
+    // non-literal input, or constant folding erases the expression entirely
+    val df = spark.range(3)
+      .select(sequence(lit(0L), $"id").as("a"), sequence($"id", lit(4L)).as("b"))
+      .select(size(array_intersect($"a", $"b")).as("n"))
+    val rewritten = graft.functions.IntersectionSizeRule(df.queryExecution.optimizedPlan)
+    assert(rewritten.expressions.exists(_.exists(
+      _.isInstanceOf[graft.functions.IntersectionSize])),
+      s"expected IntersectionSize in: $rewritten")
+    // value equivalence of the rewritten expression is pinned by the
+    // intersection_size-vs-size(array_intersect) test above
+  }
+
   test("SQL-registered expressions stay codegen'd (no UDF wrapper in the plan)") {
     registered
     val df = spark.range(1).selectExpr("vec_dot(array(1.0d), array(2.0d)) AS d")
