@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.registry.{FunctionManager, FunctionRegistry}
+import graft.store.DocumentStore
+import graft.stream.{AlertScheduler, NodeSpec, StreamIO, StreamManager, Topology}
+
+/** The assembled engine — the analog of the reference's app boot
+  * (`/root/reference/src/dataworks/core.clj` wiring: app db + function
+  * registry + stream graph + control plane + alert scheduler, started in
+  * dependency order). A reference user's whole runtime surface hangs off
+  * this one object:
+  *
+  * {{{
+  *   val app = GraftApp(spark, "/data/appdb", new KafkaIO(spark, brokers, ckpt))
+  *   app.start()                                   // bootstrap + control plane + alerts
+  *   app.functions.create("stream", "process", """{"name":"stream/process", …}""")
+  *   app.store.q("{:find [?e] :where [[?e :stored-function/type]]}", schema)
+  *   app.stop()
+  * }}}
+  *
+  * Start order mirrors the reference: the store must serve the bootstrap
+  * read; sinks start from their checkpoints (hot-swap contract holds
+  * across restarts); the control plane subscribes last so an update can't
+  * race the bootstrap; the alert poll is independent. Stop is the reverse.
+  */
+class GraftApp(val spark: SparkSession, val store: DocumentStore,
+               val io: StreamIO, val registry: FunctionRegistry) {
+
+  val topology = new Topology(io, registry)
+  val streams = new StreamManager(topology)
+  val functions = new FunctionManager(store, streams)
+  val alerts = new AlertScheduler(store, registry)
+
+  /** T19 boot: wire persisted stream functions, start sinks, subscribe the
+    * control plane, start the alert poll. Idempotent per component. */
+  def start(): GraftApp = {
+    streams.bootstrapFromStore(store)
+    streams.startControlPlane(store, NodeSpec.parse)
+    alerts.start()
+    this
+  }
+
+  def stop(): Unit = {
+    alerts.stop()
+    streams.stopAll()
+  }
+}
+
+object GraftApp {
+  def apply(spark: SparkSession, dbPath: String, io: StreamIO,
+            registry: FunctionRegistry = FunctionRegistry.default): GraftApp =
+    new GraftApp(spark, DocumentStore(spark, dbPath), io, registry)
+}

@@ -25,6 +25,14 @@ class StreamManager(val topology: Topology) {
 
   private val running = TrieMap.empty[String, StreamingQuery]
 
+  /** Serializes graph mutations. The management plane applies an update
+    * locally AND broadcasts it; the control-plane subscriber applies the
+    * same update from the topic — two threads stop/starting one
+    * checkpointed query concurrently corrupts its StreamMetadata
+    * ("multiple streaming queries using metadata"). Mutations are
+    * control-plane-scale (rare), so one lock is the right tool. */
+  private val adminLock = new Object
+
   private def queryName(full: String): String = full.replace('/', '_')
 
   /** Name of the internal control-plane topic
@@ -54,7 +62,7 @@ class StreamManager(val topology: Topology) {
 
   /** T13/T19 `apply-graph!` + startup bootstrap: start every sink query and
     * every error-handler's dead-letter query not yet running. Idempotent. */
-  def applyGraph(): Seq[StreamingQuery] = {
+  def applyGraph(): Seq[StreamingQuery] = adminLock.synchronized {
     val mains = topology.sinkNodes.sortBy(_.name.full)
       .filterNot(n => running.contains(n.name.full)).map(startSink)
     val deads = topology.nodes.values.toSeq.sortBy(_.name.full)
@@ -86,9 +94,10 @@ class StreamManager(val topology: Topology) {
     * start a second `<name>_errors` query while the old one still runs
     * (Spark rejects duplicate active query names → updateNode would fail),
     * and deleteNode would leak a running query bound to a removed node. */
-  def stopSink(full: String): Unit =
+  def stopSink(full: String): Unit = adminLock.synchronized {
     Seq(full, full + "#errors", full + "#drain")
       .foreach(k => running.remove(k).foreach(_.stop()))
+  }
 
   def stopAll(): Unit = { running.keys.toSeq.foreach(stopSink); () }
 
@@ -105,16 +114,16 @@ class StreamManager(val topology: Topology) {
     Seq(full, full + "#errors", full + "#drain").exists(running.contains)
 
   def updateNode(n: StreamNode): Either[String, Seq[StreamingQuery]] =
-    topology.validate(n).map { ok =>
+    topology.validate(n).map { ok => adminLock.synchronized {
       val affectedSinks = (topology.downstreamOf(ok.name.full) + ok.name.full)
         .filter(hasRunningQueries)
       affectedSinks.foreach(stopSink)
       topology.addNode(ok)
       applyGraph()
-    }
+    } }
 
   /** Remove a node and stop everything downstream of it. */
-  def deleteNode(full: String): Unit = {
+  def deleteNode(full: String): Unit = adminLock.synchronized {
     (topology.downstreamOf(full) + full).filter(hasRunningQueries).foreach(stopSink)
     topology.removeNode(full)
   }

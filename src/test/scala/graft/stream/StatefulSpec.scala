@@ -81,7 +81,7 @@ class StatefulSpec extends SparkSpec {
     // transformWithState). Data still flows batch to batch — so the test
     // polls the sink and uses SENTINEL keys for ordering: once a sentinel
     // published AFTER an event shows up, that event's batch has committed.
-    val deduped = Stateful.dedupKeysTtl(topo.buildPlan("kafka/docs"), ttlMillis = 2000)
+    val deduped = Stateful.dedupKeysTtl(topo.buildPlan("kafka/docs"), ttlMillis = 15000)
     val q = deduped.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Stateful.KeyedEvent], _: Long) =>
         org.apache.spark.sql.SparkSession.setActiveSession(session)
@@ -99,12 +99,13 @@ class StatefulSpec extends SparkSpec {
       io.publish("kafka/docs", "doc1", "v1")
       io.publish("kafka/docs", "doc2", "v1")
       awaitSeen("doc1", "v1"); awaitSeen("doc2", "v1")
+      // 15 s TTL >> batch lag even under full-suite load (2 s flaked)
       io.publish("kafka/docs", "doc1", "v2") // dup within TTL → dropped
       io.publish("kafka/docs", "sentinel1", "x")
       awaitSeen("sentinel1", "x") // dup's batch committed by now
       assert(!seen.synchronized(seen.contains("doc1" -> "v2")),
         s"dup within TTL must drop: $seen")
-      Thread.sleep(3000) // let doc1's state pass its 2 s TTL
+      Thread.sleep(16000) // let doc1's state pass its TTL
       io.publish("kafka/docs", "doc1", "v3") // state expired → re-admitted
       awaitSeen("doc1", "v3")
     } finally {
