@@ -64,6 +64,7 @@ object SparkEntry {
     "similarity_knn_join" -> (Similarity.similarityKnnJoinQuery(_, _)),
     "text_stats"          -> (TextOps.textStats(_, _)),
     "token_count"         -> (TextOps.tokenCountQuery(_, _)),
+    "token_count_bpe"     -> (TextOps.tokenCountBpeQuery(_, _)),
     "text_analysis"       -> (TextOps.textAnalysisQuery(_, _)),
     "text_quality"        -> (TextOps.textQualityQuery(_, _)),
     "multimodal_pipeline" -> (graft.ext.Multimodal.multimodalQuery(_, _)),
@@ -239,6 +240,11 @@ object SparkEntry {
          FROM documents GROUP BY lang""",
     "token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens
+         FROM documents""",
+    "token_count_bpe" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+')) +
+         len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_bpeish
          FROM documents""",
     "text_quality" ->
       """WITH tok AS (

@@ -109,6 +109,13 @@ object TextOps {
     Tables.documents(s, d)
       .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
 
+  /** BPE-ish subword counts, DuckDB-oracled: the lookaround split counts
+    * (alnum runs) + (non-alnum non-space chars), which RE2 — no
+    * lookarounds — replays as two regexp_extract_all counts. */
+  def tokenCountBpeQuery(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), bpeishCount(col("text")).as("n_bpeish"))
+
   /** per-language corpus stats. */
   def textStats(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
