@@ -267,8 +267,8 @@ object SparkEntry {
            FROM tok
          )
          SELECT doc_id, n_tokens,
-           round((len_score + punct_score + (1.0 - least(abs(swr - 0.4) * 2.0, 1.0))
-                  + (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0))) / 4.0, 6) AS quality,
+           floor(((len_score + punct_score + (1.0 - least(abs(swr - 0.4) * 2.0, 1.0))
+                  + (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0))) / 4.0) * 1e6 + 0.5) / 1e6 AS quality,
            CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred
          FROM feat""",
   )

@@ -59,7 +59,14 @@ object TextOps {
       greatest(size(toks), lit(1)).cast("double")
 
   /** Composite quality score in [0,1]: long-enough, low punctuation, sane
-    * stopword density, plausible word length. */
+    * stopword density, plausible word length.
+    *
+    * Rounding is `floor(q·10⁶ + 0.5)/10⁶` — NOT `round(q, 6)`: Spark
+    * rounds through an exact BigDecimal while DuckDB rounds doubles as
+    * floor(x·10⁶ + 0.5) in floating point, and values one ulp below a
+    * .5·10⁻⁶ boundary round differently (hit at sf0.1, doc 1432). The
+    * explicit floor formula is the same IEEE op sequence in both engines,
+    * so the oracle matches at every SF. */
   def qualityScore(text: Column): Column = {
     val toks = tokens(text)
     val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
@@ -68,7 +75,8 @@ object TextOps {
     val swScore = lit(1.0) - least(abs(swr - 0.4) * 2.0, lit(1.0))
     val mwl = meanWordLen(toks)
     val wlScore = lit(1.0) - least(abs(mwl - 5.0) / 5.0, lit(1.0))
-    round((lenScore + punctScore + swScore + wlScore) / 4.0, 6)
+    val q = (lenScore + punctScore + swScore + wlScore) / 4.0
+    floor(q * 1e6 + lit(0.5)) / 1e6
   }
 
   /** Language ID via stopword-hit heuristic over small per-language stopword
