@@ -212,20 +212,20 @@ object SparkEntry {
            WHERE a.doc_id < b.doc_id
            GROUP BY 1, 2 HAVING count(*) >= 2
          )
-         SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
+         SELECT id_a, id_b, floor(j * 1e4 + 0.5) / 1e4 AS jaccard FROM (
            SELECT c.id_a, c.id_b,
              CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
                (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
            FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
          WHERE j >= 0.5""",
     "similarity_topk" ->
-      """SELECT vec_id, round(sim, 4) AS sim FROM (
+      """SELECT vec_id, floor(sim * 1e4 + 0.5) / 1e4 AS sim FROM (
            SELECT e.vec_id,
              list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[])) AS sim
            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) t)
          ORDER BY sim DESC, vec_id LIMIT 10""",
     "similarity_knn_join" ->
-      """SELECT q_id, vec_id, round(sim, 4) AS sim FROM (
+      """SELECT q_id, vec_id, floor(sim * 1e4 + 0.5) / 1e4 AS sim FROM (
            SELECT q_id, vec_id, sim,
              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
            FROM (

@@ -98,7 +98,7 @@ object Dedup {
   /** SparkEntry query (rows-only): MinHash near-dup pairs at jaccard>=0.5. */
   def minhashQuery(s: SparkSession, d: String): DataFrame =
     minhashNearDups(Tables.documents(s, d), threshold = 0.5)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), graft.query.Functions.stableRound(col("jaccard"), 4).as("jaccard"))
 
   // --------------------------------------------------------------- SimHash
 
@@ -222,7 +222,7 @@ object Dedup {
   /** SparkEntry query (rows-only): exact 3-gram Jaccard dup pairs ≥ 0.5. */
   def ngramJaccardQuery(s: SparkSession, d: String): DataFrame =
     ngramJaccardPairs(Tables.documents(s, d))
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), graft.query.Functions.stableRound(col("jaccard"), 4).as("jaccard"))
 
   // ------------------------------------------------- embedding near-dup
 
@@ -302,5 +302,5 @@ object Dedup {
   def embeddingLshQuery(s: SparkSession, d: String): DataFrame =
     embeddingNearDups(withPlantedTwins(Tables.embeddings(s, d)),
         threshold = 0.95, nBits = 8, tables = 8)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .select(col("id_a"), col("id_b"), graft.query.Functions.stableRound(col("cos"), 4).as("cos"))
 }

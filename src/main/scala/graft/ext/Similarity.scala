@@ -53,7 +53,7 @@ object Similarity {
     * rounded to 4 dp for engine-independent comparison. */
   def similarityTopK(s: SparkSession, d: String): DataFrame =
     bruteForceTopK(Tables.embeddings(s, d), targetId = 0L, k = 10)
-      .select(col("vec_id"), round(col("sim_raw"), 4).as("sim"))
+      .select(col("vec_id"), graft.query.Functions.stableRound(col("sim_raw"), 4).as("sim"))
 
   /** IVF-style ANN: assign every vector to its nearest centroid (broadcast
     * centroid table), then for a query probe only the `nprobe` closest
@@ -158,7 +158,7 @@ object Similarity {
     knnJoin(emb.filter(col("vec_id") < 5), emb, k = 5)
       .select(col("q_id"), explode(col("topk")).as("t"))
       .select(col("q_id"), col("t.id").as("vec_id"),
-        round(col("t.score"), 4).as("sim"))
+        graft.query.Functions.stableRound(col("t.score"), 4).as("sim"))
   }
 
   /** SparkEntry query (rows-only): trained-IVF approximate top-10 for
@@ -172,6 +172,6 @@ object Similarity {
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).first().getSeq[Double](0)
     ivfTopK(assigned, cents, q, k = 10, nprobe = 4)
-      .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+      .select(col("vec_id"), graft.query.Functions.stableRound(col("sim"), 4).as("sim"))
   }
 }

@@ -75,8 +75,8 @@ object TextOps {
     val swScore = lit(1.0) - least(abs(swr - 0.4) * 2.0, lit(1.0))
     val mwl = meanWordLen(toks)
     val wlScore = lit(1.0) - least(abs(mwl - 5.0) / 5.0, lit(1.0))
-    val q = (lenScore + punctScore + swScore + wlScore) / 4.0
-    floor(q * 1e6 + lit(0.5)) / 1e6
+    graft.query.Functions.stableRound(
+      (lenScore + punctScore + swScore + wlScore) / 4.0, 6)
   }
 
   /** Language ID via stopword-hit heuristic over small per-language stopword

@@ -21,6 +21,20 @@ import org.apache.spark.sql.functions._
   */
 object Functions {
 
+  /** Engine-stable half-up rounding of a non-negative double:
+    * `floor(x·10ˢ + 0.5)/10ˢ` — the identical IEEE op sequence in Spark
+    * and DuckDB. Plain `round(x, s)` is NOT oracle-safe: Spark rounds via
+    * exact BigDecimal, DuckDB via this floating-point formula, and one ulp
+    * below a .5 boundary they disagree (bitten at sf0.1). */
+  def stableRound(c: Column, scale: Int): Column = {
+    val p = math.pow(10.0, scale)
+    floor(c * p + lit(0.5)) / p
+  }
+
+  /** The DuckDB-side spelling of [[stableRound]] for oracle SQL. */
+  def stableRoundSql(expr: String, scale: Int): String =
+    s"floor(($expr) * 1e$scale + 0.5) / 1e$scale"
+
   /** `:never` sentinel — sorts after every real instant
     * (`time.clj`'s :never arm; used by alert scheduling). */
   val Never: Instant = Instant.ofEpochMilli(Long.MaxValue >> 12)
