@@ -167,7 +167,11 @@ object Similarity {
     * partition-pruned scan — the 100 TB ANN shape. */
   def similarityIvfQuery(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val cents = trainCentroids(emb, kCentroids = 16, iters = 2)
+    // quantizer trains on a deterministic 1-in-5 sample (standard IVF
+    // practice: centroid quality needs a sample, not the corpus — at
+    // 100 TB training on everything would dwarf the search itself)
+    val cents = trainCentroids(
+      emb.filter(pmod(col("vec_id"), lit(5)) === 0), kCentroids = 16, iters = 2)
     val assigned = ivfAssign(emb, cents)
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).first().getSeq[Double](0)
