@@ -151,7 +151,11 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
     }
   }
 
-  /** Rows discarded so far by `full`'s sliding/dropping buffer (T8/T9). */
+  /** Rows discarded so far by `full`'s sliding/dropping buffer (T8/T9).
+    * Counts across every running query that materializes the node's plan —
+    * a node with BOTH a lossy buffer and an error sink contributes from
+    * its main query and its dead-letter query (each pipeline drops
+    * independently, exactly as each reports). */
   def droppedRows(full: String): Long =
     DropMetrics.forSession(io.spark).droppedRows(full)
 
