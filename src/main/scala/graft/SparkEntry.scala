@@ -241,6 +241,56 @@ object SparkEntry {
     "token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens
          FROM documents""",
+    // similarity_ivf: the ENTIRE trained-ANN pipeline replayed — sampled
+    // k-means init, two Lloyd rounds, assignment, probe, top-k. Possible
+    // because every step is deterministic by construction: decimal-exact
+    // means cast to double before division, cosine spelled as
+    // dot/(sqrt(dot aa)*sqrt(dot bb)) (the identical IEEE op sequence in
+    // both engines), and (dist, centroid_id) tie-breaks everywhere.
+    "similarity_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         ), samp AS (SELECT vec_id % 16 AS cid, vec_id, v FROM e WHERE vec_id % 5 = 0
+         ), c0 AS (
+           SELECT cid, list(mx ORDER BY pos) AS cvec FROM (
+             SELECT cid, pos, CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS mx
+             FROM (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM samp)
+             GROUP BY cid, pos) GROUP BY cid
+         ), a1 AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT s.vec_id, s.v, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY 1.0 - list_dot_product(s.v, c.cvec) / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(c.cvec, c.cvec))) ASC, c.cid ASC) AS rn
+             FROM samp s CROSS JOIN c0 c) WHERE rn = 1
+         ), c1 AS (
+           SELECT cid, list(mx ORDER BY pos) AS cvec FROM (
+             SELECT cid, pos, CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS mx
+             FROM (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a1)
+             GROUP BY cid, pos) GROUP BY cid
+         ), a2 AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT s.vec_id, s.v, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY 1.0 - list_dot_product(s.v, c.cvec) / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(c.cvec, c.cvec))) ASC, c.cid ASC) AS rn
+             FROM samp s CROSS JOIN c1 c) WHERE rn = 1
+         ), c2 AS (
+           SELECT cid, list(mx ORDER BY pos) AS cvec FROM (
+             SELECT cid, pos, CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS mx
+             FROM (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a2)
+             GROUP BY cid, pos) GROUP BY cid
+         ), assigned AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT s.vec_id, s.v, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY 1.0 - list_dot_product(s.v, c.cvec) / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(c.cvec, c.cvec))) ASC, c.cid ASC) AS rn
+             FROM e s CROSS JOIN c2 c) WHERE rn = 1
+         ), q AS (SELECT v AS qv FROM e WHERE vec_id = 0
+         ), probed AS (SELECT cid FROM (
+             SELECT c.cid, 1.0 - list_dot_product(c.cvec, q.qv) / (sqrt(list_dot_product(c.cvec, c.cvec)) * sqrt(list_dot_product(q.qv, q.qv))) AS qdist
+             FROM c2 c CROSS JOIN q ORDER BY qdist ASC, c.cid ASC LIMIT 4))
+         SELECT a.vec_id, floor((list_dot_product(a.v, q.qv) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv)))) * 1e4 + 0.5) / 1e4 AS sim
+         FROM assigned a CROSS JOIN q
+         WHERE a.cid IN (SELECT cid FROM probed)
+         ORDER BY list_dot_product(a.v, q.qv) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC, a.vec_id ASC LIMIT 10""",
     "token_count_bpe" ->
       """SELECT doc_id,
          len(regexp_extract_all(text, '[A-Za-z0-9]+')) +

@@ -81,15 +81,16 @@ object Similarity {
       .limit(k)
   }
 
-  /** Element-wise mean vector per assigned bucket. The mean is an exact
-    * DECIMAL sum divided by the count, so centroids are bit-identical
-    * across runs regardless of partial-aggregation order — keeping the
-    * whole IVF structure reproducible. */
+  /** Element-wise mean vector per assigned bucket. The sum is exact
+    * DECIMAL (order-independent), CAST TO DOUBLE before the division —
+    * decimal-division scale rules are engine-specific, double division of
+    * an exact sum is not. Centroids are bit-identical across runs AND
+    * across engines (the DuckDB oracle replays them). */
   private def meanPerBucket(assigned: DataFrame): DataFrame =
     assigned.select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("centroid_id", "pos")
-      .agg((sum(col("x").cast("decimal(27,15)")) / count(lit(1)))
-        .cast("double").as("mx"))
+      .agg((sum(col("x").cast("decimal(27,15)")).cast("double") / count(lit(1)))
+        .as("mx"))
       .groupBy("centroid_id")
       .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("pairs"))
       .select(col("centroid_id"), expr("transform(pairs, p -> p.mx)").as("cvec"))
