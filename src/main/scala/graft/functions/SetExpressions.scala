@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, MapType, StructType}
 
 /** Static helper shared by `eval` and generated code: |set(a) ∩ set(b)|
   * over two arrays, WITHOUT materializing the intersection array the way
@@ -65,16 +65,27 @@ case class IntersectionSize(left: Expression, right: Expression)
   * expression. Pure-SQL Jaccard queries get the allocation-free path the
   * Scala operators use directly. */
 object IntersectionSizeRule extends Rule[LogicalPlan] {
-  private def noNullElems(e: Expression): Boolean = e.dataType match {
-    case ArrayType(_, containsNull) => !containsNull
+  private def rewritable(e: Expression): Boolean = e.dataType match {
+    // null-element arrays keep the original expression (array_intersect
+    // counts a null present on both sides, the hash probe skips it), and
+    // so do floating-point elements: SQL set semantics normalize
+    // 0.0 == -0.0 (SQLOpenHashSet) while boxed Double/Float distinguish
+    // them — the rewrite must never change pure-SQL results.
+    case ArrayType(et, containsNull) => !containsNull && !hasFloating(et)
+    case _ => false
+  }
+
+  private def hasFloating(dt: DataType): Boolean = dt match {
+    case DoubleType | FloatType => true
+    case ArrayType(et, _) => hasFloating(et)
+    case StructType(fields) => fields.exists(f => hasFloating(f.dataType))
+    case MapType(k, v, _) => hasFloating(k) || hasFloating(v)
     case _ => false
   }
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      // null-element arrays keep the original expression: array_intersect
-      // counts a null present on both sides, the hash probe skips it
       case Size(ai: ArrayIntersect, legacySizeOfNull)
-          if !legacySizeOfNull && noNullElems(ai.left) && noNullElems(ai.right) =>
+          if !legacySizeOfNull && rewritable(ai.left) && rewritable(ai.right) =>
         IntersectionSize(ai.left, ai.right)
     }
 }

@@ -41,12 +41,45 @@ object Fixpoint {
     val reliableDir = Option(spark.conf.get(CheckpointDirKey, null)).filter(_.nonEmpty)
     val ckpt = reliableDir match {
       case Some(dir) =>
-        if (!spark.sparkContext.getCheckpointDir.contains(dir))
-          spark.sparkContext.setCheckpointDir(dir)
+        val sc = spark.sparkContext
+        // setCheckpointDir stores `<dir>/<uuid>` as a QUALIFIED URI, so the
+        // conf value must be qualified and compared against the parent —
+        // a raw string compare never matches and re-creates a fresh uuid
+        // subdirectory on every materialize. Set once per dir.
+        // Checkpoint files of superseded iterations are reclaimed by
+        // Spark's ContextCleaner when the app sets
+        // `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+        // (a SparkConf option, documented in README §fixpoint).
+        val dirPath = new org.apache.hadoop.fs.Path(dir)
+        val qualified =
+          dirPath.getFileSystem(sc.hadoopConfiguration).makeQualified(dirPath)
+        val alreadySet = sc.getCheckpointDir
+          .exists(cur => new org.apache.hadoop.fs.Path(cur).getParent == qualified)
+        if (!alreadySet) sc.setCheckpointDir(dir)
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(true)
     }
     spark.createDataFrame(ckpt.rdd, ckpt.schema)
+  }
+
+  /** Rebuild the accumulator from its materialized delta legs WITHOUT
+    * rewriting any data: every leg is checkpoint-backed, so the flat
+    * `sc.union` is pure metadata (no job, no shuffle, no re-checkpoint of
+    * the full relation) and the result is a single LogicalRDD leaf with
+    * fresh attribute ids. This turns the per-iteration cost from O(|acc|)
+    * (full accumulator re-checkpoint, quadratic total data movement over a
+    * deep fixpoint) to O(|delta|). Keeping the legs as a flat list (rather
+    * than nesting unions) bounds the lineage depth and the per-row
+    * conversion cost at one layer regardless of depth. Partition counts are
+    * coalesced (narrow, lazy) once they exceed 4× the shuffle width so task
+    * counts don't grow unboundedly with iteration count. */
+  private def fromLegs(spark: org.apache.spark.sql.SparkSession,
+                       legs: Seq[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]],
+                       schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val u = spark.sparkContext.union(legs)
+    val target = spark.sessionState.conf.numShufflePartitions
+    val bounded = if (u.getNumPartitions > 4 * target) u.coalesce(target) else u
+    spark.createDataFrame(bounded, schema)
   }
 
   private def nonConverged(what: String, maxIter: Int): Nothing =
@@ -57,6 +90,8 @@ object Fixpoint {
   /** Transitive closure of `edges(src, dst)` → all reachable `(src, dst)`. */
   def transitiveClosure(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val e = materialize(edges.select("src", "dst").distinct())
+    val spark = e.sparkSession
+    var legs = Vector(e.rdd)
     var acc = e
     var delta = e
     var i = 0
@@ -69,7 +104,8 @@ object Fixpoint {
       val fresh = materialize(extended.join(acc, Seq("src", "dst"), "left_anti"))
       if (fresh.isEmpty) done = true
       else {
-        acc = materialize(acc.union(fresh))
+        legs :+= fresh.rdd
+        acc = fromLegs(spark, legs, e.schema)
         delta = fresh
       }
       i += 1
@@ -91,8 +127,11 @@ object Fixpoint {
     * delta, or derivations pairing a new tuple with an old one are lost). */
   def fixpoint2(base: DataFrame, step: (DataFrame, DataFrame) => DataFrame,
                 keys: Seq[String], maxIter: Int = 50): DataFrame = {
-    var acc = materialize(base.select(keys.map(col): _*).distinct())
-    var delta = acc
+    val first = materialize(base.select(keys.map(col): _*).distinct())
+    val spark = first.sparkSession
+    var legs = Vector(first.rdd)
+    var acc = first
+    var delta = first
     var i = 0
     var done = false
     while (!done && i < maxIter) {
@@ -102,7 +141,8 @@ object Fixpoint {
           .join(acc, keys, "left_anti"))
       if (fresh.isEmpty) done = true
       else {
-        acc = materialize(acc.union(fresh))
+        legs :+= fresh.rdd
+        acc = fromLegs(spark, legs, first.schema)
         delta = fresh
       }
       i += 1

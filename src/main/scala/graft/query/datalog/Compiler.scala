@@ -310,9 +310,12 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
     // crux 1.16 two-arg aggregates. Deterministic pseudo-randomness (seeded
     // hash order, not java.util.Random) so a query is reproducible across
     // runs and engines — sampling N items per group stays O(group size).
-    case "rand" => // N picks WITH replacement: hash-indexed element picks
+    case "rand" => // N picks WITH replacement: hash-indexed element picks.
+      // collect_list order is shuffle-dependent, so picks index into the
+      // SORTED bag (array_sort is deterministic on the multiset) — without
+      // this the same query could return different picks run-to-run.
       val k = n.getOrElse(1)
-      val arr = collect_list(col(v))
+      val arr = array_sort(collect_list(col(v)))
       transform(sequence(lit(1), lit(k)),
         i => element_at(arr, (pmod(hash(i, lit(42)), size(arr)) + 1)))
     case "sample" => // N DISTINCT picks: value set in seeded-hash order

@@ -42,6 +42,13 @@ class DropMetrics private () extends StreamingQueryListener {
     val out = outRows.collect { case ((n, _), v) if n == node => v }.sum
     math.max(0L, in - out)
   }
+
+  /** Forget `node`'s counters — call when a topology discards the node so a
+    * later same-named node starts from zero instead of inheriting totals. */
+  def reset(node: String): Unit = {
+    inRows.filterInPlace { case ((n, _), _) => n != node }
+    outRows.filterInPlace { case ((n, _), _) => n != node }
+  }
 }
 
 object DropMetrics {
@@ -59,13 +66,31 @@ object DropMetrics {
       case _ => None
     }
 
-  private val instances = TrieMap.empty[SparkSession, DropMetrics]
+  // Weak keys: a discarded SparkSession must stay collectable — the map
+  // must never be the thing pinning a session (and its listener + counters)
+  // in a long-lived multi-session process. The value holds no reference to
+  // the session (only the session's listener bus refs the value), so a
+  // dead session's entry clears on the next GC.
+  private val instances =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, DropMetrics]())
 
   /** The session's (lazily registered) drop-metrics listener. */
   def forSession(spark: SparkSession): DropMetrics =
-    instances.getOrElseUpdate(spark, {
-      val m = new DropMetrics()
-      spark.streams.addListener(m)
-      m
-    })
+    instances.synchronized {
+      Option(instances.get(spark)).getOrElse {
+        val m = new DropMetrics()
+        spark.streams.addListener(m)
+        instances.put(spark, m)
+        m
+      }
+    }
+
+  /** Eagerly detach the session's listener and drop its counters (the weak
+    * map also clears on GC; this is the deterministic path for apps that
+    * stop sessions explicitly). */
+  def release(spark: SparkSession): Unit =
+    instances.synchronized {
+      Option(instances.remove(spark)).foreach(spark.streams.removeListener)
+    }
 }

@@ -47,7 +47,10 @@ trait StreamIO {
   * from Kafka auto-commit (at-most-once-ish, `kafka.clj:108-109`) to the
   * checkpoint (at-least-once) — an intentional upgrade (SURVEY.md §3.3). */
 class KafkaIO(val spark: SparkSession, bootstrapServers: String,
-              checkpointRoot: String) extends StreamIO {
+              checkpointRoot: String,
+              topicPartitions: Int = 6, topicReplication: Short = 3) extends StreamIO {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   def source(topic: String, rateLimit: Option[Long] = None): DataFrame = {
     val base = spark.readStream.format("kafka")
@@ -86,12 +89,20 @@ class KafkaIO(val spark: SparkSession, bootstrapServers: String,
       .trigger(Trigger.ProcessingTime("100 milliseconds")) // poll cadence (kafka.clj:108)
       .start()
 
-  /** S9 topic auto-creation (kafka.clj:26-50: 6 partitions / RF 3).
+  /** S9 topic auto-creation (kafka.clj:26-50: default 6 partitions / RF 3,
+    * overridable via the constructor for small dev clusters).
     * kafka-clients is a runtime dependency of real deployments (the Spark
     * Kafka connector pulls it in) but absent from this build environment,
     * so the AdminClient is reached REFLECTIVELY: compiles clean here, and
     * creates the topic (idempotently) wherever the jar is present. Without
-    * the jar this degrades to the documented no-op. */
+    * the jar this degrades to the documented no-op.
+    *
+    * Best-effort by design: ANY create failure (unreachable broker,
+    * InvalidReplicationFactorException on an under-replicated dev cluster,
+    * auth) is logged and swallowed so `addNode` registration still
+    * succeeds — the source/sink query surfaces the real connectivity error
+    * if the topic truly doesn't exist, matching the reference where topic
+    * creation failure never blocks node registration. */
   def ensureTopic(topic: String): Unit =
     try {
       val props = new java.util.Properties()
@@ -103,7 +114,7 @@ class KafkaIO(val spark: SparkSession, bootstrapServers: String,
         val newTopicCls = Class.forName("org.apache.kafka.clients.admin.NewTopic")
         val newTopic = newTopicCls
           .getConstructor(classOf[String], classOf[Int], classOf[Short])
-          .newInstance(topic, Int.box(6), Short.box(3.toShort)) // kafka.clj:36-37
+          .newInstance(topic, Int.box(topicPartitions), Short.box(topicReplication)) // kafka.clj:36-37
         val result = adminCls
           .getMethod("createTopics", classOf[java.util.Collection[_]])
           .invoke(admin, java.util.Collections.singleton(newTopic))
@@ -115,6 +126,9 @@ class KafkaIO(val spark: SparkSession, bootstrapServers: String,
       case _: ClassNotFoundException => () // no kafka-clients on classpath
       case e: java.lang.reflect.InvocationTargetException
           if rootCauseIsTopicExists(e) => () // already there — idempotent
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"topic auto-creation failed for '$topic' (continuing; " +
+          "the stream query will surface any real connectivity error)", e)
     }
 
   private def rootCauseIsTopicExists(e: Throwable): Boolean = {

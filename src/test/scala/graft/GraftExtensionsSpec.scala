@@ -72,6 +72,23 @@ class GraftExtensionsSpec extends SparkSpec {
     // intersection_size-vs-size(array_intersect) test above
   }
 
+  test("optimizer rule leaves floating-point arrays alone (0.0 vs -0.0 SQL semantics)") {
+    import org.apache.spark.sql.functions.{array_intersect, size}
+    // ±0.0/NaN set equality for FP arrays has flip-flopped across Spark
+    // releases (this 4.1 build: [0.0] ∩ [-0.0] = ∅); the rewrite must never
+    // be the thing that changes a pure-SQL answer, so FP element types are
+    // excluded wholesale rather than chasing the engine's current choice.
+    val df = spark.range(3)
+      .select(
+        org.apache.spark.sql.functions.array($"id".cast("double") * 0.0).as("a"),
+        org.apache.spark.sql.functions.array($"id".cast("double") * -0.0).as("b"))
+      .select(size(array_intersect($"a", $"b")).as("n"))
+    val rewritten = graft.functions.IntersectionSizeRule(df.queryExecution.optimizedPlan)
+    assert(!rewritten.expressions.exists(_.exists(
+      _.isInstanceOf[graft.functions.IntersectionSize])),
+      s"rule must not rewrite double arrays: $rewritten")
+  }
+
   test("SQL-registered expressions stay codegen'd (no UDF wrapper in the plan)") {
     registered
     val df = spark.range(1).selectExpr("vec_dot(array(1.0d), array(2.0d)) AS d")

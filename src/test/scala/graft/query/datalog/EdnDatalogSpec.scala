@@ -140,6 +140,17 @@ class EdnDatalogSpec extends SparkSpec {
     assert(EdnDatalog.run(docs, "{:find [(sample 0 ?x)] :where [[?e :name ?x]]}").isLeft)
   }
 
+  test("(rand N ?x) picks are partitioning-invariant, not collect-order luck") {
+    // collect_list order changes with physical partitioning; rand must index
+    // a deterministically ordered bag so picks survive any shuffle layout
+    val q = """{:find [(rand 5 ?n)] :where [[?e :name ?n]]}"""
+    val a = EdnDatalog.run(docs.repartition(7), q).fold(e => fail(e), identity)
+      .as[Seq[String]].collect().head
+    val b = EdnDatalog.run(docs.repartition(2), q).fold(e => fail(e), identity)
+      .as[Seq[String]].collect().head
+    assert(a == b)
+  }
+
   test("malformed queries give Left, never throw") {
     for (bad <- Seq("{}", "{:find []}", "{:find [?x]}", "[1 2 3]", "{:find [?x] :where [[?x",
                     "{:find [?x] :where [[?x :name ?n]] :limit \"ten\"}"))

@@ -127,7 +127,20 @@ class TopologySpec extends SparkSpec {
       val vals = io.collected("out").map(_.getAs[String]("value"))
       assert(vals == Seq("v4", "v5"), s"sliding keeps the LAST x: $vals")
       assert(awaitDropped(topo, "stream/slide", 3L) == 3L)
+      // reset forgets the node's counters (a re-created same-named node
+      // must not inherit a discarded topology's totals)
+      DropMetrics.forSession(spark).reset("stream/slide")
+      assert(topo.droppedRows("stream/slide") == 0L)
     } finally mgr.stopAll()
+  }
+
+  test("DropMetrics.release detaches the session listener deterministically") {
+    val before = DropMetrics.forSession(spark)
+    assert(DropMetrics.forSession(spark) eq before) // cached per session
+    DropMetrics.release(spark)
+    val after = DropMetrics.forSession(spark)
+    assert(!(after eq before), "release must drop the cached instance")
+    DropMetrics.release(spark)
   }
 
   test("hot-swap of a node WITH an error sink restarts its dead-letter query too") {
