@@ -7,23 +7,53 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Let AQE size post-shuffle partitions by bytes (advisory 64 MB), not
+      // by cluster parallelism: Spark's own guidance for busy clusters, and
+      // the right 100 TB posture — at bench scale it also stops KB-sized
+      // shuffles from being scheduled as `cpus` near-empty tasks per stage.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // apply AQE partition coalescing INSIDE cached-plan materialization
+      // too (off by default) — persisted signature/class tables otherwise
+      // keep full-width KB-sized partitions and every scan pays the tasks
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Dev loop: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (driver
+    // leaves it unset and always measures the full surface).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names(n) })
     // Warmup: one untimed pass over every query (JIT + codegen + parquet
     // footer caches), so timed numbers measure the PLAN, not first-run JVM
     // warmup — makes round-over-round comparisons meaningful. Disable with
     // SPARK_GRAFT_BENCH_WARMUP=0.
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
-      SparkEntry.queries.foreach { case (_, fn) =>
+      queries.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
         graft.core.CacheRegistry.unpersistAll()
       }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_STATS=1: per-query job/stage/task counts on stderr —
+    // scheduling-overhead waste is visible in these when wall-clock is noise.
+    val stats = sys.env.get("SPARK_GRAFT_BENCH_STATS").contains("1")
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    if (stats) spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size.toLong)
+        tasks.addAndGet(j.stageInfos.map(_.numTasks.toLong).sum)
+      }
+    })
+    val results = queries.map { case (name, fn) =>
+      val (j0, s0, t0c) = (jobs.get(), stages.get(), tasks.get())
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       graft.core.CacheRegistry.unpersistAll() // release per-query caches
+      if (stats) System.err.println(
+        f"[bench-stats] $name%-24s ${dt}%6.2fs jobs=${jobs.get - j0}%-3d stages=${stages.get - s0}%-4d tasks=${tasks.get - t0c}%-5d")
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

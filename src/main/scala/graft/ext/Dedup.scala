@@ -139,9 +139,13 @@ object Dedup {
             call_function("shiftright", col("fp"), c * 16)
               .bitwiseAND(0xFFFFL).as("key")))).as("ck"))
       .select(col("fp"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-    val usable = chunks.groupBy("chunk", "key").agg(count(lit(1)).as("df"))
+    // bucket size as a window count — one shuffle, and the (chunk,key)
+    // partitioning carries into the self-join (see ngramJaccardPairs)
+    val pruned = chunks
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("chunk", "key")))
       .filter(col("df") >= 2 && col("df") <= maxBucket)
-    val pruned = chunks.join(usable.select("chunk", "key"), Seq("chunk", "key"), "left_semi")
+      .drop("df")
     val fpPairs = pruned.as("a")
       .join(pruned.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
@@ -193,9 +197,15 @@ object Dedup {
     // exact verification below still runs on the true shingle sets)
     val posting = withSh.select(col("id"),
       explode(transform(col("sh"), s => xxhash64(s))).as("shingle"))
-    val rare = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // document frequency as a window count over the shingle partition: ONE
+    // shuffle computes df AND leaves the postings hash-partitioned by
+    // shingle, so the self-join below reuses the partitioning — the
+    // groupBy-then-semi-join spelling shuffles the posting list twice.
+    val pruned = posting
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
       .filter(col("df") <= maxDf && col("df") >= 2)
-    val pruned = posting.join(rare, Seq("shingle"), "left_semi")
+      .drop("df")
     // Candidate pairs ranked by how many rare shingles they share: a true
     // near-dup shares many, an incidental vocabulary collision shares one
     // or two — requiring `minCommon` slashes the verify-join fan-in without

@@ -2,7 +2,6 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 
 /** Embedding similarity search (north-star extension, BASELINE.json).
@@ -87,13 +86,21 @@ object Similarity {
     * an exact sum is not. Centroids are bit-identical across runs AND
     * across engines (the DuckDB oracle replays them). */
   private def meanPerBucket(assigned: DataFrame): DataFrame =
+    meanPairs(assigned)
+      .groupBy("centroid_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("pairs"))
+      .select(col("centroid_id"), expr("transform(pairs, p -> p.mx)").as("cvec"))
+
+  /** Per-(bucket, position) mean — the ONE distributed shuffle of a Lloyd
+    * round (map-side partial decimal sums; ≤ k·dim rows out regardless of
+    * corpus size). Array assembly happens wherever the consumer wants it:
+    * [[meanPerBucket]] for a DataFrame, [[collectCentroidPairs]] for
+    * driver-side model state. */
+  private def meanPairs(assigned: DataFrame): DataFrame =
     assigned.select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("centroid_id", "pos")
       .agg((sum(col("x").cast("decimal(27,15)")).cast("double") / count(lit(1)))
         .as("mx"))
-      .groupBy("centroid_id")
-      .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("pairs"))
-      .select(col("centroid_id"), expr("transform(pairs, p -> p.mx)").as("cvec"))
 
   /** Deterministic k-means-ish centroids without MLlib: average vector per
     * hash bucket of vec_id — cheap, reproducible coarse quantizer; the
@@ -111,23 +118,70 @@ object Similarity {
     * members drop out (k shrinks instead of seeding randomly, keeping the
     * whole pipeline deterministic). */
   def trainCentroids(emb: DataFrame, kCentroids: Int, iters: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
     val v = graft.core.CacheRegistry.persisted(
       emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
-    var cents = hashCentroids(emb, kCentroids)
+    val init = v.select(
+      pmod(col("vec_id"), lit(kCentroids.toLong)).as("centroid_id"), col("v"))
+    var cents = collectCentroidPairs(meanPairs(init))
     for (_ <- 1 to iters)
-      cents = graft.core.CacheRegistry.persisted(
-        meanPerBucket(assignToNearest(v, cents).select("centroid_id", "v")))
-    cents
+      cents = collectCentroidPairs(
+        meanPairs(assignToNearestLit(v, cents).select("centroid_id", "v")))
+    centroidsDf(spark, cents)
+  }
+
+  /** Centroids collected as driver-side MODEL STATE between Lloyd rounds —
+    * the MLlib k-means shape: a coarse quantizer is a few KB regardless of
+    * corpus size, so this is control-plane (model broadcast), not a
+    * data-path collect. Each Lloyd round is then exactly ONE distributed
+    * job: literal-centroid argmin (narrow) into the partial-agged mean
+    * shuffle, collected as (centroid, pos, mean) rows and assembled here.
+    * The collected doubles are exactly the bits Spark computed, so
+    * downstream arithmetic is bit-identical to the joined formulation (the
+    * DuckDB oracle replays either). */
+  private def collectCentroidPairs(pairs: DataFrame): Seq[(Long, Seq[Double])] =
+    pairs.collect().toSeq
+      .map(r => (r.get(0).asInstanceOf[Number].longValue(),
+        r.get(1).asInstanceOf[Number].intValue(), r.getDouble(2)))
+      .groupBy(_._1).toSeq
+      .map { case (c, xs) => (c, xs.sortBy(_._2).map(_._3)) }
+      .sortBy(_._1)
+
+  private def centroidsDf(spark: SparkSession,
+                          cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.toDF("centroid_id", "cvec")
+  }
+
+  /** Nearest-centroid assignment against LITERAL centroids: no join, no
+    * shuffle — one codegen'd argmin (`array_min` over (dist, centroid_id)
+    * structs, same (dist ASC, id ASC) tie-break as the joined path) per
+    * row. The right shape while k fits an expression tree (coarse
+    * quantizers do); `assignToNearest` remains the joined fallback. */
+  private def assignToNearestLit(v: DataFrame,
+                                 cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val entries = cents.map { case (cid, vec) =>
+      struct((lit(1.0) - cosine(col("v"), typedLit(vec))).as("dist"),
+        lit(cid).as("centroid_id"))
+    }
+    v.select(col("vec_id"), col("v"),
+      array_min(array(entries: _*)).getField("centroid_id").as("centroid_id"))
   }
 
   private def assignToNearest(v: DataFrame, centroids: DataFrame): DataFrame = {
     val c = centroids.select(col("centroid_id"), col("cvec").cast("array<double>").as("cvec"))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("centroid_id").asc)
+    // argmin as a partial-aggregable min over (dist, id) structs: the
+    // broadcast-join fan-out collapses MAP-SIDE to one row per vec_id
+    // (a window formulation would shuffle + sort every (vector, centroid)
+    // pair). `first(v)` is deterministic here: v is functionally dependent
+    // on the group key.
     v.crossJoin(broadcast(c))
-      .withColumn("dist", lit(1.0) - cosine(col("v"), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "v", "centroid_id")
+      .select(col("vec_id"), col("v"),
+        struct((lit(1.0) - cosine(col("v"), col("cvec"))).as("dist"),
+          col("centroid_id").as("centroid_id")).as("dc"))
+      .groupBy("vec_id")
+      .agg(min(col("dc")).as("dc"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), col("dc.centroid_id").as("centroid_id"))
   }
 
   /** kNN JOIN: top-k corpus neighbors for EVERY query vector in one pass —

@@ -1,7 +1,11 @@
 package graft.query
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.DatasetBridge
+import org.apache.spark.sql.types.StructType
 
 /** Recursive Datalog rules (Q9, SURVEY.md §2.2) — e.g. the `depends` rule in
   * `/root/reference/src/dataworks/db/app_db.clj:122-126`:
@@ -16,12 +20,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: per-iteration results are materialized (eager
   * checkpoint — without it the plan doubles every iteration and Catalyst
-  * analysis time explodes); termination is checked with `isEmpty` (a
-  * limit-1 job), never `collect`. By default materialization uses
-  * `localCheckpoint` (executor-local storage — fastest, and fine on a
-  * single machine); cluster runs where an executor loss mid-fixpoint must
-  * not kill the query set `graft.fixpoint.checkpointDir` to an HDFS/S3
-  * path and materialization switches to reliable checkpoints.
+  * analysis time explodes) in ONE job that also yields the row count, so
+  * termination needs no second action. The accumulator is a flat union of
+  * checkpointed delta legs — never re-materialized. By default
+  * materialization uses `localCheckpoint` (executor-local storage —
+  * fastest, and fine on a single machine); cluster runs where an executor
+  * loss mid-fixpoint must not kill the query set
+  * `graft.fixpoint.checkpointDir` to an HDFS/S3 path and materialization
+  * switches to reliable checkpoints.
   */
 object Fixpoint {
 
@@ -30,36 +36,38 @@ object Fixpoint {
     * storage, surviving executor loss on a real cluster. */
   val CheckpointDirKey = "graft.fixpoint.checkpointDir"
 
-  /** Eagerly materialize and rebase a DataFrame: the checkpoint cuts the
-    * lineage, and rewrapping the checkpointed RDD mints fresh attribute ids
-    * with no carried-over constraints. Both matter: checkpointed plans keep
-    * their original ExprIds/constraints, and reusing them across iterations
-    * trips Catalyst's Union constraint rewrite (NoSuchElementException in
-    * UnionBase.rewriteConstraints) and self-join ambiguity. */
-  private def materialize(df: DataFrame): DataFrame = {
+  /** A materialized iteration: rebased frame (fresh attribute ids — reusing
+    * checkpointed ExprIds across iterations trips Catalyst's Union
+    * constraint rewrite and self-join ambiguity), its row count, and the
+    * backing InternalRow RDD (for the accumulator's flat leg union). */
+  private case class Mat(df: DataFrame, rows: Long, rdd: RDD[InternalRow])
+
+  /** Eagerly materialize + count in a single job (see [[DatasetBridge]] —
+    * `Dataset.checkpoint(eager)` discards the count its materialization job
+    * computes, forcing a second `isEmpty` job per iteration). */
+  private def materialize(df: DataFrame): Mat = {
     val spark = df.sparkSession
     val reliableDir = Option(spark.conf.get(CheckpointDirKey, null)).filter(_.nonEmpty)
-    val ckpt = reliableDir match {
-      case Some(dir) =>
-        val sc = spark.sparkContext
-        // setCheckpointDir stores `<dir>/<uuid>` as a QUALIFIED URI, so the
-        // conf value must be qualified and compared against the parent —
-        // a raw string compare never matches and re-creates a fresh uuid
-        // subdirectory on every materialize. Set once per dir.
-        // Checkpoint files of superseded iterations are reclaimed by
-        // Spark's ContextCleaner when the app sets
-        // `spark.cleaner.referenceTracking.cleanCheckpoints=true`
-        // (a SparkConf option, documented in README §fixpoint).
-        val dirPath = new org.apache.hadoop.fs.Path(dir)
-        val qualified =
-          dirPath.getFileSystem(sc.hadoopConfiguration).makeQualified(dirPath)
-        val alreadySet = sc.getCheckpointDir
-          .exists(cur => new org.apache.hadoop.fs.Path(cur).getParent == qualified)
-        if (!alreadySet) sc.setCheckpointDir(dir)
-        df.checkpoint(eager = true)
-      case None => df.localCheckpoint(true)
+    reliableDir.foreach { dir =>
+      val sc = spark.sparkContext
+      // setCheckpointDir stores `<dir>/<uuid>` as a QUALIFIED URI, so the
+      // conf value must be qualified and compared against the parent —
+      // a raw string compare never matches and re-creates a fresh uuid
+      // subdirectory on every materialize. Set once per dir.
+      // Checkpoint files of superseded iterations are reclaimed by Spark's
+      // ContextCleaner when the app sets
+      // `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+      // (a SparkConf option, documented in README §fixpoint).
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val qualified =
+        dirPath.getFileSystem(sc.hadoopConfiguration).makeQualified(dirPath)
+      val alreadySet = sc.getCheckpointDir
+        .exists(cur => new org.apache.hadoop.fs.Path(cur).getParent == qualified)
+      if (!alreadySet) sc.setCheckpointDir(dir)
     }
-    spark.createDataFrame(ckpt.rdd, ckpt.schema)
+    val (out, n, rdd) =
+      DatasetBridge.materializeWithCount(df, reliable = reliableDir.isDefined)
+    Mat(out, n, rdd)
   }
 
   /** Rebuild the accumulator from its materialized delta legs WITHOUT
@@ -69,17 +77,16 @@ object Fixpoint {
     * fresh attribute ids. This turns the per-iteration cost from O(|acc|)
     * (full accumulator re-checkpoint, quadratic total data movement over a
     * deep fixpoint) to O(|delta|). Keeping the legs as a flat list (rather
-    * than nesting unions) bounds the lineage depth and the per-row
-    * conversion cost at one layer regardless of depth. Partition counts are
-    * coalesced (narrow, lazy) once they exceed 4× the shuffle width so task
-    * counts don't grow unboundedly with iteration count. */
-  private def fromLegs(spark: org.apache.spark.sql.SparkSession,
-                       legs: Seq[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]],
-                       schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    * than nesting unions) bounds the lineage depth regardless of recursion
+    * depth, and InternalRow legs skip external-Row conversion entirely.
+    * Partition counts are coalesced (narrow, lazy) once they exceed 4× the
+    * shuffle width so task counts don't grow unboundedly with depth. */
+  private def fromLegs(spark: SparkSession, legs: Seq[RDD[InternalRow]],
+                       schema: StructType): DataFrame = {
     val u = spark.sparkContext.union(legs)
     val target = spark.sessionState.conf.numShufflePartitions
     val bounded = if (u.getNumPartitions > 4 * target) u.coalesce(target) else u
-    spark.createDataFrame(bounded, schema)
+    DatasetBridge.internalCreate(spark, bounded, schema)
   }
 
   private def nonConverged(what: String, maxIter: Int): Nothing =
@@ -89,9 +96,10 @@ object Fixpoint {
 
   /** Transitive closure of `edges(src, dst)` → all reachable `(src, dst)`. */
   def transitiveClosure(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val e = materialize(edges.select("src", "dst").distinct())
+    val e0 = materialize(edges.select("src", "dst").distinct())
+    val e = e0.df
     val spark = e.sparkSession
-    var legs = Vector(e.rdd)
+    var legs = Vector(e0.rdd)
     var acc = e
     var delta = e
     var i = 0
@@ -102,11 +110,11 @@ object Fixpoint {
         .select(col("d.src").as("src"), col("g.dst").as("dst"))
         .distinct()
       val fresh = materialize(extended.join(acc, Seq("src", "dst"), "left_anti"))
-      if (fresh.isEmpty) done = true
+      if (fresh.rows == 0L) done = true
       else {
         legs :+= fresh.rdd
         acc = fromLegs(spark, legs, e.schema)
-        delta = fresh
+        delta = fresh.df
       }
       i += 1
     }
@@ -128,10 +136,10 @@ object Fixpoint {
   def fixpoint2(base: DataFrame, step: (DataFrame, DataFrame) => DataFrame,
                 keys: Seq[String], maxIter: Int = 50): DataFrame = {
     val first = materialize(base.select(keys.map(col): _*).distinct())
-    val spark = first.sparkSession
+    val spark = first.df.sparkSession
     var legs = Vector(first.rdd)
-    var acc = first
-    var delta = first
+    var acc = first.df
+    var delta = first.df
     var i = 0
     var done = false
     while (!done && i < maxIter) {
@@ -139,11 +147,11 @@ object Fixpoint {
         step(delta, acc)
           .select(keys.map(col): _*).distinct()
           .join(acc, keys, "left_anti"))
-      if (fresh.isEmpty) done = true
+      if (fresh.rows == 0L) done = true
       else {
         legs :+= fresh.rdd
-        acc = fromLegs(spark, legs, first.schema)
-        delta = fresh
+        acc = fromLegs(spark, legs, first.df.schema)
+        delta = fresh.df
       }
       i += 1
     }

@@ -1,0 +1,42 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** Internal-row materialization bridge (same role as [[ColumnBridge]]: the
+  * supported APIs are package-private to org.apache.spark.sql).
+  *
+  * `Dataset.checkpoint(eager = true)` runs a full count job to materialize
+  * and then DISCARDS the count, so a fixpoint loop pays a second job
+  * (`isEmpty`) per iteration just to learn what the first job already knew.
+  * This shim materializes the same way Dataset does (copy unsafe rows →
+  * RDD checkpoint) but returns the count, and exposes
+  * `internalCreateDataFrame` so checkpointed iterations can be re-wrapped
+  * as fresh-attribute leaves WITHOUT bouncing through external `Row`
+  * conversion (a per-row serialize/deserialize layer on every downstream
+  * scan). */
+object DatasetBridge {
+
+  /** Materialize `df` via RDD checkpoint (local or reliable) and count it
+    * in the SAME job. Returns (rebased DataFrame, row count, backing RDD).
+    * The rebased frame is a fresh-attribute LogicalRDD leaf — safe to
+    * self-join/union across iterations. */
+  def materializeWithCount(df: DataFrame,
+                           reliable: Boolean): (DataFrame, Long, RDD[InternalRow]) = {
+    val spark = df.sparkSession
+    // copy: toRdd iterators reuse UnsafeRow buffers; caching needs stable rows
+    val internal = df.queryExecution.toRdd.map(_.copy())
+    if (reliable) internal.checkpoint() else internal.localCheckpoint()
+    val n = internal.count()
+    (internalCreate(spark, internal, df.schema), n, internal)
+  }
+
+  /** Wrap an InternalRow RDD as a DataFrame with fresh attribute ids. */
+  def internalCreate(spark: SparkSession, rdd: RDD[InternalRow],
+                     schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+}
