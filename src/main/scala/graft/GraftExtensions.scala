@@ -34,6 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // size(array_intersect(a, b)) → allocation-free IntersectionSize
     ext.injectOptimizerRule(_ => graft.functions.IntersectionSizeRule)
+    // plans graft.plans.AsOfJoin as the native sort-merge AsOfJoinExec
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

@@ -30,6 +30,7 @@ object SparkEntry {
     "join_multiway"       -> (Relational.joinMultiway(_, _)),
     "join_anti"           -> (Relational.joinAnti(_, _)),
     "join_asof"           -> (Relational.asofJoinQuery(_, _)),
+    "join_asof_native"    -> (graft.plans.AsOfJoin.asofJoinNativeQuery(_, _)),
     "join_semi"           -> (Relational.joinSemi(_, _)),
     "union_or"            -> (Relational.unionOr(_, _)),
     "distinct_projection" -> (Relational.distinctProjection(_, _)),
@@ -99,6 +100,14 @@ object SparkEntry {
     "join_anti" ->
       "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
     "join_asof" ->
+      """SELECT p.event_id, p.user_id, c.click_id AS asof_click_id
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+         ASOF JOIN (SELECT user_id, ts, max(event_id) AS click_id
+                    FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c
+         ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    // join_asof_native: the same semantics through the custom Catalyst
+    // operator (plans.AsOfJoinExec) — one oracle, two execution paths
+    "join_asof_native" ->
       """SELECT p.event_id, p.user_id, c.click_id AS asof_click_id
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
          ASOF JOIN (SELECT user_id, ts, max(event_id) AS click_id

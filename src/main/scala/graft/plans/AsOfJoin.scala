@@ -1,0 +1,221 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, BindReferences, Expression, JoinedRow, NamedExpression, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.graft.DatasetBridge
+
+/** A genuine Catalyst as-of join operator — the (c) tier of the build
+  * contract's preference order: custom `LogicalPlan` + `SparkStrategy` +
+  * `SparkPlan`, registered via `SparkSessionExtensions`
+  * (graft.GraftExtensions) or per-session `experimental.extraStrategies`.
+  *
+  * Semantics (inner as-of, matching `Relational.asofJoin` and DuckDB's
+  * `ASOF JOIN ... ON l.key = r.key AND l.ts >= r.ts`): for every left row,
+  * the single latest right row with the same key and `rightTime <=
+  * leftTime`; left rows with no prior right row are dropped.
+  *
+  * Physical shape: both sides hash-clustered on the key and sorted by
+  * (key, time) — EnsureRequirements inserts exactly one exchange per side —
+  * then a single forward-only merge pass per partition: O(left + right)
+  * with O(1) state (the last matching carry row), no join explosion on hot
+  * keys, no window buffering. This is the plan a 100 TB event-attribution
+  * join wants: the union+window formulation (`Relational.asofJoin`) sorts
+  * left AND right rows through one window; this operator never materializes
+  * right rows into the output sort at all.
+  */
+case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
+                    leftKey: Attribute, rightKey: Attribute,
+                    leftTime: Attribute, rightTime: Attribute,
+                    carry: Seq[Attribute]) extends BinaryNode {
+  // carry columns surface under their right-side attributes (like Join);
+  // the `asof_<name>` rename is a Project the API adds on top — aliases
+  // can't live inside a custom node (the analyzer's CleanupAliases strips
+  // non-top-level aliases from every non-Project operator)
+  override def output: Seq[Attribute] = left.output ++ carry
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan,
+                                                 newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoin]] as [[AsOfJoinExec]]; a no-op on every other node. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt, carry) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, carry) :: Nil
+    case _ => Nil
+  }
+
+  /** Runtime registration for sessions built without
+    * `spark.sql.extensions=graft.GraftExtensions` (public API — no
+    * extension wiring required). Idempotent. */
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKey: Attribute, rightKey: Attribute,
+                        leftTime: Attribute, rightTime: Attribute,
+                        carry: Seq[Attribute]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ carry
+
+  override lazy val metrics: Map[String, SQLMetric] =
+    Map("numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  // one hash exchange per side, co-partitioned on the key
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  // (key, time) sort inside each partition — EnsureRequirements adds the sorts
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan,
+                                                 newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val lOut = left.output
+    val rOut = right.output
+    val (lk, lt) = (leftKey, leftTime)
+    val (rk, rt) = (rightKey, rightTime)
+    val carryExprs = carry
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyB = BindReferences.bindReference(lk: Expression, lOut)
+      val lTimeB = BindReferences.bindReference(lt: Expression, lOut)
+      val rKeyB = BindReferences.bindReference(rk: Expression, rOut)
+      val rTimeB = BindReferences.bindReference(rt: Expression, rOut)
+      val carryProj = UnsafeProjection.create(carryExprs.map(a => a: Expression), rOut)
+      val resultProj = UnsafeProjection.create(outAttrs.map(a => a: Expression),
+        lOut ++ carryExprs)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // next unconsumed non-null-key right row + its evaluated (key, time)
+        private var rRow: InternalRow = null
+        private var rKeyV: Any = null
+        private var rTimeV: Any = null
+        // latest match state: key it was seen under + copied carry row
+        private var matchKey: Any = null
+        private var matchCarry: InternalRow = null
+        private var pending: InternalRow = null
+
+        advanceRight()
+
+        private def advanceRight(): Unit = {
+          rRow = null
+          while (rRow == null && rIter.hasNext) {
+            val r = rIter.next()
+            val k = rKeyB.eval(r)
+            val t = rTimeB.eval(r)
+            if (k != null && t != null) { rRow = r; rKeyV = k; rTimeV = t }
+          }
+        }
+
+        private def findNext(): Unit = {
+          while (pending == null && lIter.hasNext) {
+            val l = lIter.next()
+            val lkV = lKeyB.eval(l)
+            val ltV = lTimeB.eval(l)
+            if (lkV != null && ltV != null) {
+              // consume right rows with key < lkV (stale keys) or
+              // key == lkV && time <= ltV (each a better match than the last)
+              var advancing = rRow != null
+              while (advancing) {
+                val c = keyOrd.compare(rKeyV, lkV)
+                if (c < 0) { advanceRight(); advancing = rRow != null }
+                else if (c == 0 && timeOrd.compare(rTimeV, ltV) <= 0) {
+                  matchKey = InternalRow.copyValue(rKeyV)
+                  matchCarry = carryProj(rRow).copy()
+                  advanceRight(); advancing = rRow != null
+                } else advancing = false
+              }
+              if (matchCarry != null && keyOrd.compare(matchKey, lkV) == 0) {
+                numOutputRows += 1
+                pending = resultProj(joined(l, matchCarry))
+              }
+            }
+          }
+        }
+
+        override def hasNext: Boolean = { if (pending == null) findNext(); pending != null }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          val r = pending; pending = null; r
+        }
+      }
+    }
+  }
+}
+
+object AsOfJoin {
+
+  /** DataFrame API over the native operator: as-of join `left` to `right`
+    * on `key`, `rightTs <= leftTs`, carrying `carry` columns from the right
+    * side as `asof_<name>`. Registers [[AsOfJoinStrategy]] on the session
+    * if no extension wiring did. */
+  def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
+                     leftTs: String, rightTs: String,
+                     carry: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    AsOfJoinStrategy.ensureRegistered(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan0 = right.queryExecution.analyzed
+    // self-join safety: if the two sides share attribute ids (both derive
+    // from the same scan), re-alias the right side so ids are distinct —
+    // this node is built post-analysis, so the analyzer's relation
+    // deduplication never sees it
+    val rPlan =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).isEmpty) rPlan0
+      else Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+    def attr(p: LogicalPlan, n: String, side: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"asofJoinNative: no column '$n' on the $side side " +
+          s"(have: ${p.output.map(_.name).mkString(", ")})"))
+    val carryAttrs = carry.map(c => attr(rPlan, c, "right"))
+    val node = AsOfJoin(
+      lPlan, rPlan,
+      attr(lPlan, key, "left"), attr(rPlan, key, "right"),
+      attr(lPlan, leftTs, "left"), attr(rPlan, rightTs, "right"),
+      carryAttrs)
+    // rename carries to asof_<name> in a top-level Project (where aliases
+    // are legal) and keep only left columns + carries
+    val projected = Project(
+      lPlan.output.map(a => a: NamedExpression) ++
+        carryAttrs.zip(carry).map { case (a, c) => Alias(a, s"asof_$c")() },
+      node)
+    DatasetBridge.ofRows(spark, projected)
+  }
+
+  /** Gate query: identical semantics (and DuckDB ASOF JOIN oracle) to
+    * `Relational.asofJoinQuery`, executed through [[AsOfJoinExec]]. */
+  def asofJoinNativeQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max}
+    val ev = graft.core.Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("click_id"))
+    asofJoinNative(purchases, clicks, key = "user_id",
+      leftTs = "ts", rightTs = "ts", carry = Seq("click_id"))
+      .select(col("event_id"), col("user_id"), col("asof_click_id"))
+  }
+}

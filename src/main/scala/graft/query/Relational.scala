@@ -258,9 +258,15 @@ object Relational {
     * Right rows sort before left rows on ts ties (inclusive semantics,
     * matching DuckDB's `ON l.ts >= r.ts`). Left rows with no prior right
     * row are dropped (inner as-of). */
-  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+  def asofJoin(left0: DataFrame, right0: DataFrame, key: String,
                leftTs: String, rightTs: String,
                carry: Seq[String]): DataFrame = {
+    // SQL as-of semantics (DuckDB `ON l.key = r.key AND l.ts >= r.ts`):
+    // null keys/timestamps never match. Without this filter a null-ts right
+    // row sorts NULLS FIRST in the window and is carried as an
+    // earlier-than-everything match, and null keys match each other.
+    val left = left0.filter(col(key).isNotNull && col(leftTs).isNotNull)
+    val right = right0.filter(col(key).isNotNull && col(rightTs).isNotNull)
     val leftCols = left.columns.toSeq
     val rightSide = right.select(
       Seq(col(key).as("__k"), col(rightTs).as("__t"), lit(0).as("__side")) ++

@@ -39,4 +39,12 @@ object DatasetBridge {
                      schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+
+  /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` is
+    * package-private) — how custom logical operators like
+    * [[graft.plans.AsOfJoin]] enter the DataFrame API. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -37,4 +37,62 @@ class AsofJoinSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).length <= 2,
       s"single shuffle stage on the key:\n$plan")
   }
+
+  test("native AsOfJoinExec matches the window formulation on the same input") {
+    val quotes = Seq(
+      ("A", ts(0), 100.0), ("A", ts(10), 110.0), ("B", ts(5), 50.0)
+    ).toDF("sym", "qts", "price")
+    val trades = Seq(
+      ("A", ts(5), 1L), ("A", ts(10), 2L), ("A", ts(20), 3L),
+      ("B", ts(4), 4L), ("B", ts(6), 5L)
+    ).toDF("sym", "tts", "trade_id")
+    val got = graft.plans.AsOfJoin
+      .asofJoinNative(trades, quotes, "sym", "tts", "qts", Seq("price"))
+      .select("trade_id", "asof_price").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 100.0, 2L -> 110.0, 3L -> 110.0, 5L -> 50.0))
+  }
+
+  test("native exec: randomized parity with window formulation, incl. nulls") {
+    import org.apache.spark.sql.functions._
+    // deterministic pseudo-random fixture with hot keys, ties, and nulls
+    val left = spark.range(2000).select(
+      (pmod(hash(col("id"), lit(1)), lit(7))).cast("long").as("k"),
+      (pmod(hash(col("id"), lit(2)), lit(50))).cast("long").as("lts"),
+      col("id").as("lid"))
+      .withColumn("k", when(col("lid") % 97 === 0, lit(null)).otherwise(col("k")))
+    val right = spark.range(300).select(
+      (pmod(hash(col("id"), lit(3)), lit(7))).cast("long").as("k"),
+      (pmod(hash(col("id"), lit(4)), lit(50))).cast("long").as("rts"),
+      col("id").as("rid"))
+      // dedup (k, rts) so the latest-row tie is well-defined in BOTH impls
+      .groupBy("k", "rts").agg(max("rid").as("rid"))
+      .withColumn("rts", when(col("rid") % 89 === 0, lit(null)).otherwise(col("rts")))
+    val viaWindow = Relational.asofJoin(left, right, "k", "lts", "rts", Seq("rid"))
+      .select("lid", "asof_rid").as[(Long, Long)].collect().toMap
+    val viaExec = graft.plans.AsOfJoin
+      .asofJoinNative(left, right, "k", "lts", "rts", Seq("rid"))
+      .select("lid", "asof_rid").as[(Long, Long)].collect().toMap
+    assert(viaExec.size == viaWindow.size)
+    assert(viaExec == viaWindow)
+  }
+
+  test("native exec: self-join-safe, and plans as AsOfJoinExec with per-side exchanges") {
+    import org.apache.spark.sql.functions._
+    // both sides derive from the SAME base frame (shared attribute ids)
+    val base = spark.range(500).select(
+      pmod(col("id"), lit(5)).as("k"), col("id").as("t"), (col("id") * 2).as("v"))
+    val df = graft.plans.AsOfJoin.asofJoinNative(
+      base.filter(col("id") % 2 === 0), base.filter(col("id") % 2 === 1),
+      "k", "t", "t", Seq("v"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix — the operator prints "AsOfJoin"
+    assert(plan.contains("AsOfJoin"), s"expected the native operator:\n$plan")
+    // one hash exchange per side (AQE prints initial+final plans, so count
+    // DISTINCT exchange keys, not string occurrences)
+    val exchangeKeys =
+      "hashpartitioning\\((\\w+)#(\\d+)".r.findAllMatchIn(plan).map(_.group(2)).toSet
+    assert(exchangeKeys.size == 2, s"one hash exchange per side:\n$plan")
+  }
 }
