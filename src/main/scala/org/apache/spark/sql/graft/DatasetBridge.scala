@@ -29,8 +29,19 @@ object DatasetBridge {
     val spark = df.sparkSession
     // copy: toRdd iterators reuse UnsafeRow buffers; caching needs stable rows
     val internal = df.queryExecution.toRdd.map(_.copy())
-    if (reliable) internal.checkpoint() else internal.localCheckpoint()
-    val n = internal.count()
+    val n = if (reliable) {
+      // reliable checkpointing re-runs the RDD in a second job to write the
+      // checkpoint files; persisting first makes that job a cache read, and
+      // once the files exist the cached copy is redundant → unpersist
+      internal.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      internal.checkpoint()
+      val c = internal.count()
+      internal.unpersist(blocking = false)
+      c
+    } else {
+      internal.localCheckpoint()
+      internal.count()
+    }
     (internalCreate(spark, internal, df.schema), n, internal)
   }
 
