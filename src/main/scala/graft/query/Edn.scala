@@ -122,7 +122,7 @@ object Edn {
     private def readMap(): MapV = {
       val items = readSeq('}')
       if (items.length % 2 != 0) throw new IllegalArgumentException("odd map")
-      MapV(items.grouped(2).map { case List(k, v) => (k, v) }.toList)
+      MapV(items.grouped(2).collect { case List(k, v) => (k, v) }.toList)
     }
 
     private def readDispatch(): Value = {

@@ -80,7 +80,7 @@ class KafkaIO(val spark: SparkSession, bootstrapServers: String,
   def sink(topic: String, df: DataFrame, queryName: String): StreamingQuery =
     df.select(
         col("key").cast("binary").as("key"),
-        to_json(struct(df.columns.map(col): _*)).cast("binary").as("value"))
+        to_json(struct(df.columns.toIndexedSeq.map(col): _*)).cast("binary").as("value"))
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)
