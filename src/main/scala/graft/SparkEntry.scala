@@ -31,6 +31,7 @@ object SparkEntry {
     "join_anti"           -> (Relational.joinAnti(_, _)),
     "join_asof"           -> (Relational.asofJoinQuery(_, _)),
     "join_asof_native"    -> (graft.plans.AsOfJoin.asofJoinNativeQuery(_, _)),
+    "scale_salted_agg"    -> (graft.query.Scale.saltedAggQuery(_, _)),
     "join_semi"           -> (Relational.joinSemi(_, _)),
     "union_or"            -> (Relational.unionOr(_, _)),
     "distinct_projection" -> (Relational.distinctProjection(_, _)),
@@ -50,6 +51,7 @@ object SparkEntry {
     "json_extract"        -> (Relational.jsonExtract(_, _)),
     // §2.3 streaming dataflow, batch-equivalent
     "stream_map_filter_batch" -> (Relational.streamMapFilterBatch(_, _)),
+    "stream_windowed_agg"     -> (Relational.streamWindowedAggBatch(_, _)),
     // §2.2 Datalog compiler end-to-end (triple patterns → Catalyst plan)
     "datalog_query"       -> (graft.query.datalog.DatalogDb.datalogQuery(_, _)),
     "datalog_edn"         -> (graft.query.datalog.DatalogDb.datalogEdnQuery(_, _)),
@@ -105,6 +107,13 @@ object SparkEntry {
          ASOF JOIN (SELECT user_id, ts, max(event_id) AS click_id
                     FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c
          ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    // scale_salted_agg: salting redistributes rows but never changes the
+    // answer — the oracle is the PLAIN group-by (decimal partials
+    // re-combine exactly, so even the float sum hash-matches)
+    "scale_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+         CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag""",
     // join_asof_native: the same semantics through the custom Catalyst
     // operator (plans.AsOfJoinExec) — one oracle, two execution paths
     "join_asof_native" ->
@@ -188,6 +197,12 @@ object SparkEntry {
          FROM events GROUP BY event_type""",
     "stream_map_filter_batch" ->
       "SELECT event_id, value + 1.0 AS v FROM events WHERE value IS NOT NULL",
+    // stream_windowed_agg: Spark's tumbling window() is epoch-aligned, so
+    // 1 h windows coincide with date_trunc('hour') buckets
+    "stream_windowed_agg" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_v
+         FROM events GROUP BY 1, 2""",
     "datalog_query" ->
       """SELECT c_mktsegment AS seg, count(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey

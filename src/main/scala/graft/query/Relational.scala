@@ -334,4 +334,17 @@ object Relational {
     Tables.events(s, d)
       .filter(col("value").isNotNull)
       .select(col("event_id"), (col("value") + 1.0).as("v"))
+
+  /** Batch equivalent of the topology's WindowAgg nodes: the SAME
+    * `window()` expression `Topology.applyOp` applies to streams
+    * (`stream/Topology.scala:84`), here over the batch events table —
+    * tumbling 1 h event-time buckets per event type, counts + exact
+    * decimal sums. Oracle: `date_trunc('hour')` (epoch-aligned tumbling
+    * windows coincide with hour truncation). */
+  def streamWindowedAggBatch(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_v"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_v"))
 }

@@ -38,6 +38,24 @@ object Scale {
       .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__c"))
       .groupBy(col(key)).agg(sum("__c").as("n"))
 
+  /** Gate query: skew-salted TWO-PHASE aggregation over lineitem — counts
+    * and exact decimal sums per return flag. Salting only redistributes
+    * rows (partial agg on (key, salt), final on key), so the result is
+    * IDENTICAL to the plain GROUP BY the DuckDB oracle runs — which is the
+    * point: the hot-key survival pattern for 100 TB aggregations, verified
+    * to change nothing but the shuffle layout. Decimal partials re-combine
+    * exactly (order-independent), so even the float sum hash-matches. */
+  def saltedAggQuery(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.core.Tables.lineitem(s, d)
+      .withColumn("__salt",
+        least(floor(rand(7) * 16).cast("int"), lit(15)))
+      .groupBy(col("l_returnflag"), col("__salt"))
+      .agg(count(lit(1)).as("__c"),
+        sum(col("l_quantity").cast("decimal(28,6)")).as("__q"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum("__c").as("n_items"),
+        sum("__q").cast("double").as("sum_qty"))
+
   /** Write a DataFrame bucketed+sorted so later equi-joins on `key` are
     * co-located (no shuffle): Spark bucketing requires saveAsTable. */
   def writeBucketed(df: DataFrame, table: String, key: String,
