@@ -84,6 +84,26 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("scale_salted_agg: partial aggregation on BOTH phases, two exchanges max") {
+    val df = Scale.saltedAggQuery(spark, sf("sf0.001"))
+    val plan = executedPlan(df)
+    // salt phase + key phase, each with map-side partials — never more
+    // shuffles than phases
+    assert("HashAggregate".r.findAllIn(plan).length >= 4,
+      s"expect partial+final per phase:\n$plan")
+    // AQE prints initial+final plans with fresh ids — count only the final
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length <= 2,
+      s"salted agg is exactly two shuffles:\n$plan")
+  }
+
+  test("stream_windowed_agg prunes the scan to (ts, event_type, value)") {
+    val df = Relational.streamWindowedAggBatch(spark, sf("sf0.001"))
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(!scan.contains("props") && !scan.contains("event_id"),
+      s"windowed agg must read only its three columns: $scan")
+  }
+
   test("bitemporal as-of filters before the window (partition pruning path)") {
     val df = Relational.asofSnapshot(spark, sf("sf0.001"))
     val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
