@@ -80,5 +80,11 @@ object GraftExtensions {
         SrpSig(v, intLit(b, "srp_sig nBits"), intLit(t, "srp_sig tables"))
       case args => throw new IllegalArgumentException(
         s"srp_sig expects 3 arguments, got ${args.length}")
+    }),
+    ("intersection_size",
+      "intersection_size(a, b) - |set(a) ∩ set(b)| without materializing the intersection", {
+      case Seq(a, b) => graft.functions.IntersectionSize(a, b)
+      case args => throw new IllegalArgumentException(
+        s"intersection_size expects 2 arguments, got ${args.length}")
     }))
 }

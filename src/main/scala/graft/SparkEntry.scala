@@ -75,8 +75,18 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Float-summing queries use exact DECIMAL casts on
-    * BOTH sides so results are independent of aggregation order. Omitted
-    * keys (LSH/heuristic ops) get the driver's rows-only check. */
+    * BOTH sides so results are independent of aggregation order.
+    *
+    * Omitted keys get the driver's rows-only check; each is rows-only BY
+    * CONSTRUCTION (hash functions DuckDB does not implement), and each is
+    * ScalaTest-pinned instead:
+    *  - dedup_minhash / dedup_simhash / dedup_embedding_lsh: signatures are
+    *    seeded murmur3/xxhash64 LSH (DedupSpec pins recall vs exact pairs)
+    *  - datalog_sample: (rand/sample) picks are seeded Spark-hash order
+    *  - text_analysis: carries the xxhash64 content fingerprint (tokens/
+    *    quality/langID are separately oracled in token_count/text_quality)
+    *  - multimodal_pipeline: stub codec output (no media libs in this env;
+    *    schema/partitioning/batch plumbing pinned in MultimodalSpec) */
   def oracleSql: Map[String, String] = Map(
     "scan_project" ->
       "SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem",

@@ -80,6 +80,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
 
+  // left rows pass through unchanged (columns appended), so the left
+  // child's hash partitioning survives — a downstream groupBy/join on the
+  // key reuses it instead of re-shuffling
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 

@@ -44,6 +44,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(srp.length == 4 && srp.forall(b => b >= 0 && b < 256))
   }
 
+  test("intersection_size callable from SQL via the registered surface") {
+    registered
+    val n = spark.sql(
+      "SELECT intersection_size(array('a','b','c'), array('b','c','d')) AS n")
+      .as[Int].head()
+    assert(n == 2)
+  }
+
   test("intersection_size matches size(array_intersect) incl. duplicate elements") {
     val df = Seq(
       (Seq("a", "b", "c", "b"), Seq("b", "c", "d", "c")),
