@@ -30,10 +30,19 @@ import org.apache.spark.sql.graft.DatasetBridge
   * left AND right rows through one window; this operator never materializes
   * right rows into the output sort at all.
   */
+/** Match direction: Backward = latest right row with rightTime <= leftTime
+  * (the default, DuckDB/kdb semantics); Forward = earliest right row with
+  * rightTime >= leftTime (pandas merge_asof direction='forward'). */
+sealed trait AsOfDirection
+case object Backward extends AsOfDirection
+case object Forward extends AsOfDirection
+
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                     leftKey: Attribute, rightKey: Attribute,
                     leftTime: Attribute, rightTime: Attribute,
-                    carry: Seq[Attribute]) extends BinaryNode {
+                    carry: Seq[Attribute],
+                    direction: AsOfDirection = Backward,
+                    tolerance: Option[Long] = None) extends BinaryNode {
   // carry columns surface under their right-side attributes (like Join);
   // the `asof_<name>` rename is a Project the API adds on top — aliases
   // can't live inside a custom node (the analyzer's CleanupAliases strips
@@ -47,8 +56,8 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 /** Plans [[AsOfJoin]] as [[AsOfJoinExec]]; a no-op on every other node. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, carry) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, carry) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, carry, dir, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, carry, dir, tol) :: Nil
     case _ => Nil
   }
 
@@ -64,7 +73,25 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Attribute, rightKey: Attribute,
                         leftTime: Attribute, rightTime: Attribute,
-                        carry: Seq[Attribute]) extends BinaryExecNode {
+                        carry: Seq[Attribute],
+                        direction: AsOfDirection = Backward,
+                        tolerance: Option[Long] = None) extends BinaryExecNode {
+
+  // tolerance is a delta in the time column's NATIVE units (µs for
+  // timestamps, raw value for integral types) — only meaningful where the
+  // evaluated time is numeric
+  tolerance.foreach { t =>
+    require(t >= 0, s"tolerance must be non-negative, got $t")
+    val numericTime = leftTime.dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+    require(numericTime,
+      s"tolerance requires an integral or timestamp time column, got ${leftTime.dataType}")
+  }
 
   override def output: Seq[Attribute] = left.output ++ carry
 
@@ -118,10 +145,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         private var rRow: InternalRow = null
         private var rKeyV: Any = null
         private var rTimeV: Any = null
-        // latest match state: key it was seen under + copied carry row
+        // backward-direction match state: key + time + copied carry row
         private var matchKey: Any = null
+        private var matchTime: Long = 0L
         private var matchCarry: InternalRow = null
         private var pending: InternalRow = null
+
+        private val tol = tolerance.getOrElse(Long.MaxValue)
+        private def asLong(v: Any): Long = v.asInstanceOf[Number].longValue()
 
         advanceRight()
 
@@ -140,23 +171,46 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             val l = lIter.next()
             val lkV = lKeyB.eval(l)
             val ltV = lTimeB.eval(l)
-            if (lkV != null && ltV != null) {
-              // consume right rows with key < lkV (stale keys) or
-              // key == lkV && time <= ltV (each a better match than the last)
-              var advancing = rRow != null
-              while (advancing) {
-                val c = keyOrd.compare(rKeyV, lkV)
-                if (c < 0) { advanceRight(); advancing = rRow != null }
-                else if (c == 0 && timeOrd.compare(rTimeV, ltV) <= 0) {
-                  matchKey = InternalRow.copyValue(rKeyV)
-                  matchCarry = carryProj(rRow).copy()
-                  advanceRight(); advancing = rRow != null
-                } else advancing = false
-              }
-              if (matchCarry != null && keyOrd.compare(matchKey, lkV) == 0) {
-                numOutputRows += 1
-                pending = resultProj(joined(l, matchCarry))
-              }
+            if (lkV != null && ltV != null) direction match {
+              case Backward =>
+                // consume right rows with key < lkV (stale keys) or
+                // key == lkV && time <= ltV (each a better match than the last)
+                var advancing = rRow != null
+                while (advancing) {
+                  val c = keyOrd.compare(rKeyV, lkV)
+                  if (c < 0) { advanceRight(); advancing = rRow != null }
+                  else if (c == 0 && timeOrd.compare(rTimeV, ltV) <= 0) {
+                    matchKey = InternalRow.copyValue(rKeyV)
+                    if (tolerance.isDefined) matchTime = asLong(rTimeV)
+                    matchCarry = carryProj(rRow).copy()
+                    advanceRight(); advancing = rRow != null
+                  } else advancing = false
+                }
+                // the retained match is the LATEST (closest) one, so the
+                // tolerance check on it is exact
+                if (matchCarry != null && keyOrd.compare(matchKey, lkV) == 0 &&
+                    (tolerance.isEmpty || asLong(ltV) - matchTime <= tol)) {
+                  numOutputRows += 1
+                  pending = resultProj(joined(l, matchCarry))
+                }
+              case Forward =>
+                // consume right rows that can never match this or any later
+                // left row: key < lkV, or key == lkV && time < ltV (left
+                // times only grow within a key)
+                var advancing = rRow != null
+                while (advancing) {
+                  val c = keyOrd.compare(rKeyV, lkV)
+                  if (c < 0 || (c == 0 && timeOrd.compare(rTimeV, ltV) < 0)) {
+                    advanceRight(); advancing = rRow != null
+                  } else advancing = false
+                }
+                // the NEXT right row is the earliest at-or-after candidate;
+                // do NOT consume it — it may match later left rows too
+                if (rRow != null && keyOrd.compare(rKeyV, lkV) == 0 &&
+                    (tolerance.isEmpty || asLong(rTimeV) - asLong(ltV) <= tol)) {
+                  numOutputRows += 1
+                  pending = resultProj(joined(l, carryProj(rRow)))
+                }
             }
           }
         }
@@ -174,12 +228,25 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 object AsOfJoin {
 
   /** DataFrame API over the native operator: as-of join `left` to `right`
-    * on `key`, `rightTs <= leftTs`, carrying `carry` columns from the right
-    * side as `asof_<name>`. Registers [[AsOfJoinStrategy]] on the session
-    * if no extension wiring did. */
+    * on `key`, carrying `carry` columns from the right side as
+    * `asof_<name>`. `direction="backward"` (default) matches the latest
+    * right row with `rightTs <= leftTs`; `"forward"` the earliest with
+    * `rightTs >= leftTs` (pandas merge_asof directions). `tolerance`
+    * bounds |leftTs − rightTs| in the time column's native units (µs for
+    * timestamps) — stale/far matches drop out, the merge stays one pass.
+    * Registers [[AsOfJoinStrategy]] on the session if no extension wiring
+    * did. */
   def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
                      leftTs: String, rightTs: String,
-                     carry: Seq[String]): DataFrame = {
+                     carry: Seq[String],
+                     direction: String = "backward",
+                     tolerance: Option[Long] = None): DataFrame = {
+    val dir = direction match {
+      case "backward" => Backward
+      case "forward" => Forward
+      case other => throw new IllegalArgumentException(
+        s"direction must be 'backward' or 'forward', got '$other'")
+    }
     val spark = left.sparkSession
     AsOfJoinStrategy.ensureRegistered(spark)
     val lPlan = left.queryExecution.analyzed
@@ -200,7 +267,7 @@ object AsOfJoin {
       lPlan, rPlan,
       attr(lPlan, key, "left"), attr(rPlan, key, "right"),
       attr(lPlan, leftTs, "left"), attr(rPlan, rightTs, "right"),
-      carryAttrs)
+      carryAttrs, dir, tolerance)
     // rename carries to asof_<name> in a top-level Project (where aliases
     // are legal) and keep only left columns + carries
     val projected = Project(

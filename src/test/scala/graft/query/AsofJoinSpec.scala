@@ -76,6 +76,54 @@ class AsofJoinSpec extends SparkSpec {
     assert(viaExec == viaWindow)
   }
 
+  test("native exec: forward direction picks the earliest right row at or after") {
+    val quotes = Seq(
+      ("A", 0L, 100.0), ("A", 10L, 110.0), ("B", 5L, 50.0)
+    ).toDF("sym", "qts", "price")
+    val trades = Seq(
+      ("A", 5L, 1L),   // → quote@10 (next at-or-after)
+      ("A", 10L, 2L),  // tie: inclusive → quote@10
+      ("A", 20L, 3L),  // nothing after → dropped
+      ("B", 4L, 4L),   // → quote@5
+      ("B", 6L, 5L)    // nothing after → dropped
+    ).toDF("sym", "tts", "trade_id")
+    val got = graft.plans.AsOfJoin
+      .asofJoinNative(trades, quotes, "sym", "tts", "qts", Seq("price"),
+        direction = "forward")
+      .select("trade_id", "asof_price").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 110.0, 2L -> 110.0, 4L -> 50.0))
+    // a forward right row serves MULTIPLE earlier left rows (1 and 2 both
+    // matched quote@10) — verified by the map above
+  }
+
+  test("native exec: tolerance bounds the match distance in both directions") {
+    val quotes = Seq(("A", 0L, 100.0), ("A", 100L, 110.0)).toDF("sym", "qts", "price")
+    val trades = Seq(
+      ("A", 3L, 1L),   // backward: quote@0 within tol=5
+      ("A", 50L, 2L),  // backward: quote@0 at distance 50 > 5 → dropped
+      ("A", 97L, 3L)   // backward: quote@0 at distance 97 → dropped; forward: quote@100 within tol
+    ).toDF("sym", "tts", "trade_id")
+    val back = graft.plans.AsOfJoin
+      .asofJoinNative(trades, quotes, "sym", "tts", "qts", Seq("price"),
+        tolerance = Some(5L))
+      .select("trade_id", "asof_price").as[(Long, Double)].collect().toMap
+    assert(back == Map(1L -> 100.0),
+      s"only within-tolerance backward matches survive: $back")
+    val fwd = graft.plans.AsOfJoin
+      .asofJoinNative(trades, quotes, "sym", "tts", "qts", Seq("price"),
+        direction = "forward", tolerance = Some(5L))
+      .select("trade_id", "asof_price").as[(Long, Double)].collect().toMap
+    assert(fwd == Map(3L -> 110.0),
+      s"only within-tolerance forward matches survive: $fwd")
+    // tolerance on a non-numeric time column is rejected
+    intercept[Exception] {
+      graft.plans.AsOfJoin.asofJoinNative(
+        trades.withColumn("tts", $"tts".cast("string")),
+        quotes.withColumn("qts", $"qts".cast("string")),
+        "sym", "tts", "qts", Seq("price"), tolerance = Some(5L)).collect()
+    }
+  }
+
   test("native exec: self-join-safe, and plans as AsOfJoinExec with per-side exchanges") {
     import org.apache.spark.sql.functions._
     // both sides derive from the SAME base frame (shared attribute ids)
