@@ -249,8 +249,10 @@ object Relational {
   }
 
   /** As-of (point-in-time) join — for each left row, the single latest
-    * right row with the same key and `rightTs <= leftTs`. Spark has no
-    * native ASOF JOIN; the naive theta-join + window is O(matches) and
+    * right row with the same key and `rightTs <= leftTs`. Spark ships no
+    * built-in ASOF JOIN (this library's [[graft.plans.AsOfJoin]] custom
+    * operator is the other path — same oracle); the naive theta-join +
+    * window is O(matches) and
     * skew-prone. This is the scalable formulation: tag and UNION both
     * sides, one window over (key, ts) propagating the last-seen right row
     * (`last(_, ignoreNulls)`), then keep left rows — exactly ONE shuffle
