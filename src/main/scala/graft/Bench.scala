@@ -52,6 +52,9 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       graft.core.CacheRegistry.unpersistAll() // release per-query caches
+      // listener events are delivered async — drain before sampling, or
+      // this query's jobs get attributed to the next one
+      if (stats) org.apache.spark.sql.graft.DatasetBridge.drainListenerBus(spark)
       if (stats) System.err.println(
         f"[bench-stats] $name%-24s ${dt}%6.2fs jobs=${jobs.get - j0}%-3d stages=${stages.get - s0}%-4d tasks=${tasks.get - t0c}%-5d")
       name -> dt

@@ -208,11 +208,14 @@ object SparkEntry {
     "stream_map_filter_batch" ->
       "SELECT event_id, value + 1.0 AS v FROM events WHERE value IS NOT NULL",
     // stream_windowed_agg: Spark's tumbling window() is epoch-aligned, so
-    // 1 h windows coincide with date_trunc('hour') buckets
+    // 1 h windows coincide with date_trunc('hour') buckets; window() also
+    // implicitly drops null timestamps (TimeWindowing injects the filter),
+    // so the oracle pins the same WHERE — without it a future null-ts
+    // fixture would hash-mismatch with no code change
     "stream_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_v
-         FROM events GROUP BY 1, 2""",
+         FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""",
     "datalog_query" ->
       """SELECT c_mktsegment AS seg, count(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey

@@ -17,6 +17,19 @@ import graft.core.{CacheRegistry, Tables}
   */
 object Dedup {
 
+  /** Keep only rows whose bucket (the `partCols` group) holds between
+    * `minDf` and `maxDf` members: ONE window-count shuffle computes the
+    * document frequency AND leaves the data hash-partitioned by the bucket
+    * key, so the self-join that follows reuses the partitioning (the
+    * groupBy-then-semi-join spelling shuffles twice). The shared hot-bucket
+    * guard of every LSH candidate path. */
+  private def pruneByBucketSize(df: DataFrame, partCols: Seq[String],
+                                minDf: Int, maxDf: Int): DataFrame =
+    df.withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(partCols.map(col): _*)))
+      .filter(col("__df") >= minDf && col("__df") <= maxDf)
+      .drop("__df")
+
   // ------------------------------------------------------------ exact dedup
 
   /** Exact dedup: keep the lowest-id document per identical text.
@@ -139,13 +152,7 @@ object Dedup {
             call_function("shiftright", col("fp"), c * 16)
               .bitwiseAND(0xFFFFL).as("key")))).as("ck"))
       .select(col("fp"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-    // bucket size as a window count — one shuffle, and the (chunk,key)
-    // partitioning carries into the self-join (see ngramJaccardPairs)
-    val pruned = chunks
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("chunk", "key")))
-      .filter(col("df") >= 2 && col("df") <= maxBucket)
-      .drop("df")
+    val pruned = pruneByBucketSize(chunks, Seq("chunk", "key"), minDf = 2, maxDf = maxBucket)
     val fpPairs = pruned.as("a")
       .join(pruned.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
@@ -197,15 +204,7 @@ object Dedup {
     // exact verification below still runs on the true shingle sets)
     val posting = withSh.select(col("id"),
       explode(transform(col("sh"), s => xxhash64(s))).as("shingle"))
-    // document frequency as a window count over the shingle partition: ONE
-    // shuffle computes df AND leaves the postings hash-partitioned by
-    // shingle, so the self-join below reuses the partitioning — the
-    // groupBy-then-semi-join spelling shuffles the posting list twice.
-    val pruned = posting
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .filter(col("df") <= maxDf && col("df") >= 2)
-      .drop("df")
+    val pruned = pruneByBucketSize(posting, Seq("shingle"), minDf = 2, maxDf = maxDf)
     // Candidate pairs ranked by how many rare shingles they share: a true
     // near-dup shares many, an incidental vocabulary collision shares one
     // or two — requiring `minCommon` slashes the verify-join fan-in without

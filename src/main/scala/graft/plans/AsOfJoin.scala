@@ -77,6 +77,17 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         direction: AsOfDirection = Backward,
                         tolerance: Option[Long] = None) extends BinaryExecNode {
 
+  // mismatched key/time types would silently mis-partition (each side
+  // hashes its own type: murmur3(Int 5) != murmur3(Long 5)) or throw
+  // ClassCastException mid-merge — normal joins get analyzer-inserted
+  // casts, a post-analysis node must check for itself
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of join key types must match exactly: left ${leftKey.dataType} vs " +
+      s"right ${rightKey.dataType} — cast one side first")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of join time types must match exactly: left ${leftTime.dataType} vs " +
+      s"right ${rightTime.dataType} — cast one side first")
+
   // tolerance is a delta in the time column's NATIVE units (µs for
   // timestamps, raw value for integral types) — only meaningful where the
   // evaluated time is numeric
@@ -130,6 +141,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val (rk, rt) = (rightKey, rightTime)
     val carryExprs = carry
     val outAttrs = output
+    // locals, NOT field reads: a field access inside the closure captures
+    // the whole AsOfJoinExec (plan subtrees included) into every task
+    val dir = direction
+    val tolDefined = tolerance.isDefined
+    val tolMax = tolerance.getOrElse(Long.MaxValue)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyB = BindReferences.bindReference(lk: Expression, lOut)
       val lTimeB = BindReferences.bindReference(lt: Expression, lOut)
@@ -151,7 +167,6 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         private var matchCarry: InternalRow = null
         private var pending: InternalRow = null
 
-        private val tol = tolerance.getOrElse(Long.MaxValue)
         private def asLong(v: Any): Long = v.asInstanceOf[Number].longValue()
 
         advanceRight()
@@ -171,7 +186,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             val l = lIter.next()
             val lkV = lKeyB.eval(l)
             val ltV = lTimeB.eval(l)
-            if (lkV != null && ltV != null) direction match {
+            if (lkV != null && ltV != null) dir match {
               case Backward =>
                 // consume right rows with key < lkV (stale keys) or
                 // key == lkV && time <= ltV (each a better match than the last)
@@ -181,7 +196,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                   if (c < 0) { advanceRight(); advancing = rRow != null }
                   else if (c == 0 && timeOrd.compare(rTimeV, ltV) <= 0) {
                     matchKey = InternalRow.copyValue(rKeyV)
-                    if (tolerance.isDefined) matchTime = asLong(rTimeV)
+                    if (tolDefined) matchTime = asLong(rTimeV)
                     matchCarry = carryProj(rRow).copy()
                     advanceRight(); advancing = rRow != null
                   } else advancing = false
@@ -189,7 +204,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                 // the retained match is the LATEST (closest) one, so the
                 // tolerance check on it is exact
                 if (matchCarry != null && keyOrd.compare(matchKey, lkV) == 0 &&
-                    (tolerance.isEmpty || asLong(ltV) - matchTime <= tol)) {
+                    (!tolDefined || asLong(ltV) - matchTime <= tolMax)) {
                   numOutputRows += 1
                   pending = resultProj(joined(l, matchCarry))
                 }
@@ -207,7 +222,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                 // the NEXT right row is the earliest at-or-after candidate;
                 // do NOT consume it — it may match later left rows too
                 if (rRow != null && keyOrd.compare(rKeyV, lkV) == 0 &&
-                    (tolerance.isEmpty || asLong(rTimeV) - asLong(ltV) <= tol)) {
+                    (!tolDefined || asLong(rTimeV) - asLong(ltV) <= tolMax)) {
                   numOutputRows += 1
                   pending = resultProj(joined(l, carryProj(rRow)))
                 }
@@ -258,10 +273,19 @@ object AsOfJoin {
     val rPlan =
       if (lPlan.outputSet.intersect(rPlan0.outputSet).isEmpty) rPlan0
       else Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+    // session-conf-aware resolution (case sensitivity) + explicit
+    // ambiguity error instead of silently binding the first duplicate
+    val resolver = spark.sessionState.analyzer.resolver
     def attr(p: LogicalPlan, n: String, side: String): Attribute =
-      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
-        s"asofJoinNative: no column '$n' on the $side side " +
-          s"(have: ${p.output.map(_.name).mkString(", ")})"))
+      p.output.filter(a => resolver(a.name, n)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"asofJoinNative: no column '$n' on the $side side " +
+            s"(have: ${p.output.map(_.name).mkString(", ")})")
+        case many => throw new IllegalArgumentException(
+          s"asofJoinNative: column '$n' is ambiguous on the $side side " +
+            s"(${many.size} matches)")
+      }
     val carryAttrs = carry.map(c => attr(rPlan, c, "right"))
     val node = AsOfJoin(
       lPlan, rPlan,

@@ -89,6 +89,18 @@ object Fixpoint {
     DatasetBridge.internalCreate(spark, bounded, schema)
   }
 
+  /** Null-safe "not already in acc": a plain left_anti on the key columns
+    * uses EqualTo, under which a null-containing tuple NEVER matches its
+    * own copy in the accumulator — it would be re-derived as "fresh" every
+    * iteration and the loop could only end at maxIter. `<=>` dedups null
+    * tuples like `distinct()` does (still a hash-joinable equi-predicate). */
+  private def antiAlreadySeen(derived: DataFrame, acc: DataFrame,
+                              keys: Seq[String]): DataFrame = {
+    val accR = acc.select(keys.map(k => col(k).as(s"__acc_$k")): _*)
+    val cond = keys.map(k => col(k) <=> col(s"__acc_$k")).reduce(_ && _)
+    derived.join(accR, cond, "left_anti")
+  }
+
   private def nonConverged(what: String, maxIter: Int): Nothing =
     throw new IllegalStateException(
       s"$what did not converge within maxIter=$maxIter iterations — " +
@@ -109,7 +121,7 @@ object Fixpoint {
         .join(e.as("g"), col("d.dst") === col("g.src"))
         .select(col("d.src").as("src"), col("g.dst").as("dst"))
         .distinct()
-      val fresh = materialize(extended.join(acc, Seq("src", "dst"), "left_anti"))
+      val fresh = materialize(antiAlreadySeen(extended, acc, Seq("src", "dst")))
       if (fresh.rows == 0L) done = true
       else {
         legs :+= fresh.rdd
@@ -143,10 +155,8 @@ object Fixpoint {
     var i = 0
     var done = false
     while (!done && i < maxIter) {
-      val fresh = materialize(
-        step(delta, acc)
-          .select(keys.map(col): _*).distinct()
-          .join(acc, keys, "left_anti"))
+      val fresh = materialize(antiAlreadySeen(
+        step(delta, acc).select(keys.map(col): _*).distinct(), acc, keys))
       if (fresh.rows == 0L) done = true
       else {
         legs :+= fresh.rdd

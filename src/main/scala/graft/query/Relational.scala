@@ -270,23 +270,30 @@ object Relational {
     val left = left0.filter(col(key).isNotNull && col(leftTs).isNotNull)
     val right = right0.filter(col(key).isNotNull && col(rightTs).isNotNull)
     val leftCols = left.columns.toSeq
+    // carries travel as ONE non-null struct per right row, so
+    // `last(_, ignoreNulls)` selects the latest MATCHED ROW even when the
+    // carried values themselves are null — per-column last() would skip a
+    // null carry and resurrect a stale earlier row (and drop the row
+    // entirely when no earlier non-null exists), diverging from SQL as-of
+    // semantics and the native AsOfJoinExec.
+    val carryStructType = org.apache.spark.sql.types.StructType(
+      carry.map(c => right.schema(c)))
     val rightSide = right.select(
-      Seq(col(key).as("__k"), col(rightTs).as("__t"), lit(0).as("__side")) ++
-        carry.map(c => col(c).as(s"__carry_$c")) ++
+      Seq(col(key).as("__k"), col(rightTs).as("__t"), lit(0).as("__side"),
+        struct(carry.map(c => col(c).as(c)): _*).as("__carry")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")): _*)
     val leftSide = left.select(
-      Seq(col(key).as("__k"), col(leftTs).as("__t"), lit(1).as("__side")) ++
-        carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"__carry_$c")) ++
+      Seq(col(key).as("__k"), col(leftTs).as("__t"), lit(1).as("__side"),
+        lit(null).cast(carryStructType).as("__carry")) ++
         leftCols.map(c => col(c).as(s"__l_$c")): _*)
     val w = Window.partitionBy("__k")
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = carry.foldLeft(rightSide.unionByName(leftSide))((df, c) =>
-      df.withColumn(s"__asof_$c", last(col(s"__carry_$c"), ignoreNulls = true).over(w)))
-    filled.filter(col("__side") === 1)
+    val filled = rightSide.unionByName(leftSide)
+      .withColumn("__m", last(col("__carry"), ignoreNulls = true).over(w))
+    filled.filter(col("__side") === 1 && col("__m").isNotNull)
       .select(leftCols.map(c => col(s"__l_$c").as(c)) ++
-        carry.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
-      .na.drop("any", carry.map(c => s"asof_$c"))
+        carry.map(c => col("__m").getField(c).as(s"asof_$c")): _*)
   }
 
   /** Gate query: for every purchase event, the user's latest preceding (or

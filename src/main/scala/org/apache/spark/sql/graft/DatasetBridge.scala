@@ -51,6 +51,13 @@ object DatasetBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** Block until the Spark listener bus has delivered every queued event
+    * (`listenerBus` is private[spark]) — metric listeners are async, so a
+    * reader sampling counters right after an action races event delivery
+    * and attributes jobs to the wrong query. */
+  def drainListenerBus(spark: SparkSession, timeoutMs: Long = 10000L): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+
   /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` is
     * package-private) — how custom logical operators like
     * [[graft.plans.AsOfJoin]] enter the DataFrame API. */

@@ -67,13 +67,27 @@ class AsofJoinSpec extends SparkSpec {
       // dedup (k, rts) so the latest-row tie is well-defined in BOTH impls
       .groupBy("k", "rts").agg(max("rid").as("rid"))
       .withColumn("rts", when(col("rid") % 89 === 0, lit(null)).otherwise(col("rts")))
+      // null CARRY values on matched rows: the matched row must still win
+      // (a per-column last(ignoreNulls) would resurrect a stale older row)
+      .withColumn("rid", when(col("rid") % 7 === 0, lit(null)).otherwise(col("rid")))
     val viaWindow = Relational.asofJoin(left, right, "k", "lts", "rts", Seq("rid"))
-      .select("lid", "asof_rid").as[(Long, Long)].collect().toMap
+      .select("lid", "asof_rid").as[(Long, Option[Long])].collect().toMap
     val viaExec = graft.plans.AsOfJoin
       .asofJoinNative(left, right, "k", "lts", "rts", Seq("rid"))
-      .select("lid", "asof_rid").as[(Long, Long)].collect().toMap
+      .select("lid", "asof_rid").as[(Long, Option[Long])].collect().toMap
     assert(viaExec.size == viaWindow.size)
     assert(viaExec == viaWindow)
+    // the null-carry injection must actually exercise matched-null rows
+    assert(viaExec.values.exists(_.isEmpty), "fixture should produce null carries")
+  }
+
+  test("native exec rejects mismatched key/time types instead of silently mis-joining") {
+    val l = spark.range(5).selectExpr("id AS k", "id AS t", "id AS v")
+    val rIntKey = spark.range(5).selectExpr("CAST(id AS INT) AS k", "id AS t", "id AS p")
+    val e = intercept[Exception] {
+      graft.plans.AsOfJoin.asofJoinNative(l, rIntKey, "k", "t", "t", Seq("p")).collect()
+    }
+    assert(e.getMessage.contains("key types must match"), e.getMessage)
   }
 
   test("native exec: forward direction picks the earliest right row at or after") {

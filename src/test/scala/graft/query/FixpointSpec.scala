@@ -31,6 +31,16 @@ class FixpointSpec extends SparkSpec {
     assert(Fixpoint.transitiveClosure(edges, maxIter = 25).count() == 20 * 21 / 2)
   }
 
+  test("null-key tuples converge instead of being re-derived until maxIter") {
+    // (NULL, b) + (b, c) derives (NULL, c); under a plain (EqualTo)
+    // left_anti that tuple never matches its own copy in acc and the loop
+    // only ends at maxIter — the null-safe dedup must converge promptly
+    val edges = Seq((null.asInstanceOf[String], "b"), ("b", "c")).toDF("src", "dst")
+    val got = Fixpoint.transitiveClosure(edges, maxIter = 10)
+      .as[(Option[String], String)].collect().toSet
+    assert(got == Set((None, "b"), (Some("b"), "c"), (None, "c")))
+  }
+
   test("reliable checkpoint dir flag switches off localCheckpoint") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fixpoint-ckpt").toString
     spark.conf.set(Fixpoint.CheckpointDirKey, dir)
