@@ -51,7 +51,15 @@ class DocumentStore(val spark: SparkSession, val path: String) {
     new Timestamp(t)
   }
 
-  def now(): Timestamp = new Timestamp(System.currentTimeMillis())
+  /** "Current" read time: wall-clock OR the latest committed tx time,
+    * whichever is later. The tx clock bumps +1 ms under same-ms collisions,
+    * so it can run (briefly) ahead of wall-clock — and after a backwards
+    * NTP step, far ahead. Reading at plain wall-clock would make freshly
+    * committed writes invisible (entity() missing a doc put() just
+    * returned, cas/matchPut failing against their own committed state);
+    * max(wall, lastTx) restores read-your-writes. */
+  def now(): Timestamp =
+    new Timestamp(math.max(System.currentTimeMillis(), lastTx.get()))
 
   private def append(rows: Seq[VersionedDoc]): Unit =
     rows.toDS()
@@ -105,8 +113,17 @@ class DocumentStore(val spark: SparkSession, val path: String) {
       .repartition(col("valid_date"))
       .write.mode(SaveMode.Overwrite).partitionBy("valid_date")
       .parquet(tmp.toString)
-    fs.delete(p, true)
+    // rename-rename swap (never delete-then-rename): the live path is
+    // absent only between the two renames, and a crash there leaves the
+    // full data at `<path>.old` + `<path>.compact` for recovery instead of
+    // deleted. Concurrent readers hitting that window (single-writer
+    // maintenance op — run it off-peak) see a transient missing-path error,
+    // not silent data loss.
+    val bak = new Path(path + ".old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    fs.rename(p, bak)
     fs.rename(tmp, p)
+    fs.delete(bak, true)
   }
 
   /** S5: delete — tombstone ending validity now (or at `validFrom`). */

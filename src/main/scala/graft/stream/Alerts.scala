@@ -25,7 +25,8 @@ import graft.store.DocumentStore
 class AlertScheduler(store: DocumentStore,
                      registry: FunctionRegistry = FunctionRegistry.default,
                      pollMillis: Long = 1000, // faithful to alert.clj:36
-                     claimId: String = java.util.UUID.randomUUID().toString) {
+                     claimId: String = java.util.UUID.randomUUID().toString,
+                     claimTtlMillis: Long = 60000) {
 
   private implicit val formats: Formats = DefaultFormats
   @volatile private var exec: Option[ScheduledExecutorService] = None
@@ -33,21 +34,32 @@ class AlertScheduler(store: DocumentStore,
 
   def fired: Long = firedCount
 
-  /** One poll: due (= now-visible) alert docs → claim → handle → delete. */
-  def tick(now: Timestamp = store.now()): Unit = {
+  /** One poll: due (= now-visible) alert docs → claim → handle → delete.
+    * The WHOLE body is guarded: `scheduleWithFixedDelay` suppresses all
+    * future runs after an uncaught throw, so a transient Spark failure in
+    * the scan must never escape. */
+  def tick(now: Timestamp = store.now()): Unit = try {
     import store.spark.implicits._
     val due = store.asOf(now)
       .filter("id LIKE '%/alert'")
       .select("id", "doc")
       .as[(String, String)]
       .collect() // alert docs are control-plane-scale (few), like the 1 s poll loop
+    val nowMs = System.currentTimeMillis()
     due.foreach { case (id, doc) =>
       try {
         val parsed = JsonMethods.parse(doc)
-        val alreadyClaimed = (parsed \ "alertClaim") != JNothing
-        if (!alreadyClaimed) {
+        // a claim EXPIRES after claimTtlMillis: an instance that claimed an
+        // alert and died before deleting it must not lose the alert forever
+        // — any instance may re-claim (fresh CAS) once the claim is stale.
+        // Claims without a timestamp (legacy/corrupt) count as stale.
+        val claimFresh = (parsed \ "alertClaim") != JNothing &&
+          (parsed \ "alertClaimAt").extractOpt[Long]
+            .exists(at => nowMs - at < claimTtlMillis)
+        if (!claimFresh) {
           val claimed = JsonMethods.compact(JsonMethods.render(
-            parsed.merge(JObject("alertClaim" -> JString(claimId)))))
+            parsed.merge(JObject("alertClaim" -> JString(claimId),
+              "alertClaimAt" -> JLong(nowMs)))))
           // real CAS claim: only one scheduler instance wins (cf. alert.clj:20-28)
           if (store.cas(id, doc, claimed)) {
             val handler = (parsed \ "alertHandler").extractOpt[String]
@@ -63,9 +75,9 @@ class AlertScheduler(store: DocumentStore,
             store.delete(id) // alert.clj:31
           }
         }
-      } catch { case _: Throwable => () } // a bad alert doc never kills the loop
+      } catch { case scala.util.control.NonFatal(_) => () } // a bad alert doc never kills the loop
     }
-  }
+  } catch { case scala.util.control.NonFatal(_) => () } // transient scan failure: retry next poll
 
   def start(): Unit = synchronized {
     if (exec.isEmpty) {

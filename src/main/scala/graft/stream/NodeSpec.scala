@@ -70,19 +70,32 @@ object NodeSpec {
     case _ => None
   }
 
-  /** Total: malformed spec → None (the validation railway reports upstream). */
+  /** Total: malformed spec → None (the validation railway reports upstream).
+    * STRICT on present fields: a `transducer`/`buffer`/`upstream` key that
+    * exists but doesn't parse fails the WHOLE spec — silently dropping it
+    * would deploy a node that does something different from what was
+    * written (an unparseable filter would pass every row; a string-typed
+    * `upstream` would turn the node into a source reading its own topic). */
   def parse(json: String): Option[StreamNode] =
     try {
       val j = JsonMethods.parse(json)
-      (j \ "name").extractOpt[String].map { name =>
-        StreamNode(
-          NodeName.parse(name),
-          (j \ "upstream").extractOpt[Set[String]].getOrElse(Set.empty),
-          parseOpSpec(j \ "transducer"),
-          parseBuffer(j \ "buffer"),
-          (j \ "errorSink").extractOpt[String],
-          (j \ "format").extractOpt[String].getOrElse("json"))
-      }
+      def strictly[A](v: JValue, p: JValue => Option[A]): Option[Option[A]] =
+        v match {
+          case JNothing => Some(None) // absent is fine
+          case present => p(present).map(Some(_)) // present must parse
+        }
+      for {
+        name <- (j \ "name").extractOpt[String]
+        transducer <- strictly(j \ "transducer", parseOpSpec)
+        buffer <- strictly(j \ "buffer", parseBuffer)
+        upstream <- strictly[Set[String]](j \ "upstream", _.extractOpt[Set[String]])
+      } yield StreamNode(
+        NodeName.parse(name),
+        upstream.getOrElse(Set.empty),
+        transducer,
+        buffer,
+        (j \ "errorSink").extractOpt[String],
+        (j \ "format").extractOpt[String].getOrElse("json"))
     } catch { case _: Throwable => None }
 
   def toJson(n: StreamNode): String = {

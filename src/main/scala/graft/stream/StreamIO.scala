@@ -171,9 +171,11 @@ class MemoryIO(val spark: SparkSession) extends StreamIO {
     stream(topic).addData(kvs.map { case (k, v) => (k, v, now) })
   }
 
-  /** Collected sink rows for a topic (in arrival order). */
+  /** Collected sink rows for a topic (in arrival order). Reads take the
+    * same monitor the foreachBatch append does — an unsynchronized copy
+    * racing a concurrent append can observe a partially-filled resize. */
   def collected(topic: String): Seq[Row] =
-    Option(outputs.get(topic)).map(_.toSeq).getOrElse(Seq.empty)
+    Option(outputs.get(topic)).map(b => b.synchronized(b.toSeq)).getOrElse(Seq.empty)
 
   def source(topic: String, rateLimit: Option[Long] = None): DataFrame =
     stream(topic).toDF()

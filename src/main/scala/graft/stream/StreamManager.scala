@@ -23,6 +23,7 @@ import graft.store.DocumentStore
   */
 class StreamManager(val topology: Topology) {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private val running = TrieMap.empty[String, StreamingQuery]
 
   /** Serializes graph mutations. The management plane applies an update
@@ -33,7 +34,12 @@ class StreamManager(val topology: Topology) {
     * control-plane-scale (rare), so one lock is the right tool. */
   private val adminLock = new Object
 
-  private def queryName(full: String): String = full.replace('/', '_')
+  // injective escape ('/'→"_s", '_'→"_u"): plain '/'→'_' collides
+  // "kafka/a/b" with "kafka/a_b" — duplicate Spark query names AND a shared
+  // checkpoint dir, where a restart of one silently resumes the OTHER
+  // query's committed offsets
+  private def queryName(full: String): String =
+    full.flatMap { case '/' => "_s"; case '_' => "_u"; case c => c.toString }
 
   /** Name of the internal control-plane topic
     * (`/root/reference/src/dataworks/app_graph.clj:13-19`). */
@@ -63,11 +69,21 @@ class StreamManager(val topology: Topology) {
   /** T13/T19 `apply-graph!` + startup bootstrap: start every sink query and
     * every error-handler's dead-letter query not yet running. Idempotent. */
   def applyGraph(): Seq[StreamingQuery] = adminLock.synchronized {
+    // per-sink isolation: one node whose plan can't build (e.g. a
+    // bootstrapped doc referencing a node that no longer exists) must not
+    // prevent every OTHER sink from starting — and must never propagate out
+    // of a control-plane micro-batch (which would kill the control plane)
+    def tryStart[A](what: String)(f: => A): Option[A] =
+      try Some(f) catch {
+        case scala.util.control.NonFatal(e) =>
+          log.warn(s"skipping unstartable $what: ${e.getMessage}"); None
+      }
     val mains = topology.sinkNodes.sortBy(_.name.full)
-      .filterNot(n => running.contains(n.name.full)).map(startSink)
+      .filterNot(n => running.contains(n.name.full))
+      .flatMap(n => tryStart(s"sink ${n.name.full}")(startSink(n)))
     val deads = topology.nodes.values.toSeq.sortBy(_.name.full)
       .filter(n => n.errorSink.isDefined && !running.contains(n.name.full + "#errors"))
-      .flatMap(startDeadLetter)
+      .flatMap(n => tryStart(s"dead-letter ${n.name.full}")(startDeadLetter(n)).flatten)
     mains ++ deads
   }
 
@@ -114,7 +130,10 @@ class StreamManager(val topology: Topology) {
     Seq(full, full + "#errors", full + "#drain").exists(running.contains)
 
   def updateNode(n: StreamNode): Either[String, Seq[StreamingQuery]] =
-    topology.validate(n).map { ok => adminLock.synchronized {
+    // wiring is validated BEFORE any running sink is stopped: a spec naming
+    // a missing upstream or closing a cycle fails the railway here instead
+    // of throwing out of buildPlan with downstream queries already down
+    topology.validate(n).flatMap(topology.validateWiring).map { ok => adminLock.synchronized {
       val affectedSinks = (topology.downstreamOf(ok.name.full) + ok.name.full)
         .filter(hasRunningQueries)
       affectedSinks.foreach(stopSink)
@@ -126,6 +145,8 @@ class StreamManager(val topology: Topology) {
   def deleteNode(full: String): Unit = adminLock.synchronized {
     (topology.downstreamOf(full) + full).filter(hasRunningQueries).foreach(stopSink)
     topology.removeNode(full)
+    // a later same-named node starts its drop counters from zero
+    DropMetrics.forSession(topology.io.spark).reset(full)
   }
 
   /** T19 startup bootstrap: load every `:stream/…` stored-function doc from
@@ -155,7 +176,15 @@ class StreamManager(val topology: Topology) {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val ids = batch.select("value").collect().map(_.getString(0))
         ids.foreach { id =>
-          store.entity(id).flatMap(parse).foreach(updateNode)
+          // a poisonous update must not fail the micro-batch — that would
+          // terminate the control-plane query itself, permanently
+          try store.entity(id).flatMap(parse).foreach { n =>
+            updateNode(n).left.foreach(err =>
+              log.warn(s"control-plane update rejected for '$id': $err"))
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              log.warn(s"control-plane update failed for '$id'", e)
+          }
         }
         ()
       }

@@ -41,7 +41,44 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
       Left(s"${n.name.full}: error-handler requires a transducer")
     else if (n.transducer.isDefined && n.buffer.isEmpty)
       Left(s"${n.name.full}: transducer requires a buffer")
+    else n.buffer match {
+      // a non-positive size passes parsing but detonates in the executor
+      // (Sliding(0) divides by zero, negative sizes allocate negative
+      // arrays, Fixed(-n) feeds Kafka a negative rate limit)
+      case Some(graft.core.BufferSpec.Fixed(x)) if x <= 0 =>
+        Left(s"${n.name.full}: buffer size must be positive, got $x")
+      case Some(graft.core.BufferSpec.Sliding(x)) if x <= 0 =>
+        Left(s"${n.name.full}: sliding buffer size must be positive, got $x")
+      case Some(graft.core.BufferSpec.Dropping(x)) if x <= 0 =>
+        Left(s"${n.name.full}: dropping buffer size must be positive, got $x")
+      case _ => Right(n)
+    }
+
+  /** Would swapping `n` into the graph close a cycle? Checked by
+    * [[StreamManager.updateNode]] BEFORE stopping any running sink — a
+    * cycle must fail the railway, not throw out of `buildPlan` after
+    * downstream queries are already stopped. (A MISSING upstream is NOT an
+    * error here: creating a processor before its input node is registered
+    * is the normal bootstrap/management order — nothing builds a plan until
+    * a downstream sink exists, and `applyGraph` isolates any sink whose
+    * plan still can't build.) */
+  def validateWiring(n: StreamNode): Either[String, StreamNode] = {
+    val hypothetical = nodeMap.toMap + (n.name.full -> n)
+    // walk downstream edges of the hypothetical graph from n; returning
+    // to n means the swap would close a cycle
+    val out = hypothetical.values
+      .flatMap(m => m.upstream.map(u => (u, m.name.full)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var acc = Set.empty[String]
+    var frontier = out.getOrElse(n.name.full, Set.empty)
+    while (frontier.nonEmpty) {
+      acc ++= frontier
+      frontier = frontier.flatMap(f => out.getOrElse(f, Set.empty)) -- acc
+    }
+    if (acc.contains(n.name.full))
+      Left(s"${n.name.full}: update would create a cycle")
     else Right(n)
+  }
 
   def addNode(n: StreamNode): Either[String, StreamNode] =
     validate(n).map { ok => nodeMap.put(ok.name.full, ok); io.ensureTopic(ok.name.full); ok }

@@ -22,6 +22,19 @@ class DocumentStoreSpec extends SparkSpec {
     assert(s.entity("user/alice").contains("""{"name":"alice","role":"admin"}"""))
   }
 
+  test("read-your-writes: same-millisecond puts are immediately visible") {
+    val store = freshStore()
+    // rapid-fire puts collide on the millisecond, so the tx clock runs
+    // ahead of wall-clock (+1 ms per collision); entity() must still see
+    // the LAST committed write, and cas against it must succeed
+    (1 to 5).foreach(i => store.put("ryw/doc", s"""{"v":$i}"""))
+    assert(store.entity("ryw/doc").contains("""{"v":5}"""),
+      "the freshest committed write must be visible at read time")
+    assert(store.cas("ryw/doc", """{"v":5}""", """{"v":6}"""),
+      "cas must compare against the freshest committed value")
+    assert(store.entity("ryw/doc").contains("""{"v":6}"""))
+  }
+
   test("missing entity is None") {
     val s = freshStore()
     s.put("a", "{}")

@@ -50,6 +50,46 @@ class AlertsSpec extends SparkSpec {
       new Timestamp(System.currentTimeMillis() + 60000)).isEmpty)
   }
 
+  test("stale claim from a dead instance is re-claimed and fired; fresh claim is not") {
+    val store = freshStore()
+    val reg = new FunctionRegistry
+    val calls = new ConcurrentLinkedQueue[String]()
+    reg.registerTransactor("recover", args => { calls.add(args.mkString(",")); () })
+    val past = new Timestamp(System.currentTimeMillis() - 1000)
+    // a claim written long ago by an instance that died before deleting
+    val staleAt = System.currentTimeMillis() - 600000
+    store.put("stale/alert",
+      s"""{"appName":"x","alertHandler":"recover","alertParams":["a"],"alertClaim":"dead-instance","alertClaimAt":$staleAt}""",
+      Some(past))
+    // a claim written moments ago by a live instance mid-fire
+    val freshAt = System.currentTimeMillis()
+    store.put("fresh/alert",
+      s"""{"appName":"x","alertHandler":"recover","alertParams":["b"],"alertClaim":"live-instance","alertClaimAt":$freshAt}""",
+      Some(past))
+    val sched = new AlertScheduler(store, reg, claimTtlMillis = 60000)
+    sched.tick()
+    val deadline = System.currentTimeMillis() + 5000
+    while (calls.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(calls.toArray.toSeq == Seq("\"a\""),
+      s"stale claim re-fired, fresh claim skipped: ${calls.toArray.toSeq}")
+    // the stale alert is cleaned up; the fresh one stays for its owner
+    assert(store.entity("stale/alert",
+      new Timestamp(System.currentTimeMillis() + 60000)).isEmpty)
+    assert(store.entity("fresh/alert",
+      new Timestamp(System.currentTimeMillis() + 60000)).isDefined)
+  }
+
+  test("a transient store failure never kills the poll loop") {
+    // tick() against a store path that throws (deleted out from under it)
+    val store = freshStore()
+    store.put("x/alert", """{"alertHandler":"h"}""")
+    val sched = new AlertScheduler(store, new FunctionRegistry)
+    // blow away the backing files so the scan fails
+    val p = new org.apache.hadoop.fs.Path(store.path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    sched.tick() // must not throw — scheduleWithFixedDelay would never run again
+  }
+
   test("two scheduler instances: CAS claim lets only one fire") {
     val store = freshStore()
     val reg = new FunctionRegistry

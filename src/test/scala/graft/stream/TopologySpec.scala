@@ -185,6 +185,63 @@ class TopologySpec extends SparkSpec {
       "error handler without transducer must fail")
   }
 
+  test("validation: non-positive buffer sizes are rejected, not deployed") {
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    for (buf <- Seq(BufferSpec.Fixed(0), BufferSpec.Sliding(0),
+                    BufferSpec.Dropping(-1))) {
+      assert(topo.addNode(StreamNode(NodeName.parse("stream/bad"), Set.empty,
+        Some(OpSpec.MapExpr("value")), Some(buf), None)).isLeft,
+        s"$buf must fail validation (it would crash the executor)")
+    }
+  }
+
+  test("updateNode rejects cycles BEFORE stopping sinks; bad plans are isolated") {
+    val io = new MemoryIO(spark)
+    val (topo, mgr) = pipeline(io)
+    try {
+      // an independent sink chain that must survive everything below
+      assert(topo.addNode(StreamNode(NodeName.parse("kafka/aux"),
+        Set("kafka/input"), None, None, None)).isRight)
+      io.publish("kafka/input", "k", "1")
+      mgr.applyGraph()
+      mgr.processAllAvailable()
+      val before = mgr.runningQueries.keySet
+      // cycle: process -> output -> process — Left, running graph untouched
+      val cyc = StreamNode(NodeName.parse("stream/process"),
+        Set("kafka/input", "kafka/output"),
+        Some(OpSpec.MapExpr("value")), Some(BufferSpec.Fixed(10)), None)
+      assert(mgr.updateNode(cyc).isLeft, "cycle must fail the railway")
+      assert(mgr.runningQueries.keySet == before)
+      // a sink updated to reference a node that doesn't exist: the update
+      // lands (create-before-upstream is the normal management order), the
+      // unbuildable sink is SKIPPED with a warning, nothing throws, and no
+      // unrelated query is harmed
+      val dangling = StreamNode(NodeName.parse("kafka/output"), Set("stream/typo"),
+        None, None, None)
+      val res = mgr.updateNode(dangling)
+      assert(res.isRight, s"dangling upstream must not fail the railway: $res")
+      assert(!mgr.runningQueries.contains("kafka/output"),
+        "the unbuildable sink is down (skipped), not throwing")
+      assert(mgr.runningQueries.contains("kafka/aux"),
+        "unrelated queries keep running")
+    } finally mgr.stopAll()
+  }
+
+  test("NodeSpec.parse is strict on present-but-malformed fields") {
+    // typo'd op key: would otherwise deploy a PASS-EVERYTHING node
+    assert(NodeSpec.parse(
+      """{"name":"stream/x","upstream":["kafka/in"],"transducer":{"fliter":"v>0"},"buffer":10}""").isEmpty)
+    // string upstream: would otherwise silently become a SOURCE node
+    assert(NodeSpec.parse(
+      """{"name":"stream/x","upstream":"kafka/in"}""").isEmpty)
+    // malformed buffer object
+    assert(NodeSpec.parse(
+      """{"name":"stream/x","buffer":{"bounded":3}}""").isEmpty)
+    // absent optional fields still parse
+    assert(NodeSpec.parse("""{"name":"stream/x"}""").isDefined)
+  }
+
   test("query-graph: affected subgraph is downstream-reachable only") {
     val io = new MemoryIO(spark)
     val (topo, _) = pipeline(io)
