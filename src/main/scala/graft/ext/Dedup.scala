@@ -82,9 +82,11 @@ object Dedup {
       col(idCol).as("id"),
       graft.functions.TextHashExpressions.word_shingles(
         TextOps.tokens(col(textCol)), shingleN).as("sh")))
-    val withSig = CacheRegistry.persisted(docs.select(
-      col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleN, numPerm).as("sig")))
+    // signatures derive from the PERSISTED shingles — recomputing
+    // tokens+shingles from raw text here would run the heaviest
+    // per-document work over the corpus a second time
+    val withSig = CacheRegistry.persisted(withSh.select(col("id"),
+      graft.functions.TextHashExpressions.minhash_sig(col("sh"), numPerm).as("sig")))
     // buckets carry only (id, band, bucket) — the shingle arrays are joined
     // back in AFTER candidate dedup so the band-explode shuffle stays thin.
     val buckets = withSig

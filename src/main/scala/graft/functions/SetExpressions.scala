@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, MapType, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, TimestampNTZType, TimestampType}
 
 /** Static helper shared by `eval` and generated code: |set(a) ∩ set(b)|
   * over two arrays, WITHOUT materializing the intersection array the way
@@ -68,18 +68,19 @@ object IntersectionSizeRule extends Rule[LogicalPlan] {
   private def rewritable(e: Expression): Boolean = e.dataType match {
     // null-element arrays keep the original expression (array_intersect
     // counts a null present on both sides, the hash probe skips it), and
-    // so do floating-point elements: SQL set semantics normalize
-    // 0.0 == -0.0 (SQLOpenHashSet) while boxed Double/Float distinguish
-    // them — the rewrite must never change pure-SQL results.
-    case ArrayType(et, containsNull) => !containsNull && !hasFloating(et)
+    // the element type must be a WHITELISTED value-equality type: the
+    // hash probe uses JVM equals/hashCode, which diverges from SQL set
+    // semantics for floating point (0.0 vs -0.0 has flip-flopped across
+    // releases), binary (Array[Byte] is identity-equal), structs (mixed
+    // Unsafe/Generic rows), decimals (scale-sensitive equals). The
+    // rewrite must never be the thing that changes a pure-SQL answer.
+    case ArrayType(et, containsNull) => !containsNull && valueEquality(et)
     case _ => false
   }
 
-  private def hasFloating(dt: DataType): Boolean = dt match {
-    case DoubleType | FloatType => true
-    case ArrayType(et, _) => hasFloating(et)
-    case StructType(fields) => fields.exists(f => hasFloating(f.dataType))
-    case MapType(k, v, _) => hasFloating(k) || hasFloating(v)
+  private def valueEquality(dt: DataType): Boolean = dt match {
+    case StringType | BooleanType | ByteType | ShortType | IntegerType |
+         LongType | DateType | TimestampType | TimestampNTZType => true
     case _ => false
   }
   override def apply(plan: LogicalPlan): LogicalPlan =

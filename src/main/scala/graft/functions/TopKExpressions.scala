@@ -51,7 +51,14 @@ final class TopKBuffer(val k: Int) {
 case class TopKByScore(
     score: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[TopKBuffer] {
+    extends TypedImperativeAggregate[TopKBuffer]
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  // declared input types: an int id / float score would otherwise throw
+  // ClassCastException per row deep inside the aggregate — the analyzer
+  // now inserts casts (or fails analysis cleanly)
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.DoubleType, org.apache.spark.sql.types.LongType)
 
   require(k > 0, "top_k_by k must be positive")
 

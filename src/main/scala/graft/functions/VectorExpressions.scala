@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -18,8 +18,12 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
   * in the build contract: custom Expression before UDF).
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
+  // declared input types: getDouble over an array<float>'s 4-byte layout
+  // would silently read garbage — the analyzer now casts (or fails) instead
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)
@@ -51,7 +55,9 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 /** L2 norm via the same codegen'd loop. */
-case class L2Norm(child: Expression) extends UnaryExpression {
+case class L2Norm(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override protected def withNewChildInternal(c: Expression): L2Norm = copy(child = c)
 
@@ -116,7 +122,9 @@ object VectorHashes {
 
 /** `srp_sig(vec, nBits, tables)` — array<double> → array<int> of length
   * `tables`: the vector's SRP-LSH bucket in each hash table. */
-case class SrpSig(child: Expression, nBits: Int, tables: Int) extends UnaryExpression {
+case class SrpSig(child: Expression, nBits: Int, tables: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override protected def withNewChildInternal(c: Expression): SrpSig = copy(child = c)
   override def nullSafeEval(a: Any): Any =

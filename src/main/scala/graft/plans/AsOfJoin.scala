@@ -113,10 +113,17 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
-  // (key, time) sort inside each partition — EnsureRequirements adds the sorts
+  // (key, time) sort inside each partition — EnsureRequirements adds the
+  // sorts. The right side additionally orders by the (orderable) carry
+  // columns, so ties on (key, time) resolve deterministically: backward
+  // keeps the LAST row (max carry tuple — matching the window
+  // formulation's last-over-ascending pick), forward the FIRST (min).
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+      (if (carry.forall(a =>
+          org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(a.dataType)))
+        carry.map(a => SortOrder(a, Ascending)) else Nil))
 
   // left rows pass through unchanged (columns appended), so the left
   // child's hash partitioning survives — a downstream groupBy/join on the

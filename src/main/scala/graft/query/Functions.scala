@@ -164,10 +164,19 @@ object Functions {
   def nsKeys(df: DataFrame, ns: String, names: Seq[String]): DataFrame =
     names.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${ns}_$c"))
 
-  /** `set-ns`: re-namespace every column (strip any existing prefix). */
-  def setNs(df: DataFrame, ns: String): DataFrame =
-    df.columns.foldLeft(df)((d, c) =>
-      d.withColumnRenamed(c, s"${ns}_${c.split("_", 2).last}"))
+  /** `set-ns`: re-namespace every column (strip any existing prefix).
+    * Prefix-stripping is underscore-based, so two columns can map to the
+    * same target (`user_id` and `order_id` both → `<ns>_id`) — that is a
+    * hard error here rather than a silently ambiguous DataFrame. */
+  def setNs(df: DataFrame, ns: String): DataFrame = {
+    val renames = df.columns.toSeq.map(c => c -> s"${ns}_${c.split("_", 2).last}")
+    val dups = renames.groupBy(_._2).filter(_._2.length > 1)
+    require(dups.isEmpty,
+      s"set-ns would merge distinct columns: " +
+        dups.map { case (to, fs) => s"${fs.map(_._1).mkString("+")} -> $to" }
+          .mkString(", ") + " — rename inputs first")
+    renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+  }
 
   /** `stringify-keyword` (`common.clj:120-126`): ":ns/name" → "ns/name". */
   def stringifyKeyword(s: String): String = s.stripPrefix(":")

@@ -286,8 +286,15 @@ object Relational {
       Seq(col(key).as("__k"), col(leftTs).as("__t"), lit(1).as("__side"),
         lit(null).cast(carryStructType).as("__carry")) ++
         leftCols.map(c => col(c).as(s"__l_$c")): _*)
+    // deterministic tie policy: among right rows sharing (key, ts), the
+    // MAX carry struct wins (last in ascending order) — without this the
+    // pick is shuffle-order dependent. Skipped only for unorderable carry
+    // types (maps), where ties stay unspecified.
+    val tieBreak =
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(carryStructType))
+        Seq(col("__carry").asc) else Nil
     val w = Window.partitionBy("__k")
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy((Seq(col("__t").asc, col("__side").asc) ++ tieBreak): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightSide.unionByName(leftSide)
       .withColumn("__m", last(col("__carry"), ignoreNulls = true).over(w))

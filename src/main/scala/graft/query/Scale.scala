@@ -75,8 +75,9 @@ object Scale {
     * its size estimate is under the session threshold, otherwise lets AQE
     * choose (never forces a huge broadcast). */
   def dimJoin(facts: DataFrame, dims: DataFrame, cond: Column): DataFrame = {
-    val threshold = facts.sparkSession.conf
-      .get("spark.sql.autoBroadcastJoinThreshold", "10485760").replace("b", "").toLong
+    // the TYPED conf accessor — the string form carries size suffixes
+    // ("10MB") that a hand-rolled .toLong cannot parse
+    val threshold = facts.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     val est = dims.queryExecution.optimizedPlan.stats.sizeInBytes
     if (threshold > 0 && est <= threshold) facts.join(broadcast(dims), cond)
     else facts.join(dims, cond)

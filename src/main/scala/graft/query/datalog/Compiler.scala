@@ -32,12 +32,68 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
 
   def run(docs: DataFrame, q: Query): DataFrame = {
     require(docs.columns.contains("id"), "document relation needs an `id` column")
-    val ruleMap = q.rules.groupBy(_.name).view.mapValues(_.head).toMap
+    val ruleMap = mergeRules(q.rules)
     val body = compileClauses(docs, substArgs(q.where, q.args), ruleMap)
     project(body, q)
   }
 
   // ------------------------------------------------------------ args (Q7)
+
+  /** Merge same-name Rule entries (the natural one-entry-per-body encoding
+    * of crux's `:rules` vector): each extra entry's bodies are rewritten
+    * from its own param names to the canonical (first entry's) params —
+    * dropping them silently (`_.head`) would truncate the rule's union.
+    * Body-local vars that would be captured by the rename are α-renamed
+    * first. Arity mismatch across entries is an error. */
+  private def mergeRules(rules: Seq[Rule]): Map[String, Rule] =
+    rules.groupBy(_.name).view.mapValues { rs =>
+      val canon = rs.head.params
+      rs.foreach(r => require(r.params.length == canon.length,
+        s"rule ${r.name}: definitions disagree on arity " +
+          s"(${canon.length} vs ${r.params.length})"))
+      Rule(rs.head.name, canon, rs.flatMap { r =>
+        val paramRename = r.params.map(_.name).zip(canon.map(_.name)).toMap
+        if (paramRename.forall { case (k, v) => k == v }) r.bodies
+        else {
+          val targets = canon.map(_.name).toSet
+          val locals = r.bodies.flatten.flatMap(clauseVars).toSet -- r.params.map(_.name)
+          val taken = locals ++ targets
+          val avoidCapture = locals.intersect(targets).map { n =>
+            var fresh = n + "__l"
+            while (taken.contains(fresh)) fresh += "_"
+            n -> fresh
+          }.toMap
+          val m = avoidCapture ++ paramRename
+          r.bodies.map(_.map(renameVarsClause(_, m)))
+        }
+      })
+    }.toMap
+
+  private def clauseVars(c: Clause): Set[String] = c match {
+    case Pattern(e, _, v) => Set(e, v).collect { case V(n) => n }
+    case Pred(_, ts) => ts.collect { case V(n) => n }.toSet
+    case Bind(_, ts, out) => ts.collect { case V(n) => n }.toSet + out.name
+    case Not(cs, uv) => cs.flatMap(clauseVars).toSet ++ uv.map(_.name)
+    case Or(bs, uv) => bs.flatten.flatMap(clauseVars).toSet ++ uv.map(_.name)
+    case RuleApp(_, ts) => ts.collect { case V(n) => n }.toSet
+  }
+
+  private def renameVarsTerm(t: Term, m: Map[String, String]): Term = t match {
+    case V(n) => V(m.getOrElse(n, n))
+    case other => other
+  }
+
+  private def renameVarsClause(c: Clause, m: Map[String, String]): Clause = c match {
+    case Pattern(e, a, v) => Pattern(renameVarsTerm(e, m), a, renameVarsTerm(v, m))
+    case Pred(op, ts) => Pred(op, ts.map(renameVarsTerm(_, m)))
+    case Bind(f, ts, out) =>
+      Bind(f, ts.map(renameVarsTerm(_, m)), V(m.getOrElse(out.name, out.name)))
+    case Not(cs, uv) => Not(cs.map(renameVarsClause(_, m)),
+      uv.map(v => V(m.getOrElse(v.name, v.name))))
+    case Or(bs, uv) => Or(bs.map(_.map(renameVarsClause(_, m))),
+      uv.map(v => V(m.getOrElse(v.name, v.name))))
+    case RuleApp(n, ts) => RuleApp(n, ts.map(renameVarsTerm(_, m)))
+  }
 
   private def substArgs(cs: Seq[Clause], args: Map[String, Any]): Seq[Clause] =
     if (args.isEmpty) cs else cs.map(substClause(_, args))
@@ -250,15 +306,28 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
     renameTo(resolved, paramNames, args)
   }
 
-  /** Rename a relation's param columns to caller terms: vars rename,
-    * constants filter-and-drop. */
+  /** Rename a relation's param columns to caller terms: vars rename (ONE
+    * select — sequential withColumnRenamed corrupts permuted calls like
+    * `(follows ?b ?a)` by renaming through a transient collision),
+    * constants filter-and-drop, and a REPEATED var like `(follows ?x ?x)`
+    * unifies (equality filter + single output column) instead of silently
+    * producing duplicate columns. */
   private def renameTo(rel: Rel, params: Seq[String], args: Seq[Term]): Rel = {
     var out = rel
     params.zip(args).foreach {
-      case (p, V(n)) => out = out.withColumnRenamed(p, n)
-      case (p, C(c)) => out = out.filter(col(p) === lit(c)).drop(p)
+      case (p, C(c)) => out = out.filter(col(p) === lit(c))
+      case _ => ()
     }
-    out
+    val varBindings = params.zip(args).collect { case (p, V(n)) => (p, n) }
+    varBindings.groupBy(_._2).values.foreach { ps =>
+      ps.map(_._1).sliding(2).foreach {
+        case Seq(p1, p2) => out = out.filter(col(p1) === col(p2))
+        case _ => ()
+      }
+    }
+    val distinctVars = varBindings.map(_._2).distinct
+    out.select(distinctVars.map(v =>
+      col(varBindings.find(_._2 == v).get._1).as(v)): _*)
   }
 
   // -------------------------------------------------- predicates & functions

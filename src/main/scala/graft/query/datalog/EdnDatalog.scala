@@ -167,11 +167,10 @@ object EdnDatalog {
             cs <- sequenceE(body.map(parseClause))
           } yield Rule(name, ps, Seq(cs))
         case other => Left(s"bad rule $other")
-      }).map { rules =>
-        rules.groupBy(_.name).map { case (name, rs) =>
-          Rule(name, rs.head.params, rs.flatMap(_.bodies))
-        }.toSeq
-      }
+      })
+      // one Rule entry per body vec, each keeping ITS OWN head param names
+      // (legal in crux: bodies of one rule may name params differently) —
+      // the compiler's mergeRules unifies them with α-renaming
     case _ => Left(":rules must be a vector")
   }
 

@@ -151,6 +151,33 @@ class EdnDatalogSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("rule call with permuted arg names (α-conversion, not column collision)") {
+    // calling (boss ?b ?a) against params (?a ?b) used to rename through a
+    // transient column collision and throw/corrupt
+    val got = run(
+      """{:find [?a ?b] :where [(boss ?b ?a)]
+          :rules [[(boss ?a ?b) [?a :manager ?b]]]}""")
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("e1", "e2"), ("e1", "e3"), ("e2", "e4"), ("e3", "e5")))
+  }
+
+  test("rule call with a repeated variable unifies instead of duplicating columns") {
+    val got = run(
+      """{:find [?x] :where [(boss ?x ?x)]
+          :rules [[(boss ?a ?b) [?a :manager ?b]]]}""")
+      .collect()
+    assert(got.isEmpty, "no entity is its own manager")
+  }
+
+  test("multi-body rule whose bodies name their params differently (crux-legal)") {
+    val got = run(
+      """{:find [?to] :where [(reach "e1" ?to)]
+          :rules [[(reach ?f ?t) [?t :manager ?f]]
+                  [(reach ?x ?y) [?z :manager ?x] (reach ?z ?y)]]}""")
+      .as[String].collect().toSet
+    assert(got == Set("e2", "e3", "e4", "e5"))
+  }
+
   test("malformed queries give Left, never throw") {
     for (bad <- Seq("{}", "{:find []}", "{:find [?x]}", "[1 2 3]", "{:find [?x] :where [[?x",
                     "{:find [?x] :where [[?x :name ?n]] :limit \"ten\"}"))
