@@ -23,6 +23,12 @@ object Bench {
     // leaves it unset and always measures the full surface).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) System.err.println(
+        s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     val queries = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
     // Warmup: one untimed pass over every query (JIT + codegen + parquet
@@ -46,10 +52,15 @@ object Bench {
         tasks.addAndGet(j.stageInfos.map(_.numTasks.toLong).sum)
       }
     })
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = queries.map { case (name, fn) =>
       val (j0, s0, t0c) = (jobs.get(), stages.get(), tasks.get())
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count(); () } catch { case e: Throwable =>
+        // a crashed query must not masquerade as a fast one
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       graft.core.CacheRegistry.unpersistAll() // release per-query caches
       // listener events are delivered async — drain before sampling, or
@@ -62,7 +73,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs =
+      if (failed.isEmpty) ""
+      else failed.sorted.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -108,14 +108,18 @@ object SparkEntry {
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
-         GROUP BY r_name, n_name""".stripMargin,
+         GROUP BY r_name, n_name""",
     "join_anti" ->
       "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    // both as-of oracles compare timestamps CAST to microsecond TIMESTAMP:
+    // the Spark side reads the nanos parquet truncated to us (Tables.events)
+    // while DuckDB reads TIMESTAMP_NS — a sub-us component in a future
+    // fixture would otherwise flip inclusive-tie matches
     "join_asof" ->
       """SELECT p.event_id, p.user_id, c.click_id AS asof_click_id
-         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
-         ASOF JOIN (SELECT user_id, ts, max(event_id) AS click_id
-                    FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c
+         FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase') p
+         ASOF JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS click_id
+                    FROM events WHERE event_type = 'click' GROUP BY user_id, CAST(ts AS TIMESTAMP)) c
          ON p.user_id = c.user_id AND p.ts >= c.ts""",
     // scale_salted_agg: salting redistributes rows but never changes the
     // answer — the oracle is the PLAIN group-by (decimal partials
@@ -128,9 +132,9 @@ object SparkEntry {
     // operator (plans.AsOfJoinExec) — one oracle, two execution paths
     "join_asof_native" ->
       """SELECT p.event_id, p.user_id, c.click_id AS asof_click_id
-         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
-         ASOF JOIN (SELECT user_id, ts, max(event_id) AS click_id
-                    FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c
+         FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase') p
+         ASOF JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS click_id
+                    FROM events WHERE event_type = 'click' GROUP BY user_id, CAST(ts AS TIMESTAMP)) c
          ON p.user_id = c.user_id AND p.ts >= c.ts""",
     "join_semi" ->
       "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
@@ -259,8 +263,8 @@ object SparkEntry {
       """SELECT vec_id, floor(sim * 1e4 + 0.5) / 1e4 AS sim FROM (
            SELECT e.vec_id,
              list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[])) AS sim
-           FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) t)
-         ORDER BY sim DESC, vec_id LIMIT 10""",
+           FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) t
+           ORDER BY sim DESC, vec_id LIMIT 10)""",
     "similarity_knn_join" ->
       """SELECT q_id, vec_id, floor(sim * 1e4 + 0.5) / 1e4 AS sim FROM (
            SELECT q_id, vec_id, sim,

@@ -15,7 +15,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      // a failure BEFORE .write must not leave a previous run's parquet in
+      // place to be compared as if current — stale pass is worse than a
+      // visible failure
+      rmTree(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -171,6 +171,10 @@ class StreamManager(val topology: Topology) {
     * eval). */
   def startControlPlane(store: DocumentStore,
                         parse: String => Option[StreamNode]): StreamingQuery = {
+    // idempotent, like every other start path (GraftApp.start's documented
+    // contract): a second call returns the running subscriber instead of
+    // throwing on the duplicate active query name
+    running.get(controlTopic).filter(_.isActive).getOrElse {
     val src = topology.io.source(controlTopic)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -192,5 +196,6 @@ class StreamManager(val topology: Topology) {
       .start()
     running.put(controlTopic, q)
     q
+    }
   }
 }
