@@ -42,12 +42,15 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                     leftTime: Attribute, rightTime: Attribute,
                     carry: Seq[Attribute],
                     direction: AsOfDirection = Backward,
-                    tolerance: Option[Long] = None) extends BinaryNode {
+                    tolerance: Option[Long] = None,
+                    outer: Boolean = false) extends BinaryNode {
   // carry columns surface under their right-side attributes (like Join);
   // the `asof_<name>` rename is a Project the API adds on top — aliases
   // can't live inside a custom node (the analyzer's CleanupAliases strips
-  // non-top-level aliases from every non-Project operator)
-  override def output: Seq[Attribute] = left.output ++ carry
+  // non-top-level aliases from every non-Project operator).
+  // Left-outer keeps unmatched left rows, so carries become nullable.
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) carry.map(_.withNullability(true)) else carry)
   override protected def withNewChildrenInternal(newLeft: LogicalPlan,
                                                  newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
@@ -56,8 +59,9 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 /** Plans [[AsOfJoin]] as [[AsOfJoinExec]]; a no-op on every other node. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, carry, dir, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, carry, dir, tol) :: Nil
+    case j: AsOfJoin =>
+      AsOfJoinExec(planLater(j.left), planLater(j.right), j.leftKey, j.rightKey,
+        j.leftTime, j.rightTime, j.carry, j.direction, j.tolerance, j.outer) :: Nil
     case _ => Nil
   }
 
@@ -75,7 +79,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftTime: Attribute, rightTime: Attribute,
                         carry: Seq[Attribute],
                         direction: AsOfDirection = Backward,
-                        tolerance: Option[Long] = None) extends BinaryExecNode {
+                        tolerance: Option[Long] = None,
+                        outer: Boolean = false) extends BinaryExecNode {
 
   // mismatched key/time types would silently mis-partition (each side
   // hashes its own type: murmur3(Int 5) != murmur3(Long 5)) or throw
@@ -104,7 +109,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       s"tolerance requires an integral or timestamp time column, got ${leftTime.dataType}")
   }
 
-  override def output: Seq[Attribute] = left.output ++ carry
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) carry.map(_.withNullability(true)) else carry)
 
   override lazy val metrics: Map[String, SQLMetric] =
     Map("numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
@@ -153,6 +159,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val dir = direction
     val tolDefined = tolerance.isDefined
     val tolMax = tolerance.getOrElse(Long.MaxValue)
+    val keepUnmatched = outer
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyB = BindReferences.bindReference(lk: Expression, lOut)
       val lTimeB = BindReferences.bindReference(lt: Expression, lOut)
@@ -160,8 +167,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val rTimeB = BindReferences.bindReference(rt: Expression, rOut)
       val carryProj = UnsafeProjection.create(carryExprs.map(a => a: Expression), rOut)
       val resultProj = UnsafeProjection.create(outAttrs.map(a => a: Expression),
-        lOut ++ carryExprs)
+        lOut ++ carryExprs.map(_.withNullability(true)))
       val joined = new JoinedRow
+      val nullCarry: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(carryExprs.length)
 
       new Iterator[InternalRow] {
         // next unconsumed non-null-key right row + its evaluated (key, time)
@@ -210,10 +219,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                 }
                 // the retained match is the LATEST (closest) one, so the
                 // tolerance check on it is exact
-                if (matchCarry != null && keyOrd.compare(matchKey, lkV) == 0 &&
-                    (!tolDefined || asLong(ltV) - matchTime <= tolMax)) {
+                val hit = matchCarry != null && keyOrd.compare(matchKey, lkV) == 0 &&
+                  (!tolDefined || asLong(ltV) - matchTime <= tolMax)
+                if (hit) {
                   numOutputRows += 1
                   pending = resultProj(joined(l, matchCarry))
+                } else if (keepUnmatched) {
+                  numOutputRows += 1
+                  pending = resultProj(joined(l, nullCarry))
                 }
               case Forward =>
                 // consume right rows that can never match this or any later
@@ -228,10 +241,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                 }
                 // the NEXT right row is the earliest at-or-after candidate;
                 // do NOT consume it — it may match later left rows too
-                if (rRow != null && keyOrd.compare(rKeyV, lkV) == 0 &&
-                    (!tolDefined || asLong(rTimeV) - asLong(ltV) <= tolMax)) {
+                val hit = rRow != null && keyOrd.compare(rKeyV, lkV) == 0 &&
+                  (!tolDefined || asLong(rTimeV) - asLong(ltV) <= tolMax)
+                if (hit) {
                   numOutputRows += 1
                   pending = resultProj(joined(l, carryProj(rRow)))
+                } else if (keepUnmatched) {
+                  numOutputRows += 1
+                  pending = resultProj(joined(l, nullCarry))
                 }
             }
           }
@@ -262,12 +279,19 @@ object AsOfJoin {
                      leftTs: String, rightTs: String,
                      carry: Seq[String],
                      direction: String = "backward",
-                     tolerance: Option[Long] = None): DataFrame = {
+                     tolerance: Option[Long] = None,
+                     joinType: String = "inner"): DataFrame = {
     val dir = direction match {
       case "backward" => Backward
       case "forward" => Forward
       case other => throw new IllegalArgumentException(
         s"direction must be 'backward' or 'forward', got '$other'")
+    }
+    val outer = joinType match {
+      case "inner" => false
+      case "left" | "left_outer" => true // unmatched left rows keep NULL carries
+      case other => throw new IllegalArgumentException(
+        s"joinType must be 'inner' or 'left', got '$other'")
     }
     val spark = left.sparkSession
     AsOfJoinStrategy.ensureRegistered(spark)
@@ -298,12 +322,14 @@ object AsOfJoin {
       lPlan, rPlan,
       attr(lPlan, key, "left"), attr(rPlan, key, "right"),
       attr(lPlan, leftTs, "left"), attr(rPlan, rightTs, "right"),
-      carryAttrs, dir, tolerance)
+      carryAttrs, dir, tolerance, outer)
     // rename carries to asof_<name> in a top-level Project (where aliases
-    // are legal) and keep only left columns + carries
+    // are legal) and keep only left columns + carries; reference the NODE's
+    // output attrs (nullability-widened under left-outer)
+    val nodeCarryOut = node.output.drop(lPlan.output.length)
     val projected = Project(
       lPlan.output.map(a => a: NamedExpression) ++
-        carryAttrs.zip(carry).map { case (a, c) => Alias(a, s"asof_$c")() },
+        nodeCarryOut.zip(carry).map { case (a, c) => Alias(a, s"asof_$c")() },
       node)
     DatasetBridge.ofRows(spark, projected)
   }
