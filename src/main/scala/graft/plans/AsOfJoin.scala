@@ -202,7 +202,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             val l = lIter.next()
             val lkV = lKeyB.eval(l)
             val ltV = lTimeB.eval(l)
-            if (lkV != null && ltV != null) dir match {
+            // SQL as-of semantics: a null key/time never matches — but a
+            // LEFT OUTER as-of still keeps the row with null carries (DuckDB
+            // ASOF LEFT JOIN does; dropping it here would silently lose rows)
+            if (lkV == null || ltV == null) {
+              if (keepUnmatched) {
+                numOutputRows += 1
+                pending = resultProj(joined(l, nullCarry))
+              }
+            } else dir match {
               case Backward =>
                 // consume right rows with key < lkV (stale keys) or
                 // key == lkV && time <= ltV (each a better match than the last)

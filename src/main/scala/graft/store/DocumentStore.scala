@@ -121,9 +121,16 @@ class DocumentStore(val spark: SparkSession, val path: String) {
     // not silent data loss.
     val bak = new Path(path + ".old")
     if (fs.exists(bak)) fs.delete(bak, true)
-    fs.rename(p, bak)
-    fs.rename(tmp, p)
-    fs.delete(bak, true)
+    // a false return from HDFS rename is a real failure mode (destination
+    // exists, permissions, cross-volume) — blindly continuing would delete
+    // the only surviving copy; abort instead, leaving tmp/bak for recovery
+    if (!fs.rename(p, bak))
+      throw new java.io.IOException(
+        s"compact: rename $p -> $bak failed; compacted data left at $tmp")
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(
+        s"compact: rename $tmp -> $p failed; original data left at $bak")
+    if (fs.exists(p)) fs.delete(bak, true)
   }
 
   /** S5: delete — tombstone ending validity now (or at `validFrom`). */

@@ -35,6 +35,15 @@ trait StreamIO {
   def publish(topic: String, key: String, value: String): Unit
   /** S9: ensure the topic exists before wiring (AdminClient for Kafka). */
   def ensureTopic(topic: String): Unit
+  /** One-time checkpoint adoption: earlier releases escaped query names
+    * with a plain '/'→'_' (non-injective), so the current injective scheme
+    * ('/'→"_s", '_'→"_u") renames every existing checkpoint directory — an
+    * upgraded deployment would silently abandon its committed offsets and
+    * reprocess or skip data. Called before each query start: if a
+    * checkpoint exists under `legacyName` and none under `currentName`,
+    * adopt (rename) it. Default no-op — MemoryIO checkpoints are
+    * process-scoped temp dirs that never saw the legacy scheme. */
+  def migrateCheckpoint(legacyName: String, currentName: String): Unit = ()
 }
 
 /** Kafka-backed IO (S7-S9). Requires the spark-sql-kafka connector +
@@ -88,6 +97,31 @@ class KafkaIO(val spark: SparkSession, bootstrapServers: String,
       .queryName(queryName)
       .trigger(Trigger.ProcessingTime("100 milliseconds")) // poll cadence (kafka.clj:108)
       .start()
+
+  /** Adopt a pre-injective-escape checkpoint directory (see trait doc):
+    * rename `$checkpointRoot/<legacy>` → `$checkpointRoot/<current>` when
+    * only the legacy one exists, so the restarted query resumes its
+    * committed offsets. Rename failure is logged, not thrown — the query
+    * then starts from a fresh checkpoint, which is the pre-fix behavior. */
+  override def migrateCheckpoint(legacyName: String, currentName: String): Unit = {
+    if (legacyName == currentName) return
+    try {
+      val root = new org.apache.hadoop.fs.Path(checkpointRoot)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val legacy = new org.apache.hadoop.fs.Path(root, legacyName)
+      val current = new org.apache.hadoop.fs.Path(root, currentName)
+      if (fs.exists(legacy) && !fs.exists(current)) {
+        if (fs.rename(legacy, current))
+          log.info(s"adopted legacy checkpoint $legacy -> $current")
+        else
+          log.warn(s"could not adopt legacy checkpoint $legacy; " +
+            s"query '$currentName' starts from a fresh checkpoint")
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"legacy checkpoint probe failed for '$currentName'", e)
+    }
+  }
 
   /** S9 topic auto-creation (kafka.clj:26-50: default 6 partitions / RF 3,
     * overridable via the constructor for small dev clusters).

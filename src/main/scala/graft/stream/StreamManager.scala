@@ -41,6 +41,17 @@ class StreamManager(val topology: Topology) {
   private def queryName(full: String): String =
     full.flatMap { case '/' => "_s"; case '_' => "_u"; case c => c.toString }
 
+  // pre-injective-escape query name ('/'→'_'): the scheme durable
+  // checkpoints may have been committed under before this release
+  private def legacyQueryName(full: String): String = full.replace('/', '_')
+
+  /** Adopt a legacy-named checkpoint (if any) before starting `suffix`-ed
+    * queries for node `full` — upgraded deployments resume their committed
+    * offsets instead of silently reprocessing from scratch. */
+  private def adoptCheckpoint(full: String, suffix: String = ""): Unit =
+    topology.io.migrateCheckpoint(legacyQueryName(full) + suffix,
+      queryName(full) + suffix)
+
   /** Name of the internal control-plane topic
     * (`/root/reference/src/dataworks/app_graph.clj:13-19`). */
   val controlTopic = "dataworks.internal.functions"
@@ -51,6 +62,7 @@ class StreamManager(val topology: Topology) {
   def startSink(n: StreamNode): StreamingQuery = {
     val topic = n.name.asInstanceOf[NodeName.KafkaTopic].name
     val plan = topology.buildPlan(n.name.full)
+    adoptCheckpoint(n.name.full)
     val q = topology.io.sink(topic, plan, queryName(n.name.full))
     running.put(n.name.full, q)
     q
@@ -60,6 +72,7 @@ class StreamManager(val topology: Topology) {
     * intermediate: rows its transducer nulled out go to the error topic. */
   def startDeadLetter(n: StreamNode): Option[StreamingQuery] =
     topology.deadLetterPlan(n.name.full).map { dead =>
+      adoptCheckpoint(n.name.full, "_errors")
       val eq = topology.io.sink(n.errorSink.get, dead,
         queryName(n.name.full) + "_errors")
       running.put(n.name.full + "#errors", eq)
@@ -98,6 +111,7 @@ class StreamManager(val topology: Topology) {
     * (`take-while`, `/root/reference/src/dataworks/utils/stream.clj:120-126`)
     * — the `noop` sink. */
   def drain(full: String): StreamingQuery = {
+    adoptCheckpoint(full, "_drain")
     val q = topology.buildPlan(full)
       .writeStream.format("noop").queryName(queryName(full) + "_drain").start()
     running.put(full + "#drain", q)

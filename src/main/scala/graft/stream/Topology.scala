@@ -81,7 +81,13 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
   }
 
   def addNode(n: StreamNode): Either[String, StreamNode] =
-    validate(n).map { ok => nodeMap.put(ok.name.full, ok); io.ensureTopic(ok.name.full); ok }
+    // wiring check here too, not just updateNode: bootstrap replays a
+    // store whose recorded graph may already contain a cycle, and a raw
+    // addNode caller gets no later validateWiring pass at all (buildPlan's
+    // visited-set guard would throw, but registration is where a cycle
+    // should fail the railway)
+    validate(n).flatMap(validateWiring).map { ok =>
+      nodeMap.put(ok.name.full, ok); io.ensureTopic(ok.name.full); ok }
 
   def removeNode(full: String): Unit = { nodeMap.remove(full); () }
 

@@ -141,21 +141,25 @@ class AsofJoinSpec extends SparkSpec {
   test("native exec: left-outer keeps unmatched left rows with null carries") {
     val quotes = Seq(("A", 10L, 110.0)).toDF("sym", "qts", "price")
     val trades = Seq(
-      ("A", 5L, 1L),   // before any quote → kept with NULL (backward outer)
-      ("A", 20L, 2L),  // matched → 110.0
-      ("B", 7L, 3L)    // key with no quotes at all → kept with NULL
+      ("A", Some(5L), 1L),   // before any quote → kept with NULL (backward outer)
+      ("A", Some(20L), 2L),  // matched → 110.0
+      ("B", Some(7L), 3L),   // key with no quotes at all → kept with NULL
+      (null, Some(15L), 4L), // NULL key never matches → kept with NULL (outer)
+      ("A", None, 5L)        // NULL time never matches → kept with NULL (outer)
     ).toDF("sym", "tts", "trade_id")
     val got = graft.plans.AsOfJoin
       .asofJoinNative(trades, quotes, "sym", "tts", "qts", Seq("price"),
         joinType = "left")
       .select("trade_id", "asof_price").as[(Long, Option[Double])].collect().toMap
-    assert(got == Map(1L -> None, 2L -> Some(110.0), 3L -> None))
+    assert(got == Map(1L -> None, 2L -> Some(110.0), 3L -> None,
+      4L -> None, 5L -> None))
     // forward outer: trade@20 has nothing at-or-after → NULL; trade@5 matches
     val fwd = graft.plans.AsOfJoin
       .asofJoinNative(trades, quotes, "sym", "tts", "qts", Seq("price"),
         direction = "forward", joinType = "left")
       .select("trade_id", "asof_price").as[(Long, Option[Double])].collect().toMap
-    assert(fwd == Map(1L -> Some(110.0), 2L -> None, 3L -> None))
+    assert(fwd == Map(1L -> Some(110.0), 2L -> None, 3L -> None,
+      4L -> None, 5L -> None))
     // inner default unchanged: unmatched rows drop
     val inner = graft.plans.AsOfJoin
       .asofJoinNative(trades, quotes, "sym", "tts", "qts", Seq("price"))

@@ -196,6 +196,41 @@ class TopologySpec extends SparkSpec {
     }
   }
 
+  test("addNode rejects a cycle at registration (bootstrap replay safety)") {
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    assert(topo.addNode(StreamNode(NodeName.parse("stream/a"), Set("stream/b"),
+      Some(OpSpec.MapExpr("value")), Some(BufferSpec.Fixed(10)), None)).isRight,
+      "missing upstream is fine at registration (create-before-upstream order)")
+    // b -> a -> b would close a cycle: rejected by the railway, NOT
+    // registered (a later buildPlan must not be the first thing to notice)
+    val res = topo.addNode(StreamNode(NodeName.parse("stream/b"), Set("stream/a"),
+      Some(OpSpec.MapExpr("value")), Some(BufferSpec.Fixed(10)), None))
+    assert(res.isLeft, s"cycle must fail addNode: $res")
+    assert(topo.node("stream/b").isEmpty, "the cyclic node is not registered")
+  }
+
+  test("KafkaIO adopts a legacy-escape checkpoint dir exactly once") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt-mig")
+    val io = new KafkaIO(spark, "broker:9092", root.toString)
+    // durable state committed under the old '/'→'_' scheme
+    val legacy = root.resolve("kafka_in_a")     // node "kafka/in_a", old escape
+    java.nio.file.Files.createDirectories(legacy.resolve("offsets"))
+    java.nio.file.Files.write(legacy.resolve("metadata"), "id".getBytes)
+    val current = "kafka_sin_ua"                // same node, injective escape
+    io.migrateCheckpoint("kafka_in_a", current)
+    assert(java.nio.file.Files.exists(root.resolve(current).resolve("metadata")),
+      "legacy checkpoint adopted under the current name")
+    assert(!java.nio.file.Files.exists(legacy), "legacy dir renamed away")
+    // second call (and a fresh legacy dir appearing later) must NOT clobber
+    // the adopted checkpoint
+    java.nio.file.Files.createDirectories(legacy)
+    java.nio.file.Files.write(legacy.resolve("stale"), "x".getBytes)
+    io.migrateCheckpoint("kafka_in_a", current)
+    assert(java.nio.file.Files.exists(root.resolve(current).resolve("metadata")),
+      "existing current checkpoint wins; no second adoption")
+  }
+
   test("updateNode rejects cycles BEFORE stopping sinks; bad plans are isolated") {
     val io = new MemoryIO(spark)
     val (topo, mgr) = pipeline(io)
