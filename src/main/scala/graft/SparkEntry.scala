@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_minhash"       -> (Dedup.minhashQuery(_, _)),
     "dedup_simhash"       -> (Dedup.simhashQuery(_, _)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccardQuery(_, _)),
+    "dedup_clusters"      -> (Dedup.dedupClustersQuery(_, _)),
     "dedup_embedding_lsh" -> (Dedup.embeddingLshQuery(_, _)),
     "similarity_topk"     -> (Similarity.similarityTopK(_, _)),
     "similarity_ivf"      -> (Similarity.similarityIvfQuery(_, _)),
@@ -70,6 +71,7 @@ object SparkEntry {
     "token_count_bpe"     -> (TextOps.tokenCountBpeQuery(_, _)),
     "text_analysis"       -> (TextOps.textAnalysisQuery(_, _)),
     "text_quality"        -> (TextOps.textQualityQuery(_, _)),
+    "text_repetition"     -> (TextOps.textRepetitionQuery(_, _)),
     "multimodal_pipeline" -> (graft.ext.Multimodal.multimodalQuery(_, _)),
   )
 
@@ -259,6 +261,45 @@ object SparkEntry {
                (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
            FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
          WHERE j >= 0.5""",
+    // dedup_clusters: same pair pipeline, then connected components as a
+    // WITH RECURSIVE reachability closure (min reachable id = the label
+    // Spark's pointer-jumping propagation converges to)
+    "dedup_clusters" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+         ), sh AS (
+           SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_distinct([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
+             END AS sh
+           FROM tok
+         ), posting AS (
+           SELECT doc_id, unnest(sh) AS shingle FROM sh
+         ), rare AS (
+           SELECT shingle FROM posting GROUP BY shingle HAVING count(*) BETWEEN 2 AND 10
+         ), cand AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM posting a JOIN rare USING (shingle) JOIN posting b USING (shingle)
+           WHERE a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 2
+         ), pairs AS (
+           SELECT c.id_a, c.id_b
+           FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+           WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+               (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+         ), edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION
+           SELECT id_b AS src, id_a AS dst FROM pairs
+         ), reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, re.r FROM edges e JOIN reach re ON re.id = e.dst
+         ), labels AS (
+           SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+         )
+         SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         FROM labels""",
     "similarity_topk" ->
       """SELECT vec_id, floor(sim * 1e4 + 0.5) / 1e4 AS sim FROM (
            SELECT e.vec_id,
@@ -362,5 +403,37 @@ object SparkEntry {
                   + (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0))) / 4.0) * 1e6 + 0.5) / 1e6 AS quality,
            CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred
          FROM feat""",
+    // text_repetition: pure n-gram occurrence counting — exact in both
+    // engines; fractions are single IEEE divisions of <2^53 integers
+    "text_repetition" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+         ), grams AS (
+           SELECT doc_id, 1 AS n, unnest(t) AS g FROM tok
+           UNION ALL
+           SELECT doc_id, 2 AS n,
+             unnest([array_to_string(t[i:i+1], ' ') for i in generate_series(1, len(t)-1)]) AS g
+           FROM tok
+           UNION ALL
+           SELECT doc_id, 3 AS n,
+             unnest([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS g
+           FROM tok
+         ), per AS (
+           SELECT doc_id, n, g, count(*) AS cnt FROM grams GROUP BY 1, 2, 3
+         ), agg AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN n = 1 THEN cnt END) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS n_distinct,
+             CAST(max(CASE WHEN n = 2 THEN cnt END) AS BIGINT) AS top_bi,
+             CAST(sum(CASE WHEN n = 2 THEN cnt END) AS BIGINT) AS tot_bi,
+             CAST(sum(CASE WHEN n = 3 AND cnt >= 2 THEN cnt END) AS BIGINT) AS dup_tri,
+             CAST(sum(CASE WHEN n = 3 THEN cnt END) AS BIGINT) AS tot_tri
+           FROM per GROUP BY 1
+         )
+         SELECT doc_id, n_tokens,
+           floor(CAST(n_distinct AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS distinct_token_ratio,
+           floor(CAST(top_bi AS DOUBLE) / tot_bi * 1e6 + 0.5) / 1e6 AS top_bigram_frac,
+           floor(CAST(coalesce(dup_tri, 0) AS DOUBLE) / tot_tri * 1e6 + 0.5) / 1e6 AS dup_trigram_frac
+         FROM agg""",
   )
 }

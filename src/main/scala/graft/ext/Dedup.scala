@@ -235,6 +235,29 @@ object Dedup {
     ngramJaccardPairs(Tables.documents(s, d))
       .select(col("id_a"), col("id_b"), graft.query.Functions.stableRound(col("jaccard"), 4).as("jaccard"))
 
+  // -------------------------------------------------------- dup clustering
+
+  /** Near-dup pairs → dup CLUSTERS (the step every real dedup pipeline
+    * needs between "A≈B" and "drop all but one"): connected components of
+    * the pair graph, labeled by the smallest member id — the canonical
+    * document a keep/drop pass retains. `(doc_id, cluster_id,
+    * cluster_size)`; docs in no pair are singletons and are not emitted
+    * (their cluster is themselves). Transitivity is the point: A≈B and B≈C
+    * cluster A,B,C together although (A,C) was never emitted as a pair. */
+  def dedupClusters(pairs: DataFrame): DataFrame = {
+    val cc = Graph.connectedComponents(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    cc.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+  }
+
+  /** SparkEntry query (oracled — the whole chain shingling → pair
+    * generation → connected components is deterministic relational algebra,
+    * so DuckDB replays it with a WITH RECURSIVE reachability CTE). */
+  def dedupClustersQuery(s: SparkSession, d: String): DataFrame =
+    dedupClusters(ngramJaccardPairs(Tables.documents(s, d)))
+
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-dup pairs: bucket by SRP (signed random

@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.query.Fixpoint
+
+/** Distributed graph primitives backing the dedup pipeline — most
+  * importantly connected components, which turns near-dup PAIRS into dup
+  * CLUSTERS. A 100 TB dedup run doesn't end at "these documents are
+  * similar"; it ends at "keep this canonical document, drop the rest", and
+  * that requires the transitive closure of the pair relation: A≈B and B≈C
+  * must land A, B, C in one cluster even though (A, C) was never emitted.
+  */
+object Graph {
+
+  /** Connected components of the undirected graph `edges(src, dst)` →
+    * `(id, label)` with `label` = the smallest node id in the component
+    * (the canonical representative every member agrees on).
+    *
+    * Algorithm: iterative min-label propagation WITH pointer jumping.
+    * Each round every node takes the min over (a) its own label, (b) its
+    * neighbors' labels (one hash join edges⋈labels), and (c) its label's
+    * label (one hash join labels⋈labels — path-halving, the union-find
+    * trick). Neighbor propagation alone needs O(diameter) rounds — a
+    * 10⁶-node chain would take 10⁶ rounds; pointer jumping doubles the
+    * distance a label travels each round, so convergence is
+    * O(log(diameter)) regardless of component shape.
+    *
+    * Scale shape per round: two shuffle joins + one hash aggregate, all
+    * keyed on node id (AQE reuses the partitioning), over frames
+    * checkpoint-materialized via [[Fixpoint.materialize]] (lineage stays
+    * flat; `graft.fixpoint.checkpointDir` switches to reliable checkpoints
+    * for cluster runs, same as recursive Datalog). Nothing in the loop is
+    * proportional to component size squared — hot components (the
+    * boilerplate cluster with 10⁶ members every web corpus has) cost the
+    * same per-round joins as everything else.
+    *
+    * Nodes are those appearing in at least one edge; callers wanting
+    * singleton clusters for isolated ids can union them in afterwards
+    * (they are their own label by definition). Null ids are dropped (no
+    * meaningful component membership). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    // undirected: propagate along both directions of every edge
+    val sym = Fixpoint.materialize(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()).df
+    var cur = Fixpoint.materialize(
+      sym.select(col("src").as("id"), col("src").as("label")).distinct())
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      val labels = cur.df
+      // (b) neighbor labels: node dst learns src's current label
+      val neighbor = sym
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      // (c) pointer jumping: node id learns its label's label
+      val jump = labels.as("x")
+        .join(labels.as("p"), col("x.label") === col("p.id"))
+        .select(col("x.id").as("id"), col("p.label").as("label"))
+      val next = Fixpoint.materialize(
+        neighbor.union(jump).union(labels)
+          .groupBy("id").agg(min("label").as("label")))
+      // converged when no node improved; both sides are checkpointed, so
+      // this comparison job scans two flat in-memory frames and early-exits
+      val improved = next.df.as("n")
+        .join(labels.as("c"), col("n.id") === col("c.id"))
+        .filter(col("n.label") < col("c.label"))
+      done = improved.isEmpty
+      cur = next
+      i += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge within maxIter=$maxIter " +
+        "iterations — the labeling would be silently incomplete; raise maxIter")
+    cur.df
+  }
+}

@@ -110,6 +110,58 @@ object TextOps {
       graft.functions.TextHashExpressions.word_shingles(tokens(text), shingleN),
       s => xxhash64(s)))
 
+  /** Raw (NON-distinct) word n-grams — repetition signals need every
+    * occurrence, unlike [[wordShingles]]' set semantics. Empty when the doc
+    * has fewer than `n` tokens (no such n-gram exists; `sequence` with a
+    * negative stop would count backwards). */
+  def wordNgramsRaw(toks: Column, n: Int): Column =
+    if (n == 1) toks
+    else when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** Gopher-style repetition signals per document — the standard cheap
+    * filters for machine-generated/boilerplate text (Rae et al. 2021,
+    * "Scaling Language Models", table A1): low distinct-token ratio, one
+    * dominant bigram, or a large duplicated-trigram mass all flag a doc
+    * whose content loops.
+    *
+    * Output per doc: `n_tokens`, `distinct_token_ratio` (|vocab|/|tokens|),
+    * `top_bigram_frac` (occurrences of the most frequent bigram / all
+    * bigram occurrences), `dup_trigram_frac` (occurrences of trigrams seen
+    * ≥2× / all trigram occurrences). Fractions are null when the doc is too
+    * short to have such n-grams.
+    *
+    * Scale shape: ONE corpus scan explodes (doc_id, n, gram) — unigrams,
+    * bigrams, trigrams tagged in one array so the scan isn't tripled — then
+    * two hash aggregates (per-gram count, per-doc rollup). Both shuffles
+    * carry doc_id first, so the second agg is map-side-combinable and the
+    * whole thing is the plan a 100 TB quality pass wants: no UDFs, no
+    * per-doc driver work, gram strings leave the executor only as counts. */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    def tagged(n: Int) = transform(wordNgramsRaw(toks, n),
+      g => struct(lit(n).as("n"), g.as("g")))
+    val grams = docs.select(col(idCol).as("doc_id"),
+        explode(concat(tagged(1), tagged(2), tagged(3))).as("ng"))
+      .select(col("doc_id"), col("ng.n").as("n"), col("ng.g").as("g"))
+    val per = grams.groupBy("doc_id", "n", "g").agg(count(lit(1)).as("cnt"))
+    val r6 = (c: Column) => graft.query.Functions.stableRound(c, 6)
+    per.groupBy("doc_id").agg(
+        sum(when(col("n") === 1, col("cnt"))).as("n_tokens"),
+        sum(when(col("n") === 1, lit(1L))).as("__distinct"),
+        max(when(col("n") === 2, col("cnt"))).as("__top_bi"),
+        sum(when(col("n") === 2, col("cnt"))).as("__tot_bi"),
+        sum(when(col("n") === 3 && col("cnt") >= 2, col("cnt"))).as("__dup_tri"),
+        sum(when(col("n") === 3, col("cnt"))).as("__tot_tri"))
+      .select(col("doc_id"), col("n_tokens"),
+        r6(col("__distinct").cast("double") / col("n_tokens")).as("distinct_token_ratio"),
+        r6(col("__top_bi").cast("double") / col("__tot_bi")).as("top_bigram_frac"),
+        r6(coalesce(col("__dup_tri"), lit(0L)).cast("double") / col("__tot_tri"))
+          .as("dup_trigram_frac"))
+  }
+
   // ------------------------------------------------------- SparkEntry queries
 
   /** token counts per document (oracle: regexp split in DuckDB). */
@@ -146,6 +198,10 @@ object TextOps {
         tokenCount(col("text")).as("n_tokens"),
         qualityScore(col("text")).as("quality"),
         langId(col("text")).as("lang_pred"))
+
+  /** repetition-signal panel, DuckDB-oracled (pure counting — exact). */
+  def textRepetitionQuery(s: SparkSession, d: String): DataFrame =
+    repetitionSignals(Tables.documents(s, d))
 
   /** quality + language-ID + fingerprint panel (rows-only check: the exact
     * heuristics are engine-specific; ScalaTest pins their behavior). */

@@ -40,12 +40,13 @@ object Fixpoint {
     * checkpointed ExprIds across iterations trips Catalyst's Union
     * constraint rewrite and self-join ambiguity), its row count, and the
     * backing InternalRow RDD (for the accumulator's flat leg union). */
-  private case class Mat(df: DataFrame, rows: Long, rdd: RDD[InternalRow])
+  private[graft] case class Mat(df: DataFrame, rows: Long, rdd: RDD[InternalRow])
 
   /** Eagerly materialize + count in a single job (see [[DatasetBridge]] —
     * `Dataset.checkpoint(eager)` discards the count its materialization job
-    * computes, forcing a second `isEmpty` job per iteration). */
-  private def materialize(df: DataFrame): Mat = {
+    * computes, forcing a second `isEmpty` job per iteration). Shared with
+    * the other driver-side iterative operators (graft.ext.Graph). */
+  private[graft] def materialize(df: DataFrame): Mat = {
     val spark = df.sparkSession
     val reliableDir = Option(spark.conf.get(CheckpointDirKey, null)).filter(_.nonEmpty)
     reliableDir.foreach { dir =>

@@ -1,0 +1,69 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Connected components + dup clustering (the pairs→clusters step). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components label every member with the component min") {
+    // two components: {1,2,3,4} (a path plus a chord) and {10, 11}
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 2L), (10L, 11L))
+      .toDF("src", "dst")
+    val got = Graph.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("pointer jumping converges in O(log diameter), not O(diameter)") {
+    // a 200-node chain has diameter 199: neighbor propagation alone would
+    // need ~199 rounds; with path-halving the label reaches everyone in
+    // well under 15
+    val chain = spark.range(199).selectExpr("id AS src", "id + 1 AS dst")
+    val got = Graph.connectedComponents(chain, maxIter = 15)
+      .as[(Long, Long)].collect()
+    assert(got.length == 200)
+    assert(got.forall(_._2 == 0L), "every chain node labels to the min (0)")
+  }
+
+  test("null ids are dropped, empty edge sets yield empty labelings") {
+    val edges = Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(4L), None))
+      .toDF("src", "dst")
+    val got = Graph.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+    assert(Graph.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+  }
+
+  test("dedupClusters: transitive pairs collapse into one canonical cluster") {
+    // A≈B and B≈C but (A,C) never emitted — all three must share a cluster
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.dedupClusters(pairs)
+      .as[(Long, Long, Long)].collect()
+      .map { case (doc, cl, n) => doc -> ((cl, n)) }.toMap
+    assert(got == Map(
+      1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      7L -> ((7L, 2L)), 9L -> ((7L, 2L))))
+  }
+
+  test("gate query emits one row per paired document with scalar columns") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Dedup.dedupClustersQuery(spark, dir)
+    val rows = out.collect()
+    val paired = Dedup.ngramJaccardPairs(
+      graft.core.Tables.documents(spark, dir))
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    assert(rows.map(_.getLong(0)).toSet == paired,
+      "cluster membership = documents appearing in at least one pair")
+    // every cluster id is a member of its own cluster (canonical = min)
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cl, members) =>
+      assert(members.map(_.getLong(0)).min == cl,
+        s"cluster $cl must be labeled by its smallest member")
+      assert(members.forall(_.getLong(2) == members.length),
+        s"cluster_size must equal the member count for cluster $cl")
+    }
+  }
+}

@@ -62,4 +62,25 @@ class TextOpsSpec extends SparkSpec {
       .select(TextOps.charNgrams($"t", 2)).as[Seq[String]].head
     assert(grams == Seq("ab", "bc", "cd"))
   }
+
+  test("repetition signals: hand-computed fractions on a looping doc") {
+    // "a b a b a": tokens=5, distinct=2 → ratio 0.4
+    // bigrams: "a b","b a","a b","b a" → top "a b"(2)/4 = 0.5
+    // trigrams: "a b a","b a b","a b a" → dup mass ("a b a"×2)/3
+    val df = Seq(
+      (1L, "a b a b a"),
+      (2L, "all words here are fully distinct"), // no repeated grams at all
+      (3L, "x"),                                 // too short for bi/trigrams
+      (4L, "z z z z")                            // total repetition
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionSignals(df)
+      .as[(Long, Long, Double, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((5L, 0.4, Some(0.5), Some(0.666667))))
+    assert(got(2L)._2 == 1.0, "fully distinct text → ratio 1")
+    assert(got(2L)._4 == Some(0.0), "no duplicated trigram mass")
+    assert(got(3L) == ((1L, 1.0, None, None)), "short doc → null fractions")
+    assert(got(4L) == ((4L, 0.25, Some(1.0), Some(1.0))),
+      "degenerate loop maxes every signal")
+  }
 }
