@@ -36,6 +36,7 @@ object SparkEntry {
     "union_or"            -> (Relational.unionOr(_, _)),
     "distinct_projection" -> (Relational.distinctProjection(_, _)),
     "agg_group_by"        -> (Relational.aggGroupBy(_, _)),
+    "agg_rollup"          -> (Relational.aggRollup(_, _)),
     "agg_count_distinct"  -> (Relational.aggCountDistinct(_, _)),
     "agg_min_max"         -> (Relational.aggMinMax(_, _)),
     "agg_stats"           -> (Relational.aggStats(_, _)),
@@ -154,6 +155,12 @@ object SparkEntry {
          count(*) AS count_order,
          CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_qty
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+         count(*) AS n_rows,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "agg_count_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
     "agg_min_max" ->

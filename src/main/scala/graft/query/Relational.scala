@@ -130,6 +130,19 @@ object Relational {
         count(lit(1)).as("count_order"))
       .withColumn("avg_qty", col("sum_qty") / col("count_order"))
 
+  /** Rollup grouping sets (SURVEY §2.6: not in the reference — exposed
+    * because Spark gives subtotals + grand total in ONE pass: Expand feeds
+    * a single partial+final hash aggregate, no per-level rescan). `lvl` is
+    * the grouping_id bitmask distinguishing a genuine NULL group value
+    * from a subtotal row. */
+  def aggRollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        exactSum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().as("lvl"))
+
   /** Q15: count-distinct aggregate. */
   def aggCountDistinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
