@@ -45,35 +45,41 @@ object Graph {
     // undirected: propagate along both directions of every edge
     val sym = Fixpoint.materialize(
       e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()).df
+    // initialization IS the first propagation round: label_1(v) =
+    // min(v, neighbors(v)) — one aggregate instead of an identity-label
+    // materialize plus a join round
     var cur = Fixpoint.materialize(
-      sym.select(col("src").as("id"), col("src").as("label")).distinct())
+      sym.groupBy("src").agg(min("dst").as("__mn"))
+        .select(col("src").as("id"), least(col("src"), col("__mn")).as("label"))).df
     var i = 0
     var done = false
     while (!done && i < maxIter) {
-      val labels = cur.df
+      val labels = cur
       // (b) neighbor labels: node dst learns src's current label
       val neighbor = sym
         .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("label"))
+        .select(col("dst").as("id"), col("label"), lit(false).as("__self"))
       // (c) pointer jumping: node id learns its label's label
       val jump = labels.as("x")
         .join(labels.as("p"), col("x.label") === col("p.id"))
-        .select(col("x.id").as("id"), col("p.label").as("label"))
+        .select(col("x.id").as("id"), col("p.label").as("label"),
+          lit(false).as("__self"))
+      // the __self leg both keeps the old label in the min AND carries it
+      // out of the aggregate, so convergence needs no join against the
+      // previous round — every node has exactly one __self row
       val next = Fixpoint.materialize(
-        neighbor.union(jump).union(labels)
-          .groupBy("id").agg(min("label").as("label")))
-      // converged when no node improved; both sides are checkpointed, so
-      // this comparison job scans two flat in-memory frames and early-exits
-      val improved = next.df.as("n")
-        .join(labels.as("c"), col("n.id") === col("c.id"))
-        .filter(col("n.label") < col("c.label"))
-      done = improved.isEmpty
-      cur = next
+        neighbor.union(jump)
+          .union(labels.withColumn("__self", lit(true)))
+          .groupBy("id").agg(min("label").as("label"),
+            min(when(col("__self"), col("label"))).as("__old")))
+      // shuffle-free convergence probe over the checkpointed frame
+      done = next.df.filter(col("label") < col("__old")).isEmpty
+      cur = next.df.select("id", "label")
       i += 1
     }
     if (!done) throw new IllegalStateException(
       s"connectedComponents did not converge within maxIter=$maxIter " +
         "iterations — the labeling would be silently incomplete; raise maxIter")
-    cur.df
+    cur
   }
 }

@@ -110,16 +110,6 @@ object TextOps {
       graft.functions.TextHashExpressions.word_shingles(tokens(text), shingleN),
       s => xxhash64(s)))
 
-  /** Raw (NON-distinct) word n-grams — repetition signals need every
-    * occurrence, unlike [[wordShingles]]' set semantics. Empty when the doc
-    * has fewer than `n` tokens (no such n-gram exists; `sequence` with a
-    * negative stop would count backwards). */
-  def wordNgramsRaw(toks: Column, n: Int): Column =
-    if (n == 1) toks
-    else when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-
   /** Gopher-style repetition signals per document — the standard cheap
     * filters for machine-generated/boilerplate text (Rae et al. 2021,
     * "Scaling Language Models", table A1): low distinct-token ratio, one
@@ -132,35 +122,23 @@ object TextOps {
     * ≥2× / all trigram occurrences). Fractions are null when the doc is too
     * short to have such n-grams.
     *
-    * Scale shape: ONE corpus scan explodes (doc_id, n, gram) — unigrams,
-    * bigrams, trigrams tagged in one array so the scan isn't tripled — then
-    * two hash aggregates (per-gram count, per-doc rollup). Both shuffles
-    * carry doc_id first, so the second agg is map-side-combinable and the
-    * whole thing is the plan a 100 TB quality pass wants: no UDFs, no
-    * per-doc driver work, gram strings leave the executor only as counts. */
+    * Scale shape: the signals are per-document, so they are computed
+    * per-document — one native expression
+    * ([[graft.functions.RepetitionStats]]) holds the n-gram count maps in
+    * a single pass per row, and the corpus-level plan is a pure scan:
+    * NO explode, NO shuffle, nothing leaves the executor but four numbers
+    * per doc. (A relational explode-grams spelling shuffles every n-gram
+    * occurrence, and any lambda spelling re-evaluates the tokenizer per
+    * element — the nested-HOF trap: 30× slower at sf0.1.) */
   def repetitionSignals(docs: DataFrame, textCol: String = "text",
-                        idCol: String = "doc_id"): DataFrame = {
-    val toks = tokens(col(textCol))
-    def tagged(n: Int) = transform(wordNgramsRaw(toks, n),
-      g => struct(lit(n).as("n"), g.as("g")))
-    val grams = docs.select(col(idCol).as("doc_id"),
-        explode(concat(tagged(1), tagged(2), tagged(3))).as("ng"))
-      .select(col("doc_id"), col("ng.n").as("n"), col("ng.g").as("g"))
-    val per = grams.groupBy("doc_id", "n", "g").agg(count(lit(1)).as("cnt"))
-    val r6 = (c: Column) => graft.query.Functions.stableRound(c, 6)
-    per.groupBy("doc_id").agg(
-        sum(when(col("n") === 1, col("cnt"))).as("n_tokens"),
-        sum(when(col("n") === 1, lit(1L))).as("__distinct"),
-        max(when(col("n") === 2, col("cnt"))).as("__top_bi"),
-        sum(when(col("n") === 2, col("cnt"))).as("__tot_bi"),
-        sum(when(col("n") === 3 && col("cnt") >= 2, col("cnt"))).as("__dup_tri"),
-        sum(when(col("n") === 3, col("cnt"))).as("__tot_tri"))
-      .select(col("doc_id"), col("n_tokens"),
-        r6(col("__distinct").cast("double") / col("n_tokens")).as("distinct_token_ratio"),
-        r6(col("__top_bi").cast("double") / col("__tot_bi")).as("top_bigram_frac"),
-        r6(coalesce(col("__dup_tri"), lit(0L)).cast("double") / col("__tot_tri"))
-          .as("dup_trigram_frac"))
-  }
+                        idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.TextHashExpressions
+          .repetition_stats(tokens(col(textCol))).as("__s"))
+      .select(col("doc_id"), col("__s.n_tokens").as("n_tokens"),
+        col("__s.distinct_token_ratio").as("distinct_token_ratio"),
+        col("__s.top_bigram_frac").as("top_bigram_frac"),
+        col("__s.dup_trigram_frac").as("dup_trigram_frac"))
 
   // ------------------------------------------------------- SparkEntry queries
 

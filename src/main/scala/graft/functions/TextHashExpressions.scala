@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -59,6 +60,50 @@ object TextHashes {
       }
     }
     new GenericArrayData(out.toArray(new Array[UTF8String](out.size)).asInstanceOf[Array[Any]])
+  }
+
+  /** All Gopher-style repetition signals in ONE pass over the token array:
+    * unigram/bigram/trigram occurrence maps live per-document inside the
+    * expression, so the corpus-level plan needs NO explode and NO shuffle —
+    * the relational spelling (explode grams → two hash aggregates) moves
+    * every n-gram occurrence across the network and, worse, any lambda
+    * formulation re-evaluates the tokenizer per element (the nested-HOF
+    * trap: 6.7 s at sf0.1 vs ~0.2 s for this).
+    *
+    * Returns (n_tokens, distinct_token_ratio, top_bigram_frac,
+    * dup_trigram_frac); fraction definitions and the floor(x·10⁶+0.5)/10⁶
+    * rounding mirror the DuckDB oracle exactly. */
+  def repetitionStats(toks: ArrayData): InternalRow = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val sep = UTF8String.fromString(" ")
+    val m = toks.numElements()
+    def tok(i: Int): UTF8String =
+      if (toks.isNullAt(i)) UTF8String.EMPTY_UTF8 else toks.getUTF8String(i)
+    // absent keys unbox to 0 (boxed-null → Int), so get+1 is the merge
+    def bump(map: java.util.HashMap[UTF8String, Int], k: UTF8String): Unit =
+      map.put(k, map.get(k) + 1)
+    val uni = new java.util.HashMap[UTF8String, Int]()
+    val bi = new java.util.HashMap[UTF8String, Int]()
+    val tri = new java.util.HashMap[UTF8String, Int]()
+    var i = 0
+    while (i < m) {
+      bump(uni, tok(i))
+      if (i + 1 < m) bump(bi, UTF8String.concatWs(sep, tok(i), tok(i + 1)))
+      if (i + 2 < m) bump(tri, UTF8String.concatWs(sep, tok(i), tok(i + 1), tok(i + 2)))
+      i += 1
+    }
+    def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val distinctRatio = round6(uni.size.toDouble / m.toDouble)
+    var topBi = 0
+    bi.values.forEach(c => if (c > topBi) topBi = c)
+    var dupTri = 0L
+    tri.values.forEach(c => if (c >= 2) dupTri += c)
+    val topBiFrac: Any =
+      if (m < 2) null else round6(topBi.toDouble / (m - 1).toDouble)
+    val dupTriFrac: Any =
+      if (m < 3) null else round6(dupTri.toDouble / (m - 2).toDouble)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](m.toLong, distinctRatio, topBiFrac, dupTriFrac))
   }
 
   /** 64-bit SimHash: per-bit majority vote over xxhash64(token). */
@@ -121,9 +166,32 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.TextHashes.simhash($a);")
 }
 
+/** `repetition_stats(tokens)` — array<string> → struct of the per-doc
+  * repetition signals (see [[TextHashes.repetitionStats]]). */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = RepetitionStats.schema
+  override protected def withNewChildInternal(c: Expression): RepetitionStats = copy(child = c)
+  override def nullSafeEval(a: Any): Any =
+    TextHashes.repetitionStats(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextHashes.repetitionStats($a);")
+}
+
+object RepetitionStats {
+  import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("distinct_token_ratio", DoubleType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = true),
+    StructField("dup_trigram_frac", DoubleType, nullable = true)))
+}
+
 object TextHashExpressions {
   def word_shingles(tokens: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), n))
+  def repetition_stats(tokens: Column): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(tokens)))
   def minhash_sig(shingles: Column, numPerm: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), numPerm))
   def simhash64(tokens: Column): Column =
