@@ -65,6 +65,14 @@ object OpSpec {
     * LLM-pipeline dedup suite (drop exact repeats as they arrive). */
   final case class DedupeKeys(keys: Seq[String], tsCol: String,
                               watermark: String) extends OpSpec
+
+  /** Streaming as-of enrichment against a versioned dimension table
+    * (parquet at `dimPath`): each event picks up the latest dim version
+    * at-or-before its event time — left-outer, null carries when nothing
+    * matches (graft.stream.StreamAsOf). The declarative face of the as-of
+    * join family for topology nodes. */
+  final case class AsOfEnrich(dimPath: String, key: String, eventTs: String,
+                              dimTs: String, carry: Seq[String]) extends OpSpec
 }
 
 /** Buffer policy for a stream node (T7-T9,

@@ -16,7 +16,11 @@ import graft.core.{BufferSpec, NodeName, OpSpec, StreamNode}
   *   "buffer": 1000 | {"sliding": 10} | {"dropping": 10},
   *   "transducer": {"map": "<sql expr>"} | {"filter": "<pred>"} |
   *                 {"select": ["e1", …]} | {"named": "fn"} |
-  *                 {"comp": [ …stages… ]},
+  *                 {"comp": [ …stages… ]} | {"windowAgg": {…}} |
+  *                 {"dedupe": {…}} |
+  *                 {"asofEnrich": {"dim": "<parquet path>", "key": "k",
+  *                                 "eventTs": "ts", "dimTs": "vts",
+  *                                 "carry": ["price", …]}},
   *   "errorSink": "kafka/errors", "format": "json" | "edn" }
   * ```
   * Replaces the reference's eval of Clojure transducer strings with a
@@ -55,6 +59,15 @@ object NodeSpec {
           ts <- (d \ "ts").extractOpt[String]
           wm <- (d \ "watermark").extractOpt[String]
         } yield OpSpec.DedupeKeys(keys, ts, wm)
+      case m if m.contains("asofEnrich") =>
+        val a = m("asofEnrich")
+        for {
+          dim <- (a \ "dim").extractOpt[String]
+          key <- (a \ "key").extractOpt[String]
+          ets <- (a \ "eventTs").extractOpt[String]
+          dts <- (a \ "dimTs").extractOpt[String]
+          carry <- (a \ "carry").extractOpt[Seq[String]] if carry.nonEmpty
+        } yield OpSpec.AsOfEnrich(dim, key, ets, dts, carry)
       case _ => None
     }
     case _ => None
@@ -117,6 +130,11 @@ object NodeSpec {
         JObject("dedupe" -> JObject(
           "keys" -> JArray(keys.map(JString(_)).toList),
           "ts" -> JString(ts), "watermark" -> JString(wm)))
+      case OpSpec.AsOfEnrich(dim, key, ets, dts, carry) =>
+        JObject("asofEnrich" -> JObject(
+          "dim" -> JString(dim), "key" -> JString(key),
+          "eventTs" -> JString(ets), "dimTs" -> JString(dts),
+          "carry" -> JArray(carry.map(JString(_)).toList)))
     }
     val buf: Option[JValue] = n.buffer.map {
       case BufferSpec.Fixed(x) => JInt(x)

@@ -135,6 +135,9 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
       // watermark bounds the dedup state (old keys age out) — at 100 TB/day
       // this is what keeps streaming exact-dedup state finite
       df.withWatermark(ts, wm).dropDuplicatesWithinWatermark(keys)
+    case OpSpec.AsOfEnrich(dimPath, key, eventTs, dimTs, carry) =>
+      StreamAsOf.enrichAsOf(df, io.spark.read.parquet(dimPath),
+        key, eventTs, dimTs, carry)
   }
 
   /** Per-topic serde (S10): the reference selects Edn/Json serializers per

@@ -104,6 +104,28 @@ class PlanQualitySpec extends SparkSpec {
       s"windowed agg must read only its three columns: $scan")
   }
 
+  test("text_repetition is a pure scan: zero exchanges, whole-stage codegen") {
+    val df = graft.ext.TextOps.textRepetitionQuery(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"per-doc signals must not shuffle anything:\n$plan")
+    // "*(n)" prefixes mark whole-stage-codegen stages in simpleString
+    assert(plan.contains("*(1)"),
+      s"the native expression must stay inside codegen:\n$plan")
+  }
+
+  test("streaming as-of enrichment broadcasts the version arrays") {
+    import org.apache.spark.sql.functions._
+    val left = spark.range(100).selectExpr("id % 5 AS k", "id AS ts", "id AS v")
+    val dim = spark.range(20).selectExpr("id % 5 AS k", "id AS vts", "id * 2 AS price")
+    val df = graft.stream.StreamAsOf.enrichAsOf(left, dim, "k", "ts", "vts", Seq("price"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimension side must broadcast (stream side never shuffles):\n$plan")
+  }
+
   test("bitemporal as-of filters before the window (partition pruning path)") {
     val df = Relational.asofSnapshot(spark, sf("sf0.001"))
     val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString

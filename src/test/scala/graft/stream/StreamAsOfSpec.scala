@@ -53,6 +53,39 @@ class StreamAsOfSpec extends SparkSpec {
       "fixture should exercise both matched and unmatched rows")
   }
 
+  test("asofEnrich op-spec: declarative node enriches through the topology") {
+    import graft.core.{BufferSpec, NodeName, OpSpec, StreamNode}
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dim").toString
+    Seq(("A", 0L, 100L), ("A", 10L, 110L), ("B", 5L, 50L))
+      .toDF("sym", "vts", "price")
+      .write.mode("overwrite").parquet(dimDir)
+    val spec = OpSpec.Comp(Seq(
+      // source payload (key, value, ts, topic) → (sym, ets, value)
+      OpSpec.SelectExpr(Seq("key AS sym", "TRY_CAST(value AS BIGINT) AS ets", "value")),
+      OpSpec.AsOfEnrich(dimDir, "sym", "ets", "vts", Seq("price"))))
+    // spec survives the stored-doc JSON round-trip (control-plane contract)
+    val node = StreamNode(NodeName.parse("stream/enrich"), Set("kafka/ev"),
+      Some(spec), Some(BufferSpec.Fixed(100)), None)
+    assert(NodeSpec.parse(NodeSpec.toJson(node)).contains(node))
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    assert(topo.addNode(StreamNode(NodeName.parse("kafka/ev"), Set.empty,
+      None, None, None)).isRight)
+    assert(topo.addNode(node).isRight)
+    assert(topo.addNode(StreamNode(NodeName.parse("kafka/out"),
+      Set("stream/enrich"), None, None, None)).isRight)
+    val mgr = new StreamManager(topo)
+    io.publish("kafka/ev", "A", "12")
+    io.publish("kafka/ev", "B", "3")
+    mgr.applyGraph()
+    mgr.processAllAvailable()
+    val got = io.collected("out")
+      .map(r => (r.getAs[String]("sym"), Option(r.getAs[java.lang.Long]("asof_price")))).toSet
+    assert(got == Set(("A", Some(java.lang.Long.valueOf(110L))), ("B", None)),
+      s"A@12 sees version 10; B@3 predates every version: $got")
+    mgr.stopAll()
+  }
+
   test("streaming: events enrich mid-stream against a static dimension") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dim = Seq( // key, version time, price
