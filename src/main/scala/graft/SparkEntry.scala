@@ -74,6 +74,8 @@ object SparkEntry {
     "text_quality"        -> (TextOps.textQualityQuery(_, _)),
     "text_repetition"     -> (TextOps.textRepetitionQuery(_, _)),
     "multimodal_pipeline" -> (graft.ext.Multimodal.multimodalQuery(_, _)),
+    // north-star composition: dedup clusters + repetition + quality
+    "pipeline_clean_corpus" -> (graft.ext.Corpus.cleanCorpusQuery(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -410,6 +412,83 @@ object SparkEntry {
                   + (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0))) / 4.0) * 1e6 + 0.5) / 1e6 AS quality,
            CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred
          FROM feat""",
+    // pipeline_clean_corpus: the dedup_clusters + text_repetition +
+    // text_quality oracles composed verbatim — one CTE chain, same
+    // thresholds as Corpus.cleanCorpus
+    "pipeline_clean_corpus" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+         ), sh AS (
+           SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_distinct([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
+             END AS sh
+           FROM tok
+         ), posting AS (
+           SELECT doc_id, unnest(sh) AS shingle FROM sh
+         ), rare AS (
+           SELECT shingle FROM posting GROUP BY shingle HAVING count(*) BETWEEN 2 AND 10
+         ), cand AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM posting a JOIN rare USING (shingle) JOIN posting b USING (shingle)
+           WHERE a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 2
+         ), pairs AS (
+           SELECT c.id_a, c.id_b
+           FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+           WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+               (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+         ), edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION
+           SELECT id_b AS src, id_a AS dst FROM pairs
+         ), reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, re.r FROM edges e JOIN reach re ON re.id = e.dst
+         ), labels AS (
+           SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+         ), grams AS (
+           SELECT doc_id, 1 AS n, unnest(t) AS g FROM tok
+           UNION ALL
+           SELECT doc_id, 2 AS n,
+             unnest([array_to_string(t[i:i+1], ' ') for i in generate_series(1, len(t)-1)]) AS g
+           FROM tok
+           UNION ALL
+           SELECT doc_id, 3 AS n,
+             unnest([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS g
+           FROM tok
+         ), per AS (
+           SELECT doc_id, n, g, count(*) AS cnt FROM grams GROUP BY 1, 2, 3
+         ), rep AS (
+           SELECT doc_id,
+             floor(CAST(sum(CASE WHEN n = 1 THEN 1 END) AS DOUBLE)
+               / sum(CASE WHEN n = 1 THEN cnt END) * 1e6 + 0.5) / 1e6 AS distinct_token_ratio,
+             floor(CAST(max(CASE WHEN n = 2 THEN cnt END) AS DOUBLE)
+               / sum(CASE WHEN n = 2 THEN cnt END) * 1e6 + 0.5) / 1e6 AS top_bigram_frac
+           FROM per GROUP BY 1
+         ), feat AS (
+           SELECT doc_id,
+             least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+             1.0 - least(CAST(len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+                         / greatest(len(text), 1) * 5.0, 1.0) AS punct_score,
+             CAST(len(list_filter(t, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','this','that'], x))) AS DOUBLE)
+               / greatest(len(t), 1) AS swr,
+             CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / greatest(len(t), 1) AS mwl
+           FROM tok
+         ), qual AS (
+           SELECT doc_id,
+             floor(((len_score + punct_score + (1.0 - least(abs(swr - 0.4) * 2.0, 1.0))
+                    + (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0))) / 4.0) * 1e6 + 0.5) / 1e6 AS quality
+           FROM feat
+         )
+         SELECT d.doc_id, d.lang, q.quality
+         FROM documents d
+         JOIN rep r ON r.doc_id = d.doc_id
+         JOIN qual q ON q.doc_id = d.doc_id
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+           AND q.quality >= 0.6
+           AND r.distinct_token_ratio >= 0.3
+           AND (r.top_bigram_frac IS NULL OR r.top_bigram_frac <= 0.1)""",
     // text_repetition: pure n-gram occurrence counting — exact in both
     // engines; fractions are single IEEE divisions of <2^53 integers
     "text_repetition" ->

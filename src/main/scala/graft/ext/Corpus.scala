@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** The north-star use case end-to-end: clean a training corpus by
+  * composing the operators this library exists for — near-dup clustering
+  * (keep one canonical doc per cluster), repetition filtering, and quality
+  * scoring — in one declarative plan. Each stage is individually oracled
+  * (`dedup_clusters`, `text_repetition`, `text_quality`); the composition
+  * is oracled too, so the whole pipeline's exact output is pinned against
+  * DuckDB, not just its parts.
+  */
+object Corpus {
+
+  /** Documents surviving the cleaning pass, with their quality score:
+    * drop non-canonical dup-cluster members (3-gram Jaccard ≥ 0.5
+    * clusters, smallest doc_id survives), then docs failing the
+    * repetition/quality heuristics. Thresholds follow the usual corpus-
+    * cleaning recipes (Gopher-style): quality ≥ 0.6, distinct-token ratio
+    * ≥ 0.3, top-bigram fraction ≤ 0.1 (short docs with no bigrams pass —
+    * absence of evidence).
+    *
+    * Scale shape: the drop-list (non-canonical cluster members) is tiny
+    * relative to the corpus, so the anti-join broadcasts; the
+    * repetition/quality signals are shuffle-free per-doc expressions; the
+    * only shuffles are inside pair generation + clustering, both bounded
+    * by the LSH posting caps. */
+  def cleanCorpus(docs: DataFrame): DataFrame = {
+    val dupDrops = Dedup.dedupClusters(Dedup.ngramJaccardPairs(docs))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    val rep = TextOps.repetitionSignals(docs)
+    docs.join(broadcast(dupDrops), Seq("doc_id"), "left_anti")
+      .join(rep, Seq("doc_id"))
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .filter(col("quality") >= 0.6 &&
+        col("distinct_token_ratio") >= 0.3 &&
+        (col("top_bigram_frac").isNull || col("top_bigram_frac") <= 0.1))
+      .select("doc_id", "lang", "quality")
+  }
+
+  /** SparkEntry query (oracled): the full cleaning pass over `documents`. */
+  def cleanCorpusQuery(s: SparkSession, d: String): DataFrame =
+    cleanCorpus(Tables.documents(s, d))
+}
