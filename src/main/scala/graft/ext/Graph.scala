@@ -40,17 +40,30 @@ object Graph {
     * (they are their own label by definition). Null ids are dropped (no
     * meaningful component membership). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    // local runs keep the materialized frames' hash partitioning
+    // (LogicalRDD.fromDataset) so each round's joins skip re-exchanges;
+    // with a reliable checkpoint dir configured (cluster posture) go
+    // through Fixpoint's executor-loss-safe path instead
+    val reliable = Option(spark.conf.get(Fixpoint.CheckpointDirKey, null))
+      .exists(_.nonEmpty)
+    def mat(df: DataFrame): DataFrame =
+      if (reliable) Fixpoint.materialize(df).df
+      else org.apache.spark.sql.graft.DatasetBridge.materializePartitioned(df)._1
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-    // undirected: propagate along both directions of every edge
-    val sym = Fixpoint.materialize(
-      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()).df
+    // undirected: propagate along both directions of every edge; keep the
+    // edge list hash-partitioned on src — the per-round neighbor join's
+    // only big input — so it co-locates with the id-partitioned labels
+    val sym = mat(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        .repartition(col("src")))
     // initialization IS the first propagation round: label_1(v) =
     // min(v, neighbors(v)) — one aggregate instead of an identity-label
     // materialize plus a join round
-    var cur = Fixpoint.materialize(
+    var cur = mat(
       sym.groupBy("src").agg(min("dst").as("__mn"))
-        .select(col("src").as("id"), least(col("src"), col("__mn")).as("label"))).df
+        .select(col("src").as("id"), least(col("src"), col("__mn")).as("label")))
     var i = 0
     var done = false
     while (!done && i < maxIter) {
@@ -67,14 +80,14 @@ object Graph {
       // the __self leg both keeps the old label in the min AND carries it
       // out of the aggregate, so convergence needs no join against the
       // previous round — every node has exactly one __self row
-      val next = Fixpoint.materialize(
+      val next = mat(
         neighbor.union(jump)
           .union(labels.withColumn("__self", lit(true)))
           .groupBy("id").agg(min("label").as("label"),
             min(when(col("__self"), col("label"))).as("__old")))
       // shuffle-free convergence probe over the checkpointed frame
-      done = next.df.filter(col("label") < col("__old")).isEmpty
-      cur = next.df.select("id", "label")
+      done = next.filter(col("label") < col("__old")).isEmpty
+      cur = next.select("id", "label")
       i += 1
     }
     if (!done) throw new IllegalStateException(

@@ -51,6 +51,26 @@ object DatasetBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** Like [[materializeWithCount]] but the rebased leaf KEEPS the origin
+    * plan's physical partitioning and ordering (`LogicalRDD.fromDataset`,
+    * the same wrapping `Dataset.checkpoint` uses): a loop that joins or
+    * aggregates the materialized frame on its existing hash key pays no
+    * re-exchange per iteration. The trade-off vs `materializeWithCount`:
+    * attribute ids are NOT refreshed, so callers must go through normal
+    * Dataset ops (the analyzer's relation dedup handles self-joins) —
+    * low-level leg unions like Fixpoint's accumulator need the fresh-id
+    * variant. */
+  def materializePartitioned(df: DataFrame): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val internal = df.queryExecution.toRdd.map(_.copy())
+    internal.localCheckpoint()
+    val n = internal.count()
+    val classicDs = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val leaf = org.apache.spark.sql.execution.LogicalRDD
+      .fromDataset(internal, classicDs, isStreaming = false)
+    (ofRows(spark, leaf), n)
+  }
+
   /** Block until the Spark listener bus has delivered every queued event
     * (`listenerBus` is private[spark]) — metric listeners are async, so a
     * reader sampling counters right after an action races event delivery
