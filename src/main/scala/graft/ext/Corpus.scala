@@ -22,17 +22,19 @@ object Corpus {
     * ≥ 0.3, top-bigram fraction ≤ 0.1 (short docs with no bigrams pass —
     * absence of evidence).
     *
-    * Scale shape: the drop-list (non-canonical cluster members) is tiny
-    * relative to the corpus, so the anti-join broadcasts; the
-    * repetition/quality signals are shuffle-free per-doc expressions; the
-    * only shuffles are inside pair generation + clustering, both bounded
-    * by the LSH posting caps. */
+    * Scale shape: the repetition/quality signals are shuffle-free per-doc
+    * expressions; the only shuffles are inside pair generation +
+    * clustering (bounded by the LSH posting caps) and the anti-join on the
+    * drop list. The drop list is NOT force-broadcast: high-duplication web
+    * corpora make it proportional to corpus size (30%+ non-canonical
+    * members is normal), which would blow past the broadcast limit exactly
+    * at scale — AQE broadcasts it automatically when it is actually small. */
   def cleanCorpus(docs: DataFrame): DataFrame = {
     val dupDrops = Dedup.dedupClusters(Dedup.ngramJaccardPairs(docs))
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
     val rep = TextOps.repetitionSignals(docs)
-    docs.join(broadcast(dupDrops), Seq("doc_id"), "left_anti")
+    docs.join(dupDrops, Seq("doc_id"), "left_anti")
       .join(rep, Seq("doc_id"))
       .withColumn("quality", TextOps.qualityScore(col("text")))
       .filter(col("quality") >= 0.6 &&

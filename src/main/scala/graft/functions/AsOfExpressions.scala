@@ -22,8 +22,10 @@ object AsOfOps {
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
       val row = arr.getStruct(mid, numFields)
-      val tm = row.get(0, timeType)
-      // null times sort first in sort_array; they never match (SQL as-of)
+      // null ELEMENTS and null times both sort first in sort_array and
+      // never match (SQL as-of semantics) — skip past them, don't NPE:
+      // the public asof_pick accepts arrays built outside enrichAsOf
+      val tm = if (row == null) null else row.get(0, timeType)
       if (tm != null && ord.compare(tm, t) <= 0) { best = mid; lo = mid + 1 }
       else if (tm == null) lo = mid + 1
       else hi = mid - 1

@@ -111,7 +111,9 @@ class StreamManager(val topology: Topology) {
     * (`take-while`, `/root/reference/src/dataworks/utils/stream.clj:120-126`)
     * — the `noop` sink. */
   def drain(full: String): StreamingQuery = {
-    adoptCheckpoint(full, "_drain")
+    // no checkpoint adoption here: the noop drain sets no checkpointLocation
+    // (consume-and-discard has no offsets worth resuming), so there is no
+    // durable directory under either naming scheme to migrate
     val q = topology.buildPlan(full)
       .writeStream.format("noop").queryName(queryName(full) + "_drain").start()
     running.put(full + "#drain", q)
@@ -147,13 +149,21 @@ class StreamManager(val topology: Topology) {
     // wiring is validated BEFORE any running sink is stopped: a spec naming
     // a missing upstream or closing a cycle fails the railway here instead
     // of throwing out of buildPlan with downstream queries already down
-    topology.validate(n).flatMap(topology.validateWiring).map { ok => adminLock.synchronized {
-      val affectedSinks = (topology.downstreamOf(ok.name.full) + ok.name.full)
-        .filter(hasRunningQueries)
-      affectedSinks.foreach(stopSink)
-      topology.addNode(ok)
-      applyGraph()
-    } }
+    topology.validate(n).flatMap(topology.validateWiring).flatMap { ok =>
+      adminLock.synchronized {
+        val affectedSinks = (topology.downstreamOf(ok.name.full) + ok.name.full)
+          .filter(hasRunningQueries)
+        affectedSinks.foreach(stopSink)
+        // addNode re-validates against the CURRENT graph (a concurrent
+        // direct registration may have changed it since the pre-check);
+        // on rejection, restart what was stopped and report the failure
+        // instead of pretending the swap landed
+        topology.addNode(ok) match {
+          case Right(_) => Right(applyGraph())
+          case Left(err) => applyGraph(); Left(err)
+        }
+      }
+    }
 
   /** Remove a node and stop everything downstream of it. */
   def deleteNode(full: String): Unit = adminLock.synchronized {
@@ -171,7 +181,14 @@ class StreamManager(val topology: Topology) {
     store.db().filter("id LIKE ':stream/%'")
       .select("doc").as[String].collect()
       .flatMap(NodeSpec.parse)
-      .foreach(topology.addNode)
+      .foreach { n =>
+        // a stored graph recorded under a pre-validation release can carry
+        // a node addNode now rejects (e.g. part of a cycle) — dropping it
+        // silently would look like a pipeline that just stopped; log loudly
+        // so the operator knows which node to fix via updateNode
+        topology.addNode(n).left.foreach(err =>
+          log.warn(s"bootstrap: stored node ${n.name.full} rejected: $err"))
+      }
     applyGraph()
   }
 

@@ -26,6 +26,17 @@ class StreamAsOfSpec extends SparkSpec {
     assert(pickAt(10L).contains(100L), "inclusive at-or-before")
     assert(pickAt(25L).contains(201L), "tie on 20 picks the max carry")
     assert(pickAt(99L).contains(300L), "after everything → last version")
+    // null ELEMENTS (possible when callers build the array outside
+    // enrichAsOf) are skipped, not NPE'd — they sort first like null times
+    val withNull = sort_array(array(
+      when(lit(false), struct(lit(0L).as("__t"), lit(0L).as("v"))),
+      struct(lit(10L).as("__t"), lit(100L).as("v"))))
+    def pickNullAt(t: Long): Option[Long] =
+      Seq(1).toDF("i").select(
+        graft.functions.AsOfExpressions.asof_pick(withNull, lit(t)).getField("v"))
+        .as[Option[Long]].head()
+    assert(pickNullAt(15L).contains(100L), "null element skipped")
+    assert(pickNullAt(5L).isEmpty, "null element never matches")
   }
 
   test("batch parity with native left-outer as-of join, incl. nulls") {

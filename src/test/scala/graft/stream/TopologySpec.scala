@@ -210,6 +210,26 @@ class TopologySpec extends SparkSpec {
     assert(topo.node("stream/b").isEmpty, "the cyclic node is not registered")
   }
 
+  test("bootstrap rejects stored cyclic nodes loudly instead of crashing startup") {
+    val io = new MemoryIO(spark)
+    val store = new graft.store.DocumentStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-boot").toString + "/db")
+    def nodeDoc(name: String, up: String): String = NodeSpec.toJson(
+      StreamNode(NodeName.parse(name), Set(up),
+        Some(OpSpec.MapExpr("value")), Some(BufferSpec.Fixed(10)), None))
+    store.put(":stream/a", nodeDoc("stream/a", "stream/b"))
+    store.put(":stream/b", nodeDoc("stream/b", "stream/a")) // closes a cycle
+    val topo = new Topology(io)
+    val mgr = new StreamManager(topo)
+    try {
+      mgr.bootstrapFromStore(store) // must not throw
+      // exactly one of the pair registered (replay order decides which);
+      // the rejected one is logged, startup survives
+      val registered = Seq("stream/a", "stream/b").count(topo.node(_).isDefined)
+      assert(registered == 1, s"one node of the cycle registers, got $registered")
+    } finally mgr.stopAll()
+  }
+
   test("KafkaIO adopts a legacy-escape checkpoint dir exactly once") {
     val root = java.nio.file.Files.createTempDirectory("graft-ckpt-mig")
     val io = new KafkaIO(spark, "broker:9092", root.toString)
