@@ -73,6 +73,7 @@ object SparkEntry {
     "text_analysis"       -> (TextOps.textAnalysisQuery(_, _)),
     "text_quality"        -> (TextOps.textQualityQuery(_, _)),
     "text_repetition"     -> (TextOps.textRepetitionQuery(_, _)),
+    "text_top_terms"      -> (TextOps.textTopTermsQuery(_, _)),
     "multimodal_pipeline" -> (graft.ext.Multimodal.multimodalQuery(_, _)),
     // north-star composition: dedup clusters + repetition + quality
     "pipeline_clean_corpus" -> (graft.ext.Corpus.cleanCorpusQuery(_, _)),
@@ -489,6 +490,26 @@ object SparkEntry {
            AND q.quality >= 0.6
            AND r.distinct_token_ratio >= 0.3
            AND (r.top_bigram_frac IS NULL OR r.top_bigram_frac <= 0.1)""",
+    // text_top_terms: all-integer ranking (tf desc, df asc, term asc) —
+    // no float idf, so the rank order is engine-exact
+    "text_top_terms" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+         ), terms AS (
+           SELECT doc_id, unnest(t) AS term FROM tok
+         ), tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM terms
+           WHERE NOT list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','this','that'], term)
+           GROUP BY 1, 2
+         ), dfq AS (
+           SELECT term, count(*) AS df FROM tf GROUP BY 1
+         ), ranked AS (
+           SELECT doc_id, term, tf, df,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY tf DESC, df ASC, term ASC) AS INT) AS rank
+           FROM tf JOIN dfq USING (term)
+         )
+         SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3""",
     // text_repetition: pure n-gram occurrence counting — exact in both
     // engines; fractions are single IEEE divisions of <2^53 integers
     "text_repetition" ->

@@ -66,6 +66,13 @@ object OpSpec {
   final case class DedupeKeys(keys: Seq[String], tsCol: String,
                               watermark: String) extends OpSpec
 
+  /** Event-time SESSION windows with a watermark (`session_window`): a
+    * key's events merge into one window while gaps stay under `gap` —
+    * the third window family (tumbling/sliding are WindowAgg) the
+    * reference's per-element transducers cannot express. */
+  final case class SessionAgg(tsCol: String, gap: String, watermark: String,
+                              groupBy: Seq[String], aggs: Seq[String]) extends OpSpec
+
   /** Streaming as-of enrichment against a versioned dimension table
     * (parquet at `dimPath`): each event picks up the latest dim version
     * at-or-before its event time — left-outer, null carries when nothing

@@ -177,9 +177,39 @@ object TextOps {
         qualityScore(col("text")).as("quality"),
         langId(col("text")).as("lang_pred"))
 
+  /** Top distinguishing terms per document: highest term frequency,
+    * rarest-first (document frequency ascending) then term name as exact
+    * tie-breaks — a TF-IDF-shaped ranking on INTEGER keys only, so the
+    * result is engine-exact (a float idf would rank differently whenever
+    * ln() differs by an ulp between engines). Stopwords are excluded (the
+    * shared [[stopwords]] list) or every doc's top term would be "the".
+    *
+    * Scale shape: explode → (doc, term) tf aggregate, term-keyed df
+    * aggregate, join back on term (reuses the df partitioning), then a
+    * per-doc window rank — partitioned by doc_id, never a global sort. */
+  def topTerms(docs: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id", k: Int = 3): DataFrame = {
+    val sw = array(stopwords.map(lit): _*)
+    val terms = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(!array_contains(sw, col("term")))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "rank")
+  }
+
   /** repetition-signal panel, DuckDB-oracled (pure counting — exact). */
   def textRepetitionQuery(s: SparkSession, d: String): DataFrame =
     repetitionSignals(Tables.documents(s, d))
+
+  /** top-3 distinguishing terms per doc, DuckDB-oracled (integer ranks). */
+  def textTopTermsQuery(s: SparkSession, d: String): DataFrame =
+    topTerms(Tables.documents(s, d))
 
   /** quality + language-ID + fingerprint panel (rows-only check: the exact
     * heuristics are engine-specific; ScalaTest pins their behavior). */

@@ -59,6 +59,15 @@ object NodeSpec {
           ts <- (d \ "ts").extractOpt[String]
           wm <- (d \ "watermark").extractOpt[String]
         } yield OpSpec.DedupeKeys(keys, ts, wm)
+      case m if m.contains("sessionAgg") =>
+        val w = m("sessionAgg")
+        for {
+          ts <- (w \ "ts").extractOpt[String]
+          gap <- (w \ "gap").extractOpt[String]
+          wm <- (w \ "watermark").extractOpt[String]
+          aggs <- (w \ "aggs").extractOpt[Seq[String]] if aggs.nonEmpty
+        } yield OpSpec.SessionAgg(ts, gap, wm,
+          (w \ "groupBy").extractOpt[Seq[String]].getOrElse(Nil), aggs)
       case m if m.contains("asofEnrich") =>
         val a = m("asofEnrich")
         for {
@@ -130,6 +139,12 @@ object NodeSpec {
         JObject("dedupe" -> JObject(
           "keys" -> JArray(keys.map(JString(_)).toList),
           "ts" -> JString(ts), "watermark" -> JString(wm)))
+      case OpSpec.SessionAgg(ts, gap, wm, keys, aggs) =>
+        JObject("sessionAgg" -> JObject(
+          "ts" -> JString(ts), "gap" -> JString(gap),
+          "watermark" -> JString(wm),
+          "groupBy" -> JArray(keys.map(JString(_)).toList),
+          "aggs" -> JArray(aggs.map(JString(_)).toList)))
       case OpSpec.AsOfEnrich(dim, key, ets, dts, carry) =>
         JObject("asofEnrich" -> JObject(
           "dim" -> JString(dim), "key" -> JString(key),

@@ -138,6 +138,11 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
     case OpSpec.AsOfEnrich(dimPath, key, eventTs, dimTs, carry) =>
       StreamAsOf.enrichAsOf(df, io.spark.read.parquet(dimPath),
         key, eventTs, dimTs, carry)
+    case OpSpec.SessionAgg(ts, gap, wm, keys, aggs) =>
+      val aggCols = aggs.map(expr)
+      df.withWatermark(ts, wm)
+        .groupBy(session_window(col(ts), gap).as("session") +: keys.map(col): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
   }
 
   /** Per-topic serde (S10): the reference selects Edn/Json serializers per

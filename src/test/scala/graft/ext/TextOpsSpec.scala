@@ -63,6 +63,19 @@ class TextOpsSpec extends SparkSpec {
     assert(grams == Seq("ab", "bc", "cd"))
   }
 
+  test("top terms: tf desc, rare-first df, then term name; stopwords out") {
+    val df = Seq(
+      (1L, "the alpha alpha beta beta gamma"), // alpha/beta tf=2; gamma tf=1
+      (2L, "the beta delta delta")             // delta tf=2; beta tf=1
+    ).toDF("doc_id", "text")
+    val got = TextOps.topTerms(df, k = 2)
+      .select("doc_id", "term", "rank").as[(Long, String, Int)].collect().toSet
+    // doc 1: alpha vs beta tie on tf=2 → beta appears in BOTH docs (df=2),
+    // alpha only in doc 1 (df=1) → rarer alpha ranks first
+    assert(got == Set((1L, "alpha", 1), (1L, "beta", 2),
+      (2L, "delta", 1), (2L, "beta", 2)), s"got $got")
+  }
+
   test("repetition signals: hand-computed fractions on a looping doc") {
     // "a b a b a": tokens=5, distinct=2 → ratio 0.4
     // bigrams: "a b","b a","a b","b a" → top "a b"(2)/4 = 0.5

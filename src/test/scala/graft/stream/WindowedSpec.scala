@@ -60,11 +60,37 @@ class WindowedSpec extends SparkSpec {
     mgr.stopAll()
   }
 
+  test("session windows merge while gaps stay under the gap; close on watermark") {
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    topo.addNode(StreamNode(NodeName.parse("kafka/ev"), Set.empty, None, None, None))
+    topo.addNode(StreamNode(NodeName.parse("stream/sess"), Set("kafka/ev"),
+      Some(OpSpec.SessionAgg("ts", "5 minutes", "1 minute",
+        Seq("key"), Seq("count(*) AS n"))),
+      Some(BufferSpec.Fixed(1000)), None))
+    topo.addNode(StreamNode(NodeName.parse("kafka/out"), Set("stream/sess"), None, None, None))
+    val mgr = new StreamManager(topo)
+    // key a: events at 1, 4, 7 chain into ONE session (gaps < 5m);
+    // the event at 20 starts a second session
+    for (m <- Seq(1, 4, 7, 20)) io.publishAt("kafka/ev", "a", s"$m", ts(m))
+    mgr.applyGraph()
+    mgr.processAllAvailable()
+    io.publishAt("kafka/ev", "z", "x", ts(55)) // watermark pusher finalizes
+    mgr.processAllAvailable()
+    val rows = io.collected("out")
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("n")))
+    assert(rows.contains(("a", 3L)), s"chained session of 3 events: $rows")
+    assert(rows.contains(("a", 1L)), s"separate later session: $rows")
+    mgr.stopAll()
+  }
+
   test("windowAgg + dedupe specs round-trip through NodeSpec JSON") {
     val w = OpSpec.WindowAgg("ts", "10 minutes", Some("5 minutes"), "1 minute",
       Seq("key"), Seq("count(*) AS n", "sum(CAST(value AS DOUBLE)) AS total"))
     val d = OpSpec.DedupeKeys(Seq("value"), "ts", "10 minutes")
-    for (spec <- Seq(w, d)) {
+    val s = OpSpec.SessionAgg("ts", "5 minutes", "1 minute",
+      Seq("key"), Seq("count(*) AS n"))
+    for (spec <- Seq(w, d, s)) {
       val n = StreamNode(NodeName.parse("stream/x"), Set("kafka/in"),
         Some(spec), Some(BufferSpec.Fixed(5)), None)
       assert(NodeSpec.parse(NodeSpec.toJson(n)).contains(n), NodeSpec.toJson(n))
