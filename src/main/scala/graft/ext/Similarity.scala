@@ -216,6 +216,46 @@ object Similarity {
         graft.query.Functions.stableRound(col("t.score"), 4).as("sim"))
   }
 
+  /** Persist a trained IVF index for the build-once/search-many lifecycle:
+    * `<path>/centroids` (the coarse quantizer, a few KB) and
+    * `<path>/assignments` PARTITIONED BY centroid_id — so a probe-time
+    * read touches only the `nprobe` matching parquet directories. At
+    * 100 TB this is the difference between "ANN query = full corpus scan"
+    * and "ANN query = read nprobe/k of the data": the pruning happens in
+    * the file listing, before a single byte of vector data moves. */
+  def writeIndex(emb: DataFrame, path: String, kCentroids: Int,
+                 iters: Int = 2, trainSampleMod: Int = 5): Unit = {
+    val cents = trainCentroids(
+      emb.filter(pmod(col("vec_id"), lit(trainSampleMod.toLong)) === 0),
+      kCentroids, iters)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    ivfAssign(emb, cents).write.mode("overwrite")
+      .partitionBy("centroid_id").parquet(s"$path/assignments")
+  }
+
+  /** Search a persisted index: pick the `nprobe` closest centroids on the
+    * driver (the quantizer is model-sized — this is control plane, like
+    * the Lloyd rounds), then read assignments with a STATIC
+    * `centroid_id IN (...)` filter so parquet partition pruning applies —
+    * a semi-join would at best prune dynamically, at worst list every
+    * partition. */
+  def searchIndex(spark: SparkSession, path: String, queryVec: Seq[Double],
+                  k: Int, nprobe: Int): DataFrame = {
+    val qv = array(queryVec.map(lit): _*)
+    val probed = spark.read.parquet(s"$path/centroids")
+      .select(col("centroid_id"),
+        (lit(1.0) - cosine(col("cvec").cast("array<double>"), qv)).as("qdist"))
+      .orderBy(col("qdist").asc, col("centroid_id").asc)
+      .limit(nprobe)
+      .select("centroid_id").collect().map(_.getLong(0)).toSeq
+    spark.read.parquet(s"$path/assignments")
+      .filter(col("centroid_id").isin(probed: _*))
+      .select(col("vec_id"),
+        cosine(col("v").cast("array<double>"), qv).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** SparkEntry query (rows-only): trained-IVF approximate top-10 for
     * vec 0's vector, probing 4 of 16 buckets. The single-row query-vector
     * fetch is control-plane (one `first()`); the search itself is a

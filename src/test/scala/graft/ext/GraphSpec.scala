@@ -36,6 +36,30 @@ class GraphSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
   }
 
+  test("randomized parity with a driver-side union-find") {
+    // deterministic pseudo-random graph: 300 nodes, ~240 edges → a mix of
+    // singletons, small trees, and one larger blob
+    val edges = (0 until 240).map { i =>
+      val a = (i * 7919) % 300
+      val b = (i * 104729 + 13) % 300
+      (a.toLong, b.toLong)
+    }.filter(e => e._1 != e._2)
+    // reference: classic union-find on the driver
+    val parent = Array.tabulate(300)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> find(n.toInt).toLong).toMap
+    // min-compression: union-find roots ARE the min member here because
+    // unions always point the larger root at the smaller
+    val got = Graph.connectedComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("dedupClusters: transitive pairs collapse into one canonical cluster") {
     // A≈B and B≈C but (A,C) never emitted — all three must share a cluster
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")

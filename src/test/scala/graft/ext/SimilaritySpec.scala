@@ -98,6 +98,28 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Window"), "knn join must not fall back to a window sort")
   }
 
+  test("persisted IVF index: search matches the in-memory pipeline and prunes partitions") {
+    val emb = Tables_embeddings()
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.writeIndex(emb, path, kCentroids = 8, iters = 2)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).first().getSeq[Double](0)
+    val viaIndex = Similarity.searchIndex(spark, path, q, k = 5, nprobe = 2)
+    val got = viaIndex.select("vec_id").as[Long].collect().toSeq
+    // the same quantizer params in memory must give the same answer
+    val cents = Similarity.trainCentroids(
+      emb.filter(pmod(col("vec_id"), lit(5L)) === 0), kCentroids = 8, iters = 2)
+    val inMem = Similarity.ivfTopK(Similarity.ivfAssign(emb, cents), cents, q,
+        k = 5, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == inMem, s"index search $got vs in-memory $inMem")
+    // probe-time scan must read only the probed centroid partitions
+    val scan = viaIndex.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scan.contains("PartitionFilters: [centroid_id"),
+      s"centroid_id IN (...) must reach the file listing: $scan")
+  }
+
   private def Tables_embeddings() =
     graft.core.Tables.embeddings(spark, sf("sf0.001"))
 }
