@@ -65,19 +65,32 @@ object Similarity {
       emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
       centroids)
 
-  def ivfTopK(assigned: DataFrame, centroids: DataFrame,
-              queryVec: Seq[Double], k: Int, nprobe: Int): DataFrame = {
-    val qv = array(queryVec.map(lit): _*)
-    val c = centroids.select(col("centroid_id"), col("cvec").cast("array<double>").as("cvec"))
-    val probed = c.select(col("centroid_id"),
-        (lit(1.0) - cosine(col("cvec"), qv)).as("qdist"))
+  /** The `nprobe` centroid ids closest to `qv` — ONE definition of probe
+    * selection (distance metric + (dist ASC, id ASC) tie-break) shared by
+    * the in-memory and persisted-index search paths, so they cannot
+    * silently diverge. */
+  private def probeCentroids(centroids: DataFrame, qv: Column,
+                             nprobe: Int): DataFrame =
+    centroids
+      .select(col("centroid_id"),
+        (lit(1.0) - cosine(col("cvec").cast("array<double>"), qv)).as("qdist"))
       .orderBy(col("qdist").asc, col("centroid_id").asc)
       .limit(nprobe)
       .select("centroid_id")
-    assigned.join(broadcast(probed), Seq("centroid_id"), "left_semi")
-      .select(col("vec_id"), cosine(col("v"), qv).as("sim"))
+
+  /** Score `(vec_id, v)` rows against `qv` and keep the top `k` — the
+    * shared ranking (cosine, (sim DESC, id ASC)) of both search paths. */
+  private def rankByCosine(v: DataFrame, qv: Column, k: Int): DataFrame =
+    v.select(col("vec_id"), cosine(col("v").cast("array<double>"), qv).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
+
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame,
+              queryVec: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+    val qv = array(queryVec.map(lit): _*)
+    val probed = probeCentroids(centroids, qv, nprobe)
+    rankByCosine(
+      assigned.join(broadcast(probed), Seq("centroid_id"), "left_semi"), qv, k)
   }
 
   /** Element-wise mean vector per assigned bucket. The sum is exact
@@ -242,18 +255,11 @@ object Similarity {
   def searchIndex(spark: SparkSession, path: String, queryVec: Seq[Double],
                   k: Int, nprobe: Int): DataFrame = {
     val qv = array(queryVec.map(lit): _*)
-    val probed = spark.read.parquet(s"$path/centroids")
-      .select(col("centroid_id"),
-        (lit(1.0) - cosine(col("cvec").cast("array<double>"), qv)).as("qdist"))
-      .orderBy(col("qdist").asc, col("centroid_id").asc)
-      .limit(nprobe)
-      .select("centroid_id").collect().map(_.getLong(0)).toSeq
-    spark.read.parquet(s"$path/assignments")
-      .filter(col("centroid_id").isin(probed: _*))
-      .select(col("vec_id"),
-        cosine(col("v").cast("array<double>"), qv).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-      .limit(k)
+    val probed = probeCentroids(spark.read.parquet(s"$path/centroids"), qv, nprobe)
+      .collect().map(_.getLong(0)).toSeq
+    rankByCosine(
+      spark.read.parquet(s"$path/assignments")
+        .filter(col("centroid_id").isin(probed: _*)), qv, k)
   }
 
   /** SparkEntry query (rows-only): trained-IVF approximate top-10 for

@@ -18,6 +18,10 @@ import graft.core.{BufferSpec, NodeName, OpSpec, StreamNode}
   *                 {"select": ["e1", …]} | {"named": "fn"} |
   *                 {"comp": [ …stages… ]} | {"windowAgg": {…}} |
   *                 {"dedupe": {…}} |
+  *                 {"sessionAgg": {"ts": "ts", "gap": "5 minutes",
+  *                                 "watermark": "1 minute",
+  *                                 "groupBy": ["key", …],  // required nonempty
+  *                                 "aggs": ["count(*) AS n", …]}} |
   *                 {"asofEnrich": {"dim": "<parquet path>", "key": "k",
   *                                 "eventTs": "ts", "dimTs": "vts",
   *                                 "carry": ["price", …]}},
@@ -66,8 +70,11 @@ object NodeSpec {
           gap <- (w \ "gap").extractOpt[String]
           wm <- (w \ "watermark").extractOpt[String]
           aggs <- (w \ "aggs").extractOpt[Seq[String]] if aggs.nonEmpty
-        } yield OpSpec.SessionAgg(ts, gap, wm,
-          (w \ "groupBy").extractOpt[Seq[String]].getOrElse(Nil), aggs)
+          // unlike windowAgg (where a global aggregate is legal), streaming
+          // forbids session windows without grouping keys — an empty
+          // groupBy would deploy a node whose query dies at start
+          keys <- (w \ "groupBy").extractOpt[Seq[String]] if keys.nonEmpty
+        } yield OpSpec.SessionAgg(ts, gap, wm, keys, aggs)
       case m if m.contains("asofEnrich") =>
         val a = m("asofEnrich")
         for {

@@ -95,5 +95,13 @@ class WindowedSpec extends SparkSpec {
         Some(spec), Some(BufferSpec.Fixed(5)), None)
       assert(NodeSpec.parse(NodeSpec.toJson(n)).contains(n), NodeSpec.toJson(n))
     }
+    // a sessionAgg without groupBy must fail the parse railway: streaming
+    // forbids GLOBAL session-window aggregation, so the node would deploy
+    // fine and then die at query start
+    val noKeys = """{"name":"stream/x","upstream":["kafka/in"],"buffer":5,
+      "transducer":{"sessionAgg":{"ts":"ts","gap":"5 minutes",
+      "watermark":"1 minute","aggs":["count(*) AS n"]}}}"""
+    assert(NodeSpec.parse(noKeys).isEmpty,
+      "keyless sessionAgg must be rejected at parse time")
   }
 }
