@@ -15,8 +15,10 @@ import graft.ext.{Dedup, Similarity, TextOps}
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  // the north-star composition (dedup clusters + repetition + quality in
+  // one declarative plan) — the query this library exists to run
   def entry(spark: SparkSession): DataFrame =
-    Relational.aggGroupBy(spark, "/root/testdata/sf0.001")
+    graft.ext.Corpus.cleanCorpusQuery(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

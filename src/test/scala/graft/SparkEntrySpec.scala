@@ -1,0 +1,23 @@
+package graft
+
+/** Driver-contract smoke checks: the flagship entry returns rows, every
+  * registered query has either an oracle or a documented rows-only
+  * rationale, and oracle keys never dangle. */
+class SparkEntrySpec extends SparkSpec {
+
+  test("entry (clean-corpus flagship) returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key is a registered query") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracles without queries: $dangling")
+  }
+
+  test("rows-only queries are exactly the documented hash-seeded set") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("datalog_sample", "dedup_minhash", "dedup_simhash",
+      "dedup_embedding_lsh", "multimodal_pipeline", "text_analysis"),
+      s"undocumented rows-only queries: $rowsOnly")
+  }
+}

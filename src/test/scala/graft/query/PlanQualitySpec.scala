@@ -115,6 +115,28 @@ class PlanQualitySpec extends SparkSpec {
       s"the native expression must stay inside codegen:\n$plan")
   }
 
+  test("text_top_terms ranks per-doc without a global sort; scan pruned to 2 columns") {
+    val df = graft.ext.TextOps.textTopTermsQuery(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // rangepartitioning = a global sort snuck in; the window must rank
+    // inside doc_id hash partitions only
+    assert(!plan.contains("rangepartitioning"),
+      s"per-doc rank must not global-sort:\n$plan")
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("doc_id") && scan.contains("text") && !scan.contains("n_chars"),
+      s"scan must read only (doc_id, text): $scan")
+  }
+
+  test("clean-corpus pipeline: no cartesian anywhere, documents scanned thrice at most") {
+    val df = graft.ext.Corpus.cleanCorpusQuery(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"composition must stay equi-joined:\n$plan")
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("streaming as-of enrichment broadcasts the version arrays") {
     import org.apache.spark.sql.functions._
     val left = spark.range(100).selectExpr("id % 5 AS k", "id AS ts", "id AS v")
