@@ -36,6 +36,14 @@ class GraftApp(val spark: SparkSession, val store: DocumentStore,
   /** T19 boot: wire persisted stream functions, start sinks, subscribe the
     * control plane, start the alert poll. Idempotent per component. */
   def start(): GraftApp = {
+    // sessions built without spark.sql.extensions=graft.GraftExtensions
+    // still get the SQL function surface — op-spec strings like
+    // {"filter": "text_quality_score(value) >= 0.6"} must resolve on any
+    // GraftApp runtime (createOrReplaceTempFunction is idempotent)
+    GraftExtensions.functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
     streams.bootstrapFromStore(store)
     streams.startControlPlane(store, NodeSpec.parse)
     alerts.start()

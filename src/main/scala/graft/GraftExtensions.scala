@@ -86,5 +86,23 @@ object GraftExtensions {
       case Seq(a, b) => graft.functions.IntersectionSize(a, b)
       case args => throw new IllegalArgumentException(
         s"intersection_size expects 2 arguments, got ${args.length}")
-    }))
+    }),
+    ("repetition_stats",
+      "repetition_stats(tokens) - struct(n_tokens, distinct_token_ratio, top_bigram_frac, dup_trigram_frac)",
+      one("repetition_stats")(graft.functions.RepetitionStats)),
+    ("asof_pick",
+      "asof_pick(versions, t) - latest version struct (time-sorted array, first field = time) at-or-before t", {
+      case Seq(v, t) => graft.functions.AsOfPick(v, t)
+      case args => throw new IllegalArgumentException(
+        s"asof_pick expects 2 arguments, got ${args.length}")
+    }),
+    // composite heuristic assembled from builtins — registering the SAME
+    // Column tree the Scala API builds lets declarative op-specs gate on
+    // quality mid-stream: {"filter": "text_quality_score(value) >= 0.6"}
+    ("text_quality_score",
+      "text_quality_score(text) - composite [0,1] corpus-quality heuristic",
+      one("text_quality_score")(e =>
+        org.apache.spark.sql.graft.ColumnBridge.resolvableExpression(
+          graft.ext.TextOps.qualityScore(
+            org.apache.spark.sql.graft.ColumnBridge.column(e))))))
 }

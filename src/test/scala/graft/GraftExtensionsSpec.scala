@@ -97,6 +97,28 @@ class GraftExtensionsSpec extends SparkSpec {
       s"rule must not rewrite double arrays: $rewritten")
   }
 
+  test("repetition_stats / asof_pick / text_quality_score from SQL") {
+    registered
+    val (nTok, ratio) = spark.sql(
+      "SELECT s.n_tokens, s.distinct_token_ratio FROM " +
+        "(SELECT repetition_stats(split('a b a b a', ' ')) AS s)")
+      .as[(Long, Double)].head()
+    assert(nTok == 5L && ratio == 0.4)
+    val picked = spark.sql(
+      """SELECT asof_pick(array(named_struct('t', 10L, 'v', 100L),
+                               named_struct('t', 20L, 'v', 200L)), 15L).v AS v""")
+      .as[Long].head()
+    assert(picked == 100L)
+    // parity with the Scala API the same tree is assembled from
+    val viaSql = spark.sql(
+      "SELECT text_quality_score('the quick brown fox jumps over the lazy dog') AS q")
+      .as[Double].head()
+    val viaApi = Seq("the quick brown fox jumps over the lazy dog").toDF("t")
+      .select(graft.ext.TextOps.qualityScore($"t")).as[Double].head()
+    assert(viaSql == viaApi)
+    assert(viaSql > 0.0 && viaSql <= 1.0)
+  }
+
   test("SQL-registered expressions stay codegen'd (no UDF wrapper in the plan)") {
     registered
     val df = spark.range(1).selectExpr("vec_dot(array(1.0d), array(2.0d)) AS d")

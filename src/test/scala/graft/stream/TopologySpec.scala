@@ -210,6 +210,33 @@ class TopologySpec extends SparkSpec {
     assert(topo.node("stream/b").isEmpty, "the cyclic node is not registered")
   }
 
+  test("streaming quality gate: op-spec filters on text_quality_score") {
+    // the SQL surface GraftApp registers at boot, usable from declarative
+    // filter specs — a streaming corpus-quality gate in one line of JSON
+    graft.GraftExtensions.functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    assert(topo.addNode(StreamNode(NodeName.parse("kafka/docs"), Set.empty,
+      None, None, None)).isRight)
+    assert(topo.addNode(StreamNode(NodeName.parse("stream/gate"), Set("kafka/docs"),
+      Some(OpSpec.FilterExpr("text_quality_score(value) >= 0.55")),
+      Some(BufferSpec.Fixed(100)), None)).isRight)
+    assert(topo.addNode(StreamNode(NodeName.parse("kafka/kept"),
+      Set("stream/gate"), None, None, None)).isRight)
+    val mgr = new StreamManager(topo)
+    io.publish("kafka/docs", "good", "the quick brown fox jumps over the " +
+      "lazy dog and then runs far away into the deep green forest to hide")
+    io.publish("kafka/docs", "junk", "!!! ??? ;;; ::: ,,, (((")
+    mgr.applyGraph()
+    mgr.processAllAvailable()
+    val kept = io.collected("kept").map(_.getAs[String]("key"))
+    assert(kept == Seq("good"), s"only the prose passes the gate: $kept")
+    mgr.stopAll()
+  }
+
   test("bootstrap rejects stored cyclic nodes loudly instead of crashing startup") {
     val io = new MemoryIO(spark)
     val store = new graft.store.DocumentStore(spark,
