@@ -79,6 +79,8 @@ object SparkEntry {
     "multimodal_pipeline" -> (graft.ext.Multimodal.multimodalQuery(_, _)),
     // north-star composition: dedup clusters + repetition + quality
     "pipeline_clean_corpus" -> (graft.ext.Corpus.cleanCorpusQuery(_, _)),
+    // training-mix construction: per-language token budgets
+    "corpus_token_mix"      -> (graft.ext.Corpus.tokenBudgetMixQuery(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -492,6 +494,24 @@ object SparkEntry {
            AND q.quality >= 0.6
            AND r.distinct_token_ratio >= 0.3
            AND (r.top_bigram_frac IS NULL OR r.top_bigram_frac <= 0.1)""",
+    // corpus_token_mix: deterministic systematic sampling under token
+    // budgets — multiplicative doc_id scramble + per-lang running sum,
+    // all exact i64 arithmetic
+    "corpus_token_mix" ->
+      """WITH tok AS (
+           SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+             (doc_id * 2654435761) % 4294967296 AS h
+           FROM documents
+         ), cum AS (
+           SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_tokens
+           FROM tok
+         )
+         SELECT doc_id, lang, n_tokens, running_tokens FROM cum
+         WHERE running_tokens <= CASE lang WHEN 'en' THEN 3000
+           WHEN 'es' THEN 1500 WHEN 'de' THEN 500 END""",
     // text_top_terms: all-integer ranking (tf desc, df asc, term asc) —
     // no float idf, so the rank order is engine-exact
     "text_top_terms" ->

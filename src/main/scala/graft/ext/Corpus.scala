@@ -46,4 +46,40 @@ object Corpus {
   /** SparkEntry query (oracled): the full cleaning pass over `documents`. */
   def cleanCorpusQuery(s: SparkSession, d: String): DataFrame =
     cleanCorpus(Tables.documents(s, d))
+
+  /** Training-mix construction: give each language a TOKEN budget and
+    * fill it by systematic sampling — docs ordered by a deterministic
+    * multiplicative hash of doc_id (a Weyl-style scramble: order-free,
+    * reproducible, engine-exact — no seeded RNG whose stream depends on
+    * partitioning), kept while the language's running token total stays
+    * within budget. The standard "mix N billion tokens at these language
+    * proportions" step in front of tokenizer sharding.
+    *
+    * Scale shape: one scan computes tokens (shuffle-free), one window per
+    * language does the running sum — partitioned by the stratum key, so
+    * the sort is per-language, not global. Budgets live in a broadcast
+    * literal map. */
+  def tokenBudgetMix(docs: DataFrame, budgets: Map[String, Long],
+                     langCol: String = "lang"): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetMix: need at least one budget")
+    // Knuth's multiplicative constant; doc_id < 2^32 keeps the product
+    // exact in an i64 in BOTH engines (documents fixtures are far under)
+    val scramble = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+    val budget = budgets.foldLeft(lit(null).cast("long")) { case (acc, (l, b)) =>
+      when(col(langCol) === l, lit(b)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(langCol)
+      .orderBy(scramble.asc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.select(col("doc_id"), col(langCol).as("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("running_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("running_tokens") <= budget)
+  }
+
+  /** SparkEntry query (oracled): a 60/30/10-ish token mix over the
+    * fixture languages — budgets small enough that every SF truncates. */
+  def tokenBudgetMixQuery(s: SparkSession, d: String): DataFrame =
+    tokenBudgetMix(Tables.documents(s, d),
+      Map("en" -> 3000L, "es" -> 1500L, "de" -> 500L))
 }

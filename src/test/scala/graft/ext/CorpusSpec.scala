@@ -26,4 +26,28 @@ class CorpusSpec extends SparkSpec {
     assert(!kept.contains(4L), "quality junk is dropped")
     assert(kept.contains(5L), "ordinary prose survives")
   }
+
+  test("token-budget mix: fills each language to its budget, never over") {
+    val docs = (1L to 40L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "es"
+      (i, Seq.fill(10)("w").mkString(" "), lang) // 10 tokens per doc
+    }.toDF("doc_id", "text", "lang")
+    val mix = Corpus.tokenBudgetMix(docs, Map("en" -> 55L, "es" -> 100L))
+      .as[(Long, String, Long, Long)].collect()
+    val byLang = mix.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // 10-token docs: en budget 55 fits 5 docs (50), es budget 100 fits 10
+    assert(byLang == Map("en" -> 50L, "es" -> 100L), s"got $byLang")
+    // running totals never exceed the budget
+    assert(mix.forall { case (_, l, _, run) =>
+      run <= Map("en" -> 55L, "es" -> 100L)(l) })
+    // deterministic: same input → same picks
+    val again = Corpus.tokenBudgetMix(docs, Map("en" -> 55L, "es" -> 100L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == mix.map(_._1).toSet)
+    // unbudgeted languages are excluded entirely
+    val noFr = Corpus.tokenBudgetMix(
+      docs.withColumn("lang",
+        org.apache.spark.sql.functions.lit("fr")), Map("en" -> 55L))
+    assert(noFr.count() == 0)
+  }
 }
