@@ -39,10 +39,14 @@ class GraftApp(val spark: SparkSession, val store: DocumentStore,
     // sessions built without spark.sql.extensions=graft.GraftExtensions
     // still get the SQL function surface — op-spec strings like
     // {"filter": "text_quality_score(value) >= 0.6"} must resolve on any
-    // GraftApp runtime (createOrReplaceTempFunction is idempotent)
+    // GraftApp runtime. Names already registered (a user's own temp
+    // function, or a previous start()) are left alone: silently replacing
+    // a user's vec_dot with ours would change their SQL's answers.
     GraftExtensions.functions.foreach { case (name, _, builder) =>
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, builder, "built-in")
+      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!spark.sessionState.functionRegistry.functionExists(id))
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          name, builder, "built-in")
     }
     streams.bootstrapFromStore(store)
     streams.startControlPlane(store, NodeSpec.parse)

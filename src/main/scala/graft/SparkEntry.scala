@@ -495,14 +495,16 @@ object SparkEntry {
            AND r.distinct_token_ratio >= 0.3
            AND (r.top_bigram_frac IS NULL OR r.top_bigram_frac <= 0.1)""",
     // corpus_token_mix: deterministic systematic sampling under token
-    // budgets — multiplicative doc_id scramble + per-lang running sum,
-    // all exact i64 arithmetic
+    // budgets — multiplicative doc_id scramble over a 2^31 ring (the
+    // pre-reduction keeps the product < 2^63: exact i64 in both engines
+    // for any doc_id) + per-lang running sum
     "corpus_token_mix" ->
       """WITH tok AS (
            SELECT doc_id, lang,
              CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
-             (doc_id * 2654435761) % 4294967296 AS h
+             ((doc_id % 2147483648) * 2654435761) % 2147483648 AS h
            FROM documents
+           WHERE lang IN ('en', 'es', 'de')
          ), cum AS (
            SELECT doc_id, lang, n_tokens,
              CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC

@@ -62,16 +62,27 @@ object Corpus {
   def tokenBudgetMix(docs: DataFrame, budgets: Map[String, Long],
                      langCol: String = "lang"): DataFrame = {
     require(budgets.nonEmpty, "tokenBudgetMix: need at least one budget")
-    // Knuth's multiplicative constant; doc_id < 2^32 keeps the product
-    // exact in an i64 in BOTH engines (documents fixtures are far under)
-    val scramble = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+    // Knuth's multiplicative constant over a 2^31 ring: reducing doc_id
+    // BEFORE the multiply bounds the product at 2^31 · 2654435761 ≈ 5.7e18
+    // < 2^63, so the arithmetic is exact i64 in BOTH engines for ANY
+    // doc_id (a raw doc_id · K overflows — ANSI-throws — past ~3.4e9).
+    // Scramble collisions beyond 2^31 distinct ids are harmless: the
+    // order tie-break falls back to doc_id itself.
+    val scramble =
+      (pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L)) % lit(2147483648L)
     val budget = budgets.foldLeft(lit(null).cast("long")) { case (acc, (l, b)) =>
       when(col(langCol) === l, lit(b)).otherwise(acc)
     }
     val w = org.apache.spark.sql.expressions.Window.partitionBy(langCol)
       .orderBy(scramble.asc, col("doc_id").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    docs.select(col("doc_id"), col(langCol).as("lang"),
+    docs
+      // prune unbudgeted strata BEFORE the window: the per-lang running
+      // sums don't see other languages, so this is output-identical but
+      // keeps a 100-language corpus with 3 budgets from shuffling and
+      // sorting the other 97 just to drop them after the window
+      .filter(col(langCol).isin(budgets.keys.toSeq: _*))
+      .select(col("doc_id"), col(langCol).as("lang"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
       .withColumn("running_tokens", sum(col("n_tokens")).over(w))
       .filter(col("running_tokens") <= budget)

@@ -6,7 +6,10 @@ package graft
 class SparkEntrySpec extends SparkSpec {
 
   test("entry (clean-corpus flagship) returns rows at sf0.001") {
-    assert(SparkEntry.entry(spark).count() > 0)
+    // release the Dedup caches the pipeline persists — this suite shares
+    // the forked-JVM session with every other suite
+    try assert(SparkEntry.entry(spark).count() > 0)
+    finally graft.core.CacheRegistry.unpersistAll()
   }
 
   test("every oracleSql key is a registered query") {

@@ -129,12 +129,19 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("clean-corpus pipeline: no cartesian anywhere, documents scanned thrice at most") {
-    val df = graft.ext.Corpus.cleanCorpusQuery(spark, sf("sf0.001"))
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
-      s"composition must stay equi-joined:\n$plan")
-    graft.core.CacheRegistry.unpersistAll()
+    try {
+      val df = graft.ext.Corpus.cleanCorpusQuery(spark, sf("sf0.001"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"composition must stay equi-joined:\n$plan")
+      // documents feeds three consumers (dedup pairs via cache, repetition,
+      // quality) — more parquet scans of it means a consumer stopped
+      // sharing (the cached shingle frame covers the pair pipeline)
+      val docScans = df.queryExecution.executedPlan.collectLeaves()
+        .count(_.toString.contains("documents.parquet"))
+      assert(docScans <= 3, s"expected <= 3 documents scans, got $docScans")
+    } finally graft.core.CacheRegistry.unpersistAll()
   }
 
   test("streaming as-of enrichment broadcasts the version arrays") {
