@@ -39,6 +39,7 @@ object SparkEntry {
     "distinct_projection" -> (Relational.distinctProjection(_, _)),
     "agg_group_by"        -> (Relational.aggGroupBy(_, _)),
     "agg_rollup"          -> (Relational.aggRollup(_, _)),
+    "agg_cube"            -> (Relational.aggCube(_, _)),
     "agg_count_distinct"  -> (Relational.aggCountDistinct(_, _)),
     "agg_min_max"         -> (Relational.aggMinMax(_, _)),
     "agg_stats"           -> (Relational.aggStats(_, _)),
@@ -168,6 +169,12 @@ object SparkEntry {
          count(*) AS n_rows,
          CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+         count(*) AS n_rows,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "agg_count_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
     "agg_min_max" ->

@@ -143,6 +143,16 @@ object Relational {
         count(lit(1)).as("n_rows"),
         grouping_id().as("lvl"))
 
+  /** CUBE sibling of [[aggRollup]]: all four grouping sets in one Expand
+    * pass (adds the per-linestatus marginals rollup omits). */
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        exactSum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().as("lvl"))
+
   /** Q15: count-distinct aggregate. */
   def aggCountDistinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)

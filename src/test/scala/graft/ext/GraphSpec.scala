@@ -36,6 +36,16 @@ class GraphSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
   }
 
+  test("reliable-checkpoint branch produces the same labeling") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    spark.conf.set(graft.query.Fixpoint.CheckpointDirKey, dir)
+    try {
+      val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+      val got = Graph.connectedComponents(edges).as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    } finally spark.conf.unset(graft.query.Fixpoint.CheckpointDirKey)
+  }
+
   test("randomized parity with a driver-side union-find") {
     // deterministic pseudo-random graph: 300 nodes, ~240 edges → a mix of
     // singletons, small trees, and one larger blob
