@@ -44,6 +44,7 @@ object SparkEntry {
     "agg_min_max"         -> (Relational.aggMinMax(_, _)),
     "agg_stats"           -> (Relational.aggStats(_, _)),
     "order_by_limit"      -> (Relational.orderByLimit(_, _)),
+    "order_by_offset"     -> (Relational.orderByOffset(_, _)),
     "rule_view"           -> (Relational.ruleView(_, _)),
     "recursive_reach"     -> (Relational.recursiveReach(_, _)),
     // §2.1/§1.1 bitemporal document store (batch views)
@@ -192,6 +193,8 @@ object SparkEntry {
            FROM lineitem GROUP BY l_returnflag)""",
     "order_by_limit" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "order_by_offset" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15 OFFSET 10",
     "rule_view" ->
       """WITH high_value AS (
            SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 300000.0)

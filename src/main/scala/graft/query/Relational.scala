@@ -199,6 +199,16 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(10)
 
+  /** Q16's OFFSET clause: page 2 of the same ordered listing (rows 11-25).
+    * Spark plans offset+limit together (CollectLimit with skip) — still no
+    * global sort materialization. */
+  def orderByOffset(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .offset(10)
+      .limit(15)
+
   // ---------------------------------------------------------------- rules
 
   /** Q8: a rule is a named, reusable plan-producing function (multiple
