@@ -238,9 +238,13 @@ object Similarity {
     * the file listing, before a single byte of vector data moves. */
   def writeIndex(emb: DataFrame, path: String, kCentroids: Int,
                  iters: Int = 2, trainSampleMod: Int = 5): Unit = {
-    val cents = trainCentroids(
-      emb.filter(pmod(col("vec_id"), lit(trainSampleMod.toLong)) === 0),
-      kCentroids, iters)
+    // a small or sparsely-idd corpus can leave the modular sample empty,
+    // which would train a degenerate quantizer with no clear error — fall
+    // back to training on the full set (cheap exactly when the sample is
+    // empty: the corpus is tiny)
+    val sample = emb.filter(pmod(col("vec_id"), lit(trainSampleMod.toLong)) === 0)
+    val trainSet = if (sample.isEmpty) emb else sample
+    val cents = trainCentroids(trainSet, kCentroids, iters)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     ivfAssign(emb, cents).write.mode("overwrite")
       .partitionBy("centroid_id").parquet(s"$path/assignments")

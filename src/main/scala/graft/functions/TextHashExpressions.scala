@@ -77,6 +77,12 @@ object TextHashes {
     import org.apache.spark.unsafe.types.UTF8String
     val sep = UTF8String.fromString(" ")
     val m = toks.numElements()
+    // `split('')` never yields an empty array, but the registered SQL
+    // function is reachable with `array()` — 0/0 would poison the ratio
+    // with NaN, so report n_tokens=0 with null fractions instead.
+    if (m == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, null, null, null))
     def tok(i: Int): UTF8String =
       if (toks.isNullAt(i)) UTF8String.EMPTY_UTF8 else toks.getUTF8String(i)
     // absent keys unbox to 0 (boxed-null → Int), so get+1 is the merge
@@ -182,7 +188,7 @@ object RepetitionStats {
   import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   val schema: StructType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
-    StructField("distinct_token_ratio", DoubleType, nullable = false),
+    StructField("distinct_token_ratio", DoubleType, nullable = true),
     StructField("top_bigram_frac", DoubleType, nullable = true),
     StructField("dup_trigram_frac", DoubleType, nullable = true)))
 }

@@ -30,6 +30,18 @@ object StreamAsOf {
                  eventTs: String, dimTs: String, carry: Seq[String],
                  broadcastDim: Boolean = true): DataFrame = {
     require(carry.nonEmpty, "enrichAsOf: need at least one carry column")
+    // The join plumbing reserves __versions/__pick internally, prefixes
+    // carries with asof_, and names the struct's time field __t — a stream
+    // column with any of those names would be silently clobbered (and a
+    // carry literally named __t would collide with the struct's time field,
+    // making getField ambiguous). Fail loudly instead.
+    val reserved = Set("__versions", "__pick") ++ carry.map(c => s"asof_$c")
+    val streamClash = stream.columns.filter(reserved)
+    require(streamClash.isEmpty,
+      s"enrichAsOf: stream columns ${streamClash.mkString(", ")} collide with " +
+        "reserved internal names (__versions, __pick, asof_<carry>)")
+    require(!carry.contains("__t"),
+      "enrichAsOf: carry column __t collides with the version struct's time field")
     // null version times can never match (SQL as-of) — drop them here so
     // the sorted array binary-search never sees them
     val versions = dim.filter(col(dimTs).isNotNull)

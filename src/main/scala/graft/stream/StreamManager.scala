@@ -47,10 +47,27 @@ class StreamManager(val topology: Topology) {
 
   /** Adopt a legacy-named checkpoint (if any) before starting `suffix`-ed
     * queries for node `full` — upgraded deployments resume their committed
-    * offsets instead of silently reprocessing from scratch. */
-  private def adoptCheckpoint(full: String, suffix: String = ""): Unit =
-    topology.io.migrateCheckpoint(legacyQueryName(full) + suffix,
-      queryName(full) + suffix)
+    * offsets instead of silently reprocessing from scratch.
+    *
+    * The legacy scheme was non-injective, so one legacy dir can be claimed
+    * by several current queries (node `stream/a`'s `_errors` checkpoint vs
+    * a node literally named `stream/a_errors`): whichever started first
+    * would adopt the other's committed offsets. When more than one
+    * registered node maps to the same legacy name, adoption is ambiguous —
+    * skip it loudly and let the query start from a fresh checkpoint (the
+    * safe, at-least-once direction) rather than resume the wrong offsets. */
+  private[stream] def adoptCheckpoint(full: String, suffix: String = ""): Unit = {
+    val target = legacyQueryName(full) + suffix
+    val claimants = topology.nodes.keys.toSeq.flatMap(n =>
+      Seq(legacyQueryName(n), legacyQueryName(n) + "_errors"))
+      .count(_ == target)
+    if (claimants > 1)
+      log.warn(s"legacy checkpoint '$target' is claimed by $claimants current " +
+        s"queries (non-injective legacy naming); not adopting it for " +
+        s"'${queryName(full) + suffix}' — starting fresh")
+    else
+      topology.io.migrateCheckpoint(target, queryName(full) + suffix)
+  }
 
   /** Name of the internal control-plane topic
     * (`/root/reference/src/dataworks/app_graph.clj:13-19`). */

@@ -119,6 +119,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql > 0.0 && viaSql <= 1.0)
   }
 
+  test("repetition_stats on an empty array reports 0 tokens, null fractions") {
+    registered
+    val row = spark.sql(
+      "SELECT s.n_tokens, s.distinct_token_ratio, s.top_bigram_frac, " +
+        "s.dup_trigram_frac FROM (SELECT repetition_stats(array()) AS s)").head()
+    assert(row.getLong(0) == 0L)
+    assert(row.isNullAt(1) && row.isNullAt(2) && row.isNullAt(3),
+      s"empty input must not produce NaN fractions: $row")
+  }
+
   test("SQL-registered expressions stay codegen'd (no UDF wrapper in the plan)") {
     registered
     val df = spark.range(1).selectExpr("vec_dot(array(1.0d), array(2.0d)) AS d")

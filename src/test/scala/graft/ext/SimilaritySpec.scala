@@ -120,6 +120,21 @@ class SimilaritySpec extends SparkSpec {
       s"centroid_id IN (...) must reach the file listing: $scan")
   }
 
+  test("writeIndex falls back to full-set training when the modular sample is empty") {
+    import spark.implicits._
+    // ids 1,3,7,9 — none divisible by 5, so the 1-in-5 sample is empty
+    val emb = Seq(1L, 3L, 7L, 9L)
+      .map(i => (i, Array(i.toFloat, (i * 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-empty").toString
+    Similarity.writeIndex(emb, path, kCentroids = 2, iters = 1)
+    val cents = spark.read.parquet(s"$path/centroids")
+    assert(cents.count() > 0, "fallback training must yield a usable quantizer")
+    val found = Similarity.searchIndex(spark, path, Seq(1.0, 2.0), k = 2, nprobe = 2)
+      .select("vec_id").as[Long].collect()
+    assert(found.nonEmpty, "index built from the fallback sample must be searchable")
+  }
+
   private def Tables_embeddings() =
     graft.core.Tables.embeddings(spark, sf("sf0.001"))
 }

@@ -97,6 +97,25 @@ class StreamAsOfSpec extends SparkSpec {
     mgr.stopAll()
   }
 
+  test("enrichAsOf rejects reserved-name collisions instead of clobbering") {
+    val dim = Seq(("A", 0L, 100L)).toDF("sym", "vts", "price")
+    def expectReject(stream: org.apache.spark.sql.DataFrame, carry: Seq[String]): Unit =
+      intercept[IllegalArgumentException] {
+        StreamAsOf.enrichAsOf(stream, dim, "sym", "ts", "vts", carry)
+      }
+    // stream already carries an internal name → would be silently clobbered
+    expectReject(Seq(("A", 5L, 0L)).toDF("sym", "ts", "__versions"), Seq("price"))
+    expectReject(Seq(("A", 5L, 0L)).toDF("sym", "ts", "__pick"), Seq("price"))
+    // stream already has the output name the carry would be written to
+    expectReject(Seq(("A", 5L, 0L)).toDF("sym", "ts", "asof_price"), Seq("price"))
+    // a carry named __t duplicates the version struct's time field
+    val dimT = Seq(("A", 0L, 100L)).toDF("sym", "vts", "__t")
+    intercept[IllegalArgumentException] {
+      StreamAsOf.enrichAsOf(Seq(("A", 5L)).toDF("sym", "ts"),
+        dimT, "sym", "ts", "vts", Seq("__t"))
+    }
+  }
+
   test("streaming: events enrich mid-stream against a static dimension") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dim = Seq( // key, version time, price

@@ -278,6 +278,39 @@ class TopologySpec extends SparkSpec {
       "existing current checkpoint wins; no second adoption")
   }
 
+  test("ambiguous legacy checkpoint (non-injective collision) is not adopted") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt-amb")
+    val io = new KafkaIO(spark, "broker:9092", root.toString)
+    val topo = new Topology(io)
+    // node "stream/a"'s _errors checkpoint and node "stream/a_errors" both
+    // map to legacy dir "stream_a_errors" under the old '/'→'_' scheme
+    assert(topo.addNode(StreamNode(NodeName.parse("kafka/in"),
+      Set.empty, None, None, None)).isRight)
+    assert(topo.addNode(StreamNode(NodeName.parse("stream/a"),
+      Set("kafka/in"), None, None, None)).isRight)
+    assert(topo.addNode(StreamNode(NodeName.parse("stream/a_errors"),
+      Set("kafka/in"), None, None, None)).isRight)
+    val legacy = root.resolve("stream_a_errors")
+    java.nio.file.Files.createDirectories(legacy.resolve("offsets"))
+    java.nio.file.Files.write(legacy.resolve("metadata"), "id".getBytes)
+    val mgr = new StreamManager(topo)
+    mgr.adoptCheckpoint("stream/a", "_errors")  // ambiguous → skipped
+    assert(java.nio.file.Files.exists(legacy.resolve("metadata")),
+      "ambiguous legacy dir must be left in place, not claimed by one query")
+    assert(!java.nio.file.Files.exists(root.resolve("stream_sa_errors")) &&
+      !java.nio.file.Files.exists(root.resolve("stream_sa_uerrors")),
+      "no current-name dir materializes from an ambiguous adoption")
+    // an UNambiguous node still adopts normally through the same path
+    assert(topo.addNode(StreamNode(NodeName.parse("stream/b"),
+      Set("kafka/in"), None, None, None)).isRight)
+    val legacyB = root.resolve("stream_b")
+    java.nio.file.Files.createDirectories(legacyB.resolve("offsets"))
+    java.nio.file.Files.write(legacyB.resolve("metadata"), "id".getBytes)
+    mgr.adoptCheckpoint("stream/b")
+    assert(java.nio.file.Files.exists(root.resolve("stream_sb").resolve("metadata")),
+      "unambiguous legacy checkpoint still adopted")
+  }
+
   test("updateNode rejects cycles BEFORE stopping sinks; bad plans are isolated") {
     val io = new MemoryIO(spark)
     val (topo, mgr) = pipeline(io)
