@@ -29,8 +29,17 @@ object Corpus {
     * corpora make it proportional to corpus size (30%+ non-canonical
     * members is normal), which would blow past the broadcast limit exactly
     * at scale — AQE broadcasts it automatically when it is actually small. */
-  def cleanCorpus(docs: DataFrame): DataFrame = {
-    val dupDrops = Dedup.dedupClusters(Dedup.ngramJaccardPairs(docs))
+  def cleanCorpus(docs: DataFrame): DataFrame =
+    cleanCorpusWith(docs, Dedup.ngramJaccardPairs(docs))
+
+  /** [[cleanCorpus]] consuming a staged pair artifact
+    * ([[Dedup.stagePairs]]) instead of regenerating pairs — the composed-
+    * pipeline form: one signature pass feeds clustering AND cleaning. */
+  def cleanCorpusStaged(docs: DataFrame, pairsPath: String): DataFrame =
+    cleanCorpusWith(docs, Dedup.stagedPairs(docs.sparkSession, pairsPath))
+
+  private def cleanCorpusWith(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val dupDrops = Dedup.dedupClusters(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
     val rep = TextOps.repetitionSignals(docs)
@@ -43,9 +52,10 @@ object Corpus {
       .select("doc_id", "lang", "quality")
   }
 
-  /** SparkEntry query (oracled): the full cleaning pass over `documents`. */
+  /** SparkEntry query (oracled): the full cleaning pass over `documents`,
+    * through the staged pair artifact shared with `dedup_clusters`. */
   def cleanCorpusQuery(s: SparkSession, d: String): DataFrame =
-    cleanCorpus(Tables.documents(s, d))
+    cleanCorpusStaged(Tables.documents(s, d), Dedup.gatePairsPath(s, d))
 
   /** Training-mix construction: give each language a TOKEN budget and
     * fill it by systematic sampling — docs ordered by a deterministic

@@ -235,6 +235,44 @@ object Dedup {
     ngramJaccardPairs(Tables.documents(s, d))
       .select(col("id_a"), col("id_b"), graft.query.Functions.stableRound(col("jaccard"), 4).as("jaccard"))
 
+  // ------------------------------------------------------ staged artifacts
+
+  /** Write the near-dup PAIR ARTIFACT once, consume it many times. Pair
+    * generation (shingling → posting lists → candidates → Jaccard verify)
+    * is the expensive pass over the corpus, and clustering, corpus
+    * cleaning, and ad-hoc audits all want the SAME pairs — at 100 TB,
+    * recomputing it per consumer is the difference between one signature
+    * pass and three. Same build-once/search-many lifecycle as
+    * [[Similarity.writeIndex]]/[[Similarity.searchIndex]]. */
+  def stagePairs(docs: DataFrame, path: String, textCol: String = "text",
+                 idCol: String = "doc_id", shingleN: Int = 3,
+                 threshold: Double = 0.5, maxDf: Int = 10,
+                 minCommon: Int = 2): Unit =
+    ngramJaccardPairs(docs, textCol, idCol, shingleN, threshold, maxDf, minCommon)
+      .write.mode("overwrite").parquet(path)
+
+  /** Read a staged pair artifact (the consume side of [[stagePairs]]). */
+  def stagedPairs(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** [[dedupClusters]] over a staged artifact. */
+  def dedupClustersStaged(spark: SparkSession, path: String): DataFrame =
+    dedupClusters(stagedPairs(spark, path))
+
+  /** Stage the default-parameter pair artifact for `dir` once per JVM and
+    * return its path: the gate queries that share pairs (`dedup_clusters`,
+    * `pipeline_clean_corpus`) consume ONE pair-generation pass, exactly as
+    * a production pipeline reuses the staged table. Re-staged on first use
+    * in each JVM, so it can never serve stale pairs across driver runs. */
+  private val stagedOnce = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def gatePairsPath(s: SparkSession, dir: String): String =
+    stagedOnce.computeIfAbsent(dir, d => {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-staged-pairs-" + d.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+      stagePairs(Tables.documents(s, d), path)
+      path
+    })
+
   // -------------------------------------------------------- dup clustering
 
   /** Near-dup pairs → dup CLUSTERS (the step every real dedup pipeline
@@ -254,9 +292,10 @@ object Dedup {
 
   /** SparkEntry query (oracled — the whole chain shingling → pair
     * generation → connected components is deterministic relational algebra,
-    * so DuckDB replays it with a WITH RECURSIVE reachability CTE). */
+    * so DuckDB replays it with a WITH RECURSIVE reachability CTE). Runs
+    * through the staged artifact shared with `pipeline_clean_corpus`. */
   def dedupClustersQuery(s: SparkSession, d: String): DataFrame =
-    dedupClusters(ngramJaccardPairs(Tables.documents(s, d)))
+    dedupClustersStaged(s, gatePairsPath(s, d))
 
   // ------------------------------------------------- embedding near-dup
 

@@ -27,6 +27,19 @@ class CorpusSpec extends SparkSpec {
     assert(kept.contains(5L), "ordinary prose survives")
   }
 
+  test("staged pair artifact: dedupClusters and cleanCorpus match the inline path") {
+    val docs = graft.core.Tables.documents(spark, sf("sf0.001"))
+    val path = java.nio.file.Files.createTempDirectory("graft-pairs").toString + "/pairs"
+    Dedup.stagePairs(docs, path)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(Dedup.dedupClustersStaged(spark, path)) ==
+      rows(Dedup.dedupClusters(Dedup.ngramJaccardPairs(docs))),
+      "staged clusters must equal the inline pipeline")
+    assert(rows(Corpus.cleanCorpusStaged(docs, path)) == rows(Corpus.cleanCorpus(docs)),
+      "staged cleaning must equal the inline pipeline")
+  }
+
   test("token-budget mix: fills each language to its budget, never over") {
     val docs = (1L to 40L).map { i =>
       val lang = if (i % 2 == 0) "en" else "es"

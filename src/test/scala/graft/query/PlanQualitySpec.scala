@@ -12,6 +12,24 @@ class PlanQualitySpec extends SparkSpec {
     df.collect() // materialize so AQE finalizes the plan
     df.queryExecution.executedPlan.toString
   }
+
+  /** Root paths of every parquet scan, traversing INTO finalized AQE query
+    * stages and reused exchanges — plan.toString truncates Location fields,
+    * so path assertions must read the scans' FileIndex directly. */
+  private def scanPaths(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, ReusedSubqueryExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val own: Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => scanPaths(a.executedPlan)
+      case q: QueryStageExec        => scanPaths(q.plan)
+      case r: ReusedExchangeExec    => scanPaths(r.child)
+      case r: ReusedSubqueryExec    => scanPaths(r.child)
+      case s: FileSourceScanExec    => s.relation.location.rootPaths.map(_.toString)
+      case _                        => Seq.empty
+    }
+    own ++ p.children.flatMap(scanPaths) ++ p.subqueries.flatMap(scanPaths)
+  }
   test("filter_range pushes predicate and prunes columns at the scan") {
     val df = Relational.filterRange(spark, sf("sf0.001"))
     val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
@@ -128,19 +146,23 @@ class PlanQualitySpec extends SparkSpec {
       s"scan must read only (doc_id, text): $scan")
   }
 
-  test("clean-corpus pipeline: no cartesian anywhere, documents scanned thrice at most") {
+  test("clean-corpus pipeline: no cartesian; staged pairs cut documents scans to two") {
     try {
       val df = graft.ext.Corpus.cleanCorpusQuery(spark, sf("sf0.001"))
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
         s"composition must stay equi-joined:\n$plan")
-      // documents feeds three consumers (dedup pairs via cache, repetition,
-      // quality) — more parquet scans of it means a consumer stopped
-      // sharing (the cached shingle frame covers the pair pipeline)
-      val docScans = df.queryExecution.executedPlan.collectLeaves()
-        .count(_.toString.contains("documents.parquet"))
-      assert(docScans <= 3, s"expected <= 3 documents scans, got $docScans")
+      // the gate consumes the STAGED pair artifact, so the pair pipeline's
+      // document pass happened once at staging time — the cleaning plan
+      // itself reads documents only for the anti-join base + repetition/
+      // quality signals (2 scans; it was 3 when pairs were regenerated
+      // inline). The staged parquet itself doesn't appear here: the CC
+      // loop consumes it eagerly and the final plan reads the materialized
+      // cluster labels (CorpusSpec pins staged-vs-inline result parity).
+      val paths = scanPaths(df.queryExecution.executedPlan)
+      val docScans = paths.count(_.contains("documents.parquet"))
+      assert(docScans <= 2, s"expected <= 2 documents scans via staged pairs, got $paths")
     } finally graft.core.CacheRegistry.unpersistAll()
   }
 
