@@ -50,6 +50,7 @@ object SparkEntry {
     // §2.1/§1.1 bitemporal document store (batch views)
     "asof_snapshot"       -> (Relational.asofSnapshot(_, _)),
     "bitemporal_asof"     -> (Relational.bitemporalAsof(_, _)),
+    "asof_history"        -> (Relational.asofHistory(_, _)),
     // §2.5 scalar-function surface
     "time_truncate"       -> (Relational.timeTruncate(_, _)),
     "time_next_day"       -> (Relational.timeNextDay(_, _)),
@@ -227,6 +228,10 @@ object SparkEntry {
              row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
            FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00' AND event_id <= 700)
          WHERE rn = 1""",
+    "asof_history" ->
+      """SELECT row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS version_rank,
+                event_id, value
+         FROM events WHERE user_id = 7""",
     "time_truncate" ->
       "SELECT date_trunc('hour', ts) AS bucket, count(*) AS n FROM events GROUP BY date_trunc('hour', ts)",
     "time_next_day" ->

@@ -281,6 +281,21 @@ object Relational {
       .select(col("user_id"), col("value").as("latest_value"))
   }
 
+  /** Entity history as a batch gate (Crux `entity-history`,
+    * `DocumentStore.history(id)`): the full version chain of one entity,
+    * newest first, with its version rank — events read as a versions table
+    * (id=user_id, valid-time=ts, tx-order=event_id), as in [[asofSnapshot]].
+    * The partition-by-entity window never sees other entities: the id
+    * filter reaches parquet first. */
+  def asofHistory(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.eventsRawTs(s, d)
+      .filter(col("user_id") === 7L)
+      .withColumn("version_rank", row_number().over(w))
+      .select(col("version_rank"), col("event_id"), col("value"))
+  }
+
   /** As-of (point-in-time) join — for each left row, the single latest
     * right row with the same key and `rightTs <= leftTs`. Spark ships no
     * built-in ASOF JOIN (this library's [[graft.plans.AsOfJoin]] custom

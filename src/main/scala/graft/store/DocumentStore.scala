@@ -201,6 +201,19 @@ class DocumentStore(val spark: SparkSession, val path: String) {
       .select("id", "validFrom", "txTime", "deleted", "doc").as[VersionedDoc]
   }
 
+  /** Crux `entity-history`: the full version chain of ONE entity — every
+    * (validFrom, txTime) version INCLUDING tombstones, newest first (oldest
+    * first with `asc = true`), the canonical companion to `entity`
+    * (`/root/reference/src/dataworks/db/user_db.clj:45-48`). The id filter
+    * pushes to parquet, so the chain read never surfaces other entities'
+    * rows; no window is needed — a chain is one entity's versions. */
+  def history(id: String, asc: Boolean = false): DataFrame = {
+    val chain = versions().filter(col("id") === id)
+    (if (asc) chain.orderBy(col("validFrom").asc, col("txTime").asc)
+     else chain.orderBy(col("validFrom").desc, col("txTime").desc))
+      .select("id", "validFrom", "txTime", "deleted", "doc")
+  }
+
   // --------------------------------------------------- Datalog over the store
 
   /** Wide relation over a snapshot: JSON doc payloads expanded to typed

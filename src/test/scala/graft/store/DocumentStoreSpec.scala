@@ -93,6 +93,31 @@ class DocumentStoreSpec extends SparkSpec {
     assert(at2.map(_.getString(0)).toSeq == Seq("""{"v":2}"""))
   }
 
+  test("entity-history: one entity's full version chain, tombstones included") {
+    val s = freshStore()
+    s.put("hist/doc", """{"v":1}""")
+    s.put("hist/doc", """{"v":2}""")
+    s.delete("hist/doc")
+    s.put("hist/doc", """{"v":3}""")
+    s.put("hist/other", """{"x":1}""") // must never appear in hist/doc's chain
+    val chain = s.history("hist/doc").collect()
+    assert(chain.length == 4, s"4 versions incl. tombstone: ${chain.toSeq}")
+    assert(chain.forall(_.getString(0) == "hist/doc"), "only the asked entity")
+    // newest first: v3, tombstone, v2, v1
+    assert(chain.map(r => Option(r.getString(4))).toSeq ==
+      Seq(Some("""{"v":3}"""), None, Some("""{"v":2}"""), Some("""{"v":1}""")))
+    assert(chain.map(_.getBoolean(3)).toSeq == Seq(false, true, false, false),
+      "the delete appears as a tombstone version, not a gap")
+    // valid/tx times are non-increasing newest-first
+    val ts = chain.map(_.getTimestamp(1).getTime).toSeq
+    assert(ts == ts.sorted.reverse, s"newest-first chain: $ts")
+    // ascending form is the exact reverse
+    val asc = s.history("hist/doc", asc = true).collect()
+    assert(asc.map(_.toString).toSeq == chain.reverse.map(_.toString).toSeq)
+    // unknown entity → empty chain, not an error
+    assert(s.history("hist/nope").isEmpty)
+  }
+
   test("await-tx / tx-committed") {
     val s = freshStore()
     val tx = s.put("x", "{}")
