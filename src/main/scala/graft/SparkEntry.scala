@@ -95,7 +95,6 @@ object SparkEntry {
     * ScalaTest-pinned instead:
     *  - dedup_minhash / dedup_simhash / dedup_embedding_lsh: signatures are
     *    seeded murmur3/xxhash64 LSH (DedupSpec pins recall vs exact pairs)
-    *  - datalog_sample: (rand/sample) picks are seeded Spark-hash order
     *  - text_analysis: carries the xxhash64 content fingerprint (tokens/
     *    quality/langID are separately oracled in token_count/text_quality)
     *  - multimodal_pipeline: stub codec output (no media libs in this env;
@@ -259,6 +258,37 @@ object SparkEntry {
       """SELECT c_mktsegment AS seg, count(*) AS count_o
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_totalprice > 300000.0 GROUP BY c_mktsegment""",
+    // datalog_sample: crux 1.16 (sample 3 ?n) = first 3 distinct values in
+    // salted-md5 order; (rand 2 ?n) = picks i=1..2 indexing the SORTED value
+    // bag at ((i*2654435761) mod 2^31) mod size. Both scrambles are
+    // engine-portable (md5 + exact i64 arithmetic), so DuckDB replays the
+    // exact picks.
+    "datalog_sample" ->
+      """WITH cust AS (
+           SELECT DISTINCT c_mktsegment AS seg, c_custkey AS c, c_name AS n FROM customer
+         ), grp AS (
+           SELECT seg, CAST(count(*) AS BIGINT) AS count_c FROM cust GROUP BY seg
+         ), bag AS (
+           SELECT seg, n,
+             row_number() OVER (PARTITION BY seg ORDER BY n ASC) AS r,
+             CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS sz
+           FROM cust
+         ), ranked AS (
+           SELECT seg, n,
+             row_number() OVER (PARTITION BY seg ORDER BY md5(n || ':42') ASC, n ASC) AS r
+           FROM (SELECT DISTINCT seg, n FROM cust)
+         ), samp AS (
+           SELECT seg, string_agg(n, ',' ORDER BY r ASC) AS sample_names
+           FROM ranked WHERE r <= 3 GROUP BY seg
+         ), rnd AS (
+           SELECT b.seg, p.i, b.n
+           FROM bag b JOIN (SELECT 1 AS i UNION ALL SELECT 2) p
+             ON b.r = ((p.i * 2654435761) % 2147483648) % b.sz + 1
+         ), rnd_agg AS (
+           SELECT seg, string_agg(n, ',' ORDER BY i ASC) AS rand_names FROM rnd GROUP BY seg
+         )
+         SELECT g.seg, g.count_c, s.sample_names, r.rand_names
+         FROM grp g JOIN samp s ON g.seg = s.seg JOIN rnd_agg r ON g.seg = r.seg""",
     "dedup_exact" ->
       """SELECT lang, count(*) AS n_docs FROM (
            SELECT arg_min(lang, doc_id) AS lang FROM documents GROUP BY text)

@@ -39,7 +39,14 @@ object Graph {
     * singleton clusters for isolated ids can union them in afterwards
     * (they are their own label by definition). Null ids are dropped (no
     * meaningful component membership). */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame =
+    connectedComponentsStats(edges, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds executed
+    * — the empirical O(log diameter) evidence (GraphSpec's skewed-component
+    * stress pins rounds ≤ log₂(diameter) + c and ~2 Spark jobs per round,
+    * so the complexity claim is measured, not asserted in prose). */
+  def connectedComponentsStats(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
     val spark = edges.sparkSession
     // local runs keep the materialized frames' hash partitioning
     // (LogicalRDD.fromDataset) so each round's joins skip re-exchanges;
@@ -93,6 +100,6 @@ object Graph {
     if (!done) throw new IllegalStateException(
       s"connectedComponents did not converge within maxIter=$maxIter " +
         "iterations — the labeling would be silently incomplete; raise maxIter")
-    cur
+    (cur, i)
   }
 }

@@ -379,19 +379,28 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
     // crux 1.16 two-arg aggregates. Deterministic pseudo-randomness (seeded
     // hash order, not java.util.Random) so a query is reproducible across
     // runs and engines — sampling N items per group stays O(group size).
-    case "rand" => // N picks WITH replacement: hash-indexed element picks.
+    case "rand" => // N picks WITH replacement: scramble-indexed element picks.
       // collect_list order is shuffle-dependent, so picks index into the
       // SORTED bag (array_sort is deterministic on the multiset) — without
-      // this the same query could return different picks run-to-run.
+      // this the same query could return different picks run-to-run. The
+      // pick scramble is plain i64 arithmetic on the 2^31 ring (same Weyl
+      // multiplier as Corpus.tokenBudgetMix) so an external SQL engine can
+      // replay the picks exactly: i stays < 2^31, product < 2^63.
       val k = n.getOrElse(1)
       val arr = array_sort(collect_list(col(v)))
       transform(sequence(lit(1), lit(k)),
-        i => element_at(arr, (pmod(hash(i, lit(42)), size(arr)) + 1)))
-    case "sample" => // N DISTINCT picks: value set in seeded-hash order
+        i => element_at(arr,
+          (((i.cast("long") * lit(2654435761L)) % lit(2147483648L))
+            % size(arr)).cast("int") + 1))
+    case "sample" => // N DISTINCT picks: value set in salted-md5 order.
+      // md5 of the UTF-8 value bytes is engine-portable (identical hex in
+      // any SQL engine), so the "seeded shuffle" replays in plain SQL —
+      // unlike Spark's murmur3 hash(), which nothing else implements.
       val k = n.getOrElse(1)
+      val salted = (c: Column) => md5(concat(c.cast("string"), lit(":42")).cast("binary"))
       val hashOrder = (l: Column, r: Column) =>
-        when(hash(l, lit(42)) < hash(r, lit(42)), -1)
-          .when(hash(l, lit(42)) > hash(r, lit(42)), 1)
+        when(salted(l) < salted(r), -1)
+          .when(salted(l) > salted(r), 1)
           .when(l < r, -1).when(l > r, 1).otherwise(0)
       slice(array_sort(collect_set(col(v)), hashOrder), 1, k)
     case other => throw new UnsupportedOperationException(s"aggregate $other")

@@ -55,10 +55,11 @@ object DatalogDb {
                   [?c :c-mktsegment ?seg]]}""")
       .fold(e => throw new IllegalArgumentException(e), identity)
 
-  /** SparkEntry query `datalog_sample` (rows-only — crux's rand/sample
-    * picks are engine-specific; ours are seeded-hash deterministic and
-    * pinned in EdnDatalogSpec): the crux 1.16 two-arg `:find` aggregates
-    * `(sample N ?x)` / `(rand N ?x)` over the customer universe. */
+  /** SparkEntry query `datalog_sample`: the crux 1.16 two-arg `:find`
+    * aggregates `(sample N ?x)` / `(rand N ?x)` over the customer universe.
+    * The picks use engine-portable scrambles (salted md5 order for sample,
+    * exact-i64 Weyl indexing for rand), so DuckDB replays them bit-exactly
+    * — fully hash-oracled, plus property coverage in EdnDatalogSpec. */
   def datalogSampleQuery(s: SparkSession, d: String): DataFrame =
     EdnDatalog.run(ordersCustomers(s, d),
       """{:find  [?seg (count ?c) (sample 3 ?n) (rand 2 ?n)]

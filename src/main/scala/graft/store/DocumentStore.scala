@@ -66,13 +66,19 @@ class DocumentStore(val spark: SparkSession, val path: String) {
       .withColumn("valid_date", to_date(col("validFrom")))
       .write.mode(SaveMode.Append).partitionBy("valid_date").parquet(path)
 
-  /** Full version history (all rows, including tombstones). */
-  def versions(): DataFrame = {
+  /** Versioned table INCLUDING the `valid_date` directory-partition column.
+    * As-of readers filter on it so Spark prunes whole date partitions from
+    * the scan — the layout's entire point at warehouse scale. */
+  private def versionsRaw(): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(path).drop("valid_date")
+    if (fs.exists(p)) spark.read.parquet(path)
     else spark.emptyDataset[VersionedDoc].toDF()
+      .withColumn("valid_date", to_date(col("validFrom")))
   }
+
+  /** Full version history (all rows, including tombstones). */
+  def versions(): DataFrame = versionsRaw().drop("valid_date")
 
   // ----------------------------------------------------------------- writes
 
@@ -108,9 +114,15 @@ class DocumentStore(val spark: SparkSession, val path: String) {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
     val tmp = new Path(path + ".compact")
+    // one file per date partition, rows CLUSTERED by (id, validFrom): parquet
+    // row-group min/max stats on `id` become tight ranges, so post-compaction
+    // entity()/history(id) point reads skip every row group but the entity's
+    // own — the SURVEY §4 "partitioned by date(valid_from), sorted by id"
+    // layout
     versions()
       .withColumn("valid_date", to_date(col("validFrom")))
       .repartition(col("valid_date"))
+      .sortWithinPartitions(col("valid_date"), col("id"), col("validFrom"))
       .write.mode(SaveMode.Overwrite).partitionBy("valid_date")
       .parquet(tmp.toString)
     // rename-rename swap (never delete-then-rename): the live path is
@@ -167,8 +179,14 @@ class DocumentStore(val spark: SparkSession, val path: String) {
   def asOf(validTime: Timestamp, txTime: Timestamp): DataFrame = {
     val w = Window.partitionBy("id")
       .orderBy(col("validFrom").desc, col("txTime").desc)
-    versions()
-      .filter(col("validFrom") <= lit(validTime) && col("txTime") <= lit(txTime))
+    // valid_date = date(validFrom), so validFrom <= vt implies
+    // valid_date <= date(vt): the redundant predicate on the DIRECTORY
+    // partition column lets Spark prune every post-snapshot date partition
+    // from the scan (PlanQualitySpec pins this) — the row-level validFrom
+    // cut alone cannot prune directories.
+    versionsRaw()
+      .filter(col("valid_date") <= to_date(lit(validTime)) &&
+        col("validFrom") <= lit(validTime) && col("txTime") <= lit(txTime))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && !col("deleted"))
       .select("id", "validFrom", "txTime", "doc")
@@ -187,8 +205,9 @@ class DocumentStore(val spark: SparkSession, val path: String) {
     // entity's versions (predicate pushdown; no full-table window).
     val w = Window.partitionBy("id")
       .orderBy(col("validFrom").desc, col("txTime").desc)
-    versions()
-      .filter(col("id") === id && col("validFrom") <= lit(validTime))
+    versionsRaw()
+      .filter(col("id") === id && col("valid_date") <= to_date(lit(validTime)) &&
+        col("validFrom") <= lit(validTime))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && !col("deleted"))
       .select("doc")

@@ -19,7 +19,7 @@ class SparkEntrySpec extends SparkSpec {
 
   test("rows-only queries are exactly the documented hash-seeded set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("datalog_sample", "dedup_minhash", "dedup_simhash",
+    assert(rowsOnly == Set("dedup_minhash", "dedup_simhash",
       "dedup_embedding_lsh", "multimodal_pipeline", "text_analysis"),
       s"undocumented rows-only queries: $rowsOnly")
   }

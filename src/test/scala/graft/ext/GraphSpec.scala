@@ -70,6 +70,39 @@ class GraphSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("skewed giant component: log-diameter rounds, bounded jobs per round") {
+    // one component holds a THIRD of all nodes, in the worst shape for label
+    // propagation (a 1000-node chain, diameter 999); the other 2000 nodes sit
+    // in 1000 two-node components. Pins the scale claims empirically:
+    //  - rounds ≤ ceil(log₂ diameter) + 3 (pointer jumping halves paths —
+    //    plain neighbor propagation would need ~999 rounds)
+    //  - a CONSTANT number of Spark jobs per round (under AQE each shuffle
+    //    stage of the round's two joins + aggregate + isEmpty probe is its
+    //    own job, ~7 total): per-round work never scales with component
+    //    size, count, or skew
+    val chain = spark.range(999).selectExpr("id AS src", "id + 1 AS dst")
+    val pairs = spark.range(1000)
+      .selectExpr("10000 + 2*id AS src", "10001 + 2*id AS dst")
+    spark.sparkContext.setJobGroup("cc-skew-stress", "GraphSpec skew stress")
+    val (labels, rounds) =
+      try Graph.connectedComponentsStats(chain.union(pairs), maxIter = 20)
+      finally spark.sparkContext.clearJobGroup()
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == 3000)
+    assert(got.count(_._2 == 0L) == 1000, "the giant chain labels to node 0")
+    assert(got.filter(_._1 >= 10000L).forall(t => t._2 % 2 == 0 && t._2 >= 10000L),
+      "each small pair labels to its own even min — no cross-contamination")
+    assert(rounds <= 13, s"chain diameter 999 → ceil(log₂)=10, +3 slack; got $rounds")
+    // job count: a fixed per-round stage budget (measured ~7.3 under AQE)
+    // plus setup; a blow-up here means a per-round plan regression (an extra
+    // exchange, a lost reused-partitioning, a join degenerating)
+    org.apache.spark.sql.graft.DatasetBridge.drainListenerBus(spark)
+    val jobs = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("cc-skew-stress").length
+    assert(jobs <= 9 * rounds + 10,
+      s"per-round job budget exceeded: $jobs jobs over $rounds rounds")
+  }
+
   test("dedupClusters: transitive pairs collapse into one canonical cluster") {
     // A≈B and B≈C but (A,C) never emitted — all three must share a cluster
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")

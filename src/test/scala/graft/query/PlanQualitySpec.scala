@@ -177,6 +177,35 @@ class PlanQualitySpec extends SparkSpec {
       s"dimension side must broadcast (stream side never shuffles):\n$plan")
   }
 
+  test("document-store as-of prunes valid_date partitions at the scan") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+      val own = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec        => scans(q.plan)
+        case s: FileSourceScanExec    => Seq(s)
+        case _                        => Seq.empty
+      }
+      own ++ p.children.flatMap(scans)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-store-prune").toString
+    val store = graft.store.DocumentStore(spark, dir + "/docs")
+    for (d <- 1 to 5)
+      store.put(s"e$d", s"""{"v":$d}""", Some(Timestamp.valueOf(f"2024-01-0$d 00:00:00")))
+    store.compact() // date-partitioned + id-sorted layout
+    val df = store.asOf(Timestamp.valueOf("2024-01-02 12:00:00"))
+    // collect() (not count()) so the metrics land on THIS queryExecution
+    assert(df.collect().length == 2, "two docs valid at the cut")
+    val scan = scans(df.queryExecution.executedPlan).head
+    assert(scan.partitionFilters.map(_.toString).exists(_.contains("valid_date")),
+      s"the derived valid_date cut must be a PARTITION filter: ${scan.partitionFilters}")
+    // 5 date partitions exist; an as-of at day 2 must read exactly 2
+    val read = scan.metrics.get("numPartitions").map(_.value)
+    assert(read.contains(2L), s"expected 2 of 5 date partitions read, got $read")
+  }
+
   test("bitemporal as-of filters before the window (partition pruning path)") {
     val df = Relational.asofSnapshot(spark, sf("sf0.001"))
     val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
