@@ -27,9 +27,17 @@ trait StreamIO {
     * Structured Streaming analog and degrade to the same rate limit
     * (documented divergence, SURVEY.md §2.3 T8/T9). */
   def source(topic: String, rateLimit: Option[Long] = None): DataFrame
-  /** Start a sink writing `df` to an external topic; `queryName` keys the
-    * checkpoint so a hot-swap restart resumes at the committed offsets. */
-  def sink(topic: String, df: DataFrame, queryName: String): StreamingQuery
+  /** Start a sink writing `df` to an external topic. `checkpointName` keys
+    * the checkpoint directory; a hot-swap restart under the SAME name
+    * resumes at the committed offsets. [[StreamManager]] derives it from
+    * the plan's stateful signature (SURVEY.md §7.4 risk 2): stateless plans
+    * reuse the plain query name forever, stateful plans embed a signature
+    * hash so an incompatible state shape never meets an old checkpoint. */
+  def sink(topic: String, df: DataFrame, queryName: String,
+           checkpointName: String): StreamingQuery
+  /** Stateless default: checkpoint keyed by the query name itself. */
+  final def sink(topic: String, df: DataFrame, queryName: String): StreamingQuery =
+    sink(topic, df, queryName, queryName)
   /** T16 `stream!`: push one message into a node/topic by name from any
     * stored function. */
   def publish(topic: String, key: String, value: String): Unit
@@ -86,14 +94,15 @@ class KafkaIO(val spark: SparkSession, bootstrapServers: String,
       .save()
   }
 
-  def sink(topic: String, df: DataFrame, queryName: String): StreamingQuery =
+  def sink(topic: String, df: DataFrame, queryName: String,
+           checkpointName: String): StreamingQuery =
     df.select(
         col("key").cast("binary").as("key"),
         to_json(struct(df.columns.toIndexedSeq.map(col): _*)).cast("binary").as("value"))
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)
-      .option("checkpointLocation", s"$checkpointRoot/$queryName")
+      .option("checkpointLocation", s"$checkpointRoot/$checkpointName")
       .queryName(queryName)
       .trigger(Trigger.ProcessingTime("100 milliseconds")) // poll cadence (kafka.clj:108)
       .start()
@@ -216,7 +225,8 @@ class MemoryIO(val spark: SparkSession) extends StreamIO {
       .toDF("key", "value", "ts")
       .withColumn("topic", lit(topic))
 
-  def sink(topic: String, df: DataFrame, queryName: String): StreamingQuery = {
+  def sink(topic: String, df: DataFrame, queryName: String,
+           checkpointName: String): StreamingQuery = {
     val buf = outputs.computeIfAbsent(topic, _ => mutable.Buffer.empty[Row])
     df.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -224,7 +234,7 @@ class MemoryIO(val spark: SparkSession) extends StreamIO {
         buf.synchronized { buf ++= rows }
         ()
       }
-      .option("checkpointLocation", s"$checkpointRoot/$queryName")
+      .option("checkpointLocation", s"$checkpointRoot/$checkpointName")
       .queryName(queryName)
       .start()
   }

@@ -73,14 +73,54 @@ class StreamManager(val topology: Topology) {
     * (`/root/reference/src/dataworks/app_graph.clj:13-19`). */
   val controlTopic = "dataworks.internal.functions"
 
+  // last checkpoint name used per running-map key — lets a restart detect
+  // that the stateful change class rotated the checkpoint (clean restart)
+  private val lastCheckpoint = TrieMap.empty[String, String]
+
+  /** Checkpoint-directory name for node `full`'s `suffix`-ed query — the
+    * per-change-class hot-swap contract (SURVEY.md §7.4 risk 2):
+    *
+    *   - STATELESS plan (empty [[Topology.statefulSignature]]): the plain
+    *     query name, forever. Map/filter swaps restart from committed
+    *     offsets — old messages old code, new messages new code.
+    *   - STATEFUL plan: query name + a hash of the stateful signature. A
+    *     swap that preserves the stateful shape (e.g. edits a downstream
+    *     map) resumes its own checkpoint, state included; a swap that
+    *     CHANGES the shape (adds/removes/re-parameterizes a windowAgg /
+    *     sessionAgg / dedupe) gets a fresh checkpoint instead of handing
+    *     Spark an incompatible one (StateSchemaNotCompatible — the query
+    *     would crash-loop). That is a documented CLEAN RESTART: committed
+    *     offsets are abandoned loudly; sources re-read per their policy
+    *     (Kafka `startingOffsets=latest` → only new messages; replayable
+    *     test sources → reprocess), i.e. at-least-once across this one
+    *     transition, never silent state corruption. */
+  private[stream] def checkpointFor(full: String, suffix: String = ""): String = {
+    val sig = topology.statefulSignature(full)
+    val base = queryName(full) + suffix
+    val name =
+      if (sig.isEmpty) base
+      else base + "_st" + java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.orderedHash(sig).toLong & 0xffffffffL)
+    lastCheckpoint.put(full + suffix, name).foreach { prev =>
+      if (prev != name)
+        log.warn(s"stateful shape of '$full' changed: checkpoint rotates " +
+          s"'$prev' -> '$name' (clean restart; committed offsets abandoned)")
+    }
+    name
+  }
+
   // ------------------------------------------------------------------ wiring
 
   /** Start the sink query for one kafka sink node (producer loop). */
   def startSink(n: StreamNode): StreamingQuery = {
     val topic = n.name.asInstanceOf[NodeName.KafkaTopic].name
     val plan = topology.buildPlan(n.name.full)
-    adoptCheckpoint(n.name.full)
-    val q = topology.io.sink(topic, plan, queryName(n.name.full))
+    val ckpt = checkpointFor(n.name.full)
+    // legacy adoption only for stateless plans (ckpt == plain query name):
+    // a signature-suffixed dir never existed under the legacy scheme, and a
+    // stateful plan must not adopt offsets committed under an unknown shape
+    if (ckpt == queryName(n.name.full)) adoptCheckpoint(n.name.full)
+    val q = topology.io.sink(topic, plan, queryName(n.name.full), ckpt)
     running.put(n.name.full, q)
     q
   }
@@ -89,9 +129,11 @@ class StreamManager(val topology: Topology) {
     * intermediate: rows its transducer nulled out go to the error topic. */
   def startDeadLetter(n: StreamNode): Option[StreamingQuery] =
     topology.deadLetterPlan(n.name.full).map { dead =>
-      adoptCheckpoint(n.name.full, "_errors")
+      val ckpt = checkpointFor(n.name.full, "_errors")
+      if (ckpt == queryName(n.name.full) + "_errors")
+        adoptCheckpoint(n.name.full, "_errors")
       val eq = topology.io.sink(n.errorSink.get, dead,
-        queryName(n.name.full) + "_errors")
+        queryName(n.name.full) + "_errors", ckpt)
       running.put(n.name.full + "#errors", eq)
       eq
     }
@@ -186,7 +228,9 @@ class StreamManager(val topology: Topology) {
   def deleteNode(full: String): Unit = adminLock.synchronized {
     (topology.downstreamOf(full) + full).filter(hasRunningQueries).foreach(stopSink)
     topology.removeNode(full)
-    // a later same-named node starts its drop counters from zero
+    // a later same-named node starts its drop counters from zero and does
+    // not inherit the removed node's checkpoint-rotation history
+    Seq(full, full + "_errors").foreach(lastCheckpoint.remove)
     DropMetrics.forSession(topology.io.spark).reset(full)
   }
 

@@ -115,6 +115,31 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
     nodeMap.values.filter(n => n.upstream.nonEmpty &&
       n.name.isInstanceOf[NodeName.KafkaTopic]).toSeq
 
+  /** Canonical sequence of STATEFUL op-specs in the plan feeding `full`
+    * (upstream closure in deterministic order, `Comp` flattened). This is
+    * the hot-swap change-class boundary of SURVEY.md §7.4 risk 2:
+    * checkpoint reuse across a swap is legal exactly while this signature
+    * is unchanged — map/filter/select edits keep committed offsets; adding,
+    * removing, or re-parameterizing a windowAgg/sessionAgg/dedupe changes
+    * the state-store shape, and Spark rejects the old checkpoint
+    * (StateSchemaNotCompatible / changed-stateful-operators). Unknown or
+    * currently-missing upstreams contribute nothing — exactly what the
+    * built plan would contain. */
+  def statefulSignature(full: String, visiting: Set[String] = Set.empty): Seq[String] =
+    if (visiting.contains(full)) Seq.empty
+    else nodeMap.get(full).fold(Seq.empty[String]) { n =>
+      n.upstream.toSeq.sorted.flatMap(statefulSignature(_, visiting + full)) ++
+        n.transducer.toSeq.flatMap(statefulOps)
+    }
+
+  private def statefulOps(spec: OpSpec): Seq[String] = spec match {
+    case OpSpec.Comp(stages)    => stages.flatMap(statefulOps)
+    case s: OpSpec.WindowAgg    => Seq(s.toString)
+    case s: OpSpec.SessionAgg   => Seq(s.toString)
+    case s: OpSpec.DedupeKeys   => Seq(s.toString)
+    case _                      => Seq.empty
+  }
+
   /** Apply an op-spec stage chain (T3-T5) to a node input. */
   def applyOpSpec(df: DataFrame, spec: OpSpec): DataFrame = spec match {
     case OpSpec.MapExpr(e)      => df.withColumn("value", expr(e))

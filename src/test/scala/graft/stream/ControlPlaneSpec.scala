@@ -92,6 +92,84 @@ class ControlPlaneSpec extends SparkSpec {
     mgr.stopAll()
   }
 
+  test("hot-swap across the stateful change class rotates the checkpoint " +
+       "(clean restart, no state-schema crash) — SURVEY §7.4 risk 2") {
+    import java.sql.Timestamp
+    import graft.core.{BufferSpec, OpSpec, StreamNode}
+    def ts(minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    val mgr = new StreamManager(topo)
+    topo.addNode(StreamNode(NodeName.parse("kafka/ev"), Set.empty, None, None, None))
+    topo.addNode(StreamNode(NodeName.parse("stream/agg"), Set("kafka/ev"),
+      Some(OpSpec.WindowAgg("ts", "10 minutes", None, "5 minutes",
+        Seq("key"), Seq("count(*) AS n"))),
+      Some(BufferSpec.Fixed(1000)), None))
+    topo.addNode(StreamNode(NodeName.parse("kafka/out"), Set("stream/agg"), None, None, None))
+    try {
+      io.publishAt("kafka/ev", "a", "1", ts(1))
+      io.publishAt("kafka/ev", "a", "2", ts(4))
+      mgr.applyGraph()
+      mgr.processAllAvailable()
+      io.publishAt("kafka/ev", "z", "0", ts(31)) // finalize the first window
+      mgr.processAllAvailable()
+      val ckptBefore = mgr.checkpointFor("kafka/out")
+      assert(io.collected("out").exists(r =>
+        r.getAs[String]("key") == "a" && r.getAs[Long]("n") == 2L))
+
+      // swap the aggregation: count -> sum. The state schema changes, so
+      // reusing the old checkpoint would crash the restarted query with
+      // StateSchemaNotCompatible; the contract is a clean restart instead.
+      val swapped = StreamNode(NodeName.parse("stream/agg"), Set("kafka/ev"),
+        Some(OpSpec.WindowAgg("ts", "10 minutes", None, "5 minutes",
+          Seq("key"), Seq("sum(CAST(value AS DOUBLE)) AS total"))),
+        Some(BufferSpec.Fixed(1000)), None)
+      assert(mgr.updateNode(swapped).isRight, "swap must not be rejected")
+      val ckptAfter = mgr.checkpointFor("kafka/out")
+      assert(ckptBefore != ckptAfter,
+        s"stateful shape changed -> checkpoint must rotate ($ckptBefore)")
+
+      // the restarted query must process cleanly under the new aggregation.
+      // Committed (purged) pre-swap blocks are NOT re-read — same shape as
+      // Kafka `startingOffsets=latest`: new messages run the new code, the
+      // old aggregation's state is discarded with the old checkpoint.
+      io.publishAt("kafka/ev", "a", "5", ts(41))
+      io.publishAt("kafka/ev", "a", "7", ts(44))
+      mgr.processAllAvailable() // would throw StreamingQueryException pre-fix
+      io.publishAt("kafka/ev", "z", "0", ts(75)) // watermark pusher
+      mgr.processAllAvailable()
+      val totals = io.collected("out").filter(r => r.schema.fieldNames.contains("total"))
+        .map(r => (r.getAs[String]("key"), r.getAs[Double]("total")))
+      assert(totals.contains(("a", 12.0)),
+        s"post-swap sum over the 10:40 window: $totals")
+    } finally mgr.stopAll()
+  }
+
+  test("stateless swaps keep a stable checkpoint; crossing into stateful rotates it") {
+    import graft.core.{BufferSpec, OpSpec, StreamNode}
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    val mgr = new StreamManager(topo)
+    topo.addNode(StreamNode(NodeName.parse("kafka/in"), Set.empty, None, None, None))
+    topo.addNode(NodeSpec.parse(specJson("TRY_CAST(value AS DOUBLE) + 1")).get
+      .copy(upstream = Set("kafka/in")))
+    topo.addNode(StreamNode(NodeName.parse("kafka/sink"), Set("stream/process"), None, None, None))
+    assert(topo.statefulSignature("kafka/sink").isEmpty)
+    val base = mgr.checkpointFor("kafka/sink")
+    // map edit: still stateless, same checkpoint -> committed offsets kept
+    topo.addNode(NodeSpec.parse(specJson("TRY_CAST(value AS DOUBLE) * 2")).get
+      .copy(upstream = Set("kafka/in")))
+    assert(mgr.checkpointFor("kafka/sink") == base)
+    // map -> windowAgg: stateless crosses into stateful, checkpoint rotates
+    topo.addNode(StreamNode(NodeName.parse("stream/process"), Set("kafka/in"),
+      Some(OpSpec.WindowAgg("ts", "10 minutes", None, "5 minutes",
+        Seq("key"), Seq("count(*) AS n"))),
+      Some(BufferSpec.Fixed(1000)), None))
+    assert(topo.statefulSignature("kafka/sink").nonEmpty)
+    assert(mgr.checkpointFor("kafka/sink") != base)
+  }
+
   test("S9 ensureTopic degrades to a clean no-op without kafka-clients") {
     // this env ships no kafka-clients jar: the reflective AdminClient hook
     // must swallow ClassNotFoundException, not blow up topology wiring
