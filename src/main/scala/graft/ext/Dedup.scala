@@ -307,23 +307,53 @@ object Dedup {
     * `tables` independent hash tables are OR-banded: a pair is a candidate
     * if its nBits-bit signature matches in ANY table, so the miss
     * probability is (1 − p^nBits)^tables with p = 1 − θ/π — at cos ≥ 0.95
-    * and the 8-bit × 8-table default, recall ≈ 0.99; tighter pairs are
-    * found with near-certainty. The candidate join is an equi-join on
-    * (table, bucket) carrying only (vec_id, table, bucket) — never O(n²) —
-    * and cosine is verified on the deduped candidate pairs only. */
+    * and 8 bits × 8 tables, recall ≈ 0.99; tighter pairs are found with
+    * near-certainty. The candidate join is an equi-join on (table, bucket)
+    * carrying only (vec_id, table, bucket) — never O(n²) — and cosine is
+    * verified on the deduped candidate pairs only.
+    *
+    * LSH RESOLUTION MUST SCALE WITH THE CORPUS: `nBits = 0` (the default)
+    * derives it as ceil(log2(n / targetBucket)) — bucket COUNT grows with
+    * n, so per-bucket occupancy (and with it candidate-pair volume) stays
+    * constant instead of growing linearly and turning the bucket join
+    * quadratic. (A fixed 8-bit signature = 256 buckets went 127× slower,
+    * not 10×, on a 10× corpus — measured, BASELINE.md sf1 table.) Each
+    * extra bit cuts per-pair match probability by p, so auto mode also
+    * raises `tables` to max(tables, nBits), keeping recall ≈ 0.98 at
+    * cos 0.95 at any scale (tables cost is linear; this is LSH's standard
+    * memory-for-recall trade). The driver-side count() that sizes the
+    * signature is control-plane work (one columnar count over the input it
+    * was about to scan anyway) and doubles as the cache materialization.
+    * Buckets over `maxBucket` members are skipped entirely — the same
+    * skew guard as `simhashNearDups`: a qualifying pair is lost only if
+    * EVERY table's shared bucket is over the cap, and candidate fan-in per
+    * vector is bounded by tables·maxBucket regardless of corpus skew. */
   def embeddingNearDups(emb: DataFrame, threshold: Double = 0.95,
-                        nBits: Int = 8, tables: Int = 8): DataFrame = {
+                        nBits: Int = 0, tables: Int = 8,
+                        targetBucket: Int = 8, maxBucket: Int = 512): DataFrame = {
     // normalize once so verification is a single codegen'd dot product
     val v = CacheRegistry.persisted(Similarity.normalized(
         emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")))
       .withColumnRenamed("embedding", "v"))
+    val (bits, tbls) =
+      if (nBits > 0) (nBits, tables)
+      else {
+        val n = v.count() // materializes the persisted normalized vectors
+        val target = math.max(1L, n / math.max(1, targetBucket))
+        val b = math.min(24, math.max(8,
+          64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, target - 1L)))).toInt
+        (b, math.max(tables, b))
+      }
     // srp bit (t,b): sign of Σ_i v[i] * r(t,b,i), r = deterministic ±1 —
     // computed by a native codegen'd expression (one primitive loop per
     // vector; the HOF formulation re-evaluated the projection lambda per
     // (table, bit) through the interpreter)
-    val sigs = v.select(col("vec_id"),
-        posexplode(graft.functions.VectorExpressions.srp_sig(col("v"), nBits, tables))
+    val rawSigs = v.select(col("vec_id"),
+        posexplode(graft.functions.VectorExpressions.srp_sig(col("v"), bits, tbls))
           .as(Seq("t", "bucket")))
+    // minDf=2 drops singleton buckets before they enter the join shuffle;
+    // maxDf caps hot buckets (skew guard, see scaladoc)
+    val sigs = pruneByBucketSize(rawSigs, Seq("t", "bucket"), 2, maxBucket)
     // thin (vec_id, t, bucket) shuffle; vectors join back only for verify
     val cand = sigs.as("a").join(sigs.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
@@ -374,6 +404,6 @@ object Dedup {
     * asserts LSH pairs ⊇ exact pairs on the same construction. */
   def embeddingLshQuery(s: SparkSession, d: String): DataFrame =
     embeddingNearDups(withPlantedTwins(Tables.embeddings(s, d)),
-        threshold = 0.95, nBits = 8, tables = 8)
+        threshold = 0.95) // auto-scaled LSH resolution (the 100 TB default)
       .select(col("id_a"), col("id_b"), graft.query.Functions.stableRound(col("cos"), 4).as("cos"))
 }

@@ -13,9 +13,14 @@ Replication rules (replica k in 0..9, k=0 is the original):
   Jaccard ~ 0 while within-replica (planted) near-dup structure is
   preserved — dedup workloads scale 10x instead of inheriting a
   by-construction 10x duplicate of every doc.
-- embeddings: vec_id shifted; a deterministic per-replica noise vector
-  (~0.6 relative norm) is added, so cross-replica cosine drops to ~0.74
-  while within-replica twin pairs (same noise added to both) persist.
+- embeddings: vec_id shifted; each replica k>0 is mapped through a
+  deterministic random ROTATION R_k (orthogonal, from QR of a seeded
+  Gaussian matrix). Rotations preserve every within-replica cosine
+  exactly (planted twins stay twins, the near-dup workload scales 10x
+  honestly) while decorrelating replicas. An additive shared-noise
+  perturbation was tried first and rejected: a common component across
+  a replica inflates ALL pairwise cosines and explodes LSH candidate
+  counts ~100x — a data artifact, not a real workload.
 
 Timestamps are left untouched: 10x events in the same time range is
 how a 10x-traffic deployment actually looks (denser windows, not a
@@ -34,7 +39,10 @@ SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_sf1"
 K = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
-OFFSET = 1_000_000_000  # far above any sf0.1 key
+# Far above any sf0.1 key AND clear of the planted-twin offset (+1e9) used
+# by Dedup.withPlantedTwins: a 1e9 replica stride made replica k's twins
+# collide with replica k+1's original vec_ids (duplicate ids in the union).
+OFFSET = 10_000_000_000
 
 
 def shift(col, k):
@@ -49,12 +57,12 @@ def salt_text(text, k):
         t + f"_r{k}" if i % 5 == 0 else t for i, t in enumerate(toks))
 
 
-def replica_noise(k, dim, scale):
-    seed = int.from_bytes(hashlib.sha256(f"sf1-noise-{k}".encode()).digest()[:8],
+def replica_rotation(k, dim):
+    seed = int.from_bytes(hashlib.sha256(f"sf1-rot-{k}".encode()).digest()[:8],
                           "little") % (2**32)
     rng = np.random.default_rng(seed)
-    v = rng.standard_normal(dim).astype(np.float32)
-    return v / np.linalg.norm(v) * scale
+    q, r = np.linalg.qr(rng.standard_normal((dim, dim)))
+    return (q * np.sign(np.diag(r))).astype(np.float32)
 
 
 def write(name, table):
@@ -106,10 +114,9 @@ def main():
     emb = pq.read_table(f"{SRC}/embeddings.parquet")
     vecs = np.array(emb.column("embedding").to_pylist(), dtype=np.float32)
     dim = vecs.shape[1]
-    mean_norm = float(np.mean(np.linalg.norm(vecs, axis=1)))
     parts = []
     for k in range(K):
-        noisy = vecs if k == 0 else vecs + replica_noise(k, dim, 0.6 * mean_norm)
+        noisy = vecs if k == 0 else vecs @ replica_rotation(k, dim).T
         t = emb.set_column(emb.schema.get_field_index("vec_id"), "vec_id",
                            shift(emb.column("vec_id"), k))
         t = t.set_column(
