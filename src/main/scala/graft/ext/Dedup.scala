@@ -267,11 +267,21 @@ object Dedup {
   private val stagedOnce = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def gatePairsPath(s: SparkSession, dir: String): String =
     stagedOnce.computeIfAbsent(dir, d => {
+      // the sanitized name alone is non-injective ('/data/a_b' and
+      // '/data/a/b' collide — the same collision class the injective
+      // checkpoint escape fixes in StreamManager), so the RAW dir rides
+      // along as a hash; the per-JVM nonce keeps two concurrent gate JVMs
+      // on one host from overwriting each other's artifact mid-read
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-staged-pairs-" + d.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+        "graft-staged-pairs-" + d.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-" + digest + "-" + jvmNonce).toString
       stagePairs(Tables.documents(s, d), path)
       path
     })
+  private lazy val jvmNonce: String =
+    java.lang.Long.toHexString(java.lang.ProcessHandle.current().pid())
 
   // -------------------------------------------------------- dup clustering
 

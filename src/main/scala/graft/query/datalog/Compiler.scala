@@ -398,11 +398,15 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
       // unlike Spark's murmur3 hash(), which nothing else implements.
       val k = n.getOrElse(1)
       val salted = (c: Column) => md5(concat(c.cast("string"), lit(":42")).cast("binary"))
-      val hashOrder = (l: Column, r: Column) =>
-        when(salted(l) < salted(r), -1)
-          .when(salted(l) > salted(r), 1)
-          .when(l < r, -1).when(l > r, 1).otherwise(0)
-      slice(array_sort(collect_set(col(v)), hashOrder), 1, k)
+      // ONE md5 per element: sort (hash, value) structs under the default
+      // field-order comparator (hash asc, raw value as tiebreak) and
+      // project the values back out. A comparator lambda that calls md5 on
+      // both operands recomputes it O(n log n) times per group through the
+      // interpreter — the same per-element-recompute trap repetitionStats
+      // documents.
+      val keyed = transform(collect_set(col(v)),
+        x => struct(salted(x).as("h"), x.as("v")))
+      slice(transform(array_sort(keyed), s => s.getField("v")), 1, k)
     case other => throw new UnsupportedOperationException(s"aggregate $other")
   }
 

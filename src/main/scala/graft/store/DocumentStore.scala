@@ -180,12 +180,17 @@ class DocumentStore(val spark: SparkSession, val path: String) {
     val w = Window.partitionBy("id")
       .orderBy(col("validFrom").desc, col("txTime").desc)
     // valid_date = date(validFrom), so validFrom <= vt implies
-    // valid_date <= date(vt): the redundant predicate on the DIRECTORY
-    // partition column lets Spark prune every post-snapshot date partition
-    // from the scan (PlanQualitySpec pins this) — the row-level validFrom
-    // cut alone cannot prune directories.
+    // valid_date <= date(vt) + slack: the redundant predicate on the
+    // DIRECTORY partition column lets Spark prune every post-snapshot date
+    // partition from the scan (PlanQualitySpec pins this) — the row-level
+    // validFrom cut alone cannot prune directories. The 2-day slack makes
+    // the prune timezone-safe: valid_date was rendered in the WRITER
+    // session's timezone, to_date(vt) in the READER's, and two renderings
+    // of one instant can differ by up to two calendar days across extreme
+    // zones (UTC-12 vs UTC+14). Exactness still comes from the row-level
+    // instant comparison; the slack only admits two extra directories.
     versionsRaw()
-      .filter(col("valid_date") <= to_date(lit(validTime)) &&
+      .filter(col("valid_date") <= date_add(to_date(lit(validTime)), 2) &&
         col("validFrom") <= lit(validTime) && col("txTime") <= lit(txTime))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && !col("deleted"))
@@ -205,8 +210,9 @@ class DocumentStore(val spark: SparkSession, val path: String) {
     // entity's versions (predicate pushdown; no full-table window).
     val w = Window.partitionBy("id")
       .orderBy(col("validFrom").desc, col("txTime").desc)
-    versionsRaw()
-      .filter(col("id") === id && col("valid_date") <= to_date(lit(validTime)) &&
+    versionsRaw() // same 2-day TZ slack on the partition prune as asOf()
+      .filter(col("id") === id &&
+        col("valid_date") <= date_add(to_date(lit(validTime)), 2) &&
         col("validFrom") <= lit(validTime))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && !col("deleted"))

@@ -58,9 +58,21 @@ class StreamManager(val topology: Topology) {
     * safe, at-least-once direction) rather than resume the wrong offsets. */
   private[stream] def adoptCheckpoint(full: String, suffix: String = ""): Unit = {
     val target = legacyQueryName(full) + suffix
-    val claimants = topology.nodes.keys.toSeq.flatMap(n =>
-      Seq(legacyQueryName(n), legacyQueryName(n) + "_errors"))
-      .count(_ == target)
+    // a node claims a legacy dir only for queries it would actually run:
+    // the plain name for its sink query (kafka sinks with upstreams), the
+    // '_errors' name only when it has an error handler. Counting every
+    // node for both names refused adoption of genuinely unambiguous dirs
+    // (e.g. sink 'kafka/a_errors' vs an error-handler-less 'kafka/a').
+    val claimants = topology.nodes.values.toSeq.flatMap { n =>
+      val main =
+        if (n.upstream.nonEmpty && n.name.isInstanceOf[graft.core.NodeName.KafkaTopic])
+          Seq(legacyQueryName(n.name.full))
+        else Seq.empty
+      val errors =
+        if (n.errorSink.isDefined) Seq(legacyQueryName(n.name.full) + "_errors")
+        else Seq.empty
+      main ++ errors
+    }.count(_ == target)
     if (claimants > 1)
       log.warn(s"legacy checkpoint '$target' is claimed by $claimants current " +
         s"queries (non-injective legacy naming); not adopting it for " +

@@ -282,32 +282,44 @@ class TopologySpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft-ckpt-amb")
     val io = new KafkaIO(spark, "broker:9092", root.toString)
     val topo = new Topology(io)
-    // node "stream/a"'s _errors checkpoint and node "stream/a_errors" both
-    // map to legacy dir "stream_a_errors" under the old '/'→'_' scheme
+    // A REAL collision under the old '/'→'_' scheme: sink "kafka/a_errors"
+    // commits its main query's checkpoint as "kafka_a_errors", and node
+    // "kafka/a" WITH AN ERROR HANDLER commits its dead-letter query under
+    // the very same name. Claims are counted per query a node actually
+    // runs — a node without an error handler claims no '_errors' dir.
     assert(topo.addNode(StreamNode(NodeName.parse("kafka/in"),
       Set.empty, None, None, None)).isRight)
-    assert(topo.addNode(StreamNode(NodeName.parse("stream/a"),
+    assert(topo.addNode(StreamNode(NodeName.parse("kafka/a"),
+      Set("kafka/in"), Some(OpSpec.MapExpr("value")),
+      Some(BufferSpec.Fixed(10)), Some("kafka/dead"))).isRight)
+    assert(topo.addNode(StreamNode(NodeName.parse("kafka/a_errors"),
       Set("kafka/in"), None, None, None)).isRight)
-    assert(topo.addNode(StreamNode(NodeName.parse("stream/a_errors"),
-      Set("kafka/in"), None, None, None)).isRight)
-    val legacy = root.resolve("stream_a_errors")
+    val legacy = root.resolve("kafka_a_errors")
     java.nio.file.Files.createDirectories(legacy.resolve("offsets"))
     java.nio.file.Files.write(legacy.resolve("metadata"), "id".getBytes)
     val mgr = new StreamManager(topo)
-    mgr.adoptCheckpoint("stream/a", "_errors")  // ambiguous → skipped
+    mgr.adoptCheckpoint("kafka/a", "_errors")  // ambiguous → skipped
     assert(java.nio.file.Files.exists(legacy.resolve("metadata")),
       "ambiguous legacy dir must be left in place, not claimed by one query")
-    assert(!java.nio.file.Files.exists(root.resolve("stream_sa_errors")) &&
-      !java.nio.file.Files.exists(root.resolve("stream_sa_uerrors")),
+    assert(!java.nio.file.Files.exists(root.resolve("kafka_sa_errors")) &&
+      !java.nio.file.Files.exists(root.resolve("kafka_sa_uerrors")),
       "no current-name dir materializes from an ambiguous adoption")
-    // an UNambiguous node still adopts normally through the same path
-    assert(topo.addNode(StreamNode(NodeName.parse("stream/b"),
+    mgr.adoptCheckpoint("kafka/a_errors")      // same dir, other claimant
+    assert(java.nio.file.Files.exists(legacy.resolve("metadata")),
+      "the sink side of the collision must not claim it either")
+    // an error-handler-LESS "kafka/b" doesn't run an '_errors' query, so
+    // sink "kafka/b_errors" is the ONLY claimant of legacy "kafka_b_errors"
+    // and adoption proceeds (the over-counting regression: counting every
+    // node for both names refused this one)
+    assert(topo.addNode(StreamNode(NodeName.parse("kafka/b"),
       Set("kafka/in"), None, None, None)).isRight)
-    val legacyB = root.resolve("stream_b")
+    assert(topo.addNode(StreamNode(NodeName.parse("kafka/b_errors"),
+      Set("kafka/in"), None, None, None)).isRight)
+    val legacyB = root.resolve("kafka_b_errors")
     java.nio.file.Files.createDirectories(legacyB.resolve("offsets"))
     java.nio.file.Files.write(legacyB.resolve("metadata"), "id".getBytes)
-    mgr.adoptCheckpoint("stream/b")
-    assert(java.nio.file.Files.exists(root.resolve("stream_sb").resolve("metadata")),
+    mgr.adoptCheckpoint("kafka/b_errors")
+    assert(java.nio.file.Files.exists(root.resolve("kafka_sb_uerrors").resolve("metadata")),
       "unambiguous legacy checkpoint still adopted")
   }
 

@@ -8,11 +8,13 @@ Replication rules (replica k in 0..9, k=0 is the original):
 - customer/supplier/part/orders/lineitem/events: keys shifted by
   k * OFFSET consistently across tables, so join fan-ins scale like a
   real 10x corpus (same selectivities, 10x rows).
-- documents: doc_id shifted; for k>0 every 5th token gets a per-replica
-  suffix. Every 5-gram shingle covers one such token, so cross-replica
-  Jaccard ~ 0 while within-replica (planted) near-dup structure is
-  preserved — dedup workloads scale 10x instead of inheriting a
-  by-construction 10x duplicate of every doc.
+- documents: doc_id shifted; for k>0 every 3rd token gets a per-replica
+  suffix — matching the dedup paths' shingleN=3 default, so EVERY
+  3-token shingle covers a salted token and cross-replica Jaccard ~ 0,
+  while within-replica (planted) near-dup structure is preserved.
+  (A 5-token stride left 2 of 5 shingles identical across replicas:
+  cross-replica candidate pairs survived pruning and inflated the sf1
+  dedup workload ~K^2 — a data artifact, not a real workload.)
 - embeddings: vec_id shifted; each replica k>0 is mapped through a
   deterministic random ROTATION R_k (orthogonal, from QR of a seeded
   Gaussian matrix). Rotations preserve every within-replica cosine
@@ -54,7 +56,7 @@ def salt_text(text, k):
         return text
     toks = text.split(" ")
     return " ".join(
-        t + f"_r{k}" if i % 5 == 0 else t for i, t in enumerate(toks))
+        t + f"_r{k}" if i % 3 == 0 else t for i, t in enumerate(toks))
 
 
 def replica_rotation(k, dim):
