@@ -67,6 +67,7 @@ object SparkEntry {
     "dedup_minhash"       -> (Dedup.minhashQuery(_, _)),
     "dedup_simhash"       -> (Dedup.simhashQuery(_, _)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccardQuery(_, _)),
+    "dedup_stream_filter" -> (Dedup.streamFilterQuery(_, _)),
     "dedup_clusters"      -> (Dedup.dedupClustersQuery(_, _)),
     "dedup_embedding_lsh" -> (Dedup.embeddingLshQuery(_, _)),
     "similarity_topk"     -> (Similarity.similarityTopK(_, _)),
@@ -319,6 +320,38 @@ object SparkEntry {
              CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
                (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
            FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
+         WHERE j >= 0.5""",
+    // dedup_stream_filter: the admission-filter probe (StreamDedup's
+    // per-micro-batch contract) — even doc_ids are the staged corpus index,
+    // odd doc_ids are the arrivals matched against it; hashes are join keys
+    // only, so DuckDB replays the chain on shingle strings
+    "dedup_stream_filter" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+         ), sh AS (
+           SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_distinct([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
+             END AS sh
+           FROM tok
+         ), corpus AS (SELECT * FROM sh WHERE doc_id % 2 = 0
+         ), arriving AS (SELECT * FROM sh WHERE doc_id % 2 = 1
+         ), cpost AS (
+           SELECT doc_id, unnest(sh) AS shingle FROM corpus
+         ), kept AS (
+           SELECT shingle FROM cpost GROUP BY shingle HAVING count(*) <= 10
+         ), ipost AS (
+           SELECT doc_id, unnest(sh) AS shingle FROM arriving
+         ), cand AS (
+           SELECT i.doc_id AS in_id, c.doc_id AS match_id
+           FROM ipost i JOIN kept USING (shingle) JOIN cpost c USING (shingle)
+           GROUP BY 1, 2 HAVING count(*) >= 2
+         )
+         SELECT in_id AS doc_id, match_id, floor(j * 1e4 + 0.5) / 1e4 AS jaccard FROM (
+           SELECT c.in_id, c.match_id,
+             CAST(len(list_intersect(si.sh, sc.sh)) AS DOUBLE) /
+               (len(si.sh) + len(sc.sh) - len(list_intersect(si.sh, sc.sh))) AS j
+           FROM cand c JOIN arriving si ON si.doc_id = c.in_id
+                       JOIN corpus sc ON sc.doc_id = c.match_id)
          WHERE j >= 0.5""",
     // dedup_clusters: same pair pipeline, then connected components as a
     // WITH RECURSIVE reachability closure (min reachable id = the label

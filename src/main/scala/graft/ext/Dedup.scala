@@ -283,6 +283,115 @@ object Dedup {
   private lazy val jvmNonce: String =
     java.lang.Long.toHexString(java.lang.ProcessHandle.current().pid())
 
+  // ------------------------------------- staged index + admission filtering
+
+  /** Corpus-side near-dup INDEX for admission filtering: new documents are
+    * checked against an existing corpus (batch backfill or per micro-batch —
+    * [[graft.stream.StreamDedup]]), so the corpus pass runs ONCE at stage
+    * time and the per-batch cost is proportional to the batch, not the
+    * corpus. Two parquet tables under `path`:
+    *  - `path/docs` (id, sh): full shingle sets, for exact Jaccard verify;
+    *  - `path/postings` (shingle, id): 64-bit-hashed posting lists with hot
+    *    shingles (corpus df > maxDf) dropped at stage time — the same
+    *    stop-shingle guard as [[ngramJaccardPairs]], applied once here so
+    *    every consumer inherits it. Unlike pair generation there is no
+    *    minDf: a shingle unique in the corpus still matches new arrivals.
+    */
+  def stageShingleIndex(docs: DataFrame, path: String, textCol: String = "text",
+                        idCol: String = "doc_id", shingleN: Int = 3,
+                        maxDf: Int = 10): Unit = {
+    val withSh = CacheRegistry.persisted(docs.select(col(idCol).as("id"),
+      graft.functions.TextHashExpressions.word_shingles(
+        TextOps.tokens(col(textCol)), shingleN).as("sh")))
+    withSh.write.mode("overwrite").parquet(path + "/docs")
+    val posting = withSh.select(col("id"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("shingle"))
+    pruneByBucketSize(posting, Seq("shingle"), minDf = 1, maxDf = maxDf)
+      .write.mode("overwrite").parquet(path + "/postings")
+  }
+
+  /** The loaded consume side of [[stageShingleIndex]]. Both tables are
+    * persisted on load: an admission filter probes the SAME index for every
+    * micro-batch, and re-reading parquet per batch would make the stream's
+    * steady-state cost corpus-sized. */
+  final case class ShingleIndex(docs: DataFrame, postings: DataFrame)
+  def loadShingleIndex(spark: SparkSession, path: String): ShingleIndex =
+    ShingleIndex(
+      CacheRegistry.persisted(spark.read.parquet(path + "/docs")),
+      CacheRegistry.persisted(spark.read.parquet(path + "/postings")))
+
+  /** Match `incoming` documents against a staged corpus index:
+    * (doc_id, match_id, jaccard) for every (incoming, corpus) pair with
+    * exact shingle Jaccard ≥ threshold. The probe is the one-sided half of
+    * [[ngramJaccardPairs]]: incoming postings equi-join the index's pruned
+    * posting lists (shuffle keyed on the 8-byte shingle hash, never
+    * incoming × corpus), candidates need ≥ minCommon shared rare shingles,
+    * and only candidates pay the exact intersection verify. */
+  def nearDupMatches(incoming: DataFrame, index: ShingleIndex,
+                     textCol: String = "text", idCol: String = "doc_id",
+                     shingleN: Int = 3, threshold: Double = 0.5,
+                     minCommon: Int = 2): DataFrame = {
+    val inSh = CacheRegistry.persisted(incoming.select(col(idCol).as("id"),
+      graft.functions.TextHashExpressions.word_shingles(
+        TextOps.tokens(col(textCol)), shingleN).as("sh")))
+    val inPost = inSh.select(col("id"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("shingle"))
+    val cand = inPost.as("i")
+      .join(index.postings.as("c"), col("i.shingle") === col("c.shingle"))
+      .groupBy(col("i.id").as("in_id"), col("c.id").as("match_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+      .select("in_id", "match_id")
+    cand
+      .join(inSh.select(col("id").as("in_id"), col("sh").as("sh_i")), Seq("in_id"))
+      .join(index.docs.select(col("id").as("match_id"), col("sh").as("sh_c")), Seq("match_id"))
+      .withColumn("__i", graft.functions.SetExpressions
+        .intersection_size(col("sh_i"), col("sh_c")).cast("double"))
+      .withColumn("jaccard",
+        col("__i") / (size(col("sh_i")) + size(col("sh_c")) - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("in_id").as("doc_id"), col("match_id"), col("jaccard"))
+  }
+
+  /** Admission filter: the `incoming` rows with NO corpus near-match — what
+    * a dedup-at-ingest pipeline admits. Anti-join on the match set, so
+    * schema passes through untouched. */
+  def nearDupFilter(incoming: DataFrame, index: ShingleIndex,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    shingleN: Int = 3, threshold: Double = 0.5,
+                    minCommon: Int = 2): DataFrame =
+    incoming.join(
+      nearDupMatches(incoming, index, textCol, idCol, shingleN, threshold, minCommon)
+        .select(col("doc_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  /** Stage the even-doc_id half of `documents` as the gate's corpus index
+    * once per JVM (same lifecycle + injective naming as [[gatePairsPath]]). */
+  private val stagedIndexOnce = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def gateIndexPath(s: SparkSession, dir: String): String =
+    stagedIndexOnce.computeIfAbsent(dir, d => {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-staged-index-" + d.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "-" + digest + "-" + jvmNonce).toString
+      stageShingleIndex(Tables.documents(s, d).filter(col("doc_id") % 2 === 0), path)
+      path
+    })
+
+  /** SparkEntry query (oracled — hashes appear only as join keys, the
+    * emitted jaccard is exact string-shingle arithmetic, so DuckDB replays
+    * the whole chain on shingle strings): split `documents` by doc_id
+    * parity, stage the even half as the corpus index, and match the odd
+    * half against it — the batch contract [[graft.stream.StreamDedup]]
+    * applies per micro-batch. */
+  def streamFilterQuery(s: SparkSession, d: String): DataFrame =
+    nearDupMatches(
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 1),
+        loadShingleIndex(s, gateIndexPath(s, d)))
+      .select(col("doc_id"), col("match_id"),
+        graft.query.Functions.stableRound(col("jaccard"), 4).as("jaccard"))
+
   // -------------------------------------------------------- dup clustering
 
   /** Near-dup pairs → dup CLUSTERS (the step every real dedup pipeline

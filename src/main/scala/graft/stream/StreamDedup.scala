@@ -1,0 +1,70 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ext.Dedup
+
+/** Online near-dup ADMISSION FILTERING: drop documents arriving on a stream
+  * that near-match an existing corpus, before they ever land in it — the
+  * streaming face of the staged-index lifecycle
+  * ([[graft.ext.Dedup.stageShingleIndex]] builds the corpus pass once;
+  * every micro-batch pays only batch-proportional probe cost).
+  *
+  * Spark shape: `foreachBatch`. The probe ends in a per-candidate-pair
+  * aggregation (shared-shingle counting) and an anti-join — both illegal
+  * mid-stream in append mode without watermark state, and neither is
+  * windowed by event time, so per-micro-batch batch execution is the
+  * correct (and Spark-documented) spelling, exactly like
+  * [[StoreIngest.ingest]]. The index is loaded ONCE at query start and
+  * persisted ([[graft.ext.Dedup.loadShingleIndex]]), so steady-state cost
+  * per batch is the batch's shingling + a thin hash-keyed probe join.
+  *
+  * Index freshness is deliberately decoupled from the stream: admitted
+  * documents do NOT grow the index mid-query (intra-batch mutual dups are
+  * handled by `intraBatch = true`, which additionally runs pair generation
+  * WITHIN the batch and keeps the lowest id per duplicate pair). To absorb
+  * admitted docs, re-stage the index and hot-swap the query (T15) — the
+  * same restart contract as [[StreamAsOf]] dimension refresh.
+  */
+object StreamDedup {
+
+  /** Start the admission filter: survivors of each micro-batch are handed to
+    * `sink`. Returns the running query (caller owns its lifecycle). */
+  def admit(stream: DataFrame, indexPath: String, sink: DataFrame => Unit,
+            queryName: String, textCol: String = "text",
+            idCol: String = "doc_id", shingleN: Int = 3,
+            threshold: Double = 0.5, minCommon: Int = 2,
+            intraBatch: Boolean = false): StreamingQuery = {
+    val spark = stream.sparkSession
+    val index = Dedup.loadShingleIndex(spark, indexPath)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(admitBatch(batch, index, textCol, idCol, shingleN, threshold,
+          minCommon, intraBatch))
+        ()
+      }
+      .queryName(queryName)
+      .start()
+  }
+
+  /** One micro-batch's admission decision — also the batch backfill path
+    * (same contract the `dedup_stream_filter` gate oracles). */
+  def admitBatch(batch: DataFrame, index: Dedup.ShingleIndex,
+                 textCol: String = "text", idCol: String = "doc_id",
+                 shingleN: Int = 3, threshold: Double = 0.5,
+                 minCommon: Int = 2, intraBatch: Boolean = false): DataFrame = {
+    val vsCorpus = Dedup.nearDupFilter(batch, index, textCol, idCol,
+      shingleN, threshold, minCommon)
+    if (!intraBatch) vsCorpus
+    else {
+      import org.apache.spark.sql.functions._
+      // mutual near-dups inside one batch: keep the lowest id of each pair
+      // (pair generation is batch-sized here, not corpus-sized)
+      val dupIds = Dedup.ngramJaccardPairs(vsCorpus, textCol, idCol,
+          shingleN, threshold, minCommon = minCommon)
+        .select(col("id_b").as(idCol)).distinct()
+      vsCorpus.join(dupIds, Seq(idCol), "left_anti")
+    }
+  }
+}

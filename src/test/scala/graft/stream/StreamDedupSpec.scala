@@ -1,0 +1,74 @@
+package graft.stream
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.ext.Dedup
+
+/** Online near-dup admission: staged-index probe semantics in batch, then
+  * the same decisions end-to-end through a real streaming query. */
+class StreamDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep green forest to hide from every hunter"
+  private val nearDup = base.replace("green", "dark") // one token changed
+  private val fresh = "completely different words about spark catalyst " +
+    "optimizer plans shuffles partitions and codegen stages in a cluster"
+  private val freshDup = fresh.replace("cluster", "warehouse")
+
+  private lazy val indexPath = {
+    val p = java.nio.file.Files.createTempDirectory("graft-streamdedup-").toString
+    Dedup.stageShingleIndex(
+      Seq((10L, base), (11L, "soup recipes for a long cold winter evening " +
+        "with bread and cheese and a warm fire burning slowly")).toDF("doc_id", "text"),
+      p)
+    p
+  }
+
+  test("batch: matches hit the staged corpus, filter admits the rest") {
+    val index = Dedup.loadShingleIndex(spark, indexPath)
+    val arrivals = Seq((1L, nearDup), (2L, fresh), (3L, base)).toDF("doc_id", "text")
+    val m = Dedup.nearDupMatches(arrivals, index)
+      .select("doc_id", "match_id").as[(Long, Long)].collect().toSet
+    assert(m == Set((1L, 10L), (3L, 10L)),
+      "exact copy and 1-token edit match corpus doc 10; fresh doc matches nothing")
+    val admitted = Dedup.nearDupFilter(arrivals, index)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(2L))
+  }
+
+  test("batch: intraBatch also collapses mutual dups inside one batch") {
+    val index = Dedup.loadShingleIndex(spark, indexPath)
+    val arrivals = Seq((1L, fresh), (2L, freshDup), (3L, nearDup)).toDF("doc_id", "text")
+    val without = StreamDedup.admitBatch(arrivals, index)
+      .select("doc_id").as[Long].collect().toSet
+    assert(without == Set(1L, 2L), "vs-corpus only: both fresh twins admitted")
+    val withIntra = StreamDedup.admitBatch(arrivals, index, intraBatch = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(withIntra == Set(1L), "intra-batch pair keeps the lowest id")
+  }
+
+  test("streaming: per-micro-batch admission matches the batch contract") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamDedup.admit(
+      in.toDF().toDF("doc_id", "text"), indexPath,
+      batch => admitted.synchronized {
+        admitted ++= batch.select("doc_id").as[Long].collect()
+      },
+      queryName = "admit_test", intraBatch = true)
+    try {
+      in.addData((1L, nearDup), (2L, fresh))
+      q.processAllAvailable()
+      assert(admitted.synchronized(admitted.toSet) == Set(2L),
+        "batch 1: near-dup of corpus dropped, fresh admitted")
+      // batch 2: the index does NOT grow mid-query (documented contract) —
+      // a near-dup of an ADMITTED doc still passes; a corpus dup still drops
+      in.addData((4L, freshDup), (5L, base))
+      q.processAllAvailable()
+      assert(admitted.synchronized(admitted.toSet) == Set(2L, 4L))
+    } finally q.stop()
+  }
+}
