@@ -85,6 +85,8 @@ object SparkEntry {
     "pipeline_clean_corpus" -> (graft.ext.Corpus.cleanCorpusQuery(_, _)),
     // training-mix construction: per-language token budgets
     "corpus_token_mix"      -> (graft.ext.Corpus.tokenBudgetMixQuery(_, _)),
+    // benchmark decontamination: train-vs-eval n-gram overlap
+    "corpus_decontam"       -> (graft.ext.Corpus.decontamQuery(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -592,6 +594,25 @@ object SparkEntry {
          SELECT doc_id, lang, n_tokens, running_tokens FROM cum
          WHERE running_tokens <= CASE lang WHEN 'en' THEN 3000
            WHEN 'es' THEN 1500 WHEN 'de' THEN 500 END""",
+    // corpus_decontam: train-vs-eval shingle overlap — counts and an exact
+    // ratio of small integers, so DuckDB replays on shingle strings
+    "corpus_decontam" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+         ), sh AS (
+           SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_distinct([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
+             END AS sh
+           FROM tok
+         ), eval_set AS (
+           SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 10 = 0
+         ), post AS (
+           SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id % 10 <> 0
+         )
+         SELECT p.doc_id, count(*) AS n_sh, count(e.shingle) AS n_hit,
+           floor(CAST(count(e.shingle) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS contamination
+         FROM post p LEFT JOIN eval_set e ON p.shingle = e.shingle
+         GROUP BY 1""",
     // text_top_terms: all-integer ranking (tf desc, df asc, term asc) —
     // no float idf, so the rank order is engine-exact
     "text_top_terms" ->

@@ -57,6 +57,62 @@ object Corpus {
   def cleanCorpusQuery(s: SparkSession, d: String): DataFrame =
     cleanCorpusStaged(Tables.documents(s, d), Dedup.gatePairsPath(s, d))
 
+  /** Benchmark DECONTAMINATION: per training document, the fraction of its
+    * n-gram shingles that appear anywhere in the eval/benchmark set —
+    * the overlap check every serious pretraining pipeline runs before
+    * training so test sets don't leak into the corpus. Returns
+    * (doc_id, n_sh, n_hit, contamination = n_hit / n_sh).
+    *
+    * Scale shape: the eval side collapses to its DISTINCT shingle-hash
+    * universe — benchmarks are tiny next to a training corpus (millions of
+    * 8-byte hashes ≈ tens of MB), so it broadcasts and the probe join is
+    * shuffle-free; set `broadcastEval = false` for a shuffled equi-join
+    * when the "eval" side is actually corpus-sized (e.g. cross-corpus
+    * overlap audits). A doc's exploded shingles never leave their
+    * partition, so the per-doc count partial-aggregates to one row before
+    * the only shuffle (n_docs rows, keyed by doc id). */
+  def contamination(train: DataFrame, evalDocs: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    shingleN: Int = 3, broadcastEval: Boolean = true): DataFrame = {
+    def shingles(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextHashExpressions.word_shingles(
+        TextOps.tokens(col(textCol)), shingleN)).as("s"))
+    val evalSh = shingles(evalDocs)
+      .select(xxhash64(col("s")).as("shingle")).distinct()
+      .withColumn("__hit", lit(1))
+    val evalSide = if (broadcastEval) broadcast(evalSh) else evalSh
+    shingles(train)
+      .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
+      .join(evalSide, Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), count(col("__hit")).as("n_hit"))
+      .withColumn("contamination", col("n_hit").cast("double") / col("n_sh"))
+  }
+
+  /** The filtering form: training rows whose contamination stays ≤
+    * `maxContamination` (schema passes through via anti-join on the
+    * over-threshold ids). */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    shingleN: Int = 3, maxContamination: Double = 0.2,
+                    broadcastEval: Boolean = true): DataFrame =
+    train.join(
+      contamination(train, evalDocs, textCol, idCol, shingleN, broadcastEval)
+        .filter(col("contamination") > maxContamination)
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
+  /** SparkEntry query (oracled — hashes are join keys only, counts and the
+    * ratio are exact, so DuckDB replays on shingle strings): every 10th
+    * doc_id plays the benchmark set, the rest are the training corpus. */
+  def decontamQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    contamination(docs.filter(col("doc_id") % 10 =!= 0),
+                  docs.filter(col("doc_id") % 10 === 0))
+      .select(col("doc_id"), col("n_sh"), col("n_hit"),
+        graft.query.Functions.stableRound(col("contamination"), 4).as("contamination"))
+  }
+
   /** Training-mix construction: give each language a TOKEN budget and
     * fill it by systematic sampling — docs ordered by a deterministic
     * multiplicative hash of doc_id (a Weyl-style scramble: order-free,

@@ -63,4 +63,29 @@ class CorpusSpec extends SparkSpec {
         org.apache.spark.sql.functions.lit("fr")), Map("en" -> 55L))
     assert(noFr.count() == 0)
   }
+
+  test("contamination: verbatim leak scores 1.0, disjoint 0.0, partial in between") {
+    val evalDocs = Seq((100L, prose)).toDF("doc_id", "text")
+    val half = prose.split(" ").take(18).mkString(" ") + // 16 shingles from prose...
+      " plus some entirely novel trailing words never seen in any benchmark"
+    val train = Seq(
+      (1L, prose),                                       // verbatim copy
+      (2L, half),                                        // leading half leaked
+      (3L, "unrelated content about compilers registers and stack frames " +
+        "emitted by a code generator backend during instruction selection")
+    ).toDF("doc_id", "text")
+    val c = Corpus.contamination(train, evalDocs)
+      .select("doc_id", "contamination").as[(Long, Double)].collect().toMap
+    assert(c(1L) == 1.0, s"verbatim leak must be fully contaminated, got ${c(1L)}")
+    assert(c(3L) == 0.0, s"disjoint doc must be clean, got ${c(3L)}")
+    assert(c(2L) > 0.3 && c(2L) < 0.8, s"partial leak in between, got ${c(2L)}")
+    // the filtering form drops exactly the over-threshold docs
+    val kept = Corpus.decontaminate(train, evalDocs, maxContamination = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+    // shuffled-join fallback is output-identical
+    val cShuffle = Corpus.contamination(train, evalDocs, broadcastEval = false)
+      .select("doc_id", "contamination").as[(Long, Double)].collect().toMap
+    assert(cShuffle == c)
+  }
 }
