@@ -173,6 +173,35 @@ class PlanQualitySpec extends SparkSpec {
     } finally graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("decontamination probe broadcasts the eval universe; two shuffles total") {
+    // the scale contract: the benchmark side collapses + broadcasts, the
+    // training side is probed WITHOUT a shuffle — the only exchanges are
+    // the eval-side distinct and the final per-doc count
+    val docs = graft.core.Tables.documents(spark, sf("sf0.001"))
+    val df = graft.ext.Corpus.contamination(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0))
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval shingle universe must broadcast:\n$plan")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length <= 2,
+      s"eval distinct + per-doc count are the only shuffles:\n$plan")
+  }
+
+  test("admission-filter probe: hash-keyed equi-joins only, never a cartesian") {
+    val docs = graft.core.Tables.documents(spark, sf("sf0.001"))
+    val path = java.nio.file.Files.createTempDirectory("graft-pq-index-").toString
+    graft.ext.Dedup.stageShingleIndex(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0), path)
+    val index = graft.ext.Dedup.loadShingleIndex(spark, path)
+    val plan = executedPlan(graft.ext.Dedup.nearDupMatches(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1), index))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"probe must stay equi-joined:\n$plan")
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("streaming as-of enrichment broadcasts the version arrays") {
     import org.apache.spark.sql.functions._
     val left = spark.range(100).selectExpr("id % 5 AS k", "id AS ts", "id AS v")
