@@ -87,6 +87,8 @@ object SparkEntry {
     "corpus_token_mix"      -> (graft.ext.Corpus.tokenBudgetMixQuery(_, _)),
     // benchmark decontamination: train-vs-eval n-gram overlap
     "corpus_decontam"       -> (graft.ext.Corpus.decontamQuery(_, _)),
+    // sequence packing: fixed-capacity training windows, per-shard offsets
+    "corpus_pack_sequences" -> (graft.ext.Corpus.packSequencesQuery(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -594,6 +596,24 @@ object SparkEntry {
          SELECT doc_id, lang, n_tokens, running_tokens FROM cum
          WHERE running_tokens <= CASE lang WHEN 'en' THEN 3000
            WHEN 'es' THEN 1500 WHEN 'de' THEN 500 END""",
+    // corpus_pack_sequences: all-integer packing arithmetic (Weyl scramble,
+    // per-shard running sums, floor division) — engine-exact by construction
+    "corpus_pack_sequences" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+             ((doc_id % 2147483648) * 2654435761) % 2147483648 AS h
+           FROM documents
+         ), placed AS (
+           SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h ASC, doc_id ASC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok
+           FROM tok
+         )
+         SELECT doc_id, shard, n_tokens, end_tok - n_tokens AS start_tok,
+           CAST(floor((end_tok - n_tokens) / 512) AS BIGINT) AS first_seq,
+           CAST(floor((end_tok - 1) / 512) AS BIGINT) AS last_seq
+         FROM placed""",
     // corpus_decontam: train-vs-eval shingle overlap — counts and an exact
     // ratio of small integers, so DuckDB replays on shingle strings
     "corpus_decontam" ->

@@ -159,4 +159,45 @@ object Corpus {
   def tokenBudgetMixQuery(s: SparkSession, d: String): DataFrame =
     tokenBudgetMix(Tables.documents(s, d),
       Map("en" -> 3000L, "es" -> 1500L, "de" -> 500L))
+
+  /** Sequence PACKING: place every document into fixed-capacity training
+    * sequences — docs are concatenated in a deterministic scrambled order
+    * and chunked into consecutive `seqLen`-token windows, so a doc may
+    * straddle a window boundary (GPT-style pretraining packing; the
+    * tokenizer shard that follows only needs each doc's token offset).
+    * Returns (doc_id, shard, n_tokens, start_tok, first_seq, last_seq):
+    * `start_tok` is the doc's offset in its shard's token stream,
+    * `first_seq`/`last_seq` the window ids its tokens land in.
+    *
+    * Scale shape: packing is per-SHARD (shard = scramble mod `shards`), so
+    * the running-offset window sorts `n/shards` docs at a time instead of
+    * globally — shards are independent training streams, exactly how
+    * multi-worker loaders consume them. The scramble is the same
+    * engine-exact Weyl multiplier as [[tokenBudgetMix]] (no seeded RNG, no
+    * partition-order dependence); all arithmetic is integer, so placements
+    * replay bit-exactly anywhere. */
+  def packSequences(docs: DataFrame, seqLen: Long, shards: Int = 64): DataFrame = {
+    require(seqLen > 0, "packSequences: seqLen must be positive")
+    require(shards > 0, "packSequences: shards must be positive")
+    val scramble =
+      (pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L)) % lit(2147483648L)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shard")
+      .orderBy(col("__h").asc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        scramble.as("__h"))
+      .withColumn("shard", (col("__h") % shards).cast("int"))
+      .withColumn("end_tok", sum(col("n_tokens")).over(w))
+      .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+      .withColumn("first_seq", floor(col("start_tok") / seqLen).cast("long"))
+      .withColumn("last_seq", floor((col("end_tok") - 1) / seqLen).cast("long"))
+      .select("doc_id", "shard", "n_tokens", "start_tok", "first_seq", "last_seq")
+  }
+
+  /** SparkEntry query (oracled): pack the corpus into 512-token sequences
+    * across 8 shards. */
+  def packSequencesQuery(s: SparkSession, d: String): DataFrame =
+    packSequences(Tables.documents(s, d), seqLen = 512L, shards = 8)
 }

@@ -64,6 +64,32 @@ class CorpusSpec extends SparkSpec {
     assert(noFr.count() == 0)
   }
 
+  test("packSequences: contiguous per-shard token streams, exact window ids") {
+    val docs = (1L to 200L).map { i =>
+      (i, Seq.fill((i % 37 + 1).toInt)("w").mkString(" ")) // 1..37 tokens
+    }.toDF("doc_id", "text")
+    val packed = Corpus.packSequences(docs, seqLen = 50L, shards = 4)
+      .as[(Long, Int, Long, Long, Long, Long)].collect()
+    assert(packed.length == 200, "every doc is placed")
+    // per shard: offsets tile the token stream with no gaps or overlaps
+    packed.groupBy(_._2).foreach { case (shard, ds) =>
+      val sorted = ds.sortBy(_._4)
+      sorted.foldLeft(0L) { case (expectStart, (_, _, n, start, first, last)) =>
+        assert(start == expectStart, s"shard $shard: gap at token $expectStart")
+        assert(first == start / 50 && last == (start + n - 1) / 50,
+          s"shard $shard: window ids must follow from offsets")
+        start + n
+      }
+    }
+    // a doc longer than seqLen must straddle windows
+    val long37 = packed.filter(_._3 == 37L)
+    assert(long37.nonEmpty)
+    // deterministic: same input → identical placement
+    val again = Corpus.packSequences(docs, seqLen = 50L, shards = 4)
+      .as[(Long, Int, Long, Long, Long, Long)].collect()
+    assert(again.toSet == packed.toSet)
+  }
+
   test("contamination: verbatim leak scores 1.0, disjoint 0.0, partial in between") {
     val evalDocs = Seq((100L, prose)).toDF("doc_id", "text")
     val half = prose.split(" ").take(18).mkString(" ") + // 16 shingles from prose...
