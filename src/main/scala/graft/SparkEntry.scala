@@ -80,6 +80,7 @@ object SparkEntry {
     "text_quality"        -> (TextOps.textQualityQuery(_, _)),
     "text_repetition"     -> (TextOps.textRepetitionQuery(_, _)),
     "text_top_terms"      -> (TextOps.textTopTermsQuery(_, _)),
+    "text_scrub_pii"      -> (TextOps.scrubPiiQuery(_, _)),
     "multimodal_pipeline" -> (graft.ext.Multimodal.multimodalQuery(_, _)),
     // north-star composition: dedup clusters + repetition + quality
     "pipeline_clean_corpus" -> (graft.ext.Corpus.cleanCorpusQuery(_, _)),
@@ -596,6 +597,25 @@ object SparkEntry {
          SELECT doc_id, lang, n_tokens, running_tokens FROM cum
          WHERE running_tokens <= CASE lang WHEN 'en' THEN 3000
            WHEN 'es' THEN 1500 WHEN 'de' THEN 500 END""",
+    // text_scrub_pii: patterns restricted to the Java-regex ∩ RE2 dialect
+    // (TextOps.piiPatterns) — counts on raw text, sequential replacement
+    "text_scrub_pii" ->
+      """WITH planted AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0 THEN ' from host 192.168.1.77' ELSE '' END ||
+             CASE WHEN doc_id % 13 = 0 THEN ' call 555-867-5309 now' ELSE '' END AS text
+           FROM documents
+         )
+         SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+           len(regexp_extract_all(text, '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g') AS text_clean
+         FROM planted""",
     // corpus_pack_sequences: all-integer packing arithmetic (Weyl scramble,
     // per-shard running sums, floor division) — engine-exact by construction
     "corpus_pack_sequences" ->

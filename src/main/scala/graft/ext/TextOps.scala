@@ -213,6 +213,53 @@ object TextOps {
 
   /** quality + language-ID + fingerprint panel (rows-only check: the exact
     * heuristics are engine-specific; ScalaTest pins their behavior). */
+  /** PII patterns shared by the scrubber and its oracle: (name, regex,
+    * replacement). Deliberately restricted to the Java-regex ∩ RE2 dialect
+    * (no alternation, no backreferences, no lookaround) so the SAME
+    * pattern string runs identically under Spark's codegen'd
+    * `regexp_replace` and DuckDB — leftmost-greedy matches agree when the
+    * pattern has a single deterministic shape. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip",    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b",                "<PHONE>"))
+
+  /** PII scrubbing — the redaction pass every public-web training corpus
+    * runs (emails, IPs, phone-shaped digit runs → typed placeholder
+    * tokens). Adds `n_<class>` match counts (on the ORIGINAL text, per
+    * pattern) and `text_clean` (patterns replaced in [[piiPatterns]]
+    * order: emails first so an address whose domain is dotted-decimal is
+    * redacted as an email, not an IP).
+    *
+    * Scale shape: stateless per-row regex projection — shuffle-free,
+    * whole-stage codegen'd, and legal unchanged mid-stream (a topology
+    * map stage), unlike anything aggregating. */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counted = piiPatterns.foldLeft(docs) { case (df, (name, pat, _)) =>
+      df.withColumn(s"n_${name}s",
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long"))
+    }
+    counted.withColumn("text_clean",
+      piiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, repl)) =>
+        regexp_replace(c, pat, repl)
+      })
+  }
+
+  /** SparkEntry query (oracled): fixture text carries no PII, so the gate
+    * PLANTS deterministic addresses/hosts/numbers on a doc_id grid before
+    * scrubbing — every pattern class is exercised, and DuckDB replants and
+    * rescrubs identically (shared dialect-safe patterns). */
+  def scrubPiiQuery(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" from host 192.168.1.77")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" call 555-867-5309 now")).otherwise(lit("")))
+        .as("text"))
+    scrubPii(planted).select("doc_id", "n_emails", "n_ips", "n_phones", "text_clean")
+  }
+
   def textAnalysisQuery(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(

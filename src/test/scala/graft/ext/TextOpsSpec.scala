@@ -96,4 +96,29 @@ class TextOpsSpec extends SparkSpec {
     assert(got(4L) == ((4L, 0.25, Some(1.0), Some(1.0))),
       "degenerate loop maxes every signal")
   }
+
+  test("scrubPii redacts emails, IPs, and phones; counts on raw text") {
+    val df = Seq(
+      (1L, "mail a.b+c@sub.example.org or x@y.io today"),
+      (2L, "server 10.0.0.1 talked to 192.168.001.255 fine"),
+      (3L, "call 555-123-4567 or 555 987 6543 soon"),
+      (4L, "user@10.0.0.1.net has a dotted mail domain"), // email wins over IP
+      (5L, "no personal data in this row at all"),
+      (6L, "version 1.2.3 of lib4 is not an ip or phone")
+    ).toDF("doc_id", "text")
+    val got = TextOps.scrubPii(df)
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "text_clean")
+      .as[(Long, Long, Long, Long, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 2 && got(1L)._5 == "mail <EMAIL> or <EMAIL> today")
+    assert(got(2L)._3 == 2 && got(2L)._5 == "server <IP> talked to <IP> fine")
+    assert(got(3L)._4 == 2 && got(3L)._5 == "call <PHONE> or <PHONE> soon")
+    assert(got(4L)._5 == "<EMAIL> has a dotted mail domain",
+      "email pattern must consume the dotted-decimal domain before the IP pass")
+    assert(got(4L)._3 == 1, "counts are per-pattern on RAW text: the IP is " +
+      "counted even though the email replacement consumed it")
+    assert(got(5L) == ((5L, 0L, 0L, 0L, "no personal data in this row at all")))
+    assert(got(6L) == ((6L, 0L, 0L, 0L, "version 1.2.3 of lib4 is not an ip or phone")),
+      "semver and short digit runs are not PII")
+  }
 }
