@@ -90,6 +90,8 @@ object SparkEntry {
     "corpus_decontam"       -> (graft.ext.Corpus.decontamQuery(_, _)),
     // sequence packing: fixed-capacity training windows, per-shard offsets
     "corpus_pack_sequences" -> (graft.ext.Corpus.packSequencesQuery(_, _)),
+    // per-language data-card summary (integer-exact)
+    "corpus_stats_report"   -> (graft.ext.Corpus.statsReportQuery(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -597,6 +599,32 @@ object SparkEntry {
          SELECT doc_id, lang, n_tokens, running_tokens FROM cum
          WHERE running_tokens <= CASE lang WHEN 'en' THEN 3000
            WHEN 'es' THEN 1500 WHEN 'de' THEN 500 END""",
+    // corpus_stats_report: integer-exact data card (counts, token totals,
+    // dup mass over normalized text, Σ round(quality·1e4) as BIGINT — no
+    // float mean to disagree on); quality spelling shared with text_quality
+    "corpus_stats_report" ->
+      """WITH tok AS (
+           SELECT doc_id, lang, text, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+         ), feat AS (
+           SELECT lang, text, CAST(len(t) AS BIGINT) AS n_tokens,
+             least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+             1.0 - least(CAST(len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+                         / greatest(len(text), 1) * 5.0, 1.0) AS punct_score,
+             CAST(len(list_filter(t, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','this','that'], x))) AS DOUBLE)
+               / greatest(len(t), 1) AS swr,
+             CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / greatest(len(t), 1) AS mwl
+           FROM tok
+         )
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           count(DISTINCT trim(lower(text))) AS distinct_texts,
+           CAST(sum(CAST(floor(
+                 floor(((len_score + punct_score
+                 + (1.0 - least(abs(swr - 0.4) * 2.0, 1.0))
+                 + (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0))) / 4.0) * 1e6 + 0.5) / 1e6
+                 * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS quality_mass_4dp,
+           count(*) - count(DISTINCT trim(lower(text))) AS dup_docs
+         FROM feat GROUP BY lang""",
     // text_scrub_pii: patterns restricted to the Java-regex ∩ RE2 dialect
     // (TextOps.piiPatterns) — counts on raw text, sequential replacement
     "text_scrub_pii" ->

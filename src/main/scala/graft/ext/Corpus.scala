@@ -200,4 +200,34 @@ object Corpus {
     * across 8 shards. */
   def packSequencesQuery(s: SparkSession, d: String): DataFrame =
     packSequences(Tables.documents(s, d), seqLen = 512L, shards = 8)
+
+  /** Data-card SUMMARY: the per-language corpus report published alongside
+    * a training set — doc counts, token totals, exact-dup mass, and an
+    * integer quality total. One grouped aggregation (map-side partials),
+    * with the dup count over 8-byte fingerprints rather than full texts so
+    * the distinct shuffle carries hashes, not documents.
+    *
+    * `quality_mass_4dp` is Σ round(quality·10⁴) as a BIGINT — the consumer
+    * divides by `n_docs` for the mean. Emitting the integer mass instead
+    * of a float mean keeps the report engine-exact (no float-summation
+    * order or terminal-rounding ulp to disagree on). */
+  def statsReport(docs: DataFrame, textCol: String = "text",
+                  langCol: String = "lang"): DataFrame =
+    docs.groupBy(col(langCol).as("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col(textCol)).cast("long")).as("total_tokens"),
+        countDistinct(TextOps.fingerprint(col(textCol))).as("distinct_texts"),
+        // round quality at 1e-6 FIRST (the granularity text_quality proves
+        // engine-identical — raw doubles can differ by 1 ulp and flip a
+        // direct 1e4 rounding), then scale: every later op sees the same
+        // double in both engines, so the sum is exact
+        sum(floor(graft.query.Functions.stableRound(
+            TextOps.qualityScore(col(textCol)), 6) * 1e4 + lit(0.5)).cast("long"))
+          .as("quality_mass_4dp"))
+      .withColumn("dup_docs", col("n_docs") - col("distinct_texts"))
+
+  /** SparkEntry query (oracled): the data card of the fixture corpus. */
+  def statsReportQuery(s: SparkSession, d: String): DataFrame =
+    statsReport(Tables.documents(s, d))
 }

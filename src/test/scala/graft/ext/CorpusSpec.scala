@@ -90,6 +90,29 @@ class CorpusSpec extends SparkSpec {
     assert(again.toSet == packed.toSet)
   }
 
+  test("statsReport: counts, token totals, dup mass, and quality mass per language") {
+    val docs = Seq(
+      (1L, prose, "en"),
+      (2L, prose, "en"),                       // exact dup of 1 (same lang)
+      (3L, "Three More Words", "en"),          // normalizes; 3 tokens
+      (4L, "palabras distintas aquí para la prueba", "es")
+    ).toDF("doc_id", "text", "lang")
+    val got = Corpus.statsReport(docs)
+      .select("lang", "n_docs", "total_tokens", "distinct_texts", "dup_docs", "quality_mass_4dp")
+      .as[(String, Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val proseTokens = prose.split(" ").length.toLong
+    assert(got("en")._2 == 3 && got("en")._3 == 2 * proseTokens + 3)
+    assert(got("en")._4 == 2 && got("en")._5 == 1, "one exact-dup doc in en")
+    assert(got("es") == (("es", 1L, 6L, 1L, 0L, got("es")._6)))
+    // quality mass = Σ round(quality·1e4): cross-check against the per-doc op
+    val perDoc = docs.filter($"lang" === "en")
+      .select(org.apache.spark.sql.functions.floor(
+        graft.query.Functions.stableRound(
+          TextOps.qualityScore($"text"), 6) * 1e4 + 0.5).cast("long"))
+      .as[Long].collect().sum
+    assert(got("en")._6 == perDoc)
+  }
+
   test("contamination: verbatim leak scores 1.0, disjoint 0.0, partial in between") {
     val evalDocs = Seq((100L, prose)).toDF("doc_id", "text")
     val half = prose.split(" ").take(18).mkString(" ") + // 16 shingles from prose...
