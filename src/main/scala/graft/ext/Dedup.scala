@@ -300,12 +300,16 @@ object Dedup {
   def stageShingleIndex(docs: DataFrame, path: String, textCol: String = "text",
                         idCol: String = "doc_id", shingleN: Int = 3,
                         maxDf: Int = 10): Unit = {
+    // the index stores HASHED shingle sets (array<long>), not strings: the
+    // docs table is ~3× smaller on disk and in cache, and the verify join
+    // shuffles 8-byte elements — Jaccard over hashed sets equals Jaccard
+    // over string sets unless two distinct shingles of ONE pair collide in
+    // xxhash64 (~2⁻⁶⁴ per pair; the same argument the posting join makes)
     val withSh = CacheRegistry.persisted(docs.select(col(idCol).as("id"),
-      graft.functions.TextHashExpressions.word_shingles(
-        TextOps.tokens(col(textCol)), shingleN).as("sh")))
+      transform(graft.functions.TextHashExpressions.word_shingles(
+        TextOps.tokens(col(textCol)), shingleN), s => xxhash64(s)).as("sh")))
     withSh.write.mode("overwrite").parquet(path + "/docs")
-    val posting = withSh.select(col("id"),
-      explode(transform(col("sh"), s => xxhash64(s))).as("shingle"))
+    val posting = withSh.select(col("id"), explode(col("sh")).as("shingle"))
     pruneByBucketSize(posting, Seq("shingle"), minDf = 1, maxDf = maxDf)
       .write.mode("overwrite").parquet(path + "/postings")
   }
@@ -320,6 +324,26 @@ object Dedup {
       CacheRegistry.persisted(spark.read.parquet(path + "/docs")),
       CacheRegistry.persisted(spark.read.parquet(path + "/postings")))
 
+  /** [[loadShingleIndex]], pinned RESIDENT for the JVM: the index an
+    * admission filter probes on every micro-batch is meant to outlive
+    * per-query cache hygiene (`CacheRegistry.unpersistAll` between
+    * requests), so its blocks persist outside the registry and are
+    * released only by [[releaseShingleIndex]]. Load is paid once per
+    * (JVM, path); every later probe starts from cached blocks. */
+  private val residentIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, ShingleIndex]()
+  def residentShingleIndex(spark: SparkSession, path: String): ShingleIndex =
+    residentIndexes.computeIfAbsent(path, p => ShingleIndex(
+      spark.read.parquet(p + "/docs").persist(),
+      spark.read.parquet(p + "/postings").persist()))
+  def releaseShingleIndex(path: String): Unit = {
+    val idx = residentIndexes.remove(path)
+    if (idx != null) {
+      idx.docs.unpersist(blocking = false)
+      idx.postings.unpersist(blocking = false)
+    }
+  }
+
   /** Match `incoming` documents against a staged corpus index:
     * (doc_id, match_id, jaccard) for every (incoming, corpus) pair with
     * exact shingle Jaccard ≥ threshold. The probe is the one-sided half of
@@ -332,10 +356,9 @@ object Dedup {
                      shingleN: Int = 3, threshold: Double = 0.5,
                      minCommon: Int = 2): DataFrame = {
     val inSh = CacheRegistry.persisted(incoming.select(col(idCol).as("id"),
-      graft.functions.TextHashExpressions.word_shingles(
-        TextOps.tokens(col(textCol)), shingleN).as("sh")))
-    val inPost = inSh.select(col("id"),
-      explode(transform(col("sh"), s => xxhash64(s))).as("shingle"))
+      transform(graft.functions.TextHashExpressions.word_shingles(
+        TextOps.tokens(col(textCol)), shingleN), s => xxhash64(s)).as("sh")))
+    val inPost = inSh.select(col("id"), explode(col("sh")).as("shingle"))
     val cand = inPost.as("i")
       .join(index.postings.as("c"), col("i.shingle") === col("c.shingle"))
       .groupBy(col("i.id").as("in_id"), col("c.id").as("match_id"))
@@ -388,7 +411,7 @@ object Dedup {
   def streamFilterQuery(s: SparkSession, d: String): DataFrame =
     nearDupMatches(
         Tables.documents(s, d).filter(col("doc_id") % 2 === 1),
-        loadShingleIndex(s, gateIndexPath(s, d)))
+        residentShingleIndex(s, gateIndexPath(s, d)))
       .select(col("doc_id"), col("match_id"),
         graft.query.Functions.stableRound(col("jaccard"), 4).as("jaccard"))
 

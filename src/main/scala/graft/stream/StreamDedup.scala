@@ -37,7 +37,10 @@ object StreamDedup {
             threshold: Double = 0.5, minCommon: Int = 2,
             intraBatch: Boolean = false): StreamingQuery = {
     val spark = stream.sparkSession
-    val index = Dedup.loadShingleIndex(spark, indexPath)
+    // resident: survives mid-stream cache hygiene and makes hot-swap
+    // restarts against the same index warm-start (release explicitly via
+    // Dedup.releaseShingleIndex when retiring the index version)
+    val index = Dedup.residentShingleIndex(spark, indexPath)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(admitBatch(batch, index, textCol, idCol, shingleN, threshold,
