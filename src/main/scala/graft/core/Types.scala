@@ -80,6 +80,12 @@ object OpSpec {
     * join family for topology nodes. */
   final case class AsOfEnrich(dimPath: String, key: String, eventTs: String,
                               dimTs: String, carry: Seq[String]) extends OpSpec
+
+  /** PII scrubbing on a text column (graft.ext.TextOps.scrubPii): adds
+    * per-class match counts and `text_clean` with typed placeholders.
+    * Stateless per-row projection — the redaction-at-ingest stage of a
+    * training-data stream. */
+  final case class ScrubPii(textCol: String) extends OpSpec
 }
 
 /** Buffer policy for a stream node (T7-T9,

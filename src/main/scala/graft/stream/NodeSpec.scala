@@ -24,7 +24,8 @@ import graft.core.{BufferSpec, NodeName, OpSpec, StreamNode}
   *                                 "aggs": ["count(*) AS n", …]}} |
   *                 {"asofEnrich": {"dim": "<parquet path>", "key": "k",
   *                                 "eventTs": "ts", "dimTs": "vts",
-  *                                 "carry": ["price", …]}},
+  *                                 "carry": ["price", …]}} |
+  *                 {"scrubPii": "<text column>"},
   *   "errorSink": "kafka/errors", "format": "json" | "edn" }
   * ```
   * Replaces the reference's eval of Clojure transducer strings with a
@@ -75,6 +76,8 @@ object NodeSpec {
           // groupBy would deploy a node whose query dies at start
           keys <- (w \ "groupBy").extractOpt[Seq[String]] if keys.nonEmpty
         } yield OpSpec.SessionAgg(ts, gap, wm, keys, aggs)
+      case m if m.contains("scrubPii") =>
+        m("scrubPii").extractOpt[String].map(OpSpec.ScrubPii)
       case m if m.contains("asofEnrich") =>
         val a = m("asofEnrich")
         for {
@@ -157,6 +160,7 @@ object NodeSpec {
           "dim" -> JString(dim), "key" -> JString(key),
           "eventTs" -> JString(ets), "dimTs" -> JString(dts),
           "carry" -> JArray(carry.map(JString(_)).toList)))
+      case OpSpec.ScrubPii(tc) => JObject("scrubPii" -> JString(tc))
     }
     val buf: Option[JValue] = n.buffer.map {
       case BufferSpec.Fixed(x) => JInt(x)

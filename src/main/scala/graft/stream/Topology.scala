@@ -168,6 +168,7 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
       df.withWatermark(ts, wm)
         .groupBy(session_window(col(ts), gap).as("session") +: keys.map(col): _*)
         .agg(aggCols.head, aggCols.tail: _*)
+    case OpSpec.ScrubPii(tc) => graft.ext.TextOps.scrubPii(df, tc)
   }
 
   /** Per-topic serde (S10): the reference selects Edn/Json serializers per
