@@ -313,14 +313,14 @@ object SparkEntry {
              END AS sh
            FROM tok
          ), posting AS (
-           SELECT doc_id, unnest(sh) AS shingle FROM sh
+           SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM sh
          ), rare AS (
            SELECT shingle FROM posting GROUP BY shingle HAVING count(*) BETWEEN 2 AND 10
          ), cand AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b
            FROM posting a JOIN rare USING (shingle) JOIN posting b USING (shingle)
            WHERE a.doc_id < b.doc_id
-           GROUP BY 1, 2 HAVING count(*) >= 2
+           GROUP BY 1, 2 HAVING count(*) >= least(2, min(a.n), min(b.n))
          )
          SELECT id_a, id_b, floor(j * 1e4 + 0.5) / 1e4 AS jaccard FROM (
            SELECT c.id_a, c.id_b,
@@ -343,15 +343,15 @@ object SparkEntry {
          ), corpus AS (SELECT * FROM sh WHERE doc_id % 2 = 0
          ), arriving AS (SELECT * FROM sh WHERE doc_id % 2 = 1
          ), cpost AS (
-           SELECT doc_id, unnest(sh) AS shingle FROM corpus
+           SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM corpus
          ), kept AS (
            SELECT shingle FROM cpost GROUP BY shingle HAVING count(*) <= 10
          ), ipost AS (
-           SELECT doc_id, unnest(sh) AS shingle FROM arriving
+           SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM arriving
          ), cand AS (
            SELECT i.doc_id AS in_id, c.doc_id AS match_id
            FROM ipost i JOIN kept USING (shingle) JOIN cpost c USING (shingle)
-           GROUP BY 1, 2 HAVING count(*) >= 2
+           GROUP BY 1, 2 HAVING count(*) >= least(2, min(i.n), min(c.n))
          )
          SELECT in_id AS doc_id, match_id, floor(j * 1e4 + 0.5) / 1e4 AS jaccard FROM (
            SELECT c.in_id, c.match_id,
@@ -372,14 +372,14 @@ object SparkEntry {
              END AS sh
            FROM tok
          ), posting AS (
-           SELECT doc_id, unnest(sh) AS shingle FROM sh
+           SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM sh
          ), rare AS (
            SELECT shingle FROM posting GROUP BY shingle HAVING count(*) BETWEEN 2 AND 10
          ), cand AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b
            FROM posting a JOIN rare USING (shingle) JOIN posting b USING (shingle)
            WHERE a.doc_id < b.doc_id
-           GROUP BY 1, 2 HAVING count(*) >= 2
+           GROUP BY 1, 2 HAVING count(*) >= least(2, min(a.n), min(b.n))
          ), pairs AS (
            SELECT c.id_a, c.id_b
            FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
@@ -514,14 +514,14 @@ object SparkEntry {
              END AS sh
            FROM tok
          ), posting AS (
-           SELECT doc_id, unnest(sh) AS shingle FROM sh
+           SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM sh
          ), rare AS (
            SELECT shingle FROM posting GROUP BY shingle HAVING count(*) BETWEEN 2 AND 10
          ), cand AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b
            FROM posting a JOIN rare USING (shingle) JOIN posting b USING (shingle)
            WHERE a.doc_id < b.doc_id
-           GROUP BY 1, 2 HAVING count(*) >= 2
+           GROUP BY 1, 2 HAVING count(*) >= least(2, min(a.n), min(b.n))
          ), pairs AS (
            SELECT c.id_a, c.id_b
            FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b

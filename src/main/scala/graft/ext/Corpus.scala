@@ -218,12 +218,11 @@ object Corpus {
         count(lit(1)).as("n_docs"),
         sum(TextOps.tokenCount(col(textCol)).cast("long")).as("total_tokens"),
         countDistinct(TextOps.fingerprint(col(textCol))).as("distinct_texts"),
-        // round quality at 1e-6 FIRST (the granularity text_quality proves
-        // engine-identical — raw doubles can differ by 1 ulp and flip a
-        // direct 1e4 rounding), then scale: every later op sees the same
-        // double in both engines, so the sum is exact
-        sum(floor(graft.query.Functions.stableRound(
-            TextOps.qualityScore(col(textCol)), 6) * 1e4 + lit(0.5)).cast("long"))
+        // qualityScore is already 1e-6-rounded internally (the granularity
+        // text_quality proves engine-identical; raw doubles can differ by
+        // 1 ulp and flip a direct 1e4 rounding) — the oracle mirrors that
+        // inner floor(q·1e6+0.5)/1e6 before scaling, so the sum is exact
+        sum(floor(TextOps.qualityScore(col(textCol)) * 1e4 + lit(0.5)).cast("long"))
           .as("quality_mass_4dp"))
       .withColumn("dup_docs", col("n_docs") - col("distinct_texts"))
 

@@ -204,19 +204,23 @@ object Dedup {
     // text (hash collisions would need two distinct shingles in one corpus
     // to share an xxhash64 — ~2⁻⁶⁴ per pair, immaterial even at 100 TB;
     // exact verification below still runs on the true shingle sets)
-    val posting = withSh.select(col("id"),
+    val posting = withSh.select(col("id"), size(col("sh")).as("n"),
       explode(transform(col("sh"), s => xxhash64(s))).as("shingle"))
     val pruned = pruneByBucketSize(posting, Seq("shingle"), minDf = 2, maxDf = maxDf)
     // Candidate pairs ranked by how many rare shingles they share: a true
     // near-dup shares many, an incidental vocabulary collision shares one
     // or two — requiring `minCommon` slashes the verify-join fan-in without
     // touching recall at any meaningful threshold (a pair at jaccard ≥ 0.5
-    // over ≥ (2·minCommon/(1-maxDf/n))-shingle docs shares far more).
+    // over ≥ (2·minCommon/(1-maxDf/n))-shingle docs shares far more). The
+    // threshold is capped at each side's OWN shingle count: a ≤3-token doc
+    // has exactly one shingle, so a flat `>= 2` would silently exempt
+    // short-doc duplicates from pairing entirely.
     val cand = pruned.as("a").join(pruned.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .filter(col("n_common") >= minCommon)
+      .agg(count(lit(1)).as("n_common"),
+        min(col("a.n")).as("__na"), min(col("b.n")).as("__nb"))
+      .filter(col("n_common") >= least(lit(minCommon), col("__na"), col("__nb")))
       .select("id_a", "id_b")
     cand
       .join(withSh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
@@ -259,27 +263,35 @@ object Dedup {
   def dedupClustersStaged(spark: SparkSession, path: String): DataFrame =
     dedupClusters(stagedPairs(spark, path))
 
-  /** Stage the default-parameter pair artifact for `dir` once per JVM and
-    * return its path: the gate queries that share pairs (`dedup_clusters`,
-    * `pipeline_clean_corpus`) consume ONE pair-generation pass, exactly as
-    * a production pipeline reuses the staged table. Re-staged on first use
-    * in each JVM, so it can never serve stale pairs across driver runs. */
-  private val stagedOnce = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  def gatePairsPath(s: SparkSession, dir: String): String =
-    stagedOnce.computeIfAbsent(dir, d => {
-      // the sanitized name alone is non-injective ('/data/a_b' and
-      // '/data/a/b' collide — the same collision class the injective
-      // checkpoint escape fixes in StreamManager), so the RAW dir rides
-      // along as a hash; the per-JVM nonce keeps two concurrent gate JVMs
-      // on one host from overwriting each other's artifact mid-read
+  /** Injective once-per-JVM tmp path for a staged gate artifact of `dir`:
+    * the sanitized name alone is non-injective ('/data/a_b' and
+    * '/data/a/b' collide — the same collision class the injective
+    * checkpoint escape fixes in StreamManager), so the RAW dir rides
+    * along as a hash; the per-JVM nonce keeps two concurrent gate JVMs
+    * on one host from overwriting each other's artifact mid-read. The
+    * stage thunk runs on first use in each JVM, so a path can never serve
+    * stale artifacts across driver runs. */
+  private def stagedArtifactPath(cache: java.util.concurrent.ConcurrentHashMap[String, String],
+                                 prefix: String, dir: String)
+                                (stage: String => Unit): String =
+    cache.computeIfAbsent(dir, d => {
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-staged-pairs-" + d.replaceAll("[^A-Za-z0-9._-]", "_") +
+        prefix + "-" + d.replaceAll("[^A-Za-z0-9._-]", "_") +
           "-" + digest + "-" + jvmNonce).toString
-      stagePairs(Tables.documents(s, d), path)
+      stage(path)
       path
     })
+
+  /** Stage the default-parameter pair artifact for `dir` once per JVM and
+    * return its path: the gate queries that share pairs (`dedup_clusters`,
+    * `pipeline_clean_corpus`) consume ONE pair-generation pass, exactly as
+    * a production pipeline reuses the staged table. */
+  private val stagedOnce = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def gatePairsPath(s: SparkSession, dir: String): String =
+    stagedArtifactPath(stagedOnce, "graft-staged-pairs", dir)(
+      stagePairs(Tables.documents(s, dir), _))
   private lazy val jvmNonce: String =
     java.lang.Long.toHexString(java.lang.ProcessHandle.current().pid())
 
@@ -309,9 +321,16 @@ object Dedup {
       transform(graft.functions.TextHashExpressions.word_shingles(
         TextOps.tokens(col(textCol)), shingleN), s => xxhash64(s)).as("sh")))
     withSh.write.mode("overwrite").parquet(path + "/docs")
-    val posting = withSh.select(col("id"), explode(col("sh")).as("shingle"))
+    // postings carry the owning doc's shingle count so the probe can cap
+    // its minCommon threshold per pair without a third join
+    val posting = withSh.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("shingle"))
     pruneByBucketSize(posting, Seq("shingle"), minDf = 1, maxDf = maxDf)
       .write.mode("overwrite").parquet(path + "/postings")
+    // an overwrite at a path that is pinned resident must not leave stale
+    // blocks serving the pre-restage files (the hot-swap flow re-stages,
+    // then restarts the consuming query, which re-pins fresh)
+    releaseShingleIndex(path)
   }
 
   /** The loaded consume side of [[stageShingleIndex]]. Both tables are
@@ -331,39 +350,70 @@ object Dedup {
     * released only by [[releaseShingleIndex]]. Load is paid once per
     * (JVM, path); every later probe starts from cached blocks. */
   private val residentIndexes =
-    new java.util.concurrent.ConcurrentHashMap[String, ShingleIndex]()
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, ShingleIndex)]()
   def residentShingleIndex(spark: SparkSession, path: String): ShingleIndex =
-    residentIndexes.computeIfAbsent(path, p => ShingleIndex(
-      spark.read.parquet(p + "/docs").persist(),
-      spark.read.parquet(p + "/postings").persist()))
+    residentIndexes.compute(path, (p, cur) => {
+      // a cached entry is only valid for the session that built it: the
+      // cache key is a path, but the cached DataFrames are session-bound,
+      // and serving session A's plans to session B (or to anyone after A
+      // stopped) fails at execution time
+      if (cur != null && (cur._1 eq spark) && !spark.sparkContext.isStopped) cur
+      else {
+        if (cur != null) unpin(cur._2)
+        (spark, ShingleIndex(
+          spark.read.parquet(p + "/docs").persist(),
+          spark.read.parquet(p + "/postings").persist()))
+      }
+    })._2
   def releaseShingleIndex(path: String): Unit = {
-    val idx = residentIndexes.remove(path)
-    if (idx != null) {
+    val cur = residentIndexes.remove(path)
+    if (cur != null) unpin(cur._2)
+  }
+  private def unpin(idx: ShingleIndex): Unit =
+    try {
       idx.docs.unpersist(blocking = false)
       idx.postings.unpersist(blocking = false)
-    }
-  }
+    } catch { case _: Exception => () } // owning session may be stopped
+
+  /** The hashed per-doc shingle-set projection shared by every admission
+    * path: (id, sh: array<long>). Callers persist it themselves (it always
+    * feeds at least two consumers). */
+  private[graft] def hashedShingles(df: DataFrame, textCol: String,
+                                    idCol: String, shingleN: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      transform(graft.functions.TextHashExpressions.word_shingles(
+        TextOps.tokens(col(textCol)), shingleN), s => xxhash64(s)).as("sh"))
 
   /** Match `incoming` documents against a staged corpus index:
     * (doc_id, match_id, jaccard) for every (incoming, corpus) pair with
     * exact shingle Jaccard ≥ threshold. The probe is the one-sided half of
     * [[ngramJaccardPairs]]: incoming postings equi-join the index's pruned
     * posting lists (shuffle keyed on the 8-byte shingle hash, never
-    * incoming × corpus), candidates need ≥ minCommon shared rare shingles,
-    * and only candidates pay the exact intersection verify. */
+    * incoming × corpus), candidates need ≥ least(minCommon, |A|, |B|)
+    * shared rare shingles (capped by each side's own shingle count, so
+    * single-shingle short docs still match), and only candidates pay the
+    * exact intersection verify. */
   def nearDupMatches(incoming: DataFrame, index: ShingleIndex,
                      textCol: String = "text", idCol: String = "doc_id",
                      shingleN: Int = 3, threshold: Double = 0.5,
-                     minCommon: Int = 2): DataFrame = {
-    val inSh = CacheRegistry.persisted(incoming.select(col(idCol).as("id"),
-      transform(graft.functions.TextHashExpressions.word_shingles(
-        TextOps.tokens(col(textCol)), shingleN), s => xxhash64(s)).as("sh")))
-    val inPost = inSh.select(col("id"), explode(col("sh")).as("shingle"))
+                     minCommon: Int = 2): DataFrame =
+    matchesFromShingles(CacheRegistry.persisted(
+      hashedShingles(incoming, textCol, idCol, shingleN)), index, threshold, minCommon)
+
+  /** [[nearDupMatches]] from a precomputed hashed-shingle table (so one
+    * shingling pass can feed both the corpus probe and intra-batch pair
+    * generation — [[graft.stream.StreamDedup.admitBatch]]). */
+  private[graft] def matchesFromShingles(inSh: DataFrame, index: ShingleIndex,
+                                         threshold: Double,
+                                         minCommon: Int): DataFrame = {
+    val inPost = inSh.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("shingle"))
     val cand = inPost.as("i")
       .join(index.postings.as("c"), col("i.shingle") === col("c.shingle"))
       .groupBy(col("i.id").as("in_id"), col("c.id").as("match_id"))
-      .agg(count(lit(1)).as("n_common"))
-      .filter(col("n_common") >= minCommon)
+      .agg(count(lit(1)).as("n_common"),
+        min(col("i.n")).as("__ni"), min(col("c.n")).as("__nc"))
+      .filter(col("n_common") >= least(lit(minCommon), col("__ni"), col("__nc")))
       .select("in_id", "match_id")
     cand
       .join(inSh.select(col("id").as("in_id"), col("sh").as("sh_i")), Seq("in_id"))
@@ -374,6 +424,34 @@ object Dedup {
         col("__i") / (size(col("sh_i")) + size(col("sh_c")) - col("__i")))
       .filter(col("jaccard") >= threshold)
       .select(col("in_id").as("doc_id"), col("match_id"), col("jaccard"))
+  }
+
+  /** [[ngramJaccardPairs]]' candidate+verify core over a precomputed
+    * HASHED shingle table (verification runs on the hashed sets — same
+    * ~2⁻⁶⁴-collision argument as the staged index). Used for intra-batch
+    * mutual-dup detection where the hashed table already exists. */
+  private[graft] def pairsFromHashedShingles(withSh: DataFrame,
+                                             threshold: Double, maxDf: Int,
+                                             minCommon: Int): DataFrame = {
+    val posting = withSh.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("shingle"))
+    val pruned = pruneByBucketSize(posting, Seq("shingle"), minDf = 2, maxDf = maxDf)
+    val cand = pruned.as("a").join(pruned.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"),
+        min(col("a.n")).as("__na"), min(col("b.n")).as("__nb"))
+      .filter(col("n_common") >= least(lit(minCommon), col("__na"), col("__nb")))
+      .select("id_a", "id_b")
+    cand
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("__i", graft.functions.SetExpressions
+        .intersection_size(col("sh_a"), col("sh_b")).cast("double"))
+      .withColumn("jaccard",
+        col("__i") / (size(col("sh_a")) + size(col("sh_b")) - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** Admission filter: the `incoming` rows with NO corpus near-match — what
@@ -392,15 +470,8 @@ object Dedup {
     * once per JVM (same lifecycle + injective naming as [[gatePairsPath]]). */
   private val stagedIndexOnce = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def gateIndexPath(s: SparkSession, dir: String): String =
-    stagedIndexOnce.computeIfAbsent(dir, d => {
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-staged-index-" + d.replaceAll("[^A-Za-z0-9._-]", "_") +
-          "-" + digest + "-" + jvmNonce).toString
-      stageShingleIndex(Tables.documents(s, d).filter(col("doc_id") % 2 === 0), path)
-      path
-    })
+    stagedArtifactPath(stagedIndexOnce, "graft-staged-index", dir)(
+      stageShingleIndex(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0), _))
 
   /** SparkEntry query (oracled — hashes appear only as join keys, the
     * emitted jaccard is exact string-shingle arithmetic, so DuckDB replays

@@ -37,14 +37,21 @@ object StreamDedup {
             threshold: Double = 0.5, minCommon: Int = 2,
             intraBatch: Boolean = false): StreamingQuery = {
     val spark = stream.sparkSession
-    // resident: survives mid-stream cache hygiene and makes hot-swap
-    // restarts against the same index warm-start (release explicitly via
-    // Dedup.releaseShingleIndex when retiring the index version)
+    // resident: pinned OUTSIDE CacheRegistry, so the per-batch hygiene
+    // below never evicts it; makes hot-swap restarts against the same
+    // index warm-start (release explicitly via Dedup.releaseShingleIndex
+    // when retiring the index version)
     val index = Dedup.residentShingleIndex(spark, indexPath)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(admitBatch(batch, index, textCol, idCol, shingleN, threshold,
+        try sink(admitBatch(batch, index, textCol, idCol, shingleN, threshold,
           minCommon, intraBatch))
+        // the batch's shingle table is persisted per micro-batch; without
+        // a release here a long-running stream accumulates one pinned
+        // cache entry per batch until executors OOM. Registry-wide release
+        // is correctness-safe (anything still needed recomputes from
+        // lineage) — this stream is the session owner of its batches.
+        finally graft.core.CacheRegistry.unpersistAll()
         ()
       }
       .queryName(queryName)
@@ -52,20 +59,28 @@ object StreamDedup {
   }
 
   /** One micro-batch's admission decision — also the batch backfill path
-    * (same contract the `dedup_stream_filter` gate oracles). */
+    * (same contract the `dedup_stream_filter` gate oracles). The batch is
+    * shingled ONCE; the corpus probe and (with `intraBatch`) the
+    * mutual-dup pair pass both consume the same hashed table. */
   def admitBatch(batch: DataFrame, index: Dedup.ShingleIndex,
                  textCol: String = "text", idCol: String = "doc_id",
                  shingleN: Int = 3, threshold: Double = 0.5,
                  minCommon: Int = 2, intraBatch: Boolean = false): DataFrame = {
-    val vsCorpus = Dedup.nearDupFilter(batch, index, textCol, idCol,
-      shingleN, threshold, minCommon)
+    import org.apache.spark.sql.functions._
+    val inSh = graft.core.CacheRegistry.persisted(
+      Dedup.hashedShingles(batch, textCol, idCol, shingleN))
+    val matched = Dedup.matchesFromShingles(inSh, index, threshold, minCommon)
+      .select(col("doc_id").as(idCol)).distinct()
+    val vsCorpus = batch.join(matched, Seq(idCol), "left_anti")
     if (!intraBatch) vsCorpus
     else {
-      import org.apache.spark.sql.functions._
       // mutual near-dups inside one batch: keep the lowest id of each pair
-      // (pair generation is batch-sized here, not corpus-sized)
-      val dupIds = Dedup.ngramJaccardPairs(vsCorpus, textCol, idCol,
-          shingleN, threshold, minCommon = minCommon)
+      // (pair generation is batch-sized here, not corpus-sized, and reuses
+      // the already-persisted hashed shingles of the surviving docs)
+      val survivorSh = inSh.join(
+        vsCorpus.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      val dupIds = Dedup.pairsFromHashedShingles(survivorSh, threshold,
+          maxDf = 10, minCommon = minCommon)
         .select(col("id_b").as(idCol)).distinct()
       vsCorpus.join(dupIds, Seq(idCol), "left_anti")
     }

@@ -107,8 +107,7 @@ class CorpusSpec extends SparkSpec {
     // quality mass = Σ round(quality·1e4): cross-check against the per-doc op
     val perDoc = docs.filter($"lang" === "en")
       .select(org.apache.spark.sql.functions.floor(
-        graft.query.Functions.stableRound(
-          TextOps.qualityScore($"text"), 6) * 1e4 + 0.5).cast("long"))
+        TextOps.qualityScore($"text") * 1e4 + 0.5).cast("long"))
       .as[Long].collect().sum
     assert(got("en")._6 == perDoc)
   }

@@ -38,6 +38,21 @@ class StreamDedupSpec extends SparkSpec {
     assert(admitted == Set(2L))
   }
 
+  test("short docs (single shingle) still match: minCommon caps at |sh|") {
+    // a ≤3-token doc has exactly ONE shingle; a flat minCommon=2 would
+    // exempt short-doc duplicates from admission filtering entirely
+    val p = java.nio.file.Files.createTempDirectory("graft-shortdoc-").toString
+    Dedup.stageShingleIndex(Seq((20L, "buy cheap pills")).toDF("doc_id", "text"), p)
+    val index = Dedup.loadShingleIndex(spark, p)
+    val arrivals = Seq((1L, "buy cheap pills"), (2L, "entirely unrelated text here"))
+      .toDF("doc_id", "text")
+    val m = Dedup.nearDupMatches(arrivals, index)
+      .select("doc_id", "match_id").as[(Long, Long)].collect().toSet
+    assert(m == Set((1L, 20L)), s"verbatim short-doc dup must be caught: $m")
+    assert(Dedup.nearDupFilter(arrivals, index)
+      .select("doc_id").as[Long].collect().toSet == Set(2L))
+  }
+
   test("batch: intraBatch also collapses mutual dups inside one batch") {
     val index = Dedup.loadShingleIndex(spark, indexPath)
     val arrivals = Seq((1L, fresh), (2L, freshDup), (3L, nearDup)).toDF("doc_id", "text")
