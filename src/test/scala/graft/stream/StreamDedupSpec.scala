@@ -64,6 +64,39 @@ class StreamDedupSpec extends SparkSpec {
     assert(withIntra == Set(1L), "intra-batch pair keeps the lowest id")
   }
 
+  test("resident index: re-staging a live path serves the NEW corpus; a new session re-pins") {
+    val p = java.nio.file.Files.createTempDirectory("graft-restage-").toString
+    Dedup.stageShingleIndex(Seq((1L, base)).toDF("doc_id", "text"), p)
+    val arrivals = Seq((50L, fresh)).toDF("doc_id", "text")
+    assert(Dedup.nearDupMatches(arrivals, Dedup.residentShingleIndex(spark, p))
+      .count() == 0, "fresh doc matches nothing in the v1 index")
+    // hot-swap flow: re-stage the SAME path with a corpus that now holds
+    // the doc — the resident entry must not serve stale v1 blocks
+    Dedup.stageShingleIndex(Seq((1L, base), (2L, fresh)).toDF("doc_id", "text"), p)
+    val m = Dedup.nearDupMatches(arrivals, Dedup.residentShingleIndex(spark, p))
+      .select("doc_id", "match_id").as[(Long, Long)].collect().toSet
+    assert(m == Set((50L, 2L)), s"post-restage index must see the new corpus doc: $m")
+    // a different session re-pins rather than serving session-bound plans
+    val s2 = spark.newSession()
+    val viaS2 = Dedup.residentShingleIndex(s2, p)
+    assert(viaS2.docs.sparkSession eq s2, "cache entry must rebind to the caller's session")
+    Dedup.releaseShingleIndex(p)
+  }
+
+  test("hot shingles are dropped at stage time: boilerplate can't flood candidates") {
+    // one shingle shared by MANY corpus docs (df > maxDf=10) must be
+    // pruned from the postings, so an arrival carrying only that shingle
+    // generates zero candidate pairs instead of fanning out to every doc
+    val boiler = "all rights reserved worldwide"
+    val p = java.nio.file.Files.createTempDirectory("graft-hotshingle-").toString
+    Dedup.stageShingleIndex(
+      (1L to 40L).map(i => (i, boiler)).toDF("doc_id", "text"), p)
+    val index = Dedup.loadShingleIndex(spark, p)
+    assert(index.postings.count() == 0, "df-40 shingles must be pruned (maxDf=10)")
+    assert(Dedup.nearDupMatches(Seq((99L, boiler)).toDF("doc_id", "text"), index)
+      .count() == 0, "probe fan-out is bounded by the stage-time df cap")
+  }
+
   test("streaming: per-micro-batch admission matches the batch contract") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, String)]
