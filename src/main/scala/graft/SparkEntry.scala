@@ -92,6 +92,8 @@ object SparkEntry {
     "corpus_pack_sequences" -> (graft.ext.Corpus.packSequencesQuery(_, _)),
     // per-language data-card summary (integer-exact)
     "corpus_stats_report"   -> (graft.ext.Corpus.statsReportQuery(_, _)),
+    // adaptive per-language quality percentile (integer-exact ranks)
+    "corpus_quality_topfrac" -> (graft.ext.Corpus.topQualityFracQuery(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -625,6 +627,36 @@ object SparkEntry {
                  * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS quality_mass_4dp,
            count(*) - count(DISTINCT trim(lower(text))) AS dup_docs
          FROM feat GROUP BY lang""",
+    // corpus_quality_topfrac: integer-exact per-language percentile — rank
+    // on round(q·1e6) with doc_id tie-break, keep rank ≤ ceil(n·frac);
+    // quality spelling shared with text_quality
+    "corpus_quality_topfrac" ->
+      """WITH tok AS (
+           SELECT doc_id, lang, text, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+         ), feat AS (
+           SELECT doc_id, lang,
+             least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+             1.0 - least(CAST(len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+                         / greatest(len(text), 1) * 5.0, 1.0) AS punct_score,
+             CAST(len(list_filter(t, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','this','that'], x))) AS DOUBLE)
+               / greatest(len(t), 1) AS swr,
+             CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / greatest(len(t), 1) AS mwl
+           FROM tok
+         ), ranked AS (
+           SELECT doc_id, lang,
+             CAST(floor(((len_score + punct_score
+               + (1.0 - least(abs(swr - 0.4) * 2.0, 1.0))
+               + (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0))) / 4.0) * 1e6 + 0.5) AS BIGINT) AS q6,
+             row_number() OVER (PARTITION BY lang ORDER BY
+               floor(((len_score + punct_score
+               + (1.0 - least(abs(swr - 0.4) * 2.0, 1.0))
+               + (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0))) / 4.0) * 1e6 + 0.5) DESC,
+               doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM feat
+         )
+         SELECT doc_id, lang, CAST(q6 AS DOUBLE) / 1e6 AS quality
+         FROM ranked WHERE rk <= ceil(n * 0.5)""",
     // text_scrub_pii: patterns restricted to the Java-regex ∩ RE2 dialect
     // (TextOps.piiPatterns) — counts on raw text, sequential replacement
     "text_scrub_pii" ->

@@ -229,4 +229,35 @@ object Corpus {
   /** SparkEntry query (oracled): the data card of the fixture corpus. */
   def statsReportQuery(s: SparkSession, d: String): DataFrame =
     statsReport(Tables.documents(s, d))
+
+  /** ADAPTIVE quality threshold: keep the top `frac` of each language's
+    * documents by quality RANK instead of an absolute cutoff — corpora
+    * differ by language, so "quality ≥ 0.6" keeps 90% of one language and
+    * 4% of another; a per-stratum percentile keeps the mix intentional.
+    * Ranking is integer-exact (round(q·10⁶), doc_id tie-break), so the
+    * kept set is deterministic and engine-exact — no float percentile
+    * interpolation to disagree on.
+    *
+    * Scale shape: one shuffle on the language key; the rank window and the
+    * count window share the same partitioning (per-language sort, never
+    * global — same posture as [[tokenBudgetMix]]). */
+  def topQualityFrac(docs: DataFrame, frac: Double,
+                     textCol: String = "text",
+                     langCol: String = "lang"): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"topQualityFrac: frac $frac not in (0,1]")
+    val byLang = org.apache.spark.sql.expressions.Window.partitionBy(langCol)
+    docs
+      .withColumn("__q6",
+        floor(TextOps.qualityScore(col(textCol)) * 1e6 + lit(0.5)).cast("long"))
+      .withColumn("__rk", row_number().over(
+        byLang.orderBy(col("__q6").desc, col("doc_id").asc)))
+      .withColumn("__n", count(lit(1)).over(byLang))
+      .filter(col("__rk") <= ceil(col("__n") * frac))
+      .select(col("doc_id"), col(langCol).as("lang"),
+        (col("__q6").cast("double") / 1e6).as("quality"))
+  }
+
+  /** SparkEntry query (oracled): the top half of every language. */
+  def topQualityFracQuery(s: SparkSession, d: String): DataFrame =
+    topQualityFrac(Tables.documents(s, d), frac = 0.5)
 }

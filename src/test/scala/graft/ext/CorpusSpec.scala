@@ -112,6 +112,23 @@ class CorpusSpec extends SparkSpec {
     assert(got("en")._6 == perDoc)
   }
 
+  test("topQualityFrac: per-language percentile keeps ceil(n*frac), best-first") {
+    val junk = "!!! ??? ... ;;; ::: ,,, ((("
+    val docs = Seq(
+      (1L, prose, "en"), (2L, junk, "en"), (3L, prose + " extra", "en"),
+      (4L, prose, "es"), (5L, junk, "es")
+    ).toDF("doc_id", "text", "lang")
+    val kept = Corpus.topQualityFrac(docs, frac = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // en: ceil(3*0.5)=2 best of three (junk ranks last); es: ceil(2*0.5)=1
+    assert(kept.size == 3 && !kept.contains(2L) && !kept.contains(5L),
+      s"junk docs must fall below the per-language cutoff: $kept")
+    // frac=1 keeps everything; determinism across runs
+    assert(Corpus.topQualityFrac(docs, frac = 1.0).count() == 5)
+    assert(Corpus.topQualityFrac(docs, frac = 0.5)
+      .select("doc_id").as[Long].collect().toSet == kept)
+  }
+
   test("contamination: verbatim leak scores 1.0, disjoint 0.0, partial in between") {
     val evalDocs = Seq((100L, prose)).toDF("doc_id", "text")
     val half = prose.split(" ").take(18).mkString(" ") + // 16 shingles from prose...
