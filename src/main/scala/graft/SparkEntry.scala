@@ -642,18 +642,17 @@ object SparkEntry {
                / greatest(len(t), 1) AS swr,
              CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / greatest(len(t), 1) AS mwl
            FROM tok
-         ), ranked AS (
+         ), scored AS (
            SELECT doc_id, lang,
              CAST(floor(((len_score + punct_score
                + (1.0 - least(abs(swr - 0.4) * 2.0, 1.0))
-               + (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0))) / 4.0) * 1e6 + 0.5) AS BIGINT) AS q6,
-             row_number() OVER (PARTITION BY lang ORDER BY
-               floor(((len_score + punct_score
-               + (1.0 - least(abs(swr - 0.4) * 2.0, 1.0))
-               + (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0))) / 4.0) * 1e6 + 0.5) DESC,
-               doc_id ASC) AS rk,
-             count(*) OVER (PARTITION BY lang) AS n
+               + (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0))) / 4.0) * 1e6 + 0.5) AS BIGINT) AS q6
            FROM feat
+         ), ranked AS (
+           SELECT doc_id, lang, q6,
+             row_number() OVER (PARTITION BY lang ORDER BY q6 DESC, doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM scored
          )
          SELECT doc_id, lang, CAST(q6 AS DOUBLE) / 1e6 AS quality
          FROM ranked WHERE rk <= ceil(n * 0.5)""",
