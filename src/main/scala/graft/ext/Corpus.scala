@@ -245,15 +245,18 @@ object Corpus {
                      textCol: String = "text",
                      langCol: String = "lang"): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"topQualityFrac: frac $frac not in (0,1]")
-    val byLang = org.apache.spark.sql.expressions.Window.partitionBy(langCol)
+    val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
     docs
-      .withColumn("__q6",
-        floor(TextOps.qualityScore(col(textCol)) * 1e6 + lit(0.5)).cast("long"))
+      // score BEFORE the window and project the text away: the per-language
+      // exchange + sort then carry (doc_id, lang, q6) — 16 bytes a row —
+      // instead of shuffling every document body just to drop it after
+      .select(col("doc_id"), col(langCol).as("lang"),
+        floor(TextOps.qualityScore(col(textCol)) * 1e6 + lit(0.5)).cast("long").as("__q6"))
       .withColumn("__rk", row_number().over(
         byLang.orderBy(col("__q6").desc, col("doc_id").asc)))
       .withColumn("__n", count(lit(1)).over(byLang))
       .filter(col("__rk") <= ceil(col("__n") * frac))
-      .select(col("doc_id"), col(langCol).as("lang"),
+      .select(col("doc_id"), col("lang"),
         (col("__q6").cast("double") / 1e6).as("quality"))
   }
 

@@ -67,7 +67,17 @@ object TextOps {
     * .5·10⁻⁶ boundary round differently (hit at sf0.1, doc 1432). The
     * explicit floor formula is the same IEEE op sequence in both engines,
     * so the oracle matches at every SF. */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    graft.query.Functions.stableRound(
+      graft.functions.TextHashExpressions.quality_raw(text, stopwords), 6)
+
+  /** The original Column spelling of the 4-term mean — kept as the
+    * REFERENCE IMPLEMENTATION the native [[graft.functions.QualityRaw]]
+    * expression is pinned bit-identical against (TextOpsSpec). The HOF
+    * chain re-splits the text once per feature and runs interpreted
+    * (lambdas break whole-stage codegen) — measured 10× slower on the
+    * quality-percentile path at sf1 — so production goes native. */
+  private[graft] def qualityScoreColumnar(text: Column): Column = {
     val toks = tokens(text)
     val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
     val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))

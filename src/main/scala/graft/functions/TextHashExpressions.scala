@@ -112,6 +112,68 @@ object TextHashes {
       Array[Any](m.toLong, distinctRatio, topBiFrac, dupTriFrac))
   }
 
+  /** Build the UTF8String stopword set a [[QualityRaw]] instance probes. */
+  def toUtf8Set(words: Seq[String]): java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](words.size * 2)
+    words.foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+    s
+  }
+
+  private val qualityWsPattern =
+    org.apache.spark.unsafe.types.UTF8String.fromString("\\s+")
+  // the char class of TextOps.punctRatio's regex, as ASCII bytes: counting
+  // matching BYTES equals counting matching CHARS because every class
+  // member is single-byte and UTF-8 continuation/lead bytes are >= 0x80
+  private val punctBytes: Array[Boolean] = {
+    val b = new Array[Boolean](128)
+    ".,;:!?'\"()-".foreach(c => b(c.toInt) = true)
+    b
+  }
+
+  /** Raw (un-rounded) 4-term quality mean — BIT-IDENTICAL to the Column
+    * spelling in `TextOps.qualityScore` (and therefore to the DuckDB
+    * oracle): the same UTF8String lower/trim/split the builtin expressions
+    * call, the same integer counts, and the same IEEE op order
+    * (((len + punct) + stopword) + wordlen) / 4 — but in ONE pass instead
+    * of four interpreted re-tokenizations of the text (higher-order
+    * functions break whole-stage codegen AND re-evaluate `split` per
+    * feature; measured 10× on the quality-percentile path at sf1). */
+  def qualityRaw(text: org.apache.spark.unsafe.types.UTF8String,
+                 stopwordSet: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]): Double = {
+    val len = text.numChars()
+    val lenScore = math.min(len.toDouble / 500.0, 1.0)
+    var pc = 0
+    var bi = 0
+    val nb = text.numBytes()
+    while (bi < nb) {
+      val b = org.apache.spark.unsafe.Platform.getByte(
+        text.getBaseObject, text.getBaseOffset + bi)
+      if (b >= 0 && punctBytes(b)) pc += 1
+      bi += 1
+    }
+    val punctScore = 1.0 -
+      math.min(pc.toDouble / math.max(len, 1).toDouble * 5.0, 1.0)
+    val toks = text.toLowerCase.trim.split(qualityWsPattern, -1)
+    val m = toks.length
+    val gm = math.max(m, 1)
+    var hits = 0
+    var chars = 0 // int accumulator, mirroring aggregate(toks, 0, acc+length)
+    var i = 0
+    while (i < m) {
+      val t = toks(i)
+      if (t != null) {
+        if (stopwordSet.contains(t)) hits += 1
+        chars += t.numChars()
+      }
+      i += 1
+    }
+    val swScore = 1.0 -
+      math.min(math.abs(hits.toDouble / gm.toDouble - 0.4) * 2.0, 1.0)
+    val wlScore = 1.0 -
+      math.min(math.abs(chars.toDouble / gm.toDouble - 5.0) / 5.0, 1.0)
+    (lenScore + punctScore + swScore + wlScore) / 4.0
+  }
+
   /** 64-bit SimHash: per-bit majority vote over xxhash64(token). */
   def simhash(toks: ArrayData): Long = {
     val counts = new Array[Int](64)
@@ -136,6 +198,22 @@ object TextHashes {
       b += 1
     }
     fp
+  }
+}
+
+/** `quality_raw(text, stopwords)` — string → the un-rounded composite
+  * quality mean (see [[TextHashes.qualityRaw]]); callers apply the 1e-6
+  * stable rounding on top. */
+case class QualityRaw(child: Expression, stopwords: Seq[String]) extends UnaryExpression {
+  override def dataType: DataType = DataTypes.DoubleType
+  override protected def withNewChildInternal(c: Expression): QualityRaw = copy(child = c)
+  @transient private lazy val swSet = TextHashes.toUtf8Set(stopwords)
+  override def nullSafeEval(t: Any): Any =
+    TextHashes.qualityRaw(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], swSet)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("swSet", swSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextHashes.qualityRaw($t, $setRef);")
   }
 }
 
@@ -196,6 +274,8 @@ object RepetitionStats {
 object TextHashExpressions {
   def word_shingles(tokens: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), n))
+  def quality_raw(text: Column, stopwords: Seq[String]): Column =
+    ColumnBridge.column(QualityRaw(ColumnBridge.expression(text), stopwords))
   def repetition_stats(tokens: Column): Column =
     ColumnBridge.column(RepetitionStats(ColumnBridge.expression(tokens)))
   def minhash_sig(shingles: Column, numPerm: Int): Column =

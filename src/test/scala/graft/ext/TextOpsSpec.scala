@@ -97,6 +97,35 @@ class TextOpsSpec extends SparkSpec {
       "degenerate loop maxes every signal")
   }
 
+  test("native quality expression is bit-identical to the columnar reference") {
+    // the native single-pass QualityRaw must reproduce the HOF Column
+    // spelling EXACTLY (same UTF8String ops, same IEEE order) — a 1-ulp
+    // drift here silently breaks four DuckDB-oracled gates
+    val docs = graft.core.Tables.documents(spark, sf("sf0.01"))
+      .select($"doc_id", TextOps.qualityScore($"text").as("native"),
+        TextOps.qualityScoreColumnar($"text").as("columnar"))
+    assert(docs.filter($"native" =!= $"columnar" ||
+      $"native".isNull =!= $"columnar".isNull).count() == 0,
+      "native and columnar quality must agree on every fixture doc")
+    // edge shapes: empty, whitespace-only, punctuation-only, unicode, null
+    val edge = Seq("", "   ", "!!! ???", "the the the", "汉字 文本 aB  Cd",
+      "word", " mixed   WS\tand\ttabs ").toDF("text")
+      .select(TextOps.qualityScore($"text").as("native"),
+        TextOps.qualityScoreColumnar($"text").as("columnar"))
+    assert(edge.filter($"native" =!= $"columnar").count() == 0)
+    // null text: the native expression propagates null (the deliberate
+    // semantic); the columnar reference leaks 0.25 because null-skipping
+    // `least(null, 1.0)` turns every null score term into a constant —
+    // one of the reasons production goes native. Fixture corpora carry no
+    // null texts, so the oracled gates see no difference.
+    val nulls = Seq[Option[String]](None).toDF("text")
+      .select(TextOps.qualityScore($"text").as("n"),
+        TextOps.qualityScoreColumnar($"text").as("c"))
+      .as[(Option[Double], Option[Double])].head()
+    assert(nulls._1.isEmpty, "null text → null quality on the native path")
+    assert(nulls._2.contains(0.25), "columnar null artifact, documented")
+  }
+
   test("scrubPii redacts emails, IPs, and phones; counts on raw text") {
     val df = Seq(
       (1L, "mail a.b+c@sub.example.org or x@y.io today"),
