@@ -70,6 +70,7 @@ object SparkEntry {
     "dedup_stream_filter" -> (Dedup.streamFilterQuery(_, _)),
     "dedup_clusters"      -> (Dedup.dedupClustersQuery(_, _)),
     "dedup_embedding_lsh" -> (Dedup.embeddingLshQuery(_, _)),
+    "dedup_semantic"      -> (Dedup.semanticDedupQuery(_, _)),
     "similarity_topk"     -> (Similarity.similarityTopK(_, _)),
     "similarity_ivf"      -> (Similarity.similarityIvfQuery(_, _)),
     "similarity_knn_join" -> (Similarity.similarityKnnJoinQuery(_, _)),
@@ -94,6 +95,8 @@ object SparkEntry {
     "corpus_stats_report"   -> (graft.ext.Corpus.statsReportQuery(_, _)),
     // adaptive per-language quality percentile (integer-exact ranks)
     "corpus_quality_topfrac" -> (graft.ext.Corpus.topQualityFracQuery(_, _)),
+    // min-count vocabulary (BPE/WordPiece seeding, OOV-rate checks)
+    "corpus_vocab"           -> (graft.ext.Corpus.vocabularyQuery(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -474,6 +477,62 @@ object SparkEntry {
          FROM assigned a CROSS JOIN q
          WHERE a.cid IN (SELECT cid FROM probed)
          ORDER BY list_dot_product(a.v, q.qv) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC, a.vec_id ASC LIMIT 10""",
+    // dedup_semantic: SemDeDup replayed END-TO-END — exact-arithmetic twin
+    // planting (integer scramble, IEEE-identical noise formula), then the
+    // similarity_ivf k-means chain (same sampled init, Lloyd rounds, and
+    // (dist, cid) tie-breaks) over the doubled corpus, then the
+    // within-cluster cosine ≥ 0.95 lower-id prune. Unlike the seeded-hash
+    // LSH gates, every stage here is arithmetic both engines compute
+    // identically, so the kept-set hash-matches.
+    "dedup_semantic" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         ), tw AS (
+           SELECT vec_id + 1000000000 AS vec_id, list(x2 ORDER BY pos) AS v FROM (
+             SELECT vec_id, pos,
+               x + 0.02 * (CAST((((vec_id + 1000000000) % 100003) * 2654435761 + (pos - 1) * 40503) % 1000 AS DOUBLE) / 1000.0 - 0.5) AS x2
+             FROM (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM base))
+           GROUP BY vec_id
+         ), e AS (SELECT * FROM base UNION ALL SELECT * FROM tw
+         ), samp AS (SELECT vec_id % 16 AS cid, vec_id, v FROM e WHERE vec_id % 5 = 0
+         ), c0 AS (
+           SELECT cid, list(mx ORDER BY pos) AS cvec FROM (
+             SELECT cid, pos, CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS mx
+             FROM (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM samp)
+             GROUP BY cid, pos) GROUP BY cid
+         ), a1 AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT s.vec_id, s.v, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY 1.0 - list_dot_product(s.v, c.cvec) / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(c.cvec, c.cvec))) ASC, c.cid ASC) AS rn
+             FROM samp s CROSS JOIN c0 c) WHERE rn = 1
+         ), c1 AS (
+           SELECT cid, list(mx ORDER BY pos) AS cvec FROM (
+             SELECT cid, pos, CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS mx
+             FROM (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a1)
+             GROUP BY cid, pos) GROUP BY cid
+         ), a2 AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT s.vec_id, s.v, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY 1.0 - list_dot_product(s.v, c.cvec) / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(c.cvec, c.cvec))) ASC, c.cid ASC) AS rn
+             FROM samp s CROSS JOIN c1 c) WHERE rn = 1
+         ), c2 AS (
+           SELECT cid, list(mx ORDER BY pos) AS cvec FROM (
+             SELECT cid, pos, CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS mx
+             FROM (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a2)
+             GROUP BY cid, pos) GROUP BY cid
+         ), assigned AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT s.vec_id, s.v, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY 1.0 - list_dot_product(s.v, c.cvec) / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(c.cvec, c.cvec))) ASC, c.cid ASC) AS rn
+             FROM e s CROSS JOIN c2 c) WHERE rn = 1
+         ), dup AS (
+           SELECT DISTINCT y.vec_id
+           FROM assigned x JOIN assigned y ON x.cid = y.cid AND x.vec_id < y.vec_id
+           WHERE list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.95)
+         SELECT a.vec_id, a.cid AS centroid_id FROM assigned a
+         WHERE a.vec_id NOT IN (SELECT vec_id FROM dup)""",
     "token_count_bpe" ->
       """SELECT doc_id,
          len(regexp_extract_all(text, '[A-Za-z0-9]+')) +
@@ -656,6 +715,14 @@ object SparkEntry {
          )
          SELECT doc_id, lang, CAST(q6 AS DOUBLE) / 1e6 AS quality
          FROM ranked WHERE rk <= ceil(n * 0.5)""",
+    // corpus_vocab: min-count token vocabulary — integer-exact counts over
+    // the shared whitespace tokenization (token_count's oracle spelling)
+    "corpus_vocab" ->
+      """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+         FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+               FROM documents)
+         WHERE len(token) > 0
+         GROUP BY token HAVING count(*) >= 3""",
     // text_scrub_pii: patterns restricted to the Java-regex ∩ RE2 dialect
     // (TextOps.piiPatterns) — counts on raw text, sequential replacement
     "text_scrub_pii" ->

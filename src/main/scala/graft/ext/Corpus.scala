@@ -263,4 +263,31 @@ object Corpus {
   /** SparkEntry query (oracled): the top half of every language. */
   def topQualityFracQuery(s: SparkSession, d: String): DataFrame =
     topQualityFrac(Tables.documents(s, d), frac = 0.5)
+
+  /** Corpus vocabulary: every whitespace token with its total occurrence
+    * count (`tf`) and document frequency (`df`), kept when `tf ≥ minCount`
+    * — the min-count vocabulary pass that seeds a BPE/WordPiece trainer and
+    * feeds OOV-rate checks.
+    *
+    * Scale shape: one codegen'd explode feeding TWO-PHASE aggregation.
+    * Spark plans the `count(distinct doc_id)` as a (token, doc_id) partial
+    * dedup followed by the token rollup — both map-side combined, so the
+    * shuffle carries per-partition distinct (token, doc_id) pairs, not the
+    * exploded token stream. Hot tokens ("the" in ~every doc) are spread by
+    * the high-cardinality composite key in phase 1, and phase 2's partial
+    * counts make the hottest reducer key cost |partitions|, not |docs| —
+    * the skew story a naive groupBy(token).agg(count, countDistinct) plan
+    * would NOT have. Output ∝ vocabulary (Heaps-law sublinear in corpus). */
+  def vocabulary(docs: DataFrame, minCount: Long = 2,
+                 textCol: String = "text"): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0) // split('') yields [''] — not a token
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .filter(col("tf") >= minCount)
+
+  /** SparkEntry query (oracled): vocabulary with min-count 3. */
+  def vocabularyQuery(s: SparkSession, d: String): DataFrame =
+    vocabulary(Tables.documents(s, d), minCount = 3)
 }

@@ -619,4 +619,89 @@ object Dedup {
     embeddingNearDups(withPlantedTwins(Tables.embeddings(s, d)),
         threshold = 0.95) // auto-scaled LSH resolution (the 100 TB default)
       .select(col("id_a"), col("id_b"), graft.query.Functions.stableRound(col("cos"), 4).as("cos"))
+
+  // ---------------------------------------------------------------------
+  // Semantic dedup (SemDeDup): k-means clusters, then within-cluster
+  // cosine pruning — the cluster-then-prune shape of Abbas et al. 2023
+  // (arXiv:2303.09540), the standard semantic-level companion to the
+  // lexical near-dup paths above.
+  // ---------------------------------------------------------------------
+
+  /** Semantic dedup over an embedding column: cluster with the trained
+    * coarse quantizer ([[Similarity.trainCentroids]], sampled init + Lloyd
+    * rounds), then inside each cluster drop every vector that has a
+    * lower-id member at cosine ≥ `threshold` — one canonical survivor per
+    * ε-neighborhood. Returns the KEPT rows as (vec_id, centroid_id).
+    *
+    * Scale shape: clustering is the IVF pipeline (one distributed
+    * literal-argmin scan per Lloyd round, centroids are driver-side model
+    * state). The prune is a self-equi-join ON centroid_id — within-cluster
+    * O(c²) dot products, the published SemDeDup design: `kCentroids` must
+    * scale with the corpus (k ∝ n keeps occupancy c constant, exactly like
+    * the SRP-LSH bucket-resolution rule in [[embeddingNearDups]]), so the
+    * join stays linear in n overall. No global O(n²) anything.
+    *
+    * `kCentroids = 0` (the default) auto-scales: k = max(16, ⌈n /
+    * targetCluster⌉) — a FIXED k silently goes quadratic as the corpus
+    * grows, which is exactly the bug class the first sf1 run caught in the
+    * SRP path (BASELINE.md round-4 notes). The count() it costs is one
+    * metadata-only pass; a production pipeline that already knows n can
+    * pass k explicitly.
+    *
+    * `sampleMod` trains the quantizer on a deterministic 1-in-`sampleMod`
+    * slice (IVF practice: centroid quality needs a sample, not the corpus). */
+  def semanticDedup(emb: DataFrame, kCentroids: Int = 0, iters: Int = 2,
+                    threshold: Double = 0.95, sampleMod: Int = 5,
+                    targetCluster: Int = 512): DataFrame = {
+    require(kCentroids >= 0 && sampleMod > 0 && targetCluster > 0,
+      "semanticDedup: k must be >= 0 (0 = auto), sampleMod/targetCluster positive")
+    val k = if (kCentroids > 0) kCentroids
+            else math.max(16, math.ceil(emb.count().toDouble / targetCluster).toInt)
+    val cents = Similarity.trainCentroids(
+      emb.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0), k, iters)
+    val assigned = CacheRegistry.persisted(
+      Similarity.ivfAssign(emb, cents).select(col("vec_id"), col("v"), col("centroid_id")))
+    // thin self-join payload: (centroid_id, vec_id, v); renamed columns on
+    // each side so the self-join has no ambiguous lineage
+    val x = assigned.select(col("centroid_id").as("cid"),
+      col("vec_id").as("id_a"), col("v").as("va"))
+    val y = assigned.select(col("centroid_id").as("cid"),
+      col("vec_id").as("id_b"), col("v").as("vb"))
+    val dups = x.join(y, Seq("cid"))
+      .filter(col("id_a") < col("id_b") &&
+        Similarity.cosine(col("va"), col("vb")) >= lit(threshold))
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(dups, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("centroid_id"))
+  }
+
+  /** [[withPlantedTwins]] with ORACLE-EXACT noise: the perturbation is
+    * plain 64-bit integer arithmetic (multiplicative scramble, no murmur3)
+    * so DuckDB replays the twin corpus — and therefore the whole SemDeDup
+    * pipeline — bit-identically. `vec_id % 100003` keeps the product far
+    * below 2⁶³ at any SF (the sf1 replica stride is 10¹⁰). */
+  def withPlantedTwinsExact(emb: DataFrame, noise: Double = 0.02): DataFrame = {
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    // the scramble is keyed by the TWIN's id, spelled out explicitly — a
+    // bare col("vec_id") next to the `.as("vec_id")` alias would resolve
+    // through Spark's lateral-column-alias rule (to the twin id), which is
+    // invisible in the code and bit-poisons the oracle replay
+    val tid = col("vec_id") + lit(1000000000L)
+    val twins = v.select(tid.as("vec_id"),
+      zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+        (x, i) => x + lit(noise) *
+          (pmod(pmod(tid, lit(100003L)) * lit(2654435761L) +
+            i.cast("long") * lit(40503L), lit(1000L)).cast("double") / 1000.0 - 0.5))
+        .as("embedding"))
+    v.unionByName(twins)
+  }
+
+  /** SparkEntry query (FULL DuckDB oracle): SemDeDup kept-set over the
+    * exact-planted-twin corpus — every stage (twin arithmetic, sampled
+    * k-means init, Lloyd rounds, assignment tie-breaks, within-cluster
+    * cosine ≥ 0.95 prune) is deterministic arithmetic both engines compute
+    * identically, so unlike the seeded-hash LSH gates this one hash-matches. */
+  def semanticDedupQuery(s: SparkSession, d: String): DataFrame =
+    semanticDedup(withPlantedTwinsExact(Tables.embeddings(s, d)),
+      kCentroids = 16, iters = 2, threshold = 0.95)
 }

@@ -153,4 +153,22 @@ class CorpusSpec extends SparkSpec {
       .select("doc_id", "contamination").as[(Long, Double)].collect().toMap
     assert(cShuffle == c)
   }
+
+  test("vocabulary: tf counts occurrences, df counts docs, minCount filters, '' never a token") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, ""),                       // split('') yields [''] — must not leak
+      (4L, "   "),                    // whitespace-only likewise
+      (5L, "CAT the")                 // lowercased before counting
+    ).toDF("doc_id", "text")
+    val v = Corpus.vocabulary(docs, minCount = 2)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(v("the") == (4L, 3L), s"tf=4 occurrences over df=3 docs, got ${v("the")}")
+    assert(v("cat") == (2L, 2L))
+    assert(v("sat") == (2L, 2L))
+    assert(!v.contains("on"), "minCount=2 drops singletons")
+    assert(!v.contains(""), "empty-split artifact must be filtered")
+    assert(!v.contains("CAT"), "tokens are lowercased")
+  }
 }

@@ -79,6 +79,32 @@ class DedupSpec extends SparkSpec {
       s"LSH missed ${(exact -- lsh).take(5)} of ${exact.size} exact pairs")
   }
 
+  test("semantic dedup: planted twins are pruned, originals survive, kept ⊆ corpus") {
+    val emb = graft.core.Tables.embeddings(spark, sf("sf0.001")).limit(200)
+    val planted = Dedup.withPlantedTwinsExact(emb)
+    val n = planted.count()
+    val kept = Dedup.semanticDedup(planted, kCentroids = 8, iters = 1, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    val originals = kept.filter(_ < 1000000000L)
+    val twins = kept.filter(_ >= 1000000000L)
+    assert(originals.size == 200,
+      "every original survives (random fixture vectors have no natural dups at 0.95)")
+    // a twin survives only when k-means separates it from its original —
+    // SemDeDup's boundary-case recall limit; it must stay the rare exception
+    assert(twins.size <= n / 20,
+      s"twin leakage ${twins.size} exceeds the 5% cluster-boundary allowance")
+    // drop reasons are real: each pruned twin has its original in-cluster at
+    // cosine ≈ 0.999, so pruning strictly reduces and never invents ids
+    assert(kept.subsetOf(
+      planted.select("vec_id").as[Long].collect().toSet))
+    // auto-k (the scale default): occupancy-targeted cluster count — same
+    // contract, originals all survive
+    val keptAuto = Dedup.semanticDedup(planted, targetCluster = 50)
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptAuto.count(_ < 1000000000L) == 200,
+      "auto-scaled k keeps every original too")
+  }
+
   test("simhash: identical-fp classes collapse before the LSH join, pairs survive the cap") {
     // 30 copies of one boilerplate doc + the near-dup: all 435 intra-class
     // pairs and the cross pairs must come out even with a tiny bucket cap —
