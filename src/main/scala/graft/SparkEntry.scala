@@ -97,6 +97,12 @@ object SparkEntry {
     "corpus_quality_topfrac" -> (graft.ext.Corpus.topQualityFracQuery(_, _)),
     // min-count vocabulary (BPE/WordPiece seeding, OOV-rate checks)
     "corpus_vocab"           -> (graft.ext.Corpus.vocabularyQuery(_, _)),
+    // domain balancing: best-quality cap per source
+    "corpus_cap_source"      -> (graft.ext.Corpus.capPerSourceQuery(_, _)),
+    // partition-stable train/val/test assignment
+    "corpus_split"           -> (graft.ext.Corpus.assignSplitsQuery(_, _)),
+    // boilerplate-line removal (CCNet-style df threshold)
+    "text_boilerplate"       -> (TextOps.boilerplateQuery(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -723,6 +729,61 @@ object SparkEntry {
                FROM documents)
          WHERE len(token) > 0
          GROUP BY token HAVING count(*) >= 3""",
+    // corpus_cap_source: per-domain quality cap — the corpus_quality_topfrac
+    // scored CTE partitioned by source with a fixed keep count
+    "corpus_cap_source" ->
+      """WITH tok AS (
+           SELECT doc_id, source, text, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+         ), feat AS (
+           SELECT doc_id, source,
+             least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+             1.0 - least(CAST(len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+                         / greatest(len(text), 1) * 5.0, 1.0) AS punct_score,
+             CAST(len(list_filter(t, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','this','that'], x))) AS DOUBLE)
+               / greatest(len(t), 1) AS swr,
+             CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / greatest(len(t), 1) AS mwl
+           FROM tok
+         ), scored AS (
+           SELECT doc_id, source,
+             CAST(floor(((len_score + punct_score
+               + (1.0 - least(abs(swr - 0.4) * 2.0, 1.0))
+               + (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0))) / 4.0) * 1e6 + 0.5) AS BIGINT) AS q6
+           FROM feat
+         ), ranked AS (
+           SELECT doc_id, source, q6,
+             row_number() OVER (PARTITION BY source ORDER BY q6 DESC, doc_id ASC) AS rk
+           FROM scored
+         )
+         SELECT doc_id, source, CAST(q6 AS DOUBLE) / 1e6 AS quality
+         FROM ranked WHERE rk <= 10""",
+    // corpus_split: partition-stable split assignment — pure integer
+    // arithmetic on doc_id, identical in both engines
+    "corpus_split" ->
+      """SELECT doc_id,
+           CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id, ((doc_id % 1000003) * 2654435761 + 40503) % 100 AS b
+               FROM documents)""",
+    // text_boilerplate: plant high-df footers/header + a rare (df≈2)
+    // footer, strip lines with df ≥ 10, reassemble in original line order
+    "text_boilerplate" ->
+      """WITH planted AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 'Cookie notice: we use cookies' || chr(10) ELSE '' END
+             || text
+             || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Subscribe to our newsletter!' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'Copyright 2026 Example Corp' ELSE '' END
+             || CASE WHEN doc_id % 251 = 0 THEN chr(10) || 'Rare footer line' ELSE '' END AS text
+           FROM documents
+         ), lines AS (
+           SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line
+           FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM planted)
+         ), hot AS (
+           SELECT line FROM lines WHERE trim(line) != ''
+           GROUP BY line HAVING count(DISTINCT doc_id) >= 10
+         )
+         SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean
+         FROM lines WHERE line NOT IN (SELECT line FROM hot)
+         GROUP BY doc_id""",
     // text_scrub_pii: patterns restricted to the Java-regex ∩ RE2 dialect
     // (TextOps.piiPatterns) — counts on raw text, sequential replacement
     "text_scrub_pii" ->

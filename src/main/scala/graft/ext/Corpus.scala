@@ -290,4 +290,55 @@ object Corpus {
   /** SparkEntry query (oracled): vocabulary with min-count 3. */
   def vocabularyQuery(s: SparkSession, d: String): DataFrame =
     vocabulary(Tables.documents(s, d), minCount = 3)
+
+  /** Domain balancing: keep at most `maxPerSource` docs per source, best
+    * quality first (integer-exact round(q·10⁶) rank, doc_id tie-break) —
+    * the anti-spam cap every web-corpus recipe applies so no single domain
+    * dominates the training mix.
+    *
+    * Scale shape: same as [[topQualityFrac]] — score map-side, shuffle only
+    * (doc_id, source, q6), rank inside source partitions, never a global
+    * sort. A pathologically hot domain makes ONE partition large; the rank
+    * still computes in one pass over it (row_number needs no buffering
+    * beyond sort), and AQE splits skewed partitions on the exchange. */
+  def capPerSource(docs: DataFrame, maxPerSource: Int,
+                   textCol: String = "text",
+                   sourceCol: String = "source"): DataFrame = {
+    require(maxPerSource > 0, s"capPerSource: cap $maxPerSource must be positive")
+    docs
+      .select(col("doc_id"), col(sourceCol).as("source"),
+        floor(TextOps.qualityScore(col(textCol)) * 1e6 + lit(0.5)).cast("long").as("__q6"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("__q6").desc, col("doc_id").asc)))
+      .filter(col("__rk") <= maxPerSource)
+      .select(col("doc_id"), col("source"),
+        (col("__q6").cast("double") / 1e6).as("quality"))
+  }
+
+  /** SparkEntry query (oracled): best 10 docs per source. */
+  def capPerSourceQuery(s: SparkSession, d: String): DataFrame =
+    capPerSource(Tables.documents(s, d), maxPerSource = 10)
+
+  /** Deterministic train/val/test assignment: split is a pure function of
+    * doc_id (multiplicative scramble → percent bucket), NOT of partitioning
+    * or execution order. `randomSplit` re-deals a document's split when the
+    * corpus is repartitioned or rows move between files; this assignment is
+    * stable across cluster sizes, re-runs, and incremental appends — the
+    * property that keeps eval sets honest across pipeline versions.
+    * Shuffle-free: one codegen'd projection. */
+  def assignSplits(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"assignSplits: train $trainPct / val $valPct must fit in 100")
+    val bucket = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L) +
+      lit(40503L), lit(100L))
+    docs.select(col("doc_id"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** SparkEntry query (oracled): the 90/5/5 split. */
+  def assignSplitsQuery(s: SparkSession, d: String): DataFrame =
+    assignSplits(Tables.documents(s, d))
 }

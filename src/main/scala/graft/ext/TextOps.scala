@@ -278,4 +278,54 @@ object TextOps {
         qualityScore(col("text")).as("quality"),
         langId(col("text")).as("lang_pred"),
         fingerprint(col("text")).as("fp"))
+
+  /** Boilerplate-line removal (the CCNet/RefinedWeb recipe): drop every
+    * line that appears verbatim in ≥ `minDf` distinct documents — cookie
+    * banners, newsletter footers, copyright lines — and reassemble each
+    * document from its surviving lines in original order. A document whose
+    * EVERY line is boilerplate disappears from the output (nothing left to
+    * train on), which is the intended pipeline semantics.
+    *
+    * Scale shape: line df is a two-phase aggregate (map-side partials, so
+    * a million-doc footer costs one partial row per task, not a reducer
+    * pile-up); the hot-line set is boilerplate-vocabulary-sized, so the
+    * anti-join broadcasts under AQE when it is actually small; reassembly
+    * is ONE shuffle on doc_id with an order-stable array_sort on the
+    * collected (pos, line) structs — collect_list alone is
+    * partition-order-dependent and would be nondeterministic. */
+  def removeBoilerplate(docs: DataFrame, minDf: Long = 10,
+                        textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    // whitespace-only lines are never "boilerplate" (they carry no content
+    // to over-represent) — and dropping them would reflow real paragraphs
+    val hot = lines.filter(trim(col("line")) =!= "")
+      .groupBy("line").agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf).select("line")
+    lines.join(hot, Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("text_clean"))
+  }
+
+  /** SparkEntry query (oracled): the fixture docs are single-line, so the
+    * gate PLANTS boilerplate on deterministic doc_id grids (the
+    * text_scrub_pii pattern): two high-df footers and a cookie header that
+    * must be stripped, plus a df≈2 rare footer that must survive minDf. */
+  def boilerplateQuery(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d).select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 7 === 0,
+          lit("Cookie notice: we use cookies\n")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit("\nSubscribe to our newsletter!")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("\nCopyright 2026 Example Corp")).otherwise(lit("")),
+        when(col("doc_id") % 251 === 0,
+          lit("\nRare footer line")).otherwise(lit("")))
+        .as("text"))
+    removeBoilerplate(planted, minDf = 10)
+  }
 }

@@ -171,4 +171,30 @@ class CorpusSpec extends SparkSpec {
     assert(!v.contains(""), "empty-split artifact must be filtered")
     assert(!v.contains("CAT"), "tokens are lowercased")
   }
+
+  test("capPerSource keeps the best maxPerSource docs per source, quality-first") {
+    val docs = Seq(
+      (1L, prose, "a"), (2L, prose + " more words here", "a"),
+      (3L, "!!! ;;; (((", "a"),                         // worst of source a
+      (4L, prose, "b")
+    ).toDF("doc_id", "text", "source")
+    val kept = Corpus.capPerSource(docs, maxPerSource = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.size == 3 && !kept.contains(3L),
+      s"source a keeps its 2 best, junk doc 3 is the one cut; got $kept")
+    // cap larger than any source is the identity
+    assert(Corpus.capPerSource(docs, maxPerSource = 10).count() == 4)
+  }
+
+  test("assignSplits: pure function of doc_id — stable under repartitioning, pcts honored") {
+    val docs = spark.range(0, 2000).toDF("doc_id")
+    val s1 = Corpus.assignSplits(docs).as[(Long, String)].collect().toMap
+    val s2 = Corpus.assignSplits(docs.repartition(17)).as[(Long, String)].collect().toMap
+    assert(s1 == s2, "split must not depend on partitioning")
+    val byName = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    // the scramble is uniform-ish; 90/5/5 within generous tolerance
+    assert(byName("train") > 1600 && byName("val") > 40 && byName("test") > 40,
+      s"split sizes off: $byName")
+    assert(byName.values.sum == 2000)
+  }
 }

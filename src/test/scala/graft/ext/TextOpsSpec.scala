@@ -126,6 +126,23 @@ class TextOpsSpec extends SparkSpec {
     assert(nulls._2.contains(0.25), "columnar null artifact, documented")
   }
 
+  test("removeBoilerplate strips high-df lines, keeps rare lines and order, drops emptied docs") {
+    val footer = "Subscribe now!"
+    val docs = Seq(
+      (1L, s"alpha body one\n$footer"),
+      (2L, s"$footer\nbeta body two"),
+      (3L, s"gamma body three\n$footer\nrare closing line"),
+      (4L, footer) // nothing but boilerplate → disappears
+    ).toDF("doc_id", "text")
+    val out = TextOps.removeBoilerplate(docs, minDf = 3)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(
+      1L -> "alpha body one",
+      2L -> "beta body two",
+      3L -> "gamma body three\nrare closing line"),
+      s"got $out")
+  }
+
   test("scrubPii redacts emails, IPs, and phones; counts on raw text") {
     val df = Seq(
       (1L, "mail a.b+c@sub.example.org or x@y.io today"),

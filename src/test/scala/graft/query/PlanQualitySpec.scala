@@ -202,6 +202,45 @@ class PlanQualitySpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("semantic dedup: pair prune is a cid equi-join; only the centroid argmin may nest-loop") {
+    try {
+      val emb = graft.core.Tables.embeddings(spark, sf("sf0.001")).limit(200)
+      val df = graft.ext.Dedup.semanticDedup(
+        graft.ext.Dedup.withPlantedTwinsExact(emb), kCentroids = 8, iters = 1)
+      val plan = executedPlan(df)
+      assert(!plan.contains("CartesianProduct"),
+        s"semantic dedup must never go cartesian:\n$plan")
+      // the centroid argmin is a deliberate broadcast nested loop (k-row
+      // model state against the corpus); the O(c²)-RISKY join — pairs
+      // within a cluster — must be hash-keyed on centroid id
+      val finalPlan = plan.split("== Initial Plan ==").head
+      assert("BroadcastNestedLoopJoin".r.findAllIn(finalPlan).length <= 1,
+        s"only the centroid argmin may nest-loop:\n$plan")
+      // the cid join sits in a nested adaptive subtree (cache/broadcast
+      // stage), so search the FULL plan dump, not just the outer final plan
+      assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cid#".r
+          .findFirstIn(plan).isDefined,
+        s"within-cluster prune must equi-join on cid:\n$plan")
+    } finally graft.core.CacheRegistry.unpersistAll()
+  }
+
+  test("corpus_vocab: hot-token-safe two-phase aggregation; scan pruned to (doc_id, text)") {
+    val df = graft.ext.Corpus.vocabularyQuery(spark, sf("sf0.001"))
+    val plan = executedPlan(df)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // count(distinct doc_id) must plan as the (token, doc_id) partial-dedup
+    // rewrite: ≥2 aggregate phases with partials, ≤2 exchanges — a single
+    // groupBy(token) shuffle would pile every occurrence of a hot token
+    // ("the") onto one reducer
+    assert("HashAggregate".r.findAllIn(finalPlan).length >= 4,
+      s"expect partial+final aggregate pairs:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length <= 2,
+      s"vocab is at most two shuffles:\n$plan")
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("doc_id") && scan.contains("text") && !scan.contains("n_chars"),
+      s"scan must read only (doc_id, text): $scan")
+  }
+
   test("streaming as-of enrichment broadcasts the version arrays") {
     import org.apache.spark.sql.functions._
     val left = spark.range(100).selectExpr("id % 5 AS k", "id AS ts", "id AS v")
