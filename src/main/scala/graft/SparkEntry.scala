@@ -58,6 +58,7 @@ object SparkEntry {
     // §2.3 streaming dataflow, batch-equivalent
     "stream_map_filter_batch" -> (Relational.streamMapFilterBatch(_, _)),
     "stream_windowed_agg"     -> (Relational.streamWindowedAggBatch(_, _)),
+    "stream_sessionize"       -> (Relational.streamSessionizeBatch(_, _)),
     // §2.2 Datalog compiler end-to-end (triple patterns → Catalyst plan)
     "datalog_query"       -> (graft.query.datalog.DatalogDb.datalogQuery(_, _)),
     "datalog_edn"         -> (graft.query.datalog.DatalogDb.datalogEdnQuery(_, _)),
@@ -269,6 +270,26 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_v
          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""",
+    // stream_sessionize: gap-chained sessions — lag/flag/running-sum with
+    // µs-integer gap comparisons, (ts, event_id) tie-broken ordering
+    "stream_sessionize" ->
+      """WITH lagd AS (
+           SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events
+         ), flag AS (
+           SELECT *, CASE WHEN prev IS NULL
+             OR epoch_us(ts) - epoch_us(prev) > 43200000000 THEN 1 ELSE 0 END AS nw
+           FROM lagd
+         ), sess AS (
+           SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM flag
+         )
+         SELECT user_id, session_seq, min(ts) AS session_start,
+           max(ts) AS session_end, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+         FROM sess GROUP BY user_id, session_seq""",
     "datalog_query" ->
       """SELECT c_mktsegment AS seg, count(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey

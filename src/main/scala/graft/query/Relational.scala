@@ -411,4 +411,35 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_v"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_v"))
+
+  /** Gap-based sessionization: chain a user's events into a session while
+    * consecutive gaps stay ≤ `gapMicros`, then aggregate per session —
+    * the classic lag → new-session flag → running-sum id assignment.
+    * Streaming equivalent: `session_window(ts, gap)` (SessionizeSpec pins
+    * the two agree on membership; the built-in's session END is last event
+    * + gap, so only start/count/sum are comparable).
+    *
+    * Scale shape: ONE shuffle on user_id serves both windows AND the final
+    * aggregate (hash-partitioned by user, sessions never straddle
+    * partitions); the µs-integer gap comparison keeps the flag exact.
+    * Timestamps stay µs-BIGINT end-to-end — no float seconds. */
+  def sessionize(events: DataFrame, gapMicros: Long): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new", when(col("__prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("__prev")) > gapMicros, 1L)
+        .otherwise(0L))
+      .withColumn("session_seq", sum(col("__new")).over(
+        byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+  }
+
+  /** SparkEntry query (oracled): 12 h-gap sessions over the events table. */
+  def streamSessionizeBatch(s: SparkSession, d: String): DataFrame =
+    sessionize(Tables.events(s, d), gapMicros = 12L * 3600 * 1000000)
 }

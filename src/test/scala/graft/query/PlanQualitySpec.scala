@@ -241,6 +241,18 @@ class PlanQualitySpec extends SparkSpec {
       s"scan must read only (doc_id, text): $scan")
   }
 
+  test("sessionize: one user_id shuffle serves both windows and the session aggregate") {
+    val df = graft.query.Relational.streamSessionizeBatch(spark, sf("sf0.001"))
+    val plan = executedPlan(df)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // hashpartitioning(user_id) satisfies the (user_id, session_seq)
+    // clustered distribution, so the group-by must NOT re-shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length <= 1,
+      s"sessionize is exactly one shuffle:\n$plan")
+    assert(!finalPlan.contains("rangepartitioning"),
+      s"per-user ordering must not global-sort:\n$plan")
+  }
+
   test("streaming as-of enrichment broadcasts the version arrays") {
     import org.apache.spark.sql.functions._
     val left = spark.range(100).selectExpr("id % 5 AS k", "id AS ts", "id AS v")
