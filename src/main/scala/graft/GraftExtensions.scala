@@ -63,7 +63,7 @@ object GraftExtensions {
     }),
     ("vec_norm", "vec_norm(a) - L2 norm of array<double>",
       one("vec_norm")(L2Norm)),
-    ("simhash64", "simhash64(tokens) - 64-bit SimHash of array<string>",
+    ("simhash64", "simhash64(tokens) - 60-bit md5-based SimHash of array<string>",
       one("simhash64")(SimHash64)),
     ("word_shingles", "word_shingles(tokens, n) - distinct word n-grams", {
       case Seq(t, n) => WordShingles(t, intLit(n, "word_shingles n"))

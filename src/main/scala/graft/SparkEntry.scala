@@ -111,14 +111,15 @@ object SparkEntry {
     * BOTH sides so results are independent of aggregation order.
     *
     * Omitted keys get the driver's rows-only check; each is rows-only BY
-    * CONSTRUCTION (hash functions DuckDB does not implement), and each is
-    * ScalaTest-pinned instead:
-    *  - dedup_minhash / dedup_simhash / dedup_embedding_lsh: signatures are
-    *    seeded murmur3/xxhash64 LSH (DedupSpec pins recall vs exact pairs)
-    *  - text_analysis: carries the xxhash64 content fingerprint (tokens/
-    *    quality/langID are separately oracled in token_count/text_quality)
+    * CONSTRUCTION, and each is ScalaTest-pinned instead:
+    *  - dedup_embedding_lsh: SRP bucketing over seeded-murmur hyperplanes
+    *    (DedupSpec pins recall ⊇ the exact O(n²) pairs on planted twins)
     *  - multimodal_pipeline: stub codec output (no media libs in this env;
-    *    schema/partitioning/batch plumbing pinned in MultimodalSpec) */
+    *    schema/partitioning/batch plumbing pinned in MultimodalSpec)
+    * The lexical-hash gates (dedup_minhash, dedup_simhash, text_analysis)
+    * are NOT omitted: their signatures are md5-prefix integers + affine
+    * permutations — exact int64 arithmetic both engines compute
+    * identically — so the full LSH pipelines replay in DuckDB. */
   def oracleSql: Map[String, String] = Map(
     "scan_project" ->
       "SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem",
@@ -333,9 +334,88 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs FROM (
            SELECT arg_min(lang, doc_id) AS lang FROM documents GROUP BY text)
          GROUP BY lang""",
-    // dedup_embedding_lsh: no oracle — SRP bucketing is hash-seeded and
-    // engine-specific; recall vs the exact O(n²) baseline is pinned in
-    // DedupSpec instead (LSH pairs ⊇ exact pairs on planted twins).
+    // dedup_minhash: FULL replay of the MinHash+LSH pipeline — md5-28-bit
+    // shingle base, 64 affine permutations mod 2³¹−1, 16 bands × 4 rows
+    // (Spark joins bands on xxhash64 of the same concat string DuckDB
+    // joins on directly — a join-key spelling, not a value), then exact
+    // Jaccard verification over the true shingle sets.
+    "dedup_minhash" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+         ), sh AS (
+           SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_distinct([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
+             END AS sh
+           FROM tok
+         ), bx AS (
+           SELECT doc_id, ('0x' || substring(md5(s), 1, 7))::BIGINT AS x
+           FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+         ), perms AS (
+           SELECT i, (2654435761 * (i + 1)) % 2147483647 AS a,
+                     (40503 * (i + 1) * (i + 1) + 17) % 2147483647 AS b
+           FROM generate_series(0, 63) t(i)
+         ), sig AS (
+           SELECT doc_id, i, min((a * x + b) % 2147483647) AS h
+           FROM bx CROSS JOIN perms GROUP BY doc_id, i
+         ), bands AS (
+           SELECT doc_id, i // 4 AS band,
+             string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS bucket
+           FROM sig GROUP BY doc_id, i // 4
+         ), cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         )
+         SELECT id_a, id_b, floor(j * 1e4 + 0.5) / 1e4 AS jaccard FROM (
+           SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+               (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+           FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
+         WHERE j >= 0.5""",
+    // dedup_simhash: FULL replay — 60-bit md5-prefix token hashes, per-bit
+    // ±1 majority votes, 4×15-bit chunk LSH with the 2..256 bucket-size
+    // prune, Hamming ≤ 3 verify, identical-fingerprint classes expanding
+    // to intra-class distance-0 pairs.
+    "dedup_simhash" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+         ), votes AS (
+           SELECT doc_id, b,
+             sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+           FROM (SELECT doc_id, ('0x' || substring(md5(tk), 1, 15))::BIGINT AS h
+                 FROM (SELECT doc_id, unnest(t) AS tk FROM tok))
+           CROSS JOIN generate_series(0, 59) g(b)
+           GROUP BY doc_id, b
+         ), fps AS (
+           SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS fp
+           FROM votes GROUP BY doc_id
+         ), classes AS (
+           SELECT fp, list(doc_id) AS members FROM fps GROUP BY fp
+         ), chunks AS (
+           SELECT fp, c AS chunk, (fp >> (c * 15)) & 32767 AS key
+           FROM classes CROSS JOIN generate_series(0, 3) t(c)
+         ), kept AS (
+           SELECT chunk, key FROM chunks GROUP BY chunk, key
+           HAVING count(*) BETWEEN 2 AND 256
+         ), ham AS (
+           SELECT fp_a, fp_b, CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+           FROM (SELECT DISTINCT a.fp AS fp_a, b.fp AS fp_b
+                 FROM chunks a JOIN kept USING (chunk, key) JOIN chunks b USING (chunk, key)
+                 WHERE a.fp < b.fp)
+           WHERE bit_count(xor(fp_a, fp_b)) <= 3
+         ), inter AS (
+           SELECT least(ma.id, mb.id) AS id_a, greatest(ma.id, mb.id) AS id_b, hamming
+           FROM ham
+           JOIN (SELECT fp, unnest(members) AS id FROM classes) ma ON ma.fp = ham.fp_a
+           JOIN (SELECT fp, unnest(members) AS id FROM classes) mb ON mb.fp = ham.fp_b
+         ), intra AS (
+           SELECT a.id AS id_a, b.id AS id_b, 0 AS hamming
+           FROM (SELECT fp, unnest(members) AS id FROM classes) a
+           JOIN (SELECT fp, unnest(members) AS id FROM classes) b
+             ON a.fp = b.fp AND a.id < b.id
+         )
+         SELECT id_a, id_b, hamming FROM inter
+         UNION ALL SELECT id_a, id_b, hamming FROM intra""",
     "dedup_ngram_jaccard" ->
       """WITH tok AS (
            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
@@ -565,6 +645,34 @@ object SparkEntry {
          len(regexp_extract_all(text, '[A-Za-z0-9]+')) +
          len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_bpeish
          FROM documents""",
+    // text_analysis: the text_quality panel plus the md5-prefix content
+    // fingerprint — every column now exact arithmetic DuckDB replays.
+    "text_analysis" ->
+      """WITH tok AS (
+           SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+         ), feat AS (
+           SELECT doc_id, text, len(t) AS n_tokens,
+             least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+             1.0 - least(CAST(len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+                         / greatest(len(text), 1) * 5.0, 1.0) AS punct_score,
+             CAST(len(list_filter(t, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','this','that'], x))) AS DOUBLE)
+               / greatest(len(t), 1) AS swr,
+             CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / greatest(len(t), 1) AS mwl,
+             list_sort([
+               {'hits': len(list_filter(t, x -> list_contains(['the','and','of','to','is','in','that','it','for','with'], x))), 'lang': 'en'},
+               {'hits': len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','los','del','las','por'], x))), 'lang': 'es'},
+               {'hits': len(list_filter(t, x -> list_contains(['le','la','de','et','les','des','en','un','une','du'], x))), 'lang': 'fr'},
+               {'hits': len(list_filter(t, x -> list_contains(['der','die','und','das','von','zu','den','mit','ist','des'], x))), 'lang': 'de'},
+               {'hits': len(list_filter(t, x -> list_contains(['的','了','是','在','我','有','和','就','不','人'], x))), 'lang': 'zh'}
+             ])[-1] AS best
+           FROM tok
+         )
+         SELECT doc_id, n_tokens,
+           floor(((len_score + punct_score + (1.0 - least(abs(swr - 0.4) * 2.0, 1.0))
+                  + (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0))) / 4.0) * 1e6 + 0.5) / 1e6 AS quality,
+           CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+           ('0x' || substring(md5(trim(lower(text))), 1, 15))::BIGINT AS fp
+         FROM feat""",
     "text_quality" ->
       """WITH tok AS (
            SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents

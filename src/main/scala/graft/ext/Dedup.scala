@@ -50,7 +50,9 @@ object Dedup {
   // --------------------------------------------------------------- MinHash
 
   /** MinHash signature: numPerm independent min-hashes over word shingles.
-    * Permutation i is murmur3(shingle, seed=i); shingling + signature are
+    * Permutation p is (a_p·md5₂₈(shingle)+b_p) mod (2³¹−1) — exact int64
+    * arithmetic a DuckDB oracle replays bit-identically (seeded murmur
+    * would force the gate down to rows-only); shingling + signature are
     * single-pass native expressions. */
   def minhashSignature(text: Column, shingleN: Int = 3,
                        numPerm: Int = 64): Column = {
@@ -117,15 +119,17 @@ object Dedup {
 
   // --------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash over tokens: per-bit majority vote of xxhash64(token);
-    * fingerprint bit b set iff the vote count is positive (native
-    * single-pass expression). */
+  /** 60-bit SimHash over tokens: per-bit majority vote of the md5-60-bit
+    * token hash; fingerprint bit b set iff the vote count is positive
+    * (native single-pass expression). The md5-prefix hash — not xxhash64 —
+    * makes the fingerprint exact int64 arithmetic a DuckDB oracle replays
+    * bit-identically (`dedup_simhash` is hash-oracled, not rows-only). */
   def simhash(text: Column): Column =
     graft.functions.TextHashExpressions.simhash64(TextOps.tokens(text))
 
-  /** SimHash near-dups: LSH on 4×16-bit chunks (two docs within Hamming
-    * distance ≤ 3 of each other on 64 bits must share at least one exact
-    * 16-bit chunk — pigeonhole), verified by true Hamming distance.
+  /** SimHash near-dups: LSH on 4×15-bit chunks (two docs within Hamming
+    * distance ≤ 3 of each other on 60 bits must share at least one exact
+    * 15-bit chunk — pigeonhole), verified by true Hamming distance.
     *
     * Scale posture (the two hot-bucket guards):
     *  1. Identical fingerprints collapse into ONE class before any join.
@@ -136,7 +140,7 @@ object Dedup {
     *    output pairs are unchanged.
     *  2. A (chunk,key) bucket holding more than `maxBucket` DISTINCT
     *    fingerprints is skipped (mirrors `ngramJaccardPairs`' `maxDf`).
-    *    A qualifying pair is lost only if EVERY 16-bit chunk it shares is
+    *    A qualifying pair is lost only if EVERY 15-bit chunk it shares is
     *    over the cap — vanishingly rare once exact-dup classes are
     *    collapsed, and bounded: candidate fan-in is ≤ 4·maxBucket per
     *    fingerprint regardless of corpus skew. */
@@ -151,8 +155,8 @@ object Dedup {
     val chunks = classes.select(col("fp"),
         explode(transform(sequence(lit(0), lit(3)),
           c => struct(c.as("chunk"),
-            call_function("shiftright", col("fp"), c * 16)
-              .bitwiseAND(0xFFFFL).as("key")))).as("ck"))
+            call_function("shiftright", col("fp"), c * 15)
+              .bitwiseAND(0x7FFFL).as("key")))).as("ck"))
       .select(col("fp"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
     val pruned = pruneByBucketSize(chunks, Seq("chunk", "key"), minDf = 2, maxDf = maxBucket)
     val fpPairs = pruned.as("a")
@@ -181,7 +185,7 @@ object Dedup {
 
   /** SparkEntry query (rows-only): SimHash near-dup pairs at Hamming ≤ 3 —
     * the regime where the 4-chunk LSH guarantees full recall (pigeonhole:
-    * ≤3 flipped bits leave at least one 16-bit chunk intact). */
+    * ≤3 flipped bits leave at least one 15-bit chunk intact). */
   def simhashQuery(s: SparkSession, d: String): DataFrame =
     simhashNearDups(Tables.documents(s, d), maxHamming = 3)
 

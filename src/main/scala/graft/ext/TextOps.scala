@@ -110,15 +110,20 @@ object TextOps {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
-  /** 64-bit content fingerprint (xxhash64 of normalized text) and a
-    * win(k)-style robust fingerprint: min xxhash64 over word shingles —
-    * stable under small edits at the shingle granularity. */
-  def fingerprint(text: Column): Column = xxhash64(trim(lower(text)))
+  /** 60-bit content fingerprint (md5 prefix of normalized text, as an
+    * integer) and a win(k)-style robust fingerprint: min md5-prefix hash
+    * over word shingles — stable under small edits at the shingle
+    * granularity. The md5 spelling — not xxhash64 — is exact arithmetic a
+    * DuckDB oracle computes verbatim (('0x'||substring(md5(s),1,15))::
+    * BIGINT), which is what lets `text_analysis` hash-match instead of
+    * falling back to a rows-only check. Both are codegen'd builtins. */
+  def fingerprint(text: Column): Column =
+    conv(substring(md5(trim(lower(text))), 1, 15), 16, 10).cast("long")
 
   def robustFingerprint(text: Column, shingleN: Int = 3): Column =
     array_min(transform(
       graft.functions.TextHashExpressions.word_shingles(tokens(text), shingleN),
-      s => xxhash64(s)))
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
 
   /** Gopher-style repetition signals per document — the standard cheap
     * filters for machine-generated/boilerplate text (Rae et al. 2021,

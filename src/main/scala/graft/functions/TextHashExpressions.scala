@@ -2,12 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DataTypes, IntegerType, LongType}
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
 
 /** Native signature computation for the text near-dup hot path: one tight
   * loop per document instead of an interpreted higher-order-function chain
@@ -17,18 +16,52 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
   */
 object TextHashes {
 
-  /** MinHash signature: perm i's hash of shingle s = murmur3(s, seed=i). */
+  // Oracle-portable hash base: the top 28 bits of md5(s) — exactly the
+  // integer DuckDB computes as ('0x' || substring(md5(s),1,7))::BIGINT.
+  // One digest per shingle feeds every permutation below, which is also
+  // CHEAPER than the previous numPerm seeded-murmur calls per shingle.
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def md5Base28(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = md5Local.get(); md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xFFL) << 20) | ((d(1) & 0xFFL) << 12) |
+      ((d(2) & 0xFFL) << 4) | ((d(3) & 0xF0L) >>> 4)
+  }
+  /** Top 60 bits of md5(s) — DuckDB's ('0x'||substring(md5(s),1,15))::BIGINT. */
+  def md5Base60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = md5Local.get(); md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+    h >>> 4
+  }
+
+  /** MinHash permutation family: h_p(x) = (a_p·x + b_p) mod P over the
+    * md5-28-bit base — all exact int64 arithmetic, so a DuckDB oracle
+    * replays every signature bit-identically (a seeded-murmur family is
+    * engine-private and forces the gate down to a rows-only check).
+    * P = 2³¹−1 (prime); a_p ∈ [1,P) since p+1 < P; products stay < 2⁵⁹. */
+  private final val MinHashP = 2147483647L
+  def minhashA(p: Int): Long = (2654435761L * (p + 1)) % MinHashP
+  def minhashB(p: Int): Long = (40503L * (p + 1) * (p + 1) + 17L) % MinHashP
+
+  /** MinHash signature: perm p's hash of shingle s = (a_p·md5₂₈(s)+b_p) mod P. */
   def minhash(sh: ArrayData, numPerm: Int): ArrayData = {
     val out = Array.fill(numPerm)(Int.MaxValue)
+    val as = Array.tabulate(numPerm)(minhashA)
+    val bs = Array.tabulate(numPerm)(minhashB)
     val n = sh.numElements()
     var i = 0
     while (i < n) {
       if (!sh.isNullAt(i)) {
-        val s = sh.getUTF8String(i)
+        val x = md5Base28(sh.getUTF8String(i))
         var p = 0
         while (p < numPerm) {
-          val h = Murmur3_x86_32.hashUnsafeBytes(
-            s.getBaseObject, s.getBaseOffset, s.numBytes(), p)
+          val h = ((as(p) * x + bs(p)) % MinHashP).toInt
           if (h < out(p)) out(p) = h
           p += 1
         }
@@ -174,17 +207,22 @@ object TextHashes {
     (lenScore + punctScore + swScore + wlScore) / 4.0
   }
 
-  /** 64-bit SimHash: per-bit majority vote over xxhash64(token). */
+  /** 60-bit SimHash: per-bit majority vote over the md5-60-bit token hash
+    * (bit b set iff Σ_tokens ±1 votes > 0, duplicates voting once each).
+    * 60 bits — not 64 — so the per-token hash is the md5 prefix integer a
+    * DuckDB oracle computes verbatim; xxhash64 votes were engine-private
+    * and kept the gate rows-only. LSH chunking is 4 × 15 bits (pigeonhole
+    * still guarantees recall at Hamming ≤ 3). */
+  final val SimHashBits = 60
   def simhash(toks: ArrayData): Long = {
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](SimHashBits)
     val n = toks.numElements()
     var i = 0
     while (i < n) {
       if (!toks.isNullAt(i)) {
-        val s = toks.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        val h = md5Base60(toks.getUTF8String(i))
         var b = 0
-        while (b < 64) {
+        while (b < SimHashBits) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
           b += 1
         }
@@ -193,7 +231,7 @@ object TextHashes {
     }
     var fp = 0L
     var b = 0
-    while (b < 64) {
+    while (b < SimHashBits) {
       if (counts(b) > 0) fp |= (1L << b)
       b += 1
     }
