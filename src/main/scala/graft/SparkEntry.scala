@@ -110,16 +110,14 @@ object SparkEntry {
     * same parquet tables. Float-summing queries use exact DECIMAL casts on
     * BOTH sides so results are independent of aggregation order.
     *
-    * Omitted keys get the driver's rows-only check; each is rows-only BY
-    * CONSTRUCTION, and each is ScalaTest-pinned instead:
-    *  - dedup_embedding_lsh: SRP bucketing over seeded-murmur hyperplanes
-    *    (DedupSpec pins recall ⊇ the exact O(n²) pairs on planted twins)
-    *  - multimodal_pipeline: stub codec output (no media libs in this env;
-    *    schema/partitioning/batch plumbing pinned in MultimodalSpec)
-    * The lexical-hash gates (dedup_minhash, dedup_simhash, text_analysis)
-    * are NOT omitted: their signatures are md5-prefix integers + affine
-    * permutations — exact int64 arithmetic both engines compute
-    * identically — so the full LSH pipelines replay in DuckDB. */
+    * The only omitted key is multimodal_pipeline (stub codec output — no
+    * media libs in this env; schema/partitioning/batch plumbing pinned in
+    * MultimodalSpec); it gets the driver's rows-only check.
+    * The hash/LSH gates (dedup_minhash, dedup_simhash, text_analysis,
+    * dedup_embedding_lsh) are NOT omitted: signatures are md5-prefix
+    * integers + affine permutations / scramble sign bits — exact int64
+    * arithmetic both engines compute identically — so the full LSH
+    * pipelines replay in DuckDB. */
   def oracleSql: Map[String, String] = Map(
     "scan_project" ->
       "SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem",
@@ -334,6 +332,49 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs FROM (
            SELECT arg_min(lang, doc_id) AS lang FROM documents GROUP BY text)
          GROUP BY lang""",
+    // dedup_embedding_lsh: FULL replay of the SRP-LSH pipeline — exact
+    // twin planting, auto-scaled resolution (bits = bit-length of
+    // (n/8 − 1), floored at 8, capped at 24; tables = max(8, bits)),
+    // scramble ±1 sign bits, index-ascending projection sums, 2..512
+    // bucket prune, and the margin-safe cosine verify.
+    "dedup_embedding_lsh" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         ), tw AS (
+           SELECT vec_id + 1000000000 AS vec_id, list(x2 ORDER BY pos) AS v FROM (
+             SELECT vec_id, pos,
+               x + 0.02 * (CAST((((vec_id + 1000000000) % 100003) * 2654435761 + (pos - 1) * 40503) % 1000 AS DOUBLE) / 1000.0 - 0.5) AS x2
+             FROM (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM base))
+           GROUP BY vec_id
+         ), e AS (SELECT * FROM base UNION ALL SELECT * FROM tw
+         ), params AS (
+           SELECT least(24, greatest(8,
+             length(format('{:b}', greatest((count(*) // 8) - 1, 1))))) AS bits
+           FROM e
+         ), sigbits AS (
+           SELECT e.vec_id, g.t, h.b,
+             CASE WHEN list_sum([v[i] *
+               (CASE WHEN ((((g.t * 4096 + h.b + 1) * 2654435761 + i * 40503) % 2147483647) // 8192) % 2 = 1
+                 THEN 1.0 ELSE -1.0 END) for i in generate_series(1, len(v))]) > 0
+             THEN 1 ELSE 0 END AS bit
+           FROM e, params, generate_series(0, 23) g(t), generate_series(0, 23) h(b)
+           WHERE g.t < greatest(8, params.bits) AND h.b < params.bits
+         ), sigs AS (
+           SELECT vec_id, t, sum(bit << (bits - 1 - b)) AS bucket
+           FROM sigbits, params GROUP BY vec_id, t, bits
+         ), kept AS (
+           SELECT t, bucket FROM sigs GROUP BY t, bucket
+           HAVING count(*) BETWEEN 2 AND 512
+         ), cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM sigs a JOIN kept USING (t, bucket) JOIN sigs b USING (t, bucket)
+           WHERE a.vec_id < b.vec_id
+         )
+         SELECT id_a, id_b, floor(cs * 1e4 + 0.5) / 1e4 AS cos FROM (
+           SELECT c.id_a, c.id_b,
+             list_dot_product(ea.v, eb.v) /
+               (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cs
+           FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b)
+         WHERE cs >= 0.95""",
     // dedup_minhash: FULL replay of the MinHash+LSH pipeline — md5-28-bit
     // shingle base, 64 affine permutations mod 2³¹−1, 16 bands × 4 rows
     // (Spark joins bands on xxhash64 of the same concat string DuckDB

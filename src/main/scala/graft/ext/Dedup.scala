@@ -548,14 +548,18 @@ object Dedup {
   def embeddingNearDups(emb: DataFrame, threshold: Double = 0.95,
                         nBits: Int = 0, tables: Int = 8,
                         targetBucket: Int = 8, maxBucket: Int = 512): DataFrame = {
-    // normalize once so verification is a single codegen'd dot product
-    val v = CacheRegistry.persisted(Similarity.normalized(
-        emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")))
-      .withColumnRenamed("embedding", "v"))
+    // RAW vectors + a precomputed norm, not a normalized copy: the SRP
+    // sign is normalization-invariant (sign Σ(e_i/‖e‖)·r = sign Σe_i·r),
+    // and keeping the replay arithmetic on the raw doubles is what lets
+    // the DuckDB oracle add the SAME IEEE values in the same order.
+    // Verification is dot/(‖a‖·‖b‖) with norms computed once per vector.
+    val v = CacheRegistry.persisted(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", Similarity.norm(col("v"))))
     val (bits, tbls) =
       if (nBits > 0) (nBits, tables)
       else {
-        val n = v.count() // materializes the persisted normalized vectors
+        val n = v.count() // materializes the persisted vectors + norms
         val target = math.max(1L, n / math.max(1, targetBucket))
         val b = math.min(24, math.max(8,
           64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, target - 1L)))).toInt
@@ -578,9 +582,10 @@ object Dedup {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
     cand
-      .join(v.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(v.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), Similarity.dot(col("va"), col("vb")).as("cos"))
+      .join(v.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -615,12 +620,14 @@ object Dedup {
     v.unionByName(twins)
   }
 
-  /** SparkEntry query (rows-only): SRP-LSH embedding near-dup pairs at
-    * cos ≥ 0.95 over the planted-twin corpus — the 100 TB path (bucketed
-    * equi-join candidates; the O(n²) exact join never runs here). DedupSpec
-    * asserts LSH pairs ⊇ exact pairs on the same construction. */
+  /** SparkEntry query (FULL DuckDB oracle): SRP-LSH embedding near-dup
+    * pairs at cos ≥ 0.95 over the exact-planted-twin corpus — the 100 TB
+    * path (bucketed equi-join candidates; the O(n²) exact join never runs
+    * here). Twin arithmetic, auto-scaled resolution, scramble sign bits,
+    * bucket pruning, and the cosine verify all replay in DuckDB; DedupSpec
+    * additionally asserts LSH pairs ⊇ exact pairs. */
   def embeddingLshQuery(s: SparkSession, d: String): DataFrame =
-    embeddingNearDups(withPlantedTwins(Tables.embeddings(s, d)),
+    embeddingNearDups(withPlantedTwinsExact(Tables.embeddings(s, d)),
         threshold = 0.95) // auto-scaled LSH resolution (the 100 TB default)
       .select(col("id_a"), col("id_b"), graft.query.Functions.stableRound(col("cos"), 4).as("cos"))
 

@@ -6,7 +6,6 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
 
 /** Native Catalyst expressions for the vector hot path (SURVEY.md §7.3:
   * similarity/dedup are the north-star ops that must survive 100 TB).
@@ -90,9 +89,19 @@ case class L2Norm(child: Expression) extends UnaryExpression
 
 /** Static helper shared by `eval` and generated code (same pattern as
   * TextHashes): SRP-LSH bucket per hash table — bit (t,b) is the sign of
-  * the projection onto a deterministic ±1 vector r(t,b,·) derived from
-  * murmur3. One tight primitive loop per vector instead of
-  * tables × nBits nested interpreted lambdas. */
+  * the projection onto a deterministic ±1 vector r(t,b,·). One tight
+  * primitive loop per vector instead of tables × nBits nested interpreted
+  * lambdas.
+  *
+  * The sign family is a multiplicative scramble, not murmur3: with
+  * seed = t·4096+b, q = ((seed+1)·2654435761 + (i+1)·40503) mod (2³¹−1)
+  * and r = +1 iff bit 13 of q — exact int64 arithmetic a DuckDB oracle
+  * computes verbatim, which is what lets `dedup_embedding_lsh` replay the
+  * whole bucketing (murmur signs were engine-private and forced the gate
+  * down to a rows-only check). Projection sums run index-ascending so the
+  * replay adds the same IEEE doubles in the same order; the sign is ulp-
+  * fragile only when the projection is ~0, and every decision the output
+  * depends on is margin-safe (verified pairs sit at cos ≫ threshold). */
 object VectorHashes {
   def srpBuckets(v: ArrayData, nBits: Int, tables: Int): ArrayData = {
     val dim = v.numElements()
@@ -102,11 +111,12 @@ object VectorHashes {
       var bucket = 0
       var b = 0
       while (b < nBits) {
-        val seed = t * 4096 + b
+        val seedP1 = (t * 4096 + b + 1).toLong
         var s = 0.0
         var i = 0
         while (i < dim) {
-          val r = if ((Murmur3_x86_32.hashInt(i, seed) & 1) == 0) 1.0 else -1.0
+          val q = (seedP1 * 2654435761L + (i + 1).toLong * 40503L) % 2147483647L
+          val r = if (((q >> 13) & 1L) == 1L) 1.0 else -1.0
           s += v.getDouble(i) * r
           i += 1
         }
