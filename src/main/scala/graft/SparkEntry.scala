@@ -102,6 +102,10 @@ object SparkEntry {
     "corpus_cap_source"      -> (graft.ext.Corpus.capPerSourceQuery(_, _)),
     // partition-stable train/val/test assignment
     "corpus_split"           -> (graft.ext.Corpus.assignSplitsQuery(_, _)),
+    // CCNet-style bigram-LM negative log-likelihood vs a reference slice
+    "corpus_perplexity"      -> (graft.ext.Corpus.lmPerplexityQuery(_, _)),
+    // DSIR importance weights (hashed n-gram features vs a target slice)
+    "corpus_dsir"            -> (graft.ext.Corpus.dsirWeightsQuery(_, _)),
     // boilerplate-line removal (CCNet-style df threshold)
     "text_boilerplate"       -> (TextOps.boilerplateQuery(_, _)),
   )
@@ -332,6 +336,71 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs FROM (
            SELECT arg_min(lang, doc_id) AS lang FROM documents GROUP BY text)
          GROUP BY lang""",
+    // corpus_perplexity: add-one bigram LM trained on the 1-in-5 reference
+    // slice; per-term q6 rounding makes the doc sum an exact-integer total
+    // (order-free), so the whole scoring pass replays.
+    "corpus_perplexity" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+         ), seq AS (
+           SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) AS pos FROM tok
+         ), bg AS (
+           SELECT doc_id, tk AS w1,
+             lead(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+           FROM seq
+         ), runi AS (
+           SELECT tk AS w1, count(*) AS c1 FROM seq WHERE doc_id % 5 = 0 GROUP BY tk
+         ), vv AS (SELECT count(*) AS v FROM runi
+         ), rbg AS (
+           SELECT w1, w2, count(*) AS c12 FROM bg
+           WHERE doc_id % 5 = 0 AND w2 IS NOT NULL GROUP BY w1, w2
+         ), scored AS (
+           SELECT d.doc_id,
+             CAST(floor(ln(CAST(coalesce(r.c12, 0) + 1 AS DOUBLE) /
+                           CAST(coalesce(u.c1, 0) + vv.v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lp
+           FROM bg d
+           LEFT JOIN rbg r ON d.w1 = r.w1 AND d.w2 = r.w2
+           LEFT JOIN runi u ON d.w1 = u.w1
+           CROSS JOIN vv
+           WHERE d.w2 IS NOT NULL
+         )
+         SELECT doc_id, count(*) AS n_bigrams, CAST(-sum(lp) AS BIGINT) AS nll_q6
+         FROM scored GROUP BY doc_id""",
+    // corpus_dsir: hashed-feature importance weights — md5-prefix buckets,
+    // full-range add-one smoothing, q6-rounded log-ratios, integer sums.
+    "corpus_dsir" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+         ), seq AS (
+           SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) AS pos FROM tok
+         ), bg AS (
+           SELECT doc_id, tk AS w1,
+             lead(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+           FROM seq
+         ), feats AS (
+           SELECT doc_id, tk AS f FROM seq
+           UNION ALL
+           SELECT doc_id, w1 || ' ' || w2 AS f FROM bg WHERE w2 IS NOT NULL
+         ), fb AS (
+           SELECT doc_id, ('0x' || substring(md5(f), 1, 7))::BIGINT % 10007 AS b FROM feats
+         ), tb AS (
+           SELECT b, count(*) AS ct FROM fb WHERE doc_id % 5 = 0 GROUP BY b
+         ), rb AS (
+           SELECT b, count(*) AS cr FROM fb GROUP BY b
+         ), nt AS (SELECT sum(ct) AS nt FROM tb
+         ), nr AS (SELECT sum(cr) AS nr FROM rb
+         ), ratio AS (
+           SELECT g.b, CAST(floor(
+             (ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(nt + 10007 AS DOUBLE)) -
+              ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE) / CAST(nr + 10007 AS DOUBLE))) * 1e6 + 0.5)
+             AS BIGINT) AS lr_q6
+           FROM generate_series(0, 10006) g(b)
+           LEFT JOIN tb ON g.b = tb.b LEFT JOIN rb ON g.b = rb.b
+           CROSS JOIN nt CROSS JOIN nr
+         )
+         SELECT doc_id, count(*) AS n_features,
+           CAST(sum(lr_q6) AS BIGINT) AS dsir_weight_q6
+         FROM fb JOIN ratio ON fb.b = ratio.b GROUP BY doc_id""",
     // dedup_embedding_lsh: FULL replay of the SRP-LSH pipeline — exact
     // twin planting, auto-scaled resolution (bits = bit-length of
     // (n/8 − 1), floored at 8, capped at 24; tables = max(8, bits)),

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -341,4 +341,127 @@ object Corpus {
   /** SparkEntry query (oracled): the 90/5/5 split. */
   def assignSplitsQuery(s: SparkSession, d: String): DataFrame =
     assignSplits(Tables.documents(s, d))
+
+  // ------------------------------------------------ LM perplexity scoring
+
+  /** Word-bigram struct array of a token array (codegen'd builtins; the
+    * `when` guard exists because `sequence(1, 0)` would count DOWN). */
+  private def bigramArr(t: Column): Column =
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
+  /** CCNet-style LM quality scoring (Wenzek et al. 2020): train an add-one
+    * bigram model on a REFERENCE corpus, score every document by its
+    * negative log-likelihood — low-perplexity docs read like the
+    * reference, high-perplexity docs are gibberish/boilerplate/other
+    * languages. CCNet does this with a 5-gram KenLM over Wikipedia; the
+    * bigram form keeps the same shape (train on reference, score the
+    * crawl, filter/stratify on the score) with model state that lives in
+    * DataFrames instead of an external binary.
+    *
+    * Per bigram: lp = ln((c12+1)/(c1+V)); per doc: nll_q6 =
+    * −Σ round(lp·10⁶) — the per-term q6 rounding makes the document sum a
+    * BIGINT total of exact integers, so it is independent of aggregation
+    * order and a DuckDB oracle replays it bit-identically (the raw double
+    * sum would differ by summation order). Unseen bigrams smooth to
+    * c12=0/c1=0 through the left joins — scoring NEW text against a fixed
+    * reference model is the intended use.
+    *
+    * Scale shape: the model is two count tables from the reference (vocab-
+    * and bigram-vocab-sized — AQE broadcasts them when the reference is
+    * small, the common CCNet case); scoring is explode → two equi-joins →
+    * one doc_id aggregate. Nothing is ever collected to the driver. */
+  def lmPerplexity(docs: DataFrame, ref: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val t = TextOps.tokens(col(textCol))
+    val uni = ref.select(explode(t).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vdf = uni.agg(count(lit(1)).as("v"))
+    val refBg = ref.select(explode(bigramArr(t)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    docs.select(col(idCol).as("doc_id"), explode(bigramArr(t)).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .join(refBg, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vdf))
+      .withColumn("lp_q6", floor(
+        log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")) * 1e6 + 0.5)
+        .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lp_q6"))).as("nll_q6"))
+  }
+
+  /** SparkEntry query (oracled): score the whole corpus against a bigram
+    * model trained on the deterministic 1-in-5 reference slice — the
+    * train-on-reference / score-the-crawl shape at gate scale. */
+  def lmPerplexityQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    lmPerplexity(docs, docs.filter(col("doc_id") % 5 === 0))
+  }
+
+  // ---------------------------------------- DSIR importance weights
+
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    * hash every unigram+bigram into `buckets` feature buckets, estimate
+    * the target and raw feature distributions from counts, and weight each
+    * document by Σ_features log(p_target/p_raw) — documents that look like
+    * the target distribution get high weights, and importance resampling
+    * on the weight selects target-like training data from a raw crawl.
+    *
+    * Determinism/oracle: buckets come from the md5-prefix integer (the
+    * same oracle-portable hash as the dedup signatures); the per-feature
+    * log-ratio is q6-rounded so per-doc sums are exact-integer totals,
+    * independent of aggregation order; and the ratio table is built over
+    * the FULL bucket range 0..buckets−1 (spark.range ≡ generate_series),
+    * so both engines smooth identically even for empty buckets.
+    *
+    * Scale shape: this is THE selling point of hashed DSIR — the model
+    * state is two `buckets`-bounded count tables regardless of corpus
+    * size, so the ratio table always broadcasts; scoring is explode → one
+    * broadcast join → one doc_id aggregate. The raw-side count pass is the
+    * only corpus-sized shuffle (thin (bucket) keys, map-side combined). */
+  def dsirWeights(docs: DataFrame, target: DataFrame, buckets: Int = 10007,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(buckets > 1, "dsirWeights: need at least 2 feature buckets")
+    def featBuckets(df: DataFrame, withId: Boolean): DataFrame = {
+      val t = TextOps.tokens(col(textCol))
+      val feats = concat(t,
+        when(size(t) >= 2, transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+          .otherwise(array().cast("array<string>")))
+      val id = if (withId) col(idCol).as("doc_id") else lit(0L).as("doc_id")
+      df.select(id, explode(feats).as("f"))
+        .select(col("doc_id"),
+          pmod(conv(substring(md5(col("f")), 1, 7), 16, 10).cast("long"),
+            lit(buckets.toLong)).as("b"))
+    }
+    val tb = featBuckets(target, withId = false).groupBy("b").agg(count(lit(1)).as("ct"))
+    val rb = featBuckets(docs, withId = false).groupBy("b").agg(count(lit(1)).as("cr"))
+    val nt = tb.agg(sum(col("ct")).as("nt"))
+    val nr = rb.agg(sum(col("cr")).as("nr"))
+    val ratio = docs.sparkSession.range(buckets).select(col("id").as("b"))
+      .join(tb, Seq("b"), "left").join(rb, Seq("b"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("b"), floor(
+        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+             (col("nt") + buckets).cast("double")) -
+         log((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
+             (col("nr") + buckets).cast("double"))) * 1e6 + 0.5)
+        .cast("long").as("lr_q6"))
+    featBuckets(docs, withId = true)
+      .join(broadcast(ratio), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_features"), sum(col("lr_q6")).as("dsir_weight_q6"))
+  }
+
+  /** SparkEntry query (oracled): DSIR weights for the whole corpus against
+    * the deterministic 1-in-5 slice as the target distribution. */
+  def dsirWeightsQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    dsirWeights(docs, docs.filter(col("doc_id") % 5 === 0))
+  }
 }

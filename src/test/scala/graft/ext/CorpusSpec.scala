@@ -197,4 +197,37 @@ class CorpusSpec extends SparkSpec {
       s"split sizes off: $byName")
     assert(byName.values.sum == 2000)
   }
+
+  test("lmPerplexity: reference-like prose scores lower NLL/token than gibberish; " +
+    "unseen bigrams smooth instead of failing") {
+    val ref = (1L to 20L).map(i => (i, prose)).toDF("doc_id", "text")
+    val docs = Seq(
+      (100L, prose),                                        // verbatim reference text
+      (101L, "zzq wvx qqk jjv xxp zrr kwq vvj pqz xkk zzq wvx qqk jjv xxp"),
+      (102L, "entirely novel words nowhere in the reference corpus at all")
+    ).toDF("doc_id", "text")
+    val out = Corpus.lmPerplexity(docs, ref)
+      .select($"doc_id", $"n_bigrams", $"nll_q6").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._3.toDouble / r._2)).toMap
+    assert(out(100L) < out(101L),
+      s"reference prose ${out(100L)} must beat gibberish ${out(101L)}")
+    assert(out(102L) > out(100L), "unseen bigrams cost more than seen ones")
+    assert(out.keySet == Set(100L, 101L, 102L), "every multi-token doc is scored")
+  }
+
+  test("dsirWeights: target-like docs weigh more than off-target docs; " +
+    "weights are stable under repartitioning") {
+    val target = (1L to 20L).map(i => (i, prose)).toDF("doc_id", "text")
+    val raw = Seq(
+      (200L, prose),                                        // on-target
+      (201L, "buy cheap pills online now best casino bonus click here " +
+        "free spins jackpot winner claim prize instantly")  // off-target
+    ).toDF("doc_id", "text")
+    def weights(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Corpus.dsirWeights(df, target).select($"doc_id", $"dsir_weight_q6")
+        .as[(Long, Long)].collect().toMap
+    val w = weights(raw)
+    assert(w(200L) > w(201L), s"on-target ${w(200L)} must beat off-target ${w(201L)}")
+    assert(weights(raw.repartition(7)) == w, "weights are partitioning-invariant")
+  }
 }
