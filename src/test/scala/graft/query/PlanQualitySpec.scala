@@ -30,6 +30,8 @@ class PlanQualitySpec extends SparkSpec {
       case r: ReusedExchangeExec    => scans(r.child)
       case r: ReusedSubqueryExec    => scans(r.child)
       case s: FileSourceScanExec    => Seq(s)
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        scans(i.relation.cachedPlan) // cached subplans still have file scans
       case _                        => Seq.empty
     }
     own ++ p.children.flatMap(scans) ++ p.subqueries.flatMap(scans)
@@ -292,5 +294,36 @@ class PlanQualitySpec extends SparkSpec {
     // sit above the window behind a timestamp conversion
     assert(scan.contains("LessThanOrEqual(ts,"),
       s"as-of time cut must push down: $scan")
+  }
+
+  test("dsir: the ratio table broadcasts; no cartesian; scan pruned to (doc_id, text)") {
+    val df = graft.ext.Corpus.dsirWeightsQuery(spark, sf("sf0.001"))
+    val plan = executedPlan(df)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the scoring join against the buckets-bounded ratio table must be a
+    // broadcast — a shuffled scoring join would move the exploded corpus
+    // features a second time for a table that never exceeds `buckets` rows
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"ratio join must broadcast:\n$plan")
+    assert(!finalPlan.contains("CartesianProduct"),
+      s"dsir must never cartesian (1-row totals are broadcast loops):\n$plan")
+    val docScans = scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("documents")))
+    assert(docScans.nonEmpty &&
+      docScans.forall(s => { val c = s.schema.fieldNames.toSet
+        c.contains("doc_id") && c.contains("text") && !c.contains("n_chars") }),
+      s"documents scans must read only (doc_id, text): ${docScans.map(_.schema.catalogString)}")
+  }
+
+  test("lm perplexity: no cartesian; doc aggregate map-side combines") {
+    val df = graft.ext.Corpus.lmPerplexityQuery(spark, sf("sf0.001"))
+    val plan = executedPlan(df)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct"),
+      s"the 1-row vocab-size table must broadcast, not cartesian:\n$plan")
+    // final per-doc NLL: partial+final HashAggregate pair around one
+    // doc_id exchange — integer sums combine map-side
+    assert("HashAggregate".r.findAllIn(finalPlan).length >= 2,
+      s"doc aggregate must have a partial phase:\n$plan")
   }
 }
