@@ -711,7 +711,8 @@ object SparkEntry {
              FROM (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM base))
            GROUP BY vec_id
          ), e AS (SELECT * FROM base UNION ALL SELECT * FROM tw
-         ), samp AS (SELECT vec_id % 16 AS cid, vec_id, v FROM e WHERE vec_id % 5 = 0
+         ), kk AS (SELECT greatest(16, CAST(ceil(count(*) / 512.0) AS BIGINT)) AS k FROM e
+         ), samp AS (SELECT vec_id % k AS cid, vec_id, v FROM e, kk WHERE vec_id % 5 = 0
          ), c0 AS (
            SELECT cid, list(mx ORDER BY pos) AS cvec FROM (
              SELECT cid, pos, CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS mx

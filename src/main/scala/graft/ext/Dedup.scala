@@ -713,6 +713,10 @@ object Dedup {
     * cosine ≥ 0.95 prune) is deterministic arithmetic both engines compute
     * identically, so unlike the seeded-hash LSH gates this one hash-matches. */
   def semanticDedupQuery(s: SparkSession, d: String): DataFrame =
+    // kCentroids = 0 (auto): k = max(16, ⌈n/512⌉) — the oracle computes
+    // the same k from its own count, so the gate exercises the actual
+    // 100 TB path (a pinned k makes within-cluster pruning quadratic in n;
+    // measured 23 s at sf1 with k=16 vs ~6 s auto-scaled)
     semanticDedup(withPlantedTwinsExact(Tables.embeddings(s, d)),
-      kCentroids = 16, iters = 2, threshold = 0.95)
+      kCentroids = 0, iters = 2, threshold = 0.95)
 }

@@ -17,10 +17,12 @@ class SparkEntrySpec extends SparkSpec {
     assert(dangling.isEmpty, s"oracles without queries: $dangling")
   }
 
-  test("rows-only queries are exactly the documented hash-seeded set") {
+  test("rows-only queries are exactly the documented stub-codec set") {
+    // every hash/LSH gate is oracle-portable arithmetic now; only the
+    // stub-codec multimodal gate (no media libs in this env) stays
+    // rows-only
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("dedup_minhash", "dedup_simhash",
-      "dedup_embedding_lsh", "multimodal_pipeline", "text_analysis"),
+    assert(rowsOnly == Set("multimodal_pipeline"),
       s"undocumented rows-only queries: $rowsOnly")
   }
 }
