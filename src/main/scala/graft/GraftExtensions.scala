@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, L2Norm, MinHashSig, SimHash64, SrpSig, WordShingles}
+import graft.functions.{DotProduct, FeatBuckets, L2Norm, MinHashSig, SimHash64, SrpSig, WordBigrams, WordShingles}
 
 /** Spark-native integration point: `spark.sql.extensions=graft.GraftExtensions`
   * (or `.withExtensions(new GraftExtensions)`) injects the library's
@@ -74,6 +74,13 @@ object GraftExtensions {
       case Seq(s, p) => MinHashSig(s, intLit(p, "minhash_sig numPerm"))
       case args => throw new IllegalArgumentException(
         s"minhash_sig expects 2 arguments, got ${args.length}")
+    }),
+    ("word_bigrams", "word_bigrams(tokens) - consecutive (w1, w2) pairs, occurrences kept",
+      one("word_bigrams")(WordBigrams)),
+    ("feat_buckets", "feat_buckets(tokens, buckets) - md5-prefix unigram+bigram feature buckets", {
+      case Seq(t, b) => FeatBuckets(t, intLit(b, "feat_buckets buckets"))
+      case args => throw new IllegalArgumentException(
+        s"feat_buckets expects 2 arguments, got ${args.length}")
     }),
     ("srp_sig", "srp_sig(vec, nBits, tables) - SRP-LSH bucket per hash table", {
       case Seq(v, b, t) =>

@@ -106,6 +106,8 @@ object SparkEntry {
     "corpus_perplexity"      -> (graft.ext.Corpus.lmPerplexityQuery(_, _)),
     // DSIR importance weights (hashed n-gram features vs a target slice)
     "corpus_dsir"            -> (graft.ext.Corpus.dsirWeightsQuery(_, _)),
+    // DSIR selection: per-language top-frac by importance weight
+    "corpus_dsir_select"     -> (graft.ext.Corpus.dsirSelectQuery(_, _)),
     // boilerplate-line removal (CCNet-style df threshold)
     "text_boilerplate"       -> (TextOps.boilerplateQuery(_, _)),
   )
@@ -401,6 +403,48 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_features,
            CAST(sum(lr_q6) AS BIGINT) AS dsir_weight_q6
          FROM fb JOIN ratio ON fb.b = ratio.b GROUP BY doc_id""",
+    // corpus_dsir_select: the weights pipeline + per-language top-half by
+    // (weight, doc_id) integer-exact rank.
+    "corpus_dsir_select" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+         ), seq AS (
+           SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) AS pos FROM tok
+         ), bg AS (
+           SELECT doc_id, tk AS w1,
+             lead(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+           FROM seq
+         ), feats AS (
+           SELECT doc_id, tk AS f FROM seq
+           UNION ALL
+           SELECT doc_id, w1 || ' ' || w2 AS f FROM bg WHERE w2 IS NOT NULL
+         ), fb AS (
+           SELECT doc_id, ('0x' || substring(md5(f), 1, 7))::BIGINT % 10007 AS b FROM feats
+         ), tb AS (
+           SELECT b, count(*) AS ct FROM fb WHERE doc_id % 5 = 0 GROUP BY b
+         ), rb AS (
+           SELECT b, count(*) AS cr FROM fb GROUP BY b
+         ), nt AS (SELECT sum(ct) AS nt FROM tb
+         ), nr AS (SELECT sum(cr) AS nr FROM rb
+         ), ratio AS (
+           SELECT g.b, CAST(floor(
+             (ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(nt + 10007 AS DOUBLE)) -
+              ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE) / CAST(nr + 10007 AS DOUBLE))) * 1e6 + 0.5)
+             AS BIGINT) AS lr_q6
+           FROM generate_series(0, 10006) g(b)
+           LEFT JOIN tb ON g.b = tb.b LEFT JOIN rb ON g.b = rb.b
+           CROSS JOIN nt CROSS JOIN nr
+         ), w AS (
+           SELECT doc_id, CAST(sum(lr_q6) AS BIGINT) AS dsir_weight_q6
+           FROM fb JOIN ratio ON fb.b = ratio.b GROUP BY doc_id
+         ), sel AS (
+           SELECT w.doc_id, d.lang, w.dsir_weight_q6,
+             row_number() OVER (PARTITION BY d.lang
+               ORDER BY w.dsir_weight_q6 DESC, w.doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY d.lang) AS n
+           FROM w JOIN documents d ON w.doc_id = d.doc_id
+         )
+         SELECT doc_id, lang, dsir_weight_q6 FROM sel WHERE rk <= ceil(n * 0.5)""",
     // dedup_embedding_lsh: FULL replay of the SRP-LSH pipeline — exact
     // twin planting, auto-scaled resolution (bits = bit-length of
     // (n/8 − 1), floored at 8, capped at 24; tables = max(8, bits)),

@@ -473,4 +473,33 @@ object Corpus {
     val docs = Tables.documents(s, d)
     dsirWeights(docs, docs.filter(col("doc_id") % 5 === 0))
   }
+
+  /** The SELECTION step on top of [[dsirWeights]]: keep the top `frac` of
+    * each language by importance weight ((weight, doc_id) integer-exact
+    * rank) — deterministic importance resampling, stratified the way
+    * training mixes are actually built. Stratifying is also the scale
+    * posture: per-language windows shuffle thin (doc_id, lang, weight)
+    * rows; a GLOBAL top-frac would need a global sort (at 100 TB you'd
+    * swap in an approximate weight-quantile threshold instead — same
+    * plan shape minus the exactness this gate pins). */
+  def dsirSelect(docs: DataFrame, target: DataFrame, frac: Double,
+                 buckets: Int = 10007, textCol: String = "text",
+                 idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"dsirSelect: frac $frac not in (0,1]")
+    val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    dsirWeights(docs, target, buckets, textCol, idCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")), Seq("doc_id"))
+      .withColumn("__rk", row_number().over(
+        byLang.orderBy(col("dsir_weight_q6").desc, col("doc_id").asc)))
+      .withColumn("__n", count(lit(1)).over(byLang))
+      .filter(col("__rk") <= ceil(col("__n") * frac))
+      .select(col("doc_id"), col("lang"), col("dsir_weight_q6"))
+  }
+
+  /** SparkEntry query (oracled): keep each language's most target-like
+    * half — the weights gate's end-to-end selection companion. */
+  def dsirSelectQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    dsirSelect(docs, docs.filter(col("doc_id") % 5 === 0), frac = 0.5)
+  }
 }

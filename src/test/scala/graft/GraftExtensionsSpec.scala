@@ -129,6 +129,21 @@ class GraftExtensionsSpec extends SparkSpec {
       s"empty input must not produce NaN fractions: $row")
   }
 
+  test("word_bigrams / feat_buckets from SQL match the column API") {
+    registered
+    val (bg, fb) = spark.sql(
+      """SELECT word_bigrams(split('a b c', ' ')) AS bg,
+                feat_buckets(split('a b c', ' '), 10007) AS fb""")
+      .as[(Seq[(String, String)], Seq[Long])].head()
+    assert(bg == Seq(("a", "b"), ("b", "c")))
+    val viaApi = Seq("a b c").toDF("t")
+      .select(graft.functions.TextHashExpressions.feat_buckets(
+        org.apache.spark.sql.functions.split($"t", " "), 10007))
+      .as[Seq[Long]].head()
+    assert(fb == viaApi && fb.length == 5, // 3 unigrams + 2 bigrams
+      s"SQL and column feat_buckets must agree: $fb vs $viaApi")
+  }
+
   test("SQL-registered expressions stay codegen'd (no UDF wrapper in the plan)") {
     registered
     val df = spark.range(1).selectExpr("vec_dot(array(1.0d), array(2.0d)) AS d")

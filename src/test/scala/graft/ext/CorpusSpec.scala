@@ -230,4 +230,18 @@ class CorpusSpec extends SparkSpec {
     assert(w(200L) > w(201L), s"on-target ${w(200L)} must beat off-target ${w(201L)}")
     assert(weights(raw.repartition(7)) == w, "weights are partitioning-invariant")
   }
+
+  test("dsirSelect keeps each language's most target-like half") {
+    val target = (1L to 20L).map(i => (i, prose, "en")).toDF("doc_id", "text", "lang")
+    val raw = Seq(
+      (300L, prose, "en"),
+      (301L, "buy cheap pills online now best casino bonus click here", "en"),
+      (302L, prose.replace("fox", "cat"), "en"),
+      (303L, "jackpot winner claim prize instantly free spins bonus", "en")
+    ).toDF("doc_id", "text", "lang")
+    val kept = Corpus.dsirSelect(raw, target, frac = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(300L, 302L),
+      s"the two prose docs must out-rank the two spam docs: $kept")
+  }
 }
