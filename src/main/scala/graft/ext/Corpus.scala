@@ -372,6 +372,25 @@ object Corpus {
     * and bigram-vocab-sized — AQE broadcasts them when the reference is
     * small, the common CCNet case); scoring is explode → two equi-joins →
     * one doc_id aggregate. Nothing is ever collected to the driver. */
+  /** The shared scoring tail: per-bigram smoothed logprob (q6-rounded),
+    * per-doc exact-integer NLL. `db` is (doc_id, w1, w2) rows with the
+    * vocab size already reachable as `v`. */
+  private def lmScoreCore(db: DataFrame, uni: DataFrame,
+                          bigram: DataFrame, v: Column): DataFrame =
+    db.join(bigram, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .withColumn("lp_q6", floor(
+        log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + v).cast("double")) * 1e6 + 0.5)
+        .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lp_q6"))).as("nll_q6"))
+
+  private def docBigrams(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(bigramArr(TextOps.tokens(col(textCol)))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
   def lmPerplexity(docs: DataFrame, ref: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
     val t = TextOps.tokens(col(textCol))
@@ -387,18 +406,76 @@ object Corpus {
       ref.select(explode(bigramArr(t)).as("bg"))
         .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
-    docs.select(col(idCol).as("doc_id"), explode(bigramArr(t)).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .join(refBg, Seq("w1", "w2"), "left")
-      .join(uni, Seq("w1"), "left")
-      .crossJoin(broadcast(vdf))
-      .withColumn("lp_q6", floor(
-        log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
-            (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")) * 1e6 + 0.5)
-        .cast("long"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lp_q6"))).as("nll_q6"))
+    lmScoreCore(docBigrams(docs, textCol, idCol).crossJoin(broadcast(vdf)),
+      uni, refBg, col("v"))
   }
+
+  // -------------------------------------- staged LM model (build once,
+  // score many — the streaming-admission lifecycle, same shape as
+  // Dedup.stageShingleIndex / Similarity.writeIndex)
+
+  /** The loaded consume side of [[stageLmModel]]: two persisted count
+    * tables + the vocab size (driver-side model metadata, one number). */
+  final case class LmModel(uni: DataFrame, bigram: DataFrame, vocabSize: Long)
+
+  /** Train the add-one bigram model on `ref` and stage it under `path`
+    * (`path/unigrams`, `path/bigrams`) — the corpus pass runs ONCE here;
+    * every scoring consumer (batch backfill or per micro-batch) pays only
+    * its own size. */
+  def stageLmModel(ref: DataFrame, path: String, textCol: String = "text"): Unit = {
+    val t = TextOps.tokens(col(textCol))
+    ref.select(explode(t).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+      .write.mode("overwrite").parquet(path + "/unigrams")
+    ref.select(explode(bigramArr(t)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .write.mode("overwrite").parquet(path + "/bigrams")
+  }
+
+  /** Load a staged model; both tables persist (a scoring stream probes the
+    * SAME model every micro-batch). The vocab-size count is model
+    * metadata — one long, control plane. */
+  def loadLmModel(spark: SparkSession, path: String): LmModel = {
+    val uni = graft.core.CacheRegistry.persisted(spark.read.parquet(path + "/unigrams"))
+    val bigram = graft.core.CacheRegistry.persisted(spark.read.parquet(path + "/bigrams"))
+    LmModel(uni, bigram, uni.count())
+  }
+
+  /** Score a (micro-)batch against a loaded model: batch-proportional cost,
+    * vocab-bounded broadcast joins. Unseen words/bigrams smooth exactly as
+    * in [[lmPerplexity]]. */
+  def lmScoreBatch(batch: DataFrame, model: LmModel, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame =
+    lmScoreCore(docBigrams(batch, textCol, idCol),
+      broadcast(model.uni), broadcast(model.bigram), lit(model.vocabSize))
+
+  /** [[loadLmModel]], pinned RESIDENT for the JVM (outside CacheRegistry,
+    * so per-batch cache hygiene never evicts it) — the model a scoring
+    * stream probes every micro-batch. Same lifecycle as
+    * [[Dedup.residentShingleIndex]]; release via [[releaseLmModel]] when
+    * retiring a model version. */
+  private val residentModels =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, LmModel)]()
+  def residentLmModel(spark: SparkSession, path: String): LmModel =
+    residentModels.compute(path, (p, cur) => {
+      if (cur != null && (cur._1 eq spark) && !spark.sparkContext.isStopped) cur
+      else {
+        if (cur != null) unpinModel(cur._2)
+        val uni = spark.read.parquet(p + "/unigrams").persist()
+        val bigram = spark.read.parquet(p + "/bigrams").persist()
+        (spark, LmModel(uni, bigram, uni.count()))
+      }
+    })._2
+  def releaseLmModel(path: String): Unit = {
+    val cur = residentModels.remove(path)
+    if (cur != null) unpinModel(cur._2)
+  }
+  private def unpinModel(m: LmModel): Unit =
+    try {
+      m.uni.unpersist(blocking = false)
+      m.bigram.unpersist(blocking = false)
+    } catch { case _: Exception => () } // owning session may be stopped
 
   /** SparkEntry query (oracled): score the whole corpus against a bigram
     * model trained on the deterministic 1-in-5 reference slice — the

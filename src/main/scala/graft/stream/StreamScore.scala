@@ -1,0 +1,51 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ext.Corpus
+
+/** Online LM-quality ADMISSION: score documents arriving on a stream
+  * against a staged bigram model ([[graft.ext.Corpus.stageLmModel]] — the
+  * CCNet recipe's reference LM) and keep only those under a perplexity
+  * ceiling, before they ever land in the corpus. The streaming face of
+  * the train-once / score-many lifecycle, structured exactly like
+  * [[StreamDedup]]: `foreachBatch` (the scoring tail is a per-doc
+  * aggregate — illegal mid-stream in append mode and not event-time
+  * windowed, so per-micro-batch batch execution is the documented
+  * spelling), a resident model pinned outside per-batch cache hygiene,
+  * and batch-proportional steady-state cost (the model joins are
+  * vocab-bounded broadcasts).
+  *
+  * Model freshness is decoupled from the stream: to roll a new reference
+  * model, re-stage and hot-swap the query (T15) — the same restart
+  * contract as [[StreamAsOf]] dimension refresh.
+  */
+object StreamScore {
+
+  /** Start the admission scorer: each micro-batch's surviving documents —
+    * those with mean NLL ≤ `maxAvgNllQ6` (q6-scaled nats/bigram) — are
+    * handed to `sink` with `nll_q6`/`n_bigrams` columns attached.
+    * Documents too short to have a bigram are dropped (no evidence, no
+    * admission — matching the batch scorer, which never emits them).
+    * Returns the running query (caller owns its lifecycle). */
+  def admit(stream: DataFrame, modelPath: String, maxAvgNllQ6: Long,
+            sink: DataFrame => Unit, queryName: String,
+            textCol: String = "text", idCol: String = "doc_id"): StreamingQuery = {
+    val spark = stream.sparkSession
+    val model = Corpus.residentLmModel(spark, modelPath)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        try {
+          val scored = Corpus.lmScoreBatch(batch, model, textCol, idCol)
+            // integer-exact threshold: nll ≤ maxAvg · n (never a float mean)
+            .filter(col("nll_q6") <= lit(maxAvgNllQ6) * col("n_bigrams"))
+          sink(batch.join(scored.withColumnRenamed("doc_id", idCol), Seq(idCol)))
+        } finally graft.core.CacheRegistry.unpersistAll()
+        ()
+      }
+      .queryName(queryName)
+      .start()
+  }
+}
