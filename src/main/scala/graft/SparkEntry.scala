@@ -79,6 +79,7 @@ object SparkEntry {
     "token_count"         -> (TextOps.tokenCountQuery(_, _)),
     "token_count_bpe"     -> (TextOps.tokenCountBpeQuery(_, _)),
     "text_analysis"       -> (TextOps.textAnalysisQuery(_, _)),
+    "text_fingerprint"    -> (TextOps.fingerprintQuery(_, _)),
     "text_quality"        -> (TextOps.textQualityQuery(_, _)),
     "text_repetition"     -> (TextOps.textRepetitionQuery(_, _)),
     "text_top_terms"      -> (TextOps.textTopTermsQuery(_, _)),
@@ -801,6 +802,21 @@ object SparkEntry {
          len(regexp_extract_all(text, '[A-Za-z0-9]+')) +
          len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_bpeish
          FROM documents""",
+    // text_fingerprint: exact + robust (min-shingle) md5-prefix hashes.
+    "text_fingerprint" ->
+      """WITH tok AS (
+           SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+         ), sh AS (
+           SELECT doc_id, text, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_distinct([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
+             END AS sh
+           FROM tok
+         )
+         SELECT doc_id,
+           ('0x' || substring(md5(trim(lower(text))), 1, 15))::BIGINT AS fp,
+           (SELECT min(('0x' || substring(md5(s.s), 1, 15))::BIGINT)
+            FROM unnest(sh) AS s(s)) AS fp_robust
+         FROM sh""",
     // text_analysis: the text_quality panel plus the md5-prefix content
     // fingerprint — every column now exact arithmetic DuckDB replays.
     "text_analysis" ->

@@ -284,6 +284,17 @@ object TextOps {
         langId(col("text")).as("lang_pred"),
         fingerprint(col("text")).as("fp"))
 
+  /** SparkEntry query (oracled): both fingerprints side by side — the
+    * exact content hash (flips on any edit) and the robust min-shingle
+    * hash (stable until an edit touches the minimizing shingle); docs
+    * sharing `fp_robust` but not `fp` are near-dup candidates, the
+    * winnowing-style cheap pre-filter. */
+  def fingerprintQuery(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        robustFingerprint(col("text")).as("fp_robust"))
+
   /** Boilerplate-line removal (the CCNet/RefinedWeb recipe): drop every
     * line that appears verbatim in ≥ `minDf` distinct documents — cookie
     * banners, newsletter footers, copyright lines — and reassemble each
