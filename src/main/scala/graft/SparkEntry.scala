@@ -80,6 +80,7 @@ object SparkEntry {
     "token_count_bpe"     -> (TextOps.tokenCountBpeQuery(_, _)),
     "text_analysis"       -> (TextOps.textAnalysisQuery(_, _)),
     "text_fingerprint"    -> (TextOps.fingerprintQuery(_, _)),
+    "text_dup_spans"      -> (TextOps.duplicatedSpansQuery(_, _)),
     "text_quality"        -> (TextOps.textQualityQuery(_, _)),
     "text_repetition"     -> (TextOps.textRepetitionQuery(_, _)),
     "text_top_terms"      -> (TextOps.textTopTermsQuery(_, _)),
@@ -802,6 +803,29 @@ object SparkEntry {
          len(regexp_extract_all(text, '[A-Za-z0-9]+')) +
          len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_bpeish
          FROM documents""",
+    // text_dup_spans: ExactSubstr-style duplicated 20-token-window counts
+    // (window hash = md5 prefix of the space-joined window, df over
+    // distinct docs).
+    "text_dup_spans" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+         ), w AS (
+           SELECT doc_id,
+             unnest([('0x' || substring(md5(array_to_string(t[i:i+19], ' ')), 1, 15))::BIGINT
+                     for i in generate_series(1, len(t) - 19)]) AS wh
+           FROM tok WHERE len(t) >= 20
+         ), hot AS (
+           SELECT wh FROM (SELECT DISTINCT wh, doc_id FROM w)
+           GROUP BY wh HAVING count(*) >= 2
+         ), dup AS (
+           SELECT doc_id, count(*) AS n_dup_windows FROM w JOIN hot USING (wh)
+           GROUP BY doc_id
+         ), tot AS (
+           SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id
+         )
+         SELECT t.doc_id, t.n_windows,
+           coalesce(d.n_dup_windows, 0) AS n_dup_windows
+         FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id""",
     // text_fingerprint: exact + robust (min-shingle) md5-prefix hashes.
     "text_fingerprint" ->
       """WITH tok AS (

@@ -344,4 +344,43 @@ object TextOps {
         .as("text"))
     removeBoilerplate(planted, minDf = 10)
   }
+
+  /** Substring-granularity duplication signal (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): hash every `windowN`-token window, call a window
+    * DUPLICATED when its hash occurs in ≥ `minDocs` distinct documents,
+    * and report each document's duplicated-window count — the standard
+    * ExactSubstr-style filter signal (a doc-level near-dup pass misses a
+    * verbatim paragraph pasted into otherwise-distinct pages; this
+    * catches exactly that). Documents shorter than `windowN` tokens have
+    * zero windows — no span long enough to count.
+    *
+    * Scale shape: the explode carries (doc_id, 8-byte hash); cross-doc df
+    * is a two-phase (hash, doc_id)-dedup aggregate (hot boilerplate
+    * windows never pile one reducer — corpus_vocab's skew posture); the
+    * hot-set join back is hash-keyed; one final doc_id aggregate. Linear
+    * end to end, no caps needed (joining a hot hash back to its own
+    * occurrences is occurrence-proportional). */
+  def duplicatedSpans(docs: DataFrame, windowN: Int = 50, minDocs: Int = 2,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val wh = graft.core.CacheRegistry.persisted(
+      docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextHashExpressions.word_window_hashes(
+          tokens(col(textCol)), windowN)).as("wh")))
+    val hot = wh.select("wh", "doc_id").distinct()
+      .groupBy("wh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("wh")
+    wh.join(hot, Seq("wh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+      .join(wh.groupBy("doc_id").agg(count(lit(1)).as("n_windows")), Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+  }
+
+  /** SparkEntry query (oracled): 20-token duplicated-span counts — the
+    * fixture's planted near-dups share long verbatim runs, so the signal
+    * is non-trivially exercised at every SF. */
+  def duplicatedSpansQuery(s: SparkSession, d: String): DataFrame =
+    duplicatedSpans(Tables.documents(s, d), windowN = 20)
 }

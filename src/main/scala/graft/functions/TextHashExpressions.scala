@@ -191,6 +191,30 @@ object TextHashes {
     new GenericArrayData(out)
   }
 
+  /** md5-60 hash of every n-token window, positions kept (duplicates and
+    * overlaps included — substring-granularity dedup wants every span
+    * occurrence). Shorter-than-n docs yield NO windows: no span is long
+    * enough to count as duplication. O(m·n) chars hashed per doc; a
+    * Rabin-Karp rolling form would be O(m) but its modular recurrence is
+    * much harder to replay in SQL — at window 50 the constant is fine. */
+  def windowHashes(toks: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val sep = UTF8String.fromString(" ")
+    val m = toks.numElements()
+    val k = m - n + 1
+    if (k <= 0) return new GenericArrayData(Array.emptyLongArray)
+    def tok(i: Int): UTF8String =
+      if (toks.isNullAt(i)) UTF8String.EMPTY_UTF8 else toks.getUTF8String(i)
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val parts = Array.tabulate(n)(j => tok(i + j))
+      out(i) = md5Base60(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Build the UTF8String stopword set a [[QualityRaw]] instance probes. */
   def toUtf8Set(words: Seq[String]): java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
     val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](words.size * 2)
@@ -370,6 +394,18 @@ case class WordBigrams(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.TextHashes.wordBigrams($a);")
 }
 
+/** `word_window_hashes(tokens, n)` — array<string> → array<long> md5-60
+  * hash per n-token window (positions kept). */
+case class WordWindowHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def withNewChildInternal(c: Expression): WordWindowHashes = copy(child = c)
+  override def nullSafeEval(a: Any): Any =
+    TextHashes.windowHashes(a.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextHashes.windowHashes($a, $n);")
+}
+
 /** `feat_buckets(tokens, buckets)` — array<string> → array<long> of
   * md5-prefix unigram+bigram feature buckets. */
 case class FeatBuckets(child: Expression, buckets: Int) extends UnaryExpression {
@@ -385,6 +421,8 @@ case class FeatBuckets(child: Expression, buckets: Int) extends UnaryExpression 
 object TextHashExpressions {
   def word_bigrams(tokens: Column): Column =
     ColumnBridge.column(WordBigrams(ColumnBridge.expression(tokens)))
+  def word_window_hashes(tokens: Column, n: Int): Column =
+    ColumnBridge.column(WordWindowHashes(ColumnBridge.expression(tokens), n))
   def feat_buckets(tokens: Column, buckets: Int): Column =
     ColumnBridge.column(FeatBuckets(ColumnBridge.expression(tokens), buckets))
   def word_shingles(tokens: Column, n: Int): Column =

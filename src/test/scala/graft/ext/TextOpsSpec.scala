@@ -167,4 +167,22 @@ class TextOpsSpec extends SparkSpec {
     assert(got(6L) == ((6L, 0L, 0L, 0L, "version 1.2.3 of lib4 is not an ip or phone")),
       "semver and short digit runs are not PII")
   }
+
+  test("duplicatedSpans flags a pasted paragraph, not unique prose; short docs have no windows") {
+    import org.apache.spark.sql.functions.col
+    val para = (1 to 25).map(i => s"w$i").mkString(" ") // 25 tokens, pasted into 1 and 2
+    val docs = Seq(
+      (1L, para + " unique tail one two three four five six"),
+      (2L, "different head alpha beta gamma delta " + para),
+      (3L, (1 to 30).map(i => s"u$i").mkString(" ")), // 30 unique tokens, no dup
+      (4L, "too short for any window")
+    ).toDF("doc_id", "text")
+    val out = TextOps.duplicatedSpans(docs, windowN = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the pasted 25-token paragraph yields 6 shared 20-token windows
+    assert(out(1L)._2 == 6 && out(2L)._2 == 6,
+      s"both owners of the pasted paragraph flag its windows: $out")
+    assert(out(3L) == ((11L, 0L)), "unique prose has windows but no dups")
+    assert(!out.contains(4L), "sub-window docs have no spans long enough to count")
+  }
 }
