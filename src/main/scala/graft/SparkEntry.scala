@@ -34,6 +34,7 @@ object SparkEntry {
     "join_asof"           -> (Relational.asofJoinQuery(_, _)),
     "join_asof_native"    -> (graft.plans.AsOfJoin.asofJoinNativeQuery(_, _)),
     "scale_salted_agg"    -> (graft.query.Scale.saltedAggQuery(_, _)),
+    "scale_zorder"        -> (graft.query.Scale.zorderQuery(_, _)),
     "join_semi"           -> (Relational.joinSemi(_, _)),
     "union_or"            -> (Relational.unionOr(_, _)),
     "distinct_projection" -> (Relational.distinctProjection(_, _)),
@@ -160,6 +161,26 @@ object SparkEntry {
          ASOF JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS click_id
                     FROM events WHERE event_type = 'click' GROUP BY user_id, CAST(ts AS TIMESTAMP)) c
          ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    // scale_zorder: Morton interleave of (user_id, hour) — shift/mask
+    // arithmetic replayed verbatim; `div`//`//` are both exact.
+    "scale_zorder" ->
+      """WITH b AS (
+           SELECT event_id,
+             user_id % 65536 AS x,
+             (epoch_us(ts) // 3600000000) % 65536 AS y
+           FROM events
+         ), s AS (
+           SELECT event_id,
+             ((((x | (x << 8)) & 16711935) | (((x | (x << 8)) & 16711935) << 4)) & 252645135) AS x2,
+             ((((y | (y << 8)) & 16711935) | (((y | (y << 8)) & 16711935) << 4)) & 252645135) AS y2
+           FROM b
+         ), t AS (
+           SELECT event_id,
+             (((x2 | (x2 << 2)) & 858993459) | ((((x2 | (x2 << 2)) & 858993459)) << 1)) & 1431655765 AS xs,
+             (((y2 | (y2 << 2)) & 858993459) | ((((y2 | (y2 << 2)) & 858993459)) << 1)) & 1431655765 AS ys
+           FROM s
+         )
+         SELECT event_id, xs | (ys << 1) AS z FROM t""",
     // scale_salted_agg: salting redistributes rows but never changes the
     // answer — the oracle is the PLAIN group-by (decimal partials
     // re-combine exactly, so even the float sum hash-matches)

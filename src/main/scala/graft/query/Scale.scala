@@ -82,4 +82,44 @@ object Scale {
     if (threshold > 0 && est <= threshold) facts.join(broadcast(dims), cond)
     else facts.join(dims, cond)
   }
+
+  /** 32-bit Morton z-value of two 16-bit keys (bit interleave): rows close
+    * in BOTH dimensions get close z-values, so a z-sorted parquet write
+    * co-locates 2-D neighborhoods inside the same files/row groups — the
+    * min/max stats of EVERY filtered column then prune the scan, where a
+    * single-column sort serves only its own column. Pure shift/mask int64
+    * arithmetic (codegen'd builtins, replayed verbatim by the DuckDB
+    * oracle). Inputs are masked to their low 16 bits — callers bucket
+    * wider domains first. */
+  def zValue(x: Column, y: Column): Column = {
+    def spread(c: Column): Column = {
+      var v = c.bitwiseAND(lit(0xFFFFL))
+      v = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x00FF00FFL))
+      v = (v.bitwiseOR(shiftleft(v, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+      v = (v.bitwiseOR(shiftleft(v, 2))).bitwiseAND(lit(0x33333333L))
+      v.bitwiseOR(shiftleft(v, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+  }
+
+  /** Z-ordered layout: range-partition + sort by the interleaved key, so
+    * each output file covers a bounded rectangle of (x, y) — the layout
+    * that lets parquet min/max skipping serve range filters on EITHER
+    * dimension (Delta/Iceberg OPTIMIZE ZORDER, done with stock Spark). */
+  def writeZOrdered(df: DataFrame, path: String, x: Column, y: Column,
+                    files: Int = 64): Unit =
+    df.withColumn("__z", zValue(x, y))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
+  /** Gate query (oracled): the z-value arithmetic over events, keyed by
+    * (user_id, hour-bucket) — the pair an events table is actually
+    * filtered by. Integer division via `div` (exact in both engines). */
+  def zorderQuery(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.core.Tables.events(s, d)
+      .select(col("event_id"),
+        zValue(pmod(col("user_id"), lit(65536L)),
+          pmod(expr("unix_micros(ts) div 3600000000"), lit(65536L))).as("z"))
 }

@@ -30,6 +30,34 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("zValue interleaves bits; z-ordered files cover bounded rectangles " +
+    "in BOTH dimensions (the property min/max skipping needs)") {
+    // hand-checked interleave: x=0b11 y=0b01 → z=0b0111
+    val z = Seq((3L, 1L)).toDF("x", "y")
+      .select(Scale.zValue($"x", $"y")).as[Long].head()
+    assert(z == 7L, s"interleave(3, 1) must be 7, got $z")
+
+    // a 64×64 grid, shuffled; z-layout into 16 files must bound EACH
+    // file's x-range AND y-range (a y-sorted layout bounds only y — every
+    // file then spans all of x, and x-filters can never skip files)
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+    val df = scala.util.Random.shuffle(grid).toDF("x", "y")
+    val path = java.nio.file.Files.createTempDirectory("graft-z").toString + "/grid"
+    Scale.writeZOrdered(df, path, $"x", $"y", files = 16)
+    val spans = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg((max($"x") - min($"x")).as("xs"), (max($"y") - min($"y")).as("ys"))
+      .select($"xs", $"ys").as[(Long, Long)].collect()
+    assert(spans.length >= 8, s"range partitioner produced ${spans.length} files")
+    // 4096 cells / 16 files = 256-cell tiles ≈ 16×16 rectangles (+ edge
+    // slack for range-boundary splits); any single-column sort would give
+    // 63 for the unsorted dimension on every file
+    spans.foreach { case (xs, ys) =>
+      assert(xs <= 32 && ys <= 32,
+        s"file spans ($xs, $ys) — not a bounded rectangle")
+    }
+  }
+
   test("dimJoin broadcasts small dims and not huge ones") {
     val facts = graft.core.Tables.lineitem(spark, sf("sf0.001"))
     val dims = graft.core.Tables.nation(spark, sf("sf0.001"))
