@@ -78,7 +78,12 @@ object GraftExtensions {
     ("word_bigrams", "word_bigrams(tokens) - consecutive (w1, w2) pairs, occurrences kept",
       one("word_bigrams")(WordBigrams)),
     ("feat_buckets", "feat_buckets(tokens, buckets) - md5-prefix unigram+bigram feature buckets", {
-      case Seq(t, b) => FeatBuckets(t, intLit(b, "feat_buckets buckets"))
+      case Seq(t, b) =>
+        val buckets = intLit(b, "feat_buckets buckets")
+        // fail at analysis, not with a per-row ArithmeticException on the
+        // executor (0) or silently-negative bucket ids (<0)
+        require(buckets >= 2, s"feat_buckets: buckets must be >= 2, got $buckets")
+        FeatBuckets(t, buckets)
       case args => throw new IllegalArgumentException(
         s"feat_buckets expects 2 arguments, got ${args.length}")
     }),

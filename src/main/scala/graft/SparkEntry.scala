@@ -127,6 +127,45 @@ object SparkEntry {
     * integers + affine permutations / scramble sign bits — exact int64
     * arithmetic both engines compute identically — so the full LSH
     * pipelines replay in DuckDB. */
+  /** The DSIR weights pipeline's CTE chain, shared verbatim by the
+    * `corpus_dsir` and `corpus_dsir_select` oracles — one spelling, so a
+    * future fix can't drift the two gates apart (the same dedup precedent
+    * as the quality-score spelling). */
+  private val dsirWeightCtes: String =
+    """tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+         ), seq AS (
+           SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) AS pos FROM tok
+         ), bg AS (
+           SELECT doc_id, tk AS w1,
+             lead(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+           FROM seq
+         ), feats AS (
+           SELECT doc_id, tk AS f FROM seq
+           UNION ALL
+           SELECT doc_id, w1 || ' ' || w2 AS f FROM bg WHERE w2 IS NOT NULL
+         ), fb AS (
+           SELECT doc_id, ('0x' || substring(md5(f), 1, 7))::BIGINT % 10007 AS b FROM feats
+         ), tb AS (
+           SELECT b, count(*) AS ct FROM fb WHERE doc_id % 5 = 0 GROUP BY b
+         ), rb AS (
+           SELECT b, count(*) AS cr FROM fb GROUP BY b
+         ), nt AS (SELECT sum(ct) AS nt FROM tb
+         ), nr AS (SELECT sum(cr) AS nr FROM rb
+         ), ratio AS (
+           SELECT g.b, CAST(floor(
+             (ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(nt + 10007 AS DOUBLE)) -
+              ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE) / CAST(nr + 10007 AS DOUBLE))) * 1e6 + 0.5)
+             AS BIGINT) AS lr_q6
+           FROM generate_series(0, 10006) g(b)
+           LEFT JOIN tb ON g.b = tb.b LEFT JOIN rb ON g.b = rb.b
+           CROSS JOIN nt CROSS JOIN nr
+         ), w AS (
+           SELECT doc_id, count(*) AS n_features,
+             CAST(sum(lr_q6) AS BIGINT) AS dsir_weight_q6
+           FROM fb JOIN ratio ON fb.b = ratio.b GROUP BY doc_id
+         )"""
+
   def oracleSql: Map[String, String] = Map(
     "scan_project" ->
       "SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem",
@@ -162,12 +201,14 @@ object SparkEntry {
                     FROM events WHERE event_type = 'click' GROUP BY user_id, CAST(ts AS TIMESTAMP)) c
          ON p.user_id = c.user_id AND p.ts >= c.ts""",
     // scale_zorder: Morton interleave of (user_id, hour) — shift/mask
-    // arithmetic replayed verbatim; `div`//`//` are both exact.
+    // arithmetic replayed verbatim; `div`//`//` are both exact (truncate),
+    // and the double-% spelling matches Spark's pmod for NEGATIVE inputs
+    // (pre-1970 timestamps, negative ids) — plain % would go negative.
     "scale_zorder" ->
       """WITH b AS (
            SELECT event_id,
-             user_id % 65536 AS x,
-             (epoch_us(ts) // 3600000000) % 65536 AS y
+             ((user_id % 65536) + 65536) % 65536 AS x,
+             (((epoch_us(ts) // 3600000000) % 65536) + 65536) % 65536 AS y
            FROM events
          ), s AS (
            SELECT event_id,
@@ -394,73 +435,12 @@ object SparkEntry {
     // corpus_dsir: hashed-feature importance weights — md5-prefix buckets,
     // full-range add-one smoothing, q6-rounded log-ratios, integer sums.
     "corpus_dsir" ->
-      """WITH tok AS (
-           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
-         ), seq AS (
-           SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) AS pos FROM tok
-         ), bg AS (
-           SELECT doc_id, tk AS w1,
-             lead(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-           FROM seq
-         ), feats AS (
-           SELECT doc_id, tk AS f FROM seq
-           UNION ALL
-           SELECT doc_id, w1 || ' ' || w2 AS f FROM bg WHERE w2 IS NOT NULL
-         ), fb AS (
-           SELECT doc_id, ('0x' || substring(md5(f), 1, 7))::BIGINT % 10007 AS b FROM feats
-         ), tb AS (
-           SELECT b, count(*) AS ct FROM fb WHERE doc_id % 5 = 0 GROUP BY b
-         ), rb AS (
-           SELECT b, count(*) AS cr FROM fb GROUP BY b
-         ), nt AS (SELECT sum(ct) AS nt FROM tb
-         ), nr AS (SELECT sum(cr) AS nr FROM rb
-         ), ratio AS (
-           SELECT g.b, CAST(floor(
-             (ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(nt + 10007 AS DOUBLE)) -
-              ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE) / CAST(nr + 10007 AS DOUBLE))) * 1e6 + 0.5)
-             AS BIGINT) AS lr_q6
-           FROM generate_series(0, 10006) g(b)
-           LEFT JOIN tb ON g.b = tb.b LEFT JOIN rb ON g.b = rb.b
-           CROSS JOIN nt CROSS JOIN nr
-         )
-         SELECT doc_id, count(*) AS n_features,
-           CAST(sum(lr_q6) AS BIGINT) AS dsir_weight_q6
-         FROM fb JOIN ratio ON fb.b = ratio.b GROUP BY doc_id""",
-    // corpus_dsir_select: the weights pipeline + per-language top-half by
-    // (weight, doc_id) integer-exact rank.
+      s"""WITH $dsirWeightCtes
+         SELECT doc_id, n_features, dsir_weight_q6 FROM w""",
+    // corpus_dsir_select: the SAME weights CTE chain + per-language
+    // top-half by (weight, doc_id) integer-exact rank.
     "corpus_dsir_select" ->
-      """WITH tok AS (
-           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
-         ), seq AS (
-           SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) AS pos FROM tok
-         ), bg AS (
-           SELECT doc_id, tk AS w1,
-             lead(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-           FROM seq
-         ), feats AS (
-           SELECT doc_id, tk AS f FROM seq
-           UNION ALL
-           SELECT doc_id, w1 || ' ' || w2 AS f FROM bg WHERE w2 IS NOT NULL
-         ), fb AS (
-           SELECT doc_id, ('0x' || substring(md5(f), 1, 7))::BIGINT % 10007 AS b FROM feats
-         ), tb AS (
-           SELECT b, count(*) AS ct FROM fb WHERE doc_id % 5 = 0 GROUP BY b
-         ), rb AS (
-           SELECT b, count(*) AS cr FROM fb GROUP BY b
-         ), nt AS (SELECT sum(ct) AS nt FROM tb
-         ), nr AS (SELECT sum(cr) AS nr FROM rb
-         ), ratio AS (
-           SELECT g.b, CAST(floor(
-             (ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(nt + 10007 AS DOUBLE)) -
-              ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE) / CAST(nr + 10007 AS DOUBLE))) * 1e6 + 0.5)
-             AS BIGINT) AS lr_q6
-           FROM generate_series(0, 10006) g(b)
-           LEFT JOIN tb ON g.b = tb.b LEFT JOIN rb ON g.b = rb.b
-           CROSS JOIN nt CROSS JOIN nr
-         ), w AS (
-           SELECT doc_id, CAST(sum(lr_q6) AS BIGINT) AS dsir_weight_q6
-           FROM fb JOIN ratio ON fb.b = ratio.b GROUP BY doc_id
-         ), sel AS (
+      s"""WITH $dsirWeightCtes, sel AS (
            SELECT w.doc_id, d.lang, w.dsir_weight_q6,
              row_number() OVER (PARTITION BY d.lang
                ORDER BY w.dsir_weight_q6 DESC, w.doc_id ASC) AS rk,

@@ -393,17 +393,19 @@ object Corpus {
 
   def lmPerplexity(docs: DataFrame, ref: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
-    val t = TextOps.tokens(col(textCol))
-    // the MODEL tables persist (vocab- and bigram-vocab-bounded): uni
+    // tokenize the reference ONCE (both count builds consume it), and
+    // persist the MODEL tables (vocab- and bigram-vocab-bounded): uni
     // feeds both the vocab-size aggregate and the scoring join, and
-    // without the persist each consumer re-explodes and re-counts the
+    // without the persists each consumer re-tokenizes and re-counts the
     // reference corpus — train once, score many is the whole point
+    val toks = graft.core.CacheRegistry.persisted(
+      ref.select(TextOps.tokens(col(textCol)).as("t")))
     val uni = graft.core.CacheRegistry.persisted(
-      ref.select(explode(t).as("w1"))
+      toks.select(explode(col("t")).as("w1"))
         .groupBy("w1").agg(count(lit(1)).as("c1")))
     val vdf = uni.agg(count(lit(1)).as("v"))
     val refBg = graft.core.CacheRegistry.persisted(
-      ref.select(explode(bigramArr(t)).as("bg"))
+      toks.select(explode(bigramArr(col("t"))).as("bg"))
         .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
     lmScoreCore(docBigrams(docs, textCol, idCol).crossJoin(broadcast(vdf)),
@@ -423,11 +425,14 @@ object Corpus {
     * every scoring consumer (batch backfill or per micro-batch) pays only
     * its own size. */
   def stageLmModel(ref: DataFrame, path: String, textCol: String = "text"): Unit = {
-    val t = TextOps.tokens(col(textCol))
-    ref.select(explode(t).as("w1"))
+    // tokenize ONCE: the regex tokenizer is the dominant per-doc cost, and
+    // both count tables consume the same token arrays
+    val toks = graft.core.CacheRegistry.persisted(
+      ref.select(TextOps.tokens(col(textCol)).as("t")))
+    toks.select(explode(col("t")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
       .write.mode("overwrite").parquet(path + "/unigrams")
-    ref.select(explode(bigramArr(t)).as("bg"))
+    toks.select(explode(bigramArr(col("t"))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .write.mode("overwrite").parquet(path + "/bigrams")

@@ -112,7 +112,8 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** SparkEntry query (rows-only): MinHash near-dup pairs at jaccard>=0.5. */
+  /** SparkEntry query (FULL DuckDB oracle — the md5-affine permutation
+    * family replays): MinHash near-dup pairs at jaccard ≥ 0.5. */
   def minhashQuery(s: SparkSession, d: String): DataFrame =
     minhashNearDups(Tables.documents(s, d), threshold = 0.5)
       .select(col("id_a"), col("id_b"), graft.query.Functions.stableRound(col("jaccard"), 4).as("jaccard"))
@@ -183,9 +184,10 @@ object Dedup {
     inter.unionByName(intra)
   }
 
-  /** SparkEntry query (rows-only): SimHash near-dup pairs at Hamming ≤ 3 —
-    * the regime where the 4-chunk LSH guarantees full recall (pigeonhole:
-    * ≤3 flipped bits leave at least one 15-bit chunk intact). */
+  /** SparkEntry query (FULL DuckDB oracle — md5-prefix votes replay):
+    * SimHash near-dup pairs at Hamming ≤ 3 — the regime where the 4-chunk
+    * LSH guarantees full recall (pigeonhole: ≤3 flipped bits leave at
+    * least one 15-bit chunk intact). */
   def simhashQuery(s: SparkSession, d: String): DataFrame =
     simhashNearDups(Tables.documents(s, d), maxHamming = 3)
 

@@ -49,11 +49,19 @@ object TextHashes {
   def minhashA(p: Int): Long = (2654435761L * (p + 1)) % MinHashP
   def minhashB(p: Int): Long = (40503L * (p + 1) * (p + 1) + 17L) % MinHashP
 
+  // coefficient arrays depend only on numPerm — memoized so the per-ROW
+  // expression call doesn't re-tabulate 2×numPerm multiply-mods (a
+  // measurable fraction of signature cost on short documents)
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  def minhashCoeffs(numPerm: Int): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent(numPerm,
+      n => (Array.tabulate(n)(minhashA), Array.tabulate(n)(minhashB)))
+
   /** MinHash signature: perm p's hash of shingle s = (a_p·md5₂₈(s)+b_p) mod P. */
   def minhash(sh: ArrayData, numPerm: Int): ArrayData = {
     val out = Array.fill(numPerm)(Int.MaxValue)
-    val as = Array.tabulate(numPerm)(minhashA)
-    val bs = Array.tabulate(numPerm)(minhashB)
+    val (as, bs) = minhashCoeffs(numPerm)
     val n = sh.numElements()
     var i = 0
     while (i < n) {
