@@ -455,6 +455,46 @@ object Corpus {
     lmScoreCore(docBigrams(batch, textCol, idCol),
       broadcast(model.uni), broadcast(model.bigram), lit(model.vocabSize))
 
+  /** Stage the DSIR ratio table (build once, weigh many): the full
+    * 0..buckets−1 log-ratio table — bucket-bounded, so the staged
+    * artifact is KBs regardless of corpus size, and scoring joins always
+    * broadcast. Same lifecycle as [[stageLmModel]]. */
+  def stageDsirModel(docs: DataFrame, target: DataFrame, path: String,
+                     buckets: Int = 10007, textCol: String = "text",
+                     idCol: String = "doc_id"): Unit = {
+    require(buckets > 1, "stageDsirModel: need at least 2 feature buckets")
+    def fb(df: DataFrame): DataFrame =
+      df.select(explode(graft.functions.TextHashExpressions.feat_buckets(
+        TextOps.tokens(col(textCol)), buckets)).as("b"))
+    val tb = graft.core.CacheRegistry.persisted(
+      fb(target).groupBy("b").agg(count(lit(1)).as("ct")))
+    val rb = graft.core.CacheRegistry.persisted(
+      fb(docs).groupBy("b").agg(count(lit(1)).as("cr")))
+    docs.sparkSession.range(buckets).select(col("id").as("b"))
+      .join(tb, Seq("b"), "left").join(rb, Seq("b"), "left")
+      .crossJoin(broadcast(tb.agg(sum(col("ct")).as("nt"))))
+      .crossJoin(broadcast(rb.agg(sum(col("cr")).as("nr"))))
+      .select(col("b"), floor(
+        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+             (col("nt") + buckets).cast("double")) -
+         log((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
+             (col("nr") + buckets).cast("double"))) * 1e6 + 0.5)
+        .cast("long").as("lr_q6"))
+      .write.mode("overwrite").parquet(path + "/ratio")
+  }
+
+  /** Weigh a (micro-)batch against a staged ratio table: explode → one
+    * broadcast join → one doc_id aggregate. The `buckets` arg must match
+    * the staged model's. */
+  def dsirScoreBatch(batch: DataFrame, ratio: DataFrame, buckets: Int = 10007,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    batch.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextHashExpressions.feat_buckets(
+          TextOps.tokens(col(textCol)), buckets)).as("b"))
+      .join(broadcast(ratio), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_features"), sum(col("lr_q6")).as("dsir_weight_q6"))
+
   /** [[loadLmModel]], pinned RESIDENT for the JVM (outside CacheRegistry,
     * so per-batch cache hygiene never evicts it) — the model a scoring
     * stream probes every micro-batch. Same lifecycle as

@@ -48,4 +48,46 @@ object StreamScore {
       .queryName(queryName)
       .start()
   }
+
+  /** The DSIR companion: admit documents whose importance weight against a
+    * staged ratio table ([[graft.ext.Corpus.stageDsirModel]]) clears
+    * `minWeightQ6` — target-likeness filtering at ingest. The ratio table
+    * is bucket-bounded (KBs at any corpus size), pinned resident, and
+    * broadcast into every micro-batch's scoring join. */
+  def admitDsir(stream: DataFrame, modelPath: String, minWeightQ6: Long,
+                sink: DataFrame => Unit, queryName: String, buckets: Int = 10007,
+                textCol: String = "text", idCol: String = "doc_id"): StreamingQuery = {
+    val spark = stream.sparkSession
+    val ratio = residentRatio(spark, modelPath)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        try {
+          val scored = Corpus.dsirScoreBatch(batch, ratio, buckets, textCol, idCol)
+            .filter(col("dsir_weight_q6") >= minWeightQ6)
+          sink(batch.join(scored.withColumnRenamed("doc_id", idCol), Seq(idCol)))
+        } finally graft.core.CacheRegistry.unpersistAll()
+        ()
+      }
+      .queryName(queryName)
+      .start()
+  }
+
+  // resident ratio tables, same session-guarded lifecycle as the LM model
+  private val residentRatios = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.SparkSession, DataFrame)]()
+  private def residentRatio(spark: org.apache.spark.sql.SparkSession,
+                            path: String): DataFrame =
+    residentRatios.compute(path, (p, cur) => {
+      if (cur != null && (cur._1 eq spark) && !spark.sparkContext.isStopped) cur
+      else {
+        if (cur != null)
+          try cur._2.unpersist(blocking = false) catch { case _: Exception => () }
+        (spark, spark.read.parquet(p + "/ratio").persist())
+      }
+    })._2
+  def releaseDsirModel(path: String): Unit = {
+    val cur = residentRatios.remove(path)
+    if (cur != null)
+      try cur._2.unpersist(blocking = false) catch { case _: Exception => () }
+  }
 }

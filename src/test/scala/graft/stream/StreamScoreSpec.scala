@@ -52,4 +52,40 @@ class StreamScoreSpec extends SparkSpec {
       } finally q.stop()
     } finally Corpus.releaseLmModel(path)
   }
+
+  test("DSIR streaming admission: staged ratio table, on-target docs pass") {
+    val target = (1L to 20L).map(i => (i + 100L, prose)).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, prose),
+      (2L, "buy cheap pills online now best casino bonus click here free spins"),
+      (3L, prose.replace("fox", "cat"))
+    )
+    val path = java.nio.file.Files.createTempDirectory("graft-dsir").toString + "/model"
+    Corpus.stageDsirModel(raw.toDF("doc_id", "text"), target, path)
+    try {
+      // streaming scores must equal the batch scorer over the same table
+      val ratio = spark.read.parquet(path + "/ratio")
+      val batchW = Corpus.dsirScoreBatch(raw.toDF("doc_id", "text"), ratio)
+        .select($"doc_id", $"dsir_weight_q6").as[(Long, Long)].collect().toMap
+      assert(batchW(1L) > batchW(2L) && batchW(3L) > batchW(2L),
+        s"on-target docs must out-weigh spam: $batchW")
+      val floor = batchW(2L) + 1L
+
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = MemoryStream[(Long, String)]
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = StreamScore.admitDsir(
+        in.toDF().toDF("doc_id", "text"), path, minWeightQ6 = floor,
+        sink = df => admitted.synchronized {
+          admitted ++= df.select("doc_id").as[Long](implicitly).collect()
+        },
+        queryName = "dsir_admit_test")
+      try {
+        in.addData(raw: _*)
+        q.processAllAvailable()
+        assert(admitted.toSet == Set(1L, 3L),
+          s"target-like docs admitted, spam rejected: ${admitted.toSet}")
+      } finally q.stop()
+    } finally StreamScore.releaseDsirModel(path)
+  }
 }
