@@ -466,20 +466,9 @@ object Corpus {
     def fb(df: DataFrame): DataFrame =
       df.select(explode(graft.functions.TextHashExpressions.feat_buckets(
         TextOps.tokens(col(textCol)), buckets)).as("b"))
-    val tb = graft.core.CacheRegistry.persisted(
-      fb(target).groupBy("b").agg(count(lit(1)).as("ct")))
-    val rb = graft.core.CacheRegistry.persisted(
-      fb(docs).groupBy("b").agg(count(lit(1)).as("cr")))
-    docs.sparkSession.range(buckets).select(col("id").as("b"))
-      .join(tb, Seq("b"), "left").join(rb, Seq("b"), "left")
-      .crossJoin(broadcast(tb.agg(sum(col("ct")).as("nt"))))
-      .crossJoin(broadcast(rb.agg(sum(col("cr")).as("nr"))))
-      .select(col("b"), floor(
-        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
-             (col("nt") + buckets).cast("double")) -
-         log((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
-             (col("nr") + buckets).cast("double"))) * 1e6 + 0.5)
-        .cast("long").as("lr_q6"))
+    ratioTable(
+      fb(target).groupBy("b").agg(count(lit(1)).as("ct")),
+      fb(docs).groupBy("b").agg(count(lit(1)).as("cr")), buckets)
       .write.mode("overwrite").parquet(path + "/ratio")
   }
 
@@ -564,29 +553,34 @@ object Corpus {
       else df.select(explode(bk).as("b"))
     }
     // persist the corpus-side feature buckets (thin (doc_id, b) rows —
-    // they feed BOTH the raw-distribution count and the scoring pass) and
-    // the two bucket-bounded count tables (each feeds its total AND the
-    // ratio join; unpersisted, every consumer re-hashes the corpus)
+    // they feed BOTH the raw-distribution count and the scoring pass)
     val fbDocs = graft.core.CacheRegistry.persisted(featBuckets(docs, withId = true))
-    val tb = graft.core.CacheRegistry.persisted(
-      featBuckets(target, withId = false).groupBy("b").agg(count(lit(1)).as("ct")))
-    val rb = graft.core.CacheRegistry.persisted(
-      fbDocs.groupBy("b").agg(count(lit(1)).as("cr")))
-    val nt = tb.agg(sum(col("ct")).as("nt"))
-    val nr = rb.agg(sum(col("cr")).as("nr"))
-    val ratio = docs.sparkSession.range(buckets).select(col("id").as("b"))
+    val tb = featBuckets(target, withId = false).groupBy("b").agg(count(lit(1)).as("ct"))
+    val rb = fbDocs.groupBy("b").agg(count(lit(1)).as("cr"))
+    fbDocs
+      .join(broadcast(ratioTable(tb, rb, buckets)), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_features"), sum(col("lr_q6")).as("dsir_weight_q6"))
+  }
+
+  /** The shared DSIR ratio-table tail: full-range add-one log-ratios from
+    * the two bucket-count tables — ONE spelling feeding both the in-memory
+    * weights path and the staged artifact, so the two can't drift. The
+    * count tables persist here (each feeds its own total AND the join;
+    * unpersisted, every consumer re-hashes its corpus). */
+  private def ratioTable(tbRaw: DataFrame, rbRaw: DataFrame, buckets: Int): DataFrame = {
+    val tb = graft.core.CacheRegistry.persisted(tbRaw)
+    val rb = graft.core.CacheRegistry.persisted(rbRaw)
+    tb.sparkSession.range(buckets).select(col("id").as("b"))
       .join(tb, Seq("b"), "left").join(rb, Seq("b"), "left")
-      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .crossJoin(broadcast(tb.agg(sum(col("ct")).as("nt"))))
+      .crossJoin(broadcast(rb.agg(sum(col("cr")).as("nr"))))
       .select(col("b"), floor(
         (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
              (col("nt") + buckets).cast("double")) -
          log((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
              (col("nr") + buckets).cast("double"))) * 1e6 + 0.5)
         .cast("long").as("lr_q6"))
-    fbDocs
-      .join(broadcast(ratio), Seq("b"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_features"), sum(col("lr_q6")).as("dsir_weight_q6"))
   }
 
   /** SparkEntry query (oracled): DSIR weights for the whole corpus against
