@@ -82,6 +82,7 @@ object SparkEntry {
     "text_analysis"       -> (TextOps.textAnalysisQuery(_, _)),
     "text_fingerprint"    -> (TextOps.fingerprintQuery(_, _)),
     "text_dup_spans"      -> (TextOps.duplicatedSpansQuery(_, _)),
+    "text_despanned"      -> (TextOps.removeDuplicatedSpansQuery(_, _)),
     "text_quality"        -> (TextOps.textQualityQuery(_, _)),
     "text_repetition"     -> (TextOps.textRepetitionQuery(_, _)),
     "text_top_terms"      -> (TextOps.textTopTermsQuery(_, _)),
@@ -827,6 +828,38 @@ object SparkEntry {
          SELECT t.doc_id, t.n_windows,
            coalesce(d.n_dup_windows, 0) AS n_dup_windows
          FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id""",
+    // text_despanned: the ExactSubstr REMOVAL — duplicated 20-token
+    // windows vanish everywhere but their lowest-doc_id owner; surviving
+    // tokens reassemble in order (whitespace-normalized lowercase).
+    "text_despanned" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+         ), seq AS (
+           SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) AS pos FROM tok
+         ), w AS (
+           SELECT doc_id,
+             unnest([{'pos': i,
+                      'wh': ('0x' || substring(md5(array_to_string(t[i:i+19], ' ')), 1, 15))::BIGINT}
+                     for i in generate_series(1, len(t) - 19)], recursive := true)
+           FROM tok WHERE len(t) >= 20
+         ), own AS (
+           SELECT wh, min(doc_id) AS owner
+           FROM (SELECT DISTINCT wh, doc_id FROM w)
+           GROUP BY wh HAVING count(*) >= 2
+         ), cov AS (
+           SELECT DISTINCT w.doc_id, w.pos + k AS j
+           FROM w JOIN own USING (wh), generate_series(0, 19) g(k)
+           WHERE w.doc_id <> own.owner
+         ), kept AS (
+           SELECT s.doc_id, s.pos, s.tk FROM seq s
+           LEFT JOIN cov ON s.doc_id = cov.doc_id AND s.pos = cov.j
+           WHERE cov.j IS NULL
+         ), agg AS (
+           SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS text_clean
+           FROM kept GROUP BY doc_id
+         )
+         SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean
+         FROM tok t LEFT JOIN agg a ON t.doc_id = a.doc_id""",
     // text_fingerprint: exact + robust (min-shingle) md5-prefix hashes.
     "text_fingerprint" ->
       """WITH tok AS (

@@ -383,4 +383,52 @@ object TextOps {
     * is non-trivially exercised at every SF. */
   def duplicatedSpansQuery(s: SparkSession, d: String): DataFrame =
     duplicatedSpans(Tables.documents(s, d), windowN = 20)
+
+  /** The REMOVAL half of the ExactSubstr recipe (Lee et al. 2021): drop
+    * every token covered by a duplicated window — EXCEPT in the span's
+    * canonical owner (lowest doc_id sharing the hash), which keeps its
+    * copy — and reassemble each document from its surviving tokens in
+    * order. One copy of every long verbatim span survives corpus-wide;
+    * the training set keeps the content but not the duplication.
+    *
+    * Scale shape: ownership is the same two-phase (hash, doc)-dedup
+    * aggregate as [[duplicatedSpans]]; coverage explodes each REMOVED
+    * window into its `windowN` positions (bounded by windowN · removed
+    * windows — duplication-proportional, not corpus-proportional);
+    * reassembly is the boilerplate-removal pattern (order-stable
+    * array_sort(collect_list(struct(pos, token))) in ONE doc_id shuffle).
+    * Short docs pass through untouched; a fully-covered document comes
+    * back as an empty string (its content lives in the canonical owner).
+    * Reassembled text is whitespace-normalized lowercase (the shared
+    * tokenization) — the standard post-dedup canonical form. */
+  def removeDuplicatedSpans(docs: DataFrame, windowN: Int = 50, minDocs: Int = 2,
+                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = graft.core.CacheRegistry.persisted(
+      docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t")))
+    val wh = graft.core.CacheRegistry.persisted(
+      tok.select(col("doc_id"), posexplode(
+        graft.functions.TextHashExpressions.word_window_hashes(col("t"), windowN))
+        .as(Seq("pos", "wh"))))
+    val owned = wh.select("wh", "doc_id").distinct()
+      .groupBy("wh").agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
+      .filter(col("df") >= minDocs)
+      .select("wh", "owner")
+    val covered = wh.join(owned, Seq("wh"))
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (windowN - 1))).as("j"))
+      .distinct()
+    tok.select(col("doc_id"), posexplode(col("t")).as(Seq("j", "w")))
+      .join(covered, Seq("doc_id", "j"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("w")))),
+        s => s.getField("w")), " ").as("text_clean"))
+      .join(tok.select("doc_id"), Seq("doc_id"), "right")
+      .select(col("doc_id"), coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** SparkEntry query (oracled): 20-token span removal over the corpus —
+    * near-dup docs lose their shared runs everywhere but the lowest-id
+    * owner. */
+  def removeDuplicatedSpansQuery(s: SparkSession, d: String): DataFrame =
+    removeDuplicatedSpans(Tables.documents(s, d), windowN = 20)
 }

@@ -185,4 +185,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) == ((11L, 0L)), "unique prose has windows but no dups")
     assert(!out.contains(4L), "sub-window docs have no spans long enough to count")
   }
+
+  test("removeDuplicatedSpans: canonical owner keeps the span, the copy loses it, " +
+    "short docs pass through") {
+    val para = (1 to 25).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, para + " unique tail one two three four five six"),
+      (2L, "different head alpha beta gamma delta " + para),
+      (4L, "too short for any window")
+    ).toDF("doc_id", "text")
+    val out = TextOps.removeDuplicatedSpans(docs, windowN = 20)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == para + " unique tail one two three four five six",
+      "the lowest-id owner keeps its copy verbatim")
+    assert(out(2L) == "different head alpha beta gamma delta",
+      s"the duplicate loses exactly the pasted paragraph: '${out(2L)}'")
+    assert(out(4L) == "too short for any window",
+      "sub-window docs reassemble unchanged")
+  }
 }
