@@ -846,10 +846,18 @@ object SparkEntry {
            SELECT wh, min(doc_id) AS owner
            FROM (SELECT DISTINCT wh, doc_id FROM w)
            GROUP BY wh HAVING count(*) >= 2
-         ), cov AS (
+         ), rem AS (
            SELECT DISTINCT w.doc_id, w.pos + k AS j
            FROM w JOIN own USING (wh), generate_series(0, 19) g(k)
            WHERE w.doc_id <> own.owner
+         ), prot AS (
+           SELECT DISTINCT w.doc_id, w.pos + k AS j
+           FROM w JOIN own USING (wh), generate_series(0, 19) g(k)
+           WHERE w.doc_id = own.owner
+         ), cov AS (
+           SELECT r.doc_id, r.j FROM rem r
+           LEFT JOIN prot p ON r.doc_id = p.doc_id AND r.j = p.j
+           WHERE p.j IS NULL
          ), kept AS (
            SELECT s.doc_id, s.pos, s.tk FROM seq s
            LEFT JOIN cov ON s.doc_id = cov.doc_id AND s.pos = cov.j

@@ -460,8 +460,7 @@ object Corpus {
     * artifact is KBs regardless of corpus size, and scoring joins always
     * broadcast. Same lifecycle as [[stageLmModel]]. */
   def stageDsirModel(docs: DataFrame, target: DataFrame, path: String,
-                     buckets: Int = 10007, textCol: String = "text",
-                     idCol: String = "doc_id"): Unit = {
+                     buckets: Int = 10007, textCol: String = "text"): Unit = {
     require(buckets > 1, "stageDsirModel: need at least 2 feature buckets")
     def fb(df: DataFrame): DataFrame =
       df.select(explode(graft.functions.TextHashExpressions.feat_buckets(
@@ -473,43 +472,36 @@ object Corpus {
   }
 
   /** Weigh a (micro-)batch against a staged ratio table: explode → one
-    * broadcast join → one doc_id aggregate. The `buckets` arg must match
-    * the staged model's. */
-  def dsirScoreBatch(batch: DataFrame, ratio: DataFrame, buckets: Int = 10007,
-                     textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    * broadcast join → one doc_id aggregate. `buckets = 0` (the default)
+    * derives the count FROM the table itself (it has exactly `buckets`
+    * rows — a control-plane count of a KB-sized table) — a hand-passed
+    * mismatch would re-hash features mod the wrong base and produce
+    * numerically-valid-but-meaningless weights with no error anywhere. */
+  def dsirScoreBatch(batch: DataFrame, ratio: DataFrame, buckets: Int = 0,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val b = if (buckets > 0) buckets else ratio.count().toInt
     batch.select(col(idCol).as("doc_id"),
         explode(graft.functions.TextHashExpressions.feat_buckets(
-          TextOps.tokens(col(textCol)), buckets)).as("b"))
+          TextOps.tokens(col(textCol)), b)).as("b"))
       .join(broadcast(ratio), Seq("b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_features"), sum(col("lr_q6")).as("dsir_weight_q6"))
+  }
 
   /** [[loadLmModel]], pinned RESIDENT for the JVM (outside CacheRegistry,
     * so per-batch cache hygiene never evicts it) — the model a scoring
     * stream probes every micro-batch. Same lifecycle as
     * [[Dedup.residentShingleIndex]]; release via [[releaseLmModel]] when
     * retiring a model version. */
-  private val residentModels =
-    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, LmModel)]()
+  private val residentModels = new graft.core.Resident[LmModel](
+    (spark, p) => {
+      val uni = spark.read.parquet(p + "/unigrams").persist()
+      LmModel(uni, spark.read.parquet(p + "/bigrams").persist(), uni.count())
+    },
+    m => { m.uni.unpersist(blocking = false); m.bigram.unpersist(blocking = false) })
   def residentLmModel(spark: SparkSession, path: String): LmModel =
-    residentModels.compute(path, (p, cur) => {
-      if (cur != null && (cur._1 eq spark) && !spark.sparkContext.isStopped) cur
-      else {
-        if (cur != null) unpinModel(cur._2)
-        val uni = spark.read.parquet(p + "/unigrams").persist()
-        val bigram = spark.read.parquet(p + "/bigrams").persist()
-        (spark, LmModel(uni, bigram, uni.count()))
-      }
-    })._2
-  def releaseLmModel(path: String): Unit = {
-    val cur = residentModels.remove(path)
-    if (cur != null) unpinModel(cur._2)
-  }
-  private def unpinModel(m: LmModel): Unit =
-    try {
-      m.uni.unpersist(blocking = false)
-      m.bigram.unpersist(blocking = false)
-    } catch { case _: Exception => () } // owning session may be stopped
+    residentModels.get(spark, path)
+  def releaseLmModel(path: String): Unit = residentModels.release(path)
 
   /** SparkEntry query (oracled): score the whole corpus against a bigram
     * model trained on the deterministic 1-in-5 reference slice — the

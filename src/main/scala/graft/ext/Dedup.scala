@@ -355,31 +355,17 @@ object Dedup {
     * requests), so its blocks persist outside the registry and are
     * released only by [[releaseShingleIndex]]. Load is paid once per
     * (JVM, path); every later probe starts from cached blocks. */
-  private val residentIndexes =
-    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, ShingleIndex)]()
-  def residentShingleIndex(spark: SparkSession, path: String): ShingleIndex =
-    residentIndexes.compute(path, (p, cur) => {
-      // a cached entry is only valid for the session that built it: the
-      // cache key is a path, but the cached DataFrames are session-bound,
-      // and serving session A's plans to session B (or to anyone after A
-      // stopped) fails at execution time
-      if (cur != null && (cur._1 eq spark) && !spark.sparkContext.isStopped) cur
-      else {
-        if (cur != null) unpin(cur._2)
-        (spark, ShingleIndex(
-          spark.read.parquet(p + "/docs").persist(),
-          spark.read.parquet(p + "/postings").persist()))
-      }
-    })._2
-  def releaseShingleIndex(path: String): Unit = {
-    val cur = residentIndexes.remove(path)
-    if (cur != null) unpin(cur._2)
-  }
-  private def unpin(idx: ShingleIndex): Unit =
-    try {
+  private val residentIndexes = new graft.core.Resident[ShingleIndex](
+    (spark, p) => ShingleIndex(
+      spark.read.parquet(p + "/docs").persist(),
+      spark.read.parquet(p + "/postings").persist()),
+    idx => {
       idx.docs.unpersist(blocking = false)
       idx.postings.unpersist(blocking = false)
-    } catch { case _: Exception => () } // owning session may be stopped
+    })
+  def residentShingleIndex(spark: SparkSession, path: String): ShingleIndex =
+    residentIndexes.get(spark, path)
+  def releaseShingleIndex(path: String): Unit = residentIndexes.release(path)
 
   /** The hashed per-doc shingle-set projection shared by every admission
     * path: (id, sh: array<long>). Callers persist it themselves (it always

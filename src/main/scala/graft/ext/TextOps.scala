@@ -413,10 +413,18 @@ object TextOps {
       .groupBy("wh").agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
       .filter(col("df") >= minDocs)
       .select("wh", "owner")
-    val covered = wh.join(owned, Seq("wh"))
-      .filter(col("doc_id") =!= col("owner"))
+    val hits = wh.join(owned, Seq("wh"))
+    def positions(df: DataFrame): DataFrame = df
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (windowN - 1))).as("j"))
       .distinct()
+    // positions covered by a window this doc OWNS are PROTECTED from
+    // removal: without this, two overlapping duplicated spans with
+    // different owners can destroy each other's only surviving copy (a
+    // non-owned span's removal reaching into an owned one) — the
+    // owner-keeps invariant must win over overlap
+    val covered = positions(hits.filter(col("doc_id") =!= col("owner")))
+      .join(positions(hits.filter(col("doc_id") === col("owner"))),
+        Seq("doc_id", "j"), "left_anti")
     tok.select(col("doc_id"), posexplode(col("t")).as(Seq("j", "w")))
       .join(covered, Seq("doc_id", "j"), "left_anti")
       .groupBy("doc_id")

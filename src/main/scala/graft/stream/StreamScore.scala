@@ -33,20 +33,11 @@ object StreamScore {
   def admit(stream: DataFrame, modelPath: String, maxAvgNllQ6: Long,
             sink: DataFrame => Unit, queryName: String,
             textCol: String = "text", idCol: String = "doc_id"): StreamingQuery = {
-    val spark = stream.sparkSession
-    val model = Corpus.residentLmModel(spark, modelPath)
-    stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        try {
-          val scored = Corpus.lmScoreBatch(batch, model, textCol, idCol)
-            // integer-exact threshold: nll ≤ maxAvg · n (never a float mean)
-            .filter(col("nll_q6") <= lit(maxAvgNllQ6) * col("n_bigrams"))
-          sink(batch.join(scored.withColumnRenamed("doc_id", idCol), Seq(idCol)))
-        } finally graft.core.CacheRegistry.unpersistAll()
-        ()
-      }
-      .queryName(queryName)
-      .start()
+    val model = Corpus.residentLmModel(stream.sparkSession, modelPath)
+    startAdmission(stream, queryName, sink, idCol, batch =>
+      Corpus.lmScoreBatch(batch, model, textCol, idCol)
+        // integer-exact threshold: nll ≤ maxAvg · n (never a float mean)
+        .filter(col("nll_q6") <= lit(maxAvgNllQ6) * col("n_bigrams")))
   }
 
   /** The DSIR companion: admit documents whose importance weight against a
@@ -55,39 +46,38 @@ object StreamScore {
     * is bucket-bounded (KBs at any corpus size), pinned resident, and
     * broadcast into every micro-batch's scoring join. */
   def admitDsir(stream: DataFrame, modelPath: String, minWeightQ6: Long,
-                sink: DataFrame => Unit, queryName: String, buckets: Int = 10007,
+                sink: DataFrame => Unit, queryName: String,
                 textCol: String = "text", idCol: String = "doc_id"): StreamingQuery = {
-    val spark = stream.sparkSession
-    val ratio = residentRatio(spark, modelPath)
+    val ratio = residentRatio.get(stream.sparkSession, modelPath)
+    // buckets = 0: dsirScoreBatch derives the count from the staged table
+    // itself, so a stage/score mismatch is impossible by construction
+    startAdmission(stream, queryName, sink, idCol, batch =>
+      Corpus.dsirScoreBatch(batch, ratio, 0, textCol, idCol)
+        .filter(col("dsir_weight_q6") >= minWeightQ6))
+  }
+
+  /** The shared admission scaffold: per-micro-batch score → filter →
+    * re-join the survivors to the full batch row (scorers return only
+    * id + evidence columns) → hand to `sink`, with per-batch cache
+    * hygiene in a finally. Both admission flavors differ ONLY in the
+    * scoring tail they pass here. */
+  private def startAdmission(stream: DataFrame, queryName: String,
+                             sink: DataFrame => Unit, idCol: String,
+                             score: DataFrame => DataFrame): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         try {
-          val scored = Corpus.dsirScoreBatch(batch, ratio, buckets, textCol, idCol)
-            .filter(col("dsir_weight_q6") >= minWeightQ6)
+          val scored = score(batch)
           sink(batch.join(scored.withColumnRenamed("doc_id", idCol), Seq(idCol)))
         } finally graft.core.CacheRegistry.unpersistAll()
         ()
       }
       .queryName(queryName)
       .start()
-  }
 
   // resident ratio tables, same session-guarded lifecycle as the LM model
-  private val residentRatios = new java.util.concurrent.ConcurrentHashMap[
-    String, (org.apache.spark.sql.SparkSession, DataFrame)]()
-  private def residentRatio(spark: org.apache.spark.sql.SparkSession,
-                            path: String): DataFrame =
-    residentRatios.compute(path, (p, cur) => {
-      if (cur != null && (cur._1 eq spark) && !spark.sparkContext.isStopped) cur
-      else {
-        if (cur != null)
-          try cur._2.unpersist(blocking = false) catch { case _: Exception => () }
-        (spark, spark.read.parquet(p + "/ratio").persist())
-      }
-    })._2
-  def releaseDsirModel(path: String): Unit = {
-    val cur = residentRatios.remove(path)
-    if (cur != null)
-      try cur._2.unpersist(blocking = false) catch { case _: Exception => () }
-  }
+  private val residentRatio = new graft.core.Resident[DataFrame](
+    (spark, p) => spark.read.parquet(p + "/ratio").persist(),
+    _.unpersist(blocking = false))
+  def releaseDsirModel(path: String): Unit = residentRatio.release(path)
 }

@@ -203,4 +203,25 @@ class TextOpsSpec extends SparkSpec {
     assert(out(4L) == "too short for any window",
       "sub-window docs reassemble unchanged")
   }
+
+  test("removeDuplicatedSpans: overlapping spans with different owners cannot " +
+    "destroy each other's canonical copy") {
+    // windowN=20. Span S = v1..v20 (owner doc1), span T = v11..v30 (owner
+    // doc2, where it overlaps S's copy at positions 10..19). Without
+    // owner-position protection, S's removal from doc2 strips T's first
+    // half there while doc3's whole T copy is removed as a non-owner — T
+    // would survive nowhere.
+    def ws(a: Int, b: Int) = (a to b).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      (1L, ws(1, 20)),   // exactly S
+      (2L, ws(1, 30)),   // S at 0..19, T at 10..29
+      (3L, ws(11, 30))   // exactly T
+    ).toDF("doc_id", "text")
+    val out = TextOps.removeDuplicatedSpans(docs, windowN = 20)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == ws(1, 20), "doc1 owns S and keeps it verbatim")
+    assert(out(2L) == ws(11, 30),
+      s"doc2 owns T: protection must keep T intact, losing only v1..v10: '${out(2L)}'")
+    assert(out(3L) == "", "doc3's T copy is fully removed (it lives in doc2)")
+  }
 }
