@@ -120,9 +120,10 @@ object SparkEntry {
     * same parquet tables. Float-summing queries use exact DECIMAL casts on
     * BOTH sides so results are independent of aggregation order.
     *
-    * The only omitted key is multimodal_pipeline (stub codec output — no
-    * media libs in this env; schema/partitioning/batch plumbing pinned in
-    * MultimodalSpec); it gets the driver's rows-only check.
+    * No key is omitted — every registered query is DuckDB-oracled.
+    * multimodal_pipeline replays because its stub codecs are deliberately
+    * md5/byte-length arithmetic (the real-media decode boundary stays
+    * pinned by MultimodalSpec).
     * The hash/LSH gates (dedup_minhash, dedup_simhash, text_analysis,
     * dedup_embedding_lsh) are NOT omitted: signatures are md5-prefix
     * integers + affine permutations / scramble sign bits — exact int64
@@ -1123,6 +1124,23 @@ object SparkEntry {
          )
          SELECT doc_id, source, CAST(q6 AS DOUBLE) / 1e6 AS quality
          FROM ranked WHERE rk <= 10""",
+    // multimodal_pipeline: the stub codecs are oracle-portable arithmetic —
+    // dims from the md5-60-bit base of the payload bytes (= the UTF-8 text
+    // here), frame count from the UTF-8 byte length
+    "multimodal_pipeline" ->
+      """WITH m AS (
+           SELECT
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+             ('0x' || substring(md5(text), 1, 15))::BIGINT AS h,
+             octet_length(CAST(text AS BLOB)) AS nb
+           FROM documents
+         )
+         SELECT kind, count(*) AS n_media,
+           CAST(64 + min(h % 512) AS BIGINT) AS min_w,
+           CAST(64 + max((h // 512) % 512) AS BIGINT) AS max_h,
+           CAST(sum(greatest(nb // 256, 1)) AS BIGINT) AS total_frames
+         FROM m GROUP BY kind""",
     // corpus_split: partition-stable split assignment — pure integer
     // arithmetic on doc_id, identical in both engines
     "corpus_split" ->

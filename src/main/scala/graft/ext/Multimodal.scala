@@ -43,11 +43,22 @@ object Multimodal {
     * libjpeg/ffmpeg/etc. Each is a pure function of the bytes so tests and
     * oracle-less queries are reproducible. */
   object StubCodec {
+    private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
     /** STUB image decode: dims derived from a byte hash; a real codec
-      * returns the actual pixel buffer dims. */
+      * returns the actual pixel buffer dims. The hash is the top 60 bits
+      * of md5 — DuckDB's `('0x'||substring(md5(x),1,15))::BIGINT`, the
+      * repo's oracle-portable base — so the pipeline gate replays exactly. */
     def decodeDims(bytes: Array[Byte]): (Int, Int) = {
-      val h = java.util.Arrays.hashCode(bytes)
-      (64 + math.abs(h % 512), 64 + math.abs((h >> 9) % 512))
+      val md = md5Local.get(); md.reset()
+      val d = md.digest(bytes)
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+      h = h >>> 4
+      ((64 + h % 512).toInt, (64 + (h >> 9) % 512).toInt)
     }
     /** STUB feature extraction: 8-bucket byte histogram, L1-normalized —
       * shaped like a real embedding/MFCC output (fixed-width Array[Double]). */
@@ -117,9 +128,10 @@ object Multimodal {
     }
   }
 
-  /** SparkEntry query (rows-only): the full pipeline over a synthetic media
-    * table derived from documents.parquet (text bytes as payload — the
-    * fixtures ship no real media). Exercises schema, size-repartition,
+  /** SparkEntry query (oracled — the stub codecs are md5/byte-length
+    * arithmetic DuckDB replays exactly): the full pipeline over a synthetic
+    * media table derived from documents.parquet (text bytes as payload —
+    * the fixtures ship no real media). Exercises schema, size-repartition,
     * batched decode, and the small projected output. */
   def multimodalQuery(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -135,7 +147,8 @@ object Multimodal {
     decode(sized.as[MediaRow]).toDF()
       .groupBy("kind")
       .agg(count(lit(1)).as("n_media"),
-        min(col("width")).as("min_w"), max(col("height")).as("max_h"),
+        min(col("width")).cast("long").as("min_w"),
+        max(col("height")).cast("long").as("max_h"),
         sum(col("n_frames")).as("total_frames"))
   }
 }

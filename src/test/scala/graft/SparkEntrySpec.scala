@@ -17,12 +17,11 @@ class SparkEntrySpec extends SparkSpec {
     assert(dangling.isEmpty, s"oracles without queries: $dangling")
   }
 
-  test("rows-only queries are exactly the documented stub-codec set") {
-    // every hash/LSH gate is oracle-portable arithmetic now; only the
-    // stub-codec multimodal gate (no media libs in this env) stays
-    // rows-only
+  test("every registered query is DuckDB-oracled (no rows-only gates left)") {
+    // every hash/LSH gate is oracle-portable arithmetic, and the stub
+    // multimodal codecs are md5/byte-length arithmetic — so nothing is
+    // exempt from the full rows+schema+hash gate
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("multimodal_pipeline"),
-      s"undocumented rows-only queries: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"undocumented rows-only queries: $rowsOnly")
   }
 }
