@@ -76,6 +76,7 @@ object SparkEntry {
     "similarity_topk"     -> (Similarity.similarityTopK(_, _)),
     "similarity_ivf"      -> (Similarity.similarityIvfQuery(_, _)),
     "similarity_knn_join" -> (Similarity.similarityKnnJoinQuery(_, _)),
+    "similarity_pq"       -> (Similarity.similarityPqQuery(_, _)),
     "text_stats"          -> (TextOps.textStats(_, _)),
     "token_count"         -> (TextOps.tokenCountQuery(_, _)),
     "token_count_bpe"     -> (TextOps.tokenCountBpeQuery(_, _)),
@@ -744,6 +745,62 @@ object SparkEntry {
          FROM assigned a CROSS JOIN q
          WHERE a.cid IN (SELECT cid FROM probed)
          ORDER BY list_dot_product(a.v, q.qv) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC, a.vec_id ASC LIMIT 10""",
+    // similarity_pq: product quantization replayed END-TO-END — per-subspace
+    // vec_id%16 init, two Lloyd rounds of exact-decimal means + L2² argmin
+    // ((dist, code) tie-break), full-corpus encode, ADC distance as the
+    // j-ordered left-fold sum (l[1]+l[2]+l[3]+l[4] pins Spark's fold order)
+    "similarity_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         ), sub AS (
+           SELECT vec_id, j, list_slice(v, j*16+1, j*16+16) AS sv
+           FROM e, (SELECT unnest(range(4)) AS j)
+         ), samp AS (
+           SELECT vec_id, j, sv, CAST(vec_id % 16 AS INT) AS code FROM sub WHERE vec_id % 5 = 0
+         ), c0 AS (
+           SELECT j, code, list(mx ORDER BY pos) AS cv FROM (
+             SELECT j, code, pos, CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS mx
+             FROM (SELECT j, code, unnest(sv) AS x, generate_subscripts(sv, 1) AS pos FROM samp)
+             GROUP BY j, code, pos) GROUP BY j, code
+         ), a1 AS (
+           SELECT vec_id, j, sv, code FROM (
+             SELECT s.vec_id, s.j, s.sv, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                 list_dot_product(s.sv, s.sv) - 2*list_dot_product(s.sv, c.cv) + list_dot_product(c.cv, c.cv) ASC, c.code ASC) AS rn
+             FROM samp s JOIN c0 c ON s.j = c.j) WHERE rn = 1
+         ), c1 AS (
+           SELECT j, code, list(mx ORDER BY pos) AS cv FROM (
+             SELECT j, code, pos, CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS mx
+             FROM (SELECT j, code, unnest(sv) AS x, generate_subscripts(sv, 1) AS pos FROM a1)
+             GROUP BY j, code, pos) GROUP BY j, code
+         ), a2 AS (
+           SELECT vec_id, j, sv, code FROM (
+             SELECT s.vec_id, s.j, s.sv, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                 list_dot_product(s.sv, s.sv) - 2*list_dot_product(s.sv, c.cv) + list_dot_product(c.cv, c.cv) ASC, c.code ASC) AS rn
+             FROM samp s JOIN c1 c ON s.j = c.j) WHERE rn = 1
+         ), c2 AS (
+           SELECT j, code, list(mx ORDER BY pos) AS cv FROM (
+             SELECT j, code, pos, CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS mx
+             FROM (SELECT j, code, unnest(sv) AS x, generate_subscripts(sv, 1) AS pos FROM a2)
+             GROUP BY j, code, pos) GROUP BY j, code
+         ), enc AS (
+           SELECT vec_id, j, code FROM (
+             SELECT s.vec_id, s.j, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                 list_dot_product(s.sv, s.sv) - 2*list_dot_product(s.sv, c.cv) + list_dot_product(c.cv, c.cv) ASC, c.code ASC) AS rn
+             FROM sub s JOIN c2 c ON s.j = c.j) WHERE rn = 1
+         ), q AS (SELECT j, sv AS qv FROM sub WHERE vec_id = 0
+         ), dists AS (
+           SELECT enc.vec_id, enc.j,
+             list_dot_product(q.qv, q.qv) - 2*list_dot_product(q.qv, c.cv) + list_dot_product(c.cv, c.cv) AS d
+           FROM enc JOIN c2 c ON enc.j = c.j AND enc.code = c.code
+                    JOIN q ON q.j = enc.j
+         ), adc AS (
+           SELECT vec_id, l[1] + l[2] + l[3] + l[4] AS d_exact
+           FROM (SELECT vec_id, list(d ORDER BY j) AS l FROM dists GROUP BY vec_id)
+         )
+         SELECT vec_id, floor(d_exact * 1e4 + 0.5) / 1e4 AS adc
+         FROM adc ORDER BY d_exact ASC, vec_id ASC LIMIT 10""",
     // dedup_semantic: SemDeDup replayed END-TO-END — exact-arithmetic twin
     // planting (integer scramble, IEEE-identical noise formula), then the
     // similarity_ivf k-means chain (same sampled init, Lloyd rounds, and

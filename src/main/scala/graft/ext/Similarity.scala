@@ -266,10 +266,128 @@ object Similarity {
         .filter(col("centroid_id").isin(probed: _*)), qv, k)
   }
 
-  /** SparkEntry query (rows-only): trained-IVF approximate top-10 for
-    * vec 0's vector, probing 4 of 16 buckets. The single-row query-vector
-    * fetch is control-plane (one `first()`); the search itself is a
-    * partition-pruned scan — the 100 TB ANN shape. */
+  // ---------------------------------------------------------------- PQ
+
+  /** Product-quantization model (Jégou et al., TPAMI 2011): `m` contiguous
+    * subspaces of `dsub` dims each, an independent codebook per subspace.
+    * Model state is m·ksub·dsub doubles — KBs at any corpus size, the same
+    * control-plane scale as the IVF coarse quantizer. `books(sub)` lists
+    * (code, centroid) sorted by code; codes that lose all members during
+    * Lloyd drop out (k shrinks — same determinism rule as
+    * [[trainCentroids]]). */
+  final case class PqModel(m: Int, dsub: Int,
+                           books: Map[Int, Seq[(Int, Seq[Double])]])
+
+  /** Squared L2 — PQ's native metric — spelled dot(a,a) − 2·dot(a,b) +
+    * dot(b,b) so both engines evaluate the identical float expression
+    * (`list_dot_product` replays `vec_dot` term-for-term). */
+  private def l2sq(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** (vec_id, sub, sv) — each vector split into its m subvectors. Training
+    * shape only; the encode path stays columnar (no explode, no shuffle). */
+  private def subVectors(v: DataFrame, m: Int, dsub: Int): DataFrame =
+    v.select(col("vec_id"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("sub"), slice(col("v"), j * dsub + 1, dsub).as("sv"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
+
+  /** Per-(sub, code) mean subvector, collected as driver-side model state
+    * between Lloyd rounds — exact DECIMAL sums cast to double before the
+    * division, like [[meanPairs]], so codebooks are bit-identical across
+    * runs and engines. */
+  private def collectSubMeans(assigned: DataFrame): Map[Int, Seq[(Int, Seq[Double])]] =
+    assigned.select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy("sub", "code", "pos")
+      .agg((sum(col("x").cast("decimal(27,15)")).cast("double") / count(lit(1))).as("mx"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.get(1).asInstanceOf[Number].intValue(),
+        r.get(2).asInstanceOf[Number].intValue(), r.getDouble(3)))
+      .groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((sub, code), xs) => (sub, code, xs.sortBy(_._3).map(_._4)) }
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+
+  /** Nearest-code argmin for one subspace's literal codebook — the
+    * [[assignToNearestLit]] pattern ((dist ASC, code ASC) struct-min, all
+    * codegen, no join). */
+  private def nearestCodeLit(sv: Column, book: Seq[(Int, Seq[Double])]): Column =
+    array_min(array(book.map { case (code, cvec) =>
+      struct(l2sq(sv, typedLit(cvec)).as("dist"), lit(code).as("code"))
+    }: _*)).getField("code")
+
+  /** Train PQ codebooks: per subspace, init code = vec_id mod ksub, then
+    * `iters` Lloyd rounds (assign by literal-codebook argmin, re-mean).
+    * One distributed job per round over the training sample — identical
+    * scale shape to [[trainCentroids]], just keyed by (sub, code). */
+  def trainPqCodebooks(emb: DataFrame, m: Int, ksub: Int,
+                       iters: Int = 2): PqModel = {
+    val v = graft.core.CacheRegistry.persisted(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+    val dim = v.select(size(col("v"))).first().getInt(0)
+    require(dim % m == 0, s"trainPqCodebooks: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val sub = graft.core.CacheRegistry.persisted(subVectors(v, m, dsub))
+    var books = collectSubMeans(
+      sub.withColumn("code", pmod(col("vec_id"), lit(ksub.toLong)).cast("int")))
+    for (_ <- 1 to iters) {
+      val codeExpr = (0 until m).map(j => (j, books(j))).foldLeft(lit(null).cast("int")) {
+        case (acc, (j, book)) =>
+          when(col("sub") === j, nearestCodeLit(col("sv"), book)).otherwise(acc)
+      }
+      books = collectSubMeans(sub.withColumn("code", codeExpr))
+    }
+    PqModel(m, dsub, books)
+  }
+
+  /** Encode: m code columns per vector, each a literal-codebook argmin on
+    * its slice — a NARROW map over the corpus, no explode, no shuffle (at
+    * 100 TB the encode is one pass that writes 8·m bits/vector). */
+  def pqEncode(emb: DataFrame, model: PqModel): DataFrame = {
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    (0 until model.m).foldLeft(v) { (df, j) =>
+      df.withColumn(s"code_$j",
+        nearestCodeLit(slice(col("v"), j * model.dsub + 1, model.dsub), model.books(j)))
+    }.drop("v")
+  }
+
+  /** ADC top-k (asymmetric distance): approximate dist(q, x) as the sum
+    * over subspaces of L2²(q_sub, codebook[sub][code_sub(x)]) — computed
+    * from the codes alone, never touching the original vectors. The
+    * per-subspace lookups are literal-map `element_at`s and the sum is a
+    * fixed left-fold (j = 0..m−1), so an external engine replays the exact
+    * float. Ranking is a TakeOrdered (dist ASC, vec_id ASC), not a global
+    * sort. */
+  def pqTopK(encoded: DataFrame, model: PqModel, queryVec: Seq[Double],
+             k: Int): DataFrame = {
+    val dist = (0 until model.m).map { j =>
+      val qSub = queryVec.slice(j * model.dsub, (j + 1) * model.dsub)
+      val bookMap = typedLit(model.books(j).toMap)
+      l2sq(typedLit(qSub), element_at(bookMap, col(s"code_$j")))
+    }.reduceLeft(_ + _)
+    encoded.select(col("vec_id"), dist.as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** SparkEntry query (oracled — init, Lloyd means, argmin tie-breaks, and
+    * the ADC fold are all exact-replay arithmetic): 4×16 PQ trained on the
+    * deterministic 1-in-5 sample, corpus encoded to 4 codes/vector, ADC
+    * top-10 for vec 0's vector. */
+  def similarityPqQuery(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val model = trainPqCodebooks(
+      emb.filter(pmod(col("vec_id"), lit(5)) === 0), m = 4, ksub = 16, iters = 2)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).first().getSeq[Double](0)
+    pqTopK(pqEncode(emb, model), model, q, k = 10)
+      .select(col("vec_id"), graft.query.Functions.stableRound(col("adc"), 4).as("adc"))
+  }
+
+  /** SparkEntry query (oracled — the full train/assign/probe chain
+    * replays): trained-IVF approximate top-10 for vec 0's vector, probing
+    * 4 of 16 buckets. The single-row query-vector fetch is control-plane
+    * (one `first()`); the search itself is a partition-pruned scan — the
+    * 100 TB ANN shape. */
   def similarityIvfQuery(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     // quantizer trains on a deterministic 1-in-5 sample (standard IVF

@@ -135,6 +135,37 @@ class SimilaritySpec extends SparkSpec {
     assert(found.nonEmpty, "index built from the fallback sample must be searchable")
   }
 
+  test("PQ: codebooks are well-formed, encode stays in-book, and the query's " +
+    "own vector has the minimal ADC distance") {
+    val emb = Tables_embeddings()
+    val model = Similarity.trainPqCodebooks(
+      emb.filter(col("vec_id") % 5 === 0), m = 4, ksub = 16, iters = 2)
+    try {
+      assert(model.dsub == 16, "64-dim embeddings split 4 ways")
+      (0 until 4).foreach { j =>
+        val book = model.books(j)
+        assert(book.nonEmpty && book.size <= 16)
+        assert(book.forall(_._2.length == 16), "sub-centroids span the subspace")
+        assert(book.map(_._1) == book.map(_._1).sorted, "codes sorted")
+      }
+      val enc = Similarity.pqEncode(emb, model)
+      val codeSets = model.books.map { case (j, b) => j -> b.map(_._1).toSet }
+      enc.collect().foreach(r => (0 until 4).foreach(j =>
+        assert(codeSets(j).contains(r.getAs[Int](s"code_$j")),
+          "every emitted code exists in its subspace's book")))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).as[Seq[Double]].head
+      val top = Similarity.pqTopK(enc, model, q, k = 10).collect()
+      assert(top.length == 10)
+      // per subspace, vec 0's own code is the argmin for q's subvector, so
+      // its ADC sum is ≤ every other vector's — rank 1 is a theorem, not luck
+      assert(top.head.getAs[Long]("vec_id") == 0L,
+        s"query's own vector must have minimal ADC: ${top.toSeq}")
+      val ds = top.map(_.getAs[Double]("adc")).toSeq
+      assert(ds == ds.sorted && ds.forall(_ >= 0), "ascending non-negative ADC")
+    } finally graft.core.CacheRegistry.unpersistAll()
+  }
+
   private def Tables_embeddings() =
     graft.core.Tables.embeddings(spark, sf("sf0.001"))
 }
