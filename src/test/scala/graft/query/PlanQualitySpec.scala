@@ -326,4 +326,26 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(finalPlan).length >= 2,
       s"doc aggregate must have a partial phase:\n$plan")
   }
+
+  test("pq encode + ADC search: zero exchanges — a narrow map and a TakeOrdered") {
+    val emb = graft.core.Tables.embeddings(spark, sf("sf0.001"))
+    val model = graft.ext.Similarity.trainPqCodebooks(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") % 5 === 0),
+      m = 4, ksub = 16, iters = 1)
+    try {
+      val q = (0 until 64).map(_.toDouble)
+      val df = graft.ext.Similarity.pqTopK(
+        graft.ext.Similarity.pqEncode(emb, model), model, q, k = 10)
+      val plan = executedPlan(df)
+      val finalPlan = plan.split("== Initial Plan ==").head
+      // everything is literal-codebook arithmetic per row: the only plan
+      // nodes between scan and result are Project and TakeOrdered — at
+      // 100 TB the encode+search never shuffles a vector
+      assert(!finalPlan.contains("Exchange hashpartitioning"),
+        s"pq encode/search must not shuffle:\n$plan")
+      assert(finalPlan.contains("TakeOrderedAndProject"),
+        s"top-k must be a TakeOrdered, not a global sort:\n$plan")
+      assert(!finalPlan.contains("Sort "), s"no global sort:\n$plan")
+    } finally graft.core.CacheRegistry.unpersistAll()
+  }
 }
