@@ -115,6 +115,8 @@ object SparkEntry {
     "corpus_dsir_select"     -> (graft.ext.Corpus.dsirSelectQuery(_, _)),
     // boilerplate-line removal (CCNet-style df threshold)
     "text_boilerplate"       -> (TextOps.boilerplateQuery(_, _)),
+    // within-doc repeated-line removal (C4/RefinedWeb step)
+    "text_dedup_lines"       -> (TextOps.dedupLinesQuery(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1226,6 +1228,26 @@ object SparkEntry {
          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean
          FROM lines WHERE line NOT IN (SELECT line FROM hot)
          GROUP BY doc_id""",
+    // text_dedup_lines: within-doc first-occurrence line dedup — blank
+    // lines pass through, repeated non-blank lines keep min(pos) only
+    "text_dedup_lines" ->
+      """WITH planted AS (
+           SELECT doc_id, text || chr(10) || 'repeat me'
+             || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'repeat me' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0 THEN chr(10) || text ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'unique ' || CAST(doc_id AS VARCHAR) ELSE '' END AS text
+           FROM documents
+         ), lines AS (
+           SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS line
+           FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM planted)
+         ), kept AS (
+           SELECT doc_id, pos, line FROM lines WHERE trim(line) = ''
+           UNION ALL
+           SELECT doc_id, min(pos) AS pos, line FROM lines WHERE trim(line) != ''
+           GROUP BY doc_id, line
+         )
+         SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean
+         FROM kept GROUP BY doc_id""",
     // text_scrub_pii: patterns restricted to the Java-regex ∩ RE2 dialect
     // (TextOps.piiPatterns) — counts on raw text, sequential replacement
     "text_scrub_pii" ->

@@ -345,6 +345,46 @@ object TextOps {
     removeBoilerplate(planted, minDf = 10)
   }
 
+  /** WITHIN-document line dedup (the C4/RefinedWeb step that
+    * [[removeBoilerplate]]'s cross-document df filter does not cover):
+    * every repeated non-blank line keeps its FIRST occurrence only —
+    * navigation junk pasted thrice into one page collapses to once —
+    * while blank lines pass through untouched (they are layout, not
+    * over-represented content, and collapsing them would reflow real
+    * paragraphs). One partial-aggregable (doc, line) min-pos aggregate +
+    * the shared order-stable reassembly; state is line-count-proportional
+    * per document, never corpus-wide. */
+  def dedupLinesWithin(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val blank = trim(col("line")) === ""
+    val kept = lines.filter(blank)
+      .unionByName(lines.filter(!blank)
+        .groupBy(col("doc_id"), col("line"))
+        .agg(min(col("pos")).as("pos")))
+    kept.groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("text_clean"))
+  }
+
+  /** SparkEntry query (oracled): fixture docs are single-line, so the gate
+    * plants within-doc duplication on deterministic doc_id grids — a junk
+    * line repeated on even ids, the doc's own text pasted again on
+    * multiples of 3, and a unique marker on multiples of 5 that must
+    * survive. */
+  def dedupLinesQuery(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d).select(col("doc_id"),
+      concat(
+        col("text"), lit("\nrepeat me"),
+        when(col("doc_id") % 2 === 0, lit("\nrepeat me")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, concat(lit("\n"), col("text"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("\nunique "), col("doc_id").cast("string"))).otherwise(lit("")))
+        .as("text"))
+    dedupLinesWithin(planted)
+  }
+
   /** Substring-granularity duplication signal (Lee et al. 2021,
     * "Deduplicating Training Data Makes Language Models Better",
     * arXiv:2107.06499): hash every `windowN`-token window, call a window

@@ -204,6 +204,22 @@ class TextOpsSpec extends SparkSpec {
       "sub-window docs reassemble unchanged")
   }
 
+  test("dedupLinesWithin: repeated lines keep first occurrence, blanks and " +
+    "order survive, cross-doc repeats are untouched") {
+    val docs = Seq(
+      (1L, "alpha\nbeta\nalpha\n\nbeta\ngamma\n"),
+      (2L, "alpha\nalpha\nalpha"), // cross-doc repeat of doc1's line is fine
+      (3L, "solo line")
+    ).toDF("doc_id", "text")
+    val out = TextOps.dedupLinesWithin(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // trailing \n yields a final blank line; both blanks pass through
+    assert(out(1L) == "alpha\nbeta\n\ngamma\n",
+      s"first occurrences + blanks in original order: '${out(1L)}'")
+    assert(out(2L) == "alpha", "within-doc triplicate collapses to one")
+    assert(out(3L) == "solo line")
+  }
+
   test("removeDuplicatedSpans: overlapping spans with different owners cannot " +
     "destroy each other's canonical copy") {
     // windowN=20. Span S = v1..v20 (owner doc1), span T = v11..v30 (owner
