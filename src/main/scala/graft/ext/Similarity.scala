@@ -369,6 +369,63 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist an IVF+PQ index — the build-once/search-many compressed-ANN
+    * shape: `<path>/centroids` (coarse quantizer), `<path>/codebooks`
+    * (the PQ model, m·ksub rows), and `<path>/codes` PARTITIONED BY
+    * centroid_id, holding only vec_id + m code columns (8·m bits of
+    * payload per vector — at 100 TB of raw embeddings the searchable
+    * artifact is ~1% of that, and a probe reads nprobe/k of it via parquet
+    * partition pruning, codes-only). PQ codebooks quantize the RAW vectors
+    * (IVF prunes, PQ compresses — the residual-encoding variant trades
+    * this simplicity for recall and is deliberately not taken: raw-vector
+    * codebooks keep staged search ≡ the oracled in-memory [[pqTopK]]
+    * bit-for-bit, which is the verification story). */
+  def writePqIndex(emb: DataFrame, path: String, kCentroids: Int, m: Int,
+                   ksub: Int, iters: Int = 2, trainSampleMod: Int = 5): Unit = {
+    val spark = emb.sparkSession
+    val sample = emb.filter(pmod(col("vec_id"), lit(trainSampleMod.toLong)) === 0)
+    val trainSet = if (sample.isEmpty) emb else sample
+    val cents = trainCentroids(trainSet, kCentroids, iters)
+    val model = trainPqCodebooks(trainSet, m, ksub, iters)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    import spark.implicits._
+    model.books.toSeq.flatMap { case (sub, book) =>
+      book.map { case (code, cvec) => (sub, code, cvec) }
+    }.toDF("sub", "code", "cvec")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    val assigned = ivfAssign(emb, cents)
+    (0 until m).foldLeft(assigned) { (df, j) =>
+      df.withColumn(s"code_$j",
+        nearestCodeLit(slice(col("v"), j * model.dsub + 1, model.dsub), model.books(j)))
+    }.drop("v")
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/codes")
+  }
+
+  /** The PQ model back from a staged index — m·ksub·dsub doubles, model
+    * state (the same control-plane scale as the coarse quantizer). */
+  def loadPqModel(spark: SparkSession, path: String): PqModel = {
+    val rows = spark.read.parquet(s"$path/codebooks").collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    require(rows.nonEmpty, s"loadPqModel: no codebooks at $path")
+    val books = rows.groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+    PqModel(books.size, rows.head._3.length, books)
+  }
+
+  /** Search a persisted IVF+PQ index: static `centroid_id IN (...)` probe
+    * (parquet partition pruning, as [[searchIndex]]), then ADC over the
+    * surviving codes — the scan never touches a raw vector. */
+  def searchPqIndex(spark: SparkSession, path: String, queryVec: Seq[Double],
+                    k: Int, nprobe: Int): DataFrame = {
+    val qv = array(queryVec.map(lit): _*)
+    val probed = probeCentroids(spark.read.parquet(s"$path/centroids"), qv, nprobe)
+      .collect().map(_.getLong(0)).toSeq
+    pqTopK(
+      spark.read.parquet(s"$path/codes")
+        .filter(col("centroid_id").isin(probed: _*)),
+      loadPqModel(spark, path), queryVec, k)
+  }
+
   /** SparkEntry query (oracled — init, Lloyd means, argmin tie-breaks, and
     * the ADC fold are all exact-replay arithmetic): 4×16 PQ trained on the
     * deterministic 1-in-5 sample, corpus encoded to 4 codes/vector, ADC

@@ -166,6 +166,38 @@ class SimilaritySpec extends SparkSpec {
     } finally graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("staged IVF+PQ index: full-probe staged search equals the in-memory " +
+    "ADC path bit-for-bit; narrow probes prune partitions") {
+    val emb = Tables_embeddings()
+    val path = java.nio.file.Files.createTempDirectory("graft-pq").toString + "/idx"
+    Similarity.writePqIndex(emb, path, kCentroids = 4, m = 4, ksub = 16, iters = 1)
+    try {
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).as[Seq[Double]].head
+      // parity: the staged model round-trips through parquet exactly, so a
+      // full probe must reproduce the (oracled) in-memory pqTopK result
+      val model = Similarity.loadPqModel(spark, path)
+      val inline = Similarity.pqTopK(Similarity.pqEncode(emb, model), model, q, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val staged = Similarity.searchPqIndex(spark, path, q, k = 10, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(staged == inline, s"staged=$staged inline=$inline")
+      assert(staged.head._1 == 0L, "self-query still rank 1 through the index")
+      // a 1-bucket probe is a static IN over the partition column: the
+      // codes scan must read exactly 1 of the centroid_id partitions
+      val narrow = Similarity.searchPqIndex(spark, path, q, k = 10, nprobe = 1)
+      assert(narrow.collect().nonEmpty)
+      val scan = narrow.queryExecution.executedPlan.collectLeaves()
+        .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+        .find(_.relation.location.rootPaths.exists(_.toString.contains("codes")))
+        .get
+      assert(scan.partitionFilters.map(_.toString).exists(_.contains("centroid_id")),
+        s"the probe must be a PARTITION filter: ${scan.partitionFilters}")
+      assert(scan.metrics.get("numPartitions").map(_.value).contains(1L),
+        "a 1-probe search reads exactly one codes partition")
+    } finally graft.core.CacheRegistry.unpersistAll()
+  }
+
   private def Tables_embeddings() =
     graft.core.Tables.embeddings(spark, sf("sf0.001"))
 }
