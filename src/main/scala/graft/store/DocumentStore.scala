@@ -104,6 +104,33 @@ class DocumentStore(val spark: SparkSession, val path: String) {
       tx
     }
 
+  /** Bulk put: append a whole DataFrame of `(id, doc)` rows as ONE
+    * transaction WITHOUT materializing it on the driver. The tx-time is
+    * assigned under the store's lock (serialized commit point — same
+    * guarantee as `putAll`), but the rows flow straight from the executors
+    * to the versioned table via a distributed parquet append. This is the
+    * high-rate ingest path: `putAll` funnels every row through driver
+    * memory, which is fine for registry/control-plane traffic but wrong
+    * for a data-scale stream; match/cas batches still need the collect
+    * path because their read-compare-write is inherently per-entity.
+    *
+    * `docs` must have columns `id` and `doc` (castable to string). */
+  def putBatch(docs: DataFrame, validFrom: Option[Timestamp] = None): Timestamp =
+    lock.synchronized {
+      val tx = nextTxTime()
+      val vf = validFrom.getOrElse(tx)
+      docs
+        .select(
+          col("id").cast("string").as("id"),
+          lit(vf).as("validFrom"),
+          lit(tx).as("txTime"),
+          lit(false).as("deleted"),
+          col("doc").cast("string").as("doc"))
+        .withColumn("valid_date", to_date(col("validFrom")))
+        .write.mode(SaveMode.Append).partitionBy("valid_date").parquet(path)
+      tx
+    }
+
   /** Compact the version log: rewrite the accumulated per-put files into
     * one file per valid_date partition (read view unchanged — same rows).
     * At warehouse scale this is the periodic compaction job every

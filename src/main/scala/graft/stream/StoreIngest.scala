@@ -12,12 +12,12 @@ import graft.store.DocumentStore
   * commits as ONE store transaction (`putAll` → one tx-time, one file),
   * mirroring Crux's batched tx-log writes.
   *
-  * Scale note: this sink collects each micro-batch to the single writer
-  * (the store's serialized commit point — required for match/cas semantics,
-  * SURVEY.md §7.4 risk 1), so it is sized for document/control-plane
-  * streams (the reference's collectors are HTTP-request-scale). Bulk fact
-  * ingestion should land as parquet partitions directly and register the
-  * table instead.
+  * Scale note: the batch never touches the driver — the tx-time is
+  * assigned under the store's lock (the serialized commit point match/cas
+  * requires, SURVEY.md §7.4 risk 1), but the rows append executor-side via
+  * `DocumentStore.putBatch`, so a high-rate ingest topology streams
+  * cluster→table at data scale. Only match/cas batches (not this sink)
+  * need driver-side materialization.
   */
 object StoreIngest {
 
@@ -27,12 +27,12 @@ object StoreIngest {
              docCols: Seq[String], queryName: String): StreamingQuery =
     df.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = batch
+        val docs = batch
           .select(expr(idExpr).cast("string").as("id"),
             to_json(struct(docCols.map(col): _*)).as("doc"))
-          .collect()
-        if (rows.nonEmpty)
-          store.putAll(rows.toSeq.map(r => r.getString(0) -> r.getString(1)))
+        // isEmpty runs a limit-1 probe (cheap) so empty micro-batches don't
+        // commit empty transactions / write empty parquet files
+        if (!docs.isEmpty) store.putBatch(docs)
         ()
       }
       .queryName(queryName)

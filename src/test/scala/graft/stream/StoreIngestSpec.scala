@@ -48,4 +48,65 @@ class StoreIngestSpec extends SparkSpec {
     assert(pros == Set("ada", "bob"))
     q.stop()
   }
+
+  test("putBatch parity: executor-side append yields the same store as putAll") {
+    val base = Files.createTempDirectory("ingp").toString
+    val a = DocumentStore(spark, base + "/a")
+    val b = DocumentStore(spark, base + "/b")
+    val docs = (1 to 50).map(i => (s"doc/$i", s"""{"n":$i}"""))
+    a.putAll(docs)
+    b.putBatch(spark.createDataFrame(docs).toDF("id", "doc"))
+
+    // one transaction each: a single tx-time across the whole batch
+    assert(a.versions().select("txTime").distinct().count() == 1)
+    assert(b.versions().select("txTime").distinct().count() == 1)
+    // identical current snapshots (id → doc)
+    def snap(s: DocumentStore) =
+      s.db().select("id", "doc").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(snap(a) == snap(b))
+    // and the read path composes: entity / update-over supersedes
+    b.put("doc/7", """{"n":700}""")
+    assert(b.entity("doc/7").contains("""{"n":700}"""))
+    assert(b.db().count() == 50)
+  }
+
+  test("putBatch never materializes the batch on the driver") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val store = DocumentStore(spark,
+      Files.createTempDirectory("ingd").toString + "/db")
+    // ~20 MB of payload: 2000 docs x ~10KB. A collect-based path would pull
+    // all of it back through task results; the executor-side append returns
+    // only write-commit messages (a few KB per task).
+    val docs = spark.range(2000).selectExpr(
+      "concat('doc/', id) AS id",
+      "concat('{\"pad\":\"', repeat('x', 10000), '\"}') AS doc")
+    val resultBytes = new java.util.concurrent.atomic.AtomicLong
+    val tasksSeen = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        if (t.taskMetrics != null) resultBytes.addAndGet(t.taskMetrics.resultSize)
+        tasksSeen.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      store.putBatch(docs)
+      // listener bus is async — poll until the task-end events stop arriving
+      var last = -1L
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val cur = tasksSeen.get
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      assert(tasksSeen.get > 0, "expected at least one task")
+      val bytes = resultBytes.get
+      assert(bytes < 2L * 1000 * 1000,
+        s"driver received $bytes bytes of task results for a ~20MB batch — " +
+          "the ingest path is materializing data on the driver")
+      // the data really landed: count + spot-check executor-written payloads
+      assert(store.db().count() == 2000)
+      assert(store.entity("doc/1999").exists(_.length > 10000))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
