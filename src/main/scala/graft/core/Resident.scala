@@ -17,14 +17,20 @@ import org.apache.spark.sql.SparkSession
 final class Resident[T](load: (SparkSession, String) => T, unpin: T => Unit) {
   private val cache = new ConcurrentHashMap[String, (SparkSession, T)]()
 
-  def get(spark: SparkSession, path: String): T =
+  def get(spark: SparkSession, path: String): T = {
+    // reloading against a stopped session would discard the entry and then
+    // fail opaquely inside `load` (and again on every retry) — fail fast
+    // with the actual cause instead
+    require(!spark.sparkContext.isStopped,
+      s"Resident.get($path): caller's SparkSession is stopped")
     cache.compute(path, (p, cur) => {
-      if (cur != null && (cur._1 eq spark) && !spark.sparkContext.isStopped) cur
+      if (cur != null && (cur._1 eq spark)) cur
       else {
         if (cur != null) safeUnpin(cur._2)
         (spark, load(spark, p))
       }
     })._2
+  }
 
   def release(path: String): Unit = {
     val cur = cache.remove(path)

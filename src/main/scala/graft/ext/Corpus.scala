@@ -429,21 +429,56 @@ object Corpus {
     // both count tables consume the same token arrays
     val toks = graft.core.CacheRegistry.persisted(
       ref.select(TextOps.tokens(col(textCol)).as("t")))
+    // versioned commit (graft.core.Staged): a scoring stream on the
+    // previous model keeps a consistent snapshot until it re-pins
+    graft.core.Staged.stageVersion(ref.sparkSession, path) { dir =>
+      uniCounts(toks).write.mode("overwrite").parquet(dir + "/unigrams")
+      bigramCounts(toks).write.mode("overwrite").parquet(dir + "/bigrams")
+    }
+    releaseLmModel(path)
+  }
+
+  private def uniCounts(toks: DataFrame): DataFrame =
     toks.select(explode(col("t")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
-      .write.mode("overwrite").parquet(path + "/unigrams")
+
+  private def bigramCounts(toks: DataFrame): DataFrame =
     toks.select(explode(bigramArr(col("t"))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .write.mode("overwrite").parquet(path + "/bigrams")
+
+  /** Incremental model refresh: fold `newRef` documents into the staged
+    * bigram model at `path` without re-tokenizing the original reference
+    * corpus — count tables are additive, so the merge is a unionByName +
+    * re-sum per key, and the result is count-identical to retraining on
+    * old ∪ new (IncrementalStageSpec pins this). Only the delta pays the
+    * tokenizer; the merge shuffles vocab-bounded count tables, not text. */
+  def appendToLmModel(newRef: DataFrame, path: String,
+                      textCol: String = "text"): Unit = {
+    val spark = newRef.sparkSession
+    val cur = graft.core.Staged.resolve(spark, path)
+    val toks = graft.core.CacheRegistry.persisted(
+      newRef.select(TextOps.tokens(col(textCol)).as("t")))
+    val mergedUni = spark.read.parquet(cur + "/unigrams")
+      .unionByName(uniCounts(toks))
+      .groupBy("w1").agg(sum(col("c1")).as("c1"))
+    val mergedBg = spark.read.parquet(cur + "/bigrams")
+      .unionByName(bigramCounts(toks))
+      .groupBy("w1", "w2").agg(sum(col("c12")).as("c12"))
+    graft.core.Staged.stageVersion(spark, path) { dir =>
+      mergedUni.write.mode("overwrite").parquet(dir + "/unigrams")
+      mergedBg.write.mode("overwrite").parquet(dir + "/bigrams")
+    }
+    releaseLmModel(path)
   }
 
   /** Load a staged model; both tables persist (a scoring stream probes the
     * SAME model every micro-batch). The vocab-size count is model
     * metadata — one long, control plane. */
   def loadLmModel(spark: SparkSession, path: String): LmModel = {
-    val uni = graft.core.CacheRegistry.persisted(spark.read.parquet(path + "/unigrams"))
-    val bigram = graft.core.CacheRegistry.persisted(spark.read.parquet(path + "/bigrams"))
+    val dir = graft.core.Staged.resolve(spark, path)
+    val uni = graft.core.CacheRegistry.persisted(spark.read.parquet(dir + "/unigrams"))
+    val bigram = graft.core.CacheRegistry.persisted(spark.read.parquet(dir + "/bigrams"))
     LmModel(uni, bigram, uni.count())
   }
 
@@ -465,10 +500,13 @@ object Corpus {
     def fb(df: DataFrame): DataFrame =
       df.select(explode(graft.functions.TextHashExpressions.feat_buckets(
         TextOps.tokens(col(textCol)), buckets)).as("b"))
-    ratioTable(
-      fb(target).groupBy("b").agg(count(lit(1)).as("ct")),
-      fb(docs).groupBy("b").agg(count(lit(1)).as("cr")), buckets)
-      .write.mode("overwrite").parquet(path + "/ratio")
+    graft.core.Staged.stageVersion(docs.sparkSession, path) { dir =>
+      ratioTable(
+        fb(target).groupBy("b").agg(count(lit(1)).as("ct")),
+        fb(docs).groupBy("b").agg(count(lit(1)).as("cr")), buckets)
+        .write.mode("overwrite").parquet(dir + "/ratio")
+    }
+    releaseDsirModel(path)
   }
 
   /** Weigh a (micro-)batch against a staged ratio table: explode → one
@@ -480,6 +518,11 @@ object Corpus {
   def dsirScoreBatch(batch: DataFrame, ratio: DataFrame, buckets: Int = 0,
                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val b = if (buckets > 0) buckets else ratio.count().toInt
+    // a staged table from an empty/wrong path would reach feat_buckets'
+    // `% buckets` as a per-row executor-side division-by-zero; fail at the
+    // driver with the actual cause instead
+    require(b > 1, s"dsirScoreBatch: ratio table has $b rows — " +
+      "empty or invalid staged DSIR artifact")
     batch.select(col(idCol).as("doc_id"),
         explode(graft.functions.TextHashExpressions.feat_buckets(
           TextOps.tokens(col(textCol)), b)).as("b"))
@@ -495,13 +538,30 @@ object Corpus {
     * retiring a model version. */
   private val residentModels = new graft.core.Resident[LmModel](
     (spark, p) => {
-      val uni = spark.read.parquet(p + "/unigrams").persist()
-      LmModel(uni, spark.read.parquet(p + "/bigrams").persist(), uni.count())
+      val dir = graft.core.Staged.resolve(spark, p)
+      val uni = spark.read.parquet(dir + "/unigrams").persist()
+      LmModel(uni, spark.read.parquet(dir + "/bigrams").persist(), uni.count())
     },
     m => { m.uni.unpersist(blocking = false); m.bigram.unpersist(blocking = false) })
   def residentLmModel(spark: SparkSession, path: String): LmModel =
     residentModels.get(spark, path)
   def releaseLmModel(path: String): Unit = residentModels.release(path)
+
+  /** Resident DSIR ratio table (the consume side of [[stageDsirModel]]) —
+    * same session-guarded lifecycle as the LM model; lives here so staging
+    * can release the pin it invalidates. */
+  private val residentRatios = new graft.core.Resident[DataFrame](
+    (spark, p) => spark.read.parquet(
+      graft.core.Staged.resolve(spark, p) + "/ratio").persist(),
+    _.unpersist(blocking = false))
+  def residentDsirModel(spark: SparkSession, path: String): DataFrame =
+    residentRatios.get(spark, path)
+  def releaseDsirModel(path: String): Unit = residentRatios.release(path)
+
+  /** One-shot (non-resident) load of a staged ratio table — the batch
+    * consume side of [[stageDsirModel]]. */
+  def loadDsirRatio(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(graft.core.Staged.resolve(spark, path) + "/ratio")
 
   /** SparkEntry query (oracled): score the whole corpus against a bigram
     * model trained on the deterministic 1-in-5 reference slice — the

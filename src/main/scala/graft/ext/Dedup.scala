@@ -323,19 +323,48 @@ object Dedup {
     // shuffles 8-byte elements — Jaccard over hashed sets equals Jaccard
     // over string sets unless two distinct shingles of ONE pair collide in
     // xxhash64 (~2⁻⁶⁴ per pair; the same argument the posting join makes)
-    val withSh = CacheRegistry.persisted(docs.select(col(idCol).as("id"),
-      transform(graft.functions.TextHashExpressions.word_shingles(
-        TextOps.tokens(col(textCol)), shingleN), s => xxhash64(s)).as("sh")))
-    withSh.write.mode("overwrite").parquet(path + "/docs")
+    val withSh = CacheRegistry.persisted(
+      hashedShingles(docs, textCol, idCol, shingleN))
+    // versioned commit: a live stream holding the PREVIOUS version keeps a
+    // consistent on-disk snapshot through this restage; the release below
+    // makes the next resident lookup re-resolve to the new version
+    graft.core.Staged.stageVersion(docs.sparkSession, path)(
+      writeIndexTables(withSh, _, maxDf))
+    releaseShingleIndex(path)
+  }
+
+  private def writeIndexTables(withSh: DataFrame, dir: String, maxDf: Int): Unit = {
+    withSh.write.mode("overwrite").parquet(dir + "/docs")
     // postings carry the owning doc's shingle count so the probe can cap
     // its minCommon threshold per pair without a third join
     val posting = withSh.select(col("id"), size(col("sh")).as("n"),
       explode(col("sh")).as("shingle"))
     pruneByBucketSize(posting, Seq("shingle"), minDf = 1, maxDf = maxDf)
-      .write.mode("overwrite").parquet(path + "/postings")
-    // an overwrite at a path that is pinned resident must not leave stale
-    // blocks serving the pre-restage files (the hot-swap flow re-stages,
-    // then restarts the consuming query, which re-pins fresh)
+      .write.mode("overwrite").parquet(dir + "/postings")
+  }
+
+  /** Incremental index maintenance: merge `newDocs` into the staged index
+    * at `path` WITHOUT re-reading (or re-tokenizing) the original corpus
+    * text — a daily 100 TB pipeline appends; only the delta pays the
+    * tokenizer. The existing hashed doc table is unioned with the delta's,
+    * and the postings (with the maxDf stop-shingle prune) are re-derived
+    * over the MERGED counts, so the result is row-identical to a full
+    * rebuild over old ∪ new (IncrementalStageSpec pins this). Re-exploding
+    * already-hashed arrays is the cheap half of staging; the per-doc regex
+    * tokenize + shingle is what the delta path avoids.
+    *
+    * Append semantics: doc ids in `newDocs` are assumed NEW — re-appending
+    * an existing id would duplicate it (dedup upstream if re-ingesting). */
+  def appendToShingleIndex(newDocs: DataFrame, path: String,
+                           textCol: String = "text", idCol: String = "doc_id",
+                           shingleN: Int = 3, maxDf: Int = 10): Unit = {
+    val spark = newDocs.sparkSession
+    val cur = graft.core.Staged.resolve(spark, path)
+    val merged = CacheRegistry.persisted(
+      spark.read.parquet(cur + "/docs")
+        .unionByName(hashedShingles(newDocs, textCol, idCol, shingleN)))
+    graft.core.Staged.stageVersion(spark, path)(
+      writeIndexTables(merged, _, maxDf))
     releaseShingleIndex(path)
   }
 
@@ -344,10 +373,12 @@ object Dedup {
     * micro-batch, and re-reading parquet per batch would make the stream's
     * steady-state cost corpus-sized. */
   final case class ShingleIndex(docs: DataFrame, postings: DataFrame)
-  def loadShingleIndex(spark: SparkSession, path: String): ShingleIndex =
+  def loadShingleIndex(spark: SparkSession, path: String): ShingleIndex = {
+    val dir = graft.core.Staged.resolve(spark, path)
     ShingleIndex(
-      CacheRegistry.persisted(spark.read.parquet(path + "/docs")),
-      CacheRegistry.persisted(spark.read.parquet(path + "/postings")))
+      CacheRegistry.persisted(spark.read.parquet(dir + "/docs")),
+      CacheRegistry.persisted(spark.read.parquet(dir + "/postings")))
+  }
 
   /** [[loadShingleIndex]], pinned RESIDENT for the JVM: the index an
     * admission filter probes on every micro-batch is meant to outlive
@@ -356,9 +387,12 @@ object Dedup {
     * released only by [[releaseShingleIndex]]. Load is paid once per
     * (JVM, path); every later probe starts from cached blocks. */
   private val residentIndexes = new graft.core.Resident[ShingleIndex](
-    (spark, p) => ShingleIndex(
-      spark.read.parquet(p + "/docs").persist(),
-      spark.read.parquet(p + "/postings").persist()),
+    (spark, p) => {
+      val dir = graft.core.Staged.resolve(spark, p)
+      ShingleIndex(
+        spark.read.parquet(dir + "/docs").persist(),
+        spark.read.parquet(dir + "/postings").persist())
+    },
     idx => {
       idx.docs.unpersist(blocking = false)
       idx.postings.unpersist(blocking = false)
@@ -459,11 +493,17 @@ object Dedup {
       Seq(idCol), "left_anti")
 
   /** Stage the even-doc_id half of `documents` as the gate's corpus index
-    * once per JVM (same lifecycle + injective naming as [[gatePairsPath]]). */
+    * once per JVM (same lifecycle + injective naming as [[gatePairsPath]]).
+    * Built through the INCREMENTAL path — an initial stage of the %4==0
+    * docs plus an append of the rest — so the `dedup_stream_filter` oracle
+    * continuously proves delta-maintained ≡ full-rebuild parity. */
   private val stagedIndexOnce = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def gateIndexPath(s: SparkSession, dir: String): String =
-    stagedArtifactPath(stagedIndexOnce, "graft-staged-index", dir)(
-      stageShingleIndex(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0), _))
+    stagedArtifactPath(stagedIndexOnce, "graft-staged-index", dir) { p =>
+      val even = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
+      stageShingleIndex(even.filter(col("doc_id") % 4 === 0), p)
+      appendToShingleIndex(even.filter(col("doc_id") % 4 =!= 0), p)
+    }
 
   /** SparkEntry query (oracled — hashes appear only as join keys, the
     * emitted jaccard is exact string-shingle arithmetic, so DuckDB replays

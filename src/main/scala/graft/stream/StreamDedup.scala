@@ -24,8 +24,14 @@ import graft.ext.Dedup
   * documents do NOT grow the index mid-query (intra-batch mutual dups are
   * handled by `intraBatch = true`, which additionally runs pair generation
   * WITHIN the batch and keeps the lowest id per duplicate pair). To absorb
-  * admitted docs, re-stage the index and hot-swap the query (T15) — the
-  * same restart contract as [[StreamAsOf]] dimension refresh.
+  * admitted docs, re-stage the index ([[graft.ext.Dedup.stageShingleIndex]]
+  * full rebuild or [[graft.ext.Dedup.appendToShingleIndex]] delta) — the
+  * resident pin is resolved PER MICRO-BATCH (a map hit when cached), so the
+  * batch after a restage probes the new version with no restart; versioned
+  * staging ([[graft.core.Staged]]) keeps the old version's files on disk so
+  * the batch racing the restage still reads a consistent snapshot. The
+  * hot-swap restart (T15) remains the contract for CONFIG changes
+  * (threshold, shingleN, …), same as [[StreamAsOf]] dimension refresh.
   */
 object StreamDedup {
 
@@ -37,13 +43,13 @@ object StreamDedup {
             threshold: Double = 0.5, minCommon: Int = 2,
             intraBatch: Boolean = false): StreamingQuery = {
     val spark = stream.sparkSession
-    // resident: pinned OUTSIDE CacheRegistry, so the per-batch hygiene
-    // below never evicts it; makes hot-swap restarts against the same
-    // index warm-start (release explicitly via Dedup.releaseShingleIndex
-    // when retiring the index version)
-    val index = Dedup.residentShingleIndex(spark, indexPath)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // resident: pinned OUTSIDE CacheRegistry, so the per-batch hygiene
+        // below never evicts it. Resolved INSIDE the batch (a ConcurrentHashMap
+        // hit in steady state) so a restage — which releases the pin — is
+        // picked up by the very next micro-batch without restarting the query.
+        val index = Dedup.residentShingleIndex(spark, indexPath)
         try sink(admitBatch(batch, index, textCol, idCol, shingleN, threshold,
           minCommon, intraBatch))
         // the batch's shingle table is persisted per micro-batch; without

@@ -19,8 +19,11 @@ import graft.ext.Corpus
   * vocab-bounded broadcasts).
   *
   * Model freshness is decoupled from the stream: to roll a new reference
-  * model, re-stage and hot-swap the query (T15) — the same restart
-  * contract as [[StreamAsOf]] dimension refresh.
+  * model, re-stage ([[graft.ext.Corpus.stageLmModel]] rebuild or
+  * [[graft.ext.Corpus.appendToLmModel]] delta) — the resident pin is
+  * resolved per micro-batch, so the next batch scores against the new
+  * version without a restart ([[StreamDedup]] has the same contract);
+  * hot-swap restart (T15) remains the path for config changes.
   */
 object StreamScore {
 
@@ -33,9 +36,12 @@ object StreamScore {
   def admit(stream: DataFrame, modelPath: String, maxAvgNllQ6: Long,
             sink: DataFrame => Unit, queryName: String,
             textCol: String = "text", idCol: String = "doc_id"): StreamingQuery = {
-    val model = Corpus.residentLmModel(stream.sparkSession, modelPath)
+    val spark = stream.sparkSession
+    // resident model resolved per batch (map hit when cached): a restage
+    // releases the pin and the next micro-batch scores on the new version
     startAdmission(stream, queryName, sink, idCol, batch =>
-      Corpus.lmScoreBatch(batch, model, textCol, idCol)
+      Corpus.lmScoreBatch(batch, Corpus.residentLmModel(spark, modelPath),
+        textCol, idCol)
         // integer-exact threshold: nll ≤ maxAvg · n (never a float mean)
         .filter(col("nll_q6") <= lit(maxAvgNllQ6) * col("n_bigrams")))
   }
@@ -48,11 +54,12 @@ object StreamScore {
   def admitDsir(stream: DataFrame, modelPath: String, minWeightQ6: Long,
                 sink: DataFrame => Unit, queryName: String,
                 textCol: String = "text", idCol: String = "doc_id"): StreamingQuery = {
-    val ratio = residentRatio.get(stream.sparkSession, modelPath)
+    val spark = stream.sparkSession
     // buckets = 0: dsirScoreBatch derives the count from the staged table
     // itself, so a stage/score mismatch is impossible by construction
     startAdmission(stream, queryName, sink, idCol, batch =>
-      Corpus.dsirScoreBatch(batch, ratio, 0, textCol, idCol)
+      Corpus.dsirScoreBatch(batch,
+        Corpus.residentDsirModel(spark, modelPath), 0, textCol, idCol)
         .filter(col("dsir_weight_q6") >= minWeightQ6))
   }
 
@@ -75,9 +82,7 @@ object StreamScore {
       .queryName(queryName)
       .start()
 
-  // resident ratio tables, same session-guarded lifecycle as the LM model
-  private val residentRatio = new graft.core.Resident[DataFrame](
-    (spark, p) => spark.read.parquet(p + "/ratio").persist(),
-    _.unpersist(blocking = false))
-  def releaseDsirModel(path: String): Unit = residentRatio.release(path)
+  /** Forwarder kept for API continuity — the resident ratio now lives in
+    * [[graft.ext.Corpus]] so staging can release the pin it invalidates. */
+  def releaseDsirModel(path: String): Unit = Corpus.releaseDsirModel(path)
 }

@@ -64,7 +64,7 @@ class StreamScoreSpec extends SparkSpec {
     Corpus.stageDsirModel(raw.toDF("doc_id", "text"), target, path)
     try {
       // streaming scores must equal the batch scorer over the same table
-      val ratio = spark.read.parquet(path + "/ratio")
+      val ratio = Corpus.loadDsirRatio(spark, path)
       val batchW = Corpus.dsirScoreBatch(raw.toDF("doc_id", "text"), ratio)
         .select($"doc_id", $"dsir_weight_q6").as[(Long, Long)].collect().toMap
       assert(batchW(1L) > batchW(2L) && batchW(3L) > batchW(2L),
