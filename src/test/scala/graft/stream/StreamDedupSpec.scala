@@ -97,6 +97,40 @@ class StreamDedupSpec extends SparkSpec {
       .count() == 0, "probe fan-out is bounded by the stage-time df cap")
   }
 
+  test("restage while the stream runs: next batch probes the NEW index, no restart") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val p = java.nio.file.Files.createTempDirectory("graft-liveswap-").toString
+    Dedup.stageShingleIndex(Seq((10L, base)).toDF("doc_id", "text"), p)
+    val in = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamDedup.admit(
+      in.toDF().toDF("doc_id", "text"), p,
+      batch => admitted.synchronized {
+        admitted ++= batch.select("doc_id").as[Long].collect()
+      },
+      queryName = "liveswap_test")
+    try {
+      // batch 1 against v1: fresh doc admitted (not in the corpus yet)
+      in.addData((1L, fresh))
+      q.processAllAvailable()
+      assert(admitted.synchronized(admitted.toSet) == Set(1L))
+      // absorb the admitted doc via the INCREMENTAL path while the query
+      // runs — the documented production flow for growing the corpus
+      Dedup.appendToShingleIndex(Seq((1L, fresh)).toDF("doc_id", "text"), p)
+      // batch 2: a near-dup of the just-absorbed doc must now be dropped,
+      // and an unrelated doc admitted — decisions from the NEW version,
+      // picked up without restarting the query
+      in.addData((2L, freshDup), (3L, "hexagonal basalt columns rise from " +
+        "the cold northern shore under a pale winter sun"))
+      q.processAllAvailable()
+      assert(admitted.synchronized(admitted.toSet) == Set(1L, 3L),
+        s"post-restage batch must probe the appended corpus: " +
+          admitted.synchronized(admitted.toSet))
+      assert(q.isActive && q.exception.isEmpty,
+        "the SAME query served both versions: no restart-loop, no stale-file reads")
+    } finally { q.stop(); Dedup.releaseShingleIndex(p) }
+  }
+
   test("streaming: per-micro-batch admission matches the batch contract") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, String)]
