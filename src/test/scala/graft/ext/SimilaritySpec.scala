@@ -198,6 +198,113 @@ class SimilaritySpec extends SparkSpec {
     } finally graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("recall floors: IVF probe sweep and PQ ADC vs exact top-k") {
+    // determinism pins bit-exact replay; this pins QUALITY — approximate
+    // search that returns the wrong neighbors fast is not done. recall@10
+    // is averaged over 8 spread query vectors against brute-force cosine.
+    val emb = Tables_embeddings().persist()
+    val k = 10
+    val queryIds = (0L until 400L by 50L).toSeq
+    val queries: Map[Long, Seq[Double]] = emb
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val exact: Map[Long, Set[Long]] = queryIds.map(q => q ->
+      Similarity.bruteForceTopK(emb, q, k).select("vec_id").as[Long].collect().toSet).toMap
+
+    def meanRecall(topk: Long => Set[Long]): Double =
+      queryIds.map(q => (topk(q) intersect exact(q)).size.toDouble / k).sum / queryIds.size
+
+    // IVF: 16 trained centroids over 500 vectors; probing 4/16 and 8/16
+    val cents = Similarity.trainCentroids(emb, kCentroids = 16, iters = 3)
+    val assigned = Similarity.ivfAssign(emb, cents).persist()
+    val ivf4 = meanRecall(q => Similarity.ivfTopK(assigned, cents, queries(q), k, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet)
+    val ivf8 = meanRecall(q => Similarity.ivfTopK(assigned, cents, queries(q), k, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSet)
+
+    // PQ: the gate's shape (m=4 subspaces, 16 codes, 1-in-5 training sample)
+    val model = Similarity.trainPqCodebooks(
+      emb.filter(col("vec_id") % 5 === 0), m = 4, ksub = 16, iters = 2)
+    val enc = Similarity.pqEncode(emb, model).persist()
+    val pq = meanRecall(q => Similarity.pqTopK(enc, model, queries(q), k)
+      .select("vec_id").as[Long].collect().toSet)
+    // PQ re-ranked: ADC shortlist of 5k, exact cosine on the shortlist —
+    // the standard production arrangement (shortlist cheap, rerank tiny)
+    val pqRerank = meanRecall { q =>
+      val short = Similarity.pqTopK(enc, model, queries(q), k * 5)
+        .select("vec_id").as[Long].collect().toSeq
+      val qv = queries(q)
+      emb.filter(col("vec_id").isin(short: _*))
+        .select(col("vec_id"), Similarity.cosine(
+          col("embedding").cast("array<double>"), lit(qv.toArray)).as("sim"))
+        .orderBy(col("sim").desc).limit(k)
+        .select("vec_id").as[Long].collect().toSet
+    }
+
+    info(f"fixture recall@10 — ivf nprobe4: $ivf4%.3f  nprobe8: $ivf8%.3f  " +
+      f"pq-adc: $pq%.3f  pq-rerank50: $pqRerank%.3f")
+    // The fixture embeddings are near-uniform on the sphere — the WORST
+    // case for partition-based ANN (true neighbors spread across buckets,
+    // sub-quantizers coarse). These floors pin measured-minus-headroom on
+    // that worst case (measured 2026-08: 0.56 / 0.80 / 0.23 / 0.49 —
+    // recorded in BASELINE.md); the clustered test below pins the high
+    // floors ANN is FOR. A regression below these means the search itself
+    // broke, not the data.
+    assert(ivf4 >= 0.45, f"IVF recall@10 at nprobe=4/16 fell to $ivf4%.3f (floor 0.45)")
+    assert(ivf8 >= 0.70, f"IVF recall@10 at nprobe=8/16 fell to $ivf8%.3f (floor 0.70)")
+    assert(pq >= 0.15, f"PQ ADC recall@10 fell to $pq%.3f (floor 0.15)")
+    assert(pqRerank >= 0.35, f"PQ rerank-50 recall@10 fell to $pqRerank%.3f (floor 0.35)")
+    assert(pqRerank >= pq - 0.05, "reranking must not lose recall")
+    emb.unpersist(); assigned.unpersist(); enc.unpersist()
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
+  test("recall on clustered data: IVF ≥ 0.9 at nprobe 4/16, PQ rerank ≥ 0.9") {
+    // deterministic 16-cluster dataset (one axis direction per cluster +
+    // hash-seeded coordinate noise): the structure real embedding corpora
+    // have and partition-based ANN exploits. High floors apply HERE.
+    val emb = spark.range(500).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        (when(j === pmod(col("id"), lit(16)) * 4, lit(1.0)).otherwise(lit(0.0)) +
+          (pmod(xxhash64(col("id"), j), lit(1000)).cast("double") / 1000.0 - 0.5) * 0.2)
+          .cast("float")).as("embedding")).persist()
+    val k = 10
+    val queryIds = (0L until 400L by 50L).toSeq
+    val queries: Map[Long, Seq[Double]] = emb
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val exact: Map[Long, Set[Long]] = queryIds.map(q => q ->
+      Similarity.bruteForceTopK(emb, q, k).select("vec_id").as[Long].collect().toSet).toMap
+    def meanRecall(topk: Long => Set[Long]): Double =
+      queryIds.map(q => (topk(q) intersect exact(q)).size.toDouble / k).sum / queryIds.size
+
+    val cents = Similarity.trainCentroids(emb, kCentroids = 16, iters = 3)
+    val assigned = Similarity.ivfAssign(emb, cents).persist()
+    val ivf4 = meanRecall(q => Similarity.ivfTopK(assigned, cents, queries(q), k, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet)
+
+    val model = Similarity.trainPqCodebooks(
+      emb.filter(col("vec_id") % 5 === 0), m = 4, ksub = 16, iters = 2)
+    val enc = Similarity.pqEncode(emb, model).persist()
+    val pqRerank = meanRecall { q =>
+      val short = Similarity.pqTopK(enc, model, queries(q), k * 5)
+        .select("vec_id").as[Long].collect().toSeq
+      emb.filter(col("vec_id").isin(short: _*))
+        .select(col("vec_id"), Similarity.cosine(
+          col("embedding").cast("array<double>"), lit(queries(q).toArray)).as("sim"))
+        .orderBy(col("sim").desc).limit(k)
+        .select("vec_id").as[Long].collect().toSet
+    }
+    info(f"clustered recall@10 — ivf nprobe4: $ivf4%.3f  pq-rerank50: $pqRerank%.3f")
+    assert(ivf4 >= 0.9, f"clustered IVF recall@10 at nprobe=4/16: $ivf4%.3f (floor 0.90)")
+    assert(pqRerank >= 0.9, f"clustered PQ rerank-50 recall@10: $pqRerank%.3f (floor 0.90)")
+    emb.unpersist(); assigned.unpersist(); enc.unpersist()
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   private def Tables_embeddings() =
     graft.core.Tables.embeddings(spark, sf("sf0.001"))
 }
