@@ -113,6 +113,8 @@ object SparkEntry {
     "corpus_dsir"            -> (graft.ext.Corpus.dsirWeightsQuery(_, _)),
     // DSIR selection: per-language top-frac by importance weight
     "corpus_dsir_select"     -> (graft.ext.Corpus.dsirSelectQuery(_, _)),
+    // end-to-end materialization: clean → split → pack → shard manifest
+    "corpus_training_shards" -> (graft.ext.Corpus.trainingShardsQuery(_, _)),
     // boilerplate-line removal (CCNet-style df threshold)
     "text_boilerplate"       -> (TextOps.boilerplateQuery(_, _)),
     // within-doc repeated-line removal (C4/RefinedWeb step)
@@ -171,7 +173,42 @@ object SparkEntry {
            FROM fb JOIN ratio ON fb.b = ratio.b GROUP BY doc_id
          )"""
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    oracleSqlBase + ("corpus_training_shards" -> trainingShardsOracle)
+
+  /** corpus_training_shards: the pipeline_clean_corpus oracle verbatim,
+    * rewrapped as a `kept` CTE (one source of truth for the cleaning
+    * thresholds), then the corpus_split bucket and the per-(split, shard)
+    * packing window — shard count 4, matching the gate query. */
+  private lazy val trainingShardsOracle: String = {
+    val clean = oracleSqlBase("pipeline_clean_corpus")
+    val cut = clean.lastIndexOf("SELECT d.doc_id")
+    require(cut > 0, "pipeline_clean_corpus oracle changed shape")
+    clean.substring(0, cut) + ", kept AS (\n" +
+      clean.substring(cut)
+        .replace("SELECT d.doc_id, d.lang, q.quality", "SELECT d.doc_id") +
+      """
+         ), splits AS (
+           SELECT doc_id,
+             CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+           FROM (SELECT doc_id, ((doc_id % 1000003) * 2654435761 + 40503) % 100 AS b
+                 FROM kept)
+         ), placed AS (
+           SELECT t.doc_id, s.split,
+             CAST(((t.doc_id % 2147483648) * 2654435761) % 2147483648 % 4 AS INTEGER) AS shard,
+             CAST(len(t.t) AS BIGINT) AS n_tokens,
+             ((t.doc_id % 2147483648) * 2654435761) % 2147483648 AS h
+           FROM tok t JOIN splits s ON s.doc_id = t.doc_id
+         ), offs AS (
+           SELECT doc_id, split, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY split, shard
+               ORDER BY h ASC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok
+           FROM placed
+         )
+         SELECT doc_id, split, shard, end_tok - n_tokens AS start_tok FROM offs"""
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "scan_project" ->
       "SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem",
     "filter_eq" ->

@@ -176,16 +176,23 @@ object Corpus {
     * engine-exact Weyl multiplier as [[tokenBudgetMix]] (no seeded RNG, no
     * partition-order dependence); all arithmetic is integer, so placements
     * replay bit-exactly anywhere. */
-  def packSequences(docs: DataFrame, seqLen: Long, shards: Int = 64): DataFrame = {
+  def packSequences(docs: DataFrame, seqLen: Long, shards: Int = 64): DataFrame =
+    packCore(docs.withColumn("split", lit("all")), seqLen, shards)
+      .drop("split")
+
+  /** The packing core, stratified by an existing `split` column: each
+    * (split, shard) is an independent token stream (the window's
+    * partitioning matches, so the sort is per-stratum, never global). */
+  private def packCore(docs: DataFrame, seqLen: Long, shards: Int): DataFrame = {
     require(seqLen > 0, "packSequences: seqLen must be positive")
     require(shards > 0, "packSequences: shards must be positive")
     val scramble =
       (pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L)) % lit(2147483648L)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("shard")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("split", "shard")
       .orderBy(col("__h").asc, col("doc_id").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     docs
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("split"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
         scramble.as("__h"))
       .withColumn("shard", (col("__h") % shards).cast("int"))
@@ -193,7 +200,8 @@ object Corpus {
       .withColumn("start_tok", col("end_tok") - col("n_tokens"))
       .withColumn("first_seq", floor(col("start_tok") / seqLen).cast("long"))
       .withColumn("last_seq", floor((col("end_tok") - 1) / seqLen).cast("long"))
-      .select("doc_id", "shard", "n_tokens", "start_tok", "first_seq", "last_seq")
+      .select("doc_id", "split", "shard", "n_tokens", "start_tok",
+        "first_seq", "last_seq")
   }
 
   /** SparkEntry query (oracled): pack the corpus into 512-token sequences
@@ -341,6 +349,65 @@ object Corpus {
   /** SparkEntry query (oracled): the 90/5/5 split. */
   def assignSplitsQuery(s: SparkSession, d: String): DataFrame =
     assignSplits(Tables.documents(s, d))
+
+  // -------------------------------------- end-to-end shard materialization
+
+  /** The manifest of the WHOLE pipeline composed: clean ([[cleanCorpus]])
+    * → split ([[assignSplits]]) → pack per (split, shard) ([[packCore]]).
+    * Pure (no writes) — the oracled core of [[writeTrainingShards]].
+    * Returns (doc_id, split, shard, n_tokens, start_tok, first_seq,
+    * last_seq); every stage inherits its component's scale shape. */
+  def trainingShardManifest(docs: DataFrame, seqLen: Long, shards: Int,
+                            trainPct: Int = 90, valPct: Int = 5,
+                            pairsPath: Option[String] = None): DataFrame = {
+    val kept = pairsPath match {
+      case Some(p) => cleanCorpusStaged(docs, p)
+      case None    => cleanCorpus(docs)
+    }
+    val cleaned = docs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+    packCore(cleaned.join(assignSplits(cleaned, trainPct, valPct), Seq("doc_id")),
+      seqLen, shards)
+  }
+
+  /** Materialize a training corpus the way a loader consumes it: documents
+    * written under `path/shards/split=…/shard=…` IN PACKED ORDER (each
+    * (split, shard) directory is one independent token stream; a reader
+    * streaming a shard file front-to-back sees exactly the concatenation
+    * order the offsets describe), plus the manifest at `path/manifest`.
+    * Each (split, shard) group hash-routes to ONE task, so each leaf
+    * directory is one ordered file; at 100 TB raise `shards` so a shard
+    * fits a worker, not one global sort. Returns the written manifest. */
+  def writeTrainingShards(docs: DataFrame, path: String, seqLen: Long = 2048L,
+                          shards: Int = 16, trainPct: Int = 90, valPct: Int = 5,
+                          pairsPath: Option[String] = None,
+                          textCol: String = "text"): DataFrame = {
+    val manifest = graft.core.CacheRegistry.persisted(
+      trainingShardManifest(docs, seqLen, shards, trainPct, valPct, pairsPath))
+    docs.select(col("doc_id"), col(textCol))
+      .join(manifest.select("doc_id", "split", "shard", "start_tok", "n_tokens"),
+        Seq("doc_id"))
+      .repartition(col("split"), col("shard"))
+      .sortWithinPartitions(col("split"), col("shard"), col("start_tok"))
+      .write.mode("overwrite").partitionBy("split", "shard")
+      .parquet(path + "/shards")
+    manifest.write.mode("overwrite").parquet(path + "/manifest")
+    docs.sparkSession.read.parquet(path + "/manifest")
+  }
+
+  /** SparkEntry query (oracled): the on-disk manifest of a full
+    * clean→split→pack→write run (staged once per JVM, like the pair
+    * artifact it consumes) — the gate oracles what was actually WRITTEN. */
+  private val stagedShardsOnce = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def trainingShardsQuery(s: SparkSession, d: String): DataFrame = {
+    val path = Dedup.stagedArtifactPath(stagedShardsOnce, "graft-staged-shards", d) {
+      p =>
+        writeTrainingShards(Tables.documents(s, d), p, seqLen = 512L, shards = 4,
+          pairsPath = Some(Dedup.gatePairsPath(s, d)))
+        ()
+    }
+    s.read.parquet(path + "/manifest")
+      .select("doc_id", "split", "shard", "start_tok")
+  }
 
   // ------------------------------------------------ LM perplexity scoring
 

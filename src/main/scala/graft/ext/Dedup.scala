@@ -277,9 +277,9 @@ object Dedup {
     * on one host from overwriting each other's artifact mid-read. The
     * stage thunk runs on first use in each JVM, so a path can never serve
     * stale artifacts across driver runs. */
-  private def stagedArtifactPath(cache: java.util.concurrent.ConcurrentHashMap[String, String],
-                                 prefix: String, dir: String)
-                                (stage: String => Unit): String =
+  private[graft] def stagedArtifactPath(cache: java.util.concurrent.ConcurrentHashMap[String, String],
+                                        prefix: String, dir: String)
+                                       (stage: String => Unit): String =
     cache.computeIfAbsent(dir, d => {
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString

@@ -90,6 +90,50 @@ class CorpusSpec extends SparkSpec {
     assert(again.toSet == packed.toSet)
   }
 
+  test("writeTrainingShards: manifest tiles each (split, shard) stream and " +
+    "re-reading a shard file yields the packed order") {
+    val docs = (1L to 300L).map { i =>
+      // realistic-enough prose that the quality filter keeps most docs
+      (i, ("the quick brown fox jumps over the lazy dog and runs to the river " +
+        s"bank where document $i tells a slightly different story about " +
+        "winter and bread and fire " * (i % 3 + 1).toInt).trim, "en")
+    }.toDF("doc_id", "text", "lang")
+    val path = java.nio.file.Files.createTempDirectory("graft-shards-").toString
+    val manifest = Corpus.writeTrainingShards(docs, path, seqLen = 64L, shards = 2)
+      .select("doc_id", "split", "shard", "n_tokens", "start_tok")
+      .as[(Long, String, Int, Long, Long)].collect()
+    assert(manifest.nonEmpty)
+    assert(manifest.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+
+    // each (split, shard) is a gapless token stream starting at 0
+    manifest.groupBy(m => (m._2, m._3)).foreach { case ((sp, sh), ds) =>
+      ds.sortBy(_._5).foldLeft(0L) { case (expect, (_, _, _, n, start)) =>
+        assert(start == expect, s"($sp,$sh): gap at token $expect")
+        start + n
+      }
+    }
+
+    // the written shard files hold documents IN packed order: for every
+    // leaf directory, file order == manifest's start_tok order
+    for ((sp, sh) <- manifest.map(m => (m._2, m._3)).distinct) {
+      val onDisk = spark.read.parquet(s"$path/shards/split=$sp/shard=$sh")
+        .select("doc_id").as[Long].collect().toSeq
+      val expected = manifest.filter(m => m._2 == sp && m._3 == sh)
+        .sortBy(_._5).map(_._1).toSeq
+      assert(onDisk == expected,
+        s"($sp,$sh): shard file order must equal packed order")
+    }
+
+    // loader-style re-read: concatenating a shard's texts front-to-back
+    // reproduces the offsets (token counts line up with start_tok deltas)
+    val t0 = spark.read.parquet(s"$path/shards/split=train/shard=0")
+      .select("start_tok", "n_tokens").as[(Long, Long)].collect().toSeq
+    t0.foldLeft(0L) { case (expect, (start, n)) =>
+      assert(start == expect); start + n
+    }
+    ()
+  }
+
   test("statsReport: counts, token totals, dup mass, and quality mass per language") {
     val docs = Seq(
       (1L, prose, "en"),
