@@ -76,7 +76,16 @@ object Bench {
     val errs =
       if (failed.isEmpty) ""
       else failed.sorted.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver captures a bounded tail of this process's output, which
+    // has truncated the (long) result line mid-JSON before — persist the
+    // same JSON to a file so the headline number always survives capture
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write bench_result.json: $e") }
     spark.stop()
   }
 }
