@@ -131,6 +131,59 @@ class StreamDedupSpec extends SparkSpec {
     } finally { q.stop(); Dedup.releaseShingleIndex(p) }
   }
 
+  test("skew stress: a shingle carried by EVERY arrival keeps probe fan-in " +
+    "bounded by the stage-time df cap") {
+    // corpus: hot shingle "zz qq ww" in exactly maxDf=10 docs (the worst
+    // SURVIVING df) + 990 unrelated docs; batch: 200 arrivals ALL carrying
+    // it. Without the stage-time cap a df-1000 boilerplate shingle would
+    // fan the candidate join out to batch×corpus (200k rows); the cap
+    // bounds it at batch×maxDf (2000). The join's numOutputRows metric IS
+    // the fan-in — measured on the real probe plan, not a proxy.
+    val p = java.nio.file.Files.createTempDirectory("graft-skew-").toString
+    val corpus = ((1L to 10L).map(i =>
+      (i, s"opening words number $i with distinct content zz qq ww")) ++
+      (11L to 1000L).map(i =>
+        (i, s"completely different text body $i about topic ${i * 7} " +
+          s"with words ${i * 13} and ${i * 17} nothing shared here")))
+      .toDF("doc_id", "text")
+    Dedup.stageShingleIndex(corpus, p)
+    val index = Dedup.loadShingleIndex(spark, p)
+    val arrivals = (1L to 200L).map(i =>
+      (5000L + i, s"arrival body $i talks about subject ${i * 11} " +
+        s"then ends with the boilerplate zz qq ww"))
+      .toDF("doc_id", "text")
+
+    val m = Dedup.nearDupMatches(arrivals, index)
+    val rows = m.collect()
+    // semantics: ONE shared shingle stays below the minCommon=2 evidence
+    // bar for long docs — boilerplate alone never makes a near-dup match
+    assert(rows.isEmpty, s"single shared boilerplate shingle must not match: ${rows.toSeq}")
+    // fan-in: every join in the executed probe plan stays ≤ batch×maxDf
+    val joinOut = joinOutputRows(m)
+    assert(joinOut.nonEmpty, "probe plan must contain the candidate join")
+    assert(joinOut.max <= 200L * 10 + 500,
+      s"candidate fan-in exceeded the batch×maxDf bound: $joinOut")
+    assert(joinOut.max >= 200L * 10,
+      s"the hot bucket was supposed to be probed (sanity): $joinOut")
+    graft.core.CacheRegistry.unpersistAll()
+    Dedup.releaseShingleIndex(p)
+  }
+
+  /** numOutputRows of every join node in an executed (adaptive) plan. */
+  private def joinOutputRows(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def walk(p: SparkPlan): Seq[Long] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case j: BaseJoinExec =>
+        j.metrics.get("numOutputRows").map(_.value).toSeq ++ j.children.flatMap(walk)
+      case other => other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   test("streaming: per-micro-batch admission matches the batch contract") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, String)]
