@@ -243,14 +243,16 @@ object SparkEntry {
                     FROM events WHERE event_type = 'click' GROUP BY user_id, CAST(ts AS TIMESTAMP)) c
          ON p.user_id = c.user_id AND p.ts >= c.ts""",
     // scale_zorder: Morton interleave of (user_id, hour) — shift/mask
-    // arithmetic replayed verbatim; `div`//`//` are both exact (truncate),
-    // and the double-% spelling matches Spark's pmod for NEGATIVE inputs
-    // (pre-1970 timestamps, negative ids) — plain % would go negative.
+    // arithmetic replayed verbatim. The hour bucket reduces micros to the
+    // non-negative ring [0, 65536·3.6e9) BEFORE dividing (double-% = pmod),
+    // where truncating and floor division coincide — so Spark `div` and
+    // DuckDB `//` agree even for pre-1970 (negative-micros) timestamps.
     "scale_zorder" ->
       """WITH b AS (
            SELECT event_id,
              ((user_id % 65536) + 65536) % 65536 AS x,
-             (((epoch_us(ts) // 3600000000) % 65536) + 65536) % 65536 AS y
+             (((epoch_us(ts) % 235929600000000) + 235929600000000)
+               % 235929600000000) // 3600000000 AS y
            FROM events
          ), s AS (
            SELECT event_id,

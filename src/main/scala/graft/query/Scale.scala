@@ -115,11 +115,14 @@ object Scale {
       .write.mode("overwrite").parquet(path)
 
   /** Gate query (oracled): the z-value arithmetic over events, keyed by
-    * (user_id, hour-bucket) — the pair an events table is actually
-    * filtered by. Integer division via `div` (exact in both engines). */
+    * (user_id, hour-bucket). The hour bucket is pmod-BEFORE-divide:
+    * Spark's `div` truncates toward zero while floor semantics are wanted,
+    * so reduce to the non-negative ring [0, 65536·3.6e9) first — there
+    * truncation IS floor, in Spark and DuckDB alike, making the bucket
+    * exact for pre-1970 (negative-micros) timestamps too. */
   def zorderQuery(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     graft.core.Tables.events(s, d)
       .select(col("event_id"),
         zValue(pmod(col("user_id"), lit(65536L)),
-          pmod(expr("unix_micros(ts) div 3600000000"), lit(65536L))).as("z"))
+          expr(s"pmod(unix_micros(ts), ${3600000000L * 65536L}L) div 3600000000")).as("z"))
 }

@@ -49,9 +49,14 @@ trait StreamIO {
     * upgraded deployment would silently abandon its committed offsets and
     * reprocess or skip data. Called before each query start: if a
     * checkpoint exists under `legacyName` and none under `currentName`,
-    * adopt (rename) it. Default no-op — MemoryIO checkpoints are
-    * process-scoped temp dirs that never saw the legacy scheme. */
-  def migrateCheckpoint(legacyName: String, currentName: String): Unit = ()
+    * adopt (rename) it — but only when its committed offsets are
+    * consistent with `expectedSources` (the adopting query's source
+    * topics): a legacy dir left behind by a PRIOR topology shape must not
+    * hand its offsets to a query with different semantics. Default
+    * no-op — MemoryIO checkpoints are process-scoped temp dirs that never
+    * saw the legacy scheme. */
+  def migrateCheckpoint(legacyName: String, currentName: String,
+                        expectedSources: Set[String] = Set.empty): Unit = ()
 }
 
 /** Kafka-backed IO (S7-S9). Requires the spark-sql-kafka connector +
@@ -109,10 +114,14 @@ class KafkaIO(val spark: SparkSession, bootstrapServers: String,
 
   /** Adopt a pre-injective-escape checkpoint directory (see trait doc):
     * rename `$checkpointRoot/<legacy>` → `$checkpointRoot/<current>` when
-    * only the legacy one exists, so the restarted query resumes its
-    * committed offsets. Rename failure is logged, not thrown — the query
+    * only the legacy one exists AND its newest committed offsets entry
+    * references one of the adopting query's source topics — the name
+    * check alone cannot distinguish "this query's own legacy dir" from a
+    * dir a since-removed query of a prior topology committed under the
+    * colliding name. Rename failure is logged, not thrown — the query
     * then starts from a fresh checkpoint, which is the pre-fix behavior. */
-  override def migrateCheckpoint(legacyName: String, currentName: String): Unit = {
+  override def migrateCheckpoint(legacyName: String, currentName: String,
+                                 expectedSources: Set[String] = Set.empty): Unit = {
     if (legacyName == currentName) return
     try {
       val root = new org.apache.hadoop.fs.Path(checkpointRoot)
@@ -120,16 +129,52 @@ class KafkaIO(val spark: SparkSession, bootstrapServers: String,
       val legacy = new org.apache.hadoop.fs.Path(root, legacyName)
       val current = new org.apache.hadoop.fs.Path(root, currentName)
       if (fs.exists(legacy) && !fs.exists(current)) {
-        if (fs.rename(legacy, current))
-          log.info(s"adopted legacy checkpoint $legacy -> $current")
-        else
-          log.warn(s"could not adopt legacy checkpoint $legacy; " +
-            s"query '$currentName' starts from a fresh checkpoint")
+        offsetsEvidence(fs, legacy, expectedSources) match {
+          case Left(reason) =>
+            log.warn(s"NOT adopting legacy checkpoint $legacy for " +
+              s"'$currentName': $reason — likely a prior topology's query; " +
+              "starting fresh (legacy dir preserved on disk for audit)")
+          case Right(evidence) =>
+            if (fs.rename(legacy, current))
+              log.info(s"adopted legacy checkpoint $legacy -> $current ($evidence)")
+            else
+              log.warn(s"could not adopt legacy checkpoint $legacy; " +
+                s"query '$currentName' starts from a fresh checkpoint")
+        }
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
         log.warn(s"legacy checkpoint probe failed for '$currentName'", e)
     }
+  }
+
+  /** Right(evidence) when adoption is safe: no source expectation, no
+    * committed offsets (nothing to resume wrongly), or the newest offsets
+    * entry references an expected source topic. Left(reason) otherwise. */
+  private def offsetsEvidence(fs: org.apache.hadoop.fs.FileSystem,
+                              legacy: org.apache.hadoop.fs.Path,
+                              expected: Set[String]): Either[String, String] = {
+    if (expected.isEmpty) return Right("no source expectation supplied")
+    val dir = new org.apache.hadoop.fs.Path(legacy, "offsets")
+    if (!fs.exists(dir)) return Right("no committed offsets")
+    val batches = fs.listStatus(dir).toSeq.filter(_.isFile)
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption.map(_ -> s.getPath))
+    if (batches.isEmpty) return Right("no committed offsets")
+    val newest = batches.maxBy(_._1)._2
+    val content = {
+      val in = fs.open(newest)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        new String(out.toByteArray, "UTF-8")
+      } finally in.close()
+    }
+    expected.find(t => content.contains("\"" + t + "\"") || content.contains(t))
+      .toRight(s"newest offsets entry ($newest) references none of the " +
+        s"query's source topics ${expected.mkString("[", ", ", "]")}")
+      .map(t => s"offsets entry $newest tracks source '$t'")
   }
 
   /** S9 topic auto-creation (kafka.clj:26-50: default 6 partitions / RF 3,

@@ -78,7 +78,11 @@ class StreamManager(val topology: Topology) {
         s"queries (non-injective legacy naming); not adopting it for " +
         s"'${queryName(full) + suffix}' — starting fresh")
     else
-      topology.io.migrateCheckpoint(target, queryName(full) + suffix)
+      // the query's source topics ride along so the IO layer can verify
+      // the legacy dir's committed offsets actually belong to this query
+      // (a prior topology's same-named dir is refused, not resumed)
+      topology.io.migrateCheckpoint(target, queryName(full) + suffix,
+        topology.sourceTopics(full))
   }
 
   /** Name of the internal control-plane topic

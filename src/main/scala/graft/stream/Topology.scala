@@ -132,6 +132,17 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
         n.transducer.toSeq.flatMap(statefulOps)
     }
 
+  /** External source topics of `full`'s plan: the empty-upstream nodes in
+    * its upstream closure — exactly the topics whose offsets a checkpoint
+    * for this query commits (used to sanity-check legacy-checkpoint
+    * adoption against what the checkpoint actually tracked). */
+  def sourceTopics(full: String, visiting: Set[String] = Set.empty): Set[String] =
+    if (visiting(full)) Set.empty
+    else nodeMap.get(full).fold(Set.empty[String]) { n =>
+      if (n.upstream.isEmpty) Set(n.name.full)
+      else n.upstream.flatMap(sourceTopics(_, visiting + full))
+    }
+
   private def statefulOps(spec: OpSpec): Seq[String] = spec match {
     case OpSpec.Comp(stages)    => stages.flatMap(statefulOps)
     case s: OpSpec.WindowAgg    => Seq(s.toString)

@@ -278,6 +278,39 @@ class TopologySpec extends SparkSpec {
       "existing current checkpoint wins; no second adoption")
   }
 
+  test("legacy checkpoint whose offsets track a FOREIGN topic is refused") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt-src")
+    val io = new KafkaIO(spark, "broker:9092", root.toString)
+    // a prior topology's query committed offsets for kafka/old_feed under a
+    // name the CURRENT topology's query also maps to — name-unambiguous,
+    // but semantically someone else's offsets
+    val legacy = root.resolve("kafka_in_a")
+    java.nio.file.Files.createDirectories(legacy.resolve("offsets"))
+    java.nio.file.Files.write(legacy.resolve("offsets").resolve("7"),
+      """v1 {"kafka/old_feed":{"0":42}}""".getBytes)
+    io.migrateCheckpoint("kafka_in_a", "kafka_sin_ua",
+      expectedSources = Set("kafka/in_a"))
+    assert(java.nio.file.Files.exists(legacy),
+      "mismatched-source legacy dir is preserved for audit, not adopted")
+    assert(!java.nio.file.Files.exists(root.resolve("kafka_sin_ua")),
+      "the adopting query starts from a fresh checkpoint instead")
+
+    // the same dir IS adopted when the offsets really track the query's source
+    java.nio.file.Files.write(legacy.resolve("offsets").resolve("8"),
+      """v1 {"kafka/in_a":{"0":99}}""".getBytes)
+    io.migrateCheckpoint("kafka_in_a", "kafka_sin_ua",
+      expectedSources = Set("kafka/in_a"))
+    assert(java.nio.file.Files.exists(root.resolve("kafka_sin_ua")),
+      "source-matched offsets are safe to resume")
+
+    // no committed offsets at all → nothing to resume wrongly → adopt
+    val empty = root.resolve("kafka_empty")
+    java.nio.file.Files.createDirectories(empty.resolve("offsets"))
+    io.migrateCheckpoint("kafka_empty", "kafka_sempty",
+      expectedSources = Set("kafka/whatever"))
+    assert(java.nio.file.Files.exists(root.resolve("kafka_sempty")))
+  }
+
   test("ambiguous legacy checkpoint (non-injective collision) is not adopted") {
     val root = java.nio.file.Files.createTempDirectory("graft-ckpt-amb")
     val io = new KafkaIO(spark, "broker:9092", root.toString)
