@@ -567,11 +567,48 @@ object Corpus {
     def fb(df: DataFrame): DataFrame =
       df.select(explode(graft.functions.TextHashExpressions.feat_buckets(
         TextOps.tokens(col(textCol)), buckets)).as("b"))
+    val ct = fb(target).groupBy("b").agg(count(lit(1)).as("ct"))
+    val cr = fb(docs).groupBy("b").agg(count(lit(1)).as("cr"))
     graft.core.Staged.stageVersion(docs.sparkSession, path) { dir =>
-      ratioTable(
-        fb(target).groupBy("b").agg(count(lit(1)).as("ct")),
-        fb(docs).groupBy("b").agg(count(lit(1)).as("cr")), buckets)
-        .write.mode("overwrite").parquet(dir + "/ratio")
+      // the raw count tables ride along (bucket-bounded KBs): the ratio is
+      // DERIVED state, but counts are ADDITIVE — staging them is what makes
+      // an incremental refresh (appendToDsirModel) possible at all
+      ct.write.mode("overwrite").parquet(dir + "/counts_target")
+      cr.write.mode("overwrite").parquet(dir + "/counts_raw")
+      ratioTable(ct, cr, buckets).write.mode("overwrite").parquet(dir + "/ratio")
+    }
+    releaseDsirModel(path)
+  }
+
+  /** Incremental DSIR refresh: fold new raw and/or target documents into
+    * the staged model — counts are additive, so the merge re-sums the
+    * staged count tables with the delta's and recomputes the ratio, making
+    * the result count-identical to a full re-stage over old ∪ new
+    * (IncrementalStageSpec pins this). Only the delta pays tokenization;
+    * everything else is bucket-bounded arithmetic. */
+  def appendToDsirModel(newDocs: Option[DataFrame], newTarget: Option[DataFrame],
+                        path: String, textCol: String = "text"): Unit = {
+    val spark = newDocs.orElse(newTarget).getOrElse(
+      throw new IllegalArgumentException(
+        "appendToDsirModel: need at least one of newDocs/newTarget")).sparkSession
+    val cur = graft.core.Staged.resolve(spark, path)
+    val oldCt = spark.read.parquet(cur + "/counts_target")
+    val oldCr = spark.read.parquet(cur + "/counts_raw")
+    // bucket count is a property of the staged model — derive, never guess
+    val buckets = spark.read.parquet(cur + "/ratio").count().toInt
+    def fb(df: DataFrame): DataFrame =
+      df.select(explode(graft.functions.TextHashExpressions.feat_buckets(
+        TextOps.tokens(col(textCol)), buckets)).as("b"))
+    def merged(old: DataFrame, delta: Option[DataFrame], c: String): DataFrame =
+      delta.fold(old)(d => old.unionByName(
+          fb(d).groupBy("b").agg(count(lit(1)).as(c)))
+        .groupBy("b").agg(sum(col(c)).as(c)))
+    val ct = merged(oldCt, newTarget, "ct")
+    val cr = merged(oldCr, newDocs, "cr")
+    graft.core.Staged.stageVersion(spark, path) { dir =>
+      ct.write.mode("overwrite").parquet(dir + "/counts_target")
+      cr.write.mode("overwrite").parquet(dir + "/counts_raw")
+      ratioTable(ct, cr, buckets).write.mode("overwrite").parquet(dir + "/ratio")
     }
     releaseDsirModel(path)
   }

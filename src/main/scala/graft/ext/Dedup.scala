@@ -257,13 +257,66 @@ object Dedup {
   def stagePairs(docs: DataFrame, path: String, textCol: String = "text",
                  idCol: String = "doc_id", shingleN: Int = 3,
                  threshold: Double = 0.5, maxDf: Int = 10,
-                 minCommon: Int = 2): Unit =
-    ngramJaccardPairs(docs, textCol, idCol, shingleN, threshold, maxDf, minCommon)
-      .write.mode("overwrite").parquet(path)
+                 minCommon: Int = 2): Unit = {
+    graft.core.Staged.stageVersion(docs.sparkSession, path)(
+      ngramJaccardPairs(docs, textCol, idCol, shingleN, threshold, maxDf, minCommon)
+        .write.mode("overwrite").parquet(_))
+    ()
+  }
 
   /** Read a staged pair artifact (the consume side of [[stagePairs]]). */
   def stagedPairs(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.parquet(graft.core.Staged.resolve(spark, path))
+
+  /** Incremental pair maintenance: extend a staged pair artifact with the
+    * pairs `newDocs` contributes — delta↔corpus matches probed through the
+    * staged shingle index at `indexPath` (so the OLD corpus is never
+    * re-shingled) plus delta↔delta pairs — without re-pairing the old
+    * corpus against itself. Call BEFORE [[appendToShingleIndex]] for the
+    * same delta (the probe must see the pre-delta corpus; the combined
+    * ordering lives in [[appendCorpusDelta]]).
+    *
+    * Contract vs a full [[stagePairs]] rebuild: every emitted pair is
+    * exact-Jaccard verified, so the artifact never contains a false pair;
+    * candidate RECALL may differ slightly around the df-prune margins (the
+    * delta-local and stage-time df caps replace the merged-global one).
+    * IncrementalStageSpec pins that planted dups are found by both paths
+    * and that the incremental artifact stays a superset on them. */
+  def appendToPairs(newDocs: DataFrame, pairsPath: String, indexPath: String,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    shingleN: Int = 3, threshold: Double = 0.5,
+                    maxDf: Int = 10, minCommon: Int = 2): Unit = {
+    val spark = newDocs.sparkSession
+    val index = loadShingleIndex(spark, indexPath)
+    val inSh = CacheRegistry.persisted(
+      hashedShingles(newDocs, textCol, idCol, shingleN))
+    // delta ↔ old corpus, normalized to the artifact's id_a < id_b shape
+    val crossRaw = matchesFromShingles(inSh, index, threshold, minCommon)
+    val cross = crossRaw.select(
+      least(col("doc_id"), col("match_id")).as("id_a"),
+      greatest(col("doc_id"), col("match_id")).as("id_b"),
+      col("jaccard"))
+    // delta ↔ delta (df caps delta-local — see contract above)
+    val within = pairsFromHashedShingles(inSh, threshold, maxDf, minCommon)
+    val old = stagedPairs(spark, pairsPath)
+    graft.core.Staged.stageVersion(spark, pairsPath)(
+      old.unionByName(cross).unionByName(within).distinct()
+        .write.mode("overwrite").parquet(_))
+    ()
+  }
+
+  /** One-call daily-append maintenance: extend the pair artifact with the
+    * delta's pairs (against the PRE-delta corpus), then fold the delta
+    * into the shingle index — the ordering [[appendToPairs]] requires. */
+  def appendCorpusDelta(newDocs: DataFrame, indexPath: String,
+                        pairsPath: String, textCol: String = "text",
+                        idCol: String = "doc_id", shingleN: Int = 3,
+                        threshold: Double = 0.5, maxDf: Int = 10,
+                        minCommon: Int = 2): Unit = {
+    appendToPairs(newDocs, pairsPath, indexPath, textCol, idCol, shingleN,
+      threshold, maxDf, minCommon)
+    appendToShingleIndex(newDocs, indexPath, textCol, idCol, shingleN, maxDf)
+  }
 
   /** [[dedupClusters]] over a staged artifact. */
   def dedupClustersStaged(spark: SparkSession, path: String): DataFrame =

@@ -84,6 +84,67 @@ class IncrementalStageSpec extends SparkSpec {
       "integer-exact NLL parity between delta-merged and retrained models")
   }
 
+  test("appendCorpusDelta: delta↔corpus and delta↔delta pairs land in the " +
+    "artifact; no false pairs vs a full rebuild") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bend today"),
+      (3L, "soup recipes for a long cold winter evening with bread and cheese"))
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank still"),
+      (11L, "catalyst engines compile queries into stages for the executors"),
+      (12L, "catalyst engines compile queries into stages for the workers"))
+    val pairsP = Files.createTempDirectory("inc-pairs-").toString
+    val idxP = Files.createTempDirectory("inc-pidx-").toString
+    Dedup.stageShingleIndex(corpus.toDF("doc_id", "text"), idxP)
+    Dedup.stagePairs(corpus.toDF("doc_id", "text"), pairsP)
+    Dedup.appendCorpusDelta(delta.toDF("doc_id", "text"), idxP, pairsP)
+
+    val inc = Dedup.stagedPairs(spark, pairsP)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(inc.contains((1L, 2L)), "pre-delta corpus pair survives")
+    assert(inc.contains((1L, 10L)) && inc.contains((2L, 10L)),
+      s"delta doc near-dups both old twins via the index probe: $inc")
+    assert(inc.contains((11L, 12L)), s"delta-internal pair found: $inc")
+    assert(!inc.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 11L && p._2 == 10L),
+      "no spurious pairs")
+    // every incremental pair is a TRUE pair: the full rebuild agrees on
+    // this fixture (df margins identical here)
+    val fullP = Files.createTempDirectory("full-pairs-").toString
+    Dedup.stagePairs((corpus ++ delta).toDF("doc_id", "text"), fullP)
+    val full = Dedup.stagedPairs(spark, fullP)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(inc == full, s"inc=$inc full=$full")
+    // and the index absorbed the delta: a new arrival matching doc 11
+    // is caught by the updated admission index
+    val m = Dedup.nearDupMatches(
+      Seq((99L, "catalyst engines compile queries into stages for the machines"))
+        .toDF("doc_id", "text"),
+      Dedup.loadShingleIndex(spark, idxP))
+      .select("match_id").as[Long].collect().toSet
+    assert(m == Set(11L, 12L), s"post-delta index must cover delta docs: $m")
+  }
+
+  test("appendToDsirModel ≡ re-staging on old ∪ new (ratio-table parity)") {
+    val rawA = docsA.toDF("doc_id", "text")
+    val rawB = docsB.toDF("doc_id", "text")
+    val tgtA = Seq((100L, "soup recipes for the cold winter evening")).toDF("doc_id", "text")
+    val tgtB = Seq((101L, "bread and cheese by a warm fire")).toDF("doc_id", "text")
+    val inc = Files.createTempDirectory("inc-dsir-").toString
+    val full = Files.createTempDirectory("full-dsir-").toString
+    Corpus.stageDsirModel(rawA, tgtA, inc, buckets = 101)
+    Corpus.appendToDsirModel(Some(rawB), Some(tgtB), inc)
+    Corpus.stageDsirModel(rawA.unionByName(rawB), tgtA.unionByName(tgtB),
+      full, buckets = 101)
+    def ratio(p: String) = Corpus.loadDsirRatio(spark, p)
+      .collect().map(_.toString).sorted.toSeq
+    assert(ratio(inc) == ratio(full),
+      "merged-count ratio table must equal the retrained one row-for-row")
+    // raw-only refresh also works (target side unchanged)
+    Corpus.appendToDsirModel(Some(rawA), None, inc)
+    assert(Corpus.loadDsirRatio(spark, inc).count() == 101)
+  }
+
   test("versioned staging: previous version stays readable through one restage") {
     val p = Files.createTempDirectory("staged-ver-").toString
     Staged.stageVersion(spark, p)(d => Seq(1).toDF("v").write.parquet(d + "/t"))
