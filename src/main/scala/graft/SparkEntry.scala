@@ -52,6 +52,7 @@ object SparkEntry {
     "asof_snapshot"       -> (Relational.asofSnapshot(_, _)),
     "bitemporal_asof"     -> (Relational.bitemporalAsof(_, _)),
     "asof_history"        -> (Relational.asofHistory(_, _)),
+    "store_changes"       -> (Relational.storeChanges(_, _)),
     // §2.5 scalar-function surface
     "time_truncate"       -> (Relational.timeTruncate(_, _)),
     "time_next_day"       -> (Relational.timeNextDay(_, _)),
@@ -364,6 +365,15 @@ object SparkEntry {
       """SELECT row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS version_rank,
                 event_id, value
          FROM events WHERE user_id = 7""",
+    "store_changes" ->
+      """SELECT user_id, event_id, op FROM (
+           SELECT user_id, event_id,
+             CASE WHEN event_type = 'error' THEN 'delete'
+                  WHEN coalesce(lag(event_type = 'error')
+                    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC), TRUE) THEN 'insert'
+                  ELSE 'update' END AS op
+           FROM events)
+         WHERE event_id > 700""",
     "time_truncate" ->
       "SELECT date_trunc('hour', ts) AS bucket, count(*) AS n FROM events GROUP BY date_trunc('hour', ts)",
     "time_next_day" ->

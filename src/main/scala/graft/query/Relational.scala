@@ -296,6 +296,30 @@ object Relational {
       .select(col("version_rank"), col("event_id"), col("value"))
   }
 
+  /** CDC change-kind classification (`DocumentStore.changes` /
+    * `changesSince` over the events tx-log proxy: user_id=id, (ts,
+    * event_id)=tx order, event_type='error' plays the tombstone). Each
+    * version's kind depends only on the PREVIOUS version's tombstone flag —
+    * `delete` for a tombstone, `insert` for a first version or a put right
+    * after a tombstone (re-insert), `update` otherwise — so the plan is one
+    * lag window over (id), one shuffle, no join. The `event_id > 700` tail
+    * is the consumer's resume cut; it applies AFTER the window (an update's
+    * kind depends on the version before the cut), exactly as
+    * `changesSince` does. */
+  def storeChanges(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val deleted = col("event_type") === "error"
+    val prevDeleted = lag(deleted, 1).over(w)
+    Tables.eventsRawTs(s, d)
+      .withColumn("op",
+        when(deleted, lit("delete"))
+          .when(prevDeleted.isNull || prevDeleted, lit("insert"))
+          .otherwise(lit("update")))
+      .filter(col("event_id") > 700L)
+      .select(col("user_id"), col("event_id"), col("op"))
+  }
+
   /** As-of (point-in-time) join — for each left row, the single latest
     * right row with the same key and `rightTs <= leftTs`. Spark ships no
     * built-in ASOF JOIN (this library's [[graft.plans.AsOfJoin]] custom

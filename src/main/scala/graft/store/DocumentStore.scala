@@ -266,6 +266,40 @@ class DocumentStore(val spark: SparkSession, val path: String) {
       .select("id", "validFrom", "txTime", "deleted", "doc")
   }
 
+  // ------------------------------------------------------------ change feed
+
+  /** CDC read side: the tx log as a relation of classified changes — each
+    * version row tagged with its change kind (`op`):
+    *
+    *  - `delete` — a tombstone;
+    *  - `insert` — the id's first version, OR a put right after a tombstone
+    *    (a re-insert starts a new life of the entity, as a downstream
+    *    consumer materializing "current state" needs it to);
+    *  - `update` — every other version.
+    *
+    * The kind depends only on the PREVIOUS version's tombstone flag, so the
+    * plan is one window over (id) in tx order — one shuffle on id, per-id
+    * chains are short, no join. Downstream incremental maintenance
+    * ([[graft.stream.StoreChanges]]) consumes this batch view for catch-up
+    * and the appended-file stream for steady-state tailing. */
+  def changes(): DataFrame = {
+    val w = Window.partitionBy("id").orderBy(col("txTime"), col("validFrom"))
+    val prevDeleted = lag(col("deleted"), 1).over(w)
+    versions()
+      .withColumn("op",
+        when(col("deleted"), lit("delete"))
+          .when(prevDeleted.isNull || prevDeleted, lit("insert"))
+          .otherwise(lit("update")))
+      .select("id", "validFrom", "txTime", "op", "doc")
+  }
+
+  /** [[changes]] after `tx` (exclusive) — the catch-up read a consumer runs
+    * to resume from its last processed transaction. The classification
+    * window must see the FULL per-id chain (an update's kind depends on the
+    * version before the cut), so the tail filter applies after it. */
+  def changesSince(tx: Timestamp): DataFrame =
+    changes().filter(col("txTime") > lit(tx))
+
   // --------------------------------------------------- Datalog over the store
 
   /** Wide relation over a snapshot: JSON doc payloads expanded to typed
