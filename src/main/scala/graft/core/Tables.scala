@@ -22,25 +22,53 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects by default (PARQUET_TYPE_ILLEGAL). Read the
-    * physical long and truncate to microseconds — exactly what DuckDB does
-    * natively (its TIMESTAMP is µs), so oracle comparisons line up. */
+  /** events with `ts` normalized to a session-zone TIMESTAMP regardless of
+    * the fixture's physical encoding. The driver has shipped two encodings:
+    * INT64 TIMESTAMP(NANOS) (Spark rejects it by default → read the physical
+    * long via `nanosAsLong` and truncate to µs, exactly DuckDB's native
+    * behavior) and plain TIMESTAMP(MICROS) without UTC adjustment (Spark
+    * reads TIMESTAMP_NTZ → cast to the session-zone type; Verify pins the
+    * session zone to UTC so the wall-clock is the same instant DuckDB sees).
+    * Dispatching on the observed schema keeps every downstream query
+    * byte-identical across fixture regenerations. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
   }
 
-  /** events with `ts` as the RAW nanosecond long. Time-range queries should
-    * filter on this column — a predicate on the converted timestamp wraps
-    * the column in `timestamp_micros(ts div 1000)` and parquet can't push
-    * it; the equivalent raw-long comparison pushes to the scan (and prunes
-    * row groups via min/max stats). */
+  /** events with `ts` in its RAW parquet-native form — the one predicates
+    * push through to the scan. For the nanos-long encoding that's the
+    * physical BIGINT (a predicate on the converted timestamp can't push
+    * past `timestamp_micros(ts div 1000)`); for a native timestamp encoding
+    * the column itself is pushable, so it's returned as stored. Callers
+    * must build range literals via [[tsAtMost]] rather than assuming a
+    * numeric type; ordering semantics are identical either way. */
   def eventsRawTs(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(s, d, "events")
+  }
+
+  /** `ts <= instant` as a predicate in the column's native type, so the
+    * comparison reaches the parquet reader (PushedFilters + row-group
+    * min/max pruning) under any fixture encoding. */
+  def tsAtMost(df: DataFrame, instant: java.time.Instant): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        col("ts") <= lit(instant.getEpochSecond * 1000000000L + instant.getNano)
+      case TimestampNTZType =>
+        col("ts") <= lit(java.time.LocalDateTime.ofInstant(instant, java.time.ZoneOffset.UTC))
+      case _ =>
+        col("ts") <= lit(java.sql.Timestamp.from(instant))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -252,16 +252,16 @@ object Relational {
     * `row_number()=1` over desc valid-time is the snapshot view
     * (SURVEY.md §1.1 bitemporal mapping). */
   def asofSnapshot(s: SparkSession, d: String): DataFrame = {
-    // Filter + order on the RAW nanosecond long: a predicate on the
-    // converted timestamp can't push past timestamp_micros(ts div 1000);
-    // the raw comparison reaches parquet (row-group pruning via stats).
-    // Ordering by raw nanos ≡ ordering by the converted timestamp.
-    val cutNs = java.time.Instant.parse("2024-01-15T00:00:00Z")
-      .getEpochSecond * 1000000000L
+    // Filter + order on the RAW parquet-native ts (Tables.eventsRawTs):
+    // under the nanos-long encoding a predicate on the converted timestamp
+    // can't push past timestamp_micros(ts div 1000), while the native
+    // comparison reaches parquet (row-group pruning via stats). tsAtMost
+    // builds the cut literal in whichever type the fixture stores.
+    val cut = java.time.Instant.parse("2024-01-15T00:00:00Z")
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts").desc, col("event_id").desc)
-    Tables.eventsRawTs(s, d)
-      .filter(col("ts") <= lit(cutNs))
+    val ev = Tables.eventsRawTs(s, d)
+    ev.filter(Tables.tsAtMost(ev, cut))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("value").as("latest_value"))
@@ -270,12 +270,11 @@ object Relational {
   /** Q11: bitemporal — both valid-time and transaction-time cuts
     * (event_id as the tx-time proxy per FIXTURES.md). */
   def bitemporalAsof(s: SparkSession, d: String): DataFrame = {
-    val cutNs = java.time.Instant.parse("2024-01-15T00:00:00Z")
-      .getEpochSecond * 1000000000L
+    val cut = java.time.Instant.parse("2024-01-15T00:00:00Z")
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts").desc, col("event_id").desc)
-    Tables.eventsRawTs(s, d)
-      .filter(col("ts") <= lit(cutNs) && col("event_id") <= 700L)
+    val ev = Tables.eventsRawTs(s, d)
+    ev.filter(Tables.tsAtMost(ev, cut) && col("event_id") <= 700L)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("value").as("latest_value"))
