@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // instant semantics are defined UTC engine-wide (oracle parity for the
+      // NTZ events encoding); Verify/tests pin it — Bench must too so a
+      // spark-submit launch on a non-UTC machine measures the same plans
+      .config("spark.sql.session.timeZone", "UTC")
       // Let AQE size post-shuffle partitions by bytes (advisory 64 MB), not
       // by cluster parallelism: Spark's own guidance for busy clusters, and
       // the right 100 TB posture — at bench scale it also stops KB-sized
@@ -70,20 +74,25 @@ object Bench {
         f"[bench-stats] $name%-24s ${dt}%6.2fs jobs=${jobs.get - j0}%-3d stages=${stages.get - s0}%-4d tasks=${tasks.get - t0c}%-5d")
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errs =
       if (failed.isEmpty) ""
       else failed.sorted.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}"""
-    println(line)
-    // the driver captures a bounded tail of this process's output, which
-    // has truncated the (long) result line mid-JSON before — persist the
-    // same JSON to a file so the headline number always survives capture
+    def fmtLine(q: Map[String, String], tot: String) =
+      s"""{"metric":"total","value":$tot,"unit":"sec","queries":${
+        q.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      }$errs,"sf":"$sfDir","total_sec":$tot}"""
+    // The driver captures only a bounded TAIL (~2000 chars) of this process's
+    // output; r5/r6 both lost the headline total because the full-precision
+    // line overflowed it and got truncated at the FRONT. Print a 3-decimal
+    // line (≈25% shorter, fits the window) and repeat the total as the LAST
+    // key so even a re-truncation leaves `"total_sec":N}` readable at the tail.
+    def s3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v) // locale-proof decimal point
+    println(fmtLine(results.map { case (k, v) => k -> s3(v) }.toMap, s3(total)))
+    // full precision to a file for round-over-round per-query comparison
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (fmtLine(results.map { case (k, v) => k -> v.toString }.toMap, total.toString) + "\n")
+        .getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write bench_result.json: $e") }
     spark.stop()

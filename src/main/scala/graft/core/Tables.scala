@@ -33,13 +33,21 @@ object Tables {
     * byte-identical across fixture regenerations. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ branch's cast is instant-correct only under a UTC session zone;
+    // pin it here so every entrypoint (Verify, Bench, spark-submit on a
+    // non-UTC machine) sees the same instants as the DuckDB oracle.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val df = apply(s, d, "events")
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
-      case _                => df
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unexpected parquet encoding $other — " +
+          "expected INT64(nanos), TIMESTAMP_NTZ, or TIMESTAMP; " +
+          "extend Tables.events/tsAtMost before querying this fixture")
     }
   }
 
@@ -60,14 +68,20 @@ object Tables {
     * min/max pruning) under any fixture encoding. */
   def tsAtMost(df: DataFrame, instant: java.time.Instant): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, lit}
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
       case LongType =>
-        col("ts") <= lit(instant.getEpochSecond * 1000000000L + instant.getNano)
+        // µs-truncation semantics: DuckDB sees nanos truncated to micros, so
+        // an event at (cut, cut+999ns] IS included by the oracle. Widening the
+        // raw-nanos bound by 999 matches that exactly and stays a pushable
+        // long range (no sub-µs event can exist that DuckDB would exclude).
+        col("ts") <= lit(instant.getEpochSecond * 1000000000L + instant.getNano + 999L)
       case TimestampNTZType =>
         col("ts") <= lit(java.time.LocalDateTime.ofInstant(instant, java.time.ZoneOffset.UTC))
-      case _ =>
-        col("ts") <= lit(java.sql.Timestamp.from(instant))
+      case TimestampType =>
+        col("ts") <= lit(instant)
+      case other => throw new IllegalStateException(
+        s"events.ts has unexpected parquet encoding $other — see Tables.events")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
