@@ -35,6 +35,7 @@ object SparkEntry {
     "join_asof_native"    -> (graft.plans.AsOfJoin.asofJoinNativeQuery(_, _)),
     "scale_salted_agg"    -> (graft.query.Scale.saltedAggQuery(_, _)),
     "scale_zorder"        -> (graft.query.Scale.zorderQuery(_, _)),
+    "scale_bucketed_join" -> (graft.query.Scale.bucketedJoinQuery(_, _)),
     "join_semi"           -> (Relational.joinSemi(_, _)),
     "union_or"            -> (Relational.unionOr(_, _)),
     "distinct_projection" -> (Relational.distinctProjection(_, _)),
@@ -42,6 +43,7 @@ object SparkEntry {
     "agg_rollup"          -> (Relational.aggRollup(_, _)),
     "agg_cube"            -> (Relational.aggCube(_, _)),
     "agg_count_distinct"  -> (Relational.aggCountDistinct(_, _)),
+    "sketch_distinct_kmv" -> (Relational.sketchDistinctKmv(_, _)),
     "agg_min_max"         -> (Relational.aggMinMax(_, _)),
     "agg_stats"           -> (Relational.aggStats(_, _)),
     "order_by_limit"      -> (Relational.orderByLimit(_, _)),
@@ -274,6 +276,15 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n_items,
          CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY l_returnflag""",
+    // scale_bucketed_join: the bucketed layout only changes WHERE rows
+    // sit (co-located buckets, no exchange under the join — the plan is
+    // pinned by PlanQualitySpec), never the answer — the oracle is the
+    // plain join+group-by
+    "scale_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
     // join_asof_native: the same semantics through the custom Catalyst
     // operator (plans.AsOfJoinExec) — one oracle, two execution paths
     "join_asof_native" ->
@@ -312,6 +323,29 @@ object SparkEntry {
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "agg_count_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
+    // sketch_distinct_kmv: the bottom-k synopsis replayed end-to-end —
+    // 60-bit md5-prefix hashes, k smallest distinct per group (row_number
+    // over the distinct hash set), and the (k−1)·2⁶⁰/h₍ₖ₎ IEEE estimator;
+    // exact (= the distinct hash count) for groups under k
+    "sketch_distinct_kmv" ->
+      """WITH h AS (
+           SELECT DISTINCT event_type,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM events
+         ), r AS (
+           SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           FROM h
+         ), a AS (
+           SELECT event_type, count(*) AS n_seen,
+             max(CASE WHEN rn = 64 THEN h END) AS h64
+           FROM r WHERE rn <= 64 GROUP BY event_type
+         )
+         SELECT event_type,
+           CASE WHEN n_seen < 64 THEN n_seen
+                ELSE CAST(floor(63 * pow(2, 60) / CAST(h64 AS DOUBLE)) AS BIGINT)
+           END AS distinct_est
+         FROM a""",
     "agg_min_max" ->
       """SELECT o_orderstatus, min(o_totalprice) AS min_price,
          max(o_totalprice) AS max_price, count(*) AS n_orders

@@ -159,6 +159,19 @@ object Relational {
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n_users"))
 
+  /** Beyond-reference sketch operator: per-type approximate distinct users
+    * via the KMV bottom-k synopsis ([[graft.functions.SketchExpressions]]).
+    * Where [[aggCountDistinct]] shuffles every distinct (type, user) pair,
+    * this ships ≤ k longs per group per map task — the fixed-size-synopsis
+    * distinct count that stays shuffle-bounded at 100 TB. The md5-prefix
+    * hash + IEEE estimator replay exactly in the DuckDB oracle; SketchSpec
+    * pins the accuracy and partition-invariance contracts. */
+  def sketchDistinctKmv(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(graft.functions.SketchExpressions.kmv_distinct(col("user_id"), 64)
+        .as("distinct_est"))
+
   /** Q15: min/max (exact on doubles — no ordering sensitivity). */
   def aggMinMax(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)

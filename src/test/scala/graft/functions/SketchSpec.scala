@@ -1,0 +1,56 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Contracts of the KMV distinct sketch that the DuckDB oracle can't see:
+  * exactness below k, bounded error above it, and partition-layout
+  * invariance (the merge path = the update path). */
+class SketchSpec extends SparkSpec {
+  import SketchExpressions._
+
+  test("KmvBuffer keeps the k smallest distinct values, sorted") {
+    val b = new KmvBuffer(4)
+    Seq(9L, 3L, 7L, 3L, 1L, 8L, 2L, 9L, 5L).foreach(b.insert)
+    assert(b.n == 4 && b.hs.take(4).toSeq == Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("exact below k: the estimate IS the distinct count") {
+    import spark.implicits._
+    val df = Seq.tabulate(200)(i => (i % 3, (i % 17).toLong)).toDF("g", "v")
+    val got = df.groupBy("g").agg(kmv_distinct(col("v"), 64).as("est"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(17L), s"17 distinct per group, got $got")
+  }
+
+  test("above k: relative error within the estimator's bounds") {
+    import spark.implicits._
+    // 10_000 distinct values, k=64 → stderr ≈ 1/√62 ≈ 12.7%; 4σ ≈ 51%
+    val df = (1L to 10000L).toDF("v")
+    val est = df.agg(kmv_distinct(col("v"), 64).as("est")).collect()(0).getLong(0)
+    assert(est > 4900 && est < 20000, s"est=$est for n=10000 is outside 4σ")
+    // k=1024 → stderr ≈ 3.1%; 4σ ≈ 12.5%
+    val est2 = df.agg(kmv_distinct(col("v"), 1024).as("est")).collect()(0).getLong(0)
+    assert(est2 > 8700 && est2 < 11400, s"est=$est2 for n=10000 at k=1024")
+  }
+
+  test("partition-layout invariance: merge path equals update path") {
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => (i % 7, i)).toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("g").agg(kmv_distinct(col("v"), 64).as("est"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run(df.coalesce(1))
+    val b = run(df.repartition(13, col("v")))
+    assert(a == b, s"sketch must not depend on partitioning: $a vs $b")
+  }
+
+  test("nulls are skipped, not counted") {
+    import spark.implicits._
+    val df = Seq(Some(1L), None, Some(2L), None, Some(1L)).toDF("v")
+    val est = df.agg(kmv_distinct_hashed(
+      when(col("v").isNotNull, hash60(col("v"))), 8).as("est"))
+      .collect()(0).getLong(0)
+    assert(est == 2L, s"two distinct non-null values, got $est")
+  }
+}

@@ -85,6 +85,22 @@ class PlanQualitySpec extends SparkSpec {
       "the single target vector must broadcast")
   }
 
+  test("scale_bucketed_join sort-merges co-located buckets with no join-side exchange") {
+    val df = graft.query.Scale.bucketedJoinQuery(spark, sf("sf0.001"))
+    val plan = executedPlan(df)
+    assert(plan.contains("SortMergeJoin"),
+      s"bucketed join must sort-merge (broadcast would hide the layout):\n$plan")
+    // the ONLY acceptable shuffle is the 5-row final priority agg — the
+    // join itself reads co-located buckets on both sides (the AQE string
+    // prints Final AND Initial plans; count the final section only)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange".r.findAllIn(finalPlan).length
+    assert(exchanges <= 1,
+      s"join-side shuffle detected ($exchanges exchanges) — bucket layout not used:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"scans must report the bucketed layout:\n$plan")
+  }
+
   test("datalog same-entity patterns compile to a single scan per table") {
     val df = graft.query.datalog.DatalogDb.datalogQuery(spark, sf("sf0.001"))
     // count relation leaves in the optimized logical plan (the compiler's
