@@ -63,6 +63,7 @@ object SparkEntry {
     "stream_map_filter_batch" -> (Relational.streamMapFilterBatch(_, _)),
     "stream_windowed_agg"     -> (Relational.streamWindowedAggBatch(_, _)),
     "stream_sessionize"       -> (Relational.streamSessionizeBatch(_, _)),
+    "stream_interval_join"    -> (graft.stream.StreamJoin.intervalJoinQuery(_, _)),
     // §2.2 Datalog compiler end-to-end (triple patterns → Catalyst plan)
     "datalog_query"       -> (graft.query.datalog.DatalogDb.datalogQuery(_, _)),
     "datalog_edn"         -> (graft.query.datalog.DatalogDb.datalogEdnQuery(_, _)),
@@ -106,6 +107,8 @@ object SparkEntry {
     "corpus_quality_topfrac" -> (graft.ext.Corpus.topQualityFracQuery(_, _)),
     // min-count vocabulary (BPE/WordPiece seeding, OOV-rate checks)
     "corpus_vocab"           -> (graft.ext.Corpus.vocabularyQuery(_, _)),
+    // BPE merge learning: one corpus pass, then vocab-bounded merge rounds
+    "corpus_bpe_merges"      -> (graft.ext.Corpus.bpeMergesQuery(_, _)),
     // domain balancing: best-quality cap per source
     "corpus_cap_source"      -> (graft.ext.Corpus.capPerSourceQuery(_, _)),
     // partition-stable train/val/test assignment
@@ -141,6 +144,43 @@ object SparkEntry {
     * `corpus_dsir` and `corpus_dsir_select` oracles — one spelling, so a
     * future fix can't drift the two gates apart (the same dedup precedent
     * as the quality-score spelling). */
+  /** The BPE training loop replayed as chained CTEs — one (pairs → argmax
+    * → merge) step per round, generated to stay textually in lockstep with
+    * `Corpus.bpeMerges`. MATERIALIZED is load-bearing: each round
+    * references the previous word table twice, so DuckDB's default CTE
+    * inlining would expand the chain 2^rounds times. */
+  private def bpeMergesOracle(rounds: Int): String = {
+    val w0 =
+      """w0 AS MATERIALIZED (
+           SELECT freq, '|' || array_to_string(regexp_split_to_array(w, ''), '||') || '|' AS seq
+           FROM (
+             SELECT w, count(*) AS freq FROM (
+               SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+               FROM documents
+             ) WHERE regexp_full_match(w, '[a-z0-9]+')
+             GROUP BY w
+           )
+         )"""
+    val steps = (1 to rounds).map { i =>
+      s"""p$i AS (
+           SELECT list_extract(s, x) AS l, list_extract(s, x + 1) AS r,
+             CAST(sum(freq) AS BIGINT) AS c
+           FROM (SELECT string_split(trim(seq, '|'), '||') AS s, freq FROM w${i - 1}),
+                UNNEST(generate_series(1, len(s) - 1)) AS t(x)
+           GROUP BY 1, 2
+         ), b$i AS MATERIALIZED (
+           SELECT $i AS round, l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1
+         ), w$i AS MATERIALIZED (
+           SELECT freq, replace(seq, '|' || b.l || '||' || b.r || '|', '|' || b.l || b.r || '|') AS seq
+           FROM w${i - 1}, b$i AS b
+         )"""
+    }
+    val union = (1 to rounds)
+      .map(i => s"SELECT round, l AS lhs, r AS rhs, c AS pair_count FROM b$i")
+      .mkString("\n         UNION ALL\n         ")
+    s"WITH ${(w0 +: steps).mkString(",\n         ")}\n         $union"
+  }
+
   private val dsirWeightCtes: String =
     """tok AS (
            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
@@ -429,6 +469,17 @@ object SparkEntry {
          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""",
     // stream_sessionize: gap-chained sessions — lag/flag/running-sum with
     // µs-integer gap comparisons, (ts, event_id) tie-broken ordering
+    // stream_interval_join: the batch face of the stream-stream interval
+    // join (StreamJoinSpec pins streaming ≡ batch on the same rows) — per
+    // purchase, same-user clicks in the trailing 2 h window
+    "stream_interval_join" ->
+      """SELECT p.event_id, p.user_id, count(*) AS n_clicks,
+         CAST(sum(CAST(c.value AS DECIMAL(28,6))) AS DOUBLE) AS click_value
+         FROM events p JOIN events c
+           ON p.user_id = c.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts
+         GROUP BY p.event_id, p.user_id""",
     "stream_sessionize" ->
       """WITH lagd AS (
            SELECT user_id, event_id, ts, value,
@@ -1239,6 +1290,10 @@ object SparkEntry {
                FROM documents)
          WHERE len(token) > 0
          GROUP BY token HAVING count(*) >= 3""",
+    // corpus_bpe_merges: the whole 10-round training loop replays —
+    // word-frequency table, per-round pair argmax with (count, lhs, rhs)
+    // tie-break, and the greedy wrapped-symbol merge
+    "corpus_bpe_merges" -> bpeMergesOracle(10),
     // corpus_cap_source: per-domain quality cap — the corpus_quality_topfrac
     // scored CTE partitioned by source with a fixed keep count
     "corpus_cap_source" ->

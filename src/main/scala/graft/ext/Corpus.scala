@@ -299,6 +299,76 @@ object Corpus {
   def vocabularyQuery(s: SparkSession, d: String): DataFrame =
     vocabulary(Tables.documents(s, d), minCount = 3)
 
+  /** Distributed BPE merge learning — the training step behind every
+    * subword tokenizer (Sennrich et al. 2016): repeatedly find the most
+    * frequent adjacent symbol pair in the corpus and merge it. The corpus
+    * pays exactly ONE full pass (tokenize → word-frequency table); every
+    * round after that operates on the vocab-bounded word table (Heaps'
+    * law: ≪ corpus size), which is how production tokenizer trainers run
+    * at 100 TB — corpus-sized work once, model-sized work per merge.
+    *
+    * Per round: explode adjacent symbol pairs weighted by word frequency,
+    * argmax by (count, lhs, rhs) — the total tie-break makes every round
+    * deterministic — then merge the winning pair in every word. Words are
+    * carried as `|a||b||c|` wrapped-symbol strings: `replace(seq,
+    * '|a||b|', '|ab|')` is then EXACTLY the greedy left-to-right
+    * non-overlapping merge BPE defines ("l l l" → "ll l", "a b a b" →
+    * "ab ab"), symbol boundaries can't be crossed (every symbol keeps its
+    * own `|…|` wrap), and both engines' `replace` share the semantics — so
+    * the whole training loop replays in the DuckDB oracle.
+    *
+    * The winning pair per round is KB model state (the merge table), the
+    * same control-plane collect as Lloyd centroids. Tokens are restricted
+    * to `[a-z0-9]+` so the separator chars stay out of band; trained over
+    * bare char sequences (no `</w>` end-marker — a documented
+    * simplification that changes no part of the distributed shape). */
+  def bpeMerges(docs: DataFrame, rounds: Int = 10,
+                textCol: String = "text"): DataFrame = {
+    require(rounds > 0 && rounds <= 64, "bpeMerges: rounds must be in [1, 64]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = graft.core.CacheRegistry.persisted(
+      docs.select(explode(TextOps.tokens(col(textCol))).as("w"))
+        .filter(col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(col("freq"), concat(lit("|"),
+          // split(w, '') emits a trailing "" (Java split limit -1) — drop it
+          array_join(expr("filter(split(w, ''), x -> x <> '')"), "||"),
+          lit("|")).as("seq")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = vocab
+        .select(col("freq"), expr("split(trim(BOTH '|' FROM seq), '\\\\|\\\\|')").as("s"))
+        .filter(size(col("s")) > 1)
+        .select(col("freq"), explode(zip_with(
+          slice(col("s"), lit(1), size(col("s")) - 1),
+          slice(col("s"), lit(2), size(col("s")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(desc("c"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (l, rr, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, l, rr, c))
+        // tokens are [a-z0-9]+ — inlining the pair into the replace
+        // literal is injection-safe by construction
+        vocab = graft.core.CacheRegistry.persisted(vocab.withColumn("seq",
+          expr(s"replace(seq, '|$l||$rr|', '|$l$rr|')")))
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
+  }
+
+  /** SparkEntry query (oracled): the first 10 learned merges over the
+    * documents corpus — the oracle replays all 10 rounds as chained CTEs. */
+  def bpeMergesQuery(s: SparkSession, d: String): DataFrame =
+    bpeMerges(Tables.documents(s, d), rounds = 10)
+
   /** Domain balancing: keep at most `maxPerSource` docs per source, best
     * quality first (integer-exact round(q·10⁶) rank, doc_id tie-break) —
     * the anti-spam cap every web-corpus recipe applies so no single domain

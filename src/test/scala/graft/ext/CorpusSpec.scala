@@ -288,4 +288,28 @@ class CorpusSpec extends SparkSpec {
     assert(kept == Set(300L, 302L),
       s"the two prose docs must out-rank the two spam docs: $kept")
   }
+
+  test("bpeMerges: greedy left-to-right pair semantics on crafted runs") {
+    // "abab"×3: round 1 merges the most frequent pair — greedy pairing of
+    // "a b a b" must yield TWO (a,b) pairs per word (count 6), not split
+    // one pair across the middle; "lll" pins non-overlap ("ll l")
+    val docs = Seq((1L, "abab abab abab lll")).toDF("doc_id", "text")
+    val m = Corpus.bpeMerges(docs, rounds = 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(m(0) == ((1, "a", "b", 6L)), s"round 1: ${m(0)}")
+    // after (a,b)→ab: "ab ab" per word → pair (ab,ab) count 3 beats
+    // (l,l) count 1 (non-overlapping: "l l l" has ONE countable pair
+    // only after merge; pre-merge adjacent count is 2 — either way < 3)
+    assert(m(1) == ((2, "ab", "ab", 3L)), s"round 2: ${m(1)}")
+    assert(m(2)._2 == "l" && m(2)._3 == "l", s"round 3: ${m(2)}")
+  }
+
+  test("bpeMerges: deterministic tie-break and multi-char buildup") {
+    val docs = Seq((1L, "xy xy za za")).toDF("doc_id", "text")
+    val m = Corpus.bpeMerges(docs, rounds = 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    // (x,y) and (z,a) both count 2 — lexicographic (l, r) picks (x,y)
+    assert(m(0) == ((1, "x", "y", 2L)), s"tie must break to (x,y): ${m(0)}")
+    assert(m(1) == ((2, "z", "a", 2L)), s"then (z,a): ${m(1)}")
+  }
 }
