@@ -327,6 +327,13 @@ object Corpus {
     require(rounds > 0 && rounds <= 64, "bpeMerges: rounds must be in [1, 64]")
     val spark = docs.sparkSession
     import spark.implicits._
+    // ONE cached table for the whole loop: each round's vocab is the
+    // cached base + r narrow string-replaces (re-running the short chain
+    // is milliseconds over a vocab-bounded table, and skipping per-round
+    // persists removes 10 cache-materialization jobs). coalesce(8): the
+    // word table is Heaps-law small — 32 near-empty partitions would turn
+    // every micro-round into scheduling overhead; 8 partitions still hold
+    // a 100 TB corpus's tens-of-millions-word vocab comfortably.
     var vocab = graft.core.CacheRegistry.persisted(
       docs.select(explode(TextOps.tokens(col(textCol))).as("w"))
         .filter(col("w").rlike("^[a-z0-9]+$"))
@@ -334,32 +341,49 @@ object Corpus {
         .select(col("freq"), concat(lit("|"),
           // split(w, '') emits a trailing "" (Java split limit -1) — drop it
           array_join(expr("filter(split(w, ''), x -> x <> '')"), "||"),
-          lit("|")).as("seq")))
+          lit("|")).as("seq"))
+        .coalesce(8))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var r = 1
-    var exhausted = false
-    while (r <= rounds && !exhausted) {
-      val best = vocab
-        .select(col("freq"), expr("split(trim(BOTH '|' FROM seq), '\\\\|\\\\|')").as("s"))
-        .filter(size(col("s")) > 1)
-        .select(col("freq"), explode(zip_with(
-          slice(col("s"), lit(1), size(col("s")) - 1),
-          slice(col("s"), lit(2), size(col("s")) - 1),
-          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("c"))
-        .orderBy(desc("c"), asc("l"), asc("r"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true // every word fully merged
-      else {
-        val (l, rr, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((r, l, rr, c))
-        // tokens are [a-z0-9]+ — inlining the pair into the replace
-        // literal is injection-safe by construction
-        vocab = graft.core.CacheRegistry.persisted(vocab.withColumn("seq",
-          expr(s"replace(seq, '|$l||$rr|', '|$l$rr|')")))
-        r += 1
+    // AQE off for the micro-round loop: adaptive re-planning runs each
+    // round's 2-stage argmax as ~3 separate jobs; the rounds are
+    // KB-scale model iterations (the Lloyd-loop shape) where fixed
+    // per-job overhead IS the cost. Restored on every exit path.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val shufWas = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // with AQE off nothing coalesces the pair-count shuffle — size it to
+    // the vocab table (8 partitions), not the cluster default, or every
+    // round schedules a wave of near-empty reduce tasks
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val best = vocab
+          .select(col("freq"), expr("split(trim(BOTH '|' FROM seq), '\\\\|\\\\|')").as("s"))
+          .filter(size(col("s")) > 1)
+          .select(col("freq"), explode(zip_with(
+            slice(col("s"), lit(1), size(col("s")) - 1),
+            slice(col("s"), lit(2), size(col("s")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("c"))
+          .orderBy(desc("c"), asc("l"), asc("r"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true // every word fully merged
+        else {
+          val (l, rr, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((r, l, rr, c))
+          // tokens are [a-z0-9]+ — inlining the pair into the replace
+          // literal is injection-safe by construction
+          vocab = vocab.withColumn("seq",
+            expr(s"replace(seq, '|$l||$rr|', '|$l$rr|')"))
+          r += 1
+        }
       }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
     }
     merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
   }
