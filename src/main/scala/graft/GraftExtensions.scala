@@ -108,6 +108,19 @@ object GraftExtensions {
       case args => throw new IllegalArgumentException(
         s"asof_pick expects 2 arguments, got ${args.length}")
     }),
+    ("kmv_distinct",
+      "kmv_distinct(value, k) - approximate COUNT(DISTINCT value): bottom-k (KMV) sketch over a 60-bit md5-prefix hash; exact below k", {
+      case Seq(v, k) =>
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Md5, Substring}
+        import org.apache.spark.sql.types.{LongType, StringType}
+        val kk = intLit(k, "kmv_distinct k")
+        require(kk > 1, s"kmv_distinct: k must be > 1, got $kk")
+        graft.functions.KmvDistinct(
+          Cast(Conv(Substring(Md5(Cast(v, StringType)), Literal(1), Literal(15)),
+            Literal(16), Literal(10)), LongType), kk).toAggregateExpression()
+      case args => throw new IllegalArgumentException(
+        s"kmv_distinct expects 2 arguments, got ${args.length}")
+    }),
     // composite heuristic assembled from builtins — registering the SAME
     // Column tree the Scala API builds lets declarative op-specs gate on
     // quality mid-stream: {"filter": "text_quality_score(value) >= 0.6"}

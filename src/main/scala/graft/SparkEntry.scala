@@ -64,6 +64,7 @@ object SparkEntry {
     "stream_windowed_agg"     -> (Relational.streamWindowedAggBatch(_, _)),
     "stream_sessionize"       -> (Relational.streamSessionizeBatch(_, _)),
     "stream_interval_join"    -> (graft.stream.StreamJoin.intervalJoinQuery(_, _)),
+    "stream_windowed_distinct" -> (Relational.streamWindowedDistinctBatch(_, _)),
     // §2.2 Datalog compiler end-to-end (triple patterns → Catalyst plan)
     "datalog_query"       -> (graft.query.datalog.DatalogDb.datalogQuery(_, _)),
     "datalog_edn"         -> (graft.query.datalog.DatalogDb.datalogEdnQuery(_, _)),
@@ -469,6 +470,28 @@ object SparkEntry {
          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""",
     // stream_sessionize: gap-chained sessions — lag/flag/running-sum with
     // µs-integer gap comparisons, (ts, event_id) tie-broken ordering
+    // stream_windowed_distinct: the KMV sketch per (day, type) — the same
+    // replay as sketch_distinct_kmv, grouped by the tumbling window
+    // (window('1 day') aligns to epoch days = date_trunc under UTC)
+    "stream_windowed_distinct" ->
+      """WITH h AS (
+           SELECT DISTINCT date_trunc('day', ts) AS w_start, event_type,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM events
+         ), r AS (
+           SELECT w_start, event_type, h,
+             row_number() OVER (PARTITION BY w_start, event_type ORDER BY h) AS rn
+           FROM h
+         ), a AS (
+           SELECT w_start, event_type, count(*) AS n_seen,
+             max(CASE WHEN rn = 64 THEN h END) AS h64
+           FROM r WHERE rn <= 64 GROUP BY w_start, event_type
+         )
+         SELECT w_start, event_type,
+           CASE WHEN n_seen < 64 THEN n_seen
+                ELSE CAST(floor(63 * pow(2, 60) / CAST(h64 AS DOUBLE)) AS BIGINT)
+           END AS approx_users
+         FROM a""",
     // stream_interval_join: the batch face of the stream-stream interval
     // join (StreamJoinSpec pins streaming ≡ batch on the same rows) — per
     // purchase, same-user clicks in the trailing 2 h window

@@ -448,6 +448,18 @@ object Relational {
         sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_v"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_v"))
 
+  /** Windowed approximate-distinct — the sketch gate's streaming-shaped
+    * face: daily unique users per event type from the KMV synopsis. In a
+    * live stream the SAME aggregate runs under a watermark with per-window
+    * state = k longs (SketchSpec pins streaming ≡ batch); here it's the
+    * batch backfill the DuckDB oracle replays. */
+  def streamWindowedDistinctBatch(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(graft.functions.SketchExpressions.kmv_distinct(col("user_id"), 64)
+        .as("approx_users"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("approx_users"))
+
   /** Gap-based sessionization: chain a user's events into a session while
     * consecutive gaps stay ≤ `gapMicros`, then aggregate per session —
     * the classic lag → new-session flag → running-sum id assignment.

@@ -144,6 +144,21 @@ class GraftExtensionsSpec extends SparkSpec {
       s"SQL and column feat_buckets must agree: $fb vs $viaApi")
   }
 
+  test("kmv_distinct from SQL matches the column API and stays exact below k") {
+    registered
+    val est = spark.sql(
+      "SELECT kmv_distinct(v, 64) AS est FROM (SELECT explode(sequence(1, 40)) AS v)")
+      .as[Long].head()
+    assert(est == 40L, s"40 distinct values under k=64 must be exact, got $est")
+    val viaSql = spark.sql(
+      "SELECT kmv_distinct(v, 8) AS est FROM (SELECT explode(sequence(1, 500)) AS v)")
+      .as[Long].head()
+    val viaApi = (1 to 500).toDF("v")
+      .agg(graft.functions.SketchExpressions.kmv_distinct(org.apache.spark.sql.functions.col("v"), 8))
+      .as[Long].head()
+    assert(viaSql == viaApi, s"SQL $viaSql must equal column API $viaApi")
+  }
+
   test("SQL-registered expressions stay codegen'd (no UDF wrapper in the plan)") {
     registered
     val df = spark.range(1).selectExpr("vec_dot(array(1.0d), array(2.0d)) AS d")

@@ -45,6 +45,36 @@ class SketchSpec extends SparkSpec {
     assert(a == b, s"sketch must not depend on partitioning: $a vs $b")
   }
 
+  test("streaming windowed sketch equals the batch aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val events = (1 to 400).map(i => (ts(1 + i % 3, i % 24), (i % 97).toLong))
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = in.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(kmv_distinct(col("user_id"), 32).as("u"))
+      .select(col("w.start").as("w_start"), col("u"))
+      .writeStream.format("memory").queryName("kmv_stream_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_stream_test")
+        .as[(java.sql.Timestamp, Long)].collect().toMap
+      val batch = events.toDF("ts", "user_id")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(kmv_distinct(col("user_id"), 32).as("u"))
+        .select(col("w.start").as("w_start"), col("u"))
+        .as[(java.sql.Timestamp, Long)].collect().toMap
+      assert(streamed == batch,
+        s"sketch state must survive the streaming merge path: $streamed vs $batch")
+    } finally q.stop()
+  }
+
   test("nulls are skipped, not counted") {
     import spark.implicits._
     val df = Seq(Some(1L), None, Some(2L), None, Some(1L)).toDF("v")
