@@ -28,11 +28,14 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  // gates chosen per the round-6 brief: dedup / ANN / window-heavy
+  // gates chosen per the round-6 brief: dedup / ANN / window-heavy —
+  // plus round 7's iterative trainer and synopsis aggregate
   private val gates = Seq(
-    "dedup_ngram_jaccard",   // posting-list dedup: the df-prune + cap path
-    "similarity_ivf",        // ANN: train + assign + probed search
-    "stream_windowed_agg")   // event-time windows over the events table
+    "dedup_ngram_jaccard",    // posting-list dedup: the df-prune + cap path
+    "similarity_ivf",         // ANN: train + assign + probed search
+    "stream_windowed_agg",    // event-time windows over the events table
+    "corpus_bpe_merges",      // iterative trainer: corpus pass + vocab-bounded rounds
+    "sketch_distinct_kmv")    // bottom-k synopsis: shuffle is k longs per group
 
   private def timeGate(name: String, dir: String): Double = {
     val fn = SparkEntry.queries(name)
