@@ -110,6 +110,8 @@ object SparkEntry {
     "corpus_vocab"           -> (graft.ext.Corpus.vocabularyQuery(_, _)),
     // BPE merge learning: one corpus pass, then vocab-bounded merge rounds
     "corpus_bpe_merges"      -> (graft.ext.Corpus.bpeMergesQuery(_, _)),
+    // BPE application: subword-segment the corpus with the learned merges
+    "corpus_bpe_tokenize"    -> (graft.ext.Corpus.bpeTokenizeQuery(_, _)),
     // domain balancing: best-quality cap per source
     "corpus_cap_source"      -> (graft.ext.Corpus.capPerSourceQuery(_, _)),
     // partition-stable train/val/test assignment
@@ -150,7 +152,7 @@ object SparkEntry {
     * `Corpus.bpeMerges`. MATERIALIZED is load-bearing: each round
     * references the previous word table twice, so DuckDB's default CTE
     * inlining would expand the chain 2^rounds times. */
-  private def bpeMergesOracle(rounds: Int): String = {
+  private def bpeTrainCtes(rounds: Int): String = {
     val w0 =
       """w0 AS MATERIALIZED (
            SELECT freq, '|' || array_to_string(regexp_split_to_array(w, ''), '||') || '|' AS seq
@@ -176,10 +178,39 @@ object SparkEntry {
            FROM w${i - 1}, b$i AS b
          )"""
     }
+    (w0 +: steps).mkString(",\n         ")
+  }
+
+  private def bpeMergesOracle(rounds: Int): String = {
     val union = (1 to rounds)
       .map(i => s"SELECT round, l AS lhs, r AS rhs, c AS pair_count FROM b$i")
       .mkString("\n         UNION ALL\n         ")
-    s"WITH ${(w0 +: steps).mkString(",\n         ")}\n         $union"
+    s"WITH ${bpeTrainCtes(rounds)}\n         $union"
+  }
+
+  /** The APPLY side replayed on top of the training chain: re-derive the
+    * merges (same CTEs as [[bpeMergesOracle]]), then run every document
+    * word through the 10 replaces in training order and count subwords. */
+  private def bpeTokenizeOracle(rounds: Int): String = {
+    val d0 =
+      """d0 AS MATERIALIZED (
+           SELECT doc_id, '|' || array_to_string(regexp_split_to_array(w, ''), '||') || '|' AS seq
+           FROM (
+             SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+             FROM documents
+           ) WHERE regexp_full_match(w, '[a-z0-9]+')
+         )"""
+    val applies = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+           SELECT doc_id, replace(seq, '|' || b.l || '||' || b.r || '|', '|' || b.l || b.r || '|') AS seq
+           FROM d${i - 1}, b$i AS b
+         )"""
+    }
+    s"""WITH ${bpeTrainCtes(rounds)},
+         ${(d0 +: applies).mkString(",\n         ")}
+         SELECT doc_id, count(*) AS n_words,
+           CAST(sum(len(string_split(trim(seq, '|'), '||'))) AS BIGINT) AS n_subwords
+         FROM d$rounds GROUP BY doc_id"""
   }
 
   private val dsirWeightCtes: String =
@@ -1317,6 +1348,9 @@ object SparkEntry {
     // word-frequency table, per-round pair argmax with (count, lhs, rhs)
     // tie-break, and the greedy wrapped-symbol merge
     "corpus_bpe_merges" -> bpeMergesOracle(10),
+    // corpus_bpe_tokenize: training chain + per-word apply chain — both
+    // directions of the tokenizer replay
+    "corpus_bpe_tokenize" -> bpeTokenizeOracle(10),
     // corpus_cap_source: per-domain quality cap — the corpus_quality_topfrac
     // scored CTE partitioned by source with a fixed keep count
     "corpus_cap_source" ->

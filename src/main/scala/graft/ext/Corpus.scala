@@ -388,10 +388,56 @@ object Corpus {
     merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
   }
 
+  /** Apply learned merges: segment every `[a-z0-9]+` word into its BPE
+    * subwords and report per-doc (word, subword) counts — the tokenizer's
+    * APPLY side (train with [[bpeMerges]], tokenize the corpus with the
+    * result). One narrow pass: each word runs the merge list IN TRAINING
+    * ORDER as chained greedy replaces over the same wrapped-symbol
+    * representation the trainer used, so segmentation is exactly what the
+    * trained tokenizer produces — no shuffle until the per-doc count agg. */
+  def bpeSubwordCounts(docs: DataFrame, merges: Seq[(String, String)],
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+    val seq0: Column = concat(lit("|"),
+      array_join(expr("filter(split(w, ''), x -> x <> '')"), "||"), lit("|"))
+    val seqN = merges.foldLeft(seq0) { case (acc, (l, r)) =>
+      org.apache.spark.sql.functions.replace(acc, lit(s"|$l||$r|"), lit(s"|$l$r|")) }
+    words.select(col("doc_id"),
+        size(split(trim(seqN, "|"), "\\|\\|")).as("n_sub"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+  }
+
+  /** One training run per (session, sf dir) feeds BOTH bpe gates — the
+    * staged-model lifecycle every train-once/apply-many artifact here
+    * follows (same pattern as [[Dedup.gatePairsPath]]). The merge table is
+    * KB model state, so it lives as driver-side rows. */
+  private val gateMergesOnce =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]()
+  private[graft] def gateMerges(s: SparkSession, d: String,
+                                rounds: Int = 10): Seq[(Int, String, String, Long)] =
+    gateMergesOnce.computeIfAbsent(
+      System.identityHashCode(s).toHexString + ":" + d + ":" + rounds,
+      _ => bpeMerges(Tables.documents(s, d), rounds).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq.sortBy(_._1))
+
   /** SparkEntry query (oracled): the first 10 learned merges over the
     * documents corpus — the oracle replays all 10 rounds as chained CTEs. */
-  def bpeMergesQuery(s: SparkSession, d: String): DataFrame =
-    bpeMerges(Tables.documents(s, d), rounds = 10)
+  def bpeMergesQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    gateMerges(s, d).toDF("round", "lhs", "rhs", "pair_count")
+  }
+
+  /** SparkEntry query (oracled): the corpus re-tokenized with the learned
+    * merges — per-doc word and subword counts. The oracle re-runs the
+    * training chain AND the application chain, so a divergence in either
+    * direction fails the gate. */
+  def bpeTokenizeQuery(s: SparkSession, d: String): DataFrame =
+    bpeSubwordCounts(Tables.documents(s, d),
+      gateMerges(s, d).map(m => (m._2, m._3)))
 
   /** Domain balancing: keep at most `maxPerSource` docs per source, best
     * quality first (integer-exact round(q·10⁶) rank, doc_id tie-break) —

@@ -304,6 +304,19 @@ class CorpusSpec extends SparkSpec {
     assert(m(2)._2 == "l" && m(2)._3 == "l", s"round 3: ${m(2)}")
   }
 
+  test("bpeSubwordCounts: learned merges segment exactly as trained") {
+    val docs = Seq((1L, "abab abab abab lll"), (2L, "ab ba x!y")).toDF("doc_id", "text")
+    val merges = Corpus.bpeMerges(docs, rounds = 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).map(m => (m._2, m._3)).toSeq
+    val got = Corpus.bpeSubwordCounts(docs, merges)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // doc 1: "abab"→(a,b)+(ab,ab) merges→1 subword each ×3; "lll"→(l,l)→"ll|l"=2
+    assert(got(1L) == ((4L, 5L)), s"doc1: ${got(1L)}")
+    // doc 2: "ab"→1 ("a b"→ab), "ba"→2 (no (b,a) merge learned), "x!y"
+    // filtered (non-alphanumeric) → 2 words, 3 subwords
+    assert(got(2L) == ((2L, 3L)), s"doc2: ${got(2L)}")
+  }
+
   test("bpeMerges: deterministic tie-break and multi-char buildup") {
     val docs = Seq((1L, "xy xy za za")).toDF("doc_id", "text")
     val m = Corpus.bpeMerges(docs, rounds = 2)
