@@ -101,6 +101,13 @@ class PlanQualitySpec extends SparkSpec {
       s"scans must report the bucketed layout:\n$plan")
   }
 
+  test("interval join is a keyed equi-join, never a cartesian range scan") {
+    val df = graft.stream.StreamJoin.intervalJoinQuery(spark, sf("sf0.001"))
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"time bounds must ride the user_id equi-join, not replace it:\n$plan")
+  }
+
   test("datalog same-entity patterns compile to a single scan per table") {
     val df = graft.query.datalog.DatalogDb.datalogQuery(spark, sf("sf0.001"))
     // count relation leaves in the optimized logical plan (the compiler's

@@ -44,6 +44,41 @@ class StreamJoinSpec extends SparkSpec {
     assert(got == expected, s"got $got")
   }
 
+  test("left-outer face: unmatched purchases survive with null clicks, both modes") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def outer(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      StreamJoin.intervalJoin(l, r, "user_id", lookback, joinType = "left_outer")
+        .select(col("l.event_id"), col("r.value"))
+    val batch = outer(purchases.toDF("event_id", "user_id", "ts"),
+        clicks.toDF("user_id", "ts", "value"))
+      .as[(Long, Option[Double])].collect().toSet
+    // 101 only matches :30's click; a user-3-only click never joins; no
+    // purchase is lost (the attribution join must not drop zero-click rows)
+    assert(batch.map(_._1) == Set(100L, 101L, 102L))
+    val lIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val rIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = outer(
+        lIn.toDF().toDF("event_id", "user_id", "ts").withWatermark("ts", "10 minutes"),
+        rIn.toDF().toDF("user_id", "ts", "value").withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("interval_join_outer_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      lIn.addData(purchases: _*)
+      rIn.addData(clicks: _*)
+      q.processAllAvailable()
+      // outer results emit only once the watermark passes the join window
+      lIn.addData((999L, 99L, ts(59))); rIn.addData((99L, ts(59), 0.0))
+      q.processAllAvailable()
+      lIn.addData((998L, 98L, java.sql.Timestamp.valueOf("2024-01-01 03:00:00")))
+      rIn.addData((98L, java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("interval_join_outer_test")
+        .filter(col("event_id") < 900L)
+        .as[(Long, Option[Double])].collect().toSet
+      assert(streamed == batch, s"streaming outer $streamed must match batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming run of the same builder matches batch row-for-row") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val lIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
