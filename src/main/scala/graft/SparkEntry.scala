@@ -44,6 +44,7 @@ object SparkEntry {
     "agg_cube"            -> (Relational.aggCube(_, _)),
     "agg_count_distinct"  -> (Relational.aggCountDistinct(_, _)),
     "sketch_distinct_kmv" -> (Relational.sketchDistinctKmv(_, _)),
+    "sketch_quantile_sample" -> (Relational.sketchQuantileSample(_, _)),
     "agg_min_max"         -> (Relational.aggMinMax(_, _)),
     "agg_stats"           -> (Relational.aggStats(_, _)),
     "order_by_limit"      -> (Relational.orderByLimit(_, _)),
@@ -501,6 +502,26 @@ object SparkEntry {
          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""",
     // stream_sessionize: gap-chained sessions — lag/flag/running-sum with
     // µs-integer gap comparisons, (ts, event_id) tie-broken ordering
+    // sketch_quantile_sample: deterministic md5 1-in-8 row sample, exact
+    // lower-rank quantiles over it ((value, event_id) total order)
+    "sketch_quantile_sample" ->
+      """WITH s AS (
+           SELECT event_type, event_id, value,
+             ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM events
+         ), f AS (
+           SELECT event_type, event_id, value FROM s WHERE h < 144115188075855872
+         ), r AS (
+           SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+           FROM f
+         )
+         SELECT event_type,
+           max(CASE WHEN rn = CAST(floor((cnt - 1) * 0.5) AS BIGINT) + 1 THEN value END) AS p50,
+           max(CASE WHEN rn = CAST(floor((cnt - 1) * 0.95) AS BIGINT) + 1 THEN value END) AS p95,
+           CAST(max(cnt) AS BIGINT) AS n_sample
+         FROM r GROUP BY event_type""",
     // stream_windowed_distinct: the KMV sketch per (day, type) — the same
     // replay as sketch_distinct_kmv, grouped by the tumbling window
     // (window('1 day') aligns to epoch days = date_trunc under UTC)

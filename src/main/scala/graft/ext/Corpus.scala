@@ -419,7 +419,7 @@ object Corpus {
   private[graft] def gateMerges(s: SparkSession, d: String,
                                 rounds: Int = 10): Seq[(Int, String, String, Long)] =
     gateMergesOnce.computeIfAbsent(
-      System.identityHashCode(s).toHexString + ":" + d + ":" + rounds,
+      graft.core.SessionKey.of(s) + ":" + d + ":" + rounds,
       _ => bpeMerges(Tables.documents(s, d), rounds).collect()
         .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
         .toSeq.sortBy(_._1))

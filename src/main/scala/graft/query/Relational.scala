@@ -172,6 +172,29 @@ object Relational {
       .agg(graft.functions.SketchExpressions.kmv_distinct(col("user_id"), 64)
         .as("distinct_est"))
 
+  /** Beyond-reference sketch operator: per-type value quantiles from a
+    * DETERMINISTIC hash sample — md5(event_id) keeps 1-in-8 rows, then
+    * exact lower-rank quantiles over the sample (ties broken by id, so
+    * the pick is total). The 100 TB quantile pattern: the sample filter
+    * is a per-row predicate (no shuffle, no state), sized so each
+    * group's sample stays window-sortable; the quantile itself is then
+    * exact on the sample, and — unlike seeded-RNG sampling — the sample
+    * set is independent of partitioning and replays in the oracle. */
+  def sketchQuantileSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sampled = Tables.events(s, d).filter(
+      graft.functions.SketchExpressions.hash60(col("event_id")) < lit((1L << 60) / 8))
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    sampled
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(
+        max(when(col("rn") === floor((col("cnt") - 1) * 0.5) + 1, col("value"))).as("p50"),
+        max(when(col("rn") === floor((col("cnt") - 1) * 0.95) + 1, col("value"))).as("p95"),
+        max(col("cnt")).as("n_sample"))
+  }
+
   /** Q15: min/max (exact on doubles — no ordering sensitivity). */
   def aggMinMax(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)

@@ -131,10 +131,10 @@ object Scale {
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   def gateBucketedTables(s: org.apache.spark.sql.SparkSession, d: String,
                          buckets: Int = 16): (String, String) = {
-    // keyed by session identity: saveAsTable registers in the SESSION
-    // catalog, so a fresh session (new test suite, new Verify run) must
-    // re-stage even if the files survive in tmpdir
-    val key = System.identityHashCode(s).toHexString + ":" + d
+    // keyed per session (core.SessionKey): saveAsTable registers in the
+    // SESSION catalog, so a fresh session (new test suite, new Verify
+    // run) must re-stage even if the files survive in tmpdir
+    val key = graft.core.SessionKey.of(s) + ":" + d
     stagedBucketedOnce.computeIfAbsent(key, _ => {
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(key.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString

@@ -75,6 +75,23 @@ class SketchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hash-sampled quantiles: deterministic sample, near-exact ranks") {
+    import spark.implicits._
+    // uniform values 0..9999 keyed by id — the md5 sample keeps ~1/8 and
+    // its p50/p95 must land near the true quantiles
+    val df = (0 until 10000).map(i => (i.toLong, (i * 7919 % 10000).toDouble))
+      .toDF("event_id", "value")
+    val sampled = df.filter(hash60(col("event_id")) < lit((1L << 60) / 8))
+    val n = sampled.count()
+    assert(n > 800 && n < 1700, s"~1/8 sample expected, got $n of 10000")
+    assert(sampled.coalesce(1).collect().map(_.getLong(0)).toSet ==
+      df.repartition(13).filter(hash60(col("event_id")) < lit((1L << 60) / 8))
+        .collect().map(_.getLong(0)).toSet,
+      "the sample is a function of the ids, not the partitioning")
+    val p50 = sampled.stat.approxQuantile("value", Array(0.5), 0.0)(0)
+    assert(math.abs(p50 - 5000.0) < 500.0, s"sampled median $p50 far from 5000")
+  }
+
   test("nulls are skipped, not counted") {
     import spark.implicits._
     val df = Seq(Some(1L), None, Some(2L), None, Some(1L)).toDF("v")
