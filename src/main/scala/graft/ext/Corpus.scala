@@ -425,11 +425,13 @@ object Corpus {
         .toSeq.sortBy(_._1))
 
   /** SparkEntry query (oracled): the first 10 learned merges over the
-    * documents corpus — the oracle replays all 10 rounds as chained CTEs. */
-  def bpeMergesQuery(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    gateMerges(s, d).toDF("round", "lhs", "rhs", "pair_count")
-  }
+    * documents corpus — the oracle replays all 10 rounds as chained CTEs.
+    * Deliberately NOT served from the [[gateMerges]] session cache: this
+    * gate IS the training benchmark, so every run pays the real corpus
+    * pass + merge rounds (the apply gate is the one that consumes the
+    * train-once artifact). */
+  def bpeMergesQuery(s: SparkSession, d: String): DataFrame =
+    bpeMerges(Tables.documents(s, d), rounds = 10)
 
   /** SparkEntry query (oracled): the corpus re-tokenized with the learned
     * merges — per-doc word and subword counts. The oracle re-runs the
