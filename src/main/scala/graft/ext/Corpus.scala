@@ -348,14 +348,7 @@ object Corpus {
     // round's 2-stage argmax as ~3 separate jobs; the rounds are
     // KB-scale model iterations (the Lloyd-loop shape) where fixed
     // per-job overhead IS the cost. Restored on every exit path.
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val shufWas = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    // with AQE off nothing coalesces the pair-count shuffle — size it to
-    // the vocab table (8 partitions), not the cluster default, or every
-    // round schedules a wave of near-empty reduce tasks
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    graft.core.ModelLoop.scoped(spark) {
       var r = 1
       var exhausted = false
       while (r <= rounds && !exhausted) {
@@ -381,9 +374,6 @@ object Corpus {
           r += 1
         }
       }
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
     }
     merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
   }

@@ -134,13 +134,18 @@ object Similarity {
     val spark = emb.sparkSession
     val v = graft.core.CacheRegistry.persisted(
       emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
-    val init = v.select(
-      pmod(col("vec_id"), lit(kCentroids.toLong)).as("centroid_id"), col("v"))
-    var cents = collectCentroidPairs(meanPairs(init))
-    for (_ <- 1 to iters)
-      cents = collectCentroidPairs(
-        meanPairs(assignToNearestLit(v, cents).select("centroid_id", "v")))
-    centroidsDf(spark, cents)
+    // Lloyd rounds are model iterations — run them under ModelLoop's
+    // AQE-off / narrow-shuffle scope (each round's reduce side is ≤ k
+    // centroid rows; the adaptive planner only adds jobs here)
+    graft.core.ModelLoop.scoped(spark) {
+      val init = v.select(
+        pmod(col("vec_id"), lit(kCentroids.toLong)).as("centroid_id"), col("v"))
+      var cents = collectCentroidPairs(meanPairs(init))
+      for (_ <- 1 to iters)
+        cents = collectCentroidPairs(
+          meanPairs(assignToNearestLit(v, cents).select("centroid_id", "v")))
+      centroidsDf(spark, cents)
+    }
   }
 
   /** Centroids collected as driver-side MODEL STATE between Lloyd rounds —
@@ -323,20 +328,24 @@ object Similarity {
                        iters: Int = 2): PqModel = {
     val v = graft.core.CacheRegistry.persisted(
       emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
-    val dim = v.select(size(col("v"))).first().getInt(0)
-    require(dim % m == 0, s"trainPqCodebooks: dim $dim not divisible by m=$m")
-    val dsub = dim / m
-    val sub = graft.core.CacheRegistry.persisted(subVectors(v, m, dsub))
-    var books = collectSubMeans(
-      sub.withColumn("code", pmod(col("vec_id"), lit(ksub.toLong)).cast("int")))
-    for (_ <- 1 to iters) {
-      val codeExpr = (0 until m).map(j => (j, books(j))).foldLeft(lit(null).cast("int")) {
-        case (acc, (j, book)) =>
-          when(col("sub") === j, nearestCodeLit(col("sv"), book)).otherwise(acc)
+    // per-subspace Lloyd rounds: the same model-iteration shape as
+    // trainCentroids — reduce side ≤ m·ksub rows, so scope the loop
+    graft.core.ModelLoop.scoped(v.sparkSession) {
+      val dim = v.select(size(col("v"))).first().getInt(0)
+      require(dim % m == 0, s"trainPqCodebooks: dim $dim not divisible by m=$m")
+      val dsub = dim / m
+      val sub = graft.core.CacheRegistry.persisted(subVectors(v, m, dsub))
+      var books = collectSubMeans(
+        sub.withColumn("code", pmod(col("vec_id"), lit(ksub.toLong)).cast("int")))
+      for (_ <- 1 to iters) {
+        val codeExpr = (0 until m).map(j => (j, books(j))).foldLeft(lit(null).cast("int")) {
+          case (acc, (j, book)) =>
+            when(col("sub") === j, nearestCodeLit(col("sv"), book)).otherwise(acc)
+        }
+        books = collectSubMeans(sub.withColumn("code", codeExpr))
       }
-      books = collectSubMeans(sub.withColumn("code", codeExpr))
+      PqModel(m, dsub, books)
     }
-    PqModel(m, dsub, books)
   }
 
   /** Encode: m code columns per vector, each a literal-codebook argmin on
