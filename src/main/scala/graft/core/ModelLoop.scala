@@ -10,7 +10,14 @@ import org.apache.spark.sql.SparkSession
   * a model round is ≤ model-size rows — the cluster-default width just
   * schedules waves of near-empty tasks). Confs restore on every exit
   * path, so the surrounding query keeps its adaptive planning. Measured
-  * on the BPE loop: 3.56 s → 2.2 s, jobs 34 → 14 (BASELINE.md round 7). */
+  * on the BPE loop: 3.56 s → 2.2 s, jobs 34 → 14 (BASELINE.md round 7).
+  *
+  * The scope mutates SESSION confs: queries running concurrently on the
+  * same session during a training loop would plan without AQE/codegen for
+  * its duration. A deployment interleaving trainers with live queries
+  * should give trainers their own `spark.newSession()` (shared catalog +
+  * cache, independent confs) — the gates and Verify/Bench run queries
+  * sequentially, where the scope is exact. */
 object ModelLoop {
   /** `interpretModel`: every round embeds FRESH model literals (centroid
     * argmin trees, merge-pair replaces), so codegen can never amortize —
