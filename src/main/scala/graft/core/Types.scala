@@ -81,6 +81,18 @@ object OpSpec {
   final case class AsOfEnrich(dimPath: String, key: String, eventTs: String,
                               dimTs: String, carry: Seq[String]) extends OpSpec
 
+  /** Time-bounded stream-stream join against ANOTHER NODE's output
+    * ([[graft.stream.StreamJoin]] as a declarative stage): each row of
+    * this node's input (left) picks up `carry` columns (renamed
+    * `right_<col>`) from `right`'s rows sharing `key` whose `ts` lies in
+    * [left.ts − lookback, left.ts + lookahead]. STATEFUL — both sides
+    * watermark with `watermark` and Spark bounds join state from the
+    * interval condition; the right node is a real graph dependency
+    * (edges/cycle checks/affected-subgraph/stateful signature all see it). */
+  final case class IntervalJoin(right: String, key: String, lookback: String,
+                                lookahead: String, watermark: String,
+                                carry: Seq[String]) extends OpSpec
+
   /** PII scrubbing on a text column (graft.ext.TextOps.scrubPii): adds
     * per-class match counts and `text_clean` with typed placeholders.
     * Stateless per-row projection — the redaction-at-ingest stage of a

@@ -87,6 +87,16 @@ object NodeSpec {
           dts <- (a \ "dimTs").extractOpt[String]
           carry <- (a \ "carry").extractOpt[Seq[String]] if carry.nonEmpty
         } yield OpSpec.AsOfEnrich(dim, key, ets, dts, carry)
+      case m if m.contains("intervalJoin") =>
+        val a = m("intervalJoin")
+        for {
+          right <- (a \ "right").extractOpt[String]
+          key <- (a \ "key").extractOpt[String]
+          lb <- (a \ "lookback").extractOpt[String]
+          wm <- (a \ "watermark").extractOpt[String]
+          carry <- (a \ "carry").extractOpt[Seq[String]] if carry.nonEmpty
+        } yield OpSpec.IntervalJoin(right, key, lb,
+          (a \ "lookahead").extractOpt[String].getOrElse("0 seconds"), wm, carry)
       case _ => None
     }
     case _ => None
@@ -159,6 +169,12 @@ object NodeSpec {
         JObject("asofEnrich" -> JObject(
           "dim" -> JString(dim), "key" -> JString(key),
           "eventTs" -> JString(ets), "dimTs" -> JString(dts),
+          "carry" -> JArray(carry.map(JString(_)).toList)))
+      case OpSpec.IntervalJoin(right, key, lb, la, wm, carry) =>
+        JObject("intervalJoin" -> JObject(
+          "right" -> JString(right), "key" -> JString(key),
+          "lookback" -> JString(lb), "lookahead" -> JString(la),
+          "watermark" -> JString(wm),
           "carry" -> JArray(carry.map(JString(_)).toList)))
       case OpSpec.ScrubPii(tc) => JObject("scrubPii" -> JString(tc))
     }

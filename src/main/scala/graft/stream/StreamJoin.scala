@@ -40,6 +40,23 @@ object StreamJoin {
     left.alias("l").join(right.alias("r"), cond, joinType)
   }
 
+  /** "<n> seconds|minutes|hours|days" → Duration, for the declarative
+    * [[graft.core.OpSpec.IntervalJoin]] spec strings (same dialect as the
+    * watermark strings the other stateful specs carry). */
+  def parseDuration(s: String): java.time.Duration = {
+    val Pat = "([0-9]+)\\s*(second|minute|hour|day)s?".r
+    s.trim.toLowerCase match {
+      case Pat(n, u) => u match {
+        case "second" => java.time.Duration.ofSeconds(n.toLong)
+        case "minute" => java.time.Duration.ofMinutes(n.toLong)
+        case "hour"   => java.time.Duration.ofHours(n.toLong)
+        case "day"    => java.time.Duration.ofDays(n.toLong)
+      }
+      case other => throw new IllegalArgumentException(
+        s"intervalJoin duration '$other' — expected '<n> seconds|minutes|hours|days'")
+    }
+  }
+
   /** SparkEntry gate (oracled): per purchase, the count and exact-decimal
     * value sum of the same user's clicks in the preceding 2 hours — the
     * attribution query every event pipeline runs, on the batch path of the

@@ -67,7 +67,7 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
     // walk downstream edges of the hypothetical graph from n; returning
     // to n means the swap would close a cycle
     val out = hypothetical.values
-      .flatMap(m => m.upstream.map(u => (u, m.name.full)))
+      .flatMap(m => depsOf(m).map(u => (u, m.name.full)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     var acc = Set.empty[String]
     var frontier = out.getOrElse(n.name.full, Set.empty)
@@ -93,7 +93,7 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
 
   /** `get-edges` (`utils/stream.clj:11-17`): (upstream, downstream). */
   def edges: Seq[(String, String)] =
-    nodeMap.values.flatMap(n => n.upstream.toSeq.sorted.map(u => (u, n.name.full))).toSeq
+    nodeMap.values.flatMap(n => depsOf(n).map(u => (u, n.name.full))).toSeq
 
   /** T14 `query-graph`: everything reachable downstream of `full`
     * (the affected subgraph on a hot-swap — only these re-wire). */
@@ -128,7 +128,7 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
   def statefulSignature(full: String, visiting: Set[String] = Set.empty): Seq[String] =
     if (visiting.contains(full)) Seq.empty
     else nodeMap.get(full).fold(Seq.empty[String]) { n =>
-      n.upstream.toSeq.sorted.flatMap(statefulSignature(_, visiting + full)) ++
+      depsOf(n).flatMap(statefulSignature(_, visiting + full)) ++
         n.transducer.toSeq.flatMap(statefulOps)
     }
 
@@ -139,8 +139,9 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
   def sourceTopics(full: String, visiting: Set[String] = Set.empty): Set[String] =
     if (visiting(full)) Set.empty
     else nodeMap.get(full).fold(Set.empty[String]) { n =>
-      if (n.upstream.isEmpty) Set(n.name.full)
-      else n.upstream.flatMap(sourceTopics(_, visiting + full))
+      val deps = depsOf(n) // a join's checkpoint commits BOTH sides' offsets
+      if (deps.isEmpty) Set(n.name.full)
+      else deps.toSet.flatMap((d: String) => sourceTopics(d, visiting + full))
     }
 
   private def statefulOps(spec: OpSpec): Seq[String] = spec match {
@@ -148,16 +149,32 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
     case s: OpSpec.WindowAgg    => Seq(s.toString)
     case s: OpSpec.SessionAgg   => Seq(s.toString)
     case s: OpSpec.DedupeKeys   => Seq(s.toString)
+    case s: OpSpec.IntervalJoin => Seq(s.toString)
     case _                      => Seq.empty
   }
 
+  /** Non-upstream graph dependencies a transducer introduces (today: the
+    * right side of an interval join). These are REAL edges — cycle
+    * checks, affected-subgraph, stateful signatures, and source-topic
+    * closures must all see them, or a hot-swap of the right node would
+    * leave a running join reading a stale plan. */
+  private def joinDeps(spec: OpSpec): Seq[String] = spec match {
+    case OpSpec.Comp(stages)        => stages.flatMap(joinDeps)
+    case OpSpec.IntervalJoin(r, _, _, _, _, _) => Seq(r)
+    case _                          => Seq.empty
+  }
+
+  private def depsOf(n: StreamNode): Seq[String] =
+    (n.upstream.toSeq ++ n.transducer.toSeq.flatMap(joinDeps)).distinct.sorted
+
   /** Apply an op-spec stage chain (T3-T5) to a node input. */
-  def applyOpSpec(df: DataFrame, spec: OpSpec): DataFrame = spec match {
+  def applyOpSpec(df: DataFrame, spec: OpSpec,
+                  building: Set[String] = Set.empty): DataFrame = spec match {
     case OpSpec.MapExpr(e)      => df.withColumn("value", expr(e))
     case OpSpec.FilterExpr(p)   => df.filter(expr(p))
     case OpSpec.SelectExpr(es)  => df.selectExpr(es: _*)
     case OpSpec.Named(name, _)  => registry.transform(name, df)
-    case OpSpec.Comp(stages)    => stages.foldLeft(df)(applyOpSpec)
+    case OpSpec.Comp(stages)    => stages.foldLeft(df)(applyOpSpec(_, _, building))
     case OpSpec.WindowAgg(ts, dur, slide, wm, keys, aggs) =>
       val windowed = slide match {
         case Some(s) => window(col(ts), dur, s)
@@ -174,6 +191,17 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
     case OpSpec.AsOfEnrich(dimPath, key, eventTs, dimTs, carry) =>
       StreamAsOf.enrichAsOf(df, io.spark.read.parquet(dimPath),
         key, eventTs, dimTs, carry)
+    case OpSpec.IntervalJoin(right, key, lookback, lookahead, wm, carry) =>
+      // the right side is a NODE PLAN — the join composes whatever
+      // transducers that node declares; `building` rides along so a join
+      // cycle fails with the same loud error as an upstream cycle
+      val r = buildPlan(right, building)
+      val leftCols = df.columns.toSeq
+      StreamJoin.intervalJoin(
+          df.withWatermark("ts", wm), r.withWatermark("ts", wm), key,
+          StreamJoin.parseDuration(lookback), StreamJoin.parseDuration(lookahead))
+        .select(leftCols.map(c => col(s"l.$c")) ++
+          carry.map(c => col(s"r.$c").as(s"right_$c")): _*)
     case OpSpec.SessionAgg(ts, gap, wm, keys, aggs) =>
       val aggCols = aggs.map(expr)
       df.withWatermark(ts, wm)
@@ -270,7 +298,8 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
     val n = nodeMap.getOrElse(full,
       throw new NoSuchElementException(s"unknown node $full"))
     val input = nodeInput(n, building)
-    val transformed = n.transducer.fold(input)(applyOpSpec(input, _))
+    val transformed = n.transducer.fold(input)(
+      applyOpSpec(input, _, building + full))
     // engine-forced (filter some?) — only when the payload column survived
     if (transformed.columns.contains("value"))
       transformed.filter(col("value").isNotNull)
@@ -284,7 +313,8 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
     val n = nodeMap(full)
     n.errorSink.map { _ =>
       val input = nodeInput(n, Set.empty)
-      val transformed = n.transducer.fold(input)(applyOpSpec(input, _))
+      val transformed = n.transducer.fold(input)(
+        applyOpSpec(input, _, Set(n.name.full)))
       if (transformed.columns.contains("value")) transformed.filter(col("value").isNull)
       else transformed.limit(0)
     }

@@ -433,6 +433,60 @@ class TopologySpec extends SparkSpec {
     mgr.stopAll()
   }
 
+  test("intervalJoin op-spec: declarative stream-stream correlation node") {
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 01:$m%02d:00")
+    assert(topo.addNode(StreamNode(NodeName.parse("kafka/purchases"),
+      Set.empty, None, None, None)).isRight)
+    assert(topo.addNode(StreamNode(NodeName.parse("kafka/clicks"),
+      Set.empty, None, None, None)).isRight)
+    val spec = OpSpec.IntervalJoin("kafka/clicks", "key",
+      "15 minutes", "0 seconds", "10 minutes", Seq("value"))
+    assert(topo.addNode(StreamNode(NodeName.parse("stream/attrib"),
+      Set("kafka/purchases"), Some(spec), Some(BufferSpec.Fixed(1000)), None)).isRight)
+    assert(topo.addNode(StreamNode(NodeName.parse("kafka/attributed"),
+      Set("stream/attrib"), None, None, None)).isRight)
+    // the join dep is a REAL graph edge: clicks' downstream closure
+    // includes the join and its sink; its sources feed the checkpoint
+    assert(topo.downstreamOf("kafka/clicks") ==
+      Set("stream/attrib", "kafka/attributed"))
+    assert(topo.sourceTopics("stream/attrib") ==
+      Set("kafka/purchases", "kafka/clicks"))
+    assert(topo.statefulSignature("kafka/attributed").exists(_.contains("IntervalJoin")),
+      "the join is a stateful change-class member")
+    val mgr = new StreamManager(topo)
+    io.publishAt("kafka/purchases", "u1", "p100", ts(10))
+    io.publishAt("kafka/clicks", "u1", "c-early", ts(0))
+    io.publishAt("kafka/clicks", "u1", "c-late", ts(20))   // after purchase
+    io.publishAt("kafka/clicks", "u2", "c-other", ts(9))   // other user
+    mgr.applyGraph()
+    mgr.processAllAvailable()
+    val rows = io.collected("attributed")
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("value"),
+        r.getAs[String]("right_value")))
+    assert(rows == Seq(("u1", "p100", "c-early")),
+      s"only the in-window same-user click joins: $rows")
+    mgr.stopAll()
+  }
+
+  test("intervalJoin right-side cycles are rejected at registration") {
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    assert(topo.addNode(StreamNode(NodeName.parse("kafka/a"),
+      Set.empty, None, None, None)).isRight)
+    assert(topo.addNode(StreamNode(NodeName.parse("stream/b"), Set("kafka/a"),
+      Some(OpSpec.IntervalJoin("stream/c", "key",
+        "1 minutes", "0 seconds", "1 minutes", Seq("value"))),
+      Some(BufferSpec.Fixed(1000)), None)).isRight)
+    // c joining back against b closes a cycle THROUGH the join edge
+    val cyc = topo.addNode(StreamNode(NodeName.parse("stream/c"), Set("kafka/a"),
+      Some(OpSpec.IntervalJoin("stream/b", "key",
+        "1 minutes", "0 seconds", "1 minutes", Seq("value"))),
+      Some(BufferSpec.Fixed(1000)), None))
+    assert(cyc.isLeft, s"join-edge cycle must fail registration: $cyc")
+  }
+
   test("scrubPii op-spec: declarative redaction-at-ingest node") {
     val io = new MemoryIO(spark)
     val topo = new Topology(io)
