@@ -51,7 +51,23 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
         Left(s"${n.name.full}: sliding buffer size must be positive, got $x")
       case Some(graft.core.BufferSpec.Dropping(x)) if x <= 0 =>
         Left(s"${n.name.full}: dropping buffer size must be positive, got $x")
-      case _ => Right(n)
+      case _ =>
+        // interval-join durations must parse NOW: a malformed lookback
+        // passes JSON parsing (it's a free string, like watermarks) but
+        // would detonate in buildPlan after downstream queries stopped
+        def badDuration(spec: OpSpec): Option[String] = spec match {
+          case OpSpec.Comp(ss) => ss.flatMap(badDuration(_)).headOption
+          case OpSpec.IntervalJoin(_, _, lb, la, _, _) =>
+            Seq(lb, la).find(d =>
+              scala.util.Try(StreamJoin.parseDuration(d)).isFailure)
+          case _ => None
+        }
+        n.transducer.flatMap(badDuration) match {
+          case Some(bad) => Left(
+            s"${n.name.full}: intervalJoin duration '$bad' — " +
+              "expected '<n> seconds|minutes|hours|days'")
+          case None => Right(n)
+        }
     }
 
   /** Would swapping `n` into the graph close a cycle? Checked by

@@ -470,6 +470,18 @@ class TopologySpec extends SparkSpec {
     mgr.stopAll()
   }
 
+  test("intervalJoin malformed durations fail registration, not buildPlan") {
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    assert(topo.addNode(StreamNode(NodeName.parse("kafka/a"),
+      Set.empty, None, None, None)).isRight)
+    val bad = topo.addNode(StreamNode(NodeName.parse("stream/j"), Set("kafka/a"),
+      Some(OpSpec.IntervalJoin("kafka/a", "key",
+        "fortnight", "0 seconds", "1 minutes", Seq("value"))),
+      Some(BufferSpec.Fixed(10)), None))
+    assert(bad.isLeft && bad.swap.exists(_.contains("fortnight")), s"got $bad")
+  }
+
   test("intervalJoin right-side cycles are rejected at registration") {
     val io = new MemoryIO(spark)
     val topo = new Topology(io)
