@@ -45,6 +45,7 @@ object SparkEntry {
     "agg_count_distinct"  -> (Relational.aggCountDistinct(_, _)),
     "sketch_distinct_kmv" -> (Relational.sketchDistinctKmv(_, _)),
     "sketch_quantile_sample" -> (Relational.sketchQuantileSample(_, _)),
+    "sketch_heavy_hitters" -> (TextOps.heavyHittersQuery(_, _)),
     "agg_min_max"         -> (Relational.aggMinMax(_, _)),
     "agg_stats"           -> (Relational.aggStats(_, _)),
     "order_by_limit"      -> (Relational.orderByLimit(_, _)),
@@ -101,6 +102,8 @@ object SparkEntry {
     "corpus_token_mix"      -> (graft.ext.Corpus.tokenBudgetMixQuery(_, _)),
     // benchmark decontamination: train-vs-eval n-gram overlap
     "corpus_decontam"       -> (graft.ext.Corpus.decontamQuery(_, _)),
+    // eval-side Bloom bitmap decontamination (fixed-size probe broadcast)
+    "corpus_bloom_decontam" -> (graft.ext.Corpus.bloomDecontamQuery(_, _)),
     // sequence packing: fixed-capacity training windows, per-shard offsets
     "corpus_pack_sequences" -> (graft.ext.Corpus.packSequencesQuery(_, _)),
     // per-language data-card summary (integer-exact)
@@ -129,6 +132,8 @@ object SparkEntry {
     "text_boilerplate"       -> (TextOps.boilerplateQuery(_, _)),
     // within-doc repeated-line removal (C4/RefinedWeb step)
     "text_dedup_lines"       -> (TextOps.dedupLinesQuery(_, _)),
+    // BM25 ranked retrieval: top-k docs for a bag-of-terms query
+    "text_bm25_topk"         -> (TextOps.bm25Query(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -522,6 +527,34 @@ object SparkEntry {
            max(CASE WHEN rn = CAST(floor((cnt - 1) * 0.95) AS BIGINT) + 1 THEN value END) AS p95,
            CAST(max(cnt) AS BIGINT) AS n_sample
          FROM r GROUP BY event_type""",
+    // sketch_heavy_hitters: the count-min sketch replayed cell-for-cell —
+    // every (depth row j, token) occurrence lands in cell
+    // md5("j:"+token)%width; the cells CTE is the sketch matrix as sums,
+    // and each probe term reads the MIN of its depth cells (0 when a cell
+    // was never touched)
+    "sketch_heavy_hitters" ->
+      """WITH tok AS (
+           SELECT token FROM (
+             SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+             FROM documents)
+           WHERE len(token) > 0
+         ), ds AS (SELECT * FROM (VALUES (0),(1),(2),(3)) d(j)),
+         cells AS (
+           SELECT j,
+             ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || token), 1, 15))::BIGINT % 512 AS cell,
+             count(*) AS cnt
+           FROM tok CROSS JOIN ds GROUP BY 1, 2
+         ), probes AS (
+           SELECT * FROM (VALUES ('join'),('hash'),('row'),('customer'),
+                                 ('vector'),('zzznope'),('qux')) p(term)
+         ), pc AS (
+           SELECT term, j,
+             ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || term), 1, 15))::BIGINT % 512 AS cell
+           FROM probes CROSS JOIN ds
+         )
+         SELECT term, min(coalesce(cnt, 0)) AS est_tf
+         FROM pc LEFT JOIN cells USING (j, cell)
+         GROUP BY term""",
     // stream_windowed_distinct: the KMV sketch per (day, type) — the same
     // replay as sketch_distinct_kmv, grouped by the tumbling window
     // (window('1 day') aligns to epoch days = date_trunc under UTC)
@@ -1464,6 +1497,45 @@ object SparkEntry {
          )
          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean
          FROM kept GROUP BY doc_id""",
+    // text_bm25_topk: the whole BM25 ranking replays — dl/N/avgdl from the
+    // shared tokenization, per-(doc,term) q6-rounded scores (k1=1.5,
+    // b=0.75 keep every constant exact), integer doc sums, total
+    // (score DESC, doc_id) order
+    "text_bm25_topk" ->
+      """WITH tok AS (
+           SELECT doc_id, token FROM (
+             SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+             FROM documents)
+           WHERE len(token) > 0
+         ), dl AS (
+           SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+         ), stats AS (
+           SELECT count(*) AS n, sum(dl) AS t FROM dl
+         ), q AS (
+           SELECT * FROM (VALUES ('join'),('vector'),('merge'),('filter'),('line')) q(term)
+         ), tf AS (
+           SELECT doc_id, token AS term, count(*) AS tf
+           FROM tok JOIN q ON token = term GROUP BY 1, 2
+         ), dfs AS (
+           SELECT term, count(*) AS df FROM tf GROUP BY term
+         ), sc AS (
+           SELECT tf.doc_id,
+             CAST(floor(
+               ln((n - df + 0.5) / (df + 0.5) + 1.0)
+               * (CAST(tf AS DOUBLE) * 2.5)
+               / (CAST(tf AS DOUBLE)
+                  + 1.5 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                           / (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))))
+               * 1e6 + 0.5) AS BIGINT) AS s_q6
+           FROM tf
+           JOIN dl USING (doc_id)
+           JOIN dfs USING (term)
+           CROSS JOIN stats
+         )
+         SELECT doc_id, CAST(sum(s_q6) AS BIGINT) AS bm25_q6
+         FROM sc GROUP BY doc_id
+         ORDER BY bm25_q6 DESC, doc_id
+         LIMIT 50""",
     // text_scrub_pii: patterns restricted to the Java-regex ∩ RE2 dialect
     // (TextOps.piiPatterns) — counts on raw text, sequential replacement
     "text_scrub_pii" ->
@@ -1520,6 +1592,39 @@ object SparkEntry {
            floor(CAST(count(e.shingle) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS contamination
          FROM post p LEFT JOIN eval_set e ON p.shingle = e.shingle
          GROUP BY 1""",
+    // corpus_bloom_decontam: the Bloom bitmap replayed as its position
+    // set — bit c set in the bitmap ⟺ c in the eval side's distinct cell
+    // set, so the bit test IS the position-set membership join; a train
+    // shingle is a (maybe-)hit iff all 5 of its cells are present,
+    // false positives included deterministically
+    "corpus_bloom_decontam" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+         ), sh AS (
+           SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_distinct([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
+             END AS sh
+           FROM tok
+         ), ds AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4)) d(j)),
+         evs AS (
+           SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 10 = 0
+         ), pos AS (
+           SELECT DISTINCT
+             ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || s), 1, 15))::BIGINT % 262144 AS cell
+           FROM evs CROSS JOIN ds
+         ), trs AS (
+           SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 10 <> 0
+         ), prc AS (
+           SELECT doc_id, s, j,
+             ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || s), 1, 15))::BIGINT % 262144 AS cell
+           FROM trs CROSS JOIN ds
+         ), flg AS (
+           SELECT doc_id, s, min(CASE WHEN p.cell IS NULL THEN 0 ELSE 1 END) AS hit
+           FROM prc LEFT JOIN pos p ON prc.cell = p.cell
+           GROUP BY doc_id, s
+         )
+         SELECT doc_id, count(*) AS n_sh, CAST(sum(hit) AS BIGINT) AS n_hit_bloom
+         FROM flg GROUP BY doc_id""",
     // text_top_terms: all-integer ranking (tf desc, df asc, term asc) —
     // no float idf, so the rank order is engine-exact
     "text_top_terms" ->

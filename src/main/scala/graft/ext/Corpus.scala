@@ -89,6 +89,43 @@ object Corpus {
       .withColumn("contamination", col("n_hit").cast("double") / col("n_sh"))
   }
 
+  /** [[contamination]] with the eval side collapsed to a FIXED-SIZE Bloom
+    * bitmap instead of its distinct-shingle table: the probe broadcast is
+    * m/8 bytes (32 KB at the default 2¹⁸ bits) no matter how large the
+    * eval/reference corpus grows — the regime where the distinct-shingle
+    * broadcast stops fitting (cross-corpus overlap audits, "have we
+    * trained on this before" checks against a prior 100 TB corpus).
+    * `n_hit_bloom` is one-sided: ≥ the true hit count, over by the
+    * filter's false-positive rate ((1−e^(−kn/m))^k — size mBits for the
+    * eval side's distinct-shingle count). Both the bitmap build and the
+    * probe are deterministic md5 arithmetic, so even the false positives
+    * replay in the DuckDB oracle (position-set join ≡ bit test). */
+  def bloomContamination(train: DataFrame, evalDocs: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         shingleN: Int = 3, kHash: Int = 5,
+                         mBits: Int = 1 << 18): DataFrame = {
+    import graft.functions.SketchExpressions.{bloom_bitmap, bloomMightContain}
+    def shingles(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextHashExpressions.word_shingles(
+        TextOps.tokens(col(textCol)), shingleN)).as("s"))
+    val bloom = shingles(evalDocs)
+      .agg(bloom_bitmap(col("s"), kHash, mBits).as("bloom"))
+    shingles(train)
+      .crossJoin(broadcast(bloom)) // one m/8-byte row → map-side probe
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(bloomMightContain(col("bloom"), col("s"), kHash, mBits), 1L)
+          .otherwise(0L)).as("n_hit_bloom"))
+  }
+
+  /** SparkEntry query (oracled): the decontamQuery split (every 10th doc
+    * is the eval set) probed through the Bloom bitmap. */
+  def bloomDecontamQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    bloomContamination(docs.filter(col("doc_id") % 10 =!= 0),
+                       docs.filter(col("doc_id") % 10 === 0))
+  }
+
   /** The filtering form: training rows whose contamination stays ≤
     * `maxContamination` (schema passes through via anti-join on the
     * over-threshold ids). */

@@ -325,6 +325,94 @@ object TextOps {
           s => s.getField("line")), "\n").as("text_clean"))
   }
 
+  /** Count-min-sketch frequency probe over the token stream: build ONE
+    * fixed-size depth×width sketch of every token occurrence
+    * ([[graft.functions.CmsSketch]] — partial-aggregating, so each map task
+    * ships a 16 KB matrix instead of its token counts), then estimate the
+    * frequency of each candidate term with codegen'd `element_at` lookups
+    * against the broadcast sketch. The 100 TB hot-term shape: an exact
+    * vocabulary count shuffles |vocab| rows per map task; the sketch crosses
+    * the shuffle at a constant size no matter how large the corpus, and the
+    * probe side is a shuffle-free map over arbitrarily many candidates.
+    * Estimates are one-sided (≥ true count, collision inflation bounded by
+    * the width) — SketchSpec pins both bounds; the whole thing replays
+    * cell-for-cell in DuckDB. */
+  def cmsTermFrequencies(docs: DataFrame, probeTerms: Seq[String],
+                         depth: Int = 4, width: Int = 512,
+                         textCol: String = "text"): DataFrame = {
+    import graft.functions.SketchExpressions.{cms_sketch, cmsEstimate}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val sketch = toks.agg(cms_sketch(col("token"), depth, width).as("sk"))
+    probeTerms.toDF("term")
+      .crossJoin(broadcast(sketch)) // one 16 KB row → map-side probe
+      .select(col("term"), cmsEstimate(col("sk"), col("term"), depth, width).as("est_tf"))
+  }
+
+  /** SparkEntry query (oracled): CMS estimates for a probe panel spanning
+    * hot fixture terms, a mid-frequency one, and two absent ones (absent
+    * terms read pure collision mass — deterministic, so oracled too). */
+  def heavyHittersQuery(s: SparkSession, d: String): DataFrame =
+    cmsTermFrequencies(Tables.documents(s, d),
+      Seq("join", "hash", "row", "customer", "vector", "zzznope", "qux"))
+
+  /** BM25 ranked retrieval (Robertson & Spärck Jones; the Okapi BM25
+    * formula): score every document against a bag-of-terms query and return
+    * the top k. The retrieval workhorse of a training-data pipeline —
+    * contamination search ("which crawl docs score high against this eval
+    * question"), targeted corpus probes, quality-slice pulls.
+    *
+    * Scale shape — NO corpus-sized shuffle: per-doc length and per-term
+    * term frequencies are map-side array ops over ONE tokenization (the
+    * query terms ride along as an exploded literal array, so tf is
+    * `size(filter(toks, = term))` — no token explosion, no (doc, token)
+    * shuffle). The only shuffles are model-sized: the per-term df aggregate
+    * (|terms| rows), the per-doc score sum (thin (doc_id, long) rows), and
+    * a TakeOrdered top-k — never a global sort.
+    *
+    * Determinism/oracle: k1=1.5, b=0.75 keep every constant exactly
+    * representable (k1+1=2.5, 1−b=0.25); the per-(doc,term) score is
+    * q6-rounded (`floor(x·10⁶+0.5)`) so doc totals are exact-integer sums,
+    * order-free, and the final (score DESC, doc_id) order is total — the
+    * whole ranking replays in DuckDB. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 50,
+               textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: query terms must be non-empty")
+    val toksArr = filter(tokens(col(textCol)), t => length(t) > 0)
+    // one tokenization serves dl AND every per-term tf — all map-side
+    val base = docs.select(col("doc_id"), toksArr.as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    val dl = base.select(col("doc_id"), col("dl")).filter(col("dl") > 0)
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+    val tf = base
+      .withColumn("term", explode(array(queryTerms.map(lit): _*)))
+      .select(col("doc_id"), col("dl"), col("term"),
+        size(filter(col("toks"), t => t === col("term"))).cast("long").as("tf"))
+      .filter(col("tf") > 0)
+    val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("t").cast("double") / col("n").cast("double")
+    val idf = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val tfPart = (col("tf").cast("double") * lit(2.5)) /
+      (col("tf").cast("double") +
+        lit(1.5) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+    tf.join(broadcast(dfTbl), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s_q6", floor(idf * tfPart * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("s_q6")).as("bm25_q6"))
+      .orderBy(col("bm25_q6").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** SparkEntry query (oracled): top-50 docs for a five-term query over
+    * the fixture vocabulary. */
+  def bm25Query(s: SparkSession, d: String): DataFrame =
+    bm25TopK(Tables.documents(s, d),
+      Seq("join", "vector", "merge", "filter", "line"), k = 50)
+
   /** SparkEntry query (oracled): the fixture docs are single-line, so the
     * gate PLANTS boilerplate on deterministic doc_id grids (the
     * text_scrub_pii pattern): two high-df footers and a cookie header that

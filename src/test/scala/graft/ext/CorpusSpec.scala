@@ -325,4 +325,36 @@ class CorpusSpec extends SparkSpec {
     assert(m(0) == ((1, "x", "y", 2L)), s"tie must break to (x,y): ${m(0)}")
     assert(m(1) == ((2, "z", "a", 2L)), s"then (z,a): ${m(1)}")
   }
+
+  test("bloom contamination: no false negatives, clean-at-size, layout-invariant") {
+    import spark.implicits._
+    val evalDocs = Seq((100L, prose)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, prose),                                       // verbatim copy
+      (2L, "unrelated content about compilers registers and stack frames " +
+        "emitted by a code generator backend during instruction selection")
+    ).toDF("doc_id", "text")
+    def run(m: Int, df: org.apache.spark.sql.DataFrame = train) =
+      Corpus.bloomContamination(df, evalDocs, mBits = m)
+        .select("doc_id", "n_sh", "n_hit_bloom")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val exact = Corpus.contamination(train, evalDocs)
+      .select("doc_id", "n_sh", "n_hit")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val big = run(1 << 20)
+    // one-sided: bloom hits dominate true hits; at 2^20 bits for ~40
+    // eval shingles the fp rate is ~1e-18, so equality is safe to pin
+    assert(big(1L) == exact(1L), s"verbatim doc: ${big(1L)} vs exact ${exact(1L)}")
+    assert(big(2L) == exact(2L), s"disjoint doc must read clean: ${big(2L)}")
+    assert(big(1L)._2 == big(1L)._1, "every shingle of the verbatim copy hits")
+    // a deliberately tiny filter must stay one-sided (hits only inflate)
+    val tiny = run(256)
+    assert(tiny(1L)._2 == tiny(1L)._1, "true hits survive any filter size")
+    assert(tiny(2L)._2 >= exact(2L)._2 && tiny(2L)._2 <= tiny(2L)._1,
+      s"fp inflation stays within [true, n_sh]: ${tiny(2L)}")
+    // bit-OR is commutative: the bitmap can't depend on partitioning
+    assert(run(4096, train.repartition(7,
+      org.apache.spark.sql.functions.col("text"))) == run(4096),
+      "bloom probe must be partition-layout invariant")
+  }
 }

@@ -240,4 +240,32 @@ class TextOpsSpec extends SparkSpec {
       s"doc2 owns T: protection must keep T intact, losing only v1..v10: '${out(2L)}'")
     assert(out(3L) == "", "doc3's T copy is fully removed (it lives in doc2)")
   }
+
+  test("bm25: term-bearing docs rank above term-free, rare terms outweigh common") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),        // has rare 'gamma'
+      (2L, "alpha beta beta beta common words here"), // common 'alpha beta' only
+      (3L, "totally unrelated text about nothing"),
+      (4L, "alpha alpha alpha alpha alpha"),          // tf saturation case
+      (5L, "gamma gamma unique document")             // rare term, high tf
+    ) ++ (10L to 29L).map(i => (i, "alpha beta filler content number " + i))
+    val df = corpus.toDF("doc_id", "text")
+    val top = TextOps.bm25TopK(df, Seq("gamma", "alpha"), k = 30)
+      .as[(Long, Long)].collect()
+    val rank = top.map(_._1).zipWithIndex.toMap
+    val score = top.toMap
+    assert(!rank.contains(3L), "doc with no query term must not score")
+    // 'gamma' df=2 vs 'alpha' df=23: the rare term dominates any alpha tf
+    assert(rank(5L) < rank(4L) && rank(1L) < rank(4L),
+      s"rare-term docs must outrank the all-alpha doc: $top")
+    // BM25 tf saturation: 5x alpha scores above 1x alpha but below gamma docs
+    assert(score(4L) > score(2L) || rank(4L) < rank(2L),
+      s"higher tf of the same term must not rank lower: $top")
+    // total order: scores desc, doc_id tie-break asc
+    assert(top.sortBy(t => (-t._2, t._1)).toSeq == top.toSeq, "ordering must be total")
+    // determinism under partitioning
+    val again = TextOps.bm25TopK(df.repartition(7, col("doc_id")), Seq("gamma", "alpha"), k = 30)
+      .as[(Long, Long)].collect()
+    assert(again.toSeq == top.toSeq, "ranking must not depend on partitioning")
+  }
 }

@@ -100,4 +100,73 @@ class SketchSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(est == 2L, s"two distinct non-null values, got $est")
   }
+
+  // --- count-min sketch ---
+
+  private def cmsProbe(data: Seq[String], probes: Seq[String],
+                       depth: Int, width: Int,
+                       reshuffle: Boolean = false): Map[String, Long] = {
+    import spark.implicits._
+    val base = data.toDF("v")
+    val df = if (reshuffle) base.repartition(13, col("v")) else base.coalesce(1)
+    val sk = df.agg(cms_sketch(col("v"), depth, width).as("sk"))
+    probes.toDF("term").crossJoin(broadcast(sk))
+      .select(col("term"), cmsEstimate(col("sk"), col("term"), depth, width).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("CMS estimates are one-sided: est >= true count, exact when uncollided") {
+    val data = Seq.fill(100)("hot") ++ Seq.fill(10)("warm") ++ Seq("cold")
+    val truth = data.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val est = cmsProbe(data, Seq("hot", "warm", "cold", "absent"), 4, 512)
+    truth.foreach { case (t, c) =>
+      assert(est(t) >= c, s"CMS under-counted $t: ${est(t)} < $c")
+    }
+    // 3 distinct values in a 512-wide row: collisions need md5("j:a")%512 ==
+    // md5("j:b")%512 in EVERY depth row — overwhelmingly absent, so exact
+    assert(est("hot") == 100L && est("warm") == 10L && est("cold") == 1L,
+      s"uncollided estimates must be exact: $est")
+    assert(est("absent") == 0L, s"absent term read collision mass at width 512: $est")
+  }
+
+  test("CMS collision inflation is bounded even at tiny width") {
+    // width 4, depth 4: heavy collisions guaranteed; the min-over-depth
+    // estimate must stay within true + total mass (trivial upper) and
+    // still dominate the true count
+    val data = (0 until 300).map(i => s"t${i % 30}")
+    val est = cmsProbe(data, Seq("t0", "t7", "t29"), 4, 4)
+    est.foreach { case (t, e) =>
+      assert(e >= 10L, s"$t true count 10, CMS said $e")
+      assert(e <= 300L, s"$t estimate $e exceeds the total stream mass")
+    }
+  }
+
+  test("CMS is partition-layout invariant: merge path equals update path") {
+    val data = (0 until 2000).map(i => s"w${i % 53}")
+    val probes = Seq("w0", "w13", "w52", "nope")
+    val a = cmsProbe(data, probes, 4, 64)
+    val b = cmsProbe(data, probes, 4, 64, reshuffle = true)
+    assert(a == b, s"sketch must not depend on partitioning: $a vs $b")
+  }
+
+  test("CMS per-group sketches stay independent") {
+    import spark.implicits._
+    val df = (0 until 600).map(i => (i % 2, s"g${i % 2}_tok${i % 5}")).toDF("g", "v")
+    val sk = df.groupBy("g").agg(cms_sketch(col("v"), 4, 256).as("sk"))
+    val got = sk.select(col("g"),
+        cmsEstimate(col("sk"), concat(lit("g0_tok"), lit("0")), 4, 256).as("e"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got(0) == 60L, s"group 0 holds 60 of g0_tok0, got ${got(0)}")
+    assert(got(1) == 0L, s"group 1 never saw g0_tok0, got ${got(1)}")
+  }
+
+  test("CMS rejects out-of-range cells loudly") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("v")
+    val bad = org.apache.spark.sql.graft.ColumnBridge.column(
+      CmsSketch(org.apache.spark.sql.graft.ColumnBridge.expression(
+        array(lit(99L), lit(0L), lit(0L), lit(0L))), 4, 8).toAggregateExpression())
+    val e = intercept[Exception](df.agg(bad.as("sk")).collect())
+    assert(e.getMessage != null)
+  }
 }
