@@ -121,6 +121,56 @@ object GraftExtensions {
       case args => throw new IllegalArgumentException(
         s"kmv_distinct expects 2 arguments, got ${args.length}")
     }),
+    ("cms_sketch",
+      "cms_sketch(value, depth, width) - count-min sketch: flattened depth×width counter matrix (partial-aggregating)", {
+      case Seq(v, d, w) =>
+        import org.apache.spark.sql.graft.ColumnBridge
+        val depth = intLit(d, "cms_sketch depth")
+        val width = intLit(w, "cms_sketch width")
+        graft.functions.CmsSketch(
+          ColumnBridge.resolvableExpression(
+            graft.functions.SketchExpressions.cmsCells(
+              ColumnBridge.column(v), depth, width)),
+          depth, width).toAggregateExpression()
+      case args => throw new IllegalArgumentException(
+        s"cms_sketch expects 3 arguments, got ${args.length}")
+    }),
+    ("cms_estimate",
+      "cms_estimate(sketch, term, depth, width) - min-of-depth-cells frequency estimate from a cms_sketch", {
+      case Seq(sk, t, d, w) =>
+        import org.apache.spark.sql.graft.ColumnBridge
+        ColumnBridge.resolvableExpression(
+          graft.functions.SketchExpressions.cmsEstimate(
+            ColumnBridge.column(sk), ColumnBridge.column(t),
+            intLit(d, "cms_estimate depth"), intLit(w, "cms_estimate width")))
+      case args => throw new IllegalArgumentException(
+        s"cms_estimate expects 4 arguments, got ${args.length}")
+    }),
+    ("bloom_bitmap",
+      "bloom_bitmap(value, kHash, mBits) - Bloom filter bitmap as array<bigint> (bit-OR aggregate)", {
+      case Seq(v, k, m) =>
+        import org.apache.spark.sql.graft.ColumnBridge
+        val kh = intLit(k, "bloom_bitmap kHash")
+        val mb = intLit(m, "bloom_bitmap mBits")
+        graft.functions.BloomBitmap(
+          ColumnBridge.resolvableExpression(
+            graft.functions.SketchExpressions.cmsCells(
+              ColumnBridge.column(v), kh, mb)),
+          mb).toAggregateExpression()
+      case args => throw new IllegalArgumentException(
+        s"bloom_bitmap expects 3 arguments, got ${args.length}")
+    }),
+    ("bloom_might_contain",
+      "bloom_might_contain(bloom, value, kHash, mBits) - one-sided membership probe against a bloom_bitmap", {
+      case Seq(b, v, k, m) =>
+        import org.apache.spark.sql.graft.ColumnBridge
+        ColumnBridge.resolvableExpression(
+          graft.functions.SketchExpressions.bloomMightContain(
+            ColumnBridge.column(b), ColumnBridge.column(v),
+            intLit(k, "bloom_might_contain kHash"), intLit(m, "bloom_might_contain mBits")))
+      case args => throw new IllegalArgumentException(
+        s"bloom_might_contain expects 4 arguments, got ${args.length}")
+    }),
     // composite heuristic assembled from builtins — registering the SAME
     // Column tree the Scala API builds lets declarative op-specs gate on
     // quality mid-stream: {"filter": "text_quality_score(value) >= 0.6"}

@@ -126,6 +126,101 @@ object Corpus {
                        docs.filter(col("doc_id") % 10 === 0))
   }
 
+  // -------------------------------------- staged Bloom filter (build once,
+  // probe many — the streaming-admission lifecycle; bit-OR makes the
+  // incremental append EXACT, not an approximation of the rebuild)
+
+  /** The loaded consume side of [[stageBloomFilter]]: the one-row bitmap
+    * frame plus its structural params (driver-side KB metadata, read from
+    * the staged row itself so a stage/probe mismatch is impossible). */
+  final case class BloomModel(bitmap: DataFrame, kHash: Int, mBits: Int, shingleN: Int)
+
+  private def bloomShingles(docs: DataFrame, textCol: String, idCol: String,
+                            shingleN: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextHashExpressions.word_shingles(
+        TextOps.tokens(col(textCol)), shingleN)).as("s"))
+
+  private def bloomRow(docs: DataFrame, textCol: String, idCol: String,
+                       shingleN: Int, kHash: Int, mBits: Int): DataFrame =
+    bloomShingles(docs, textCol, idCol, shingleN)
+      .agg(graft.functions.SketchExpressions.bloom_bitmap(col("s"), kHash, mBits)
+        .as("bloom"))
+      .select(col("bloom"), lit(kHash).as("k_hash"), lit(shingleN).as("shingle_n"))
+
+  /** Build the reference corpus's Bloom bitmap ONCE and stage it under
+    * `path` (versioned commit — a probing stream on the previous filter
+    * keeps a consistent snapshot until it re-pins). The reference pays one
+    * shingle pass here; every probe consumer pays only its own size. */
+  def stageBloomFilter(refDocs: DataFrame, path: String,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       shingleN: Int = 3, kHash: Int = 5,
+                       mBits: Int = 1 << 18): Unit = {
+    graft.core.Staged.stageVersion(refDocs.sparkSession, path) { dir =>
+      bloomRow(refDocs, textCol, idCol, shingleN, kHash, mBits)
+        .coalesce(1).write.mode("overwrite").parquet(dir + "/bloom")
+    }
+    releaseBloomFilter(path)
+  }
+
+  /** Fold `newDocs` into the staged filter: OR of the staged bitmap and
+    * the new docs' bitmap, committed as a new version. Bit-OR is
+    * commutative and idempotent, so the appended filter is BIT-IDENTICAL
+    * to a full rebuild over the union (CorpusSpec pins it) — the staged
+    * artifact a daily-append 100 TB pipeline never has to rebuild. */
+  def appendToBloomFilter(newDocs: DataFrame, path: String,
+                          textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val spark = newDocs.sparkSession
+    val old = loadBloomFilter(spark, path)
+    val add = bloomRow(newDocs, textCol, idCol, old.shingleN, old.kHash, old.mBits)
+      .select(col("bloom").as("add"))
+    val merged = old.bitmap.select(col("bloom").as("old"))
+      .crossJoin(add) // two one-row synopses
+      .select(zip_with(col("old"), col("add"), (a, b) => a.bitwiseOR(b)).as("bloom"),
+        lit(old.kHash).as("k_hash"), lit(old.shingleN).as("shingle_n"))
+      // the OR must materialize BEFORE stageVersion swaps directories out
+      // from under the lazy old-side scan
+      .localCheckpoint(true)
+    graft.core.Staged.stageVersion(spark, path) { dir =>
+      merged.coalesce(1).write.mode("overwrite").parquet(dir + "/bloom")
+    }
+    releaseBloomFilter(path)
+  }
+
+  /** One-shot load of the staged filter (params derived from the staged
+    * row: mBits from the array length, the rest stored beside it). */
+  def loadBloomFilter(spark: SparkSession, path: String): BloomModel = {
+    val df = spark.read.parquet(graft.core.Staged.resolve(spark, path) + "/bloom")
+    val row = df.select(size(col("bloom")).as("words"), col("k_hash"), col("shingle_n"))
+      .head()
+    BloomModel(df.select("bloom"), row.getInt(1), row.getInt(0) * 64, row.getInt(2))
+  }
+
+  private val residentBlooms = new graft.core.Resident[BloomModel](
+    (spark, p) => {
+      val m = loadBloomFilter(spark, p)
+      m.copy(bitmap = m.bitmap.persist())
+    },
+    _.bitmap.unpersist(blocking = false))
+  /** Resident pin of a staged filter (resolved per micro-batch; a restage
+    * releases the pin so the next batch probes the new version). */
+  def residentBloomFilter(spark: SparkSession, path: String): BloomModel =
+    residentBlooms.get(spark, path)
+  def releaseBloomFilter(path: String): Unit = residentBlooms.release(path)
+
+  /** Score a batch against a loaded filter: per-doc shingle count and
+    * one-sided bloom hit count — the staged-probe side of
+    * [[bloomContamination]] (identical arithmetic, model prebuilt). */
+  def bloomScoreBatch(batch: DataFrame, model: BloomModel,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    bloomShingles(batch, textCol, idCol, model.shingleN)
+      .crossJoin(broadcast(model.bitmap))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(graft.functions.SketchExpressions.bloomMightContain(
+          col("bloom"), col("s"), model.kHash, model.mBits), 1L)
+          .otherwise(0L)).as("n_hit_bloom"))
+
   /** The filtering form: training rows whose contamination stays ≤
     * `maxContamination` (schema passes through via anti-join on the
     * over-threshold ids). */

@@ -63,6 +63,26 @@ object StreamScore {
         .filter(col("dsir_weight_q6") >= minWeightQ6))
   }
 
+  /** The decontamination companion: admit documents whose Bloom-probed
+    * contamination against a staged reference filter
+    * ([[graft.ext.Corpus.stageBloomFilter]]) stays at or under
+    * `maxHitFracQ6` (hits/shingles, q6-scaled). The filter is a FIXED
+    * m/8-byte bitmap however large the reference corpus — the admission
+    * probe that still broadcasts when the eval side is itself a prior
+    * 100 TB training corpus ("have we trained on this before"). The
+    * threshold compare is integer-exact (hits·10⁶ ≤ frac_q6·shingles —
+    * never a float ratio); the bloom's one-sided error only ever REJECTS
+    * extra (false positives inflate hits), never admits contamination. */
+  def admitClean(stream: DataFrame, modelPath: String, maxHitFracQ6: Long,
+                 sink: DataFrame => Unit, queryName: String,
+                 textCol: String = "text", idCol: String = "doc_id"): StreamingQuery = {
+    val spark = stream.sparkSession
+    startAdmission(stream, queryName, sink, idCol, batch =>
+      Corpus.bloomScoreBatch(batch,
+        Corpus.residentBloomFilter(spark, modelPath), textCol, idCol)
+        .filter(col("n_hit_bloom") * lit(1000000L) <= lit(maxHitFracQ6) * col("n_sh")))
+  }
+
   /** The shared admission scaffold: per-micro-batch score → filter →
     * re-join the survivors to the full batch row (scorers return only
     * id + evidence columns) → hand to `sink`, with per-batch cache

@@ -159,6 +159,28 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql == viaApi, s"SQL $viaSql must equal column API $viaApi")
   }
 
+  test("cms_sketch/cms_estimate and bloom_bitmap/bloom_might_contain from SQL") {
+    registered
+    // CMS: pure-SQL build + probe equals the column API end-to-end
+    val viaSql = spark.sql(
+      """SELECT cms_estimate(sk, 'a7', 4, 128) AS est FROM (
+           SELECT cms_sketch(v, 4, 128) AS sk
+           FROM (SELECT concat('a', CAST(v % 20 AS STRING)) AS v
+                 FROM (SELECT explode(sequence(1, 400)) AS v)))""")
+      .as[Long].head()
+    assert(viaSql == 20L, s"a7 occurs 20 times (uncollided at width 128), got $viaSql")
+    // Bloom: member values maybe-hit, absent values definitely miss (at
+    // this size the fp odds are negligible)
+    val hits = spark.sql(
+      """SELECT v, bloom_might_contain(b, v, 5, 4096) AS hit FROM
+           (SELECT explode(array('x1', 'x2', 'nope')) AS v),
+           (SELECT bloom_bitmap(m, 5, 4096) AS b
+            FROM (SELECT explode(array('x1', 'x2', 'x3')) AS m))""")
+      .as[(String, Boolean)].collect().toMap
+    assert(hits("x1") && hits("x2"), s"inserted values must hit: $hits")
+    assert(!hits("nope"), s"absent value must miss at m=4096: $hits")
+  }
+
   test("SQL-registered expressions stay codegen'd (no UDF wrapper in the plan)") {
     registered
     val df = spark.range(1).selectExpr("vec_dot(array(1.0d), array(2.0d)) AS d")

@@ -35,7 +35,10 @@ class ScaleSpec extends SparkSpec {
     "similarity_ivf",         // ANN: train + assign + probed search
     "stream_windowed_agg",    // event-time windows over the events table
     "corpus_bpe_merges",      // iterative trainer: corpus pass + vocab-bounded rounds
-    "sketch_distinct_kmv")    // bottom-k synopsis: shuffle is k longs per group
+    "sketch_distinct_kmv",    // bottom-k synopsis: shuffle is k longs per group
+    "sketch_heavy_hitters",   // CMS build (fixed synopsis) + broadcast probe
+    "text_bm25_topk",         // map-side tf/dl + model-sized shuffles + TakeOrdered
+    "corpus_bloom_decontam")  // bitmap build + broadcast bit-test probe
 
   private def timeGate(name: String, dir: String): Double = {
     val fn = SparkEntry.queries(name)

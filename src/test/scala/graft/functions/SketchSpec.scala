@@ -160,6 +160,36 @@ class SketchSpec extends SparkSpec {
     assert(got(1) == 0L, s"group 1 never saw g0_tok0, got ${got(1)}")
   }
 
+  test("streaming windowed CMS equals the batch aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val events = (1 to 300).map(i => (ts(1 + i % 2, i % 24), s"tok${i % 9}"))
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(cms_sketch(col("v"), 4, 64).as("sk"))
+      .select(col("w.start").as("w_start"),
+        cmsEstimate(col("sk"), lit("tok3"), 4, 64).as("est"))
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val q = agg(in.toDF().toDF("ts", "v").withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("cms_stream_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream_test")
+        .as[(java.sql.Timestamp, Long)].collect().toMap
+      val batch = agg(events.toDF("ts", "v")).as[(java.sql.Timestamp, Long)]
+        .collect().toMap
+      assert(streamed == batch,
+        s"CMS state must survive the streaming merge path: $streamed vs $batch")
+      assert(batch.values.sum == events.count(_._2 == "tok3").toLong,
+        "per-window estimates must sum to the true tok3 count (uncollided)")
+    } finally q.stop()
+  }
+
   test("CMS rejects out-of-range cells loudly") {
     import spark.implicits._
     val df = Seq(1L).toDF("v")

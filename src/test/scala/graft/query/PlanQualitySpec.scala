@@ -371,4 +371,54 @@ class PlanQualitySpec extends SparkSpec {
       assert(!finalPlan.contains("Sort "), s"no global sort:\n$plan")
     } finally graft.core.CacheRegistry.unpersistAll()
   }
+
+  test("bm25: map-side tf/dl, model-sized shuffles only, TakeOrdered top-k") {
+    val docs = graft.core.Tables.documents(spark, sf("sf0.001"))
+    val df = graft.ext.TextOps.bm25TopK(docs, Seq("join", "vector", "merge"), k = 20)
+    val plan = executedPlan(df)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // tf and dl are array ops over one tokenization: the corpus never
+    // shuffles as (doc, token) rows — the only hash exchanges are the
+    // |terms|-row df aggregate and the thin per-doc score sum
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length <= 2,
+      s"df agg + score sum are the only shuffles:\n$plan")
+    assert(finalPlan.contains("TakeOrderedAndProject"),
+      s"top-k must be a TakeOrdered, not a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    // the scan reads (doc_id, text) only
+    val cols = scans(df.queryExecution.executedPlan)
+      .flatMap(_.schema.fieldNames).toSet
+    assert(cols.subsetOf(Set("doc_id", "text")),
+      s"bm25 scan must prune to (doc_id, text), read $cols")
+  }
+
+  test("CMS probe: fixed-size sketch broadcasts; probe side never shuffles") {
+    val docs = graft.core.Tables.documents(spark, sf("sf0.001"))
+    val df = graft.ext.TextOps.cmsTermFrequencies(docs, Seq("join", "hash", "qux"))
+    val plan = executedPlan(df)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the one-row sketch reaches the probe via broadcast; candidate rows
+    // are estimated map-side — a hash exchange would mean the probe
+    // re-keyed the corpus
+    assert(!finalPlan.contains("Exchange hashpartitioning"),
+      s"CMS build is a global partial agg + broadcast; no hash shuffle:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the sketch row must broadcast to the probe:\n$plan")
+  }
+
+  test("bloom decontamination: bitmap broadcasts; one per-doc shuffle total") {
+    val docs = graft.core.Tables.documents(spark, sf("sf0.001"))
+    val df = graft.ext.Corpus.bloomContamination(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0))
+    val plan = executedPlan(df)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // vs the distinct-shingle probe (≤2 shuffles): the bloom build is a
+    // global partial aggregate — no eval-side distinct shuffle remains,
+    // only the per-doc hit count
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length <= 1,
+      s"per-doc count is the only hash shuffle:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the bitmap row must broadcast to the probe:\n$plan")
+  }
 }

@@ -88,4 +88,66 @@ class StreamScoreSpec extends SparkSpec {
       } finally q.stop()
     } finally StreamScore.releaseDsirModel(path)
   }
+
+  test("Bloom streaming decontamination: staged filter, contaminated docs rejected") {
+    val benchmark = (1L to 10L).map(i => (i + 100L, prose)).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-bloom").toString + "/model"
+    Corpus.stageBloomFilter(benchmark, path)
+    try {
+      // batch scores from the same staged filter prove streaming parity
+      val model = Corpus.loadBloomFilter(spark, path)
+      val batchScores = Corpus.bloomScoreBatch(arrivals.toDF("doc_id", "text"), model)
+        .select($"doc_id", $"n_sh", $"n_hit_bloom")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(batchScores(1L)._2 == batchScores(1L)._1,
+        s"verbatim benchmark copy: every shingle hits: $batchScores")
+      assert(batchScores(2L)._2 == 0L, s"gibberish shares no shingle: $batchScores")
+
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = MemoryStream[(Long, String)]
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+      // ceiling 50%: the verbatim copy (100%) and the near-copy (most
+      // shingles shared) must be rejected, the disjoint doc admitted
+      val q = StreamScore.admitClean(
+        in.toDF().toDF("doc_id", "text"), path, maxHitFracQ6 = 500000L,
+        sink = df => admitted.synchronized {
+          admitted ++= df.select("doc_id").as[Long](implicitly).collect()
+        },
+        queryName = "bloom_admit_test")
+      try {
+        in.addData(arrivals: _*)
+        q.processAllAvailable()
+        assert(admitted.toSet == Set(2L),
+          s"only the benchmark-disjoint doc may pass: ${admitted.toSet}")
+      } finally q.stop()
+    } finally Corpus.releaseBloomFilter(path)
+  }
+
+  test("Bloom append: incremental filter is bit-identical to the full rebuild") {
+    val a = (1L to 8L).map(i => (i, prose + " variant " + i)).toDF("doc_id", "text")
+    val b = (9L to 12L).map(i =>
+      (i, "entirely different reference material item " + i)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-inc").toString
+    val incPath = dir + "/inc"
+    val fullPath = dir + "/full"
+    Corpus.stageBloomFilter(a, incPath)
+    Corpus.appendToBloomFilter(b, incPath)
+    Corpus.stageBloomFilter(a.unionByName(b), fullPath)
+    try {
+      val inc = Corpus.loadBloomFilter(spark, incPath)
+      val full = Corpus.loadBloomFilter(spark, fullPath)
+      assert(inc.kHash == full.kHash && inc.mBits == full.mBits &&
+        inc.shingleN == full.shingleN, "append must preserve the filter params")
+      val incBits = inc.bitmap.as[Seq[Long]](implicitly).head()
+      val fullBits = full.bitmap.as[Seq[Long]](implicitly).head()
+      assert(incBits == fullBits,
+        "bit-OR append must equal the union rebuild word-for-word")
+      // and the probe sees the appended material
+      val probe = Corpus.bloomScoreBatch(
+        Seq((99L, "entirely different reference material item 9")).toDF("doc_id", "text"),
+        inc)
+        .select($"n_sh", $"n_hit_bloom").as[(Long, Long)].head()
+      assert(probe._2 == probe._1, s"appended docs must be probeable: $probe")
+    } finally Corpus.releaseBloomFilter(incPath)
+  }
 }
