@@ -98,6 +98,18 @@ object OpSpec {
     * Stateless per-row projection — the redaction-at-ingest stage of a
     * training-data stream. */
   final case class ScrubPii(textCol: String) extends OpSpec
+
+  /** Decontamination at ingest against a staged Bloom filter
+    * (graft.ext.Corpus.stageBloomFilter): keep rows whose shingle
+    * hit-fraction against the filter stays ≤ `maxHitFracQ6` (q6-scaled;
+    * compare is integer-exact hits·10⁶ ≤ frac·shingles). STATELESS — the
+    * filter is a fixed m/8-byte bitmap joined stream-static and the probe
+    * is a per-row array op, so the stage is legal mid-stream (unlike the
+    * per-doc-aggregate admission in graft.stream.StreamScore, whose
+    * foreachBatch form this complements). Adds n_sh / n_hit_bloom
+    * evidence columns; bloom one-sidedness only ever rejects extra. */
+  final case class BloomAdmit(modelPath: String, maxHitFracQ6: Long,
+                              textCol: String) extends OpSpec
 }
 
 /** Buffer policy for a stream node (T7-T9,

@@ -78,6 +78,13 @@ object NodeSpec {
         } yield OpSpec.SessionAgg(ts, gap, wm, keys, aggs)
       case m if m.contains("scrubPii") =>
         m("scrubPii").extractOpt[String].map(OpSpec.ScrubPii)
+      case m if m.contains("bloomAdmit") =>
+        val a = m("bloomAdmit")
+        for {
+          model <- (a \ "model").extractOpt[String]
+          frac <- (a \ "maxHitFracQ6").extractOpt[Long] if frac >= 0L
+          text <- (a \ "text").extractOpt[String]
+        } yield OpSpec.BloomAdmit(model, frac, text)
       case m if m.contains("asofEnrich") =>
         val a = m("asofEnrich")
         for {
@@ -177,6 +184,10 @@ object NodeSpec {
           "watermark" -> JString(wm),
           "carry" -> JArray(carry.map(JString(_)).toList)))
       case OpSpec.ScrubPii(tc) => JObject("scrubPii" -> JString(tc))
+      case OpSpec.BloomAdmit(model, frac, text) =>
+        JObject("bloomAdmit" -> JObject(
+          "model" -> JString(model), "maxHitFracQ6" -> JInt(frac),
+          "text" -> JString(text)))
     }
     val buf: Option[JValue] = n.buffer.map {
       case BufferSpec.Fixed(x) => JInt(x)

@@ -224,6 +224,27 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
         .groupBy(session_window(col(ts), gap).as("session") +: keys.map(col): _*)
         .agg(aggCols.head, aggCols.tail: _*)
     case OpSpec.ScrubPii(tc) => graft.ext.TextOps.scrubPii(df, tc)
+    case OpSpec.BloomAdmit(path, maxFracQ6, textCol) =>
+      import graft.functions.SketchExpressions.bloomMightContain
+      // params come from the staged row itself (stage/probe mismatch is
+      // impossible). The bitmap is embedded as a PLAN LITERAL — m/8 bytes
+      // of driver-side model state, the PQ-codebook pattern — because a
+      // streaming plan can't cross-join a static side; the probe is then a
+      // pure per-row array op with no join at all. Model freshness follows
+      // the plan lifecycle: a restage takes effect on node (re)start —
+      // the hot-swap contract — unlike StreamScore.admitClean's
+      // per-micro-batch resident pin.
+      val model = graft.ext.Corpus.loadBloomFilter(io.spark, path)
+      val bloomLit = typedLit(model.bitmap.head().getSeq[Long](0))
+      df.withColumn("__sh", graft.functions.TextHashExpressions.word_shingles(
+          graft.ext.TextOps.tokens(col(textCol)), model.shingleN))
+        .withColumn("n_sh", size(col("__sh")).cast("long"))
+        .withColumn("n_hit_bloom", size(org.apache.spark.sql.functions.filter(
+          col("__sh"),
+          s => bloomMightContain(bloomLit, s, model.kHash, model.mBits)))
+          .cast("long"))
+        .filter(col("n_hit_bloom") * lit(1000000L) <= lit(maxFracQ6) * col("n_sh"))
+        .drop("__sh")
   }
 
   /** Per-topic serde (S10): the reference selects Edn/Json serializers per

@@ -522,4 +522,39 @@ class TopologySpec extends SparkSpec {
     assert(got == Seq(("mail me at <EMAIL> from <IP>", 1L, 1L)))
     mgr.stopAll()
   }
+
+  test("bloomAdmit op-spec: declarative decontamination-at-ingest node") {
+    import spark.implicits._
+    val bench = "the quick brown fox jumps over the lazy dog again and again today"
+    val path = java.nio.file.Files.createTempDirectory("graft-badmit").toString + "/m"
+    graft.ext.Corpus.stageBloomFilter(
+      (1L to 5L).map(i => (i, bench)).toDF("doc_id", "text"), path)
+    try {
+      val io = new MemoryIO(spark)
+      val topo = new Topology(io)
+      val spec = OpSpec.Comp(Seq(
+        OpSpec.SelectExpr(Seq("value AS text")),
+        OpSpec.BloomAdmit(path, 500000L, "text")))
+      val node = StreamNode(NodeName.parse("stream/clean"), Set("kafka/docs"),
+        Some(spec), Some(BufferSpec.Fixed(10)), None)
+      // control-plane contract: the spec survives the stored-doc round-trip
+      assert(NodeSpec.parse(NodeSpec.toJson(node)).contains(node))
+      topo.addNode(StreamNode(NodeName.parse("kafka/docs"), Set.empty, None, None, None))
+      topo.addNode(node)
+      topo.addNode(StreamNode(NodeName.parse("kafka/out"), Set("stream/clean"), None, None, None))
+      val mgr = new StreamManager(topo)
+      io.publish("kafka/docs", "a", bench) // verbatim benchmark copy → rejected
+      io.publish("kafka/docs", "b",
+        "completely novel material about compilers and register allocation")
+      mgr.applyGraph()
+      mgr.processAllAvailable()
+      val got = io.collected("out").map(r =>
+        (r.getAs[String]("text"), r.getAs[Long]("n_hit_bloom")))
+      assert(got.map(_._1) ==
+        Seq("completely novel material about compilers and register allocation"),
+        s"only the benchmark-disjoint doc may pass: $got")
+      assert(got.head._2 == 0L, s"disjoint doc must read zero hits: $got")
+      mgr.stopAll()
+    } finally graft.ext.Corpus.releaseBloomFilter(path)
+  }
 }
