@@ -65,6 +65,28 @@ object Scale {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Target-file-size writer — the small-files antidote. A 100 TB corpus
+    * written at the upstream task count lands as millions of KB-files
+    * (every reader pays a task per file and the namenode pays the
+    * metadata) or a handful of multi-GB files (no read parallelism, no
+    * skipping granularity); the operational contract is "files of ~N
+    * bytes, whatever the data volume". Sizes the output from Catalyst's
+    * own size estimate (`optimizedPlan.stats` — the same number AQE
+    * plans by) with a round-robin repartition, so file count grows
+    * linearly with data and is independent of the INPUT layout. Returns
+    * the file count it wrote. The in-memory estimate overshoots encoded
+    * parquet bytes, so real files land safely UNDER target (never over —
+    * the direction that preserves read parallelism). */
+  def writeSizedFiles(df: DataFrame, path: String,
+                      targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, "writeSizedFiles: targetBytes must be positive")
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = ((est + targetBytes - 1) / targetBytes)
+      .min(BigInt(1 << 20)).max(BigInt(1)).toInt
+    df.repartition(files).write.mode("overwrite").parquet(path)
+    files
+  }
+
   /** Partition-pruned layout for time-series facts: one directory per
     * date — as-of/time-range reads touch only their partitions. */
   def writeDatePartitioned(df: DataFrame, path: String, tsCol: String): Unit =

@@ -73,4 +73,30 @@ class ScaleSpec extends SparkSpec {
         "no broadcast hint when threshold disabled")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
+
+  test("writeSizedFiles: file count tracks data volume and target, not input layout") {
+    import spark.implicits._
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sized").toString
+    val df = (1 to 50000).map(i => (i.toLong, s"payload text for row number $i"))
+      .toDF("id", "text")
+    // a pathological 200-partition input must still land as `files` files
+    val n = Scale.writeSizedFiles(df.repartition(200), dir + "/a", 256L << 10)
+    assert(parts(dir + "/a") == n, "returned count must match files on disk")
+    assert(n in (2, 200), s"50k rows at 256 KB target: a few files, got $n")
+    // half the target → roughly double the files (same estimate, same data)
+    val n2 = Scale.writeSizedFiles(df.repartition(200), dir + "/b", 128L << 10)
+    assert(n2 == 2 * n || n2 == 2 * n - 1 || n2 == 2 * n + 1,
+      s"halving the target must ~double the files: $n -> $n2")
+    // files land UNDER target (the estimate overshoots parquet encoding)
+    val sizes = new java.io.File(dir + "/a").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length())
+    assert(sizes.forall(_ <= (256L << 10)),
+      s"every file must stay under target: ${sizes.toSeq}")
+  }
+
+  private implicit class InRange(private val n: Int) {
+    def in(r: (Int, Int)): Boolean = n >= r._1 && n <= r._2
+  }
 }
