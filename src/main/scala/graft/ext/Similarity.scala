@@ -255,6 +255,30 @@ object Similarity {
       .partitionBy("centroid_id").parquet(s"$path/assignments")
   }
 
+  /** Fold new vectors into a persisted index under its FROZEN coarse
+    * quantizer: assign ONLY the new vectors with the staged centroids and
+    * append their rows into the partitioned assignment layout — the
+    * daily-append path of a 100 TB embedding corpus, where re-training and
+    * re-encoding the whole index per delta is the thing you never do.
+    * Because the quantizer is frozen, the appended index is ROW-IDENTICAL
+    * to re-encoding the union with the same model (SimilaritySpec pins
+    * it); quantizer drift is a deliberate re-stage ([[writeIndex]]), not a
+    * side effect of ingest. Replay-safe: ids already present are
+    * anti-joined away, so a re-delivered batch (checkpoint recovery,
+    * catch-up) is a no-op — the same idempotence contract as
+    * `StoreChanges.maintainShingleIndex`. Appends add whole files to
+    * partition dirs, so a concurrent reader sees a consistent prefix
+    * (fewer candidates, never corrupt rows). */
+  def appendToIndex(newEmb: DataFrame, path: String): Unit = {
+    val spark = newEmb.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    val fresh = newEmb.join(
+      spark.read.parquet(s"$path/assignments").select("vec_id"),
+      Seq("vec_id"), "left_anti")
+    ivfAssign(fresh, cents).write.mode("append")
+      .partitionBy("centroid_id").parquet(s"$path/assignments")
+  }
+
   /** Search a persisted index: pick the `nprobe` closest centroids on the
     * driver (the quantizer is model-sized — this is control plane, like
     * the Lloyd rounds), then read assignments with a STATIC

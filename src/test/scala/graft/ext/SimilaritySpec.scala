@@ -305,6 +305,34 @@ class SimilaritySpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("appendToIndex: frozen-quantizer append equals same-model re-encode, replay-idempotent") {
+    val emb = Tables_embeddings()
+    val a = emb.filter(col("vec_id") % 3 =!= 0)
+    val b = emb.filter(col("vec_id") % 3 === 0)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    Similarity.writeIndex(a, path, kCentroids = 8, iters = 1)
+    Similarity.appendToIndex(b, path)
+    Similarity.appendToIndex(b, path) // re-delivered batch must be a no-op
+    val cents = spark.read.parquet(s"$path/centroids")
+    val got = spark.read.parquet(s"$path/assignments")
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect()
+    assert(got.length == got.map(_._1).distinct.length,
+      "replayed append must not duplicate ids")
+    // frozen quantizer: the appended layout is row-identical to encoding
+    // the UNION under the same centroids
+    val expect = Similarity.ivfAssign(emb, cents)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect()
+    assert(got.toMap == expect.toMap,
+      "append must equal the same-model re-encode of the union")
+    // appended vectors are reachable through the index search path
+    val qid = b.select("vec_id").as[Long].head()
+    val q = emb.filter(col("vec_id") === qid)
+      .select(col("embedding").cast("array<double>")).first().getSeq[Double](0)
+    val top = Similarity.searchIndex(spark, path, q, k = 1, nprobe = 8)
+      .select("vec_id").as[Long].head()
+    assert(top == qid, s"appended self-query must return itself, got $top")
+  }
+
   private def Tables_embeddings() =
     graft.core.Tables.embeddings(spark, sf("sf0.001"))
 }
