@@ -120,6 +120,8 @@ object SparkEntry {
     "corpus_cap_source"      -> (graft.ext.Corpus.capPerSourceQuery(_, _)),
     // partition-stable train/val/test assignment
     "corpus_split"           -> (graft.ext.Corpus.assignSplitsQuery(_, _)),
+    // stratified exact-count sampling (per-language held-out sets)
+    "corpus_sample_stratified" -> (graft.ext.Corpus.sampleStratifiedQuery(_, _)),
     // CCNet-style bigram-LM negative log-likelihood vs a reference slice
     "corpus_perplexity"      -> (graft.ext.Corpus.lmPerplexityQuery(_, _)),
     // DSIR importance weights (hashed n-gram features vs a target slice)
@@ -1319,6 +1321,17 @@ object SparkEntry {
     // budgets — multiplicative doc_id scramble over a 2^31 ring (the
     // pre-reduction keeps the product < 2^63: exact i64 in both engines
     // for any doc_id) + per-lang running sum
+    // corpus_sample_stratified: the per-stratum pick replays — the same
+    // Weyl scramble as corpus_token_mix, row_number per lang, keep ≤ 40
+    "corpus_sample_stratified" ->
+      """WITH r AS (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY ((doc_id % 2147483648) * 2654435761) % 2147483648 ASC,
+                        doc_id ASC) AS rn
+           FROM documents
+         )
+         SELECT doc_id, lang FROM r WHERE rn <= 40""",
     "corpus_token_mix" ->
       """WITH tok AS (
            SELECT doc_id, lang,

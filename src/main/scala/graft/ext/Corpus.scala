@@ -245,6 +245,39 @@ object Corpus {
         graft.query.Functions.stableRound(col("contamination"), 4).as("contamination"))
   }
 
+  /** Stratified exact-count sampling: exactly `nPerStratum` rows from each
+    * stratum (fewer when a stratum is smaller), picked by a deterministic
+    * multiplicative scramble of the id — the eval-set construction step
+    * ("500 held-out docs per language") that `randomSplit`/`sample` can't
+    * give you: counts are exact, the pick is independent of partitioning
+    * and re-runs, and appending NEW docs never evicts or reorders an
+    * already-picked one with a smaller scramble... each stratum's sample
+    * only changes where new ids actually land in its scramble order.
+    *
+    * Scale shape: the scramble is a shuffle-free projection; the pick is a
+    * row_number per STRATUM (thin windows, never a global sort) — the
+    * topQualityFrac plan with the scramble as the rank key. All-integer
+    * arithmetic, so the whole pick replays in DuckDB. */
+  def sampleStratified(docs: DataFrame, nPerStratum: Int,
+                       strataCol: String = "lang",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(nPerStratum > 0, "sampleStratified: nPerStratum must be positive")
+    // the tokenBudgetMix scramble: reduce BEFORE multiplying so the
+    // product stays exact i64 for any id in both engines
+    val scramble =
+      (pmod(col(idCol), lit(2147483648L)) * lit(2654435761L)) % lit(2147483648L)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(strataCol)
+      .orderBy(scramble.asc, col(idCol).asc)
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nPerStratum)
+      .drop("__rn")
+  }
+
+  /** SparkEntry query (oracled): 40 docs per language, id + stratum only. */
+  def sampleStratifiedQuery(s: SparkSession, d: String): DataFrame =
+    sampleStratified(Tables.documents(s, d), nPerStratum = 40)
+      .select(col("doc_id"), col("lang"))
+
   /** Training-mix construction: give each language a TOKEN budget and
     * fill it by systematic sampling — docs ordered by a deterministic
     * multiplicative hash of doc_id (a Weyl-style scramble: order-free,

@@ -326,6 +326,32 @@ class CorpusSpec extends SparkSpec {
     assert(m(1) == ((2, "z", "a", 2L)), s"then (z,a): ${m(1)}")
   }
 
+  test("stratified sample: exact counts, partition-invariant, append-stable") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => (i, if (i % 3 == 0) "a" else "b", s"text $i"))
+      .toDF("doc_id", "lang", "text")
+    def ids(df: org.apache.spark.sql.DataFrame, n: Int) =
+      Corpus.sampleStratified(df, n).select("doc_id", "lang")
+        .as[(Long, String)].collect().toSet
+    val got = ids(docs, 25)
+    assert(got.count(_._2 == "a") == 25 && got.count(_._2 == "b") == 25,
+      s"exactly 25 per stratum: ${got.groupBy(_._2).view.mapValues(_.size).toMap}")
+    // small stratum: fewer rows, never an error
+    val small = ids(docs.filter($"doc_id" <= 4), 25)
+    assert(small.size == 4, s"undersized strata yield what they have: $small")
+    // the pick is a function of ids, not partitioning
+    assert(ids(docs.repartition(13, $"doc_id"), 25) == got,
+      "sample must not depend on partitioning")
+    // appending docs only changes a stratum where new ids land in-order:
+    // every original pick either survives or is displaced by a NEW id
+    val appended = ids(docs.unionByName(
+      (301L to 340L).map(i => (i, "a", s"new $i")).toDF("doc_id", "lang", "text")), 25)
+    assert(appended.filter(_._2 == "b") == got.filter(_._2 == "b"),
+      "untouched strata keep their exact sample")
+    assert(got.filter(_._2 == "a").intersect(appended).subsetOf(appended),
+      "surviving picks stay picked")
+  }
+
   test("bloom contamination: no false negatives, clean-at-size, layout-invariant") {
     import spark.implicits._
     val evalDocs = Seq((100L, prose)).toDF("doc_id", "text")

@@ -176,4 +176,35 @@ class ControlPlaneSpec extends SparkSpec {
     val kio = new KafkaIO(spark, "localhost:9092", "/tmp/graft-kafka-ckpt")
     kio.ensureTopic("some/topic") // must not throw
   }
+
+  test("bloomAdmit node deploys through the control plane from a stored JSON doc") {
+    import spark.implicits._
+    val bench = "the quick brown fox jumps over the lazy dog again and again today"
+    val model = java.nio.file.Files.createTempDirectory("cp-bloom").toString + "/m"
+    graft.ext.Corpus.stageBloomFilter(
+      (1L to 5L).map(i => (i, bench)).toDF("doc_id", "text"), model)
+    try {
+      val store = DocumentStore(spark,
+        Files.createTempDirectory("cp-bloom-db").toString + "/db")
+      val io = new MemoryIO(spark)
+      val mgr = new StreamManager(new Topology(io))
+      store.put(":stream/docs", """{"name":"kafka/docs","upstream":[]}""")
+      // the management plane ships the admission stage as PLAIN JSON — the
+      // whole spec is data, exactly how an operator would deploy it
+      store.put(":stream/clean",
+        s"""{"name":"stream/clean","upstream":["kafka/docs"],"transducer":
+           {"comp":[{"select":["value AS text"]},
+                    {"bloomAdmit":{"model":"$model","maxHitFracQ6":500000,
+                                   "text":"text"}}]},"buffer":10}""")
+      store.put(":stream/out", """{"name":"kafka/out","upstream":["stream/clean"]}""")
+      mgr.bootstrapFromStore(store)
+      io.publish("kafka/docs", "a", bench)
+      io.publish("kafka/docs", "b", "novel prose about register allocation")
+      mgr.processAllAvailable()
+      val got = io.collected("out").map(_.getAs[String]("text"))
+      assert(got == Seq("novel prose about register allocation"),
+        s"deployed admission must reject the benchmark copy: $got")
+      mgr.stopAll()
+    } finally graft.ext.Corpus.releaseBloomFilter(model)
+  }
 }
