@@ -67,6 +67,7 @@ object SparkEntry {
     "stream_sessionize"       -> (Relational.streamSessionizeBatch(_, _)),
     "stream_interval_join"    -> (graft.stream.StreamJoin.intervalJoinQuery(_, _)),
     "stream_windowed_distinct" -> (Relational.streamWindowedDistinctBatch(_, _)),
+    "stream_windowed_topk"     -> (Relational.streamWindowedTopkBatch(_, _)),
     // §2.2 Datalog compiler end-to-end (triple patterns → Catalyst plan)
     "datalog_query"       -> (graft.query.datalog.DatalogDb.datalogQuery(_, _)),
     "datalog_edn"         -> (graft.query.datalog.DatalogDb.datalogEdnQuery(_, _)),
@@ -557,6 +558,37 @@ object SparkEntry {
          SELECT term, min(coalesce(cnt, 0)) AS est_tf
          FROM pc LEFT JOIN cells USING (j, cell)
          GROUP BY term""",
+    // stream_windowed_topk: the count-min sketch per day window — the
+    // sketch_heavy_hitters replay grouped by date_trunc (UTC epoch-day
+    // alignment, like stream_windowed_distinct), probed for three types
+    "stream_windowed_topk" ->
+      """WITH ev AS (
+           SELECT date_trunc('day', ts) AS w_start, event_type
+           FROM events WHERE ts IS NOT NULL
+         ), ds AS (SELECT * FROM (VALUES (0),(1),(2),(3)) d(j)),
+         cells AS (
+           SELECT w_start, j,
+             ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || event_type), 1, 15))::BIGINT % 256 AS cell,
+             count(*) AS cnt
+           FROM ev CROSS JOIN ds GROUP BY 1, 2, 3
+         ), probes AS (
+           SELECT * FROM (VALUES ('view'),('click'),('purchase')) p(term)
+         ), pc AS (
+           SELECT term, j,
+             ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || term), 1, 15))::BIGINT % 256 AS cell
+           FROM probes CROSS JOIN ds
+         ), est AS (
+           SELECT w.w_start, p.term, min(coalesce(c.cnt, 0)) AS est
+           FROM (SELECT DISTINCT w_start FROM ev) w
+           CROSS JOIN pc p
+           LEFT JOIN cells c ON c.w_start = w.w_start AND c.j = p.j AND c.cell = p.cell
+           GROUP BY 1, 2
+         )
+         SELECT w_start,
+           max(CASE WHEN term = 'view' THEN est END) AS n_view,
+           max(CASE WHEN term = 'click' THEN est END) AS n_click,
+           max(CASE WHEN term = 'purchase' THEN est END) AS n_purchase
+         FROM est GROUP BY w_start""",
     // stream_windowed_distinct: the KMV sketch per (day, type) — the same
     // replay as sketch_distinct_kmv, grouped by the tumbling window
     // (window('1 day') aligns to epoch days = date_trunc under UTC)

@@ -483,6 +483,24 @@ object Relational {
         .as("approx_users"))
       .select(col("w.start").as("w_start"), col("event_type"), col("approx_users"))
 
+  /** Beyond-reference streaming sketch #2: per-window COUNT-MIN term
+    * frequencies — the trending-terms shape ("which event types spiked
+    * this hour"). The same windowed-synopsis contract as
+    * [[streamWindowedDistinctBatch]]: per-window state is one depth×width
+    * matrix (fixed bytes however many events the window sees), built with
+    * map-side partials, probed with codegen'd lookups; SketchSpec pins
+    * streaming ≡ batch through the state store, and the whole thing
+    * replays cell-for-cell in DuckDB. */
+  def streamWindowedTopkBatch(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SketchExpressions.{cms_sketch, cmsEstimate}
+    val probes = Seq("view", "click", "purchase")
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(cms_sketch(col("event_type"), 4, 256).as("sk"))
+      .select(Seq(col("w.start").as("w_start")) ++ probes.map(t =>
+        cmsEstimate(col("sk"), lit(t), 4, 256).as(s"n_$t")): _*)
+  }
+
   /** Gap-based sessionization: chain a user's events into a session while
     * consecutive gaps stay ≤ `gapMicros`, then aggregate per session —
     * the classic lag → new-session flag → running-sum id assignment.
