@@ -125,6 +125,8 @@ object SparkEntry {
     "corpus_sample_stratified" -> (graft.ext.Corpus.sampleStratifiedQuery(_, _)),
     // CCNet-style bigram-LM negative log-likelihood vs a reference slice
     "corpus_perplexity"      -> (graft.ext.Corpus.lmPerplexityQuery(_, _)),
+    // CCNet head/middle/tail: per-language perplexity terciles
+    "corpus_ccnet_buckets"   -> (graft.ext.Corpus.ccnetBucketsQuery(_, _)),
     // DSIR importance weights (hashed n-gram features vs a target slice)
     "corpus_dsir"            -> (graft.ext.Corpus.dsirWeightsQuery(_, _)),
     // DSIR selection: per-language top-frac by importance weight
@@ -221,6 +223,39 @@ object SparkEntry {
            CAST(sum(len(string_split(trim(seq, '|'), '||'))) AS BIGINT) AS n_subwords
          FROM d$rounds GROUP BY doc_id"""
   }
+
+  /** Shared CTE chain of the add-one-bigram LM scorer (train on the 1-in-5
+    * reference slice, q6-rounded per-bigram logprobs, exact-integer doc
+    * NLLs) — `corpus_perplexity` reads `nll` directly and
+    * `corpus_ccnet_buckets` layers the tercile assignment on it. */
+  private val lmNllCtes: String =
+    """tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+         ), seq AS (
+           SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) AS pos FROM tok
+         ), bg AS (
+           SELECT doc_id, tk AS w1,
+             lead(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+           FROM seq
+         ), runi AS (
+           SELECT tk AS w1, count(*) AS c1 FROM seq WHERE doc_id % 5 = 0 GROUP BY tk
+         ), vv AS (SELECT count(*) AS v FROM runi
+         ), rbg AS (
+           SELECT w1, w2, count(*) AS c12 FROM bg
+           WHERE doc_id % 5 = 0 AND w2 IS NOT NULL GROUP BY w1, w2
+         ), scored AS (
+           SELECT d.doc_id,
+             CAST(floor(ln(CAST(coalesce(r.c12, 0) + 1 AS DOUBLE) /
+                           CAST(coalesce(u.c1, 0) + vv.v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lp
+           FROM bg d
+           LEFT JOIN rbg r ON d.w1 = r.w1 AND d.w2 = r.w2
+           LEFT JOIN runi u ON d.w1 = u.w1
+           CROSS JOIN vv
+           WHERE d.w2 IS NOT NULL
+         ), nll AS (
+           SELECT doc_id, count(*) AS n_bigrams, CAST(-sum(lp) AS BIGINT) AS nll_q6
+           FROM scored GROUP BY doc_id
+         )"""
 
   private val dsirWeightCtes: String =
     """tok AS (
@@ -687,32 +722,28 @@ object SparkEntry {
     // slice; per-term q6 rounding makes the doc sum an exact-integer total
     // (order-free), so the whole scoring pass replays.
     "corpus_perplexity" ->
-      """WITH tok AS (
-           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
-         ), seq AS (
-           SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) AS pos FROM tok
-         ), bg AS (
-           SELECT doc_id, tk AS w1,
-             lead(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-           FROM seq
-         ), runi AS (
-           SELECT tk AS w1, count(*) AS c1 FROM seq WHERE doc_id % 5 = 0 GROUP BY tk
-         ), vv AS (SELECT count(*) AS v FROM runi
-         ), rbg AS (
-           SELECT w1, w2, count(*) AS c12 FROM bg
-           WHERE doc_id % 5 = 0 AND w2 IS NOT NULL GROUP BY w1, w2
-         ), scored AS (
-           SELECT d.doc_id,
-             CAST(floor(ln(CAST(coalesce(r.c12, 0) + 1 AS DOUBLE) /
-                           CAST(coalesce(u.c1, 0) + vv.v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lp
-           FROM bg d
-           LEFT JOIN rbg r ON d.w1 = r.w1 AND d.w2 = r.w2
-           LEFT JOIN runi u ON d.w1 = u.w1
-           CROSS JOIN vv
-           WHERE d.w2 IS NOT NULL
+      s"""WITH $lmNllCtes
+         SELECT doc_id, n_bigrams, nll_q6 FROM nll""",
+    // corpus_ccnet_buckets: the SAME LM chain + the CCNet head/middle/tail
+    // assignment — per-language terciles of per-bigram NLL, all-integer
+    // (avg at q12 scale stays exact in double through 2^53; rank ties
+    // break on doc_id, tercile edges are integer comparisons)
+    "corpus_ccnet_buckets" ->
+      s"""WITH $lmNllCtes, av AS (
+           SELECT n.doc_id, l.lang,
+             CAST(floor(CAST(n.nll_q6 * 1000000 AS DOUBLE) / n.n_bigrams) AS BIGINT) AS avg_nll_q12
+           FROM nll n JOIN (SELECT doc_id, lang FROM documents) l ON n.doc_id = l.doc_id
+         ), r AS (
+           SELECT doc_id, lang, avg_nll_q12,
+             row_number() OVER (PARTITION BY lang ORDER BY avg_nll_q12, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS cnt
+           FROM av
          )
-         SELECT doc_id, count(*) AS n_bigrams, CAST(-sum(lp) AS BIGINT) AS nll_q6
-         FROM scored GROUP BY doc_id""",
+         SELECT doc_id, lang, avg_nll_q12,
+           CASE WHEN rn * 3 <= cnt THEN 'head'
+                WHEN rn * 3 <= 2 * cnt THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM r""",
     // corpus_dsir: hashed-feature importance weights — md5-prefix buckets,
     // full-range add-one smoothing, q6-rounded log-ratios, integer sums.
     "corpus_dsir" ->

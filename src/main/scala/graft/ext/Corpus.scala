@@ -972,6 +972,44 @@ object Corpus {
     lmPerplexity(docs, docs.filter(col("doc_id") % 5 === 0))
   }
 
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020, the step after
+    * LM scoring): per-LANGUAGE perplexity terciles — "head" is the most
+    * reference-like third of each language, the slice most pipelines keep
+    * outright, "tail" the third they drop or down-weight. Integer-exact
+    * everywhere: the tercile rank runs on the q12-scaled per-bigram NLL
+    * (`floor(nll_q6·10⁶ / n_bigrams)` — the product stays well under 2⁵³,
+    * so the double divide is exact-input/deterministic in both engines)
+    * with a doc_id tie-break, and bucket edges are `rn·3 ≤ cnt` integer
+    * comparisons — never a float percentile.
+    *
+    * Scale shape: scoring is [[lmPerplexity]] (vocab-bounded broadcast
+    * joins); the tercile is one thin per-language window over
+    * (doc_id, avg) rows — never a global sort. */
+  def ccnetBuckets(docs: DataFrame, ref: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
+    val av = lmPerplexity(docs, ref, textCol, idCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")), Seq("doc_id"))
+      .withColumn("avg_nll_q12",
+        floor((col("nll_q6") * lit(1000000L)).cast("double") / col("n_bigrams"))
+          .cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("avg_nll_q12"), col("doc_id"))
+    av.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      .select(col("doc_id"), col("lang"), col("avg_nll_q12"),
+        when(col("rn") * 3 <= col("cnt"), "head")
+          .when(col("rn") * 3 <= col("cnt") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** SparkEntry query (oracled): buckets against the 1-in-5 reference
+    * slice (the lmPerplexityQuery split). */
+  def ccnetBucketsQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    ccnetBuckets(docs, docs.filter(col("doc_id") % 5 === 0))
+  }
+
   // ---------------------------------------- DSIR importance weights
 
   /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):

@@ -326,6 +326,32 @@ class CorpusSpec extends SparkSpec {
     assert(m(1) == ((2, "z", "a", 2L)), s"then (z,a): ${m(1)}")
   }
 
+  test("ccnet buckets: gibberish lands in tail, terciles are exact per language") {
+    import spark.implicits._
+    val gib = "zzq wvx qqk jjv xxp zrr kwq vvj pqz xkk zzq wvx qqk jjv"
+    val docs = ((1L to 12L).map(i => (i, prose.replace("dog", "dog" + (i % 4)), "en")) ++
+      Seq((13L, gib, "en"), (14L, gib.reverse.toLowerCase, "en")) ++
+      (20L to 28L).map(i => (i, prose.replace("fox", "gato " + i), "es")))
+      .toDF("doc_id", "text", "lang")
+    val ref = (100L to 110L).map(i => (i, prose)).toDF("doc_id", "text")
+    val got = Corpus.ccnetBuckets(docs, ref)
+      .select($"doc_id", $"lang", $"bucket").as[(Long, String, String)].collect()
+    val byLang = got.groupBy(_._2)
+    // terciles: |head| = floor(n/3), |tail| = n - floor(2n/3) per language
+    byLang.foreach { case (lang, rows) =>
+      val n = rows.length
+      val c = rows.groupBy(_._3).view.mapValues(_.length).toMap
+      assert(c.getOrElse("head", 0) == n / 3,
+        s"$lang head must be floor(n/3): $c of $n")
+      assert(c.getOrElse("tail", 0) == n - (2 * n) / 3,
+        s"$lang tail must be n - floor(2n/3): $c of $n")
+    }
+    // the two gibberish docs are the worst-scored English docs → tail
+    val enTail = got.filter(r => r._2 == "en" && r._3 == "tail").map(_._1).toSet
+    assert(Set(13L, 14L).subsetOf(enTail),
+      s"gibberish must land in the tail tercile: $enTail")
+  }
+
   test("stratified sample: exact counts, partition-invariant, append-stable") {
     import spark.implicits._
     val docs = (1L to 300L).map(i => (i, if (i % 3 == 0) "a" else "b", s"text $i"))
