@@ -139,6 +139,8 @@ object SparkEntry {
     "text_dedup_lines"       -> (TextOps.dedupLinesQuery(_, _)),
     // BM25 ranked retrieval: top-k docs for a bag-of-terms query
     "text_bm25_topk"         -> (TextOps.bm25Query(_, _)),
+    // span-level decontamination: cut leaked benchmark windows, keep the doc
+    "text_despan_reference"  -> (TextOps.despanReferenceQuery(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1235,6 +1237,42 @@ object SparkEntry {
          )
          SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean
          FROM tok t LEFT JOIN agg a ON t.doc_id = a.doc_id""",
+    // text_despan_reference: surgical decontamination — every 20-token
+    // train window whose hash exists in the benchmark split's window
+    // universe is cut (no ownership exception), survivors reassemble in
+    // order; whole-doc coverage comes back as ''
+    "text_despan_reference" ->
+      """WITH tr AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           FROM documents WHERE doc_id % 10 <> 0
+         ), seq AS (
+           SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) AS pos FROM tr
+         ), w AS (
+           SELECT doc_id,
+             unnest([{'pos': i,
+                      'wh': ('0x' || substring(md5(array_to_string(t[i:i+19], ' ')), 1, 15))::BIGINT}
+                     for i in generate_series(1, len(t) - 19)], recursive := true)
+           FROM tr WHERE len(t) >= 20
+         ), rw AS (
+           SELECT DISTINCT
+             unnest([('0x' || substring(md5(array_to_string(t[i:i+19], ' ')), 1, 15))::BIGINT
+                     for i in generate_series(1, len(t) - 19)]) AS wh
+           FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                 FROM documents WHERE doc_id % 10 = 0)
+           WHERE len(t) >= 20
+         ), cov AS (
+           SELECT DISTINCT w.doc_id, w.pos + k AS j
+           FROM w JOIN rw USING (wh), generate_series(0, 19) g(k)
+         ), kept AS (
+           SELECT s.doc_id, s.pos, s.tk FROM seq s
+           LEFT JOIN cov ON s.doc_id = cov.doc_id AND s.pos = cov.j
+           WHERE cov.j IS NULL
+         ), agg AS (
+           SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS text_clean
+           FROM kept GROUP BY doc_id
+         )
+         SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean
+         FROM tr t LEFT JOIN agg a ON t.doc_id = a.doc_id""",
     // text_fingerprint: exact + robust (min-shingle) md5-prefix hashes.
     "text_fingerprint" ->
       """WITH tok AS (

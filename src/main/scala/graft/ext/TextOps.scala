@@ -567,4 +567,54 @@ object TextOps {
     * owner. */
   def removeDuplicatedSpansQuery(s: SparkSession, d: String): DataFrame =
     removeDuplicatedSpans(Tables.documents(s, d), windowN = 20)
+
+  /** SPAN-level decontamination against a reference/benchmark set:
+    * remove every token of a training document covered by a `windowN`-token
+    * window whose hash occurs ANYWHERE in the reference — the surgical
+    * alternative to [[graft.ext.Corpus.decontaminate]]'s whole-document
+    * drop ("the page quotes one eval question; keep the page, cut the
+    * quote"). No ownership exception here, unlike
+    * [[removeDuplicatedSpans]] — reference content must not survive in
+    * the training set at all.
+    *
+    * Scale shape: the reference collapses to its distinct window-hash
+    * universe (benchmark-sized) and broadcasts; the train side pays one
+    * window explode carrying (doc_id, pos, 8-byte hash); coverage is
+    * duplication-proportional (windowN · matched windows); reassembly is
+    * the one-doc_id-shuffle order-stable pattern shared with
+    * [[removeDuplicatedSpans]]. Output is whitespace-normalized
+    * lowercase (the shared tokenization). */
+  def removeReferenceSpans(train: DataFrame, ref: DataFrame, windowN: Int = 50,
+                           textCol: String = "text", idCol: String = "doc_id",
+                           broadcastRef: Boolean = true): DataFrame = {
+    val tok = graft.core.CacheRegistry.persisted(
+      train.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t")))
+    val wh = tok.select(col("doc_id"), posexplode(
+      graft.functions.TextHashExpressions.word_window_hashes(col("t"), windowN))
+      .as(Seq("pos", "wh")))
+    val refW = ref.select(explode(
+        graft.functions.TextHashExpressions.word_window_hashes(
+          tokens(col(textCol)), windowN)).as("wh"))
+      .distinct()
+    val covered = wh
+      .join(if (broadcastRef) broadcast(refW) else refW, Seq("wh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (windowN - 1))).as("j"))
+      .distinct()
+    tok.select(col("doc_id"), posexplode(col("t")).as(Seq("j", "w")))
+      .join(covered, Seq("doc_id", "j"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("w")))),
+        s => s.getField("w")), " ").as("text_clean"))
+      .join(tok.select("doc_id"), Seq("doc_id"), "right")
+      .select(col("doc_id"), coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** SparkEntry query (oracled): surgical 20-token decontamination of the
+    * 9-in-10 training split against the 1-in-10 benchmark split. */
+  def despanReferenceQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    removeReferenceSpans(docs.filter(col("doc_id") % 10 =!= 0),
+                         docs.filter(col("doc_id") % 10 === 0), windowN = 20)
+  }
 }

@@ -241,6 +241,25 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) == "", "doc3's T copy is fully removed (it lives in doc2)")
   }
 
+  test("reference-span removal: leaked windows cut with no owner exception, rest intact") {
+    def ws(a: Int, b: Int) = (a to b).map(i => s"w$i").mkString(" ")
+    val bench = Seq((100L, ws(1, 30))).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, ws(1, 30)),                      // verbatim benchmark copy → ''
+      (2L, ws(50, 90) + " " + ws(1, 25) + " " + ws(91, 120)), // mid-doc leak
+      (3L, ws(200, 260))                    // disjoint → untouched
+    ).toDF("doc_id", "text")
+    val out = TextOps.removeReferenceSpans(train, bench, windowN = 20)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "", s"fully-leaked doc must come back empty: '${out(1L)}'")
+    assert(out(3L) == ws(200, 260), "disjoint doc passes through untouched")
+    // doc 2: w1..w25 contains windows w1-20..w6-25 (all in bench) → tokens
+    // w1..w25 covered; surrounding original text survives in order
+    assert(out(2L) == ws(50, 90) + " " + ws(91, 120),
+      s"only the leaked span is cut: '${out(2L)}'")
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("bm25: term-bearing docs rank above term-free, rare terms outweigh common") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"),        // has rare 'gamma'
