@@ -38,7 +38,9 @@ class ScaleSpec extends SparkSpec {
     "sketch_distinct_kmv",    // bottom-k synopsis: shuffle is k longs per group
     "sketch_heavy_hitters",   // CMS build (fixed synopsis) + broadcast probe
     "text_bm25_topk",         // map-side tf/dl + model-sized shuffles + TakeOrdered
-    "corpus_bloom_decontam")  // bitmap build + broadcast bit-test probe
+    "corpus_bloom_decontam",  // bitmap build + broadcast bit-test probe
+    "corpus_ccnet_buckets",   // LM scoring + per-language tercile windows
+    "text_despan_reference")  // window-hash probe + duplication-proportional coverage
 
   private def timeGate(name: String, dir: String): Double = {
     val fn = SparkEntry.queries(name)
