@@ -127,6 +127,8 @@ object SparkEntry {
     "corpus_perplexity"      -> (graft.ext.Corpus.lmPerplexityQuery(_, _)),
     // CCNet head/middle/tail: per-language perplexity terciles
     "corpus_ccnet_buckets"   -> (graft.ext.Corpus.ccnetBucketsQuery(_, _)),
+    // trained quality classifier: logistic regression on hashed features
+    "corpus_quality_classifier" -> (graft.ext.Corpus.qualityClassifierQuery(_, _)),
     // DSIR importance weights (hashed n-gram features vs a target slice)
     "corpus_dsir"            -> (graft.ext.Corpus.dsirWeightsQuery(_, _)),
     // DSIR selection: per-language top-frac by importance weight
@@ -224,6 +226,64 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_words,
            CAST(sum(len(string_split(trim(seq, '|'), '||'))) AS BIGINT) AS n_subwords
          FROM d$rounds GROUP BY doc_id"""
+  }
+
+  /** corpus_quality_classifier: the WHOLE logistic-regression training
+    * loop replays — labeled set (docs + md5-token gibberish twins), the
+    * DSIR feature-bucket spelling, then per round: integer logits from
+    * q6 weights, per-doc q6-rounded sigmoid gradient, integer per-bucket
+    * sums, floor(grad/(4n)) weight step — and the final q6 scores. */
+  private def qualityClassifierOracle(rounds: Int, buckets: Int): String = {
+    val base = s"""WITH lab AS (
+           SELECT doc_id, 1 AS y, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000000 AS doc_id, 0 AS y,
+             array_to_string([substring(md5(CAST(doc_id AS VARCHAR) || ':' || i), 1, 8)
+                              for i in generate_series(1, 20)], ' ') AS text
+           FROM documents
+         ), tok AS (
+           SELECT doc_id, y, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM lab
+         ), seq AS (
+           SELECT doc_id, y, unnest(t) AS tk, generate_subscripts(t, 1) AS pos FROM tok
+         ), bgp AS (
+           SELECT doc_id, y, tk AS w1,
+             lead(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+           FROM seq
+         ), feats AS (
+           SELECT doc_id, y, tk AS f FROM seq
+           UNION ALL
+           SELECT doc_id, y, w1 || ' ' || w2 AS f FROM bgp WHERE w2 IS NOT NULL
+         ), cnts AS (
+           SELECT doc_id, y, ('0x' || substring(md5(f), 1, 7))::BIGINT % $buckets AS b,
+             count(*) AS cnt
+           FROM feats GROUP BY 1, 2, 3
+         ), nd AS (SELECT count(*) AS n FROM lab
+         ), w0 AS (
+           SELECT b, CAST(0 AS BIGINT) AS w FROM generate_series(0, ${buckets - 1}) g(b)
+         )"""
+    val roundCtes = (1 to rounds).map { r =>
+      s""", z$r AS (
+           SELECT doc_id, y, CAST(sum(cnt * w) AS BIGINT) AS z
+           FROM cnts JOIN w${r - 1} USING (b) GROUP BY doc_id, y
+         ), g$r AS (
+           SELECT doc_id,
+             CAST(floor((1.0 / (1.0 + exp(-CAST(z AS DOUBLE) / 1e6)) - CAST(y AS DOUBLE))
+               * 1e6 + 0.5) AS BIGINT) AS g
+           FROM z$r
+         ), gr$r AS (
+           SELECT b, CAST(sum(g * cnt) AS BIGINT) AS gr
+           FROM cnts JOIN g$r USING (doc_id) GROUP BY b
+         ), w$r AS (
+           SELECT wp.b,
+             CAST(wp.w - floor(CAST(coalesce(gr, 0) AS DOUBLE) / (4.0 * n)) AS BIGINT) AS w
+           FROM w${r - 1} wp LEFT JOIN gr$r USING (b) CROSS JOIN nd
+         )"""
+    }.mkString
+    base + roundCtes + s"""
+         SELECT doc_id, y AS label,
+           CAST(floor(1.0 / (1.0 + exp(-CAST(z AS DOUBLE) / 1e6)) * 1e6 + 0.5) AS BIGINT) AS score_q6
+         FROM (SELECT doc_id, y, CAST(sum(cnt * w) AS BIGINT) AS z
+               FROM cnts JOIN w$rounds USING (b) GROUP BY doc_id, y)"""
   }
 
   /** Shared CTE chain of the add-one-bigram LM scorer (train on the 1-in-5
@@ -330,6 +390,8 @@ object SparkEntry {
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
+    // trained quality classifier: 3-round logistic regression, 512 buckets
+    "corpus_quality_classifier" -> qualityClassifierOracle(3, 512),
     "scan_project" ->
       "SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem",
     "filter_eq" ->

@@ -1010,6 +1010,83 @@ object Corpus {
     ccnetBuckets(docs, docs.filter(col("doc_id") % 5 === 0))
   }
 
+  // ---------------------------------------- trained quality classifier
+
+  /** fastText-style trained quality filter (the Brown et al. 2020 /
+    * Gao et al. 2020 recipe: hashed bag-of-ngram features + a linear
+    * model, trained "reference corpus vs raw crawl", then used to score
+    * and filter the crawl): logistic regression over the SAME md5
+    * unigram+bigram feature buckets DSIR uses, trained with full-batch
+    * gradient descent. Complements the engine's other quality scorers —
+    * heuristic ([[TextOps.qualityScore]]), generative
+    * ([[lmPerplexity]]), importance-ratio ([[dsirWeights]]) — with the
+    * DISCRIMINATIVE family.
+    *
+    * Determinism/oracle: weights live as q6-scaled BIGINTs, so every
+    * per-doc logit `z = Σ w_q6·cnt` is an exact integer; the only
+    * transcendental is the per-doc sigmoid, q6-rounded IMMEDIATELY
+    * (`floor((p−y)·10⁶+0.5)`) so gradients are exact-integer sums — one
+    * 1-ulp-exposed rounding per doc per round, the proven lmPerplexity
+    * exposure. The weight update floors `grad/(4·n)` (lr = ¼, mean
+    * gradient) in double — every magnitude stays ≪ 2⁵³, so both engines
+    * floor the identical quotient. The whole R-round training loop
+    * replays in DuckDB as a generated CTE chain (the bpeMerges pattern).
+    *
+    * Scale shape: the feature table is built ONCE ([[CacheRegistry]]
+    * persisted) — (doc_id, bucket, cnt) rows, ~2·tokens per doc; each
+    * round is two bucket-model-sized broadcast joins + one integer
+    * aggregate; the model is `buckets` longs of driver-side state (KBs —
+    * the Lloyd-centroid pattern), never corpus-sized. */
+  def qualityClassifierScores(labeled: DataFrame, buckets: Int = 512,
+                              rounds: Int = 3, textCol: String = "text",
+                              idCol: String = "doc_id",
+                              labelCol: String = "y"): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, "qualityClassifierScores: rounds in [1,64]")
+    require(buckets >= 2, "qualityClassifierScores: buckets must be >= 2")
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val fb = graft.core.CacheRegistry.persisted(
+      labeled.select(col(idCol).as("doc_id"), col(labelCol).cast("int").as("y"),
+          explode(graft.functions.TextHashExpressions.feat_buckets(
+            TextOps.tokens(col(textCol)), buckets)).as("b"))
+        .groupBy("doc_id", "y", "b").agg(count(lit(1)).as("cnt")))
+    val nDocs = labeled.count()
+    def zFrame(wDf: DataFrame) = fb.join(broadcast(wDf), Seq("b"))
+      .groupBy("doc_id", "y").agg(sum(col("cnt") * col("w")).as("z"))
+    val sigmoid = lit(1.0) / (lit(1.0) + exp(-col("z").cast("double") / lit(1e6)))
+    var w = Array.fill(buckets)(0L)
+    def wDf() = w.toSeq.zipWithIndex.map { case (v, b) => (b.toLong, v) }.toDF("b", "w")
+    for (_ <- 1 to rounds) {
+      val g = zFrame(wDf()).select(col("doc_id"),
+        floor((sigmoid - col("y").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("g"))
+      val grads = fb.join(g, Seq("doc_id"))
+        .groupBy("b").agg(sum(col("g") * col("cnt")).as("gr"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      w = Array.tabulate(buckets)(b =>
+        w(b) - math.floor(grads.getOrElse(b.toLong, 0L).toDouble / (4.0 * nDocs)).toLong)
+    }
+    zFrame(wDf()).select(col("doc_id"), col("y").as("label"),
+      floor(sigmoid * lit(1e6) + lit(0.5)).cast("long").as("score_q6"))
+  }
+
+  /** SparkEntry query (oracled): train prose-vs-gibberish — positives are
+    * the fixture documents, negatives deterministic md5-token twins (both
+    * engines synthesize the identical strings) — and score every labeled
+    * doc with the trained model. */
+  def qualityClassifierQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pos = docs.select(col("doc_id"), lit(1).as("y"), col("text"))
+    val neg = docs
+      .select(col("doc_id"), concat_ws(" ",
+        transform(sequence(lit(1), lit(20)), i =>
+          substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+            i.cast("string"))), 1, 8))).as("text"))
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"), lit(0).as("y"),
+        col("text"))
+    qualityClassifierScores(pos.unionByName(neg))
+  }
+
   // ---------------------------------------- DSIR importance weights
 
   /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):

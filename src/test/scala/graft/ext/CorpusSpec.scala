@@ -326,6 +326,28 @@ class CorpusSpec extends SparkSpec {
     assert(m(1) == ((2, "z", "a", 2L)), s"then (z,a): ${m(1)}")
   }
 
+  test("quality classifier: training separates prose from gibberish, layout-invariant") {
+    import spark.implicits._
+    val gib = (1 to 24).map(i => s"qz${i}xv").mkString(" ")
+    val labeled = ((1L to 20L).map(i => (i, 1, prose.replace("dog", "dog" + (i % 5)))) ++
+      (101L to 120L).map(i => (i, 0, gib.replace("qz1", s"qz$i"))))
+      .toDF("doc_id", "y", "text")
+    val scored = Corpus.qualityClassifierScores(labeled, buckets = 256, rounds = 5)
+      .select($"doc_id", $"label", $"score_q6").as[(Long, Int, Long)].collect()
+    graft.core.CacheRegistry.unpersistAll()
+    val pos = scored.filter(_._2 == 1).map(_._3)
+    val neg = scored.filter(_._2 == 0).map(_._3)
+    assert(pos.min > neg.max,
+      s"trained model must separate the classes: pos>=${pos.min}, neg<=${neg.max}")
+    // all-integer weights + q6-rounded gradients: the trajectory cannot
+    // depend on partitioning
+    val again = Corpus.qualityClassifierScores(
+        labeled.repartition(7, $"doc_id"), buckets = 256, rounds = 5)
+      .select($"doc_id", $"label", $"score_q6").as[(Long, Int, Long)].collect()
+    graft.core.CacheRegistry.unpersistAll()
+    assert(again.toSet == scored.toSet, "training must be partition-invariant")
+  }
+
   test("ccnet buckets: gibberish lands in tail, terciles are exact per language") {
     import spark.implicits._
     val gib = "zzq wvx qqk jjv xxp zrr kwq vvj pqz xkk zzq wvx qqk jjv"
