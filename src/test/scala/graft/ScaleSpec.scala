@@ -40,7 +40,8 @@ class ScaleSpec extends SparkSpec {
     "text_bm25_topk",         // map-side tf/dl + model-sized shuffles + TakeOrdered
     "corpus_bloom_decontam",  // bitmap build + broadcast bit-test probe
     "corpus_ccnet_buckets",   // LM scoring + per-language tercile windows
-    "text_despan_reference")  // window-hash probe + duplication-proportional coverage
+    "text_despan_reference",  // window-hash probe + duplication-proportional coverage
+    "corpus_quality_classifier") // GD rounds: model-sized joins over a built-once feature table
 
   private def timeGate(name: String, dir: String): Double = {
     val fn = SparkEntry.queries(name)
