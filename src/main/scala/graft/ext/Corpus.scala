@@ -1051,20 +1051,28 @@ object Corpus {
             TextOps.tokens(col(textCol)), buckets)).as("b"))
         .groupBy("doc_id", "y", "b").agg(count(lit(1)).as("cnt")))
     val nDocs = labeled.count()
+    fb.count() // materialize the feature table UNDER adaptive planning
     def zFrame(wDf: DataFrame) = fb.join(broadcast(wDf), Seq("b"))
       .groupBy("doc_id", "y").agg(sum(col("cnt") * col("w")).as("z"))
     val sigmoid = lit(1.0) / (lit(1.0) + exp(-col("z").cast("double") / lit(1e6)))
     var w = Array.fill(buckets)(0L)
     def wDf() = w.toSeq.zipWithIndex.map { case (v, b) => (b.toLong, v) }.toDF("b", "w")
-    for (_ <- 1 to rounds) {
-      val g = zFrame(wDf()).select(col("doc_id"),
-        floor((sigmoid - col("y").cast("double")) * lit(1e6) + lit(0.5))
-          .cast("long").as("g"))
-      val grads = fb.join(g, Seq("doc_id"))
-        .groupBy("b").agg(sum(col("g") * col("cnt")).as("gr"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      w = Array.tabulate(buckets)(b =>
-        w(b) - math.floor(grads.getOrElse(b.toLong, 0L).toDouble / (4.0 * nDocs)).toLong)
+    // GD rounds are model-iteration micro-jobs (broadcast model join +
+    // one integer aggregate): AQE's per-round re-planning triples the job
+    // count for no plan improvement. Codegen stays ON — unlike the
+    // Lloyd/BPE rounds, corpus-bounded feature rows stream through here.
+    graft.core.ModelLoop.scoped(spark, shufflePartitions = 16,
+      interpretModel = false) {
+      for (_ <- 1 to rounds) {
+        val g = zFrame(wDf()).select(col("doc_id"),
+          floor((sigmoid - col("y").cast("double")) * lit(1e6) + lit(0.5))
+            .cast("long").as("g"))
+        val grads = fb.join(g, Seq("doc_id"))
+          .groupBy("b").agg(sum(col("g") * col("cnt")).as("gr"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        w = Array.tabulate(buckets)(b =>
+          w(b) - math.floor(grads.getOrElse(b.toLong, 0L).toDouble / (4.0 * nDocs)).toLong)
+      }
     }
     zFrame(wDf()).select(col("doc_id"), col("y").as("label"),
       floor(sigmoid * lit(1e6) + lit(0.5)).cast("long").as("score_q6"))
