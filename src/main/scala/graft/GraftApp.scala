@@ -30,7 +30,8 @@ class GraftApp(val spark: SparkSession, val store: DocumentStore,
 
   val topology = new Topology(io, registry)
   val streams = new StreamManager(topology)
-  val functions = new FunctionManager(store, streams)
+  val collectors = new graft.api.CollectorServer(store, streams)
+  val functions = new FunctionManager(store, streams, Some(collectors))
   val alerts = new AlertScheduler(store, registry)
 
   /** T19 boot: wire persisted stream functions, start sinks, subscribe the
@@ -49,6 +50,15 @@ class GraftApp(val spark: SparkSession, val store: DocumentStore,
           name, builder, "built-in")
     }
     streams.bootstrapFromStore(store)
+    // T19 for collectors: persisted `:collector/…` docs re-deploy their
+    // routes, same as the reference's bootstrap starting every stored fn
+    locally {
+      import spark.implicits._
+      store.db().filter("id LIKE ':collector/%'")
+        .select("doc").as[String].collect()
+        .foreach(json => graft.api.CollectorSpec.parse(json)
+          .foreach(collectors.deploy))
+    }
     streams.startControlPlane(store, NodeSpec.parse)
     alerts.start()
     this
@@ -57,6 +67,7 @@ class GraftApp(val spark: SparkSession, val store: DocumentStore,
   def stop(): Unit = {
     alerts.stop()
     streams.stopAll()
+    collectors.stop()
   }
 }
 

@@ -1,0 +1,222 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentHashMap
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import org.apache.spark.sql.types._
+
+import graft.store.DocumentStore
+import graft.stream.StreamManager
+
+/** A deployed collector: a named HTTP endpoint whose behavior is a
+  * declarative [[CollectorHandler]], the engine's replacement for the
+  * reference's eval'd yada resource
+  * (`/root/reference/src/dataworks/collector.clj:85-96` "CURRENTLY UNSAFE
+  * (but necessary)" — here it IS safe, because handlers are data).
+  *
+  * The reference registers `{path → name}` and `{name → resource}` in two
+  * atoms (`collector.clj:98-112` add-collector!); we keep one route table
+  * keyed by path with the spec inline.
+  */
+case class CollectorSpec(name: String, path: String, handler: CollectorHandler)
+
+/** The declarative handler surface. The reference's demo collectors do one
+  * of three things with a request: transact a document into the app db,
+  * push onto a stream node, or answer a Datalog query
+  * (`/root/reference/doc/demo-app-1.org`, `src/dataworks/resource/user.clj`).
+  * Each becomes a data-described handler — validated at deploy time
+  * ("evalidate", minus the eval), executed at request time.
+  */
+sealed trait CollectorHandler
+object CollectorHandler {
+  /** POST: body is a JSON document; `idField` names the body field holding
+    * the entity id. Stored via the bitemporal put (S1). */
+  case class Ingest(idField: String) extends CollectorHandler
+  /** POST: body is pushed onto stream node `node` (T16 stream!). */
+  case class StreamPush(node: String) extends CollectorHandler
+  /** GET: run EDN Datalog `edn` against the store's current snapshot with
+    * document schema `fields` (name → string|long|double|boolean) and
+    * return rows as a JSON array. */
+  case class Query(edn: String, fields: Seq[(String, String)]) extends CollectorHandler
+}
+
+object CollectorSpec {
+  private implicit val fmts: Formats = DefaultFormats
+
+  /** Parse + validate a collector spec JSON:
+    * {"name":"add-user","path":"/app/add-user",
+    *  "handler":{"kind":"ingest","idField":"user_id"}}
+    * Returns Left(reason) on anything malformed — the deploy-time
+    * validation railway the reference runs (valid-path?, evalidate). */
+  def parse(json: String): Either[String, CollectorSpec] =
+    try {
+      val j = JsonMethods.parse(json)
+      for {
+        name <- (j \ "name").extractOpt[String].toRight("collector spec needs a name")
+        path <- (j \ "path").extractOpt[String].toRight("collector spec needs a path")
+        _ <- if (path.startsWith("/") && !path.contains("//") && path.length > 1) Right(())
+             else Left(s"invalid path '$path' (absolute, non-empty, no //)")
+        h <- parseHandler(j \ "handler")
+      } yield CollectorSpec(name, path, h)
+    } catch { case e: Exception => Left(s"unparseable collector spec: ${e.getMessage}") }
+
+  private def parseHandler(j: JValue): Either[String, CollectorHandler] =
+    (j \ "kind").extractOpt[String] match {
+      case Some("ingest") =>
+        (j \ "idField").extractOpt[String].toRight("ingest handler needs idField")
+          .map(CollectorHandler.Ingest(_))
+      case Some("stream") =>
+        (j \ "node").extractOpt[String].toRight("stream handler needs node")
+          .map(CollectorHandler.StreamPush(_))
+      case Some("query") =>
+        for {
+          edn <- (j \ "edn").extractOpt[String].toRight("query handler needs edn")
+          fields <- j \ "fields" match {
+            case JObject(fs) =>
+              val bad = fs.collect { case (n, JString(t)) if !typeNames(t) => s"$n:$t" }
+              if (bad.nonEmpty) Left(s"unknown field types: ${bad.mkString(", ")}")
+              else Right(fs.collect { case (n, JString(t)) => (n, t) })
+            case _ => Left("query handler needs fields: {name: type, ...}")
+          }
+        } yield CollectorHandler.Query(edn, fields)
+      case other => Left(s"unknown handler kind $other (ingest|stream|query)")
+    }
+
+  private val typeNames = Set("string", "long", "double", "boolean")
+  private[api] def toType(t: String): DataType = t match {
+    case "string" => StringType
+    case "long" => LongType
+    case "double" => DoubleType
+    case "boolean" => BooleanType
+    case other => throw new IllegalArgumentException(s"unknown type $other")
+  }
+}
+
+/** F3: the dynamic REST collector surface
+  * (`/root/reference/src/dataworks/collector.clj:48-156`), on the JDK's
+  * built-in [[com.sun.net.httpserver.HttpServer]] — zero added
+  * dependencies, which matters because the engine itself must not drag a
+  * web stack onto 1000 executors; this runs on the driver (or a separate
+  * management host) only.
+  *
+  * Routing is the reference's atomic-routes table: a concurrent map from
+  * exact path to deployed spec, consulted per request, swapped atomically
+  * on deploy/update/remove — a collector hot-swap never drops requests.
+  * Duplicate-path protection (`other-collector-with-path?`,
+  * `collector.clj:69-83`) is enforced here because this map is the one
+  * place every live path is known.
+  */
+class CollectorServer(store: DocumentStore, streams: StreamManager) {
+  private val routes = new ConcurrentHashMap[String, CollectorSpec]()
+  @volatile private var server: HttpServer = _
+
+  /** Lazily started: an engine with no collectors binds no port. */
+  private def ensureStarted(): Unit = synchronized {
+    if (server == null) {
+      val s = HttpServer.create(new InetSocketAddress(0), 0)
+      s.createContext("/", (ex: HttpExchange) => handle(ex))
+      s.setExecutor(null) // request volume is management-plane scale
+      s.start()
+      server = s
+    }
+  }
+
+  def port: Int = { ensureStarted(); server.getAddress.getPort }
+
+  /** Deploy (create semantics): rejects a path already owned by a DIFFERENT
+    * collector; same-name redeploy is the update path and swaps in place. */
+  def deploy(spec: CollectorSpec): Either[String, CollectorSpec] = {
+    val owner = routes.get(spec.path)
+    if (owner != null && owner.name != spec.name)
+      Left(s"collector-with-path-already-exists: ${spec.path} owned by ${owner.name}")
+    else {
+      // an update may move the collector to a new path — drop the old route
+      routes.entrySet().removeIf(e => e.getValue.name == spec.name && e.getKey != spec.path)
+      routes.put(spec.path, spec)
+      ensureStarted()
+      Right(spec)
+    }
+  }
+
+  def remove(name: String): Unit =
+    routes.entrySet().removeIf(_.getValue.name == name)
+
+  def deployed: Map[String, CollectorSpec] = {
+    val b = Map.newBuilder[String, CollectorSpec]
+    routes.forEach((p, s) => b += p -> s)
+    b.result()
+  }
+
+  def stop(): Unit = synchronized {
+    if (server != null) { server.stop(0); server = null }
+    routes.clear()
+  }
+
+  // ------------------------------------------------------------- dispatch
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      val spec = routes.get(ex.getRequestURI.getPath)
+      if (spec == null) respond(ex, 404, s"""{"status":"failure","message":"no such endpoint"}""")
+      else (spec.handler, ex.getRequestMethod) match {
+        case (h: CollectorHandler.Ingest, "POST") => ingest(ex, h)
+        case (h: CollectorHandler.StreamPush, "POST") => push(ex, spec, h)
+        case (h: CollectorHandler.Query, "GET") => query(ex, h)
+        case (_, m) =>
+          respond(ex, 405, s"""{"status":"failure","message":"method $m not allowed"}""")
+      }
+    } catch {
+      case e: Exception =>
+        respond(ex, 500, JsonMethods.compact(JsonMethods.render(
+          JObject("status" -> JString("failure"), "message" -> JString(String.valueOf(e.getMessage))))))
+    } finally ex.close()
+
+  private def body(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), UTF_8)
+
+  private def ingest(ex: HttpExchange, h: CollectorHandler.Ingest): Unit = {
+    val doc = body(ex)
+    JsonMethods.parseOpt(doc).flatMap(j => (j \ h.idField) match {
+      case JString(s) => Some(s)
+      case JInt(i) => Some(i.toString)
+      case _ => None
+    }) match {
+      case None =>
+        respond(ex, 400,
+          s"""{"status":"failure","message":"body must be JSON with field ${h.idField}"}""")
+      case Some(id) =>
+        val tx = store.put(id, doc)
+        respond(ex, 201,
+          s"""{"status":"success","id":${JsonMethods.compact(JsonMethods.render(JString(id)))},"txTime":${tx.getTime}}""")
+    }
+  }
+
+  private def push(ex: HttpExchange, spec: CollectorSpec, h: CollectorHandler.StreamPush): Unit = {
+    streams.stream(h.node, spec.name, body(ex))
+    respond(ex, 202, s"""{"status":"success","message":"pushed"}""")
+  }
+
+  private def query(ex: HttpExchange, h: CollectorHandler.Query): Unit = {
+    val schema = StructType(h.fields.map { case (n, t) => StructField(n, CollectorSpec.toType(t)) })
+    store.q(h.edn, schema) match {
+      case Left(err) => respond(ex, 400, s"""{"status":"failure","message":${JsonMethods.compact(JsonMethods.render(JString(err)))}}""")
+      case Right(df) =>
+        // management-plane result sizes (entity lookups, registry listings);
+        // large analytical results belong on the query API, not REST
+        val rows = df.toJSON.collect()
+        respond(ex, 200, rows.mkString("[", ",", "]"))
+    }
+  }
+
+  private def respond(ex: HttpExchange, code: Int, json: String): Unit = {
+    val bytes = json.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+}

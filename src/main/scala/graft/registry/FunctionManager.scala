@@ -16,7 +16,8 @@ import graft.stream.{NodeSpec, StreamManager}
   * — full audit history, time-travel debuggable); activation is the
   * control-plane broadcast (T18) every node consumes.
   */
-class FunctionManager(store: DocumentStore, manager: StreamManager) {
+class FunctionManager(store: DocumentStore, manager: StreamManager,
+                      collectors: Option[graft.api.CollectorServer] = None) {
 
   val functionTypes = Set("collector", "transformer", "transactor", "stream")
 
@@ -34,6 +35,17 @@ class FunctionManager(store: DocumentStore, manager: StreamManager) {
         NodeSpec.parse(specJson).toRight(s"unparseable stream spec: $specJson")
           .flatMap(manager.topology.validate)
           .map(_ => specJson)
+      case "collector" if collectors.isDefined =>
+        // deploy-time "evalidate" (handler shape) + duplicate-path check
+        // (`/root/reference/src/dataworks/collector.clj:69-83`) BEFORE the
+        // store transaction, so a rejected deploy leaves no audit row
+        graft.api.CollectorSpec.parse(specJson).flatMap { spec =>
+          collectors.get.deployed.get(spec.path) match {
+            case Some(owner) if owner.name != spec.name =>
+              Left(s"collector-with-path-already-exists: ${spec.path} (${owner.name})")
+            case _ => Right(specJson)
+          }
+        }
       case _ => // non-stream types carry opaque registry references
         if (specJson != null && specJson.trim.startsWith("{")) Right(specJson)
         else Left("spec must be a JSON object")
@@ -79,6 +91,8 @@ class FunctionManager(store: DocumentStore, manager: StreamManager) {
       store.delete(id)
       if (tpe == "stream")
         NodeSpec.parse(spec).foreach(n => manager.deleteNode(n.name.full))
+      if (tpe == "collector")
+        collectors.foreach(_.remove(name))
       broadcast(id)
       id
     }
@@ -88,6 +102,9 @@ class FunctionManager(store: DocumentStore, manager: StreamManager) {
   private def activate(tpe: String, id: String, specJson: String): Unit = {
     if (tpe == "stream")
       NodeSpec.parse(specJson).foreach(manager.updateNode)
+    if (tpe == "collector")
+      collectors.foreach(c =>
+        graft.api.CollectorSpec.parse(specJson).foreach(c.deploy))
     broadcast(id)
   }
 

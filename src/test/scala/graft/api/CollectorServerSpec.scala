@@ -1,0 +1,114 @@
+package graft.api
+
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import graft.{GraftApp, SparkSpec}
+import graft.registry.FunctionRegistry
+import graft.stream.MemoryIO
+
+/** F3 end-to-end: collectors deployed through the management railway become
+  * live HTTP endpoints (ingest → store, push → stream node, GET → Datalog),
+  * hot-swap atomically, enforce duplicate-path rejection, and re-deploy on
+  * cold restart (T19) — the reference's collector lifecycle
+  * (`/root/reference/src/dataworks/collector.clj`) minus the eval. */
+class CollectorServerSpec extends SparkSpec {
+
+  private def http(method: String, url: String, body: Option[String] = None): (Int, String) = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(b.getBytes(UTF_8))
+    }
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val text = if (is == null) "" else new String(is.readAllBytes(), UTF_8)
+    conn.disconnect()
+    (code, text)
+  }
+
+  test("collector lifecycle: deploy → ingest → query → swap → delete → reboot") {
+    val db = Files.createTempDirectory("graft-collector").toString + "/db"
+    val io = new MemoryIO(spark)
+    val app = GraftApp(spark, db, io, new FunctionRegistry).start()
+    try {
+      // create through the management plane: persisted + routed
+      assert(app.functions.create("collector", "add-user",
+        """{"name":"add-user","path":"/app/add-user",
+           "handler":{"kind":"ingest","idField":"user_id"}}"""
+          .replaceAll("\n\\s*", "")).isRight)
+      val base = s"http://localhost:${app.collectors.port}"
+
+      // ingest: POST a JSON doc → bitemporal put under the body's id field
+      val (c1, _) = http("POST", s"$base/app/add-user",
+        Some("""{"user_id":"u1","name":"ada","karma":7}"""))
+      assert(c1 == 201)
+      assert(app.store.entity("u1").exists(_.contains("\"ada\"")))
+
+      // malformed body → 400, nothing stored
+      assert(http("POST", s"$base/app/add-user", Some("""{"nope":1}"""))._1 == 400)
+      // wrong method → 405; unknown path → 404
+      assert(http("GET", s"$base/app/add-user")._1 == 405)
+      assert(http("GET", s"$base/no/such")._1 == 404)
+
+      // duplicate path under a DIFFERENT name is rejected by the railway
+      // (no audit row written — entity absent)
+      assert(app.functions.create("collector", "other",
+        """{"name":"other","path":"/app/add-user","handler":{"kind":"ingest","idField":"x"}}""").isLeft)
+      assert(app.store.entity(":collector/other").isEmpty)
+
+      // query collector: EDN Datalog over the store's live snapshot
+      http("POST", s"$base/app/add-user", Some("""{"user_id":"u2","name":"bob","karma":3}"""))
+      assert(app.functions.create("collector", "users",
+        """{"name":"users","path":"/app/users",
+           "handler":{"kind":"query",
+                      "edn":"{:find [?n ?k] :where [[?e :name ?n] [?e :karma ?k]]}",
+                      "fields":{"name":"string","karma":"long"}}}"""
+          .replaceAll("\n\\s*", "")).isRight)
+      val (qc, qbody) = http("GET", s"$base/app/users")
+      assert(qc == 200)
+      assert(qbody.contains("\"ada\"") && qbody.contains("\"bob\""))
+
+      // stream-push collector feeds a topology node (T16 through HTTP)
+      assert(app.functions.create("stream", "events-in",
+        """{"name":"kafka/events-in"}""").isRight)
+      assert(app.functions.create("stream", "events-out",
+        """{"name":"kafka/events-out","upstream":["kafka/events-in"]}""").isRight)
+      assert(app.functions.create("collector", "track",
+        """{"name":"track","path":"/app/track","handler":{"kind":"stream","node":"kafka/events-in"}}""").isRight)
+      assert(http("POST", s"$base/app/track", Some("""{"event":"click"}"""))._1 == 202)
+      app.streams.processAllAvailable()
+      assert(io.collected("events-out").exists(_.getAs[String]("value").contains("click")))
+
+      // hot-swap: update moves the route; old path 404s, new path serves
+      assert(app.functions.update("collector", "add-user",
+        """{"name":"add-user","path":"/app/v2/add-user","handler":{"kind":"ingest","idField":"user_id"}}""").isRight)
+      assert(http("POST", s"$base/app/add-user", Some("""{"user_id":"u3"}"""))._1 == 404)
+      assert(http("POST", s"$base/app/v2/add-user", Some("""{"user_id":"u3"}"""))._1 == 201)
+
+      // invalid specs rejected by the parse railway
+      assert(app.functions.create("collector", "bad1",
+        """{"name":"bad1","path":"nope","handler":{"kind":"ingest","idField":"x"}}""").isLeft)
+      assert(app.functions.create("collector", "bad2",
+        """{"name":"bad2","path":"/b2","handler":{"kind":"wat"}}""").isLeft)
+
+      // delete: route removed, doc tombstoned
+      assert(app.functions.delete("collector", "track").isRight)
+      assert(http("POST", s"$base/app/track", Some("{}"))._1 == 404)
+
+      app.stop()
+
+      // cold restart: persisted collectors re-route (T19); the tombstoned
+      // one stays gone; latest version (the moved path) wins
+      val app2 = GraftApp(spark, db, io, new FunctionRegistry).start()
+      try {
+        val base2 = s"http://localhost:${app2.collectors.port}"
+        assert(http("POST", s"$base2/app/v2/add-user",
+          Some("""{"user_id":"u4"}"""))._1 == 201)
+        assert(app2.collectors.deployed.keySet == Set("/app/v2/add-user", "/app/users"))
+      } finally app2.stop()
+    } finally app.stop()
+  }
+}
