@@ -245,6 +245,76 @@ object Corpus {
         graft.query.Functions.stableRound(col("contamination"), 4).as("contamination"))
   }
 
+  // ---------------------------------------- fuzzy (MinHash) decontamination
+
+  /** Fuzzy benchmark decontamination: flag training docs that are NEAR
+    * duplicates of an eval/benchmark doc — the paraphrase/partial-copy
+    * class that exact n-gram overlap ([[contamination]]) undercounts and a
+    * Bloom probe ([[bloomContamination]]) can't see at all. This is the
+    * GPT-3-style fuzzy decontamination pass, done as a CROSS-CORPUS
+    * MinHash-LSH join rather than a self-join: candidates only form where
+    * a train band bucket collides with an eval band bucket, so the join is
+    * |train buckets| ⋈ |eval buckets| on (band, bucket) — never the n²
+    * train-side pair space, and the (tiny) eval side broadcasts under AQE.
+    *
+    * Returns one row per flagged train doc: (doc_id, n_matches,
+    * max_jaccard) over eval matches with true shingle Jaccard ≥
+    * `threshold`. Same md5-affine permutation family as
+    * [[graft.ext.Dedup.minhashNearDups]], so the whole pass — signatures,
+    * banding (band membership = signature-slice equality), verify —
+    * replays exactly in a SQL oracle. */
+  def fuzzyContamination(train: DataFrame, evalDocs: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         shingleN: Int = 3, numPerm: Int = 64,
+                         bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    import graft.functions.TextHashExpressions.{minhash_sig, word_shingles}
+    val rows = numPerm / bands
+    def shingled(df: DataFrame) = graft.core.CacheRegistry.persisted(
+      df.select(col(idCol).as("id"),
+        word_shingles(TextOps.tokens(col(textCol)), shingleN).as("sh")))
+    // signatures persist separately so CollapseProject can't inline the
+    // minhash into each band slice (16× recompute — see minhashNearDups)
+    def buckets(sh: DataFrame) = graft.core.CacheRegistry.persisted(
+        sh.select(col("id"), minhash_sig(col("sh"), numPerm).as("sig")))
+      .select(col("id"), explode(Dedup.minhashBands(col("sig"), bands, rows)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val tSh = shingled(train)
+    val eSh = shingled(evalDocs)
+    val cand = buckets(tSh)
+      .join(buckets(eSh).withColumnRenamed("id", "eval_id"), Seq("band", "bucket"))
+      .select(col("id"), col("eval_id")).distinct()
+    cand
+      .join(tSh, Seq("id"))
+      .join(eSh.select(col("id").as("eval_id"), col("sh").as("sh_e")), Seq("eval_id"))
+      .withColumn("__i", graft.functions.SetExpressions
+        .intersection_size(col("sh"), col("sh_e")).cast("double"))
+      .withColumn("jaccard",
+        col("__i") / (size(col("sh")) + size(col("sh_e")) - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("max_jaccard"))
+  }
+
+  /** The filtering form: training rows with NO fuzzy eval match survive. */
+  def fuzzyDecontaminate(train: DataFrame, evalDocs: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         threshold: Double = 0.5): DataFrame =
+    train.join(
+      fuzzyContamination(train, evalDocs, textCol, idCol, threshold = threshold)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
+  /** SparkEntry query (FULL DuckDB oracle): every 10th doc plays the
+    * benchmark set, the rest are the training corpus — the
+    * [[decontamQuery]] split, so the two passes are directly comparable. */
+  def fuzzyDecontamQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    fuzzyContamination(docs.filter(col("doc_id") % 10 =!= 0),
+                       docs.filter(col("doc_id") % 10 === 0))
+      .select(col("doc_id"), col("n_matches"),
+        graft.query.Functions.stableRound(col("max_jaccard"), 4).as("max_jaccard"))
+  }
+
   /** Stratified exact-count sampling: exactly `nPerStratum` rows from each
     * stratum (fewer when a stratum is smaller), picked by a deterministic
     * multiplicative scramble of the id — the eval-set construction step

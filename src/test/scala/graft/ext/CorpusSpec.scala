@@ -198,6 +198,27 @@ class CorpusSpec extends SparkSpec {
     assert(cShuffle == c)
   }
 
+  test("fuzzy decontamination: verbatim and paraphrase flagged, disjoint clean") {
+    val evalDocs = Seq((100L, prose)).toDF("doc_id", "text")
+    val paraphrase = prose.replace("green", "dark").replace("quiet", "rolling")
+    val train = Seq(
+      (1L, prose),        // verbatim copy → jaccard 1.0
+      (2L, paraphrase),   // two word swaps → high but < 1.0
+      (3L, "unrelated content about compilers registers and stack frames " +
+        "emitted by a code generator backend during instruction selection")
+    ).toDF("doc_id", "text")
+    val c = Corpus.fuzzyContamination(train, evalDocs)
+      .select("doc_id", "max_jaccard").as[(Long, Double)].collect().toMap
+    assert(c(1L) == 1.0, s"verbatim copy must score 1.0, got ${c.get(1L)}")
+    assert(c.get(2L).exists(j => j > 0.5 && j < 1.0),
+      s"paraphrase flagged below 1.0, got ${c.get(2L)}")
+    assert(!c.contains(3L), "disjoint doc must not be flagged")
+    // the filtering form drops exactly the flagged docs
+    val kept = Corpus.fuzzyDecontaminate(train, evalDocs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+  }
+
   test("vocabulary: tf counts occurrences, df counts docs, minCount filters, '' never a token") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),
