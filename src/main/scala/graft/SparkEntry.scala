@@ -36,6 +36,7 @@ object SparkEntry {
     "scale_salted_agg"    -> (graft.query.Scale.saltedAggQuery(_, _)),
     "scale_zorder"        -> (graft.query.Scale.zorderQuery(_, _)),
     "scale_bucketed_join" -> (graft.query.Scale.bucketedJoinQuery(_, _)),
+    "join_range_binned"   -> (graft.query.Scale.rangeJoinQuery(_, _)),
     "join_semi"           -> (Relational.joinSemi(_, _)),
     "union_or"            -> (Relational.unionOr(_, _)),
     "distinct_projection" -> (Relational.distinctProjection(_, _)),
@@ -467,6 +468,17 @@ object SparkEntry {
          CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority""",
+    // join_range_binned: the binning only changes HOW pairs meet (bin
+    // equi-join + residual instead of a nested loop) — the oracle is the
+    // plain half-open range theta-join on the same epoch-µs longs
+    "join_range_binned" ->
+      """SELECT o.o_orderkey, count(*) AS n_in_window,
+         CAST(sum(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+         FROM orders o JOIN lineitem l
+           ON epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) >= epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+          AND epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) < epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) + 1209600000000
+         WHERE o.o_orderpriority = '1-URGENT'
+         GROUP BY o.o_orderkey""",
     // join_asof_native: the same semantics through the custom Catalyst
     // operator (plans.AsOfJoinExec) — one oracle, two execution paths
     "join_asof_native" ->

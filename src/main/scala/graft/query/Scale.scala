@@ -203,4 +203,53 @@ object Scale {
       .select(col("event_id"),
         zValue(pmod(col("user_id"), lit(65536L)),
           expr(s"pmod(unix_micros(ts), ${3600000000L * 65536L}L) div 3600000000")).as("z"))
+
+  /** Binned range join: `points` rows matched to `intervals` rows with
+    * `lo <= point < hi` (half-open), WITHOUT the broadcast-nested-loop
+    * plan Spark picks for a bare theta join — the O(|points|·|intervals|)
+    * comparison space that melts at warehouse scale. Each interval
+    * explodes to the fixed-width bins it overlaps, each point maps to its
+    * one bin, and the match becomes a hash/sort-merge EQUI-join on the bin
+    * id followed by the exact residual predicate. A pair can only meet in
+    * the point's single bin, so no post-join dedup is needed.
+    *
+    * Cost model: shuffle volume is |points| + Σ⌈len/width⌉ per interval —
+    * choose `binWidth` near the typical interval length so intervals
+    * explode to ~2 bins. Long intervals fan out more rows but bound skew:
+    * one giant interval becomes many bins instead of one hot join key.
+    * Columns must be exact longs (epoch-µs, epoch-day, integer keys…);
+    * values stay < 2^53 so the bin arithmetic is exact in any engine. */
+  def rangeJoinBinned(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "rangeJoinBinned: binWidth must be positive")
+    def bin(c: Column): Column = floor(c / binWidth).cast("long")
+    val p = points.withColumn("__bin", bin(col(pointCol)))
+    val i = intervals
+      .filter(col(hiCol) > col(loCol)) // empty intervals match nothing
+      .withColumn("__bin", explode(sequence(bin(col(loCol)), bin(col(hiCol) - 1))))
+    p.join(i, Seq("__bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bin")
+  }
+
+  /** Gate query (oracled): ship-date activity inside each urgent order's
+    * 14-day fulfilment window — points are lineitem ship timestamps,
+    * intervals are [o_orderdate, +14d) for 1-URGENT orders, both as exact
+    * epoch-µs longs; 14-day bins keep the fan-out at ≤ 2 bins/interval. */
+  def rangeJoinQuery(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val day = 86400L * 1000000L
+    val points = graft.core.Tables.lineitem(s, d)
+      .select(unix_micros(col("l_shipdate").cast("timestamp")).as("x"),
+        col("l_quantity"))
+    val intervals = graft.core.Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("lo"))
+      .withColumn("hi", col("lo") + lit(14L * day))
+    rangeJoinBinned(points, "x", intervals, "lo", "hi", binWidth = 14L * day)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_in_window"),
+        graft.query.Relational.exactSum(col("l_quantity")).as("sum_qty"))
+  }
 }

@@ -96,6 +96,32 @@ class ScaleSpec extends SparkSpec {
       s"every file must stay under target: ${sizes.toSeq}")
   }
 
+  test("rangeJoinBinned equals the naive theta join; plan is an equi-join") {
+    import spark.implicits._
+    // points spread across bins; intervals of varied length incl. one
+    // spanning many bins, one empty (hi == lo), one matching nothing
+    val points = (0L until 500L).map(x => (x * 7 % 1000, s"p$x"))
+      .toDF("x", "ptag")
+    val intervals = Seq(
+      (1L, 0L, 100L), (2L, 95L, 110L), (3L, 0L, 1000L), // multi-bin giant
+      (4L, 500L, 500L),                                 // empty: matches nothing
+      (5L, 2000L, 2100L),                               // beyond all points
+      (6L, 999L, 1001L)                                 // boundary: 999 in, 1000 out
+    ).toDF("iid", "lo", "hi")
+    val binned = Scale.rangeJoinBinned(points, "x", intervals, "lo", "hi", 64)
+      .select("iid", "x").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals,
+        $"x" >= $"lo" && $"x" < $"hi")
+      .select("iid", "x").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned == naive, "binned range join must equal the theta join")
+    assert(naive.exists(_._1 == 3L) && !naive.exists(_._1 == 4L))
+    // the whole point: candidates meet on the bin EQUI-join, not a loop
+    val plan = Scale.rangeJoinBinned(points, "x", intervals, "lo", "hi", 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"binned range join must never plan a nested loop:\n$plan")
+  }
+
   private implicit class InRange(private val n: Int) {
     def in(r: (Int, Int)): Boolean = n >= r._1 && n <= r._2
   }
