@@ -102,6 +102,8 @@ object SparkEntry {
     "pipeline_clean_corpus" -> (graft.ext.Corpus.cleanCorpusQuery(_, _)),
     // training-mix construction: per-language token budgets
     "corpus_token_mix"      -> (graft.ext.Corpus.tokenBudgetMixQuery(_, _)),
+    // α=0.5 temperature flattening of the per-source token distribution
+    "corpus_temperature_mix" -> (graft.ext.Corpus.temperatureMixQuery(_, _)),
     // benchmark decontamination: train-vs-eval n-gram overlap
     "corpus_decontam"       -> (graft.ext.Corpus.decontamQuery(_, _)),
     // eval-side Bloom bitmap decontamination (fixed-size probe broadcast)
@@ -1525,6 +1527,27 @@ object SparkEntry {
          SELECT doc_id, lang, n_tokens, running_tokens FROM cum
          WHERE running_tokens <= CASE lang WHEN 'en' THEN 3000
            WHEN 'es' THEN 1500 WHEN 'de' THEN 500 END""",
+    // corpus_temperature_mix: α=0.5 keep rates — √(n_min/nᵢ) is one IEEE
+    // division + one exactly-rounded sqrt in both engines; everything
+    // after is integer (threshold, Weyl scramble, keep decision)
+    "corpus_temperature_mix" ->
+      """WITH tok AS (
+           SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents
+         ), per AS (
+           SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens FROM tok GROUP BY source
+         ), thr AS (
+           SELECT source,
+             CAST(floor(sqrt(CAST((SELECT min(src_tokens) FROM per) AS DOUBLE)
+                             / CAST(src_tokens AS DOUBLE)) * 1048576 + 0.5) AS BIGINT) AS thr
+           FROM per
+         )
+         SELECT t.source, count(*) AS n_kept,
+           CAST(sum(t.n_tokens) AS BIGINT) AS kept_tokens, max(h.thr) AS thr
+         FROM tok t JOIN thr h ON t.source = h.source
+         WHERE ((t.doc_id % 2147483648) * 2654435761) % 2147483648 % 1048576 < h.thr
+         GROUP BY t.source""",
     // corpus_stats_report: integer-exact data card (counts, token totals,
     // dup mass over normalized text, Σ round(quality·1e4) as BIGINT — no
     // float mean to disagree on); quality spelling shared with text_quality

@@ -395,6 +395,53 @@ object Corpus {
     tokenBudgetMix(Tables.documents(s, d),
       Map("en" -> 3000L, "es" -> 1500L, "de" -> 500L))
 
+  /** Temperature-based source mixing (the mC4/UniMax α-sampling shape,
+    * α = 0.5): per-source keep rates rᵢ = √(n_min / nᵢ) flatten the token
+    * distribution — the smallest source is kept whole, a source 100× its
+    * size is downsampled 10× — so after sampling, source i's token share
+    * is ∝ √nᵢ, i.e. nᵢ^α with α = ½. α is fixed at ½ because √ is an
+    * exactly-rounded IEEE op in every engine, which keeps the keep/drop
+    * decision bit-replayable; a general-α engine would ride `pow`, whose
+    * last ulp is libm-specific.
+    *
+    * The keep decision is per-row and deterministic: the tokenBudgetMix
+    * Weyl scramble of doc_id, reduced mod 2²⁰, compared against the
+    * source's integer threshold ⌊rᵢ·2²⁰ + ½⌋ — shuffle-free at
+    * apply time (thresholds are a tiny broadcast join), independent of
+    * partitioning, stable under re-runs and appends. Returns the kept
+    * docs with (source, n_tokens, thr) attached.
+    *
+    * Scale shape: one token-count scan + one tiny per-source aggregate;
+    * the apply side is a broadcast hash join + codegen'd filter — no
+    * shuffle of the corpus at any point. */
+  def temperatureMix(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id",
+                     sourceCol: String = "source"): DataFrame = {
+    val toks = docs.select(col(idCol), col(sourceCol),
+      TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val per = toks.groupBy(sourceCol)
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("src_tokens"))
+    // n_min rides the plan as a 1-row broadcast, not a driver collect
+    val thr = per.crossJoin(broadcast(per.agg(min("src_tokens").as("n_min"))))
+      .withColumn("thr", floor(
+        sqrt(col("n_min").cast("double") / col("src_tokens").cast("double"))
+          * lit(1048576L) + lit(0.5)).cast("long"))
+      .select(col(sourceCol), col("thr"))
+    val scramble =
+      (pmod(col(idCol), lit(2147483648L)) * lit(2654435761L)) % lit(2147483648L)
+    toks.join(broadcast(thr), Seq(sourceCol))
+      .filter(scramble % lit(1048576L) < col("thr"))
+  }
+
+  /** SparkEntry query (oracled): per-source mix report — doc/token mass
+    * kept under the α=0.5 temperature flattening, plus the exact integer
+    * threshold, so the oracle pins rate computation AND row decisions. */
+  def temperatureMixQuery(s: SparkSession, d: String): DataFrame =
+    temperatureMix(Tables.documents(s, d))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_tokens").as("kept_tokens"),
+        max("thr").as("thr"))
+
   /** Sequence PACKING: place every document into fixed-capacity training
     * sequences — docs are concatenated in a deterministic scrambled order
     * and chunked into consecutive `seqLen`-token windows, so a doc may

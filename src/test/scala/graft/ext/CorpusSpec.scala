@@ -219,6 +219,24 @@ class CorpusSpec extends SparkSpec {
     assert(kept == Set(3L))
   }
 
+  test("temperature mix: smallest source kept whole, large sources flattened by sqrt") {
+    // 20 small docs vs 2000 large-ish docs: 100x token imbalance
+    val docs = ((1L to 20L).map(i => (i, "tiny doc here", "rare")) ++
+      (1000L to 2999L).map(i => (i, "a somewhat longer document body", "web")))
+      .toDF("doc_id", "text", "source")
+    val kept = Corpus.temperatureMix(docs)
+    val bySrc = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("rare") == 20L, "smallest source must survive whole (rate 1.0)")
+    // web: 2000 docs * 5 tokens = 10000 tokens vs rare 60 → rate √(60/10000) ≈ 0.0775
+    val webKept = bySrc.getOrElse("web", 0L).toDouble / 2000
+    assert(webKept > 0.03 && webKept < 0.13,
+      s"large source downsampled to ~sqrt share, got rate $webKept")
+    // decision is a pure function of doc_id — partition-layout invariant
+    val kept2 = Corpus.temperatureMix(docs.repartition(13)).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept.select("doc_id").as[Long].collect().toSet == kept2)
+  }
+
   test("vocabulary: tf counts occurrences, df counts docs, minCount filters, '' never a token") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),
