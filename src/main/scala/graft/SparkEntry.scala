@@ -68,6 +68,7 @@ object SparkEntry {
     "stream_sessionize"       -> (Relational.streamSessionizeBatch(_, _)),
     "stream_interval_join"    -> (graft.stream.StreamJoin.intervalJoinQuery(_, _)),
     "stream_windowed_distinct" -> (Relational.streamWindowedDistinctBatch(_, _)),
+    "stream_quota_admit"  -> (Relational.streamQuotaAdmitBatch(_, _)),
     "stream_windowed_topk"     -> (Relational.streamWindowedTopkBatch(_, _)),
     // §2.2 Datalog compiler end-to-end (triple patterns → Catalyst plan)
     "datalog_query"       -> (graft.query.datalog.DatalogDb.datalogQuery(_, _)),
@@ -704,6 +705,14 @@ object SparkEntry {
            max(CASE WHEN term = 'click' THEN est END) AS n_click,
            max(CASE WHEN term = 'purchase' THEN est END) AS n_purchase
          FROM est GROUP BY w_start""",
+    // stream_quota_admit: the streaming per-key quota's batch face —
+    // with arrival order = doc_id order, admission IS row_number ≤ cap
+    "stream_quota_admit" ->
+      """SELECT doc_id, source, rn FROM (
+           SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INT) AS rn
+           FROM documents)
+         WHERE rn <= 10""",
     // stream_windowed_distinct: the KMV sketch per (day, type) — the same
     // replay as sketch_distinct_kmv, grouped by the tumbling window
     // (window('1 day') aligns to epoch days = date_trunc under UTC)

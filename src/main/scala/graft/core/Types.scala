@@ -110,6 +110,13 @@ object OpSpec {
     * evidence columns; bloom one-sidedness only ever rejects extra. */
   final case class BloomAdmit(modelPath: String, maxHitFracQ6: Long,
                               textCol: String) extends OpSpec
+
+  /** Per-key ingestion quota (graft.stream.Stateful.quotaAdmit): the first
+    * `cap` rows per quota-key value pass, later ones drop — "at most N
+    * docs per domain" at ingest. `key` is a SQL expression over the node
+    * row, so the key can be a payload field. STATEFUL (one long per key in
+    * the state store), so a spec change rotates the checkpoint. */
+  final case class QuotaAdmit(key: String, cap: Long) extends OpSpec
 }
 
 /** Buffer policy for a stream node (T7-T9,

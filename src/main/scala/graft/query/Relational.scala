@@ -483,6 +483,20 @@ object Relational {
         .as("approx_users"))
       .select(col("w.start").as("w_start"), col("event_type"), col("approx_users"))
 
+  /** Per-key quota admission — the batch face of the streaming
+    * `Stateful.quotaAdmit` / `OpSpec.QuotaAdmit` ingest stage ("at most N
+    * docs per source"). With arrival order fixed to doc_id order, the
+    * streaming admitted set IS row_number-per-key ≤ cap, which is what
+    * this backfill (and its DuckDB oracle) pins. The window partitions by
+    * the quota key, so the sort is per-source, never global. */
+  def streamQuotaAdmitBatch(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")))
+      .filter(col("rn") <= 10)
+      .select(col("doc_id"), col("source"), col("rn"))
+
   /** Beyond-reference streaming sketch #2: per-window COUNT-MIN term
     * frequencies — the trending-terms shape ("which event types spiked
     * this hour"). The same windowed-synopsis contract as

@@ -85,6 +85,12 @@ object NodeSpec {
           frac <- (a \ "maxHitFracQ6").extractOpt[Long] if frac >= 0L
           text <- (a \ "text").extractOpt[String]
         } yield OpSpec.BloomAdmit(model, frac, text)
+      case m if m.contains("quotaAdmit") =>
+        val a = m("quotaAdmit")
+        for {
+          key <- (a \ "key").extractOpt[String]
+          cap <- (a \ "cap").extractOpt[Long] if cap > 0L
+        } yield OpSpec.QuotaAdmit(key, cap)
       case m if m.contains("asofEnrich") =>
         val a = m("asofEnrich")
         for {
@@ -188,6 +194,9 @@ object NodeSpec {
         JObject("bloomAdmit" -> JObject(
           "model" -> JString(model), "maxHitFracQ6" -> JInt(frac),
           "text" -> JString(text)))
+      case OpSpec.QuotaAdmit(key, cap) =>
+        JObject("quotaAdmit" -> JObject(
+          "key" -> JString(key), "cap" -> JInt(cap)))
     }
     val buf: Option[JValue] = n.buffer.map {
       case BufferSpec.Fixed(x) => JInt(x)

@@ -91,6 +91,30 @@ object Stateful {
       .transformWithState(new TtlDedupProcessor(ttlMillis),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
+
+  /** Per-key ingestion quota (append-mode): the first `cap` rows for each
+    * quota-key value pass, every later row is dropped — the "at most N
+    * docs per domain/source" admission stage of a crawl-ingest stream.
+    * `keyExpr` is an arbitrary SQL expression over the node row (e.g.
+    * `get_json_object(value, '$.source')`), so the quota key can live
+    * inside the payload. The running count per key is a single long in
+    * the checkpointed state store: admission survives restarts and
+    * hot-swaps, state size is #distinct keys × 8 bytes, and the per-batch
+    * work materializes at most the remaining quota per key — a batch of a
+    * million rows for an exhausted key costs an iterator skip, not a
+    * buffer. Batch-equivalent semantics: row_number per key in arrival
+    * order ≤ cap (the `stream_quota_admit` oracle). */
+  def quotaAdmit(df: DataFrame, keyExpr: String, cap: Long): Dataset[KeyedEvent] = {
+    require(cap > 0, "quotaAdmit: cap must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.selectExpr(s"CAST(($keyExpr) AS STRING) key",
+        "CAST(value AS STRING) value", "ts")
+      .as[KeyedEvent]
+      .groupByKey(_.key)
+      .transformWithState(new QuotaProcessor(cap),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
 }
 
 /** First event per key passes; repeats are dropped until the key's state
@@ -108,4 +132,27 @@ class TtlDedupProcessor(ttlMillis: Long)
                                timerValues: TimerValues): Iterator[Stateful.KeyedEvent] =
     if (seen.exists()) Iterator.empty
     else { seen.update(true); rows.take(1) }
+}
+
+/** Admits rows while the key's running count stays under `cap`; the count
+  * never expires (a lifetime quota — wrap with a TTL for rolling ones). */
+class QuotaProcessor(cap: Long)
+    extends StatefulProcessor[String, Stateful.KeyedEvent, Stateful.KeyedEvent] {
+
+  @transient private var count: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[Stateful.KeyedEvent],
+                               timerValues: TimerValues): Iterator[Stateful.KeyedEvent] = {
+    val already = if (count.exists()) count.get() else 0L
+    if (already >= cap) Iterator.empty
+    else {
+      // materializes at most the REMAINING quota, never the whole batch
+      val admitted = rows.take(math.min(cap - already, Int.MaxValue.toLong).toInt).toVector
+      count.update(already + admitted.size)
+      admitted.iterator
+    }
+  }
 }

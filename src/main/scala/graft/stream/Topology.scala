@@ -166,6 +166,7 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
     case s: OpSpec.SessionAgg   => Seq(s.toString)
     case s: OpSpec.DedupeKeys   => Seq(s.toString)
     case s: OpSpec.IntervalJoin => Seq(s.toString)
+    case s: OpSpec.QuotaAdmit   => Seq(s.toString)
     case _                      => Seq.empty
   }
 
@@ -224,6 +225,7 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
         .groupBy(session_window(col(ts), gap).as("session") +: keys.map(col): _*)
         .agg(aggCols.head, aggCols.tail: _*)
     case OpSpec.ScrubPii(tc) => graft.ext.TextOps.scrubPii(df, tc)
+    case OpSpec.QuotaAdmit(key, cap) => Stateful.quotaAdmit(df, key, cap).toDF()
     case OpSpec.BloomAdmit(path, maxFracQ6, textCol) =>
       import graft.functions.SketchExpressions.bloomMightContain
       // params come from the staged row itself (stage/probe mismatch is

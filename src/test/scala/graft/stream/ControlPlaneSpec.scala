@@ -25,6 +25,16 @@ class ControlPlaneSpec extends SparkSpec {
     assert(NodeSpec.parse(NodeSpec.toJson(n)).contains(n))
     assert(NodeSpec.parse("""{"garbage": true}""").isEmpty)
     assert(NodeSpec.parse("not json at all").isEmpty)
+    // quotaAdmit: parse + serialize round-trip, bad cap rejected
+    val qj = """{"name":"stream/quota","upstream":["kafka/input"],
+                 "transducer":{"quotaAdmit":{"key":"get_json_object(value,'$.src')","cap":100}}}"""
+      .replaceAll("\n\\s*", "")
+    val qn = NodeSpec.parse(qj).get
+    assert(qn.transducer.contains(
+      OpSpec.QuotaAdmit("get_json_object(value,'$.src')", 100L)))
+    assert(NodeSpec.parse(NodeSpec.toJson(qn)).contains(qn))
+    assert(NodeSpec.parse(qj.replace("100", "0")).isEmpty,
+      "non-positive cap must be rejected at parse time")
   }
 
   test("bootstrap from store wires and starts the persisted topology (T19)") {

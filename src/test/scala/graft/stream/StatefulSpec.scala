@@ -116,4 +116,57 @@ class StatefulSpec extends SparkSpec {
       }
     }
   }
+
+  test("quotaAdmit: per-key cap enforced across micro-batches, key from payload") {
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    topo.addNode(StreamNode(NodeName.parse("kafka/crawl"), Set.empty, None, None, None))
+    val seen = scala.collection.mutable.Buffer.empty[(String, String)]
+    val session = spark
+    // quota key extracted from the JSON payload, cap 2 per source
+    val admitted = Stateful.quotaAdmit(topo.buildPlan("kafka/crawl"),
+      "get_json_object(value, '$.src')", cap = 2)
+    val q = admitted.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Stateful.KeyedEvent], _: Long) =>
+        org.apache.spark.sql.SparkSession.setActiveSession(session)
+        seen.synchronized { seen ++= batch.collect().map(e => e.key -> e.value) }
+        ()
+      }.start()
+    def awaitSeen(key: String, value: String): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!seen.synchronized(seen.contains(key -> value)) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(seen.synchronized(seen.contains(key -> value)),
+        s"expected $key -> $value in $seen")
+    }
+    try {
+      // batch 1: two from A (fills the quota), one from B
+      io.publish("kafka/crawl", "k1", """{"src":"A","doc":"a1"}""")
+      io.publish("kafka/crawl", "k2", """{"src":"A","doc":"a2"}""")
+      io.publish("kafka/crawl", "k3", """{"src":"B","doc":"b1"}""")
+      awaitSeen("A", """{"src":"A","doc":"a2"}""")
+      awaitSeen("B", """{"src":"B","doc":"b1"}""")
+      // batch 2: A is exhausted (state carried over), B has room
+      io.publish("kafka/crawl", "k4", """{"src":"A","doc":"a3"}""")
+      io.publish("kafka/crawl", "k5", """{"src":"B","doc":"b2"}""")
+      io.publish("kafka/crawl", "k6", """{"src":"C","doc":"c1"}""")
+      awaitSeen("B", """{"src":"B","doc":"b2"}""")
+      awaitSeen("C", """{"src":"C","doc":"c1"}""") // same batch as a3
+      assert(!seen.synchronized(seen.exists(_._2.contains("a3"))),
+        s"A's third doc must drop (quota 2 spent in batch 1): $seen")
+      assert(seen.synchronized(seen.count(_._1 == "A")) == 2)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
