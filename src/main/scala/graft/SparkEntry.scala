@@ -37,6 +37,8 @@ object SparkEntry {
     "scale_zorder"        -> (graft.query.Scale.zorderQuery(_, _)),
     "scale_bucketed_join" -> (graft.query.Scale.bucketedJoinQuery(_, _)),
     "join_range_binned"   -> (graft.query.Scale.rangeJoinQuery(_, _)),
+    // graph centrality: fixed-round integer PageRank over the trade graph
+    "graph_pagerank"      -> (graft.ext.Graph.pageRankQuery(_, _)),
     "join_semi"           -> (Relational.joinSemi(_, _)),
     "union_or"            -> (Relational.unionOr(_, _)),
     "distinct_projection" -> (Relational.distinctProjection(_, _)),
@@ -361,7 +363,41 @@ object SparkEntry {
          )"""
 
   def oracleSql: Map[String, String] =
-    oracleSqlBase + ("corpus_training_shards" -> trainingShardsOracle)
+    oracleSqlBase + ("corpus_training_shards" -> trainingShardsOracle) +
+      ("graph_pagerank" -> pageRankOracle)
+
+  /** graph_pagerank: the fixed-round integer PageRank replayed as a
+    * generated CTE chain — r1..r5 each spell one round's exact int64
+    * update (contrib = rank // degree, update = base + 85·Σ // 100), so
+    * the oracle IS the Spark loop, unrolled. */
+  private lazy val pageRankOracle: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""r$i AS (
+           SELECT n0.id,
+             (SELECT (15 * 1000000000000) // (100 * n) FROM nn)
+             + (85 * coalesce(s.m, 0)) // 100 AS rank
+           FROM nodes n0 LEFT JOIN (
+             SELECT e.dst AS id, CAST(sum(r.rank // d.d) AS BIGINT) AS m
+             FROM edges e JOIN r${i - 1} r ON e.src = r.id JOIN deg d ON d.id = e.src
+             GROUP BY e.dst) s ON n0.id = s.id
+         )"""
+    }.mkString(", ")
+    s"""WITH cs AS (
+           SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                           's' || CAST(l_suppkey AS VARCHAR) AS dst
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         ), edges AS (
+           SELECT src, dst FROM cs UNION SELECT dst, src FROM cs
+         ), nodes AS (
+           SELECT DISTINCT src AS id FROM edges
+         ), deg AS (
+           SELECT src AS id, count(*) AS d FROM edges GROUP BY src
+         ), nn AS (SELECT count(*) AS n FROM nodes),
+         r0 AS (
+           SELECT id, (SELECT 1000000000000 // n FROM nn) AS rank FROM nodes
+         ), $rounds
+         SELECT id AS node, rank FROM r5"""
+  }
 
   /** corpus_training_shards: the pipeline_clean_corpus oracle verbatim,
     * rewrapped as a `kept` CTE (one source of truth for the cleaning

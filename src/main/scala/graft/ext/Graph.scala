@@ -102,4 +102,78 @@ object Graph {
         "iterations — the labeling would be silently incomplete; raise maxIter")
     (cur, i)
   }
+
+  /** PageRank with FIXED round count and integer-scaled arithmetic —
+    * graph centrality as a data-quality signal (the web-graph
+    * importance score crawl-corpus pipelines weight documents by).
+    *
+    * Ranks are longs in units of 1/`scale`; every step is exact int64:
+    * initial rank `scale div n`, per-edge contribution `rank div
+    * out_degree`, update `base + (85·Σcontrib) div 100` with
+    * `base = (15·scale) div (100·n)` — truncating division on
+    * non-negative values is identical in every engine, so a fixed-round
+    * run replays bit-exactly in SQL (no float damping drift, no
+    * convergence-test nondeterminism). Rank mass lost to truncation and
+    * to dangling nodes (no out-edges) is NOT redistributed — the "leaky"
+    * formulation; rankings are what matter, and determinism buys the
+    * oracle. Fixed rounds rather than an epsilon test for the same
+    * reason: the output is a pure function of (edges, iterations).
+    *
+    * Scale shape: degrees join into the edge list ONCE before the loop;
+    * each round is then one hash join (edges ⋈ ranks, both sides
+    * pre-partitioned on src) + one aggregate on dst + one left join onto
+    * the node set, all checkpoint-materialized so lineage stays flat —
+    * the connectedComponents posture. Nothing is ever proportional to
+    * n², and a hot page (huge in-degree) is one aggregation group, not a
+    * hot join key. */
+  def pageRank(edges: DataFrame, iterations: Int = 5,
+               scale: Long = 1000000000000L): DataFrame = {
+    require(iterations > 0, "pageRank: need at least one iteration")
+    val spark = edges.sparkSession
+    val reliable = Option(spark.conf.get(Fixpoint.CheckpointDirKey, null))
+      .exists(_.nonEmpty)
+    def mat(df: DataFrame): DataFrame =
+      if (reliable) Fixpoint.materialize(df).df
+      else org.apache.spark.sql.graft.DatasetBridge.materializePartitioned(df)._1
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    // out-degrees ride the edge list from round 0 — one static join,
+    // not one per iteration
+    val eDeg = mat(
+      e.join(e.groupBy("src").agg(count(lit(1)).as("__d")), "src")
+        .repartition(col("src")))
+    val nodes = mat(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    val base = (15L * scale) / (100L * n)
+    var ranks = nodes.withColumn("rank", lit(scale / n))
+    for (_ <- 1 to iterations) {
+      val sums = eDeg.join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("rank div __d").as("__c"))
+        .groupBy("id").agg(sum("__c").as("__m"))
+      ranks = mat(nodes.join(sums, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(__m, 0L)) div 100")).as("rank")))
+    }
+    ranks
+  }
+
+  /** SparkEntry query (FULL DuckDB oracle — the generated CTE chain in
+    * SparkEntry.pageRankOracle replays every round): 5 PageRank rounds
+    * over the undirected customer↔supplier trade graph (an edge per
+    * distinct trading pair via orders⋈lineitem; symmetric, so no
+    * dangling nodes). High-rank suppliers are the ones many well-
+    * connected customers buy from — the centrality shape. */
+  def pageRankQuery(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import graft.core.Tables
+    val cs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
+    pageRank(cs.union(cs.select(col("dst").as("src"), col("src").as("dst"))))
+      .select(col("id").as("node"), col("rank"))
+  }
 }

@@ -133,4 +133,28 @@ class GraphSpec extends SparkSpec {
         s"cluster_size must equal the member count for cluster $cl")
     }
   }
+
+  test("pageRank: hub outranks leaves, ranks deterministic, mass bounded") {
+    import spark.implicits._
+    // star: every leaf links to the hub and back (symmetric, no dangling)
+    val leaves = (1 to 9).map(i => (s"leaf$i", "hub"))
+    val edges = (leaves ++ leaves.map(_.swap)).toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, iterations = 5)
+      .as[(String, Long)].collect().toMap
+    assert(ranks.size == 10)
+    val hub = ranks("hub")
+    assert((1 to 9).forall(i => hub > ranks(s"leaf$i") * 3),
+      s"hub must dominate leaf ranks: $ranks")
+    assert(ranks.values.sum <= 1000000000000L,
+      "leaky formulation: total scaled mass never exceeds the scale")
+    // pure function of (edges, iterations): layout-invariant
+    val again = Graph.pageRank(edges.repartition(7), iterations = 5)
+      .as[(String, Long)].collect().toMap
+    assert(again == ranks, "ranks must be independent of partitioning")
+    // a directed chain end (dangling) leaks mass but still ranks
+    val chain = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val cr = Graph.pageRank(chain, iterations = 3).as[(String, Long)].collect().toMap
+    assert(cr("c") > cr("b") && cr("b") > cr("a"),
+      s"rank accumulates down the chain: $cr")
+  }
 }
