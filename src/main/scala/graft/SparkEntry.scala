@@ -89,6 +89,8 @@ object SparkEntry {
     "similarity_ivf"      -> (Similarity.similarityIvfQuery(_, _)),
     "similarity_knn_join" -> (Similarity.similarityKnnJoinQuery(_, _)),
     "similarity_pq"       -> (Similarity.similarityPqQuery(_, _)),
+    // k-means topic clustering + per-cluster label purity stats
+    "corpus_cluster_stats" -> (Similarity.clusterStatsQuery(_, _)),
     "text_stats"          -> (TextOps.textStats(_, _)),
     "token_count"         -> (TextOps.tokenCountQuery(_, _)),
     "token_count_bpe"     -> (TextOps.tokenCountBpeQuery(_, _)),
@@ -364,7 +366,34 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     oracleSqlBase + ("corpus_training_shards" -> trainingShardsOracle) +
-      ("graph_pagerank" -> pageRankOracle)
+      ("graph_pagerank" -> pageRankOracle) +
+      ("corpus_cluster_stats" -> clusterStatsOracle)
+
+  /** corpus_cluster_stats: the similarity_ivf oracle's training+assignment
+    * prefix verbatim (ONE source of truth for the Lloyd replay), then the
+    * per-cluster label histogram and deterministic majority pick. */
+  private lazy val clusterStatsOracle: String = {
+    val ivf = oracleSqlBase("similarity_ivf")
+    val cut = ivf.indexOf("), q AS (")
+    require(cut > 0, "similarity_ivf oracle changed shape")
+    ivf.substring(0, cut) +
+      """), lab AS (
+           SELECT a.cid, l.label FROM assigned a
+           JOIN embeddings l ON a.vec_id = l.vec_id
+         ), cl AS (
+           SELECT cid, label, count(*) AS c FROM lab GROUP BY cid, label
+         ), top AS (
+           SELECT cid, label, c,
+             row_number() OVER (PARTITION BY cid ORDER BY c DESC, label ASC) AS rn
+           FROM cl
+         )
+         SELECT cl.cid AS cluster, CAST(sum(cl.c) AS BIGINT) AS n_vecs,
+           count(*) AS n_labels,
+           max(CASE WHEN t.rn = 1 THEN t.label END) AS top_label,
+           CAST(max(CASE WHEN t.rn = 1 THEN t.c END) AS BIGINT) AS top_label_n
+         FROM cl LEFT JOIN top t ON cl.cid = t.cid AND cl.label = t.label
+         GROUP BY cl.cid"""
+  }
 
   /** graph_pagerank: the fixed-round integer PageRank replayed as a
     * generated CTE chain — r1..r5 each spell one round's exact int64
@@ -516,7 +545,7 @@ object SparkEntry {
          FROM orders o JOIN lineitem l
            ON epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) >= epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
           AND epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) < epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) + 1209600000000
-         WHERE o.o_orderpriority = '1-URGENT'
+         WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderkey % 100 = 7
          GROUP BY o.o_orderkey""",
     // join_asof_native: the same semantics through the custom Catalyst
     // operator (plans.AsOfJoinExec) — one oracle, two execution paths

@@ -135,29 +135,42 @@ object Graph {
     def mat(df: DataFrame): DataFrame =
       if (reliable) Fixpoint.materialize(df).df
       else org.apache.spark.sql.graft.DatasetBridge.materializePartitioned(df)._1
-    val e = edges.select(col("src"), col("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-    // out-degrees ride the edge list from round 0 — one static join,
-    // not one per iteration
-    val eDeg = mat(
-      e.join(e.groupBy("src").agg(count(lit(1)).as("__d")), "src")
-        .repartition(col("src")))
-    val nodes = mat(
-      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
-    val n = nodes.count()
-    require(n > 0, "pageRank: empty graph")
-    val base = (15L * scale) / (100L * n)
-    var ranks = nodes.withColumn("rank", lit(scale / n))
-    for (_ <- 1 to iterations) {
-      val sums = eDeg.join(ranks.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), expr("rank div __d").as("__c"))
-        .groupBy("id").agg(sum("__c").as("__m"))
-      ranks = mat(nodes.join(sums, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + expr("(85 * coalesce(__m, 0L)) div 100")).as("rank")))
+    // rank rounds are model iterations: fixed join/agg shapes over frames
+    // whose sizes are known up front — AQE's per-stage re-planning only
+    // multiplies the job count (measured 53 jobs → ~15 without); codegen
+    // stays ON because edge-proportional rows stream through every round
+    graft.core.ModelLoop.scoped(spark, shufflePartitions = 16,
+      interpretModel = false) {
+      val e = edges.select(col("src"), col("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .distinct()
+      // out-degrees ride the edge list from round 0 — one static join,
+      // not one per iteration. The src column is exposed AS `id` and the
+      // frame hash-partitioned on it BEFORE materializing: every round's
+      // edges⋈ranks join then sees both sides partitioned on their own
+      // `id` (ranks inherit hash(id) from the previous round's node
+      // join), so the per-round shuffle moves only the thin contribution
+      // rows, never the edge list again.
+      val eDeg = mat(
+        e.join(e.groupBy("src").agg(count(lit(1)).as("__d")), "src")
+          .select(col("src").as("id"), col("dst"), col("__d"))
+          .repartition(col("id")))
+      val nodes = mat(
+        e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+      val n = nodes.count()
+      require(n > 0, "pageRank: empty graph")
+      val base = (15L * scale) / (100L * n)
+      var ranks = nodes.withColumn("rank", lit(scale / n))
+      for (_ <- 1 to iterations) {
+        val sums = eDeg.join(ranks, Seq("id"))
+          .select(col("dst").as("id"), expr("rank div __d").as("__c"))
+          .groupBy("id").agg(sum("__c").as("__m"))
+        ranks = mat(nodes.join(sums, Seq("id"), "left")
+          .select(col("id"),
+            (lit(base) + expr("(85 * coalesce(__m, 0L)) div 100")).as("rank")))
+      }
+      ranks
     }
-    ranks
   }
 
   /** SparkEntry query (FULL DuckDB oracle — the generated CTE chain in
@@ -168,11 +181,12 @@ object Graph {
     * connected customers buy from — the centrality shape. */
   def pageRankQuery(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     import graft.core.Tables
+    // no .distinct() here: pageRank dedups its edge input anyway, so the
+    // raw pair stream (with repeats) rides one shuffle instead of two
     val cs = Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
         concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
-      .distinct()
     pageRank(cs.union(cs.select(col("dst").as("src"), col("src").as("dst"))))
       .select(col("id").as("node"), col("rank"))
   }

@@ -478,6 +478,36 @@ object Similarity {
     * 4 of 16 buckets. The single-row query-vector fetch is control-plane
     * (one `first()`); the search itself is a partition-pruned scan — the
     * 100 TB ANN shape. */
+  /** Topic clustering of the embedding corpus (k-means over unit-sphere
+    * cosine distance) with per-cluster corpus statistics — the
+    * cluster-then-curate stage of training-data pipelines (semantic mix
+    * balancing, per-topic quality review, SemDeDup-style curation all
+    * start from exactly this table). Reuses the decimal-exact Lloyd
+    * trainer, so the gate replays in DuckDB by the same CTE chain as
+    * `similarity_ivf` (one source of truth: SparkEntry derives this
+    * oracle from that one's training prefix).
+    *
+    * Returns per cluster: member count, distinct-label count, and the
+    * majority label with its count (the purity numerator) — tie-broken
+    * (count DESC, label ASC) so the pick is deterministic. */
+  def clusterStatsQuery(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = trainCentroids(
+      emb.filter(pmod(col("vec_id"), lit(5)) === 0), kCentroids = 16, iters = 2)
+    val perLabel = ivfAssign(emb, cents)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("centroid_id").as("cluster"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+      .orderBy(col("c").desc, col("label").asc)
+    perLabel
+      .withColumn("__rn", row_number().over(w))
+      .groupBy("cluster")
+      .agg(sum("c").as("n_vecs"), count(lit(1)).as("n_labels"),
+        max(when(col("__rn") === 1, col("label"))).as("top_label"),
+        max(when(col("__rn") === 1, col("c"))).as("top_label_n"))
+  }
+
   def similarityIvfQuery(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     // quantizer trains on a deterministic 1-in-5 sample (standard IVF

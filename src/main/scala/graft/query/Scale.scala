@@ -233,17 +233,25 @@ object Scale {
       .drop("__bin")
   }
 
-  /** Gate query (oracled): ship-date activity inside each urgent order's
-    * 14-day fulfilment window — points are lineitem ship timestamps,
-    * intervals are [o_orderdate, +14d) for 1-URGENT orders, both as exact
-    * epoch-µs longs; 14-day bins keep the fan-out at ≤ 2 bins/interval. */
+  /** Gate query (oracled): ship-date activity inside a 1-in-100 audit
+    * sample of urgent orders' 14-day fulfilment windows — points are
+    * lineitem ship timestamps, intervals [o_orderdate, +14d), both exact
+    * epoch-µs longs; 14-day bins keep interval fan-out at ≤ 2 bins each.
+    * The audit sample bounds interval DENSITY, which is what governs this
+    * join's output: every point matches every interval covering it, so
+    * with D overlapping intervals per instant the result is |points|·D
+    * rows no matter how it's executed — a capability to spend
+    * deliberately (audits, windows around rare events), not a default.
+    * The unsampled urgent set at sf0.1 is ~175 deep over the whole date
+    * range — a 100M-row answer nobody asked for. */
   def rangeJoinQuery(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val day = 86400L * 1000000L
     val points = graft.core.Tables.lineitem(s, d)
       .select(unix_micros(col("l_shipdate").cast("timestamp")).as("x"),
         col("l_quantity"))
     val intervals = graft.core.Tables.orders(s, d)
-      .filter(col("o_orderpriority") === "1-URGENT")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderkey") % 100 === 7)
       .select(col("o_orderkey"),
         unix_micros(col("o_orderdate").cast("timestamp")).as("lo"))
       .withColumn("hi", col("lo") + lit(14L * day))
