@@ -63,6 +63,8 @@ object GraftExtensions {
     }),
     ("vec_norm", "vec_norm(a) - L2 norm of array<double>",
       one("vec_norm")(L2Norm)),
+    ("nfc_normalize", "nfc_normalize(str) - Unicode canonical composition (NFC)",
+      one("nfc_normalize")(graft.functions.NfcNormalize)),
     ("simhash64", "simhash64(tokens) - 60-bit md5-based SimHash of array<string>",
       one("simhash64")(SimHash64)),
     ("word_shingles", "word_shingles(tokens, n) - distinct word n-grams", {

@@ -102,6 +102,8 @@ object SparkEntry {
     "text_repetition"     -> (TextOps.textRepetitionQuery(_, _)),
     "text_top_terms"      -> (TextOps.textTopTermsQuery(_, _)),
     "text_scrub_pii"      -> (TextOps.scrubPiiQuery(_, _)),
+    // Unicode NFC + control-strip canonicalization (native expression)
+    "text_normalize"      -> (TextOps.normalizeQuery(_, _)),
     "multimodal_pipeline" -> (graft.ext.Multimodal.multimodalQuery(_, _)),
     // north-star composition: dedup clusters + repetition + quality
     "pipeline_clean_corpus" -> (graft.ext.Corpus.cleanCorpusQuery(_, _)),
@@ -1951,6 +1953,16 @@ object SparkEntry {
          SELECT tid AS doc_id, count(*) AS n_matches,
            floor(max(j) * 1e4 + 0.5) / 1e4 AS max_jaccard
          FROM jac WHERE j >= 0.5 GROUP BY tid""",
+    // text_normalize: codepoint lengths around NFC + control-strip; the
+    // decomposed accent (chr(769) = U+0301) and BEL are planted in-query
+    // so the normalization actually fires on the ASCII fixture
+    "text_normalize" ->
+      """SELECT doc_id,
+           length(text || ' cafe' || chr(769) || chr(7)) AS n_raw,
+           length(nfc_normalize(regexp_replace(
+             text || ' cafe' || chr(769) || chr(7),
+             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))) AS n_norm
+         FROM documents""",
     // text_top_terms: all-integer ranking (tf desc, df asc, term asc) —
     // no float idf, so the rank order is engine-exact
     "text_top_terms" ->

@@ -18,6 +18,17 @@ object TextOps {
   /** Token count (whitespace tokenizer). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Text canonicalization: strip C0/DEL control characters (keeping tab,
+    * LF, CR — whitespace structure survives) then Unicode NFC — so
+    * byte-level dedup, fingerprints, and tokenizer vocabularies see ONE
+    * spelling of composed vs decomposed accents and no stray terminal
+    * garbage. A single codegen'd projection (native NfcNormalize
+    * expression; the already-NFC fast path — all of ASCII — allocates
+    * nothing), legal mid-stream. */
+  def normalizeText(text: Column): Column =
+    graft.functions.NormalizeExpressions.nfc_normalize(
+      regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""))
+
   /** BPE-ish subword proxy: word-chunks + digits + punctuation as separate
     * tokens (a deterministic regex stand-in for a real BPE vocab). */
   def bpeishCount(text: Column): Column =
@@ -168,6 +179,19 @@ object TextOps {
   def tokenCountBpeQuery(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), bpeishCount(col("text")).as("n_bpeish"))
+
+  /** Normalization gate (oracled): the fixture text is ASCII, so the gate
+    * PLANTS the interesting cases on every row — a decomposed "e" +
+    * COMBINING ACUTE (composes to é under NFC, −1 codepoint) and a BEL
+    * control char (stripped, −1) — and reports codepoint lengths before
+    * and after; DuckDB replants the identical codepoints and replays with
+    * its native nfc_normalize. */
+  def normalizeQuery(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"), lit(" cafe\u0301\u0007"))
+    Tables.documents(s, d).select(col("doc_id"),
+      length(planted).as("n_raw"),
+      length(normalizeText(planted)).as("n_norm"))
+  }
 
   /** per-language corpus stats. */
   def textStats(s: SparkSession, d: String): DataFrame =

@@ -24,6 +24,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r == ((11.0, 5.0)))
   }
 
+  test("nfc_normalize from SQL composes a decomposed accent") {
+    registered
+    // NB not chr(769): Spark's chr() is ASCII-mod-256 (DuckDB's is a
+    // codepoint), so the combining acute rides a \u escape instead
+    val r = spark.sql(
+      "SELECT length(nfc_normalize('cafe\\u0301')) AS n, " +
+        "nfc_normalize('plain ascii') AS p").as[(Int, String)].head()
+    assert(r == ((4, "plain ascii")))
+  }
+
   test("simhash64 / word_shingles / minhash_sig / srp_sig from SQL") {
     registered
     val (fp, sh, sig, srp) = spark.sql(

@@ -41,7 +41,14 @@ class ScaleSpec extends SparkSpec {
     "corpus_bloom_decontam",  // bitmap build + broadcast bit-test probe
     "corpus_ccnet_buckets",   // LM scoring + per-language tercile windows
     "text_despan_reference",  // window-hash probe + duplication-proportional coverage
-    "corpus_quality_classifier") // GD rounds: model-sized joins over a built-once feature table
+    "corpus_quality_classifier", // GD rounds: model-sized joins over a built-once feature table
+    "graph_pagerank",         // fixed-round edge-linear iteration, co-partitioned joins
+    "corpus_fuzzy_decontam")  // cross-corpus LSH: candidates bounded by bucket collisions
+    // NOT gated: join_range_binned — a range join's output is
+    // points × interval-density by SEMANTICS (every point matches every
+    // covering interval), so 10× both sides is ~100× output; the gate
+    // query bounds density by sampling, but the ratio here would measure
+    // the answer's size, not a regression.
 
   private def timeGate(name: String, dir: String): Double = {
     val fn = SparkEntry.queries(name)
