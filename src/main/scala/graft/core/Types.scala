@@ -111,6 +111,15 @@ object OpSpec {
   final case class BloomAdmit(modelPath: String, maxHitFracQ6: Long,
                               textCol: String) extends OpSpec
 
+  /** Quality gate at ingest against a staged trained classifier
+    * (graft.ext.Corpus.stageQualityClassifier): keep rows whose q6
+    * sigmoid score ≥ `minScoreQ6`. STATELESS — the weight vector is a
+    * KB-scale plan literal and the score is a per-row fold (the
+    * BloomAdmit pattern); adds a `score_q6` evidence column. Model
+    * freshness follows the plan lifecycle (restage → node restart). */
+  final case class ClassifierAdmit(modelPath: String, minScoreQ6: Long,
+                                   textCol: String) extends OpSpec
+
   /** Per-key ingestion quota (graft.stream.Stateful.quotaAdmit): the first
     * `cap` rows per quota-key value pass, later ones drop — "at most N
     * docs per domain" at ingest. `key` is a SQL expression over the node

@@ -1158,22 +1158,51 @@ object Corpus {
                               rounds: Int = 3, textCol: String = "text",
                               idCol: String = "doc_id",
                               labelCol: String = "y"): DataFrame = {
-    require(rounds >= 1 && rounds <= 64, "qualityClassifierScores: rounds in [1,64]")
-    require(buckets >= 2, "qualityClassifierScores: buckets must be >= 2")
     val spark = labeled.sparkSession
-    import spark.implicits._
-    val fb = graft.core.CacheRegistry.persisted(
+    val fb = classifierFeatures(labeled, buckets, textCol, idCol, labelCol)
+    val w = trainOnFeatures(spark, fb, labeled.count(), buckets, rounds)
+    val sigmoid = lit(1.0) / (lit(1.0) + exp(-col("z").cast("double") / lit(1e6)))
+    classifierZ(fb, w)
+      .select(col("doc_id"), col("y").as("label"),
+        floor(sigmoid * lit(1e6) + lit(0.5)).cast("long").as("score_q6"))
+  }
+
+  /** The trained model alone: q6-scaled weights, length `buckets`. */
+  def trainQualityClassifier(labeled: DataFrame, buckets: Int = 512,
+                             rounds: Int = 3, textCol: String = "text",
+                             idCol: String = "doc_id",
+                             labelCol: String = "y"): Array[Long] =
+    trainOnFeatures(labeled.sparkSession,
+      classifierFeatures(labeled, buckets, textCol, idCol, labelCol),
+      labeled.count(), buckets, rounds)
+
+  /** Per-doc feature-bucket counts — built ONCE and persisted: it feeds
+    * every GD round and the final scoring pass. */
+  private def classifierFeatures(labeled: DataFrame, buckets: Int,
+                                 textCol: String, idCol: String,
+                                 labelCol: String): DataFrame = {
+    require(buckets >= 2, "quality classifier: buckets must be >= 2")
+    graft.core.CacheRegistry.persisted(
       labeled.select(col(idCol).as("doc_id"), col(labelCol).cast("int").as("y"),
           explode(graft.functions.TextHashExpressions.feat_buckets(
             TextOps.tokens(col(textCol)), buckets)).as("b"))
         .groupBy("doc_id", "y", "b").agg(count(lit(1)).as("cnt")))
-    val nDocs = labeled.count()
-    fb.count() // materialize the feature table UNDER adaptive planning
-    def zFrame(wDf: DataFrame) = fb.join(broadcast(wDf), Seq("b"))
+  }
+
+  private def classifierZ(fb: DataFrame, w: Array[Long]): DataFrame = {
+    val spark = fb.sparkSession
+    import spark.implicits._
+    val wDf = w.toSeq.zipWithIndex.map { case (v, b) => (b.toLong, v) }.toDF("b", "w")
+    fb.join(broadcast(wDf), Seq("b"))
       .groupBy("doc_id", "y").agg(sum(col("cnt") * col("w")).as("z"))
+  }
+
+  private def trainOnFeatures(spark: SparkSession, fb: DataFrame, nDocs: Long,
+                              buckets: Int, rounds: Int): Array[Long] = {
+    require(rounds >= 1 && rounds <= 64, "quality classifier: rounds in [1,64]")
+    fb.count() // materialize the feature table UNDER adaptive planning
     val sigmoid = lit(1.0) / (lit(1.0) + exp(-col("z").cast("double") / lit(1e6)))
     var w = Array.fill(buckets)(0L)
-    def wDf() = w.toSeq.zipWithIndex.map { case (v, b) => (b.toLong, v) }.toDF("b", "w")
     // GD rounds are model-iteration micro-jobs (broadcast model join +
     // one integer aggregate): AQE's per-round re-planning triples the job
     // count for no plan improvement. Codegen stays ON — unlike the
@@ -1181,7 +1210,7 @@ object Corpus {
     graft.core.ModelLoop.scoped(spark, shufflePartitions = 16,
       interpretModel = false) {
       for (_ <- 1 to rounds) {
-        val g = zFrame(wDf()).select(col("doc_id"),
+        val g = classifierZ(fb, w).select(col("doc_id"),
           floor((sigmoid - col("y").cast("double")) * lit(1e6) + lit(0.5))
             .cast("long").as("g"))
         val grads = fb.join(g, Seq("doc_id"))
@@ -1191,8 +1220,53 @@ object Corpus {
           w(b) - math.floor(grads.getOrElse(b.toLong, 0L).toDouble / (4.0 * nDocs)).toLong)
       }
     }
-    zFrame(wDf()).select(col("doc_id"), col("y").as("label"),
-      floor(sigmoid * lit(1e6) + lit(0.5)).cast("long").as("score_q6"))
+    w
+  }
+
+  // -------------------------------------- staged classifier + ingest admit
+
+  final case class QualityModel(weights: Seq[Long]) {
+    def buckets: Int = weights.size
+  }
+
+  /** Stage the trained classifier as a versioned artifact (the staged
+    * Bloom/IVF pattern): train offline on the labeled set, commit the q6
+    * weight vector, and every ingest node probes the SAME model until the
+    * next restage — `buckets` longs (KBs), so the model is plan-literal
+    * material, never a join side. */
+  def stageQualityClassifier(labeled: DataFrame, path: String,
+                             buckets: Int = 512, rounds: Int = 3,
+                             textCol: String = "text", idCol: String = "doc_id",
+                             labelCol: String = "y"): Unit = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val w = trainQualityClassifier(labeled, buckets, rounds, textCol, idCol, labelCol)
+    graft.core.Staged.stageVersion(spark, path) { dir =>
+      Seq(Tuple1(w.toSeq)).toDF("weights")
+        .coalesce(1).write.mode("overwrite").parquet(dir + "/classifier")
+    }
+  }
+
+  def loadQualityClassifier(spark: SparkSession, path: String): QualityModel =
+    QualityModel(spark.read
+      .parquet(graft.core.Staged.resolve(spark, path) + "/classifier")
+      .head().getSeq[Long](0))
+
+  /** Per-row score from a loaded model, as a pure column expression: the
+    * weight vector rides the plan as a literal array (the PQ-codebook /
+    * BloomAdmit pattern), the per-row work is one native feat_buckets
+    * pass + an `aggregate` fold — no join, no shuffle, legal mid-stream.
+    * Σ_occurrences w[bucket] is EXACTLY training's Σ cnt·w, so scores are
+    * bit-identical to [[qualityClassifierScores]] under the same model
+    * (CorpusSpec pins it). */
+  def classifierScoreQ6(text: Column, model: QualityModel): Column = {
+    val wLit = typedLit(model.weights)
+    val z = aggregate(
+      graft.functions.TextHashExpressions.feat_buckets(
+        TextOps.tokens(text), model.buckets),
+      lit(0L), (acc, b) => acc + element_at(wLit, (b + 1).cast("int")))
+    floor((lit(1.0) / (lit(1.0) + exp(-z.cast("double") / lit(1e6))))
+      * lit(1e6) + lit(0.5)).cast("long")
   }
 
   /** SparkEntry query (oracled): train prose-vs-gibberish — positives are

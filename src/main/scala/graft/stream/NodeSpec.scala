@@ -85,6 +85,13 @@ object NodeSpec {
           frac <- (a \ "maxHitFracQ6").extractOpt[Long] if frac >= 0L
           text <- (a \ "text").extractOpt[String]
         } yield OpSpec.BloomAdmit(model, frac, text)
+      case m if m.contains("classifierAdmit") =>
+        val a = m("classifierAdmit")
+        for {
+          model <- (a \ "model").extractOpt[String]
+          min <- (a \ "minScoreQ6").extractOpt[Long] if min >= 0L
+          text <- (a \ "text").extractOpt[String]
+        } yield OpSpec.ClassifierAdmit(model, min, text)
       case m if m.contains("quotaAdmit") =>
         val a = m("quotaAdmit")
         for {
@@ -197,6 +204,10 @@ object NodeSpec {
       case OpSpec.QuotaAdmit(key, cap) =>
         JObject("quotaAdmit" -> JObject(
           "key" -> JString(key), "cap" -> JInt(cap)))
+      case OpSpec.ClassifierAdmit(model, min, text) =>
+        JObject("classifierAdmit" -> JObject(
+          "model" -> JString(model), "minScoreQ6" -> JInt(min),
+          "text" -> JString(text)))
     }
     val buf: Option[JValue] = n.buffer.map {
       case BufferSpec.Fixed(x) => JInt(x)

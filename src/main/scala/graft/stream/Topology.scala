@@ -226,6 +226,13 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
         .agg(aggCols.head, aggCols.tail: _*)
     case OpSpec.ScrubPii(tc) => graft.ext.TextOps.scrubPii(df, tc)
     case OpSpec.QuotaAdmit(key, cap) => Stateful.quotaAdmit(df, key, cap).toDF()
+    case OpSpec.ClassifierAdmit(path, minScoreQ6, textCol) =>
+      // same plan-lifecycle contract as BloomAdmit: the staged weights are
+      // resolved at plan build, embedded as a literal, probed per row
+      val model = graft.ext.Corpus.loadQualityClassifier(io.spark, path)
+      df.withColumn("score_q6",
+          graft.ext.Corpus.classifierScoreQ6(col(textCol), model))
+        .filter(col("score_q6") >= lit(minScoreQ6))
     case OpSpec.BloomAdmit(path, maxFracQ6, textCol) =>
       import graft.functions.SketchExpressions.bloomMightContain
       // params come from the staged row itself (stage/probe mismatch is

@@ -387,6 +387,27 @@ class CorpusSpec extends SparkSpec {
     assert(again.toSet == scored.toSet, "training must be partition-invariant")
   }
 
+  test("staged classifier: plan-literal scoring is bit-identical to the trained pipeline") {
+    import spark.implicits._
+    val gib = (1 to 24).map(i => s"qz${i}xv").mkString(" ")
+    val labeled = ((1L to 20L).map(i => (i, 1, prose.replace("dog", "dog" + (i % 5)))) ++
+      (101L to 120L).map(i => (i, 0, gib.replace("qz1", s"qz$i"))))
+      .toDF("doc_id", "y", "text")
+    val inline = Corpus.qualityClassifierScores(labeled, buckets = 256, rounds = 5)
+      .select($"doc_id", $"score_q6").as[(Long, Long)].collect().toMap
+    graft.core.CacheRegistry.unpersistAll()
+    val path = java.nio.file.Files.createTempDirectory("graft-qcls").toString + "/m"
+    Corpus.stageQualityClassifier(labeled, path, buckets = 256, rounds = 5)
+    graft.core.CacheRegistry.unpersistAll()
+    val model = Corpus.loadQualityClassifier(spark, path)
+    assert(model.buckets == 256)
+    val staged = labeled.select($"doc_id",
+        Corpus.classifierScoreQ6($"text", model).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(staged == inline,
+      "the plan-literal fold must equal training's cnt*w join scores")
+  }
+
   test("ccnet buckets: gibberish lands in tail, terciles are exact per language") {
     import spark.implicits._
     val gib = "zzq wvx qqk jjv xxp zrr kwq vvj pqz xkk zzq wvx qqk jjv"

@@ -557,4 +557,40 @@ class TopologySpec extends SparkSpec {
       mgr.stopAll()
     } finally graft.ext.Corpus.releaseBloomFilter(path)
   }
+
+  test("classifierAdmit op-spec: trained quality gate at ingest") {
+    import spark.implicits._
+    val prose = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the deep green forest to hide from every hunter"
+    val gib = (1 to 24).map(i => s"qz${i}xv").mkString(" ")
+    val labeled = ((1L to 20L).map(i => (i, 1, prose + s" day$i")) ++
+      (101L to 120L).map(i => (i, 0, gib.replace("qz1", s"qz$i"))))
+      .toDF("doc_id", "y", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-cadmit").toString + "/m"
+    graft.ext.Corpus.stageQualityClassifier(labeled, path, buckets = 256, rounds = 5)
+    graft.core.CacheRegistry.unpersistAll()
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    val spec = OpSpec.Comp(Seq(
+      OpSpec.SelectExpr(Seq("value AS text")),
+      OpSpec.ClassifierAdmit(path, 500000L, "text")))
+    val node = StreamNode(NodeName.parse("stream/quality"), Set("kafka/docs"),
+      Some(spec), Some(BufferSpec.Fixed(10)), None)
+    // control-plane contract: the spec survives the stored-doc round-trip
+    assert(NodeSpec.parse(NodeSpec.toJson(node)).contains(node))
+    topo.addNode(StreamNode(NodeName.parse("kafka/docs"), Set.empty, None, None, None))
+    topo.addNode(node)
+    topo.addNode(StreamNode(NodeName.parse("kafka/out"), Set("stream/quality"), None, None, None))
+    val mgr = new StreamManager(topo)
+    io.publish("kafka/docs", "a", prose + " daybreak") // prose-like → admitted
+    io.publish("kafka/docs", "b", gib)                 // gibberish → rejected
+    mgr.applyGraph()
+    mgr.processAllAvailable()
+    val got = io.collected("out").map(r =>
+      (r.getAs[String]("text"), r.getAs[Long]("score_q6")))
+    assert(got.map(_._1) == Seq(prose + " daybreak"),
+      s"only prose-like text may pass the trained gate: $got")
+    assert(got.head._2 >= 500000L, s"admitted row carries its score: $got")
+    mgr.stopAll()
+  }
 }
