@@ -43,6 +43,10 @@ object CollectorHandler {
     * document schema `fields` (name → string|long|double|boolean) and
     * return rows as a JSON array. */
   case class Query(edn: String, fields: Seq[(String, String)]) extends CollectorHandler
+  /** POST: body `{"args": [...]}` invokes registered transactor `name`
+    * fire-and-forget (`transact!` over HTTP — the reference's Twilio-style
+    * side-effect endpoints, `/root/reference/src/dataworks/transactor.clj`). */
+  case class Transact(name: String) extends CollectorHandler
 }
 
 object CollectorSpec {
@@ -73,6 +77,10 @@ object CollectorSpec {
       case Some("stream") =>
         (j \ "node").extractOpt[String].toRight("stream handler needs node")
           .map(CollectorHandler.StreamPush(_))
+      case Some("transact") =>
+        (j \ "transactor").extractOpt[String]
+          .toRight("transact handler needs transactor")
+          .map(CollectorHandler.Transact(_))
       case Some("query") =>
         for {
           edn <- (j \ "edn").extractOpt[String].toRight("query handler needs edn")
@@ -84,7 +92,7 @@ object CollectorSpec {
             case _ => Left("query handler needs fields: {name: type, ...}")
           }
         } yield CollectorHandler.Query(edn, fields)
-      case other => Left(s"unknown handler kind $other (ingest|stream|query)")
+      case other => Left(s"unknown handler kind $other (ingest|stream|query|transact)")
     }
 
   private val typeNames = Set("string", "long", "double", "boolean")
@@ -167,6 +175,7 @@ class CollectorServer(store: DocumentStore, streams: StreamManager) {
         case (h: CollectorHandler.Ingest, "POST") => ingest(ex, h)
         case (h: CollectorHandler.StreamPush, "POST") => push(ex, spec, h)
         case (h: CollectorHandler.Query, "GET") => query(ex, h)
+        case (h: CollectorHandler.Transact, "POST") => transact(ex, h)
         case (_, m) =>
           respond(ex, 405, s"""{"status":"failure","message":"method $m not allowed"}""")
       }
@@ -199,6 +208,26 @@ class CollectorServer(store: DocumentStore, streams: StreamManager) {
   private def push(ex: HttpExchange, spec: CollectorSpec, h: CollectorHandler.StreamPush): Unit = {
     streams.stream(h.node, spec.name, body(ex))
     respond(ex, 202, s"""{"status":"success","message":"pushed"}""")
+  }
+
+  private def transact(ex: HttpExchange, h: CollectorHandler.Transact): Unit = {
+    val args = JsonMethods.parseOpt(body(ex)) match {
+      case Some(j) => (j \ "args") match {
+        case JArray(vs) => vs.collect { case JString(v) => v
+                                        case JInt(v) => v.toString
+                                        case JDouble(v) => v.toString }
+        case _ => Nil
+      }
+      case None => Nil
+    }
+    if (!streams.topology.registry.names.contains(h.name))
+      respond(ex, 404, s"""{"status":"failure","message":"no transactor ${h.name}"}""")
+    else {
+      // fire-and-forget (the reference's go-block semantics): failures
+      // surface on the Future, not the HTTP caller
+      streams.topology.registry.transact(h.name, args)
+      respond(ex, 202, s"""{"status":"success","message":"transacting"}""")
+    }
   }
 
   private def query(ex: HttpExchange, h: CollectorHandler.Query): Unit = {

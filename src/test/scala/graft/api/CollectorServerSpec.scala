@@ -82,6 +82,21 @@ class CollectorServerSpec extends SparkSpec {
       app.streams.processAllAvailable()
       assert(io.collected("events-out").exists(_.getAs[String]("value").contains("click")))
 
+      // transact collector: POST args → fire-and-forget registered transactor
+      val sent = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      app.registry.registerTransactor("notify", args => { sent.add(args.mkString("|")); () })
+      assert(app.functions.create("collector", "notify",
+        """{"name":"notify","path":"/app/notify","handler":{"kind":"transact","transactor":"notify"}}""").isRight)
+      assert(http("POST", s"$base/app/notify",
+        Some("""{"args":["u1","hello there"]}"""))._1 == 202)
+      val deadline = System.currentTimeMillis() + 10000
+      while (sent.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(sent.contains("u1|hello there"), s"transactor must run async: $sent")
+      // unknown transactor name → 404 at request time
+      assert(app.functions.create("collector", "ghost",
+        """{"name":"ghost","path":"/app/ghost","handler":{"kind":"transact","transactor":"nope"}}""").isRight)
+      assert(http("POST", s"$base/app/ghost", Some("""{"args":[]}"""))._1 == 404)
+
       // hot-swap: update moves the route; old path 404s, new path serves
       assert(app.functions.update("collector", "add-user",
         """{"name":"add-user","path":"/app/v2/add-user","handler":{"kind":"ingest","idField":"user_id"}}""").isRight)
@@ -107,7 +122,8 @@ class CollectorServerSpec extends SparkSpec {
         val base2 = s"http://localhost:${app2.collectors.port}"
         assert(http("POST", s"$base2/app/v2/add-user",
           Some("""{"user_id":"u4"}"""))._1 == 201)
-        assert(app2.collectors.deployed.keySet == Set("/app/v2/add-user", "/app/users"))
+        assert(app2.collectors.deployed.keySet ==
+          Set("/app/v2/add-user", "/app/users", "/app/notify", "/app/ghost"))
       } finally app2.stop()
     } finally app.stop()
   }
