@@ -1253,18 +1253,16 @@ object Corpus {
       .head().getSeq[Long](0))
 
   /** Per-row score from a loaded model, as a pure column expression: the
-    * weight vector rides the plan as a literal array (the PQ-codebook /
-    * BloomAdmit pattern), the per-row work is one native feat_buckets
-    * pass + an `aggregate` fold — no join, no shuffle, legal mid-stream.
-    * Σ_occurrences w[bucket] is EXACTLY training's Σ cnt·w, so scores are
-    * bit-identical to [[qualityClassifierScores]] under the same model
-    * (CorpusSpec pins it). */
+    * weight vector rides the plan as a reference object (the PQ-codebook /
+    * BloomAdmit pattern) and the margin is ONE native codegen'd pass over
+    * the token stream (`feat_weight_sum` — no bucket array materialized,
+    * no HOF lambda through the interpreter, no join, no shuffle; legal
+    * mid-stream). Σ_occurrences w[bucket] is EXACTLY training's Σ cnt·w,
+    * so scores are bit-identical to [[qualityClassifierScores]] under the
+    * same model (CorpusSpec pins it). */
   def classifierScoreQ6(text: Column, model: QualityModel): Column = {
-    val wLit = typedLit(model.weights)
-    val z = aggregate(
-      graft.functions.TextHashExpressions.feat_buckets(
-        TextOps.tokens(text), model.buckets),
-      lit(0L), (acc, b) => acc + element_at(wLit, (b + 1).cast("int")))
+    val z = graft.functions.TextHashExpressions.feat_weight_sum(
+      TextOps.tokens(text), model.weights.toArray)
     floor((lit(1.0) / (lit(1.0) + exp(-z.cast("double") / lit(1e6))))
       * lit(1e6) + lit(0.5)).cast("long")
   }

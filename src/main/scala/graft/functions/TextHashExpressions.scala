@@ -199,6 +199,32 @@ object TextHashes {
     new GenericArrayData(out)
   }
 
+  /** Σ_occurrences weights[bucket] over the featBuckets feature stream —
+    * the trained-classifier margin, WITHOUT materializing the bucket
+    * array: one pass over unigrams+bigrams, one add per occurrence. The
+    * bucket arithmetic is featBuckets verbatim, so the fold is
+    * bit-identical to exploding + joining the weight table. */
+  def featWeightSum(toks: ArrayData, weights: Array[Long]): Long = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val buckets = weights.length
+    val sep = UTF8String.fromString(" ")
+    val m = toks.numElements()
+    def tok(i: Int): UTF8String =
+      if (toks.isNullAt(i)) UTF8String.EMPTY_UTF8 else toks.getUTF8String(i)
+    var z = 0L
+    var i = 0
+    while (i < m) {
+      z += weights((md5Base28(tok(i)) % buckets).toInt)
+      i += 1
+    }
+    i = 0
+    while (i < m - 1) {
+      z += weights((md5Base28(UTF8String.concatWs(sep, tok(i), tok(i + 1))) % buckets).toInt)
+      i += 1
+    }
+    z
+  }
+
   /** md5-60 hash of every n-token window, positions kept (duplicates and
     * overlaps included — substring-granularity dedup wants every span
     * occurrence). Shorter-than-n docs yield NO windows: no span is long
@@ -426,6 +452,21 @@ case class FeatBuckets(child: Expression, buckets: Int) extends UnaryExpression 
       s"${ev.value} = graft.functions.TextHashes.featBuckets($a, $buckets);")
 }
 
+/** `feat_weight_sum(tokens)` — the classifier margin Σ w[bucket] as one
+  * codegen'd pass (no bucket array, no join; weights ride as a plan
+  * reference object). */
+case class FeatWeightSum(child: Expression, weights: Array[Long]) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def withNewChildInternal(c: Expression): FeatWeightSum = copy(child = c)
+  override def nullSafeEval(a: Any): Any =
+    TextHashes.featWeightSum(a.asInstanceOf[ArrayData], weights)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("weights", weights, "long[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextHashes.featWeightSum($a, $wRef);")
+  }
+}
+
 object TextHashExpressions {
   def word_bigrams(tokens: Column): Column =
     ColumnBridge.column(WordBigrams(ColumnBridge.expression(tokens)))
@@ -433,6 +474,8 @@ object TextHashExpressions {
     ColumnBridge.column(WordWindowHashes(ColumnBridge.expression(tokens), n))
   def feat_buckets(tokens: Column, buckets: Int): Column =
     ColumnBridge.column(FeatBuckets(ColumnBridge.expression(tokens), buckets))
+  def feat_weight_sum(tokens: Column, weights: Array[Long]): Column =
+    ColumnBridge.column(FeatWeightSum(ColumnBridge.expression(tokens), weights))
   def word_shingles(tokens: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), n))
   def quality_raw(text: Column, stopwords: Seq[String]): Column =

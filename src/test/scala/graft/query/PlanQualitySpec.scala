@@ -421,4 +421,45 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"the bitmap row must broadcast to the probe:\n$plan")
   }
+
+  test("fuzzy decontam: candidates form on the band-bucket equi-join, no cartesian") {
+    val docs = graft.core.Tables.documents(spark, sf("sf0.001"))
+    val df = graft.ext.Corpus.fuzzyContamination(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0))
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"cross-corpus LSH must never nest-loop:\n$plan")
+  }
+
+  test("temperature mix: apply side is broadcast-join + filter, corpus never re-keyed") {
+    val df = graft.ext.Corpus.temperatureMix(
+      graft.core.Tables.documents(spark, sf("sf0.001")))
+    val plan = executedPlan(df)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the per-source token aggregate is the only CORPUS hash shuffle; the
+    // threshold side adds one model-sized re-agg, and the keep decision
+    // joins the tiny threshold table via broadcast — the corpus itself is
+    // never re-keyed for the apply
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length <= 2,
+      s"corpus agg + model-side agg are the only hash shuffles:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"thresholds must broadcast to the keep filter:\n$plan")
+  }
+
+  test("classifier plan-literal scoring: pure scan, no join, codegen intact") {
+    val docs = graft.core.Tables.documents(spark, sf("sf0.001"))
+    val model = graft.ext.Corpus.QualityModel(Vector.fill(64)(1000L))
+    val df = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+      graft.ext.Corpus.classifierScoreQ6(
+        org.apache.spark.sql.functions.col("text"), model).as("s"))
+    val plan = executedPlan(df)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"staged-model scoring must be a shuffle-free projection:\n$plan")
+    // `*(n)` marks whole-stage-codegen'd operators: the native
+    // feat_weight_sum keeps the Project inside codegen, where the earlier
+    // HOF-lambda fold fell out to the interpreter
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      s"the score fold must stay inside codegen:\n$plan")
+  }
 }
