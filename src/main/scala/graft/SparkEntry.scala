@@ -37,6 +37,7 @@ object SparkEntry {
     "scale_zorder"        -> (graft.query.Scale.zorderQuery(_, _)),
     "scale_bucketed_join" -> (graft.query.Scale.bucketedJoinQuery(_, _)),
     "join_range_binned"   -> (graft.query.Scale.rangeJoinQuery(_, _)),
+    "scale_bloom_join"    -> (graft.query.Scale.bloomJoinQuery(_, _)),
     // graph centrality: fixed-round integer PageRank over the trade graph
     "graph_pagerank"      -> (graft.ext.Graph.pageRankQuery(_, _)),
     "join_semi"           -> (Relational.joinSemi(_, _)),
@@ -539,6 +540,14 @@ object SparkEntry {
          CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority""",
+    // scale_bloom_join: the Bloom prefilter is semantics-free (one-sided
+    // errors ride through to the real join) — the oracle is the plain join
+    "scale_bloom_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         WHERE s_suppkey % 11 = 3
+         GROUP BY s_nationkey""",
     // join_range_binned: the binning only changes HOW pairs meet (bin
     // equi-join + residual instead of a nested loop) — the oracle is the
     // plain half-open range theta-join on the same epoch-µs longs

@@ -233,6 +233,50 @@ object Scale {
       .drop("__bin")
   }
 
+  /** Bloom semi-join reduction: filter the FACT side through a fixed-size
+    * Bloom synopsis of the dim keys BEFORE the join — the classic
+    * shuffle-volume cut for a big-fact ⋈ selective-dim join. The bitmap
+    * is one m/8-byte aggregate row broadcast to every fact partition; the
+    * probe is a codegen'd per-row bit test, so non-matching facts die at
+    * the scan side and never enter the join's exchange. Bloom
+    * one-sidedness makes this EXACT: false positives just ride through to
+    * the real join (which drops them), false negatives don't exist — the
+    * output is the plain join's, row for row. At 1000 executors this is
+    * the difference between shuffling 100 TB of facts and shuffling the
+    * ~selectivity fraction that can possibly match.
+    *
+    * (Spark's own runtime bloom-join rewrite targets shuffle joins under
+    * size thresholds; this explicit form works on any plan, pins the
+    * synopsis size, and keeps the probe visible to plan tests.) */
+  def bloomSemiJoin(facts: DataFrame, factKey: String,
+                    dims: DataFrame, dimKey: String,
+                    kHash: Int = 5, mBits: Int = 1 << 17): DataFrame = {
+    import graft.functions.SketchExpressions.{bloom_bitmap, bloomMightContain}
+    val bitmap = dims.agg(
+      bloom_bitmap(col(dimKey).cast("string"), kHash, mBits).as("__bloom"))
+    facts.crossJoin(broadcast(bitmap))
+      .filter(bloomMightContain(col("__bloom"), col(factKey).cast("string"),
+        kHash, mBits))
+      .drop("__bloom")
+      .join(dims, col(factKey) === col(dimKey))
+  }
+
+  /** Gate query (oracled): revenue through a deterministic ~9% supplier
+    * slice — the selective-dim shape where the Bloom prefilter pays: most
+    * lineitems never reach the join. (A key-mod slice, not an acctbal
+    * cut: it is non-empty at every SF.) The oracle is the PLAIN join
+    * (the prefilter is semantics-free). */
+  def bloomJoinQuery(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val dims = graft.core.Tables.supplier(s, d)
+      .filter(col("s_suppkey") % 11 === 3)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    bloomSemiJoin(graft.core.Tables.lineitem(s, d), "l_suppkey", dims, "s_suppkey")
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        graft.query.Relational.exactSum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
   /** Gate query (oracled): ship-date activity inside a 1-in-100 audit
     * sample of urgent orders' 14-day fulfilment windows — points are
     * lineitem ship timestamps, intervals [o_orderdate, +14d), both exact

@@ -122,6 +122,24 @@ class ScaleSpec extends SparkSpec {
       s"binned range join must never plan a nested loop:\n$plan")
   }
 
+  test("bloomSemiJoin equals the plain join; probe filters before the join") {
+    import spark.implicits._
+    val facts = (1L to 2000L).map(i => (i, i % 97, s"f$i")).toDF("fid", "k", "payload")
+    val dims = Seq((3L, "a"), (11L, "b"), (96L, "c")).toDF("dk", "tag")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("fid", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val bloomed = Scale.bloomSemiJoin(facts, "k", dims, "dk")
+    val plain = facts.join(dims, $"k" === $"dk")
+    assert(rows(bloomed) == rows(plain),
+      "the prefilter is semantics-free: output must equal the plain join")
+    // the probe must sit BELOW the join (on the fact scan side), so
+    // non-matching facts never reach the join
+    val plan = bloomed.queryExecution.executedPlan.toString
+    // the probe spells as codegen'd builtins over the broadcast bitmap
+    assert(plan.contains("element_at(__bloom"),
+      s"bloom probe missing from the plan:\n$plan")
+  }
+
   private implicit class InRange(private val n: Int) {
     def in(r: (Int, Int)): Boolean = n >= r._1 && n <= r._2
   }
