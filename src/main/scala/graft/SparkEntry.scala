@@ -106,6 +106,7 @@ object SparkEntry {
     // Unicode NFC + control-strip canonicalization (native expression)
     "text_normalize"      -> (TextOps.normalizeQuery(_, _)),
     "multimodal_pipeline" -> (graft.ext.Multimodal.multimodalQuery(_, _)),
+    "multimodal_frames"   -> (graft.ext.Multimodal.frameSampleQuery(_, _)),
     // north-star composition: dedup clusters + repetition + quality
     "pipeline_clean_corpus" -> (graft.ext.Corpus.cleanCorpusQuery(_, _)),
     // training-mix construction: per-language token budgets
@@ -1748,6 +1749,20 @@ object SparkEntry {
            CAST(64 + max((h // 512) % 512) AS BIGINT) AS max_h,
            CAST(sum(greatest(nb // 256, 1)) AS BIGINT) AS total_frames
          FROM m GROUP BY kind""",
+    // multimodal_frames: every-4th-frame sampling of the 256-byte stub
+    // frames — index set and per-frame byte mass replayed as arithmetic
+    "multimodal_frames" ->
+      """WITH v AS (
+           SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS nb
+           FROM documents WHERE doc_id % 3 = 2
+         ), idx AS (
+           SELECT media_id, nb,
+             unnest(range(0, greatest(nb // 256, 1), 4)) AS i
+           FROM v
+         )
+         SELECT media_id, count(*) AS n_sampled,
+           CAST(sum(least(256, nb - i * 256)) AS BIGINT) AS sampled_bytes
+         FROM idx GROUP BY media_id""",
     // corpus_split: partition-stable split assignment — pure integer
     // arithmetic on doc_id, identical in both engines
     "corpus_split" ->
