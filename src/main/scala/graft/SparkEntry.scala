@@ -127,6 +127,8 @@ object SparkEntry {
     "corpus_quality_topfrac" -> (graft.ext.Corpus.topQualityFracQuery(_, _)),
     // min-count vocabulary (BPE/WordPiece seeding, OOV-rate checks)
     "corpus_vocab"           -> (graft.ext.Corpus.vocabularyQuery(_, _)),
+    // per-doc OOV occurrence rate vs the vocab (tokenizer-fit metric)
+    "corpus_oov_rate"        -> (graft.ext.Corpus.oovRateQuery(_, _)),
     // BPE merge learning: one corpus pass, then vocab-bounded merge rounds
     "corpus_bpe_merges"      -> (graft.ext.Corpus.bpeMergesQuery(_, _)),
     // BPE application: subword-segment the corpus with the learned merges
@@ -1698,6 +1700,25 @@ object SparkEntry {
                FROM documents)
          WHERE len(token) > 0
          GROUP BY token HAVING count(*) >= 3""",
+    // corpus_oov_rate: occurrences of sub-min-count tokens per doc — the
+    // same tokenization + vocab CTE as corpus_vocab, integer-exact
+    "corpus_oov_rate" ->
+      """WITH occ AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+           FROM documents
+         ), occ2 AS (
+           SELECT doc_id, token FROM occ WHERE len(token) > 0
+         ), vocab AS (
+           SELECT token FROM occ2 GROUP BY token HAVING count(*) >= 3
+         ), agg AS (
+           SELECT o.doc_id, count(*) AS n_tokens,
+             CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+           FROM occ2 o LEFT JOIN vocab v ON o.token = v.token
+           GROUP BY o.doc_id
+         )
+         SELECT doc_id, n_tokens, n_oov,
+           CAST(floor(CAST(n_oov AS DOUBLE) / n_tokens * 1e6 + 0.5) AS BIGINT) AS oov_q6
+         FROM agg""",
     // corpus_bpe_merges: the whole 10-round training loop replays —
     // word-frequency table, per-round pair argmax with (count, lhs, rhs)
     // tie-break, and the greedy wrapped-symbol merge

@@ -581,6 +581,39 @@ object Corpus {
   def vocabularyQuery(s: SparkSession, d: String): DataFrame =
     vocabulary(Tables.documents(s, d), minCount = 3)
 
+  /** Out-of-vocabulary rate per document against a vocabulary table — the
+    * tokenizer-fit metric: a rising OOV rate on fresh data means the
+    * vocab (or the tokenizer trained from it) no longer covers the
+    * corpus, and per-language OOV gaps localize WHICH slice drifted.
+    * Counts token OCCURRENCES (not types): the quantity a model actually
+    * pays for at training time.
+    *
+    * Scale shape: one tokenize+explode pass; vocab membership rides a
+    * broadcast semi-join when the vocab is model-sized (Heaps-law
+    * sublinear) — AQE demotes to shuffle only if a vocabulary genuinely
+    * outgrows the threshold; then one doc_id aggregate. */
+  def oovRates(docs: DataFrame, vocab: DataFrame,
+               textCol: String = "text"): DataFrame = {
+    val occ = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    occ.join(broadcast(vocab.select(col("token"), lit(1).as("__in"))),
+        Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_q6",
+        floor(col("n_oov").cast("double") / col("n_tokens") * lit(1e6) + lit(0.5))
+          .cast("long"))
+  }
+
+  /** SparkEntry query (oracled): OOV rates against the min-count-3 vocab
+    * of the corpus itself — rare tokens (tf < 3) are the OOV mass. */
+  def oovRateQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    oovRates(docs, vocabulary(docs, minCount = 3))
+  }
+
   /** Distributed BPE merge learning — the training step behind every
     * subword tokenizer (Sennrich et al. 2016): repeatedly find the most
     * frequent adjacent symbol pair in the corpus and merge it. The corpus
