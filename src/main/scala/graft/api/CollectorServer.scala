@@ -47,6 +47,11 @@ object CollectorHandler {
     * fire-and-forget (`transact!` over HTTP — the reference's Twilio-style
     * side-effect endpoints, `/root/reference/src/dataworks/transactor.clj`). */
   case class Transact(name: String) extends CollectorHandler
+  /** POST: body handed to the registered http handler `fn` (a precompiled
+    * Scala function in the FunctionRegistry) — full composite behavior
+    * (multi-doc puts, scheduling, transact! calls) without runtime eval:
+    * the demo-app collector class (`/root/reference/doc/demo-app-1.org`). */
+  case class Named(fn: String) extends CollectorHandler
 }
 
 object CollectorSpec {
@@ -81,6 +86,10 @@ object CollectorSpec {
         (j \ "transactor").extractOpt[String]
           .toRight("transact handler needs transactor")
           .map(CollectorHandler.Transact(_))
+      case Some("named") =>
+        (j \ "fn").extractOpt[String]
+          .toRight("named handler needs fn")
+          .map(CollectorHandler.Named(_))
       case Some("query") =>
         for {
           edn <- (j \ "edn").extractOpt[String].toRight("query handler needs edn")
@@ -92,7 +101,7 @@ object CollectorSpec {
             case _ => Left("query handler needs fields: {name: type, ...}")
           }
         } yield CollectorHandler.Query(edn, fields)
-      case other => Left(s"unknown handler kind $other (ingest|stream|query|transact)")
+      case other => Left(s"unknown handler kind $other (ingest|stream|query|transact|named)")
     }
 
   private val typeNames = Set("string", "long", "double", "boolean")
@@ -176,6 +185,7 @@ class CollectorServer(store: DocumentStore, streams: StreamManager) {
         case (h: CollectorHandler.StreamPush, "POST") => push(ex, spec, h)
         case (h: CollectorHandler.Query, "GET") => query(ex, h)
         case (h: CollectorHandler.Transact, "POST") => transact(ex, h)
+        case (h: CollectorHandler.Named, "POST") => named(ex, h)
         case (_, m) =>
           respond(ex, 405, s"""{"status":"failure","message":"method $m not allowed"}""")
       }
@@ -229,6 +239,15 @@ class CollectorServer(store: DocumentStore, streams: StreamManager) {
       respond(ex, 202, s"""{"status":"success","message":"transacting"}""")
     }
   }
+
+  private def named(ex: HttpExchange, h: CollectorHandler.Named): Unit =
+    streams.topology.registry.httpHandler(h.fn) match {
+      case None =>
+        respond(ex, 404, s"""{"status":"failure","message":"no handler ${h.fn}"}""")
+      case Some(f) =>
+        val (code, json) = f(body(ex))
+        respond(ex, code, json)
+    }
 
   private def query(ex: HttpExchange, h: CollectorHandler.Query): Unit = {
     val schema = StructType(h.fields.map { case (n, t) => StructField(n, CollectorSpec.toType(t)) })

@@ -50,6 +50,17 @@ class FunctionRegistry {
   def registerTransactor(name: String, f: Seq[String] => Unit): Unit =
     { transactors.put(name, f); () }
 
+  /** F3 collector handlers: named request handlers (request body →
+    * (status, response json)) for collectors whose behavior composes
+    * store writes / scheduling / transactors — the reference's arbitrary
+    * yada response functions, as PRECOMPILED registry functions instead
+    * of eval'd strings (the F1-transformer stance applied to F3). */
+  private val httpHandlers = new ConcurrentHashMap[String, String => (Int, String)]()
+  def registerHttpHandler(name: String, f: String => (Int, String)): Unit =
+    { httpHandlers.put(name, f); () }
+  def httpHandler(name: String): Option[String => (Int, String)] =
+    Option(httpHandlers.get(name))
+
   /** `transact!` — async fire-and-forget (`transactor.clj:23-27`'s go
     * block); failures surface via the returned Future, not the caller. */
   def transact(name: String, args: Seq[String])
