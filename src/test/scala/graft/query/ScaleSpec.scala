@@ -120,6 +120,15 @@ class ScaleSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"binned range join must never plan a nested loop:\n$plan")
+    // negative coordinates: floor (not truncate-toward-zero) binning —
+    // a point at -1 and an interval [-100, 5) must still meet
+    val negP = Seq(-1L, -64L, -65L, 0L, 4L).map(x => Tuple1(x)).toDF("x")
+    val negI = Seq((1L, -100L, 5L), (2L, -64L, -1L)).toDF("iid", "lo", "hi")
+    val negGot = Scale.rangeJoinBinned(negP, "x", negI, "lo", "hi", 64)
+      .select("iid", "x").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val negWant = negP.join(negI, $"x" >= $"lo" && $"x" < $"hi")
+      .select("iid", "x").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(negGot == negWant, s"negative-coordinate parity: $negGot vs $negWant")
   }
 
   test("bloomSemiJoin equals the plain join; probe filters before the join") {
