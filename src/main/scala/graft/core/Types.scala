@@ -124,8 +124,12 @@ object OpSpec {
     * `cap` rows per quota-key value pass, later ones drop — "at most N
     * docs per domain" at ingest. `key` is a SQL expression over the node
     * row, so the key can be a payload field. STATEFUL (one long per key in
-    * the state store), so a spec change rotates the checkpoint. */
-  final case class QuotaAdmit(key: String, cap: Long) extends OpSpec
+    * the state store), so a spec change rotates the checkpoint.
+    * `ttlMillis` turns the lifetime cap into a rolling rate limit: the
+    * count expires after that much processing time and the budget
+    * refills. */
+  final case class QuotaAdmit(key: String, cap: Long,
+                              ttlMillis: Option[Long] = None) extends OpSpec
 }
 
 /** Buffer policy for a stream node (T7-T9,

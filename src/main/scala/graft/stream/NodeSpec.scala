@@ -94,10 +94,12 @@ object NodeSpec {
         } yield OpSpec.ClassifierAdmit(model, min, text)
       case m if m.contains("quotaAdmit") =>
         val a = m("quotaAdmit")
+        val ttl = (a \ "ttlMillis").extractOpt[Long]
         for {
           key <- (a \ "key").extractOpt[String]
           cap <- (a \ "cap").extractOpt[Long] if cap > 0L
-        } yield OpSpec.QuotaAdmit(key, cap)
+          if ttl.forall(_ > 0L)
+        } yield OpSpec.QuotaAdmit(key, cap, ttl)
       case m if m.contains("asofEnrich") =>
         val a = m("asofEnrich")
         for {
@@ -201,9 +203,10 @@ object NodeSpec {
         JObject("bloomAdmit" -> JObject(
           "model" -> JString(model), "maxHitFracQ6" -> JInt(frac),
           "text" -> JString(text)))
-      case OpSpec.QuotaAdmit(key, cap) =>
-        JObject("quotaAdmit" -> JObject(
-          "key" -> JString(key), "cap" -> JInt(cap)))
+      case OpSpec.QuotaAdmit(key, cap, ttl) =>
+        JObject("quotaAdmit" -> JObject(List(
+          "key" -> JString(key), "cap" -> JInt(cap)) ++
+          ttl.map(t => "ttlMillis" -> JInt(t): (String, JValue)).toList))
       case OpSpec.ClassifierAdmit(model, min, text) =>
         JObject("classifierAdmit" -> JObject(
           "model" -> JString(model), "minScoreQ6" -> JInt(min),

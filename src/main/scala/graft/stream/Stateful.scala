@@ -104,15 +104,17 @@ object Stateful {
     * million rows for an exhausted key costs an iterator skip, not a
     * buffer. Batch-equivalent semantics: row_number per key in arrival
     * order ≤ cap (the `stream_quota_admit` oracle). */
-  def quotaAdmit(df: DataFrame, keyExpr: String, cap: Long): Dataset[KeyedEvent] = {
+  def quotaAdmit(df: DataFrame, keyExpr: String, cap: Long,
+                 ttlMillis: Option[Long] = None): Dataset[KeyedEvent] = {
     require(cap > 0, "quotaAdmit: cap must be positive")
+    require(ttlMillis.forall(_ > 0), "quotaAdmit: ttlMillis must be positive")
     val spark = df.sparkSession
     import spark.implicits._
     df.selectExpr(s"CAST(($keyExpr) AS STRING) key",
         "CAST(value AS STRING) value", "ts")
       .as[KeyedEvent]
       .groupByKey(_.key)
-      .transformWithState(new QuotaProcessor(cap),
+      .transformWithState(new QuotaProcessor(cap, ttlMillis),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 }
@@ -134,15 +136,19 @@ class TtlDedupProcessor(ttlMillis: Long)
     else { seen.update(true); rows.take(1) }
 }
 
-/** Admits rows while the key's running count stays under `cap`; the count
-  * never expires (a lifetime quota — wrap with a TTL for rolling ones). */
-class QuotaProcessor(cap: Long)
+/** Admits rows while the key's running count stays under `cap`. Without a
+  * TTL the count never expires (a lifetime quota); with one, the count is
+  * forgotten after `ttlMillis` of processing time and the key's budget
+  * refills — a rolling rate limit ("at most N per key per window"),
+  * state still 8 bytes/key. */
+class QuotaProcessor(cap: Long, ttlMillis: Option[Long] = None)
     extends StatefulProcessor[String, Stateful.KeyedEvent, Stateful.KeyedEvent] {
 
   @transient private var count: ValueState[Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    count = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    count = getHandle.getValueState[Long]("n", Encoders.scalaLong,
+      ttlMillis.fold(TTLConfig.NONE)(ms => TTLConfig(java.time.Duration.ofMillis(ms))))
 
   override def handleInputRows(key: String, rows: Iterator[Stateful.KeyedEvent],
                                timerValues: TimerValues): Iterator[Stateful.KeyedEvent] = {

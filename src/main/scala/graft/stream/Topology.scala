@@ -225,7 +225,8 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
         .groupBy(session_window(col(ts), gap).as("session") +: keys.map(col): _*)
         .agg(aggCols.head, aggCols.tail: _*)
     case OpSpec.ScrubPii(tc) => graft.ext.TextOps.scrubPii(df, tc)
-    case OpSpec.QuotaAdmit(key, cap) => Stateful.quotaAdmit(df, key, cap).toDF()
+    case OpSpec.QuotaAdmit(key, cap, ttl) =>
+      Stateful.quotaAdmit(df, key, cap, ttl).toDF()
     case OpSpec.ClassifierAdmit(path, minScoreQ6, textCol) =>
       // same plan-lifecycle contract as BloomAdmit: the staged weights are
       // resolved at plan build, embedded as a literal, probed per row

@@ -35,6 +35,13 @@ class ControlPlaneSpec extends SparkSpec {
     assert(NodeSpec.parse(NodeSpec.toJson(qn)).contains(qn))
     assert(NodeSpec.parse(qj.replace("100", "0")).isEmpty,
       "non-positive cap must be rejected at parse time")
+    // rolling form: ttlMillis survives the round-trip; bad ttl rejected
+    val rj = qj.replace(""","cap":100}""", ""","cap":100,"ttlMillis":60000}""")
+    val rn = NodeSpec.parse(rj).get
+    assert(rn.transducer.contains(
+      OpSpec.QuotaAdmit("get_json_object(value,'$.src')", 100L, Some(60000L))))
+    assert(NodeSpec.parse(NodeSpec.toJson(rn)).contains(rn))
+    assert(NodeSpec.parse(rj.replace("60000", "-5")).isEmpty)
   }
 
   test("bootstrap from store wires and starts the persisted topology (T19)") {

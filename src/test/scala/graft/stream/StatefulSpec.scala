@@ -169,4 +169,52 @@ class StatefulSpec extends SparkSpec {
       }
     }
   }
+
+  test("quotaAdmit rolling: TTL'd count refills the key's budget") {
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    topo.addNode(StreamNode(NodeName.parse("kafka/rolling"), Set.empty, None, None, None))
+    val seen = scala.collection.mutable.Buffer.empty[String]
+    val session = spark
+    val admitted = Stateful.quotaAdmit(topo.buildPlan("kafka/rolling"),
+      "key", cap = 1, ttlMillis = Some(15000))
+    val q = admitted.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Stateful.KeyedEvent], _: Long) =>
+        org.apache.spark.sql.SparkSession.setActiveSession(session)
+        seen.synchronized { seen ++= batch.collect().map(_.value) }
+        ()
+      }.start()
+    def awaitSeen(value: String): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!seen.synchronized(seen.contains(value)) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(seen.synchronized(seen.contains(value)), s"expected $value in $seen")
+    }
+    try {
+      io.publish("kafka/rolling", "A", "v1")
+      io.publish("kafka/rolling", "S", "s1") // sentinel key, own budget
+      awaitSeen("v1"); awaitSeen("s1")
+      io.publish("kafka/rolling", "A", "v2") // within TTL -> over budget
+      io.publish("kafka/rolling", "S2", "s2")
+      awaitSeen("s2")
+      assert(!seen.synchronized(seen.contains("v2")),
+        s"within the TTL window the budget is spent: $seen")
+      Thread.sleep(16000) // let A's count expire
+      io.publish("kafka/rolling", "A", "v3") // budget refilled
+      awaitSeen("v3")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
 }
