@@ -84,6 +84,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccardQuery(_, _)),
     "dedup_stream_filter" -> (Dedup.streamFilterQuery(_, _)),
     "dedup_clusters"      -> (Dedup.dedupClustersQuery(_, _)),
+    // quality-aware canonical pick: keep the BEST member per dup cluster
+    "dedup_canonical_best" -> (Dedup.dedupCanonicalBestQuery(_, _)),
     "dedup_embedding_lsh" -> (Dedup.embeddingLshQuery(_, _)),
     "dedup_semantic"      -> (Dedup.semanticDedupQuery(_, _)),
     "similarity_topk"     -> (Similarity.similarityTopK(_, _)),
@@ -373,7 +375,40 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleSqlBase + ("corpus_training_shards" -> trainingShardsOracle) +
       ("graph_pagerank" -> pageRankOracle) +
-      ("corpus_cluster_stats" -> clusterStatsOracle)
+      ("corpus_cluster_stats" -> clusterStatsOracle) +
+      ("dedup_canonical_best" -> canonicalBestOracle)
+
+  /** dedup_canonical_best: the dedup_clusters reachability chain verbatim
+    * + the corpus_quality_topfrac scoring CTEs (renamed q*) + a
+    * per-cluster (q6 DESC, doc_id ASC) argmax — best-member canonicals
+    * from the SAME two single-source-of-truth replays. */
+  private lazy val canonicalBestOracle: String = {
+    val clusters = oracleSqlBase("dedup_clusters")
+    val cut = clusters.lastIndexOf("SELECT doc_id, cluster_id,")
+    require(cut > 0, "dedup_clusters oracle changed shape")
+    val topfrac = oracleSqlBase("corpus_quality_topfrac")
+    val qEnd = topfrac.indexOf("), ranked AS (")
+    require(qEnd > 0, "corpus_quality_topfrac oracle changed shape")
+    val quality = topfrac.substring("WITH ".length + topfrac.indexOf("WITH "), qEnd + 1)
+      .replace("tok AS (", "qtok AS (").replace("FROM tok", "FROM qtok")
+      .replace("feat AS (", "qfeat AS (").replace("FROM qfeat", "FROM qfeat")
+      .replace("FROM feat", "FROM qfeat")
+      .replace("scored AS (", "qscored AS (")
+    clusters.substring(0, cut) +
+      ", " + quality + """, member AS (
+           SELECT l.doc_id, l.cluster_id, s.q6
+           FROM labels l JOIN qscored s ON s.doc_id = l.doc_id
+         ), best AS (
+           SELECT cluster_id, doc_id AS canonical_id FROM (
+             SELECT cluster_id, doc_id,
+               row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY q6 DESC, doc_id ASC) AS rn
+             FROM member) WHERE rn = 1
+         )
+         SELECT m.doc_id, m.cluster_id, b.canonical_id,
+           m.doc_id = b.canonical_id AS is_canonical
+         FROM member m JOIN best b ON m.cluster_id = b.cluster_id"""
+  }
 
   /** corpus_cluster_stats: the similarity_ivf oracle's training+assignment
     * prefix verbatim (ONE source of truth for the Lloyd replay), then the

@@ -595,6 +595,40 @@ object Dedup {
   def dedupClustersQuery(s: SparkSession, d: String): DataFrame =
     dedupClustersStaged(s, gatePairsPath(s, d))
 
+  /** Quality-aware canonical selection: per dup cluster, the canonical
+    * member is the BEST one — highest quality score, doc_id as the
+    * deterministic tie-break — not the smallest id. This is what
+    * production dedup keeps: when a crawl captures the same article five
+    * times, you keep the cleanest capture, and min-id merely keeps the
+    * one crawled first. Returns one row per clustered doc:
+    * (doc_id, cluster_id, canonical_id, is_canonical).
+    *
+    * Scale shape: clustering is [[dedupClusters]] (log-diameter label
+    * propagation); the quality join carries only (doc_id, q6) — 16 bytes
+    * a row, scored BEFORE the shuffle so document bodies never move; the
+    * per-cluster argmax is one partial-aggregable max over (q6, −id)
+    * structs, not a window sort. */
+  def dedupClustersBest(docs: DataFrame, pairs: DataFrame,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val q = docs.select(col(idCol).as("doc_id"),
+      floor(TextOps.qualityScore(col(textCol)) * 1e6 + lit(0.5))
+        .cast("long").as("__q6"))
+    val member = dedupClusters(pairs).join(q, "doc_id")
+    val best = member.groupBy("cluster_id")
+      .agg(max(struct(col("__q6"), (-col("doc_id")).as("__nid"))).as("__b"))
+      .select(col("cluster_id"), (-col("__b.__nid")).as("canonical_id"))
+    member.join(best, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+  }
+
+  /** SparkEntry query (oracled): best-member canonicals over the staged
+    * pair artifact — the dedup_clusters chain plus the quality argmax. */
+  def dedupCanonicalBestQuery(s: SparkSession, d: String): DataFrame =
+    dedupClustersBest(graft.core.Tables.documents(s, d),
+      stagedPairs(s, gatePairsPath(s, d)))
+
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-dup pairs: bucket by SRP (signed random

@@ -119,4 +119,24 @@ class DedupSpec extends SparkSpec {
       "near-dup pairs with every class member must survive fp pre-grouping")
     assert(!pairs.exists(p => p._1 == 41L || p._2 == 41L))
   }
+
+  test("dedupClustersBest: the highest-quality member is canonical, not the min id") {
+    import spark.implicits._
+    // doc 1 (min id) is junk; doc 3 is clean prose → 3 must be canonical
+    val docs = Seq(
+      (1L, "!!! ??? ;;; ::: ,,, ((("),
+      (2L, "the quick brown fox jumps over the lazy dog near the river"),
+      (3L, "the quick brown fox jumps over the lazy dog near the quiet " +
+        "river while the morning light settles on the water for a time"),
+      (9L, "an unrelated island document about sailing across the sea")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.dedupClustersBest(docs, pairs)
+      .select("doc_id", "cluster_id", "canonical_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L)),
+      s"cluster {1,2,3} must crown doc 3 (best quality): $got")
+    // unpaired docs are not emitted (singletons are their own canonical)
+    assert(!got.exists(_._1 == 9L))
+  }
 }
