@@ -63,6 +63,10 @@ object SparkEntry {
     "store_changes"       -> (Relational.storeChanges(_, _)),
     // §2.5 scalar-function surface
     "time_truncate"       -> (Relational.timeTruncate(_, _)),
+    // dense per-user daily grid, gap days zero-filled
+    "ts_resample"         -> (Relational.tsResampleQuery(_, _)),
+    // per-user consecutive value deltas in (ts, event_id) order
+    "ts_delta"            -> (Relational.tsDeltaQuery(_, _)),
     "time_next_day"       -> (Relational.timeNextDay(_, _)),
     "json_extract"        -> (Relational.jsonExtract(_, _)),
     // §2.3 streaming dataflow, batch-equivalent
@@ -725,6 +729,30 @@ object SparkEntry {
     "time_next_day" ->
       """SELECT CAST(ts AS DATE) + INTERVAL ((8 - isodow(CAST(ts AS DATE)))) DAY AS next_monday, count(*) AS n
          FROM events GROUP BY 1""",
+    // ts_resample: per-user daily grid via generate_series over each
+    // user's own span — gap days appear with zeros, exact decimal sums
+    "ts_resample" ->
+      """WITH agg AS (
+           SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_v
+           FROM events GROUP BY 1, 2
+         ), span AS (
+           SELECT user_id, min(day) AS d0, max(day) AS d1 FROM agg GROUP BY 1
+         ), grid AS (
+           SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+           FROM span
+         )
+         SELECT g.user_id, g.day,
+           CAST(coalesce(a.n_events, 0) AS BIGINT) AS n_events,
+           coalesce(a.sum_v, 0.0) AS sum_v
+         FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.day = a.day""",
+    // ts_delta: identical parquet doubles subtract bit-exactly; the
+    // (ts, event_id) order is total so lag is deterministic
+    "ts_delta" ->
+      """SELECT event_id, user_id,
+           value - lag(value) OVER (PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS delta
+         FROM events""",
     "json_extract" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY event_type""",

@@ -443,6 +443,41 @@ object Relational {
       .groupBy(next_day(col("ts").cast("date"), "Mon").as("next_monday"))
       .agg(count(lit(1)).as("n"))
 
+  /** Dense time-grid resample: per-user DAILY activity with gap days
+    * zero-filled — the "no row ≠ no data" fix every time-series consumer
+    * needs (charting, churn features, anomaly baselines all assume a
+    * dense grid). Scale shape: the grid explodes PER KEY over that key's
+    * own [min, max] span (`sequence` of day timestamps — span-bounded,
+    * never a global calendar cross join), then one (key, day) left join
+    * back onto the aggregated facts; both sides are post-aggregation
+    * model-thin rows, never raw events. */
+  def tsResampleQuery(s: SparkSession, d: String): DataFrame = {
+    val agg = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), exactSum(col("value")).as("sum_v"))
+    val grid = agg.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    grid.join(agg, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_v"), lit(0.0)).as("sum_v"))
+  }
+
+  /** Per-key consecutive deltas: value − lag(value) in (ts, event_id)
+    * order — the step-change signal. The window partitions by user, so
+    * the sort is per-key; raw-double subtraction of identical parquet
+    * bits is engine-exact, no rounding needed. */
+  def tsDeltaQuery(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("delta", col("value") - lag("value", 1).over(w))
+      .drop("value", "ts")
+  }
+
   /** X5: JSON decode (cheshire in the reference) → `get_json_object`. */
   def jsonExtract(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
