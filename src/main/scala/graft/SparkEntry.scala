@@ -67,6 +67,8 @@ object SparkEntry {
     "ts_resample"         -> (Relational.tsResampleQuery(_, _)),
     // per-user consecutive value deltas in (ts, event_id) order
     "ts_delta"            -> (Relational.tsDeltaQuery(_, _)),
+    // per-event anomaly z-scores vs the key's own exact moments
+    "ts_zscore"           -> (Relational.tsZscoreQuery(_, _)),
     "time_next_day"       -> (Relational.timeNextDay(_, _)),
     "json_extract"        -> (Relational.jsonExtract(_, _)),
     // §2.3 streaming dataflow, batch-equivalent
@@ -753,6 +755,21 @@ object SparkEntry {
            value - lag(value) OVER (PARTITION BY user_id
              ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS delta
          FROM events""",
+    // ts_zscore: the agg_stats moment spelling per user + the identical
+    // IEEE normalize; q6 floor-round, NULL when a key has one row
+    "ts_zscore" ->
+      """WITH st AS (
+           SELECT user_id, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sx2
+           FROM events GROUP BY user_id
+         )
+         SELECT e.event_id, e.user_id,
+           CASE WHEN st.n > 1 THEN
+             floor(((e.value - st.sx / st.n) /
+               sqrt((st.sx2 - st.sx * st.sx / st.n) / (st.n - 1))) * 1e6 + 0.5) / 1e6
+           END AS z
+         FROM events e JOIN st USING (user_id)""",
     "json_extract" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY event_type""",

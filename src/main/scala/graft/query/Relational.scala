@@ -478,6 +478,28 @@ object Relational {
       .drop("value", "ts")
   }
 
+  /** Per-event anomaly z-scores against the key's own distribution:
+    * (value − mean)/stddev per user — the cheap outlier signal batch
+    * monitoring thresholds on. The moments ride the agg_stats exact
+    * machinery (order-independent decimal sums → one double conversion),
+    * so the IEEE op sequence after them is identical in both engines;
+    * q6-rounded, NULL for keys with a single observation. One shuffle on
+    * the key for the moments; the apply is a broadcast-sized join back
+    * (per-key rows, not per-event). */
+  def tsZscoreQuery(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
+    val st = ev.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      exactSum(col("value"), 28, 6).as("sx"),
+      exactSum(col("value") * col("value"), 38, 6).as("sx2"))
+    ev.join(st, "user_id")
+      .select(col("event_id"), col("user_id"),
+        when(col("n") > 1, graft.query.Functions.stableRound(
+          (col("value") - col("sx") / col("n")) /
+            sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)),
+          6)).as("z"))
+  }
+
   /** X5: JSON decode (cheshire in the reference) → `get_json_object`. */
   def jsonExtract(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
