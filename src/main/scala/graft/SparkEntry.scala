@@ -397,8 +397,7 @@ object SparkEntry {
     require(qEnd > 0, "corpus_quality_topfrac oracle changed shape")
     val quality = topfrac.substring("WITH ".length + topfrac.indexOf("WITH "), qEnd + 1)
       .replace("tok AS (", "qtok AS (").replace("FROM tok", "FROM qtok")
-      .replace("feat AS (", "qfeat AS (").replace("FROM qfeat", "FROM qfeat")
-      .replace("FROM feat", "FROM qfeat")
+      .replace("feat AS (", "qfeat AS (").replace("FROM feat", "FROM qfeat")
       .replace("scored AS (", "qscored AS (")
     clusters.substring(0, cut) +
       ", " + quality + """, member AS (
@@ -765,7 +764,7 @@ object SparkEntry {
            FROM events GROUP BY user_id
          )
          SELECT e.event_id, e.user_id,
-           CASE WHEN st.n > 1 THEN
+           CASE WHEN st.n > 1 AND (st.sx2 - st.sx * st.sx / st.n) > 0 THEN
              floor(((e.value - st.sx / st.n) /
                sqrt((st.sx2 - st.sx * st.sx / st.n) / (st.n - 1))) * 1e6 + 0.5) / 1e6
            END AS z

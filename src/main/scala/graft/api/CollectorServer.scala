@@ -128,14 +128,19 @@ object CollectorSpec {
   * `collector.clj:69-83`) is enforced here because this map is the one
   * place every live path is known.
   */
-class CollectorServer(store: DocumentStore, streams: StreamManager) {
+class CollectorServer(store: DocumentStore, streams: StreamManager,
+                      bindHost: String = "127.0.0.1") {
   private val routes = new ConcurrentHashMap[String, CollectorSpec]()
   @volatile private var server: HttpServer = _
 
   /** Lazily started: an engine with no collectors binds no port. */
   private def ensureStarted(): Unit = synchronized {
     if (server == null) {
-      val s = HttpServer.create(new InetSocketAddress(0), 0)
+      // loopback by default: these endpoints WRITE to the store and fire
+      // transactors with no authentication layer — exposing them beyond
+      // the management host is an explicit deployment decision (pass the
+      // interface address, put a real gateway in front)
+      val s = HttpServer.create(new InetSocketAddress(bindHost, 0), 0)
       s.createContext("/", (ex: HttpExchange) => handle(ex))
       s.setExecutor(null) // request volume is management-plane scale
       s.start()
@@ -230,7 +235,10 @@ class CollectorServer(store: DocumentStore, streams: StreamManager) {
       }
       case None => Nil
     }
-    if (!streams.topology.registry.names.contains(h.name))
+    // transactors ONLY: registry.names also lists transformers/column fns,
+    // and answering 202 for one of those would report success for a side
+    // effect that then dies on a discarded Future
+    if (!streams.topology.registry.transactorExists(h.name))
       respond(ex, 404, s"""{"status":"failure","message":"no transactor ${h.name}"}""")
     else {
       // fire-and-forget (the reference's go-block semantics): failures

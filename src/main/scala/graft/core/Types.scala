@@ -125,9 +125,10 @@ object OpSpec {
     * docs per domain" at ingest. `key` is a SQL expression over the node
     * row, so the key can be a payload field. STATEFUL (one long per key in
     * the state store), so a spec change rotates the checkpoint.
-    * `ttlMillis` turns the lifetime cap into a rolling rate limit: the
-    * count expires after that much processing time and the budget
-    * refills. */
+    * `ttlMillis` bounds the cap in time: the count expires `ttlMillis`
+    * after the key's LAST admission, so a key gets at most `cap` rows
+    * per admission burst and refills after that much quiet — a coarse
+    * rate bound, not a sliding window. */
   final case class QuotaAdmit(key: String, cap: Long,
                               ttlMillis: Option[Long] = None) extends OpSpec
 }

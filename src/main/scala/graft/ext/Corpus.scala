@@ -588,16 +588,18 @@ object Corpus {
     * Counts token OCCURRENCES (not types): the quantity a model actually
     * pays for at training time.
     *
-    * Scale shape: one tokenize+explode pass; vocab membership rides a
-    * broadcast semi-join when the vocab is model-sized (Heaps-law
-    * sublinear) — AQE demotes to shuffle only if a vocabulary genuinely
-    * outgrows the threshold; then one doc_id aggregate. */
+    * Scale shape: one tokenize+explode pass; vocab membership is a plain
+    * equi-join the planner sizes — broadcast while the vocabulary is under
+    * the threshold (Heaps-law sublinear, usually true), shuffle when a
+    * 100 TB corpus's vocab genuinely outgrows it (a FORCED broadcast hint
+    * would override that judgment and OOM the driver); then one doc_id
+    * aggregate. */
   def oovRates(docs: DataFrame, vocab: DataFrame,
                textCol: String = "text"): DataFrame = {
     val occ = docs.select(col("doc_id"),
       explode(TextOps.tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
-    occ.join(broadcast(vocab.select(col("token"), lit(1).as("__in"))),
+    occ.join(vocab.select(col("token"), lit(1).as("__in")),
         Seq("token"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),

@@ -133,25 +133,6 @@ object Multimodal {
     * media table derived from documents.parquet (text bytes as payload —
     * the fixtures ship no real media). Exercises schema, size-repartition,
     * batched decode, and the small projected output. */
-  /** SparkEntry query (oracled): frame sampling over the video slice —
-    * every 4th frame, per-video sampled-frame count and byte mass. The
-    * stub demuxer is pure byte arithmetic (256-byte frames), so the
-    * explode-after-repartition plumbing is verified end-to-end by DuckDB
-    * replaying the same slicing. */
-  def frameSampleQuery(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val media = Tables.documents(s, d)
-      .filter(pmod(col("doc_id"), lit(3)) === 2)
-      .select(col("doc_id").as("media_id"), lit("video").as("kind"),
-        col("text").cast("binary").as("bytes"),
-        lit("stub").as("format"), lit(0).as("width"), lit(0).as("height"),
-        lit(0).as("sample_rate"), lit(0L).as("duration_ms"))
-    sampleFrames(media.as[MediaRow], everyN = 4).toDF()
-      .groupBy("media_id")
-      .agg(count(lit(1)).as("n_sampled"),
-        sum(length(col("frame_bytes"))).as("sampled_bytes"))
-  }
-
   def multimodalQuery(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d).select(
@@ -169,5 +150,24 @@ object Multimodal {
         min(col("width")).cast("long").as("min_w"),
         max(col("height")).cast("long").as("max_h"),
         sum(col("n_frames")).as("total_frames"))
+  }
+
+  /** SparkEntry query (oracled): frame sampling over the video slice —
+    * every 4th frame, per-video sampled-frame count and byte mass. The
+    * stub demuxer is pure byte arithmetic (256-byte frames), so the
+    * explode-after-repartition plumbing is verified end-to-end by DuckDB
+    * replaying the same slicing. */
+  def frameSampleQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id").as("media_id"), lit("video").as("kind"),
+        col("text").cast("binary").as("bytes"),
+        lit("stub").as("format"), lit(0).as("width"), lit(0).as("height"),
+        lit(0).as("sample_rate"), lit(0L).as("duration_ms"))
+    sampleFrames(media.as[MediaRow], everyN = 4).toDF()
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(length(col("frame_bytes"))).as("sampled_bytes"))
   }
 }

@@ -478,6 +478,20 @@ object Similarity {
     * 4 of 16 buckets. The single-row query-vector fetch is control-plane
     * (one `first()`); the search itself is a partition-pruned scan — the
     * 100 TB ANN shape. */
+  def similarityIvfQuery(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    // quantizer trains on a deterministic 1-in-5 sample (standard IVF
+    // practice: centroid quality needs a sample, not the corpus — at
+    // 100 TB training on everything would dwarf the search itself)
+    val cents = trainCentroids(
+      emb.filter(pmod(col("vec_id"), lit(5)) === 0), kCentroids = 16, iters = 2)
+    val assigned = ivfAssign(emb, cents)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).first().getSeq[Double](0)
+    ivfTopK(assigned, cents, q, k = 10, nprobe = 4)
+      .select(col("vec_id"), graft.query.Functions.stableRound(col("sim"), 4).as("sim"))
+  }
+
   /** Topic clustering of the embedding corpus (k-means over unit-sphere
     * cosine distance) with per-cluster corpus statistics — the
     * cluster-then-curate stage of training-data pipelines (semantic mix
@@ -508,17 +522,4 @@ object Similarity {
         max(when(col("__rn") === 1, col("c"))).as("top_label_n"))
   }
 
-  def similarityIvfQuery(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    // quantizer trains on a deterministic 1-in-5 sample (standard IVF
-    // practice: centroid quality needs a sample, not the corpus — at
-    // 100 TB training on everything would dwarf the search itself)
-    val cents = trainCentroids(
-      emb.filter(pmod(col("vec_id"), lit(5)) === 0), kCentroids = 16, iters = 2)
-    val assigned = ivfAssign(emb, cents)
-    val q = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>")).first().getSeq[Double](0)
-    ivfTopK(assigned, cents, q, k = 10, nprobe = 4)
-      .select(col("vec_id"), graft.query.Functions.stableRound(col("sim"), 4).as("sim"))
-  }
 }

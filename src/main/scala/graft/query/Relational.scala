@@ -494,10 +494,15 @@ object Relational {
       exactSum(col("value") * col("value"), 38, 6).as("sx2"))
     ev.join(st, "user_id")
       .select(col("event_id"), col("user_id"),
-        when(col("n") > 1, graft.query.Functions.stableRound(
-          (col("value") - col("sx") / col("n")) /
-            sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)),
-          6)).as("z"))
+        // variance > 0 guard: a constant-valued key's cancellation residue
+        // is ~0 or slightly negative, and (v-mean)/sqrt(that) would emit
+        // NaN (0/0, sqrt(neg)) instead of the NULL single-row keys get
+        when(col("n") > 1 &&
+             (col("sx2") - col("sx") * col("sx") / col("n")) > 0,
+          graft.query.Functions.stableRound(
+            (col("value") - col("sx") / col("n")) /
+              sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)),
+            6)).as("z"))
   }
 
   /** X5: JSON decode (cheshire in the reference) → `get_json_object`. */

@@ -29,7 +29,7 @@ class FunctionManager(store: DocumentStore, manager: StreamManager,
     if (functionTypes.contains(tpe)) Right(tpe)
     else Left(s"unknown stored-function type '$tpe' (one of ${functionTypes.mkString(", ")})")
 
-  private def parseableSpec(tpe: String, specJson: String): Either[String, String] =
+  private def parseableSpec(tpe: String, name: String, specJson: String): Either[String, String] =
     tpe match {
       case "stream" =>
         NodeSpec.parse(specJson).toRight(s"unparseable stream spec: $specJson")
@@ -43,8 +43,15 @@ class FunctionManager(store: DocumentStore, manager: StreamManager,
           collectors.get.deployed.get(spec.path) match {
             case Some(owner) if owner.name != spec.name =>
               Left(s"collector-with-path-already-exists: ${spec.path} (${owner.name})")
-            case _ => Right(specJson)
+            case _ => Right(spec)
           }
+        }.flatMap { spec =>
+          // the stored-function identity and the route identity must be ONE
+          // name: otherwise delete/update key the route table under a name
+          // deploy never registered — ghost endpoints that outlive their doc
+          if (spec.name == name) Right(specJson)
+          else Left(s"collector spec name '${spec.name}' must equal the " +
+            s"stored-function name '$name'")
         }
       case _ => // non-stream types carry opaque registry references
         if (specJson != null && specJson.trim.startsWith("{")) Right(specJson)
@@ -58,7 +65,7 @@ class FunctionManager(store: DocumentStore, manager: StreamManager,
     for {
       _ <- validType(tpe)
       _ <- validName(name)
-      _ <- parseableSpec(tpe, specJson)
+      _ <- parseableSpec(tpe, name, specJson)
       id = Functions.namespacedId(tpe, name)
       _ <- if (store.matchPut(id, None, specJson)) Right(id)
            else Left(s"$id already exists (use update)")
@@ -73,7 +80,7 @@ class FunctionManager(store: DocumentStore, manager: StreamManager,
     for {
       _ <- validType(tpe)
       _ <- validName(name)
-      _ <- parseableSpec(tpe, specJson)
+      _ <- parseableSpec(tpe, name, specJson)
       id = Functions.namespacedId(tpe, name)
       current <- store.entity(id).toRight(s"$id does not exist (use create)")
       _ <- if (store.cas(id, current, specJson)) Right(id)
@@ -104,7 +111,13 @@ class FunctionManager(store: DocumentStore, manager: StreamManager,
       NodeSpec.parse(specJson).foreach(manager.updateNode)
     if (tpe == "collector")
       collectors.foreach(c =>
-        graft.api.CollectorSpec.parse(specJson).foreach(c.deploy))
+        graft.api.CollectorSpec.parse(specJson).foreach { spec =>
+          // validation passed pre-commit, but a concurrent same-path deploy
+          // can still win the race to the route table — surface it loudly
+          // instead of leaving an active doc with no endpoint
+          c.deploy(spec).left.foreach(err => System.err.println(
+            s"[graft] collector $id validated but failed to deploy: $err"))
+        })
     broadcast(id)
   }
 

@@ -49,6 +49,7 @@ class FunctionRegistry {
 
   def registerTransactor(name: String, f: Seq[String] => Unit): Unit =
     { transactors.put(name, f); () }
+  def transactorExists(name: String): Boolean = transactors.containsKey(name)
 
   /** F3 collector handlers: named request handlers (request body →
     * (status, response json)) for collectors whose behavior composes

@@ -138,9 +138,12 @@ class TtlDedupProcessor(ttlMillis: Long)
 
 /** Admits rows while the key's running count stays under `cap`. Without a
   * TTL the count never expires (a lifetime quota); with one, the count is
-  * forgotten after `ttlMillis` of processing time and the key's budget
-  * refills — a rolling rate limit ("at most N per key per window"),
-  * state still 8 bytes/key. */
+  * forgotten `ttlMillis` after the key's LAST admission (rejected rows
+  * never touch state, so they don't extend it) and the budget refills —
+  * at most `cap` rows per admission burst, refill after `ttlMillis` of
+  * admission quiet. A coarse rate bound, NOT a sliding window ("≤ N in
+  * any ttl-length interval" needs per-admission timestamps, cap × 8
+  * bytes of state instead of 8). State stays 8 bytes/key. */
 class QuotaProcessor(cap: Long, ttlMillis: Option[Long] = None)
     extends StatefulProcessor[String, Stateful.KeyedEvent, Stateful.KeyedEvent] {
 
