@@ -69,6 +69,8 @@ object SparkEntry {
     "ts_delta"            -> (Relational.tsDeltaQuery(_, _)),
     // per-event anomaly z-scores vs the key's own exact moments
     "ts_zscore"           -> (Relational.tsZscoreQuery(_, _)),
+    // 7-day rolling totals over the dense (gap-filled) grid
+    "ts_rolling"          -> (Relational.tsRollingQuery(_, _)),
     "time_next_day"       -> (Relational.timeNextDay(_, _)),
     "json_extract"        -> (Relational.jsonExtract(_, _)),
     // §2.3 streaming dataflow, batch-equivalent
@@ -380,6 +382,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     oracleSqlBase + ("corpus_training_shards" -> trainingShardsOracle) +
+      ("ts_rolling" -> tsRollingOracle) +
       ("graph_pagerank" -> pageRankOracle) +
       ("corpus_cluster_stats" -> clusterStatsOracle) +
       ("dedup_canonical_best" -> canonicalBestOracle)
@@ -439,6 +442,24 @@ object SparkEntry {
            CAST(max(CASE WHEN t.rn = 1 THEN t.c END) AS BIGINT) AS top_label_n
          FROM cl LEFT JOIN top t ON cl.cid = t.cid AND cl.label = t.label
          GROUP BY cl.cid"""
+  }
+
+  /** ts_rolling: the ts_resample oracle wrapped as a dense CTE (one
+    * source of truth for the grid), then the 7-row frame — which IS
+    * 7 calendar days precisely because the grid is dense. */
+  private lazy val tsRollingOracle: String = {
+    val resample = oracleSqlBase("ts_resample")
+    val cut = resample.lastIndexOf("SELECT g.user_id")
+    require(cut > 0, "ts_resample oracle changed shape")
+    resample.substring(0, cut) + ", dense AS (\n" +
+      resample.substring(cut) + """
+         )
+         SELECT user_id, day,
+           CAST(sum(n_events) OVER w AS BIGINT) AS n_7d,
+           CAST(sum(CAST(sum_v AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sum_v_7d
+         FROM dense
+         WINDOW w AS (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"""
   }
 
   /** graph_pagerank: the fixed-round integer PageRank replayed as a

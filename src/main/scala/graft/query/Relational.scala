@@ -465,6 +465,23 @@ object Relational {
         coalesce(col("sum_v"), lit(0.0)).as("sum_v"))
   }
 
+  /** 7-day rolling totals per user over the DENSE grid — the reason
+    * [[tsResampleQuery]] gap-fills: a rowsBetween frame over sparse data
+    * would span 7 *active* days, silently stretching the window over
+    * quiet periods; over the dense grid, 7 rows IS 7 calendar days.
+    * The rolling money sum re-enters decimal so frame addition order
+    * can't move the result (window sums are tree-aggregated differently
+    * per engine); counts are longs, already exact. */
+  def tsRollingQuery(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+    tsResampleQuery(s, d)
+      .select(col("user_id"), col("day"),
+        sum("n_events").over(w).as("n_7d"),
+        sum(col("sum_v").cast("decimal(28,6)")).over(w)
+          .cast("double").as("sum_v_7d"))
+  }
+
   /** Per-key consecutive deltas: value − lag(value) in (ts, event_id)
     * order — the step-change signal. The window partitions by user, so
     * the sort is per-key; raw-double subtraction of identical parquet
