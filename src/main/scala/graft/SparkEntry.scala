@@ -71,6 +71,10 @@ object SparkEntry {
     "ts_zscore"           -> (Relational.tsZscoreQuery(_, _)),
     // 7-day rolling totals over the dense (gap-filled) grid
     "ts_rolling"          -> (Relational.tsRollingQuery(_, _)),
+    // retention triangle: first-activity cohorts x day offsets
+    "ts_retention"        -> (Relational.tsRetentionQuery(_, _)),
+    // ordered view->click->purchase funnel, users per stage reached
+    "ts_funnel"           -> (Relational.tsFunnelQuery(_, _)),
     "time_next_day"       -> (Relational.timeNextDay(_, _)),
     "json_extract"        -> (Relational.jsonExtract(_, _)),
     // §2.3 streaming dataflow, batch-equivalent
@@ -790,6 +794,35 @@ object SparkEntry {
                sqrt((st.sx2 - st.sx * st.sx / st.n) / (st.n - 1))) * 1e6 + 0.5) / 1e6
            END AS z
          FROM events e JOIN st USING (user_id)""",
+    // ts_retention: distinct (user, day) activity -> per-user min ->
+    // datediff offsets — all integer/date arithmetic
+    "ts_retention" ->
+      """WITH daily AS (
+           SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+         ), cohorts AS (
+           SELECT user_id, min(day) AS cohort FROM daily GROUP BY user_id
+         )
+         SELECT c.cohort, datediff('day', c.cohort, d.day) AS day_offset,
+           count(*) AS n_active
+         FROM daily d JOIN cohorts c ON d.user_id = c.user_id
+         GROUP BY 1, 2""",
+    // ts_funnel: first-occurrence timestamps per stage; a stage counts
+    // only at/after the previous stage's first occurrence
+    "ts_funnel" ->
+      """WITH firsts AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+           FROM events WHERE event_type IN ('view', 'click', 'purchase')
+           GROUP BY user_id
+         )
+         SELECT CASE WHEN t_view IS NULL THEN 0
+                     WHEN t_click IS NULL OR t_click < t_view THEN 1
+                     WHEN t_purchase IS NULL OR t_purchase < t_click THEN 2
+                     ELSE 3 END AS stage,
+           count(*) AS n_users
+         FROM firsts GROUP BY 1""",
     "json_extract" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY event_type""",

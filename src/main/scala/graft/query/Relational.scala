@@ -482,6 +482,48 @@ object Relational {
           .cast("double").as("sum_v_7d"))
   }
 
+  /** Retention cohorts: users grouped by first-activity day, counted on
+    * each later day they return — the (cohort, day-offset, n_active)
+    * triangle every growth dashboard draws. All integer/date arithmetic
+    * (distinct (user, day) activity → per-user min → datediff), exact in
+    * any engine. Scale shape: the activity matrix is post-aggregation
+    * (user, day) rows, the cohort table is one row per user; both
+    * shuffles are key-thin, never raw events. */
+  def tsRetentionQuery(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val cohort = daily.groupBy("user_id").agg(min("day").as("cohort"))
+    daily.join(cohort, "user_id")
+      .groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
+  /** Ordered funnel: how far each user progresses through
+    * view → click → purchase, where a stage only counts if it happens at
+    * or after the previous stage's FIRST occurrence — then users per
+    * stage. First-occurrence timestamps per (user, stage) are exact
+    * minima; the ordering comparisons are timestamp equality/inequality,
+    * so the whole funnel replays engine-exactly. One thin shuffle on
+    * user_id. */
+  def tsFunnelQuery(s: SparkSession, d: String): DataFrame = {
+    val firsts = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    firsts
+      .select(col("user_id"),
+        when(col("t_view").isNull, 0)
+          .when(col("t_click").isNull || col("t_click") < col("t_view"), 1)
+          .when(col("t_purchase").isNull || col("t_purchase") < col("t_click"), 2)
+          .otherwise(3).as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+  }
+
   /** Per-key consecutive deltas: value − lag(value) in (ts, event_id)
     * order — the step-change signal. The window partitions by user, so
     * the sort is per-key; raw-double subtraction of identical parquet
