@@ -266,7 +266,19 @@ object Corpus {
   def fuzzyContamination(train: DataFrame, evalDocs: DataFrame,
                          textCol: String = "text", idCol: String = "doc_id",
                          shingleN: Int = 3, numPerm: Int = 64,
-                         bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+                         bands: Int = 16, threshold: Double = 0.5): DataFrame =
+    fuzzyContaminationPairs(train, evalDocs, textCol, idCol,
+        shingleN, numPerm, bands, threshold)
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("max_jaccard"))
+
+  /** The verified cross-corpus match pairs (id = train side, eval_id,
+    * jaccard ≥ threshold) both fuzzy views aggregate. */
+  private def fuzzyContaminationPairs(train: DataFrame, evalDocs: DataFrame,
+                                      textCol: String, idCol: String,
+                                      shingleN: Int = 3, numPerm: Int = 64,
+                                      bands: Int = 16,
+                                      threshold: Double = 0.5): DataFrame = {
     import graft.functions.TextHashExpressions.{minhash_sig, word_shingles}
     val rows = numPerm / bands
     def shingled(df: DataFrame) = graft.core.CacheRegistry.persisted(
@@ -291,8 +303,32 @@ object Corpus {
       .withColumn("jaccard",
         col("__i") / (size(col("sh")) + size(col("sh_e")) - col("__i")))
       .filter(col("jaccard") >= threshold)
-      .groupBy(col("id").as(idCol))
-      .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("max_jaccard"))
+      .select(col("id"), col("eval_id"), col("jaccard"))
+  }
+
+  /** The EVAL-side view of [[fuzzyContamination]]: per benchmark doc, how
+    * many training docs near-duplicate it and how closely — the
+    * "which of our benchmarks are compromised" report an eval owner
+    * reads (a benchmark with hundreds of train-side near-dups is
+    * unusable regardless of what the training side later drops). Same
+    * LSH join, grouped by the other side. */
+  def fuzzyContaminationReport(train: DataFrame, evalDocs: DataFrame,
+                               textCol: String = "text",
+                               idCol: String = "doc_id",
+                               threshold: Double = 0.5): DataFrame =
+    fuzzyContaminationPairs(train, evalDocs, textCol, idCol,
+        threshold = threshold)
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_train_dups"), max(col("jaccard")).as("max_jaccard"))
+
+  /** SparkEntry query (oracled): the benchmark-compromise report over the
+    * decontamQuery split. */
+  def fuzzyDecontamReportQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    fuzzyContaminationReport(docs.filter(col("doc_id") % 10 =!= 0),
+                             docs.filter(col("doc_id") % 10 === 0))
+      .select(col("eval_id"), col("n_train_dups"),
+        graft.query.Functions.stableRound(col("max_jaccard"), 4).as("max_jaccard"))
   }
 
   /** The filtering form: training rows with NO fuzzy eval match survive. */
