@@ -494,18 +494,27 @@ object Corpus {
     * engine-exact Weyl multiplier as [[tokenBudgetMix]] (no seeded RNG, no
     * partition-order dependence); all arithmetic is integer, so placements
     * replay bit-exactly anywhere. */
-  def packSequences(docs: DataFrame, seqLen: Long, shards: Int = 64): DataFrame =
-    packCore(docs.withColumn("split", lit("all")), seqLen, shards)
+  def packSequences(docs: DataFrame, seqLen: Long, shards: Int = 64,
+                    epoch: Int = 0): DataFrame =
+    packCore(docs.withColumn("split", lit("all")), seqLen, shards, epoch)
       .drop("split")
 
   /** The packing core, stratified by an existing `split` column: each
     * (split, shard) is an independent token stream (the window's
     * partitioning matches, so the sort is per-stratum, never global). */
-  private def packCore(docs: DataFrame, seqLen: Long, shards: Int): DataFrame = {
+  private def packCore(docs: DataFrame, seqLen: Long, shards: Int,
+                       epoch: Int = 0): DataFrame = {
     require(seqLen > 0, "packSequences: seqLen must be positive")
     require(shards > 0, "packSequences: shards must be positive")
+    require(epoch >= 0, "packSequences: epoch must be non-negative")
+    // per-EPOCH reshuffle: trainers want a different (but reproducible)
+    // document order every epoch; shifting the Weyl multiplier by an
+    // even offset keeps it odd (a bijection mod 2³¹) and every epoch's
+    // placement stays a pure function of (doc_id, epoch) — exact i64,
+    // partition-invariant, replayable. epoch 0 is the oracled layout.
     val scramble =
-      (pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L)) % lit(2147483648L)
+      (pmod(col("doc_id"), lit(2147483648L)) *
+        lit(2654435761L + 2L * epoch)) % lit(2147483648L)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("split", "shard")
       .orderBy(col("__h").asc, col("doc_id").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -134,6 +134,22 @@ class CorpusSpec extends SparkSpec {
     ()
   }
 
+  test("packSequences epochs: each epoch is a different reproducible order") {
+    val docs = (1L to 60L).map(i => (i, s"word$i " * (i % 7 + 1).toInt))
+      .toDF("doc_id", "text")
+    def order(epoch: Int) = Corpus.packSequences(docs, seqLen = 32, shards = 4, epoch = epoch)
+      .select("doc_id", "shard", "start_tok")
+      .as[(Long, Int, Long)].collect().toSet
+    val e0 = order(0); val e1 = order(1)
+    assert(e0 != e1, "epoch 1 must reshuffle relative to epoch 0")
+    assert(order(1) == e1, "every epoch's placement is reproducible")
+    assert(e0.map(_._1) == e1.map(_._1), "every doc is placed in every epoch")
+    // partition-layout invariance holds per epoch
+    val e1b = Corpus.packSequences(docs.repartition(7), seqLen = 32, shards = 4, epoch = 1)
+      .select("doc_id", "shard", "start_tok").as[(Long, Int, Long)].collect().toSet
+    assert(e1b == e1)
+  }
+
   test("statsReport: counts, token totals, dup mass, and quality mass per language") {
     val docs = Seq(
       (1L, prose, "en"),
