@@ -43,7 +43,8 @@ class ScaleSpec extends SparkSpec {
     "text_despan_reference",  // window-hash probe + duplication-proportional coverage
     "corpus_quality_classifier", // GD rounds: model-sized joins over a built-once feature table
     "graph_pagerank",         // fixed-round edge-linear iteration, co-partitioned joins
-    "corpus_fuzzy_decontam")  // cross-corpus LSH: candidates bounded by bucket collisions
+    "corpus_fuzzy_decontam",  // cross-corpus LSH: candidates bounded by bucket collisions
+    "ts_resample")            // per-key grid explode: span-bounded, users-linear
     // NOT gated: join_range_binned — a range join's output is
     // points × interval-density by SEMANTICS (every point matches every
     // covering interval), so 10× both sides is ~100× output; the gate
