@@ -389,6 +389,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleSqlBase + ("corpus_training_shards" -> trainingShardsOracle) +
       ("ts_rolling" -> tsRollingOracle) +
+      ("corpus_decontam_report" -> decontamReportOracle) +
       ("graph_pagerank" -> pageRankOracle) +
       ("corpus_cluster_stats" -> clusterStatsOracle) +
       ("dedup_canonical_best" -> canonicalBestOracle)
@@ -466,6 +467,19 @@ object SparkEntry {
          FROM dense
          WINDOW w AS (PARTITION BY user_id ORDER BY day
            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"""
+  }
+
+  /** corpus_decontam_report: the corpus_fuzzy_decontam replay spliced at
+    * its final SELECT (one source of truth for the LSH chain), aggregated
+    * on the EVAL side instead. */
+  private lazy val decontamReportOracle: String = {
+    val fuzzy = oracleSqlBase("corpus_fuzzy_decontam")
+    val cut = fuzzy.lastIndexOf("SELECT tid AS doc_id")
+    require(cut > 0, "corpus_fuzzy_decontam oracle changed shape")
+    fuzzy.substring(0, cut) +
+      """SELECT eid AS eval_id, count(*) AS n_train_dups,
+           floor(max(j) * 1e4 + 0.5) / 1e4 AS max_jaccard
+         FROM jac WHERE j >= 0.5 GROUP BY eid"""
   }
 
   /** graph_pagerank: the fixed-round integer PageRank replayed as a
@@ -2134,42 +2148,6 @@ object SparkEntry {
          SELECT tid AS doc_id, count(*) AS n_matches,
            floor(max(j) * 1e4 + 0.5) / 1e4 AS max_jaccard
          FROM jac WHERE j >= 0.5 GROUP BY tid""",
-    // corpus_decontam_report: the same replay, aggregated on the EVAL side
-    "corpus_decontam_report" ->
-      """WITH tok AS (
-           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
-         ), sh AS (
-           SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-             ELSE list_distinct([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)])
-             END AS sh
-           FROM tok
-         ), bx AS (
-           SELECT doc_id, ('0x' || substring(md5(s), 1, 7))::BIGINT AS x
-           FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
-         ), perms AS (
-           SELECT i, (2654435761 * (i + 1)) % 2147483647 AS a,
-                     (40503 * (i + 1) * (i + 1) + 17) % 2147483647 AS b
-           FROM generate_series(0, 63) t(i)
-         ), sig AS (
-           SELECT doc_id, i, min((a * x + b) % 2147483647) AS h
-           FROM bx CROSS JOIN perms GROUP BY doc_id, i
-         ), bands AS (
-           SELECT doc_id, i // 4 AS band,
-             string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS bucket
-           FROM sig GROUP BY doc_id, i // 4
-         ), cand AS (
-           SELECT DISTINCT a.doc_id AS tid, b.doc_id AS eid
-           FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-           WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
-         ), jac AS (
-           SELECT c.tid, c.eid,
-             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-               (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
-           FROM cand c JOIN sh sa ON sa.doc_id = c.tid JOIN sh sb ON sb.doc_id = c.eid
-         )
-         SELECT eid AS eval_id, count(*) AS n_train_dups,
-           floor(max(j) * 1e4 + 0.5) / 1e4 AS max_jaccard
-         FROM jac WHERE j >= 0.5 GROUP BY eid""",
     // text_normalize: codepoint lengths around NFC + control-strip; the
     // decomposed accent (chr(769) = U+0301) and BEL are planted in-query
     // so the normalization actually fires on the ASCII fixture

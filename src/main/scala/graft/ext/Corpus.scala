@@ -315,9 +315,13 @@ object Corpus {
   def fuzzyContaminationReport(train: DataFrame, evalDocs: DataFrame,
                                textCol: String = "text",
                                idCol: String = "doc_id",
+                               shingleN: Int = 3, numPerm: Int = 64,
+                               bands: Int = 16,
                                threshold: Double = 0.5): DataFrame =
+    // same parameter surface as fuzzyContamination: a tuned decontamination
+    // pass and its eval-side report must describe the SAME candidate set
     fuzzyContaminationPairs(train, evalDocs, textCol, idCol,
-        threshold = threshold)
+        shingleN, numPerm, bands, threshold)
       .groupBy(col("eval_id"))
       .agg(count(lit(1)).as("n_train_dups"), max(col("jaccard")).as("max_jaccard"))
 
@@ -506,7 +510,9 @@ object Corpus {
                        epoch: Int = 0): DataFrame = {
     require(seqLen > 0, "packSequences: seqLen must be positive")
     require(shards > 0, "packSequences: shards must be positive")
-    require(epoch >= 0, "packSequences: epoch must be non-negative")
+    require(epoch >= 0 && epoch <= 100000000,
+      "packSequences: epoch in [0, 1e8] — larger shifts overflow the " +
+        "exact-i64 scramble product (2^31 * multiplier must stay < 2^63)")
     // per-EPOCH reshuffle: trainers want a different (but reproducible)
     // document order every epoch; shifting the Weyl multiplier by an
     // even offset keeps it odd (a bijection mod 2³¹) and every epoch's

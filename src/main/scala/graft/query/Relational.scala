@@ -500,13 +500,16 @@ object Relational {
       .agg(count(lit(1)).as("n_active"))
   }
 
-  /** Ordered funnel: how far each user progresses through
-    * view → click → purchase, where a stage only counts if it happens at
-    * or after the previous stage's FIRST occurrence — then users per
-    * stage. First-occurrence timestamps per (user, stage) are exact
-    * minima; the ordering comparisons are timestamp equality/inequality,
-    * so the whole funnel replays engine-exactly. One thin shuffle on
-    * user_id. */
+  /** Strict first-occurrence funnel: how far each user progresses
+    * through view → click → purchase judged on each stage's FIRST
+    * occurrence only — the user reaches stage k iff
+    * first(view) ≤ first(click) ≤ … holds up to stage k. (This is the
+    * strict definition: a user whose first purchase predates their first
+    * click stops at stage 2 even if they purchase again later; an
+    * any-qualifying-event funnel needs per-stage conditional minima and
+    * is a different metric.) First-occurrence timestamps are exact
+    * minima and the comparisons are timestamp inequalities, so the whole
+    * funnel replays engine-exactly. One thin shuffle on user_id. */
   def tsFunnelQuery(s: SparkSession, d: String): DataFrame = {
     val firsts = Tables.events(s, d)
       .filter(col("event_type").isin("view", "click", "purchase"))
