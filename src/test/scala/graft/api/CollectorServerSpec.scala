@@ -79,8 +79,17 @@ class CollectorServerSpec extends SparkSpec {
       assert(app.functions.create("collector", "track",
         """{"name":"track","path":"/app/track","handler":{"kind":"stream","node":"kafka/events-in"}}""").isRight)
       assert(http("POST", s"$base/app/track", Some("""{"event":"click"}"""))._1 == 202)
-      app.streams.processAllAvailable()
-      assert(io.collected("events-out").exists(_.getAs[String]("value").contains("click")))
+      // the freshly-created sink may still be starting on another thread
+      // when processAllAvailable snapshots the running queries — poll
+      // (observed flaking under full-suite load, passes in isolation)
+      val streamDeadline = System.currentTimeMillis() + 30000
+      def clicked() = io.collected("events-out")
+        .exists(_.getAs[String]("value").contains("click"))
+      while (!clicked() && System.currentTimeMillis() < streamDeadline) {
+        app.streams.processAllAvailable()
+        Thread.sleep(200)
+      }
+      assert(clicked(), "pushed event must reach the downstream topic")
 
       // transact collector: POST args → fire-and-forget registered transactor
       val sent = new java.util.concurrent.ConcurrentLinkedQueue[String]()
