@@ -75,6 +75,8 @@ object SparkEntry {
     "ts_retention"        -> (Relational.tsRetentionQuery(_, _)),
     // ordered view->click->purchase funnel, users per stage reached
     "ts_funnel"           -> (Relational.tsFunnelQuery(_, _)),
+    // Markov transition table: (prev event type -> type) counts
+    "ts_transitions"      -> (Relational.tsTransitionsQuery(_, _)),
     "time_next_day"       -> (Relational.timeNextDay(_, _)),
     "json_extract"        -> (Relational.jsonExtract(_, _)),
     // §2.3 streaming dataflow, batch-equivalent
@@ -839,6 +841,16 @@ object SparkEntry {
                      ELSE 3 END AS stage,
            count(*) AS n_users
          FROM firsts GROUP BY 1""",
+    // ts_transitions: lag over the same total per-user order as ts_delta;
+    // stream starts surface as prev_type = '∅'
+    "ts_transitions" ->
+      """SELECT coalesce(prev_type, '∅') AS prev_type, event_type, count(*) AS n
+         FROM (
+           SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS prev_type
+           FROM events)
+         GROUP BY 1, 2""",
     "json_extract" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY event_type""",

@@ -527,6 +527,22 @@ object Relational {
       .groupBy("stage").agg(count(lit(1)).as("n_users"))
   }
 
+  /** Event-type transition counts: (previous type → type) occurrences per
+    * user-ordered stream — the Markov transition table behavior features
+    * and next-event models start from. lag over the per-user (ts,
+    * event_id) total order, then one small aggregate; stream starts
+    * (no predecessor) count under prev_type = '∅'. All integer. */
+  def tsTransitionsQuery(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type",
+        coalesce(lag("event_type", 1).over(w), lit("∅")))
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-key consecutive deltas: value − lag(value) in (ts, event_id)
     * order — the step-change signal. The window partitions by user, so
     * the sort is per-key; raw-double subtraction of identical parquet
