@@ -54,10 +54,18 @@ class GraftApp(val spark: SparkSession, val store: DocumentStore,
     // routes, same as the reference's bootstrap starting every stored fn
     locally {
       import spark.implicits._
+      val log = org.slf4j.LoggerFactory.getLogger(getClass)
       store.db().filter("id LIKE ':collector/%'")
         .select("doc").as[String].collect()
-        .foreach(json => graft.api.CollectorSpec.parse(json)
-          .foreach(collectors.deploy))
+        .foreach(json => graft.api.CollectorSpec.parse(json) match {
+          // a persisted collector that fails to come back is an operator
+          // page, not a silent drop — the doc survives in the store either
+          // way, so a fixed redeploy can still revive it
+          case Left(err) =>
+            log.warn(s"collector bootstrap: dropping unparseable spec: $err")
+          case Right(spec) => collectors.deploy(spec).left.foreach(err =>
+            log.warn(s"collector bootstrap: '${spec.name}' not redeployed: $err"))
+        })
     }
     streams.startControlPlane(store, NodeSpec.parse)
     alerts.start()

@@ -129,9 +129,16 @@ object CollectorSpec {
   * place every live path is known.
   */
 class CollectorServer(store: DocumentStore, streams: StreamManager,
-                      bindHost: String = "127.0.0.1") {
+                      bindHost: String = "127.0.0.1",
+                      maxBodyBytes: Int = 1 << 20,
+                      maxQueryRows: Int = 10000) {
   private val routes = new ConcurrentHashMap[String, CollectorSpec]()
   @volatile private var server: HttpServer = _
+  @volatile private var pool: java.util.concurrent.ExecutorService = _
+
+  /** A request body larger than [[maxBodyBytes]] — surfaced as HTTP 413
+    * instead of buffering an unbounded payload on the management host. */
+  private class BodyTooLarge extends Exception
 
   /** Lazily started: an engine with no collectors binds no port. */
   private def ensureStarted(): Unit = synchronized {
@@ -142,7 +149,12 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
       // interface address, put a real gateway in front)
       val s = HttpServer.create(new InetSocketAddress(bindHost, 0), 0)
       s.createContext("/", (ex: HttpExchange) => handle(ex))
-      s.setExecutor(null) // request volume is management-plane scale
+      // small fixed pool (not the default single-threaded dispatcher): one
+      // slow query or oversized upload must not stall every other endpoint
+      pool = java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+        val t = new Thread(r, "graft-collector"); t.setDaemon(true); t
+      })
+      s.setExecutor(pool)
       s.start()
       server = s
     }
@@ -153,13 +165,19 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
   /** Deploy (create semantics): rejects a path already owned by a DIFFERENT
     * collector; same-name redeploy is the update path and swaps in place. */
   def deploy(spec: CollectorSpec): Either[String, CollectorSpec] = {
-    val owner = routes.get(spec.path)
-    if (owner != null && owner.name != spec.name)
-      Left(s"collector-with-path-already-exists: ${spec.path} owned by ${owner.name}")
+    // claim the path atomically: compute() holds the map's bin lock, so two
+    // concurrent deploys of DIFFERENT names to the same path serialize here
+    // and exactly one wins — check-then-put would let both pass the check
+    // and silently unroute the loser
+    var owner: String = null
+    routes.compute(spec.path, (_, prev) =>
+      if (prev != null && prev.name != spec.name) { owner = prev.name; prev }
+      else spec)
+    if (owner != null)
+      Left(s"collector-with-path-already-exists: ${spec.path} owned by $owner")
     else {
       // an update may move the collector to a new path — drop the old route
       routes.entrySet().removeIf(e => e.getValue.name == spec.name && e.getKey != spec.path)
-      routes.put(spec.path, spec)
       ensureStarted()
       Right(spec)
     }
@@ -176,6 +194,7 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
 
   def stop(): Unit = synchronized {
     if (server != null) { server.stop(0); server = null }
+    if (pool != null) { pool.shutdownNow(); pool = null }
     routes.clear()
   }
 
@@ -195,13 +214,29 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
           respond(ex, 405, s"""{"status":"failure","message":"method $m not allowed"}""")
       }
     } catch {
+      case _: BodyTooLarge =>
+        respond(ex, 413,
+          s"""{"status":"failure","message":"request body exceeds $maxBodyBytes bytes"}""")
       case e: Exception =>
         respond(ex, 500, JsonMethods.compact(JsonMethods.render(
           JObject("status" -> JString("failure"), "message" -> JString(String.valueOf(e.getMessage))))))
     } finally ex.close()
 
-  private def body(ex: HttpExchange): String =
-    new String(ex.getRequestBody.readAllBytes(), UTF_8)
+  /** Bounded body read: never buffers more than [[maxBodyBytes]] + 1 bytes
+    * regardless of what the client streams (readAllBytes on an unbounded
+    * request is a driver-OOM vector). */
+  private def body(ex: HttpExchange): String = {
+    val in = ex.getRequestBody
+    val buf = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](8192)
+    var n = in.read(chunk)
+    while (n >= 0) {
+      buf.write(chunk, 0, n)
+      if (buf.size() > maxBodyBytes) throw new BodyTooLarge
+      n = in.read(chunk)
+    }
+    new String(buf.toByteArray, UTF_8)
+  }
 
   private def ingest(ex: HttpExchange, h: CollectorHandler.Ingest): Unit = {
     val doc = body(ex)
@@ -213,6 +248,15 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
       case None =>
         respond(ex, 400,
           s"""{"status":"failure","message":"body must be JSON with field ${h.idField}"}""")
+      // ':'-prefixed ids are the stored-function namespace (':collector/…',
+      // ':stream/…', ':transactor/…' docs that GraftApp.init bootstraps and
+      // ACTIVATES on restart) — an HTTP client must not be able to plant
+      // control-plane documents through a data-ingest endpoint. The
+      // reference keeps user docs in a separate user-db Crux node for the
+      // same reason (`/root/reference/src/dataworks/db/user_db.clj`).
+      case Some(id) if id.startsWith(":") =>
+        respond(ex, 400,
+          s"""{"status":"failure","message":"ids starting with ':' are reserved for stored functions"}""")
       case Some(id) =>
         val tx = store.put(id, doc)
         respond(ex, 201,
@@ -263,9 +307,14 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
       case Left(err) => respond(ex, 400, s"""{"status":"failure","message":${JsonMethods.compact(JsonMethods.render(JString(err)))}}""")
       case Right(df) =>
         // management-plane result sizes (entity lookups, registry listings);
-        // large analytical results belong on the query API, not REST
-        val rows = df.toJSON.collect()
-        respond(ex, 200, rows.mkString("[", ",", "]"))
+        // large analytical results belong on the query API, not REST — so
+        // the collect is LIMIT-bounded and an over-limit result is a typed
+        // 413, never an unbounded driver buffer
+        val rows = df.limit(maxQueryRows + 1).toJSON.collect()
+        if (rows.length > maxQueryRows)
+          respond(ex, 413,
+            s"""{"status":"failure","message":"result exceeds maxRows=$maxQueryRows; narrow the query"}""")
+        else respond(ex, 200, rows.mkString("[", ",", "]"))
     }
   }
 

@@ -136,4 +136,63 @@ class CollectorServerSpec extends SparkSpec {
       } finally app2.stop()
     } finally app.stop()
   }
+
+  test("hardening: reserved ids, body cap, query row cap, atomic path claim") {
+    val db = Files.createTempDirectory("graft-collector-hard").toString + "/db"
+    val io = new MemoryIO(spark)
+    val registry = new FunctionRegistry
+    val store = graft.store.DocumentStore(spark, db)
+    val streams = new graft.stream.StreamManager(new graft.stream.Topology(io, registry))
+    val srv = new CollectorServer(store, streams,
+      maxBodyBytes = 256, maxQueryRows = 2)
+    try {
+      assert(srv.deploy(CollectorSpec("add", "/add",
+        CollectorHandler.Ingest("user_id"))).isRight)
+      val base = s"http://localhost:${srv.port}"
+
+      // ':'-prefixed ids are the stored-function namespace: an ingest body
+      // must NOT be able to overwrite ':collector/…'/':stream/…' docs that
+      // bootstrap activates on restart (ADVICE r7, medium)
+      val (rc, rbody) = http("POST", s"$base/add",
+        Some("""{"user_id":":stream/evil","x":1}"""))
+      assert(rc == 400 && rbody.contains("reserved"))
+      assert(store.entity(":stream/evil").isEmpty)
+      // plain ids still land
+      assert(http("POST", s"$base/add", Some("""{"user_id":"ok1","karma":1}"""))._1 == 201)
+
+      // oversized body → typed 413, nothing stored
+      val big = s"""{"user_id":"big","pad":"${"x" * 300}"}"""
+      assert(http("POST", s"$base/add", Some(big))._1 == 413)
+      assert(store.entity("big").isEmpty)
+
+      // query result above maxQueryRows → 413, not an unbounded collect
+      http("POST", s"$base/add", Some("""{"user_id":"ok2","karma":2}"""))
+      http("POST", s"$base/add", Some("""{"user_id":"ok3","karma":3}"""))
+      assert(srv.deploy(CollectorSpec("q", "/q", CollectorHandler.Query(
+        "{:find [?k] :where [[?e :karma ?k]]}", Seq("karma" -> "long")))).isRight)
+      val (qc, qbody) = http("GET", s"$base/q")
+      assert(qc == 413 && qbody.contains("maxRows"), s"got $qc $qbody")
+
+      // atomic path claim: concurrent deploys of DIFFERENT names to the
+      // same path — exactly one side may win each round (the check-then-put
+      // race would let both return Right and silently unroute the loser)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        for (round <- 1 to 50) {
+          val path = s"/race$round"
+          val gate = new java.util.concurrent.CyclicBarrier(2)
+          def attempt(n: String) = pool.submit { () =>
+            gate.await()
+            srv.deploy(CollectorSpec(n, path, CollectorHandler.Ingest("id")))
+          }
+          val (ra, rb) = (attempt("alpha"), attempt("beta"))
+          val results = Seq(ra.get(), rb.get())
+          assert(results.count(_.isRight) == 1,
+            s"round $round: exactly one deploy may claim $path, got $results")
+          val winner = results.collectFirst { case Right(s) => s.name }.get
+          assert(srv.deployed(path).name == winner)
+        }
+      } finally pool.shutdownNow()
+    } finally { srv.stop(); streams.stopAll() }
+  }
 }
