@@ -223,20 +223,23 @@ object TextOps {
     * ln() differs by an ulp between engines). Stopwords are excluded (the
     * shared [[stopwords]] list) or every doc's top term would be "the".
     *
-    * Scale shape: explode → (doc, term) tf aggregate, term-keyed df
-    * aggregate, join back on term (reuses the df partitioning), then a
-    * per-doc window rank — partitioned by doc_id, never a global sort. */
+    * Scale shape: explode → (doc, term) tf aggregate once (cached — it
+    * feeds both df and the rank), term-keyed df aggregate whose result is
+    * VOCABULARY-sized (sublinear in the corpus, Heaps' law) and therefore
+    * broadcast — the big tf side is never re-shuffled onto term — then a
+    * per-doc window rank partitioned by doc_id, never a global sort. */
   def topTerms(docs: DataFrame, textCol: String = "text",
                idCol: String = "doc_id", k: Int = 3): DataFrame = {
     val sw = array(stopwords.map(lit): _*)
     val terms = docs.select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
       .filter(!array_contains(sw, col("term")))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = graft.core.CacheRegistry.persisted(
+      terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tf.join(dfreq, "term")
+    tf.join(broadcast(dfreq), "term")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("doc_id", "term", "tf", "df", "rank")

@@ -1,0 +1,48 @@
+package graft
+
+/** Job-count budgets for the ITERATIVE TRAINERS — the gates whose cost is
+  * dominated by scheduling (model rounds), not data. The round-3 job
+  * explosions were caught by eyeballing `SPARK_GRAFT_BENCH_STATS=1`
+  * output; these budgets turn a recurrence (a lost reused exchange, AQE
+  * re-planning inside a round, an accidental per-round action) into a CI
+  * failure, the way GraphSpec pins connected-components rounds.
+  *
+  * Budgets are measured ceilings + slack, not aspirations: a trainer that
+  * doubles its job count has changed plan shape, whatever the wall-clock
+  * says. Runs at sf0.001 — job STRUCTURE is scale-invariant (that is the
+  * point of pinning jobs instead of seconds).
+  */
+class BenchStatsSpec extends SparkSpec {
+
+  /** Run `name` from SparkEntry.queries under a job group; return jobs. */
+  private def jobsFor(name: String): Int = {
+    // a cold ModelCache makes the count deterministic: each budget below
+    // INCLUDES the gate's own training jobs (the solo-run worst case)
+    graft.core.ModelCache.clear()
+    val group = s"bench-stats-$name"
+    spark.sparkContext.setJobGroup(group, s"BenchStatsSpec $name")
+    try SparkEntry.queries(name)(spark, sf("sf0.001")).count()
+    finally spark.sparkContext.clearJobGroup()
+    graft.core.CacheRegistry.unpersistAll()
+    org.apache.spark.sql.graft.DatasetBridge.drainListenerBus(spark)
+    spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+  }
+
+  // (gate, budget): measured at r8 + ~50% slack. PageRank is
+  // fixed-round edge-linear iteration (~14 jobs); the classifier is 3 GD
+  // rounds over a built-once feature table (~16); cluster stats consumes
+  // the shared quantizer — train + assign + stats (~5).
+  private val budgets = Seq(
+    ("graph_pagerank", 22),
+    ("corpus_quality_classifier", 26),
+    ("corpus_cluster_stats", 10))
+
+  for ((gate, budget) <- budgets)
+    test(s"$gate stays within its job budget ($budget)") {
+      val jobs = jobsFor(gate)
+      info(s"$gate: $jobs jobs (budget $budget)")
+      assert(jobs <= budget,
+        s"$gate launched $jobs jobs (budget $budget) — the trainer's plan " +
+          "shape regressed (extra per-round actions or lost exchange reuse)")
+    }
+}

@@ -44,7 +44,8 @@ class ScaleSpec extends SparkSpec {
     "corpus_quality_classifier", // GD rounds: model-sized joins over a built-once feature table
     "graph_pagerank",         // fixed-round edge-linear iteration, co-partitioned joins
     "corpus_fuzzy_decontam",  // cross-corpus LSH: candidates bounded by bucket collisions
-    "ts_resample")            // per-key grid explode: span-bounded, users-linear
+    "ts_resample",            // per-key grid explode: span-bounded, users-linear
+    "text_top_terms")         // tf cached once, vocab-sized df broadcast (r7 bench flag)
     // NOT gated: join_range_binned — a range join's output is
     // points × interval-density by SEMANTICS (every point matches every
     // covering interval), so 10× both sides is ~100× output; the gate
@@ -77,5 +78,48 @@ class ScaleSpec extends SparkSpec {
     ratios.foreach { case (g, r) =>
       assert(r <= 30.0, f"$g: ${r}%.1fx wall-clock on 10x data — super-linear")
     }
+  }
+
+  test("writeTrainingShards at 10x: linear wall, one ordered file per shard dir") {
+    assume(ensureSf1(), "sf1 generation tooling unavailable — cannot scale-test")
+    // the shard WRITER is the operator whose output-file behavior matters
+    // most at 100 TB: each (split, shard) leaf must stay ONE ordered file
+    // (a loader streams it front-to-back), shard sizes must stay balanced
+    // (hash routing), and the write must scale ~linearly in rows
+    def run(dir: String, shards: Int): (Double, java.io.File) = {
+      val out = java.nio.file.Files.createTempDirectory("graft-shards-scale").toFile
+      val t0 = System.nanoTime()
+      graft.ext.Corpus.writeTrainingShards(
+        graft.core.Tables.documents(spark, dir), out.toString,
+        seqLen = 512L, shards = shards)
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.core.CacheRegistry.unpersistAll()
+      (dt, out)
+    }
+    run(sf("sf0.1"), shards = 4) // warm (JIT, codegen, committers)
+    val (t01, _) = run(sf("sf0.1"), shards = 4)
+    // 10x the docs → 4x the shards: shard COUNT grows with the corpus so
+    // per-shard size stays worker-sized (the knob the scaladoc documents)
+    val (t1, out1) = run(sf1Dir, shards = 16)
+    val r = t1 / math.max(t01, 0.5)
+    info(f"writeTrainingShards sf0.1 ${t01}%6.2fs  sf1 ${t1}%6.2fs  ratio ${r}%4.1fx")
+    assert(r <= 30.0, f"shard write went super-linear: ${r}%.1fx on 10x data")
+
+    val leaves = new java.io.File(out1, "shards").listFiles().filter(_.isDirectory)
+      .flatMap(split => split.listFiles().filter(_.isDirectory))
+    assert(leaves.length >= 16 && leaves.length <= 3 * 16,
+      s"expected up to splits(3) x shards(16) leaf dirs, got ${leaves.length}")
+    val parquetsPerLeaf = leaves.map(
+      _.listFiles().count(f => f.getName.endsWith(".parquet")))
+    assert(parquetsPerLeaf.forall(_ == 1),
+      s"each (split, shard) dir must be ONE ordered file (a reader streams " +
+        s"it front-to-back): got ${parquetsPerLeaf.mkString(",")}")
+    // hash-routing balance on the dominant split: no shard hotter than
+    // ~4x the mean (a skewed route would concentrate the 100 TB write)
+    val trainSizes = leaves.filter(_.getParentFile.getName == "split=train")
+      .map(_.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum)
+    val mean = trainSizes.sum.toDouble / trainSizes.length
+    assert(trainSizes.forall(_ <= 4 * mean),
+      s"train shard sizes unbalanced: ${trainSizes.mkString(",")} (mean $mean)")
   }
 }

@@ -173,9 +173,17 @@ class PlanQualitySpec extends SparkSpec {
     // inside doc_id hash partitions only
     assert(!plan.contains("rangepartitioning"),
       s"per-doc rank must not global-sort:\n$plan")
+    // the document-frequency side is vocabulary-sized (sublinear, Heaps'
+    // law) and must broadcast — a sort-merge join here re-shuffles the
+    // corpus-sized tf table onto term (the r7 bench regression flag)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"df side must broadcast onto tf:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"tf must never re-shuffle onto term:\n$plan")
     val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
     assert(scan.contains("doc_id") && scan.contains("text") && !scan.contains("n_chars"),
       s"scan must read only (doc_id, text): $scan")
+    graft.core.CacheRegistry.unpersistAll()
   }
 
   test("clean-corpus pipeline: no cartesian; staged pairs cut documents scans to two") {
