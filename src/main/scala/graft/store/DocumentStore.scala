@@ -72,10 +72,22 @@ class DocumentStore(val spark: SparkSession, val path: String) {
   private def versionsRaw(): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(path)
+    // EXPLICIT schema, never inference: a reader can race an in-flight
+    // append (continuous ingest is the norm), and mid-write the directory
+    // exists holding only `_temporary` task files — schema inference
+    // throws UNABLE_TO_INFER_SCHEMA there, where the correct answer is
+    // simply "the committed view" (empty on a first-ever append). The
+    // schema is the VersionedDoc encoder's plus the valid_date partition
+    // column, i.e. exactly what `append` writes.
+    if (fs.exists(p))
+      spark.read.schema(versionSchema).parquet(path)
     else spark.emptyDataset[VersionedDoc].toDF()
       .withColumn("valid_date", to_date(col("validFrom")))
   }
+
+  private lazy val versionSchema =
+    org.apache.spark.sql.Encoders.product[VersionedDoc].schema
+      .add("valid_date", org.apache.spark.sql.types.DateType)
 
   /** Full version history (all rows, including tombstones). */
   def versions(): DataFrame = versionsRaw().drop("valid_date")

@@ -22,10 +22,18 @@ import graft.store.DocumentStore
 object StoreIngest {
 
   /** Start ingesting a streaming DataFrame: `idExpr` names the document id
-    * (SQL expression), remaining `docCols` become the JSON payload. */
+    * (SQL expression), remaining `docCols` become the JSON payload.
+    *
+    * `checkpoint` makes the ingest CRASH-RECOVERABLE: committed offsets
+    * (and the state of any stateful admission stage upstream in the same
+    * query — quota, TTL dedup) survive an abrupt stop, so a restart
+    * resumes at the last committed batch instead of reprocessing or
+    * skipping. Without one, Spark uses a process-scoped temp checkpoint —
+    * fine for a drain-and-redeploy, wrong for a production ingest. */
   def ingest(df: DataFrame, store: DocumentStore, idExpr: String,
-             docCols: Seq[String], queryName: String): StreamingQuery =
-    df.writeStream
+             docCols: Seq[String], queryName: String,
+             checkpoint: Option[String] = None): StreamingQuery = {
+    val w = df.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val docs = batch
           .select(expr(idExpr).cast("string").as("id"),
@@ -36,12 +44,15 @@ object StoreIngest {
         ()
       }
       .queryName(queryName)
-      .start()
+    checkpoint.foreach(w.option("checkpointLocation", _))
+    w.start()
+  }
 
   /** Ingest a topology node's output (wire any `stream/…` node into the
     * store — the "document sink" node kind). */
   def ingestNode(topology: Topology, store: DocumentStore, nodeName: String,
-                 idExpr: String, docCols: Seq[String]): StreamingQuery =
+                 idExpr: String, docCols: Seq[String],
+                 checkpoint: Option[String] = None): StreamingQuery =
     ingest(topology.buildPlan(nodeName), store, idExpr, docCols,
-      nodeName.replace('/', '_') + "_store")
+      nodeName.replace('/', '_') + "_store", checkpoint)
 }
