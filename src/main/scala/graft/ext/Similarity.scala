@@ -495,8 +495,14 @@ object Similarity {
     * top-10 for vec 0's vector. */
   def similarityPqQuery(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val model = trainPqCodebooks(
-      emb.filter(pmod(col("vec_id"), lit(5)) === 0), m = 4, ksub = 16, iters = 2)
+    // codebooks are deterministic in (dir, m, ksub, iters, sample) →
+    // session-staged like the IVF quantizer (ModelCache): consumers pay
+    // Lloyd's collect jobs once per session, bit-identically
+    val model = graft.core.ModelCache.getOrTrain(
+      graft.core.ModelCache.key("pq-codebooks", d, 4, 16, 2, 5)) {
+      trainPqCodebooks(
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0), m = 4, ksub = 16, iters = 2)
+    }
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).first().getSeq[Double](0)
     pqTopK(pqEncode(emb, model), model, q, k = 10)

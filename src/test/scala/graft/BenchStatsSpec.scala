@@ -35,7 +35,13 @@ class BenchStatsSpec extends SparkSpec {
   private val budgets = Seq(
     ("graph_pagerank", 22),
     ("corpus_quality_classifier", 26),
-    ("corpus_cluster_stats", 10))
+    ("corpus_cluster_stats", 10),
+    // not trainers, but the next-highest job counts in the suite (~18
+    // each): multi-stage pipelines whose stage list is fixed — a job-count
+    // jump means a stage started re-executing (lost persist) or re-planning
+    ("pipeline_clean_corpus", 40), // 28 measured cold at sf0.001 (stages the pair artifact)
+    ("corpus_dsir_select", 28),
+    ("similarity_pq", 14))
 
   for ((gate, budget) <- budgets)
     test(s"$gate stays within its job budget ($budget)") {
