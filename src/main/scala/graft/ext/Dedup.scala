@@ -795,7 +795,7 @@ object Dedup {
   def semanticDedupWith(emb: DataFrame, cents: Seq[(Long, Seq[Double])],
                         threshold: Double): DataFrame = {
     val assigned = CacheRegistry.persisted(
-      Similarity.assignToNearestLit(
+      Similarity.ivfAssignModel(
         emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")), cents)
         .select(col("vec_id"), col("v"), col("centroid_id")))
     // thin self-join payload: (centroid_id, vec_id, v); renamed columns on

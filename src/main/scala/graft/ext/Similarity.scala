@@ -216,21 +216,37 @@ object Similarity {
       array_min(array(entries: _*)).getField("centroid_id"))
   }
 
-  private def assignToNearest(v: DataFrame, centroids: DataFrame): DataFrame = {
+  private def assignToNearest(v: DataFrame, centroids: DataFrame,
+                              payload: Seq[String] = Seq("v")): DataFrame = {
     val c = centroids.select(col("centroid_id"), col("cvec").cast("array<double>").as("cvec"))
     // argmin as a partial-aggregable min over (dist, id) structs: the
     // broadcast-join fan-out collapses MAP-SIDE to one row per vec_id
     // (a window formulation would shuffle + sort every (vector, centroid)
-    // pair). `first(v)` is deterministic here: v is functionally dependent
-    // on the group key.
+    // pair). `first(payload)` is deterministic here: every payload column
+    // is functionally dependent on the group key. This joined path is the
+    // CORPUS-SCALE assignment: data-as-rows keeps the plan k-independent
+    // and fully codegen'd, where the literal-argmin spelling
+    // ([[assignToNearestLit]]) pays ~1s of per-execution analyzer/codegen
+    // on a k=16×dim=64 expression tree — right for sample-sized Lloyd
+    // rounds (fewest jobs), wrong for the full-corpus scan.
     v.crossJoin(broadcast(c))
-      .select(col("vec_id"), col("v"),
+      .select(col("vec_id") +: payload.map(col) :+
         struct((lit(1.0) - cosine(col("v"), col("cvec"))).as("dist"),
-          col("centroid_id").as("centroid_id")).as("dc"))
+          col("centroid_id").as("centroid_id")).as("dc"): _*)
       .groupBy("vec_id")
-      .agg(min(col("dc")).as("dc"), first(col("v")).as("v"))
-      .select(col("vec_id"), col("v"), col("dc.centroid_id").as("centroid_id"))
+      .agg(min(col("dc")).as("dc"), payload.map(p => first(col(p)).as(p)): _*)
+      .select(col("vec_id") +: payload.map(col) :+
+        col("dc.centroid_id").as("centroid_id"): _*)
   }
+
+  /** Corpus-wide nearest-centroid assignment against a DRIVER-SIDE model
+    * (ModelCache pairs or a loaded index): the joined broadcast argmin
+    * over a LocalRelation of the centroids. `payload` columns ride
+    * through the aggregate (e.g. a label for cluster stats) — no join to
+    * re-attach them afterward. */
+  private[graft] def ivfAssignModel(emb: DataFrame, cents: Seq[(Long, Seq[Double])],
+                                    payload: Seq[String] = Seq("v")): DataFrame =
+    assignToNearest(emb, centroidsDf(emb.sparkSession, cents), payload)
 
   /** kNN JOIN: top-k corpus neighbors for EVERY query vector in one pass —
     * the many-query form of top-k that `bruteForceTopK` (one query) and
@@ -520,9 +536,9 @@ object Similarity {
     // practice: centroid quality needs a sample, not the corpus — at
     // 100 TB training on everything would dwarf the search itself) and is
     // SHARED with every other consumer in the session (the staged-index
-    // shape); assignment is the literal-argmin scan — no join, no shuffle
+    // shape); assignment is the broadcast argmin over the model rows
     val pairs = sharedEmbeddingCentroids(s, d, kCentroids = 16, iters = 2)
-    val assigned = assignToNearestLit(
+    val assigned = ivfAssignModel(
       emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")), pairs)
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).first().getSeq[Double](0)
@@ -545,13 +561,14 @@ object Similarity {
   def clusterStatsQuery(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     // consumes the session-shared quantizer (similarity_ivf trains the
-    // identical model) and carries `label` THROUGH the literal-argmin
-    // assignment — the former vec_id self-join to re-attach labels was a
+    // identical model) and carries `label` THROUGH the assignment as
+    // payload — the former vec_id self-join to re-attach labels was a
     // corpus-sized shuffle for a column the scan already had in hand
     val pairs = sharedEmbeddingCentroids(s, d, kCentroids = 16, iters = 2)
-    val perLabel = assignToNearestLit(
+    val perLabel = ivfAssignModel(
         emb.select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("v")), pairs)
+          col("embedding").cast("array<double>").as("v")), pairs,
+        payload = Seq("label"))
       .groupBy(col("centroid_id").as("cluster"), col("label"))
       .agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
