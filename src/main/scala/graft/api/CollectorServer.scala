@@ -23,7 +23,8 @@ import graft.stream.StreamManager
   * atoms (`collector.clj:98-112` add-collector!); we keep one route table
   * keyed by path with the spec inline.
   */
-case class CollectorSpec(name: String, path: String, handler: CollectorHandler)
+case class CollectorSpec(name: String, path: String, handler: CollectorHandler,
+                         roles: Set[String] = Set.empty)
 
 /** The declarative handler surface. The reference's demo collectors do one
   * of three things with a request: transact a document into the app db,
@@ -71,7 +72,15 @@ object CollectorSpec {
         _ <- if (path.startsWith("/") && !path.contains("//") && path.length > 1) Right(())
              else Left(s"invalid path '$path' (absolute, non-empty, no //)")
         h <- parseHandler(j \ "handler")
-      } yield CollectorSpec(name, path, h)
+        // optional role requirement, honored when the server runs with a
+        // bearer gate (the reference's make-authorize on user resources)
+        roles <- j \ "roles" match {
+          case JNothing => Right(Set.empty[String])
+          case JArray(rs) if rs.forall(_.isInstanceOf[JString]) =>
+            Right(rs.collect { case JString(r) => r }.toSet)
+          case _ => Left("roles must be an array of strings")
+        }
+      } yield CollectorSpec(name, path, h, roles)
     } catch { case e: Exception => Left(s"unparseable collector spec: ${e.getMessage}") }
 
   private def parseHandler(j: JValue): Either[String, CollectorHandler] =
@@ -128,10 +137,19 @@ object CollectorSpec {
   * `collector.clj:69-83`) is enforced here because this map is the one
   * place every live path is known.
   */
+/** Optional bearer gate for a [[CollectorServer]]: when present, every
+  * route outside `publicPaths` requires a valid unexpired HS256 token
+  * (`Authorization: Bearer …`), and a spec's `roles` authorize via the
+  * reference's role-expansion rule (`graft.auth.Tokens.authorized`).
+  * `publicPaths` is where the register/login endpoints live — the door
+  * people get their tokens from can't itself demand one. */
+case class BearerAuth(secret: String, publicPaths: Set[String] = Set.empty)
+
 class CollectorServer(store: DocumentStore, streams: StreamManager,
                       bindHost: String = "127.0.0.1",
                       maxBodyBytes: Int = 1 << 20,
-                      maxQueryRows: Int = 10000) {
+                      maxQueryRows: Int = 10000,
+                      auth: Option[BearerAuth] = None) {
   private val routes = new ConcurrentHashMap[String, CollectorSpec]()
   @volatile private var server: HttpServer = _
   @volatile private var pool: java.util.concurrent.ExecutorService = _
@@ -204,6 +222,7 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
     try {
       val spec = routes.get(ex.getRequestURI.getPath)
       if (spec == null) respond(ex, 404, s"""{"status":"failure","message":"no such endpoint"}""")
+      else if (!authorize(ex, spec)) () // authorize() already responded
       else (spec.handler, ex.getRequestMethod) match {
         case (h: CollectorHandler.Ingest, "POST") => ingest(ex, h)
         case (h: CollectorHandler.StreamPush, "POST") => push(ex, spec, h)
@@ -221,6 +240,32 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
         respond(ex, 500, JsonMethods.compact(JsonMethods.render(
           JObject("status" -> JString("failure"), "message" -> JString(String.valueOf(e.getMessage))))))
     } finally ex.close()
+
+  /** Bearer authentication + role authorization (reference:
+    * `bearer-auth` / `make-authorize`, `utils/auth.clj:39-53`). True =
+    * proceed; false = a 401/403 has been written. No gate configured, or a
+    * public path (login/register), always passes. */
+  private def authorize(ex: HttpExchange, spec: CollectorSpec): Boolean =
+    auth match {
+      case None => true
+      case Some(gate) if gate.publicPaths(spec.path) => true
+      case Some(gate) =>
+        val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+        val claims =
+          if (header.startsWith("Bearer "))
+            graft.auth.Tokens.verify(header.stripPrefix("Bearer "), gate.secret)
+          else None
+        claims match {
+          case None =>
+            ex.getResponseHeaders.set("WWW-Authenticate", "Bearer")
+            respond(ex, 401, s"""{"status":"failure","message":"valid bearer token required"}""")
+            false
+          case Some(c) if !graft.auth.Tokens.authorized(c.roles, spec.roles) =>
+            respond(ex, 403, s"""{"status":"failure","message":"insufficient role"}""")
+            false
+          case Some(_) => true
+        }
+    }
 
   /** Bounded body read: never buffers more than [[maxBodyBytes]] + 1 bytes
     * regardless of what the client streams (readAllBytes on an unbounded

@@ -1,0 +1,116 @@
+package graft.auth
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.store.DocumentStore
+
+/** User accounts + credential flow over the bitemporal store — the
+  * reference's user auth (`/root/reference/src/dataworks/utils/auth.clj`):
+  * `:user/<name>` docs carrying user-name / display-name / email / roles /
+  * bcrypt'd pass, first-ever user gets `admin/all`
+  * (`new-user`, auth.clj:93-102), `check-cred` verifies and mints a token.
+  *
+  * Documents live under the reserved `:user/` namespace — unreachable from
+  * the HTTP ingest path (CollectorServer rejects ':'-prefixed ids), same
+  * isolation the reference gets from its separate user-db node.
+  */
+class UserAuth(store: DocumentStore, secret: String) {
+  private implicit val fmts: Formats = DefaultFormats
+
+  private def userId(name: String) = s":user/$name"
+
+  /** The stored user doc (pass hash INCLUDED — internal read). */
+  private def userDoc(name: String): Option[JValue] =
+    store.entity(userId(name)).flatMap(s => JsonMethods.parseOpt(s))
+
+  /** Public view of a user (never the hash), as `add-user` returns. */
+  def getUser(name: String): Option[String] =
+    userDoc(name).map(j => JsonMethods.compact(JsonMethods.render(
+      j.removeField { case (k, _) => k == "pass" })))
+
+  private def anyUserExists(): Boolean = {
+    import store.spark.implicits._
+    !store.db().filter("id LIKE ':user/%'").select("id").as[String].isEmpty
+  }
+
+  /** `add-user`: store the doc with a freshly derived hash. */
+  private def addUser(name: String, pass: String, email: String,
+                      displayName: String, roles: Set[String]): String = {
+    store.put(userId(name), JsonMethods.compact(JsonMethods.render(JObject(
+      "user-name" -> JString(name),
+      "display-name" -> JString(displayName),
+      "email" -> JString(email),
+      "roles" -> JArray(roles.toList.sorted.map(JString(_))),
+      "pass" -> JString(Bcrypt.derive(pass))))))
+    getUser(name).get
+  }
+
+  /** `new-user`: the FIRST account ever created is the admin (`admin/all`);
+    * later registrations get no roles until an admin grants them; a taken
+    * username is an error. Returns Right(public user json) | Left(error). */
+  def newUser(name: String, pass: String, email: String = "",
+              displayName: String = ""): Either[String, String] = store.synchronized {
+    if (name.isEmpty || pass.isEmpty) Left("user and pass are required")
+    else if (!anyUserExists())
+      Right(addUser(name, pass, email, displayName, Set("admin/all")))
+    else if (userDoc(name).isDefined) Left(s"username: $name is taken.")
+    else Right(addUser(name, pass, email, displayName, Set.empty))
+  }
+
+  /** `check-cred`: verify the password, mint a 30-day token. Errors use the
+    * reference's messages (auth.clj:70-75). */
+  def checkCred(name: String, pass: String): Either[String, String] =
+    userDoc(name) match {
+      case None => Left(s"User: $name Not Found")
+      case Some(doc) =>
+        val stored = (doc \ "pass").extractOpt[String].getOrElse("")
+        if (Bcrypt.check(pass, stored))
+          Right(Tokens.sign(name,
+            (doc \ "roles").extractOpt[List[String]].getOrElse(Nil).toSet, secret))
+        else Left("Incorrect Password")
+    }
+
+  /** Grant roles to a user (the admin-resource mutation). */
+  def grantRoles(name: String, roles: Set[String]): Either[String, String] =
+    userDoc(name) match {
+      case None => Left(s"User: $name Not Found")
+      case Some(doc) =>
+        val merged = (doc \ "roles").extractOpt[List[String]].getOrElse(Nil).toSet ++ roles
+        store.put(userId(name), JsonMethods.compact(JsonMethods.render(
+          doc.replace(List("roles"), JArray(merged.toList.sorted.map(JString(_)))))))
+        Right(getUser(name).get)
+    }
+
+  /** Register the reference's register/login endpoints as precompiled
+    * `named` HTTP handlers (`register-resource` / `login-resource`) —
+    * deploy them on a CollectorServer as
+    * `{"handler":{"kind":"named","fn":"auth/register"}}` etc. These two
+    * must be PUBLIC routes (a bearer gate can't guard the door people get
+    * their tokens from). */
+  def registerHandlers(registry: graft.registry.FunctionRegistry): Unit = {
+    registry.registerHttpHandler("auth/register", body => {
+      val j = JsonMethods.parseOpt(body).getOrElse(JNothing)
+      newUser(
+        (j \ "user").extractOpt[String].getOrElse(""),
+        (j \ "pass").extractOpt[String].getOrElse(""),
+        (j \ "email").extractOpt[String].getOrElse(""),
+        (j \ "display-name").extractOpt[String].getOrElse("")) match {
+        case Right(user) => (201, user)
+        case Left(err) =>
+          (400, JsonMethods.compact(JsonMethods.render(JObject("error" -> JString(err)))))
+      }
+    })
+    registry.registerHttpHandler("auth/login", body => {
+      val j = JsonMethods.parseOpt(body).getOrElse(JNothing)
+      checkCred(
+        (j \ "user").extractOpt[String].getOrElse(""),
+        (j \ "pass").extractOpt[String].getOrElse("")) match {
+        case Right(token) =>
+          (200, JsonMethods.compact(JsonMethods.render(JObject("token" -> JString(token)))))
+        case Left(err) =>
+          (401, JsonMethods.compact(JsonMethods.render(JObject("error" -> JString(err)))))
+      }
+    })
+  }
+}

@@ -1,0 +1,160 @@
+package graft.auth
+
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.time.{Duration, Instant}
+
+import graft.SparkSpec
+import graft.api.{BearerAuth, CollectorHandler, CollectorServer, CollectorSpec}
+import graft.registry.FunctionRegistry
+import graft.store.DocumentStore
+import graft.stream.{MemoryIO, StreamManager, Topology}
+
+/** X10 + the reference's auth subsystem
+  * (`/root/reference/src/dataworks/utils/auth.clj`): bcrypt derive/check,
+  * HS256 tokens with a timeout, `:user/…` docs with first-user-is-admin,
+  * and the bearer/role gate in front of collector routes. */
+class AuthSpec extends SparkSpec {
+
+  // ------------------------------------------------------------- bcrypt
+
+  test("bcrypt: OpenBSD-compatible $2a$ vectors (public reference test data)") {
+    // canonical public bcrypt test vectors (OpenBSD/jBCrypt suite): the
+    // cross-implementation interop proof, covering the empty password, a
+    // 1-char password, and a 26-char one (cyclic key wrap)
+    val vectors = Seq(
+      ("", "$2a$06$DCq7YPn5Rq63x1Lad4cll.",
+        "$2a$06$DCq7YPn5Rq63x1Lad4cll.TV4S6ytwfsfvkgY8jIucDrjc8deX1s."),
+      ("a", "$2a$06$m0CrhHm10qJ3lXRY.5zDGO",
+        "$2a$06$m0CrhHm10qJ3lXRY.5zDGO3rS2KdeeWLuGmsfGlMfOxih58VYVfxe"),
+      ("abcdefghijklmnopqrstuvwxyz", "$2a$06$.rCVZVOThsIa97pEDOxvGu",
+        "$2a$06$.rCVZVOThsIa97pEDOxvGuRRgzG64bvtJ0938xuqzv18d3ZpQhstC"))
+    for ((pw, salt, want) <- vectors)
+      assert(Bcrypt.hashWith(pw, salt) == want, s"vector for '$pw'")
+  }
+
+  test("bcrypt: derive/check roundtrip, salting, rejection, malformed stores") {
+    val h1 = Bcrypt.derive("s3cret", cost = 6)
+    val h2 = Bcrypt.derive("s3cret", cost = 6)
+    assert(h1 != h2, "fresh salts must differ")
+    assert(h1.startsWith("$2a$06$") && h1.length == 60)
+    assert(Bcrypt.check("s3cret", h1) && Bcrypt.check("s3cret", h2))
+    assert(!Bcrypt.check("s3cret!", h1), "wrong password must fail")
+    assert(!Bcrypt.check("s3cret", "not-a-hash"), "garbage store must fail, not throw")
+    // $2b/$2y hashes share the algorithm — interop accepted
+    assert(Bcrypt.check("s3cret", "$2b" + h1.drop(3)))
+  }
+
+  // --------------------------------------------------------------- tokens
+
+  test("tokens: sign/verify roundtrip, tamper, expiry, role authorization") {
+    val tok = Tokens.sign("ada", Set("ops/reader"), "hush")
+    val claims = Tokens.verify(tok, "hush")
+    assert(claims.exists(c => c.user == "ada" && c.roles == Set("ops/reader")))
+    assert(Tokens.verify(tok, "wrong-secret").isEmpty, "bad secret must fail")
+    assert(Tokens.verify(tok.dropRight(2) + "xx", "hush").isEmpty, "tampered sig must fail")
+    val expired = Tokens.sign("ada", Set.empty, "hush",
+      ttl = Duration.ofDays(30), now = Instant.now().minus(Duration.ofDays(31)))
+    assert(Tokens.verify(expired, "hush").isEmpty, "expired token must fail")
+    // role expansion: ns role implies ns/all; admin/all always passes
+    assert(Tokens.authorized(Set("ops/all"), Set("ops/writer")))
+    assert(Tokens.authorized(Set("admin/all"), Set("anything/at-all")))
+    assert(!Tokens.authorized(Set("ops/reader"), Set("billing/reader")))
+    assert(Tokens.authorized(Set.empty, Set.empty), "no requirement = any authenticated user")
+  }
+
+  // ------------------------------------------------------------ user flow
+
+  test("users: first registration is admin, duplicates rejected, login mints a working token") {
+    val store = DocumentStore(spark,
+      Files.createTempDirectory("graft-auth").toString + "/db")
+    val users = new UserAuth(store, "hush")
+    val first = users.newUser("ada", "pw-ada", email = "ada@example.com")
+    assert(first.exists(_.contains("admin/all")), s"first user ever is the admin: $first")
+    assert(first.exists(!_.contains("pw-ada")) && first.exists(!_.contains("pass")),
+      "the public view must never carry the hash")
+    val second = users.newUser("bob", "pw-bob")
+    assert(second.exists(!_.contains("admin/all")), "later users start roleless")
+    assert(users.newUser("ada", "again").left.exists(_.contains("taken")))
+    assert(users.checkCred("ada", "nope") == Left("Incorrect Password"))
+    assert(users.checkCred("ghost", "x") == Left("User: ghost Not Found"))
+    val token = users.checkCred("ada", "pw-ada")
+    assert(token.isRight)
+    assert(Tokens.verify(token.toOption.get, "hush")
+      .exists(c => c.user == "ada" && c.roles == Set("admin/all")))
+    // role grant flows into the NEXT minted token
+    assert(users.grantRoles("bob", Set("ops/reader")).isRight)
+    val bobTok = users.checkCred("bob", "pw-bob").toOption.get
+    assert(Tokens.verify(bobTok, "hush").exists(_.roles == Set("ops/reader")))
+  }
+
+  // ------------------------------------- end-to-end bearer-gated collector
+
+  private def http(method: String, url: String, body: Option[String] = None,
+                   bearer: Option[String] = None): (Int, String) = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    bearer.foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
+    body.foreach { b => conn.setDoOutput(true); conn.getOutputStream.write(b.getBytes(UTF_8)) }
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val text = if (is == null) "" else new String(is.readAllBytes(), UTF_8)
+    conn.disconnect()
+    (code, text)
+  }
+
+  test("bearer gate: register + login endpoints public, data routes 401/403/200 by role") {
+    val store = DocumentStore(spark,
+      Files.createTempDirectory("graft-auth-e2e").toString + "/db")
+    val registry = new FunctionRegistry
+    val streams = new StreamManager(new Topology(new MemoryIO(spark), registry))
+    val users = new UserAuth(store, "hush")
+    users.registerHandlers(registry)
+    val srv = new CollectorServer(store, streams,
+      auth = Some(BearerAuth("hush", publicPaths = Set("/user/new-user", "/app/login"))))
+    try {
+      assert(srv.deploy(CollectorSpec("register", "/user/new-user",
+        CollectorHandler.Named("auth/register"))).isRight)
+      assert(srv.deploy(CollectorSpec("login", "/app/login",
+        CollectorHandler.Named("auth/login"))).isRight)
+      // a data-ingest route open to any authenticated user, and an
+      // ops-restricted one
+      assert(srv.deploy(CollectorSpec("add", "/app/add",
+        CollectorHandler.Ingest("doc_id"))).isRight)
+      assert(srv.deploy(CollectorSpec("ops", "/app/ops",
+        CollectorHandler.Ingest("doc_id"), roles = Set("ops/writer"))).isRight)
+      val base = s"http://localhost:${srv.port}"
+
+      // registration + login are reachable without a token
+      val (rc, _) = http("POST", s"$base/user/new-user",
+        Some("""{"user":"ada","pass":"pw-ada"}"""))
+      assert(rc == 201)
+      http("POST", s"$base/user/new-user", Some("""{"user":"bob","pass":"pw-bob"}"""))
+      val (lc, lbody) = http("POST", s"$base/app/login",
+        Some("""{"user":"bob","pass":"pw-bob"}"""))
+      assert(lc == 200 && lbody.contains("token"))
+      val bobTok = lbody.split("\"").find(_.count(_ == '.') == 2).get
+      assert(http("POST", s"$base/app/login",
+        Some("""{"user":"bob","pass":"wrong"}"""))._1 == 401)
+
+      // data routes: no token → 401; bob (roleless) → 200 on the open
+      // route, 403 on the ops route; ada (admin/all) → 200 on both
+      assert(http("POST", s"$base/app/add", Some("""{"doc_id":"d1"}"""))._1 == 401)
+      assert(http("POST", s"$base/app/add", Some("""{"doc_id":"d1"}"""),
+        bearer = Some(bobTok))._1 == 201)
+      assert(http("POST", s"$base/app/ops", Some("""{"doc_id":"d2"}"""),
+        bearer = Some(bobTok))._1 == 403)
+      assert(store.entity("d2").isEmpty, "a 403'd write must not land")
+      val adaTok = http("POST", s"$base/app/login",
+        Some("""{"user":"ada","pass":"pw-ada"}"""))._2
+        .split("\"").find(_.count(_ == '.') == 2).get
+      assert(http("POST", s"$base/app/ops", Some("""{"doc_id":"d2"}"""),
+        bearer = Some(adaTok))._1 == 201)
+      assert(store.entity("d2").nonEmpty)
+      // a garbage token is a 401, not a 500
+      assert(http("POST", s"$base/app/add", Some("""{"doc_id":"d3"}"""),
+        bearer = Some("garbage.token.here"))._1 == 401)
+    } finally { srv.stop(); streams.stopAll() }
+  }
+}
