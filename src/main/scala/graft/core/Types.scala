@@ -50,6 +50,15 @@ object OpSpec {
   final case class Named(name: String, args: Seq[String] = Nil) extends OpSpec
   /** composition — transducer `comp` (T5). */
   final case class Comp(stages: Seq[OpSpec]) extends OpSpec
+  /** F7 `->let` (`/root/reference/src/dataworks/utils/common.clj:74-110`):
+    * sequential NAMED definitions in scope for everything after them — the
+    * reference macroexpands user `defn`s into a `let`; here each binding
+    * is a named SQL expression column (later bindings and every `body`
+    * stage can reference it, non-linearly), and bindings the body didn't
+    * project away are dropped from the output, exactly like let-locals
+    * going out of scope. Declarative and eval-free, like every OpSpec. */
+  final case class LetExpr(bindings: Seq[(String, String)],
+                           body: Seq[OpSpec]) extends OpSpec
 
   /** Event-time windowed aggregation with a watermark — a capability the
     * reference lacks entirely (its transducers are per-element; time-based

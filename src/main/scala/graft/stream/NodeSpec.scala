@@ -48,6 +48,29 @@ object NodeSpec {
           if (parsed.forall(_.isDefined)) Some(OpSpec.Comp(parsed.flatten)) else None
         case _ => None
       }
+      // F7 ->let: {"let": {"bindings": [{"name": "n", "expr": "e"}, …],
+      //                    "in": [stage, …]}} — bindings are ORDERED (an
+      // array, not an object: later bindings see earlier ones)
+      case m if m.contains("let") =>
+        val l = m("let")
+        val bindings = l \ "bindings" match {
+          case JArray(bs) =>
+            val parsed = bs.map(b => for {
+              n <- (b \ "name").extractOpt[String] if n.nonEmpty
+              e <- (b \ "expr").extractOpt[String] if e.nonEmpty
+            } yield (n, e))
+            if (parsed.nonEmpty && parsed.forall(_.isDefined)) Some(parsed.flatten)
+            else None
+          case _ => None
+        }
+        val body = l \ "in" match {
+          case JArray(stages) =>
+            val parsed = stages.map(parseOpSpec)
+            if (parsed.nonEmpty && parsed.forall(_.isDefined)) Some(parsed.flatten)
+            else None
+          case _ => None
+        }
+        for (bs <- bindings; b <- body) yield OpSpec.LetExpr(bs, b)
       case m if m.contains("windowAgg") =>
         val w = m("windowAgg")
         for {
@@ -169,6 +192,11 @@ object NodeSpec {
       case OpSpec.SelectExpr(es) => JObject("select" -> JArray(es.map(JString(_)).toList))
       case OpSpec.Named(f, _) => JObject("named" -> JString(f))
       case OpSpec.Comp(ss) => JObject("comp" -> JArray(ss.map(op).toList))
+      case OpSpec.LetExpr(bindings, body) =>
+        JObject("let" -> JObject(
+          "bindings" -> JArray(bindings.toList.map { case (n, e) =>
+            JObject("name" -> JString(n), "expr" -> JString(e)) }),
+          "in" -> JArray(body.map(op).toList)))
       case OpSpec.WindowAgg(ts, dur, slide, wm, keys, aggs) =>
         JObject("windowAgg" -> JObject(List(
           Some("ts" -> (JString(ts): JValue)),

@@ -57,6 +57,7 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
         // would detonate in buildPlan after downstream queries stopped
         def badDuration(spec: OpSpec): Option[String] = spec match {
           case OpSpec.Comp(ss) => ss.flatMap(badDuration(_)).headOption
+          case OpSpec.LetExpr(_, body) => body.flatMap(badDuration(_)).headOption
           case OpSpec.IntervalJoin(_, _, lb, la, _, _) =>
             Seq(lb, la).find(d =>
               scala.util.Try(StreamJoin.parseDuration(d)).isFailure)
@@ -162,6 +163,7 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
 
   private def statefulOps(spec: OpSpec): Seq[String] = spec match {
     case OpSpec.Comp(stages)    => stages.flatMap(statefulOps)
+    case OpSpec.LetExpr(_, body) => body.flatMap(statefulOps)
     case s: OpSpec.WindowAgg    => Seq(s.toString)
     case s: OpSpec.SessionAgg   => Seq(s.toString)
     case s: OpSpec.DedupeKeys   => Seq(s.toString)
@@ -177,6 +179,7 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
     * leave a running join reading a stale plan. */
   private def joinDeps(spec: OpSpec): Seq[String] = spec match {
     case OpSpec.Comp(stages)        => stages.flatMap(joinDeps)
+    case OpSpec.LetExpr(_, body)    => body.flatMap(joinDeps)
     case OpSpec.IntervalJoin(r, _, _, _, _, _) => Seq(r)
     case _                          => Seq.empty
   }
@@ -192,6 +195,19 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
     case OpSpec.SelectExpr(es)  => df.selectExpr(es: _*)
     case OpSpec.Named(name, _)  => registry.transform(name, df)
     case OpSpec.Comp(stages)    => stages.foldLeft(df)(applyOpSpec(_, _, building))
+    case OpSpec.LetExpr(bindings, body) =>
+      // F7 ->let: bind each named definition as a column (later bindings
+      // may reference earlier ones — sequential withColumn IS the let*
+      // scoping), run the body with every name in scope, then drop any
+      // binding the body didn't claim — locals going out of scope. A
+      // binding that shadows an input column is a shadow, not a local:
+      // it survives, like the reference's let over an outer name.
+      val before = df.columns.toSet
+      val bound = bindings.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
+      val result = body.foldLeft(bound)(applyOpSpec(_, _, building))
+      val locals = bindings.map(_._1).distinct
+        .filter(c => !before.contains(c) && result.columns.contains(c))
+      result.drop(locals: _*)
     case OpSpec.WindowAgg(ts, dur, slide, wm, keys, aggs) =>
       val windowed = slide match {
         case Some(s) => window(col(ts), dur, s)

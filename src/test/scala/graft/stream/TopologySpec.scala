@@ -39,6 +39,46 @@ class TopologySpec extends SparkSpec {
     mgr.stopAll()
   }
 
+  test("F7 ->let: named definitions scope over the body, locals drop from the output") {
+    // the reference's ->let doc example (`utils/common.clj:74-110`):
+    //   (->let (defn plus-2 [a] (+ 2 a))
+    //          (fn [b] (/ (plus-2 b) 3)))
+    // declaratively: bind plus2, use it in the final expression — plus a
+    // NON-LINEAR use (the same binding feeding a filter AND the map),
+    // which is exactly what a let gives over a pipeline
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    assert(topo.addNode(StreamNode(NodeName.parse("kafka/input"), Set.empty,
+      None, None, None)).isRight)
+    val spec = OpSpec.LetExpr(
+      bindings = Seq("plus2" -> "TRY_CAST(value AS DOUBLE) + 2",
+        // later bindings see earlier ones (sequential let* scoping)
+        "third" -> "plus2 / 3"),
+      body = Seq(
+        OpSpec.FilterExpr("plus2 > 10"), // non-linear reuse of a binding
+        OpSpec.MapExpr("third")))
+    val node = StreamNode(NodeName.parse("stream/let"), Set("kafka/input"),
+      Some(spec), Some(BufferSpec.Fixed(100)), None)
+    // the whole let round-trips through the stored-doc JSON (bindings stay
+    // ORDERED — an array, not an object)
+    assert(NodeSpec.parse(NodeSpec.toJson(node)).contains(node))
+    assert(topo.addNode(node).isRight)
+    assert(topo.addNode(StreamNode(NodeName.parse("kafka/out"),
+      Set("stream/let"), None, None, None)).isRight)
+    val mgr = new StreamManager(topo)
+    io.publish("kafka/input", "k1", "40") // (40+2)=42 > 10 → 42/3 = 14.0
+    io.publish("kafka/input", "k2", "1")  // (1+2)=3 ≤ 10 → filtered
+    mgr.applyGraph()
+    mgr.processAllAvailable()
+    val rows = io.collected("out")
+    assert(rows.map(_.getAs[Double]("value")) == Seq(14.0))
+    // locals went out of scope: neither binding leaks into the output row
+    assert(!rows.head.schema.fieldNames.contains("plus2") &&
+      !rows.head.schema.fieldNames.contains("third"),
+      s"let locals must not leak: ${rows.head.schema.fieldNames.mkString(",")}")
+    mgr.stopAll()
+  }
+
   test("hot-swap: pre-swap messages incremented, post-swap decremented") {
     val io = new MemoryIO(spark)
     val (_, mgr) = pipeline(io)
