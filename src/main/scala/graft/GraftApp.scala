@@ -26,11 +26,20 @@ import graft.stream.{AlertScheduler, NodeSpec, StreamIO, StreamManager, Topology
   * race the bootstrap; the alert poll is independent. Stop is the reverse.
   */
 class GraftApp(val spark: SparkSession, val store: DocumentStore,
-               val io: StreamIO, val registry: FunctionRegistry) {
+               val io: StreamIO, val registry: FunctionRegistry,
+               authSecret: Option[String] = None) {
 
   val topology = new Topology(io, registry)
   val streams = new StreamManager(topology)
-  val collectors = new graft.api.CollectorServer(store, streams)
+  /** With a secret, the REST surface runs behind the bearer gate — only
+    * the register/login doors stay public (the reference's auth wiring,
+    * `/root/reference/src/dataworks/core.clj` + `utils/auth.clj`). */
+  val collectors = new graft.api.CollectorServer(store, streams,
+    auth = authSecret.map(s => graft.api.BearerAuth(s,
+      publicPaths = Set(GraftApp.registerPath, GraftApp.loginPath))))
+  /** User accounts + credential flow (present iff the gate is on). */
+  val users: Option[graft.auth.UserAuth] =
+    authSecret.map(new graft.auth.UserAuth(store, _))
   val functions = new FunctionManager(store, streams, Some(collectors))
   val alerts = new AlertScheduler(store, registry)
 
@@ -67,6 +76,16 @@ class GraftApp(val spark: SparkSession, val store: DocumentStore,
             log.warn(s"collector bootstrap: '${spec.name}' not redeployed: $err"))
         })
     }
+    // auth doors: register/login deployed as fixed routes at boot, like
+    // the reference's static yada resources — not stored functions, so a
+    // store wipe can't lock every operator out of their own engine
+    users.foreach { u =>
+      u.registerHandlers(registry)
+      collectors.deploy(graft.api.CollectorSpec("auth-register",
+        GraftApp.registerPath, graft.api.CollectorHandler.Named("auth/register")))
+      collectors.deploy(graft.api.CollectorSpec("auth-login",
+        GraftApp.loginPath, graft.api.CollectorHandler.Named("auth/login")))
+    }
     streams.startControlPlane(store, NodeSpec.parse)
     alerts.start()
     this
@@ -80,7 +99,12 @@ class GraftApp(val spark: SparkSession, val store: DocumentStore,
 }
 
 object GraftApp {
+  /** The fixed auth door routes (reference: `auth/dev.clj` resources). */
+  val registerPath = "/user/new-user"
+  val loginPath = "/app/login"
+
   def apply(spark: SparkSession, dbPath: String, io: StreamIO,
-            registry: FunctionRegistry = FunctionRegistry.default): GraftApp =
-    new GraftApp(spark, DocumentStore(spark, dbPath), io, registry)
+            registry: FunctionRegistry = FunctionRegistry.default,
+            authSecret: Option[String] = None): GraftApp =
+    new GraftApp(spark, DocumentStore(spark, dbPath), io, registry, authSecret)
 }

@@ -157,4 +157,37 @@ class AuthSpec extends SparkSpec {
         bearer = Some("garbage.token.here"))._1 == 401)
     } finally { srv.stop(); streams.stopAll() }
   }
+
+  test("GraftApp with a secret boots gated: auth doors live, everything else 401s") {
+    val db = Files.createTempDirectory("graft-auth-app").toString + "/db"
+    val app = graft.GraftApp(spark, db, new MemoryIO(spark),
+      new FunctionRegistry, authSecret = Some("hush")).start()
+    try {
+      val base = s"http://localhost:${app.collectors.port}"
+      // doors are up without any management-plane action
+      assert(http("POST", s"$base/user/new-user",
+        Some("""{"user":"root","pass":"pw"}"""))._1 == 201)
+      val tok = http("POST", s"$base/app/login",
+        Some("""{"user":"root","pass":"pw"}"""))._2
+        .split("\"").find(_.count(_ == '.') == 2).get
+      // a management-deployed route is gated
+      assert(app.functions.create("collector", "add",
+        """{"name":"add","path":"/app/add","handler":{"kind":"ingest","idField":"id"}}""").isRight)
+      assert(http("POST", s"$base/app/add", Some("""{"id":"x"}"""))._1 == 401)
+      assert(http("POST", s"$base/app/add", Some("""{"id":"x"}"""),
+        bearer = Some(tok))._1 == 201)
+      app.stop()
+      // reboot: doors re-deploy from code, not the store; the first user
+      // persisted, so the SECOND registration is not admin
+      val app2 = graft.GraftApp(spark, db, new MemoryIO(spark),
+        new FunctionRegistry, authSecret = Some("hush")).start()
+      try {
+        val base2 = s"http://localhost:${app2.collectors.port}"
+        val (c2, body2) = http("POST", s"$base2/user/new-user",
+          Some("""{"user":"second","pass":"pw2"}"""))
+        assert(c2 == 201 && !body2.contains("admin/all"),
+          s"post-reboot registration must not be admin: $body2")
+      } finally app2.stop()
+    } finally app.stop()
+  }
 }
