@@ -81,10 +81,19 @@ class GraftApp(val spark: SparkSession, val store: DocumentStore,
     // store wipe can't lock every operator out of their own engine
     users.foreach { u =>
       u.registerHandlers(registry)
-      collectors.deploy(graft.api.CollectorSpec("auth-register",
-        GraftApp.registerPath, graft.api.CollectorHandler.Named("auth/register")))
-      collectors.deploy(graft.api.CollectorSpec("auth-login",
-        GraftApp.loginPath, graft.api.CollectorHandler.Named("auth/login")))
+      // a failed door deploy is BOOT-FATAL, never logged-and-ignored: the
+      // only way it fails is a foreign collector squatting on a public
+      // path — which would be served UNAUTHENTICATED (publicPaths exempts
+      // the path) while locking every operator out of token minting
+      Seq(
+        graft.api.CollectorSpec("auth-register",
+          GraftApp.registerPath, graft.api.CollectorHandler.Named("auth/register")),
+        graft.api.CollectorSpec("auth-login",
+          GraftApp.loginPath, graft.api.CollectorHandler.Named("auth/login")))
+        .foreach(door => collectors.deploy(door).left.foreach(err =>
+          throw new IllegalStateException(
+            s"auth door '${door.name}' cannot claim ${door.path}: $err — " +
+              "remove the conflicting collector before enabling auth")))
     }
     streams.startControlPlane(store, NodeSpec.parse)
     alerts.start()

@@ -182,20 +182,21 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
 
   /** Deploy (create semantics): rejects a path already owned by a DIFFERENT
     * collector; same-name redeploy is the update path and swaps in place. */
-  def deploy(spec: CollectorSpec): Either[String, CollectorSpec] = {
-    // claim the path atomically: compute() holds the map's bin lock, so two
-    // concurrent deploys of DIFFERENT names to the same path serialize here
-    // and exactly one wins — check-then-put would let both pass the check
-    // and silently unroute the loser
-    var owner: String = null
-    routes.compute(spec.path, (_, prev) =>
-      if (prev != null && prev.name != spec.name) { owner = prev.name; prev }
-      else spec)
-    if (owner != null)
-      Left(s"collector-with-path-already-exists: ${spec.path} owned by $owner")
+  private val deployLock = new Object
+
+  def deploy(spec: CollectorSpec): Either[String, CollectorSpec] = deployLock.synchronized {
+    // deploys are fully serialized (management-plane rate): the claim-check
+    // and the old-route sweep must be ONE atomic step — a bin-level
+    // compute() alone still lets two same-name deploys to different paths
+    // each removeIf the other's fresh route, leaving the collector
+    // unrouted while both callers got Right
+    val owner = routes.get(spec.path)
+    if (owner != null && owner.name != spec.name)
+      Left(s"collector-with-path-already-exists: ${spec.path} owned by ${owner.name}")
     else {
       // an update may move the collector to a new path — drop the old route
       routes.entrySet().removeIf(e => e.getValue.name == spec.name && e.getKey != spec.path)
+      routes.put(spec.path, spec)
       ensureStarted()
       Right(spec)
     }
@@ -221,8 +222,12 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
   private def handle(ex: HttpExchange): Unit =
     try {
       val spec = routes.get(ex.getRequestURI.getPath)
-      if (spec == null) respond(ex, 404, s"""{"status":"failure","message":"no such endpoint"}""")
-      else if (!authorize(ex, spec)) () // authorize() already responded
+      // gate BEFORE the 404: on an auth'd server an unauthenticated probe
+      // must not be able to distinguish deployed from undeployed paths
+      // (401 uniformly); only a valid token sees 404s and role 403s
+      if (!authorize(ex, Option(spec))) () // authorize() already responded
+      else if (spec == null)
+        respond(ex, 404, s"""{"status":"failure","message":"no such endpoint"}""")
       else (spec.handler, ex.getRequestMethod) match {
         case (h: CollectorHandler.Ingest, "POST") => ingest(ex, h)
         case (h: CollectorHandler.StreamPush, "POST") => push(ex, spec, h)
@@ -244,11 +249,13 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
   /** Bearer authentication + role authorization (reference:
     * `bearer-auth` / `make-authorize`, `utils/auth.clj:39-53`). True =
     * proceed; false = a 401/403 has been written. No gate configured, or a
-    * public path (login/register), always passes. */
-  private def authorize(ex: HttpExchange, spec: CollectorSpec): Boolean =
+    * public path (login/register), always passes. Called with `spec =
+    * None` for unknown paths so an unauthenticated client gets the same
+    * 401 whether the path exists or not. */
+  private def authorize(ex: HttpExchange, spec: Option[CollectorSpec]): Boolean =
     auth match {
       case None => true
-      case Some(gate) if gate.publicPaths(spec.path) => true
+      case Some(gate) if spec.exists(s => gate.publicPaths(s.path)) => true
       case Some(gate) =>
         val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
         val claims =
@@ -260,7 +267,7 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
             ex.getResponseHeaders.set("WWW-Authenticate", "Bearer")
             respond(ex, 401, s"""{"status":"failure","message":"valid bearer token required"}""")
             false
-          case Some(c) if !graft.auth.Tokens.authorized(c.roles, spec.roles) =>
+          case Some(c) if spec.exists(s => !graft.auth.Tokens.authorized(c.roles, s.roles)) =>
             respond(ex, 403, s"""{"status":"failure","message":"insufficient role"}""")
             false
           case Some(_) => true

@@ -199,19 +199,24 @@ object Bcrypt {
     sb.toString
   }
 
+  /** -1 for anything outside the alphabet INCLUDING non-ASCII (a raw
+    * charAt index into the 128-entry table would throw out of bounds —
+    * and escape check()'s IllegalArgumentException contract). */
+  private def b64At(c: Char): Int = if (c < 128) b64Index(c.toInt) else -1
+
   private def b64Decode(s: String, maxLen: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     var off = 0
     while (off < s.length - 1 && out.size() < maxLen) {
-      val c1 = b64Index(s.charAt(off).toInt); val c2 = b64Index(s.charAt(off + 1).toInt)
+      val c1 = b64At(s.charAt(off)); val c2 = b64At(s.charAt(off + 1))
       if (c1 < 0 || c2 < 0) throw new IllegalArgumentException("bad bcrypt base64")
       out.write(((c1 << 2) | ((c2 & 0x30) >> 4)) & 0xff)
       if (out.size() >= maxLen || off + 2 >= s.length) return out.toByteArray
-      val c3 = b64Index(s.charAt(off + 2).toInt)
+      val c3 = b64At(s.charAt(off + 2))
       if (c3 < 0) throw new IllegalArgumentException("bad bcrypt base64")
       out.write((((c2 & 0x0f) << 4) | ((c3 & 0x3c) >> 2)) & 0xff)
       if (out.size() >= maxLen || off + 3 >= s.length) return out.toByteArray
-      val c4 = b64Index(s.charAt(off + 3).toInt)
+      val c4 = b64At(s.charAt(off + 3))
       if (c4 < 0) throw new IllegalArgumentException("bad bcrypt base64")
       out.write((((c3 & 0x03) << 6) | c4) & 0xff)
       off += 4
@@ -255,7 +260,7 @@ object Bcrypt {
   def check(password: String, stored: String): Boolean = {
     val recomputed =
       try hashWith(password, stored)
-      catch { case _: IllegalArgumentException => return false }
+      catch { case scala.util.control.NonFatal(_) => return false } // any malformed store = mismatch, never a 500
     java.security.MessageDigest.isEqual(
       recomputed.getBytes("UTF-8"), stored.getBytes("UTF-8"))
   }

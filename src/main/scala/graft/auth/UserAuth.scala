@@ -58,11 +58,21 @@ class UserAuth(store: DocumentStore, secret: String) {
     else Right(addUser(name, pass, email, displayName, Set.empty))
   }
 
+  /** A real cost-12 hash of nothing anyone knows: burned on unknown-user
+    * logins so "no such user" costs the same bcrypt work as "wrong
+    * password" — without it, response TIME alone is a username oracle. */
+  private lazy val timingDecoy: String =
+    Bcrypt.derive(java.util.UUID.randomUUID().toString)
+
   /** `check-cred`: verify the password, mint a 30-day token. Errors use the
-    * reference's messages (auth.clj:70-75). */
+    * reference's messages (auth.clj:70-75) — an API caller may distinguish
+    * them; the HTTP login door collapses both to one uniform 401
+    * ([[registerHandlers]]), and the decoy check equalizes timing. */
   def checkCred(name: String, pass: String): Either[String, String] =
     userDoc(name) match {
-      case None => Left(s"User: $name Not Found")
+      case None =>
+        Bcrypt.check(pass, timingDecoy)
+        Left(s"User: $name Not Found")
       case Some(doc) =>
         val stored = (doc \ "pass").extractOpt[String].getOrElse("")
         if (Bcrypt.check(pass, stored))
@@ -77,8 +87,12 @@ class UserAuth(store: DocumentStore, secret: String) {
       case None => Left(s"User: $name Not Found")
       case Some(doc) =>
         val merged = (doc \ "roles").extractOpt[List[String]].getOrElse(Nil).toSet ++ roles
+        // merge, not replace(): replace() is a no-op when the doc has no
+        // `roles` field (a migrated/hand-written user doc) and would
+        // report a grant that never landed
         store.put(userId(name), JsonMethods.compact(JsonMethods.render(
-          doc.replace(List("roles"), JArray(merged.toList.sorted.map(JString(_)))))))
+          doc.removeField { case (k, _) => k == "roles" } merge
+            JObject("roles" -> JArray(merged.toList.sorted.map(JString(_)))))))
         Right(getUser(name).get)
     }
 
@@ -108,8 +122,10 @@ class UserAuth(store: DocumentStore, secret: String) {
         (j \ "pass").extractOpt[String].getOrElse("")) match {
         case Right(token) =>
           (200, JsonMethods.compact(JsonMethods.render(JObject("token" -> JString(token)))))
-        case Left(err) =>
-          (401, JsonMethods.compact(JsonMethods.render(JObject("error" -> JString(err)))))
+        case Left(_) =>
+          // ONE uniform error on the public door: "Not Found" vs
+          // "Incorrect Password" is a username-enumeration oracle
+          (401, """{"error":"invalid credentials"}""")
       }
     })
   }

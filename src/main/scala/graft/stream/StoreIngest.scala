@@ -38,6 +38,13 @@ object StoreIngest {
         val docs = batch
           .select(expr(idExpr).cast("string").as("id"),
             to_json(struct(docCols.map(col): _*)).as("doc"))
+          // this is the UNTRUSTED data boundary: stream payloads routinely
+          // originate from HTTP (a StreamPush collector feeding this sink),
+          // and a ':'-prefixed id would plant a stored-function doc that
+          // bootstrap ACTIVATES on restart. Control-plane writes go through
+          // FunctionManager/put directly, never through this sink, so
+          // routing reserved ids out here loses nothing legitimate.
+          .filter(!col("id").startsWith(":"))
         // isEmpty runs a limit-1 probe (cheap) so empty micro-batches don't
         // commit empty transactions / write empty parquet files
         if (!docs.isEmpty) store.putBatch(docs)

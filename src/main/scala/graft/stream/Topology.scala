@@ -202,11 +202,16 @@ class Topology(val io: StreamIO, val registry: FunctionRegistry = FunctionRegist
       // binding the body didn't claim — locals going out of scope. A
       // binding that shadows an input column is a shadow, not a local:
       // it survives, like the reference's let over an outer name.
-      val before = df.columns.toSet
+      // shadow detection is CASE-INSENSITIVE to match Spark's default
+      // column resolution: withColumn("Value", …) REPLACES an existing
+      // `value`, so treating "Value" as a droppable local would delete the
+      // input column outright
+      val beforeLc = df.columns.map(_.toLowerCase).toSet
       val bound = bindings.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
       val result = body.foldLeft(bound)(applyOpSpec(_, _, building))
       val locals = bindings.map(_._1).distinct
-        .filter(c => !before.contains(c) && result.columns.contains(c))
+        .filter(c => !beforeLc.contains(c.toLowerCase))
+        .flatMap(c => result.columns.find(_.equalsIgnoreCase(c)))
       result.drop(locals: _*)
     case OpSpec.WindowAgg(ts, dur, slide, wm, keys, aggs) =>
       val windowed = slide match {

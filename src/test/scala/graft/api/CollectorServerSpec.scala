@@ -192,6 +192,22 @@ class CollectorServerSpec extends SparkSpec {
           val winner = results.collectFirst { case Right(s) => s.name }.get
           assert(srv.deployed(path).name == winner)
         }
+        // SAME-name deploys racing to DIFFERENT paths (concurrent updates
+        // of one collector): whatever interleaving, the collector must end
+        // with exactly ONE live route — the unserialized sweep let each
+        // removeIf the other's fresh route, leaving zero
+        for (round <- 1 to 50) {
+          val gate = new java.util.concurrent.CyclicBarrier(2)
+          def attempt(path: String) = pool.submit { () =>
+            gate.await()
+            srv.deploy(CollectorSpec("mover", s"/m$round$path", CollectorHandler.Ingest("id")))
+          }
+          val (ra, rb) = (attempt("/a"), attempt("/b"))
+          ra.get(); rb.get()
+          val live = srv.deployed.values.count(_.name == "mover")
+          assert(live == 1,
+            s"round $round: same-name race left $live routes for 'mover'")
+        }
       } finally pool.shutdownNow()
     } finally { srv.stop(); streams.stopAll() }
   }

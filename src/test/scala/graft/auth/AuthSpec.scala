@@ -42,6 +42,8 @@ class AuthSpec extends SparkSpec {
     assert(Bcrypt.check("s3cret", h1) && Bcrypt.check("s3cret", h2))
     assert(!Bcrypt.check("s3cret!", h1), "wrong password must fail")
     assert(!Bcrypt.check("s3cret", "not-a-hash"), "garbage store must fail, not throw")
+    assert(!Bcrypt.check("s3cret", "$2a$06$é" + "A" * 50),
+      "non-ASCII in a stored hash must fail closed, not throw out of bounds")
     // $2b/$2y hashes share the algorithm — interop accepted
     assert(Bcrypt.check("s3cret", "$2b" + h1.drop(3)))
   }
@@ -87,6 +89,15 @@ class AuthSpec extends SparkSpec {
     assert(users.grantRoles("bob", Set("ops/reader")).isRight)
     val bobTok = users.checkCred("bob", "pw-bob").toOption.get
     assert(Tokens.verify(bobTok, "hush").exists(_.roles == Set("ops/reader")))
+    // a grant must LAND even when the stored doc never had a roles field
+    // (hand-written/migrated user doc) — json4s replace() silently no-ops
+    // on a missing path, which is the bug class this pins
+    store.put(":user/legacy", """{"user-name":"legacy","pass":"""" +
+      Bcrypt.derive("pw-legacy", cost = 6) + """"}""")
+    assert(users.grantRoles("legacy", Set("ops/reader")).exists(_.contains("ops/reader")))
+    val legacyTok = users.checkCred("legacy", "pw-legacy").toOption.get
+    assert(Tokens.verify(legacyTok, "hush").exists(_.roles == Set("ops/reader")),
+      "granted role must mint into the token for a roles-less legacy doc")
   }
 
   // ------------------------------------- end-to-end bearer-gated collector
@@ -135,8 +146,18 @@ class AuthSpec extends SparkSpec {
         Some("""{"user":"bob","pass":"pw-bob"}"""))
       assert(lc == 200 && lbody.contains("token"))
       val bobTok = lbody.split("\"").find(_.count(_ == '.') == 2).get
-      assert(http("POST", s"$base/app/login",
-        Some("""{"user":"bob","pass":"wrong"}"""))._1 == 401)
+      // the public door answers wrong-password and unknown-user with ONE
+      // uniform body — distinct messages are a username-enumeration oracle
+      val wrongPass = http("POST", s"$base/app/login",
+        Some("""{"user":"bob","pass":"wrong"}"""))
+      val noUser = http("POST", s"$base/app/login",
+        Some("""{"user":"ghost","pass":"wrong"}"""))
+      assert(wrongPass == noUser && wrongPass._1 == 401,
+        s"login errors must be indistinguishable: $wrongPass vs $noUser")
+      // unauthenticated probes cannot map the route table: unknown paths
+      // 401 exactly like deployed ones; only a valid token sees the 404
+      assert(http("GET", s"$base/no/such/path")._1 == 401)
+      assert(http("GET", s"$base/no/such/path", bearer = Some(bobTok))._1 == 404)
 
       // data routes: no token → 401; bob (roleless) → 200 on the open
       // route, 403 on the ops route; ada (admin/all) → 200 on both

@@ -46,7 +46,22 @@ class StoreIngestSpec extends SparkSpec {
     val pros = store.q("""{:find [?n] :where [[?e :plan "pro"] [?e :name ?n]]}""", schema)
       .fold(fail(_), identity).collect().map(_.getString(0)).toSet
     assert(pros == Set("ada", "bob"))
+
     q.stop()
+
+    // the stream is an UNTRUSTED boundary (StreamPush collectors feed it):
+    // a payload whose id lands in the stored-function namespace must be
+    // routed out, or a restart would ACTIVATE it as control-plane state.
+    // This ingest takes the id STRAIGHT from the message key (no prefix).
+    val q2 = StoreIngest.ingest(topo.buildPlan("kafka/signups"), store,
+      idExpr = "key", docCols = Seq("value"), queryName = "raw_ingest")
+    io.publish("kafka/signups", ":stream/evil", """{"name":"evil"}""")
+    io.publish("kafka/signups", "carol", """{"name":"carol"}""")
+    q2.processAllAvailable()
+    assert(store.entity("carol").nonEmpty, "the clean doc in the same batch lands")
+    assert(store.versions().filter("id LIKE ':%'").count() == 0,
+      "no ':'-namespace doc may enter through the ingest sink")
+    q2.stop()
   }
 
   test("putBatch parity: executor-side append yields the same store as putAll") {

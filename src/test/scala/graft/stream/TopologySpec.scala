@@ -77,6 +77,17 @@ class TopologySpec extends SparkSpec {
       !rows.head.schema.fieldNames.contains("third"),
       s"let locals must not leak: ${rows.head.schema.fieldNames.mkString(",")}")
     mgr.stopAll()
+
+    // shadow detection is case-insensitive like Spark's resolver: a
+    // binding "Value" REPLACES input column `value` (withColumn is
+    // case-insensitive), so it is a shadow that must SURVIVE — dropping it
+    // would delete the input column outright
+    import spark.implicits._
+    val shadowed = topo.applyOpSpec(Seq("x").toDF("value"),
+      OpSpec.LetExpr(Seq("Value" -> "upper(value)"), Seq(OpSpec.FilterExpr("true"))))
+    assert(shadowed.columns.exists(_.equalsIgnoreCase("value")),
+      s"case-shadowed input column must survive: ${shadowed.columns.mkString(",")}")
+    assert(shadowed.as[String].collect().toSeq == Seq("X"))
   }
 
   test("hot-swap: pre-swap messages incremented, post-swap decremented") {
