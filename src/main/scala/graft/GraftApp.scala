@@ -41,6 +41,11 @@ class GraftApp(val spark: SparkSession, val store: DocumentStore,
   val users: Option[graft.auth.UserAuth] =
     authSecret.map(new graft.auth.UserAuth(store, _))
   val functions = new FunctionManager(store, streams, Some(collectors))
+  /** The /dev HTTP management plane (`resource/dev.clj`): stored-function
+    * CRUD over the same railway as [[functions]]; `developer/<type>`-gated
+    * when the server runs with auth. */
+  val devResource = new graft.api.DevResource(store, functions)
+  locally { collectors.enableDev(devResource) }
   val alerts = new AlertScheduler(store, registry)
 
   /** T19 boot: wire persisted stream functions, start sinks, subscribe the

@@ -150,6 +150,12 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
                       maxBodyBytes: Int = 1 << 20,
                       maxQueryRows: Int = 10000,
                       auth: Option[BearerAuth] = None) {
+
+  /** The /dev management plane, attached post-construction (GraftApp wires
+    * it at boot — DevResource needs the FunctionManager, which needs this
+    * server). */
+  @volatile private var dev: Option[DevResource] = None
+  def enableDev(d: DevResource): Unit = { dev = Some(d) }
   private val routes = new ConcurrentHashMap[String, CollectorSpec]()
   @volatile private var server: HttpServer = _
   @volatile private var pool: java.util.concurrent.ExecutorService = _
@@ -221,21 +227,43 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
 
   private def handle(ex: HttpExchange): Unit =
     try {
-      val spec = routes.get(ex.getRequestURI.getPath)
+      val path = ex.getRequestURI.getPath
+      val spec = routes.get(path)
+      val isPublic = spec != null && auth.exists(_.publicPaths(spec.path))
       // gate BEFORE the 404: on an auth'd server an unauthenticated probe
       // must not be able to distinguish deployed from undeployed paths
       // (401 uniformly); only a valid token sees 404s and role 403s
-      if (!authorize(ex, Option(spec))) () // authorize() already responded
-      else if (spec == null)
-        respond(ex, 404, s"""{"status":"failure","message":"no such endpoint"}""")
-      else (spec.handler, ex.getRequestMethod) match {
-        case (h: CollectorHandler.Ingest, "POST") => ingest(ex, h)
-        case (h: CollectorHandler.StreamPush, "POST") => push(ex, spec, h)
-        case (h: CollectorHandler.Query, "GET") => query(ex, h)
-        case (h: CollectorHandler.Transact, "POST") => transact(ex, h)
-        case (h: CollectorHandler.Named, "POST") => named(ex, h)
-        case (_, m) =>
-          respond(ex, 405, s"""{"status":"failure","message":"method $m not allowed"}""")
+      authenticate(ex, isPublic) match {
+        case Left(()) => () // 401 already written
+        case Right(claims) =>
+          val roles = claims.map(_.roles).getOrElse(Set.empty[String])
+          if (spec != null) {
+            if (auth.isDefined && !isPublic &&
+                !graft.auth.Tokens.authorized(roles, spec.roles))
+              respond(ex, 403, s"""{"status":"failure","message":"insufficient role"}""")
+            else (spec.handler, ex.getRequestMethod) match {
+              case (h: CollectorHandler.Ingest, "POST") => ingest(ex, h)
+              case (h: CollectorHandler.StreamPush, "POST") => push(ex, spec, h)
+              case (h: CollectorHandler.Query, "GET") => query(ex, h)
+              case (h: CollectorHandler.Transact, "POST") => transact(ex, h)
+              case (h: CollectorHandler.Named, "POST") => named(ex, h)
+              case (_, m) =>
+                respond(ex, 405, s"""{"status":"failure","message":"method $m not allowed"}""")
+            }
+          } else dev match {
+            // the management plane needs the developer/<type> role when
+            // the server is gated (make-authorize-by-fn, dev.clj)
+            case Some(d) if path.startsWith("/dev/") =>
+              if (auth.isDefined &&
+                  !graft.auth.Tokens.authorized(roles, d.requiredRole(path).toSet))
+                respond(ex, 403, s"""{"status":"failure","message":"insufficient role"}""")
+              else {
+                val (code, json) = d.handle(ex.getRequestMethod, path, body(ex))
+                respond(ex, code, json)
+              }
+            case _ =>
+              respond(ex, 404, s"""{"status":"failure","message":"no such endpoint"}""")
+          }
       }
     } catch {
       case _: BodyTooLarge =>
@@ -246,16 +274,16 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
           JObject("status" -> JString("failure"), "message" -> JString(String.valueOf(e.getMessage))))))
     } finally ex.close()
 
-  /** Bearer authentication + role authorization (reference:
-    * `bearer-auth` / `make-authorize`, `utils/auth.clj:39-53`). True =
-    * proceed; false = a 401/403 has been written. No gate configured, or a
-    * public path (login/register), always passes. Called with `spec =
-    * None` for unknown paths so an unauthenticated client gets the same
-    * 401 whether the path exists or not. */
-  private def authorize(ex: HttpExchange, spec: Option[CollectorSpec]): Boolean =
+  /** Bearer authentication (reference: `bearer-auth`, `utils/auth.clj:39`).
+    * Right(claims) = proceed (None claims ⇔ ungated or public route);
+    * Left(()) = a uniform 401 has been written. Role authorization happens
+    * at the dispatch site, where the route's (or dev plane's) requirement
+    * is known. */
+  private def authenticate(ex: HttpExchange,
+                           isPublic: Boolean): Either[Unit, Option[graft.auth.TokenClaims]] =
     auth match {
-      case None => true
-      case Some(gate) if spec.exists(s => gate.publicPaths(s.path)) => true
+      case None => Right(None)
+      case Some(_) if isPublic => Right(None)
       case Some(gate) =>
         val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
         val claims =
@@ -266,11 +294,8 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
           case None =>
             ex.getResponseHeaders.set("WWW-Authenticate", "Bearer")
             respond(ex, 401, s"""{"status":"failure","message":"valid bearer token required"}""")
-            false
-          case Some(c) if spec.exists(s => !graft.auth.Tokens.authorized(c.roles, s.roles)) =>
-            respond(ex, 403, s"""{"status":"failure","message":"insufficient role"}""")
-            false
-          case Some(_) => true
+            Left(())
+          case some => Right(some)
         }
     }
 

@@ -1,0 +1,100 @@
+package graft.api
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.registry.FunctionManager
+import graft.store.DocumentStore
+
+/** The developer management plane over HTTP — the reference's dev
+  * resources (`/root/reference/src/dataworks/resource/dev.clj`):
+  *
+  *   GET    /dev/<type>/create         → all stored functions of the type
+  *   POST   /dev/<type>/create         → create! (name from the body spec)
+  *   GET    /dev/<type>/update/<name>  → the stored doc
+  *   POST   /dev/<type>/update/<name>  → update!
+  *   DELETE /dev/<type>/update/<name>  → delete! (extension: the reference
+  *                                       has no HTTP delete; ours reuses
+  *                                       the same railway)
+  *
+  * Bodies are the SAME JSON specs the Scala `FunctionManager` takes —
+  * one management format everywhere. Failures return the reference's 406
+  * (`if-failure-response`, dev.clj:56-58). Role gating (`developer/<type>`
+  * per `make-authorize-by-fn`, with `developer/all`/`admin/all` implied)
+  * is enforced by [[CollectorServer]] when it runs with a [[BearerAuth]].
+  */
+class DevResource(store: DocumentStore, functions: FunctionManager) {
+  private implicit val fmts: Formats = DefaultFormats
+
+  /** The role a request on `path` needs when the server is gated. */
+  def requiredRole(path: String): Option[String] =
+    parsePath(path).map { case (tpe, _) => s"developer/$tpe" }
+
+  /** (type, action-rest) for a well-formed /dev path. */
+  private def parsePath(path: String): Option[(String, String)] =
+    path.split("/").toList match {
+      case "" :: "dev" :: tpe :: rest if functions.functionTypes(tpe) =>
+        Some((tpe, rest.mkString("/")))
+      case _ => None
+    }
+
+  private def err(code: Int, msg: String): (Int, String) =
+    (code, JsonMethods.compact(JsonMethods.render(
+      JObject("status" -> JString("failure"), "message" -> JString(msg)))))
+
+  private def ok(code: Int, fields: (String, JValue)*): (Int, String) =
+    (code, JsonMethods.compact(JsonMethods.render(
+      JObject(("status" -> JString("success")) :: fields.toList: _*))))
+
+  /** Management name = the spec name's local part ("kafka/input" → "input")
+    * — the convention every FunctionManager caller in the codebase uses. */
+  private def mgmtName(specJson: String): Option[String] =
+    JsonMethods.parseOpt(specJson)
+      .flatMap(j => (j \ "name").extractOpt[String])
+      .map(n => n.substring(n.lastIndexOf('/') + 1))
+
+  def handle(method: String, path: String, body: String): (Int, String) =
+    parsePath(path) match {
+      case None => err(404, "no such dev resource (types: " +
+        functions.functionTypes.toSeq.sorted.mkString(", ") + ")")
+      case Some((tpe, action)) => (method, action.split("/").toList) match {
+        case ("GET", "create" :: Nil) => list(tpe)
+        case ("POST", "create" :: Nil) =>
+          mgmtName(body) match {
+            case None => err(400, "spec body must be JSON with a name field")
+            case Some(name) => functions.create(tpe, name, body) match {
+              case Right(id) => ok(201, "id" -> JString(id))
+              case Left(e) => err(406, e) // the reference's if-failure-response
+            }
+          }
+        case ("GET", "update" :: name :: Nil) =>
+          store.entity(graft.query.Functions.namespacedId(tpe, name)) match {
+            case Some(doc) => (200, doc)
+            case None => err(404, s"no stored $tpe '$name'")
+          }
+        case ("POST", "update" :: name :: Nil) =>
+          functions.update(tpe, name, body) match {
+            case Right(id) => ok(200, "id" -> JString(id))
+            case Left(e) => err(406, e)
+          }
+        case ("DELETE", "update" :: name :: Nil) =>
+          functions.delete(tpe, name) match {
+            case Right(id) => ok(200, "id" -> JString(id))
+            case Left(e) => err(406, e)
+          }
+        case (m, _) => err(405, s"method $m not allowed on /dev/$tpe/$action")
+      }
+    }
+
+  /** `get-stored-functions`: every live doc of the type, as a JSON array
+    * of {id, spec}. Management-plane cardinality (a registry listing). */
+  private def list(tpe: String): (Int, String) = {
+    import store.spark.implicits._
+    val docs = store.db()
+      .filter(s"id LIKE ':$tpe/%'")
+      .select("id", "doc").as[(String, String)].collect()
+    (200, docs.map { case (id, doc) =>
+      s"""{"id":${JsonMethods.compact(JsonMethods.render(JString(id)))},"spec":$doc}"""
+    }.mkString("[", ",", "]"))
+  }
+}

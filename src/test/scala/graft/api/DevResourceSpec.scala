@@ -1,0 +1,114 @@
+package graft.api
+
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import graft.{GraftApp, SparkSpec}
+import graft.registry.FunctionRegistry
+import graft.stream.MemoryIO
+
+/** The /dev HTTP management plane
+  * (`/root/reference/src/dataworks/resource/dev.clj`): stored-function
+  * CRUD over HTTP through the same FunctionManager railway the Scala API
+  * uses, plus the `developer/<type>` role gate when the server runs with
+  * auth. */
+class DevResourceSpec extends SparkSpec {
+
+  private def http(method: String, url: String, body: Option[String] = None,
+                   bearer: Option[String] = None): (Int, String) = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    bearer.foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
+    body.foreach { b => conn.setDoOutput(true); conn.getOutputStream.write(b.getBytes(UTF_8)) }
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val text = if (is == null) "" else new String(is.readAllBytes(), UTF_8)
+    conn.disconnect()
+    (code, text)
+  }
+
+  test("stored-function CRUD over HTTP: create, list, read, update, delete") {
+    val db = Files.createTempDirectory("graft-dev").toString + "/db"
+    val app = GraftApp(spark, db, new MemoryIO(spark), new FunctionRegistry).start()
+    try {
+      val base = s"http://localhost:${app.collectors.port}"
+      val spec = """{"name":"add-user","path":"/app/add-user",
+                    "handler":{"kind":"ingest","idField":"user_id"}}"""
+        .replaceAll("\n\\s*", "")
+
+      // create → 201, the endpoint is immediately live
+      val (cc, cbody) = http("POST", s"$base/dev/collector/create", Some(spec))
+      assert(cc == 201 && cbody.contains(":collector/add-user"), s"$cc $cbody")
+      assert(http("POST", s"$base/app/add-user",
+        Some("""{"user_id":"u1"}"""))._1 == 201)
+      // duplicate create → the railway's 406, not a silent overwrite
+      assert(http("POST", s"$base/dev/collector/create", Some(spec))._1 == 406)
+
+      // list + read round-trip the stored doc
+      val (lc, lbody) = http("GET", s"$base/dev/collector/create")
+      assert(lc == 200 && lbody.contains(":collector/add-user") &&
+        lbody.contains("/app/add-user"), s"$lbody")
+      val (gc, gbody) = http("GET", s"$base/dev/collector/update/add-user")
+      assert(gc == 200 && gbody.contains("/app/add-user"))
+      assert(http("GET", s"$base/dev/collector/update/nope")._1 == 404)
+
+      // update moves the route atomically
+      val moved = spec.replace("/app/add-user", "/app/v2/add-user")
+      assert(http("POST", s"$base/dev/collector/update/add-user", Some(moved))._1 == 200)
+      assert(http("POST", s"$base/app/add-user", Some("""{"user_id":"u2"}"""))._1 == 404)
+      assert(http("POST", s"$base/app/v2/add-user", Some("""{"user_id":"u2"}"""))._1 == 201)
+
+      // a STREAM function deploys a live topology node through the same plane
+      assert(http("POST", s"$base/dev/stream/create",
+        Some("""{"name":"kafka/devin"}"""))._1 == 201)
+      assert(http("POST", s"$base/dev/stream/create",
+        Some("""{"name":"stream/devproc","upstream":["kafka/devin"],
+                 "transducer":{"map":"TRY_CAST(value AS DOUBLE) + 1"},"buffer":10}"""
+          .replaceAll("\n\\s*", "")))._1 == 201)
+      assert(app.topology.nodes.keySet.contains("stream/devproc"),
+        "HTTP-created stream function must wire into the live topology")
+
+      // delete tombstones + unroutes
+      assert(http("DELETE", s"$base/dev/collector/update/add-user")._1 == 200)
+      assert(http("POST", s"$base/app/v2/add-user", Some("""{"user_id":"u3"}"""))._1 == 404)
+      assert(http("GET", s"$base/dev/collector/update/add-user")._1 == 404)
+
+      // unknown type / malformed body stay on the railway
+      assert(http("GET", s"$base/dev/bogus/create")._1 == 404)
+      assert(http("POST", s"$base/dev/collector/create", Some("not json"))._1 == 400)
+    } finally app.stop()
+  }
+
+  test("dev plane under auth: developer/<type> (or admin) required") {
+    val db = Files.createTempDirectory("graft-dev-auth").toString + "/db"
+    val app = GraftApp(spark, db, new MemoryIO(spark), new FunctionRegistry,
+      authSecret = Some("hush")).start()
+    try {
+      val base = s"http://localhost:${app.collectors.port}"
+      def login(u: String, p: String): String = {
+        http("POST", s"$base/user/new-user", Some(s"""{"user":"$u","pass":"$p"}"""))
+        http("POST", s"$base/app/login", Some(s"""{"user":"$u","pass":"$p"}"""))._2
+          .split("\"").find(_.count(_ == '.') == 2).get
+      }
+      val adminTok = login("root", "pw-root")   // first user = admin/all
+      val plainTok = login("plain", "pw-plain") // roleless
+
+      val spec = """{"name":"c1","path":"/app/c1","handler":{"kind":"ingest","idField":"id"}}"""
+      // no token → uniform 401; roleless → 403; admin → 201
+      assert(http("POST", s"$base/dev/collector/create", Some(spec))._1 == 401)
+      assert(http("POST", s"$base/dev/collector/create", Some(spec),
+        bearer = Some(plainTok))._1 == 403)
+      assert(http("POST", s"$base/dev/collector/create", Some(spec),
+        bearer = Some(adminTok))._1 == 201)
+      // the type-scoped developer role unlocks exactly its type
+      assert(app.users.get.grantRoles("plain", Set("developer/stream")).isRight)
+      val devTok = login("plain", "pw-plain")
+      assert(http("POST", s"$base/dev/stream/create",
+        Some("""{"name":"kafka/gated"}"""), bearer = Some(devTok))._1 == 201)
+      assert(http("GET", s"$base/dev/collector/create",
+        bearer = Some(devTok))._1 == 403,
+        "developer/stream must not open the collector plane")
+    } finally app.stop()
+  }
+}
