@@ -71,6 +71,8 @@ object CollectorSpec {
         path <- (j \ "path").extractOpt[String].toRight("collector spec needs a path")
         _ <- if (path.startsWith("/") && !path.contains("//") && path.length > 1) Right(())
              else Left(s"invalid path '$path' (absolute, non-empty, no //)")
+        _ <- if (!path.startsWith("/dev/") && path != "/dev") Right(())
+             else Left("the /dev/ prefix is reserved for the management plane")
         h <- parseHandler(j \ "handler")
         // optional role requirement, honored when the server runs with a
         // bearer gate (the reference's make-authorize on user resources)
@@ -191,6 +193,12 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
   private val deployLock = new Object
 
   def deploy(spec: CollectorSpec): Either[String, CollectorSpec] = deployLock.synchronized {
+    // /dev/* is the management plane's address space: a collector deployed
+    // there would SHADOW the plane (dispatch checks routes first) and swap
+    // the developer-role gate for the collector's own roles. parse()
+    // rejects it too; this guards direct deploy() callers.
+    if (spec.path.startsWith("/dev/") || spec.path == "/dev")
+      return Left("the /dev/ prefix is reserved for the management plane")
     // deploys are fully serialized (management-plane rate): the claim-check
     // and the old-route sweep must be ONE atomic step — a bin-level
     // compute() alone still lets two same-name deploys to different paths

@@ -82,7 +82,14 @@ class DevResource(store: DocumentStore, functions: FunctionManager) {
             case Right(id) => ok(200, "id" -> JString(id))
             case Left(e) => err(406, e)
           }
-        case (m, _) => err(405, s"method $m not allowed on /dev/$tpe/$action")
+        // known actions with the wrong verb are 405; anything else under
+        // the type is an unknown resource — 404, like the rest of the plane
+        case (m, "create" :: Nil) =>
+          err(405, s"method $m not allowed on /dev/$tpe/create")
+        case (m, "update" :: _ :: Nil) =>
+          err(405, s"method $m not allowed on /dev/$tpe/update")
+        case _ => err(404, s"no such dev resource /dev/$tpe/$action " +
+          "(actions: create, update/<name>)")
       }
     }
 

@@ -34,7 +34,19 @@ class FunctionManager(store: DocumentStore, manager: StreamManager,
       case "stream" =>
         NodeSpec.parse(specJson).toRight(s"unparseable stream spec: $specJson")
           .flatMap(manager.topology.validate)
-          .map(_ => specJson)
+          .flatMap { n =>
+            // same identity rule as collectors: the stored-function name IS
+            // the node's local name. Without it, update/<name> could
+            // silently retarget the doc to a DIFFERENT node — the original
+            // keeps running with no backing doc (unmanageable, and gone
+            // after restart). Consequence: stream functions are keyed by
+            // local name, unique across kafka/ and stream/ namespaces
+            // (which the :stream/<name> doc id already forces).
+            val local = n.name.full.substring(n.name.full.lastIndexOf('/') + 1)
+            if (local == name) Right(specJson)
+            else Left(s"stream spec node '${n.name.full}' must have local " +
+              s"name '$name' (the stored-function identity)")
+          }
       case "collector" if collectors.isDefined =>
         // deploy-time "evalidate" (handler shape) + duplicate-path check
         // (`/root/reference/src/dataworks/collector.clj:69-83`) BEFORE the

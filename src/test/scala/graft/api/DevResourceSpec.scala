@@ -77,6 +77,28 @@ class DevResourceSpec extends SparkSpec {
       // unknown type / malformed body stay on the railway
       assert(http("GET", s"$base/dev/bogus/create")._1 == 404)
       assert(http("POST", s"$base/dev/collector/create", Some("not json"))._1 == 400)
+      // unknown ACTION is a 404; known action with the wrong verb is a 405
+      assert(http("GET", s"$base/dev/collector/read")._1 == 404)
+      assert(http("DELETE", s"$base/dev/collector/create")._1 == 405)
+
+      // the management plane's address space cannot be squatted: a
+      // collector deployed at /dev/* would shadow the plane and replace
+      // the developer-role gate with its own roles
+      assert(http("POST", s"$base/dev/collector/create",
+        Some("""{"name":"squat","path":"/dev/stream/create",
+                 "handler":{"kind":"ingest","idField":"x"}}""".replaceAll("\n\\s*", "")))._1 == 406)
+      assert(http("POST", s"$base/dev/stream/create",
+        Some("""{"name":"kafka/free"}"""))._1 == 201,
+        "the management route must still answer after the squat attempt")
+
+      // a stream update cannot RETARGET the doc to a different node: the
+      // stored-function identity is the node's local name (else the
+      // original node keeps running with no backing doc)
+      assert(http("POST", s"$base/dev/stream/update/devin",
+        Some("""{"name":"kafka/devin2"}"""))._1 == 406)
+      assert(http("POST", s"$base/dev/stream/update/devin",
+        Some("""{"name":"kafka/devin"}"""))._1 == 200,
+        "same-node updates still pass")
     } finally app.stop()
   }
 

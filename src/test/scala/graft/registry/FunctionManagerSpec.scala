@@ -37,7 +37,12 @@ class FunctionManagerSpec extends SparkSpec {
 
   test("update: requires existence (updating-correct-function?)") {
     val (store, _, _, fm) = fixture()
-    assert(fm.update("stream", "ghost", procSpec).swap.exists(_.contains("does not exist")))
+    assert(fm.update("stream", "ghost", procSpec.replace("stream/proc", "stream/ghost"))
+      .swap.exists(_.contains("does not exist")))
+    // identity rule (r8): the spec's node local name IS the function name —
+    // a mismatched update would retarget the doc and orphan the live node
+    assert(fm.update("stream", "ghost", procSpec)
+      .swap.exists(_.contains("must have local name")))
     fm.create("stream", "proc", procSpec)
     val v2 = procSpec.replace("upper(value)", "lower(value)")
     assert(fm.update("stream", "proc", v2) == Right(":stream/proc"))
