@@ -186,6 +186,24 @@ class PlanQualitySpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("cluster stats: label rides the argmin; no corpus self-join re-attaches it") {
+    try {
+      graft.core.ModelCache.clear()
+      val df = graft.ext.Similarity.clusterStatsQuery(spark, sf("sf0.001"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // the ONLY join may be the centroid argmin (16 model rows broadcast
+      // against the scan); re-attaching `label` by joining the corpus to
+      // itself on vec_id was the r7 shape this replaced. Count joins in
+      // the FINAL plan only — AQE's "Initial Plan" section echoes them.
+      val finalPlan = plan.split("== Initial Plan ==").head
+      assert(!finalPlan.contains("SortMergeJoin") && !finalPlan.contains("ShuffledHashJoin"),
+        s"no corpus-sized join may appear:\n$finalPlan")
+      assert("BroadcastNestedLoopJoin".r.findAllIn(finalPlan).length <= 1,
+        s"only the centroid argmin may nest-loop:\n$finalPlan")
+    } finally graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("clean-corpus pipeline: no cartesian; staged pairs cut documents scans to two") {
     try {
       val df = graft.ext.Corpus.cleanCorpusQuery(spark, sf("sf0.001"))
