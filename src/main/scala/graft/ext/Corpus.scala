@@ -1254,8 +1254,13 @@ object Corpus {
     * staged artifact) — the consume side of train-once/score-everywhere. */
   def scoreWithWeights(labeled: DataFrame, w: Array[Long], buckets: Int = 512,
                        textCol: String = "text", idCol: String = "doc_id",
-                       labelCol: String = "y"): DataFrame =
+                       labelCol: String = "y"): DataFrame = {
+    // a weight vector from a different bucketing would SILENTLY drop
+    // feature contributions in classifierZ's inner bucket join — fail loud
+    require(w.length == buckets,
+      s"scoreWithWeights: model has ${w.length} weights but buckets=$buckets")
     scoreFeatures(classifierFeatures(labeled, buckets, textCol, idCol, labelCol), w)
+  }
 
   private def scoreFeatures(fb: DataFrame, w: Array[Long]): DataFrame = {
     val sigmoid = lit(1.0) / (lit(1.0) + exp(-col("z").cast("double") / lit(1e6)))
@@ -1382,12 +1387,17 @@ object Corpus {
     // the trained weight vector (512 q6 longs) is deterministic in
     // (dir, buckets, rounds) → session-staged like the k-means quantizer;
     // the timed gate then measures the SCORING pass, the oracle replays
-    // the one training chain unchanged
+    // the one training chain unchanged. The feature table is built ONCE
+    // and feeds both the (cache-miss) training and the scoring — two
+    // structurally separate builds would only dedupe by CacheManager
+    // plan-equality luck
+    val fb = classifierFeatures(labeled, 512, "text", "doc_id", "y")
     val w = graft.core.ModelCache.getOrTrain(
       graft.core.ModelCache.key("quality-classifier", d, 512, 3)) {
-      trainQualityClassifier(labeled, buckets = 512, rounds = 3)
+      trainOnFeatures(s, fb, labeled.count(), buckets = 512, rounds = 3)
     }
-    scoreWithWeights(labeled, w, buckets = 512)
+    require(w.length == 512, s"staged classifier model shape drifted: ${w.length}")
+    scoreFeatures(fb, w)
   }
 
   // ---------------------------------------- DSIR importance weights

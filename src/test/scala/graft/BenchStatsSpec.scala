@@ -30,8 +30,8 @@ class BenchStatsSpec extends SparkSpec {
 
   // (gate, budget): measured at r8 + ~50% slack. PageRank is
   // fixed-round edge-linear iteration (~14 jobs); the classifier is 3 GD
-  // rounds over a built-once feature table (~16); cluster stats consumes
-  // the shared quantizer — train + assign + stats (~5).
+  // rounds over a built-once feature table (~20 cold); cluster stats is
+  // quantizer training + the broadcast-argmin assignment (~10 cold).
   private val budgets = Seq(
     ("graph_pagerank", 22),
     ("corpus_quality_classifier", 26),

@@ -29,7 +29,7 @@ class AuthPropertySpec extends SparkSpec {
       assert(Bcrypt.check(pw, h), s"roundtrip failed for ${pw.take(20)}…")
       // …but only below the 72-byte cap: past it, appended chars are
       // IGNORED by $2a$ semantics (pinned separately below)
-      if ((pw + "x").getBytes("UTF-8").length + 1 <= 72) // +1: NUL terminator
+      if (pw.getBytes("UTF-8").length < 72) // strict: at 71 bytes the appended char still displaces the NUL inside the window
         assert(!Bcrypt.check(pw + "x", h),
           s"appending a char must break the check (len ${pw.length})")
     }

@@ -197,8 +197,14 @@ class PlanQualitySpec extends SparkSpec {
       // itself on vec_id was the r7 shape this replaced. Count joins in
       // the FINAL plan only — AQE's "Initial Plan" section echoes them.
       val finalPlan = plan.split("== Initial Plan ==").head
-      assert(!finalPlan.contains("SortMergeJoin") && !finalPlan.contains("ShuffledHashJoin"),
-        s"no corpus-sized join may appear:\n$finalPlan")
+      // BroadcastHashJoin is forbidden too: at test scale a re-introduced
+      // vec_id self-join would be planned as one (tiny tables under the
+      // 10 MB auto-broadcast threshold) and slip past a shuffle-join-only
+      // assertion — the pinned plan legitimately has NO equi-join at all
+      assert(!finalPlan.contains("SortMergeJoin") &&
+          !finalPlan.contains("ShuffledHashJoin") &&
+          !finalPlan.contains("BroadcastHashJoin"),
+        s"no equi-join may appear (label must ride the argmin):\n$finalPlan")
       assert("BroadcastNestedLoopJoin".r.findAllIn(finalPlan).length <= 1,
         s"only the centroid argmin may nest-loop:\n$finalPlan")
     } finally graft.core.CacheRegistry.unpersistAll()
