@@ -45,7 +45,12 @@ class GraftApp(val spark: SparkSession, val store: DocumentStore,
     * CRUD over the same railway as [[functions]]; `developer/<type>`-gated
     * when the server runs with auth. */
   val devResource = new graft.api.DevResource(store, functions)
-  locally { collectors.enableDev(devResource) }
+  locally {
+    collectors.enableDev(devResource)
+    // the admin plane (role grants over HTTP) rides the same server — the
+    // /dev developer/<type> gating is only administrable remotely with it
+    users.foreach(collectors.enableAdmin)
+  }
   val alerts = new AlertScheduler(store, registry)
 
   /** T19 boot: wire persisted stream functions, start sinks, subscribe the
@@ -95,7 +100,7 @@ class GraftApp(val spark: SparkSession, val store: DocumentStore,
           GraftApp.registerPath, graft.api.CollectorHandler.Named("auth/register")),
         graft.api.CollectorSpec("auth-login",
           GraftApp.loginPath, graft.api.CollectorHandler.Named("auth/login")))
-        .foreach(door => collectors.deploy(door).left.foreach(err =>
+        .foreach(door => collectors.deployDoor(door).left.foreach(err =>
           throw new IllegalStateException(
             s"auth door '${door.name}' cannot claim ${door.path}: $err — " +
               "remove the conflicting collector before enabling auth")))
@@ -109,6 +114,9 @@ class GraftApp(val spark: SparkSession, val store: DocumentStore,
     alerts.stop()
     streams.stopAll()
     collectors.stop()
+    // release the store's single-driver lock so a successor app on the same
+    // path can boot (crash recovery without this is the stale-pid reclaim)
+    store.close()
   }
 }
 

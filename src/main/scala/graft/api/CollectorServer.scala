@@ -73,6 +73,9 @@ object CollectorSpec {
              else Left(s"invalid path '$path' (absolute, non-empty, no //)")
         _ <- if (!path.startsWith("/dev/") && path != "/dev") Right(())
              else Left("the /dev/ prefix is reserved for the management plane")
+        _ <- if (!path.startsWith(CollectorServer.adminPrefix) &&
+                 path != CollectorServer.adminPrefix.stripSuffix("/")) Right(())
+             else Left("the /admin/user-roles/ prefix is reserved for the admin plane")
         h <- parseHandler(j \ "handler")
         // optional role requirement, honored when the server runs with a
         // bearer gate (the reference's make-authorize on user resources)
@@ -144,8 +147,19 @@ object CollectorSpec {
   * (`Authorization: Bearer …`), and a spec's `roles` authorize via the
   * reference's role-expansion rule (`graft.auth.Tokens.authorized`).
   * `publicPaths` is where the register/login endpoints live — the door
-  * people get their tokens from can't itself demand one. */
-case class BearerAuth(secret: String, publicPaths: Set[String] = Set.empty)
+  * people get their tokens from can't itself demand one.
+  *
+  * SECURITY NOTE (matches the reference's semantics, so it is loud here):
+  * a collector spec with EMPTY `roles` admits ANY authenticated user, and
+  * registration is public and unlimited — with the default
+  * `requireRole = false`, anyone who can reach the port can self-register
+  * and mint a token that passes every role-less route. Deployments that
+  * want deny-by-default set `requireRole = true`: a token with NO roles
+  * then fails role-less routes too, so nothing is reachable until an
+  * admin grants the caller at least one role over the admin plane
+  * (`/admin/user-roles/<user>`). */
+case class BearerAuth(secret: String, publicPaths: Set[String] = Set.empty,
+                      requireRole: Boolean = false)
 
 class CollectorServer(store: DocumentStore, streams: StreamManager,
                       bindHost: String = "127.0.0.1",
@@ -158,7 +172,18 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
     * server). */
   @volatile private var dev: Option[DevResource] = None
   def enableDev(d: DevResource): Unit = { dev = Some(d) }
+  /** The admin plane (reference: `admin/user-roles/` routes,
+    * `resource/dev.clj:111` / `resource/user.clj:53`) — attached when the
+    * app runs with user auth. */
+  @volatile private var adminUsers: Option[graft.auth.UserAuth] = None
+  def enableAdmin(u: graft.auth.UserAuth): Unit = { adminUsers = Some(u) }
   private val routes = new ConcurrentHashMap[String, CollectorSpec]()
+  /** Names claimed by boot-deployed door collectors ([[deployDoor]]): a
+    * regular deploy may neither replace them in place nor sweep their
+    * routes away via the same-name move — the login/register doors are
+    * served UNAUTHENTICATED (publicPaths), so letting a developer-role
+    * caller claim one would hand them a credential-capture endpoint. */
+  private val reservedNames = ConcurrentHashMap.newKeySet[String]()
   @volatile private var server: HttpServer = _
   @volatile private var pool: java.util.concurrent.ExecutorService = _
 
@@ -199,6 +224,41 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
     // rejects it too; this guards direct deploy() callers.
     if (spec.path.startsWith("/dev/") || spec.path == "/dev")
       return Left("the /dev/ prefix is reserved for the management plane")
+    // same shadow risk for the admin plane's prefix
+    if (spec.path.startsWith(CollectorServer.adminPrefix) ||
+        spec.path == CollectorServer.adminPrefix.stripSuffix("/"))
+      return Left("the /admin/user-roles/ prefix is reserved for the admin plane")
+    reservationConflict(spec) match {
+      case Some(reason) => Left(reason)
+      case None => deployImpl(spec)
+    }
+  }
+
+  /** The auth doors' identities are reserved BOTH ways: their paths are in
+    * publicPaths (served unauthenticated — a foreign handler there captures
+    * plaintext credentials), and their NAMES own those routes (a same-name
+    * deploy elsewhere would sweep the door's route away). Only the boot
+    * path ([[deployDoor]]) may claim either. Exposed so the management
+    * plane can refuse pre-commit (no stored doc for a spec [[deploy]] will
+    * never accept); [[deploy]] re-checks authoritatively under its lock. */
+  def reservationConflict(spec: CollectorSpec): Option[String] =
+    if (auth.exists(_.publicPaths(spec.path)))
+      Some(s"path ${spec.path} is a reserved public auth door")
+    else if (reservedNames.contains(spec.name))
+      Some(s"collector name '${spec.name}' is a reserved auth door")
+    else None
+
+  /** Boot-only deploy of a fixed auth door: claims the name as reserved so
+    * no later [[deploy]] can replace or sweep it. Not reachable from the
+    * HTTP management plane (FunctionManager/DevResource go through
+    * [[deploy]]). */
+  private[graft] def deployDoor(spec: CollectorSpec): Either[String, CollectorSpec] =
+    deployLock.synchronized {
+      reservedNames.add(spec.name)
+      deployImpl(spec)
+    }
+
+  private def deployImpl(spec: CollectorSpec): Either[String, CollectorSpec] = {
     // deploys are fully serialized (management-plane rate): the claim-check
     // and the old-route sweep must be ONE atomic step — a bin-level
     // compute() alone still lets two same-name deploys to different paths
@@ -217,7 +277,10 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
   }
 
   def remove(name: String): Unit =
-    routes.entrySet().removeIf(_.getValue.name == name)
+    // a reserved door can't be removed either — delete would be the cheap
+    // two-step version of the replace attack (remove, then redeploy freely)
+    if (!reservedNames.contains(name))
+      routes.entrySet().removeIf(_.getValue.name == name)
 
   def deployed: Map[String, CollectorSpec] = {
     val b = Map.newBuilder[String, CollectorSpec]
@@ -246,8 +309,12 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
         case Right(claims) =>
           val roles = claims.map(_.roles).getOrElse(Set.empty[String])
           if (spec != null) {
+            // deny-by-default knob: with requireRole on, a role-less route
+            // still demands SOME granted role — self-registered tokens
+            // (empty roles) stop at every non-public door
             if (auth.isDefined && !isPublic &&
-                !graft.auth.Tokens.authorized(roles, spec.roles))
+                (!graft.auth.Tokens.authorized(roles, spec.roles) ||
+                 (auth.exists(_.requireRole) && roles.isEmpty)))
               respond(ex, 403, s"""{"status":"failure","message":"insufficient role"}""")
             else (spec.handler, ex.getRequestMethod) match {
               case (h: CollectorHandler.Ingest, "POST") => ingest(ex, h)
@@ -258,10 +325,10 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
               case (_, m) =>
                 respond(ex, 405, s"""{"status":"failure","message":"method $m not allowed"}""")
             }
-          } else dev match {
+          } else (dev, adminUsers) match {
             // the management plane needs the developer/<type> role when
             // the server is gated (make-authorize-by-fn, dev.clj)
-            case Some(d) if path.startsWith("/dev/") =>
+            case (Some(d), _) if path.startsWith("/dev/") =>
               if (auth.isDefined &&
                   !graft.auth.Tokens.authorized(roles, d.requiredRole(path).toSet))
                 respond(ex, 403, s"""{"status":"failure","message":"insufficient role"}""")
@@ -269,6 +336,16 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
                 val (code, json) = d.handle(ex.getRequestMethod, path, body(ex))
                 respond(ex, code, json)
               }
+            // the admin plane (reference admin-resource, utils/auth.clj:115):
+            // GET /admin/user-roles/<user> → public user doc, POST with
+            // {"roles":[…]} → grant. Gated on admin/user-roles, which the
+            // reference's role expansion opens to admin/all + developer/all
+            // holders only (make-authorize with no roles = the same pair).
+            case (_, Some(u)) if path.startsWith(CollectorServer.adminPrefix) =>
+              if (auth.isDefined &&
+                  !graft.auth.Tokens.authorized(roles, Set(CollectorServer.adminRole)))
+                respond(ex, 403, s"""{"status":"failure","message":"insufficient role"}""")
+              else admin(ex, u, path.stripPrefix(CollectorServer.adminPrefix))
             case _ =>
               respond(ex, 404, s"""{"status":"failure","message":"no such endpoint"}""")
           }
@@ -403,10 +480,52 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
     }
   }
 
+  /** The reference's admin-resource body (`utils/auth.clj:115-152`): GET
+    * returns the user's public doc (hash never leaves [[graft.auth.UserAuth]]);
+    * POST `{"roles": ["ns/role", …]}` grants — its reply uses the
+    * reference's exact status/message vocabulary (`user-roles-updated` /
+    * `user-not-found`). */
+  private def admin(ex: HttpExchange, u: graft.auth.UserAuth, user: String): Unit =
+    if (user.isEmpty || user.contains("/"))
+      respond(ex, 404, s"""{"status":"failure","message":"user-not-found"}""")
+    else ex.getRequestMethod match {
+      case "GET" => u.getUser(user) match {
+        case Some(doc) => respond(ex, 200, doc)
+        case None => respond(ex, 404, s"""{"status":"failure","message":"user-not-found"}""")
+      }
+      case "POST" =>
+        JsonMethods.parseOpt(body(ex)).map(_ \ "roles") match {
+          case Some(JArray(rs)) if rs.forall(_.isInstanceOf[JString]) =>
+            u.grantRoles(user, rs.collect { case JString(r) => r }.toSet) match {
+              case Right(_) =>
+                respond(ex, 200, s"""{"status":"success","message":"user-roles-updated"}""")
+              case Left(_) =>
+                respond(ex, 404, s"""{"status":"failure","message":"user-not-found"}""")
+            }
+          case _ =>
+            respond(ex, 400,
+              s"""{"status":"failure","message":"body must be JSON with roles: [\\"ns/role\\", ...]"}""")
+        }
+      case m =>
+        respond(ex, 405, s"""{"status":"failure","message":"method $m not allowed"}""")
+    }
+
   private def respond(ex: HttpExchange, code: Int, json: String): Unit = {
     val bytes = json.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(code, bytes.length)
     ex.getResponseBody.write(bytes)
   }
+}
+
+object CollectorServer {
+  /** The admin plane's route prefix — the reference mounts `auth/admin` at
+    * `admin/user-roles/` on both its dev and user servers
+    * (`resource/dev.clj:111`, `resource/user.clj:53`). */
+  val adminPrefix = "/admin/user-roles/"
+  /** Role gating the admin plane. `Tokens.expandAccepted` opens it to
+    * `admin/all` and `developer/all` holders — exactly the set the
+    * reference's no-arg `make-authorize` accepts — plus an explicitly
+    * granted `admin/user-roles` (delegated user administration). */
+  val adminRole = "admin/user-roles"
 }

@@ -60,8 +60,12 @@ class UserAuth(store: DocumentStore, secret: String) {
 
   /** A real cost-12 hash of nothing anyone knows: burned on unknown-user
     * logins so "no such user" costs the same bcrypt work as "wrong
-    * password" — without it, response TIME alone is a username oracle. */
-  private lazy val timingDecoy: String =
+    * password" — without it, response TIME alone is a username oracle.
+    * Derived EAGERLY at construction: were it lazy, the first unknown-user
+    * login would pay derive+check (double bcrypt) and stand out from every
+    * later one — a one-shot timing tell on exactly the path the decoy
+    * exists to flatten. */
+  private val timingDecoy: String =
     Bcrypt.derive(java.util.UUID.randomUUID().toString)
 
   /** `check-cred`: verify the password, mint a 30-day token. Errors use the
@@ -81,8 +85,12 @@ class UserAuth(store: DocumentStore, secret: String) {
         else Left("Incorrect Password")
     }
 
-  /** Grant roles to a user (the admin-resource mutation). */
-  def grantRoles(name: String, roles: Set[String]): Either[String, String] =
+  /** Grant roles to a user (the admin-resource mutation). Serialized on the
+    * store's lock: the read-merge-write below is the reference's
+    * crux.tx/cas (`utils/auth.clj:139-146`) — unsynchronized, two
+    * concurrent grants to the same user could each read the pre-grant doc
+    * and one role set would silently lose. */
+  def grantRoles(name: String, roles: Set[String]): Either[String, String] = store.synchronized {
     userDoc(name) match {
       case None => Left(s"User: $name Not Found")
       case Some(doc) =>
@@ -95,6 +103,7 @@ class UserAuth(store: DocumentStore, secret: String) {
             JObject("roles" -> JArray(merged.toList.sorted.map(JString(_)))))))
         Right(getUser(name).get)
     }
+  }
 
   /** Register the reference's register/login endpoints as precompiled
     * `named` HTTP handlers (`register-resource` / `login-resource`) —

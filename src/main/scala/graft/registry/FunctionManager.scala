@@ -58,6 +58,12 @@ class FunctionManager(store: DocumentStore, manager: StreamManager,
             case _ => Right(spec)
           }
         }.flatMap { spec =>
+          // reserved auth-door identities (login/register paths + names)
+          // are refused pre-commit too — deploy() would reject them, and a
+          // stored doc for an undeployable route is a ghost (ADVICE r8: the
+          // credential-capture hijack went through exactly this gap)
+          collectors.get.reservationConflict(spec).toLeft(spec)
+        }.flatMap { spec =>
           // the stored-function identity and the route identity must be ONE
           // name: otherwise delete/update key the route table under a name
           // deploy never registered — ghost endpoints that outlive their doc

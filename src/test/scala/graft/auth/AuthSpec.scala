@@ -125,10 +125,27 @@ class AuthSpec extends SparkSpec {
     val srv = new CollectorServer(store, streams,
       auth = Some(BearerAuth("hush", publicPaths = Set("/user/new-user", "/app/login"))))
     try {
+      // doors claim their public paths through the boot-only path — the
+      // public deploy() refuses them (reserved-door protection, below)
       assert(srv.deploy(CollectorSpec("register", "/user/new-user",
+        CollectorHandler.Named("auth/register"))).isLeft,
+        "public deploy must not claim a publicPaths door")
+      assert(srv.deployDoor(CollectorSpec("register", "/user/new-user",
         CollectorHandler.Named("auth/register"))).isRight)
-      assert(srv.deploy(CollectorSpec("login", "/app/login",
+      assert(srv.deployDoor(CollectorSpec("login", "/app/login",
         CollectorHandler.Named("auth/login"))).isRight)
+      // the hijack ADVICE pinned: same-name replacement on a door path,
+      // and a same-name deploy elsewhere (which would sweep the door's
+      // route away) — both refused for reserved door identities
+      assert(srv.deploy(CollectorSpec("login", "/app/login",
+        CollectorHandler.Ingest("doc_id"))).isLeft,
+        "a collector must not replace the login door in place")
+      assert(srv.deploy(CollectorSpec("login", "/app/steal",
+        CollectorHandler.Ingest("doc_id"))).isLeft,
+        "a reserved door name deployed elsewhere must not sweep the door route")
+      srv.remove("login")
+      assert(srv.deployed.contains("/app/login"),
+        "remove() must not tear down a reserved door either")
       // a data-ingest route open to any authenticated user, and an
       // ops-restricted one
       assert(srv.deploy(CollectorSpec("add", "/app/add",
@@ -176,6 +193,98 @@ class AuthSpec extends SparkSpec {
       // a garbage token is a 401, not a 500
       assert(http("POST", s"$base/app/add", Some("""{"doc_id":"d3"}"""),
         bearer = Some("garbage.token.here"))._1 == 401)
+    } finally { srv.stop(); streams.stopAll() }
+  }
+
+  test("admin plane e2e: grant over HTTP opens /dev; non-admin grant 403s") {
+    val db = Files.createTempDirectory("graft-admin-e2e").toString + "/db"
+    val app = graft.GraftApp(spark, db, new MemoryIO(spark),
+      new FunctionRegistry, authSecret = Some("hush")).start()
+    try {
+      val base = s"http://localhost:${app.collectors.port}"
+      def login(u: String, p: String): String =
+        http("POST", s"$base/app/login", Some(s"""{"user":"$u","pass":"$p"}"""))
+          ._2.split("\"").find(_.count(_ == '.') == 2).get
+      assert(http("POST", s"$base/user/new-user",
+        Some("""{"user":"root","pass":"pw-root"}"""))._1 == 201)
+      assert(http("POST", s"$base/user/new-user",
+        Some("""{"user":"dev2","pass":"pw-dev2"}"""))._1 == 201)
+      val devTok = login("dev2", "pw-dev2")
+      // before the grant, the dev plane refuses dev2
+      assert(http("POST", s"$base/dev/stream/create",
+        Some("""{"name":"kafka/input"}"""), bearer = Some(devTok))._1 == 403)
+      // …and dev2 cannot grant themselves anything (admin plane is gated)
+      assert(http("POST", s"$base/admin/user-roles/dev2",
+        Some("""{"roles":["developer/stream"]}"""), bearer = Some(devTok))._1 == 403)
+      // the admin grants developer/stream over HTTP (reference admin-resource)
+      val rootTok = login("root", "pw-root")
+      val (gc, gbody) = http("POST", s"$base/admin/user-roles/dev2",
+        Some("""{"roles":["developer/stream"]}"""), bearer = Some(rootTok))
+      assert(gc == 200 && gbody.contains("user-roles-updated"), s"$gc $gbody")
+      // GET returns the public doc — roles visible, hash never
+      val (uc, ubody) = http("GET", s"$base/admin/user-roles/dev2",
+        bearer = Some(rootTok))
+      assert(uc == 200 && ubody.contains("developer/stream") && !ubody.contains("pass"),
+        s"$uc $ubody")
+      assert(http("GET", s"$base/admin/user-roles/ghost",
+        bearer = Some(rootTok))._1 == 404)
+      assert(http("POST", s"$base/admin/user-roles/ghost",
+        Some("""{"roles":["x/y"]}"""), bearer = Some(rootTok))._1 == 404)
+      assert(http("POST", s"$base/admin/user-roles/dev2",
+        Some("""{"nope":1}"""), bearer = Some(rootTok))._1 == 400)
+      // the granted role lands in dev2's NEXT token and opens exactly the
+      // granted plane type
+      val devTok2 = login("dev2", "pw-dev2")
+      assert(http("POST", s"$base/dev/stream/create",
+        Some("""{"name":"kafka/input"}"""), bearer = Some(devTok2))._1 == 201,
+        "post-grant, /dev/stream/create must succeed")
+      assert(http("POST", s"$base/dev/transactor/create",
+        Some("""{"name":"transactor/t"}"""), bearer = Some(devTok2))._1 == 403,
+        "developer/stream must not open other plane types")
+      // management-plane hijack of the doors stays refused end to end
+      assert(http("POST", s"$base/dev/collector/create",
+        Some("""{"name":"auth-login","path":"/app/login",
+                 "handler":{"kind":"ingest","idField":"id"}}"""
+          .replaceAll("\n\\s*", "")), bearer = Some(rootTok))._1 == 406,
+        "even an admin-held token cannot redeploy the login door route")
+    } finally app.stop()
+  }
+
+  test("requireRole: deny-by-default gate stops roleless tokens on role-less routes") {
+    val store = DocumentStore(spark,
+      Files.createTempDirectory("graft-auth-reqrole").toString + "/db")
+    val registry = new FunctionRegistry
+    val streams = new StreamManager(new Topology(new MemoryIO(spark), registry))
+    val users = new UserAuth(store, "hush")
+    users.registerHandlers(registry)
+    val srv = new CollectorServer(store, streams,
+      auth = Some(BearerAuth("hush",
+        publicPaths = Set("/user/new-user", "/app/login"), requireRole = true)))
+    try {
+      assert(srv.deployDoor(CollectorSpec("register", "/user/new-user",
+        CollectorHandler.Named("auth/register"))).isRight)
+      assert(srv.deployDoor(CollectorSpec("login", "/app/login",
+        CollectorHandler.Named("auth/login"))).isRight)
+      assert(srv.deploy(CollectorSpec("add", "/app/add",
+        CollectorHandler.Ingest("doc_id"))).isRight)
+      val base = s"http://localhost:${srv.port}"
+      http("POST", s"$base/user/new-user", Some("""{"user":"root","pass":"pw"}"""))
+      http("POST", s"$base/user/new-user", Some("""{"user":"walkin","pass":"pw"}"""))
+      val walkTok = http("POST", s"$base/app/login",
+        Some("""{"user":"walkin","pass":"pw"}"""))._2
+        .split("\"").find(_.count(_ == '.') == 2).get
+      // self-registered (roleless) token: refused even on the role-less route
+      assert(http("POST", s"$base/app/add", Some("""{"doc_id":"d1"}"""),
+        bearer = Some(walkTok))._1 == 403,
+        "requireRole must stop a roleless token on a role-less route")
+      assert(store.entity("d1").isEmpty)
+      // any granted role opens role-less routes again
+      assert(users.grantRoles("walkin", Set("ops/reader")).isRight)
+      val walkTok2 = http("POST", s"$base/app/login",
+        Some("""{"user":"walkin","pass":"pw"}"""))._2
+        .split("\"").find(_.count(_ == '.') == 2).get
+      assert(http("POST", s"$base/app/add", Some("""{"doc_id":"d1"}"""),
+        bearer = Some(walkTok2))._1 == 201)
     } finally { srv.stop(); streams.stopAll() }
   }
 
