@@ -201,12 +201,28 @@ class StreamManager(val topology: Topology) {
     * start a second `<name>_errors` query while the old one still runs
     * (Spark rejects duplicate active query names → updateNode would fail),
     * and deleteNode would leak a running query bound to a removed node. */
-  def stopSink(full: String): Unit = adminLock.synchronized {
-    Seq(full, full + "#errors", full + "#drain")
-      .foreach(k => running.remove(k).foreach(_.stop()))
+  def stopSink(full: String): Unit = {
+    // deregister under the lock, but JOIN the query thread OUTSIDE it:
+    // query.stop() waits for the stream thread, and the control-plane
+    // stream's foreachBatch calls updateNode — which needs adminLock.
+    // Holding adminLock across that join deadlocks (monitor-enter is not
+    // interruptible, so Spark's stop-interrupt can't break the cycle).
+    val qs = adminLock.synchronized {
+      Seq(full, full + "#errors", full + "#drain").flatMap(k => running.remove(k))
+    }
+    qs.foreach(_.stop())
   }
 
-  def stopAll(): Unit = { running.keys.toSeq.foreach(stopSink); () }
+  def stopAll(): Unit = {
+    // control plane FIRST: once it is down nothing else starts queries, so
+    // the loop converges — an in-flight control-plane batch may have
+    // started new sinks between our snapshot and its stop, hence re-snapshot
+    var remaining = running.keys.toSeq
+    while (remaining.nonEmpty) {
+      remaining.sortBy(k => (if (k == controlTopic) 0 else 1, k)).foreach(stopSink)
+      remaining = running.keys.toSeq
+    }
+  }
 
   /** Wait until every running query has processed all available input
     * (test/synchronous helper; production topologies run continuously). */
