@@ -83,12 +83,18 @@ object Bench {
         q.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       }$errs,"sf":"$sfDir","total_sec":$tot}"""
     // The driver captures only a bounded TAIL (~2000 chars) of this process's
-    // output; r5/r6 both lost the headline total because the full-precision
-    // line overflowed it and got truncated at the FRONT. Print a 3-decimal
-    // line (≈25% shorter, fits the window) and repeat the total as the LAST
-    // key so even a re-truncation leaves `"total_sec":N}` readable at the tail.
+    // output and json-parses the LAST line it finds there. At 111 queries even
+    // the 3-decimal full line (~3 KB) overflows that window and gets truncated
+    // at the FRONT — r7/r8 both recorded parsed=null. So: full per-query line
+    // FIRST (for humans and scrollback), then a compact summary line LAST —
+    // total, count, the 5 heaviest queries — comfortably inside the window,
+    // so the driver's parse always lands on a complete JSON object.
     def s3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v) // locale-proof decimal point
     println(fmtLine(results.map { case (k, v) => k -> s3(v) }.toMap, s3(total)))
+    val top5 = results.toSeq.sortBy(-_._2).take(5)
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":${
+      top5.map { case (k, v) => "\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
+    },"n_queries":${results.size}$errs,"sf":"$sfDir","total_sec":${s3(total)}}""")
     // full precision to a file for round-over-round per-query comparison
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
       (fmtLine(results.map { case (k, v) => k -> v.toString }.toMap, total.toString) + "\n")
