@@ -27,6 +27,32 @@ object ModelCache {
   /** Canonical key: every determining input, pipe-joined. */
   def key(parts: Any*): String = parts.mkString("|")
 
+  /** A directory-as-input key part: the path PLUS a cheap content
+    * fingerprint (file count, total bytes, latest mtime, and a hash over
+    * every (relative-path, length, mtime) triple). Without it, entries
+    * keyed on the path alone outlive an in-place regeneration of the data
+    * under it — consumers then silently serve centroids/weights trained on
+    * rows that no longer exist (ADVICE r8). Metadata-only: a listing walk,
+    * no data read — the same cost class as the parquet footer listing every
+    * scan already pays; trainers call it once per (dir, params) miss. */
+  def dirKey(dir: String): String = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) return s"$dir@absent"
+    var n = 0L; var bytes = 0L; var latest = 0L; var h = 1125899906842597L // FNV-ish
+    val stream = java.nio.file.Files.walk(root)
+    try stream.forEach { p =>
+      val f = p.toFile
+      if (f.isFile) {
+        n += 1; bytes += f.length(); latest = math.max(latest, f.lastModified())
+        val s = root.relativize(p).toString + "|" + f.length() + "|" + f.lastModified()
+        var fh = 1469598103934665603L
+        var i = 0; while (i < s.length) { fh = (fh ^ s.charAt(i)) * 1099511628211L; i += 1 }
+        h += fh // commutative combine: walk order is filesystem-dependent
+      }
+    } finally stream.close()
+    s"$dir@$n:$bytes:$latest:${java.lang.Long.toHexString(h)}"
+  }
+
   /** Memoized train: computes (and caches) `train` on first use of `k`;
     * concurrent callers of the same key block until the first finishes
     * (computeIfAbsent), so a model is never trained twice. */

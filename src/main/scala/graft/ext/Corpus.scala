@@ -1393,7 +1393,7 @@ object Corpus {
     // plan-equality luck
     val fb = classifierFeatures(labeled, 512, "text", "doc_id", "y")
     val w = graft.core.ModelCache.getOrTrain(
-      graft.core.ModelCache.key("quality-classifier", d, 512, 3)) {
+      graft.core.ModelCache.key("quality-classifier", graft.core.ModelCache.dirKey(d), 512, 3)) {
       trainOnFeatures(s, fb, labeled.count(), buckets = 512, rounds = 3)
     }
     require(w.length == 512, s"staged classifier model shape drifted: ${w.length}")

@@ -847,12 +847,12 @@ object Dedup {
     // the staged-artifact shape every iterative consumer uses.
     val emb = withPlantedTwinsExact(Tables.embeddings(s, d))
     val k = graft.core.ModelCache.getOrTrain(
-      graft.core.ModelCache.key("semdedup-k", d, 512)) {
+      graft.core.ModelCache.key("semdedup-k", graft.core.ModelCache.dirKey(d), 512)) {
       java.lang.Integer.valueOf(
         math.max(16, math.ceil(emb.count().toDouble / 512).toInt))
     }.intValue()
     val cents = graft.core.ModelCache.getOrTrain(
-      graft.core.ModelCache.key("semdedup-quantizer", d, k, 2, 5)) {
+      graft.core.ModelCache.key("semdedup-quantizer", graft.core.ModelCache.dirKey(d), k, 2, 5)) {
       Similarity.trainCentroidPairs(
         emb.filter(pmod(col("vec_id"), lit(5L)) === 0), k, iters = 2)
     }

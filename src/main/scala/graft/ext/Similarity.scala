@@ -168,7 +168,7 @@ object Similarity {
   def sharedEmbeddingCentroids(s: SparkSession, d: String, kCentroids: Int,
                                iters: Int, sampleMod: Int = 5): Seq[(Long, Seq[Double])] =
     graft.core.ModelCache.getOrTrain(
-      graft.core.ModelCache.key("emb-quantizer", d, kCentroids, iters, sampleMod)) {
+      graft.core.ModelCache.key("emb-quantizer", graft.core.ModelCache.dirKey(d), kCentroids, iters, sampleMod)) {
       trainCentroidPairs(
         Tables.embeddings(s, d)
           .filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0),
@@ -515,7 +515,7 @@ object Similarity {
     // session-staged like the IVF quantizer (ModelCache): consumers pay
     // Lloyd's collect jobs once per session, bit-identically
     val model = graft.core.ModelCache.getOrTrain(
-      graft.core.ModelCache.key("pq-codebooks", d, 4, 16, 2, 5)) {
+      graft.core.ModelCache.key("pq-codebooks", graft.core.ModelCache.dirKey(d), 4, 16, 2, 5)) {
       trainPqCodebooks(
         emb.filter(pmod(col("vec_id"), lit(5)) === 0), m = 4, ksub = 16, iters = 2)
     }

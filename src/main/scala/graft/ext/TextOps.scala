@@ -225,11 +225,20 @@ object TextOps {
     *
     * Scale shape: explode → (doc, term) tf aggregate once (cached — it
     * feeds both df and the rank), term-keyed df aggregate whose result is
-    * VOCABULARY-sized (sublinear in the corpus, Heaps' law) and therefore
-    * broadcast — the big tf side is never re-shuffled onto term — then a
-    * per-doc window rank partitioned by doc_id, never a global sort. */
+    * VOCABULARY-sized (sublinear in the corpus, Heaps' law) — then a
+    * per-doc window rank partitioned by doc_id, never a global sort.
+    *
+    * The df side is broadcast ONLY while the corpus is small enough that
+    * the vocabulary is safely executor-resident (Catalyst's input-size
+    * estimate vs `maxBroadcastCorpusBytes`): Heaps' law is sublinear, not
+    * bounded — a 100 TB web corpus runs to 1e8–1e9 unique tokens (URLs,
+    * hashes, typos), where an unconditional broadcast hint is a
+    * driver/executor OOM. Above the threshold the join falls back to the
+    * term-keyed shuffle, whose cost scales with the data instead of
+    * betting the driver on it (ADVICE r8). */
   def topTerms(docs: DataFrame, textCol: String = "text",
-               idCol: String = "doc_id", k: Int = 3): DataFrame = {
+               idCol: String = "doc_id", k: Int = 3,
+               maxBroadcastCorpusBytes: Long = 4L << 30): DataFrame = {
     val sw = array(stopwords.map(lit): _*)
     val terms = docs.select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
@@ -237,9 +246,12 @@ object TextOps {
     val tf = graft.core.CacheRegistry.persisted(
       terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val corpusBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val dfSide =
+      if (corpusBytes <= maxBroadcastCorpusBytes) broadcast(dfreq) else dfreq
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tf.join(broadcast(dfreq), "term")
+    tf.join(dfSide, "term")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("doc_id", "term", "tf", "df", "rank")
