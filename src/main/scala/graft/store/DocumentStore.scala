@@ -44,6 +44,26 @@ class DocumentStore(val spark: SparkSession, val path: String) {
   private val lock = new Object
   private val lastTx = new AtomicLong(0L)
 
+  /** Single-driver guard. The store's write path is correct ONLY under one
+    * commit point: match/cas read-compare-write through this instance's JVM
+    * lock, and the tx clock is instance-local — a second driver on the same
+    * path would corrupt both silently (SURVEY §7.4 risk 1; Crux gets the
+    * same guarantee from its single Kafka tx-log). So construction takes an
+    * exclusive create on `<path>.lock` (sibling file — compact()'s dir swap
+    * never touches it) and FAILS FAST naming the other holder. A lock left
+    * by a crashed process on THIS host is detected dead via its pid and
+    * reclaimed; a lock from another host is never presumed stale — delete
+    * it by hand after confirming that driver is gone. */
+  private val lockToken = java.util.UUID.randomUUID().toString
+  locally { DocumentStore.acquire(spark, path, lockToken) }
+  @volatile private var closed = false
+
+  /** Release the single-driver lock. Idempotent; the store object must not
+    * be used afterwards (a later re-open is a NEW instance on the path). */
+  def close(): Unit = lock.synchronized {
+    if (!closed) { closed = true; DocumentStore.release(spark, path, lockToken) }
+  }
+
   /** Monotonic tx clock: real time, bumped by 1ms under collision so tx
     * order is total (Crux tx-ids are totally ordered by the tx-log). */
   private def nextTxTime(): Timestamp = {
@@ -341,4 +361,63 @@ class DocumentStore(val spark: SparkSession, val path: String) {
 object DocumentStore {
   def apply(spark: SparkSession, path: String): DocumentStore =
     new DocumentStore(spark, path)
+
+  /** In-JVM holder registry: the pid check below cannot see a second store
+    * INSIDE this same process (its pid is alive — ours), so live holders in
+    * this JVM are tracked here. Keyed by the lock file's string path. */
+  private val liveHolders = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def lockPath(path: String) = new org.apache.hadoop.fs.Path(path + ".lock")
+  private def localHost: String =
+    try java.net.InetAddress.getLocalHost.getHostName catch { case _: Exception => "unknown" }
+
+  private def acquire(spark: SparkSession, path: String, token: String): Unit = {
+    val lp = lockPath(path)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val desc = s"""{"pid":${ProcessHandle.current.pid},"host":"$localHost",""" +
+      s""""token":"$token","since":"${java.time.Instant.now()}"}"""
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val prev = liveHolders.putIfAbsent(lp.toString, token)
+      if (prev != null)
+        throw new IllegalStateException(
+          s"document store at $path is already open in this JVM " +
+            "(close() the other instance first — two stores on one path " +
+            "would run two tx clocks and break match/cas serialization)")
+      try {
+        val out = fs.create(lp, false) // exclusive: fails if the file exists
+        try out.write(desc.getBytes("UTF-8")) finally out.close()
+        return
+      } catch {
+        case _: java.io.IOException => // lock file exists — examine the holder
+          liveHolders.remove(lp.toString, token)
+          val holder = try {
+            val in = fs.open(lp)
+            try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          } catch { case _: Exception => "" }
+          val pid = "\"pid\":(\\d+)".r.findFirstMatchIn(holder).map(_.group(1).toLong)
+          val host = "\"host\":\"([^\"]*)\"".r.findFirstMatchIn(holder).map(_.group(1))
+          val staleSameHost = host.forall(_ == localHost) &&
+            pid.exists(p => ProcessHandle.of(p).map[Boolean](h => !h.isAlive).orElse(true))
+          if (staleSameHost && attempts < 3) {
+            // crashed holder on this host (or an unreadable/empty lock from
+            // one): reclaim and retry the exclusive create — the create
+            // still arbitrates if two reclaimers race
+            fs.delete(lp, false)
+          } else throw new IllegalStateException(
+            s"document store at $path is locked by another driver " +
+              s"(${holder.trim.stripPrefix("{").stripSuffix("}")}); " +
+              s"if that process is dead, delete $lp and retry")
+      }
+    }
+  }
+
+  private def release(spark: SparkSession, path: String, token: String): Unit = {
+    val lp = lockPath(path)
+    if (liveHolders.remove(lp.toString, token)) {
+      val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try fs.delete(lp, false) catch { case _: Exception => () }
+    }
+  }
 }

@@ -123,4 +123,39 @@ class DocumentStoreSpec extends SparkSpec {
     val tx = s.put("x", "{}")
     assert(s.awaitTx(tx) && s.txCommitted(tx))
   }
+
+  test("single-driver lock: second instance fails loudly; close + stale reclaim recover") {
+    val path = Files.createTempDirectory("docstore-lock").toString + "/db"
+    val s1 = DocumentStore(spark, path)
+    s1.put("d1", "{}")
+    // a second store on the SAME path must fail fast, naming the holder —
+    // a second tx clock would silently corrupt match/cas serialization
+    val err = intercept[IllegalStateException] { DocumentStore(spark, path) }
+    assert(err.getMessage.contains(path) && err.getMessage.contains("close()"),
+      s"error must name the path and the way out: ${err.getMessage}")
+    // clean close releases the lock; a successor opens and reads the data
+    s1.close()
+    val s2 = DocumentStore(spark, path)
+    try {
+      assert(s2.entity("d1").nonEmpty, "successor store reads the predecessor's data")
+      s2.close()
+      s2.close() // idempotent
+    } finally s2.close()
+    // crash simulation: a lock file left by a DEAD pid on this host is
+    // stale — reclaimed automatically on the next open
+    val lockFile = java.nio.file.Paths.get(path + ".lock")
+    java.nio.file.Files.write(lockFile,
+      s"""{"pid":2147483646,"host":"${java.net.InetAddress.getLocalHost.getHostName}","token":"gone","since":"2026-01-01T00:00:00Z"}"""
+        .getBytes("UTF-8"))
+    val s3 = DocumentStore(spark, path) // must not throw
+    try assert(s3.entity("d1").nonEmpty, "post-crash reopen serves the data")
+    finally s3.close()
+    // a FOREIGN-host lock is never presumed stale: fail, tell the operator
+    java.nio.file.Files.write(lockFile,
+      """{"pid":1,"host":"some-other-driver-host","token":"x","since":"2026-01-01T00:00:00Z"}"""
+        .getBytes("UTF-8"))
+    val foreign = intercept[IllegalStateException] { DocumentStore(spark, path) }
+    assert(foreign.getMessage.contains("some-other-driver-host"))
+    java.nio.file.Files.delete(lockFile)
+  }
 }
