@@ -27,10 +27,13 @@ import graft.store.DocumentStore
   *    consumers must be idempotent under replay — [[maintainShingleIndex]]
   *    anti-joins against the index's own doc ids, so replayed or
   *    already-indexed docs are no-ops;
-  *  - [[DocumentStore.compact]] rewrites the table in place (swap-rename),
-  *    which invalidates a running stream's file index — compaction is a
-  *    stop-streams maintenance window, same restart contract as a staged
-  *    artifact re-stage (COVERAGE.md).
+  *  - [[DocumentStore.compact]] rewrites the table in place (swap-rename).
+  *    A running tail SURVIVES it (no failed batch: `ignoreMissingFiles`
+  *    covers the list-then-swap race) but sees the compacted files as new
+  *    and replays the history once — the same idempotence the catch-up
+  *    replay already demands. Compacting during quiet hours minimizes the
+  *    replay cost; it is no longer a correctness requirement
+  *    (CompactionRaceSpec is the drill).
   */
 object StoreChanges {
 
@@ -44,12 +47,23 @@ object StoreChanges {
   /** Tail the store as a stream of version rows (id, validFrom, txTime,
     * deleted, doc). `maxFilesPerTrigger` bounds a micro-batch — catch-up
     * over a long history proceeds in increments instead of one giant
-    * batch. */
+    * batch.
+    *
+    * `ignoreMissingFiles` is set for compaction-tolerance: a compact() swap
+    * can delete a file BETWEEN this source listing it and reading it, and
+    * without the option that batch fails the query. With it, the batch
+    * skips the vanished file — and loses nothing, because every row it held
+    * lives in the compacted files, which the source then lists as new and
+    * replays (CompactionRaceSpec drills this). Net contract: the tail is
+    * AT-LEAST-ONCE across compaction; consumers must already be idempotent
+    * under replay (the catch-up caveat above), and a compaction makes the
+    * whole history replay once. */
   def stream(spark: SparkSession, storePath: String,
              maxFilesPerTrigger: Int = 64): DataFrame =
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("ignoreMissingFiles", "true")
       .parquet(storePath)
       .drop("valid_date")
 

@@ -1,0 +1,80 @@
+package graft.store
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+import graft.stream.StoreChanges
+
+/** The compaction-vs-reader race drill (round-9 verdict item 5).
+  *
+  * [[DocumentStore.compact]] swaps the table directory by rename while a
+  * [[StoreChanges.stream]] tail may hold the old file listing, and while
+  * writers keep appending. AbortSafetySpec covers append races; this spec
+  * races compact against an ACTIVE tail + concurrent ingest and pins the
+  * operating contract:
+  *
+  *  - the tail never fails a batch (ignoreMissingFiles covers the
+  *    list-then-swap window; vanished rows come back via the compacted
+  *    files, which the source lists as new);
+  *  - delivery across a compaction is AT-LEAST-ONCE (one history replay),
+  *    never lossy;
+  *  - the BATCH read view is byte-identical before/after (same rows, same
+  *    entity answers) — compaction is layout, not data;
+  *  - writes serialized around compact() (the store lock) all land.
+  */
+class CompactionRaceSpec extends SparkSpec {
+
+  test("compact during an active tail + ingest: no failed batch, at-least-once, read parity") {
+    val base = Files.createTempDirectory("compact-race").toString
+    val store = DocumentStore(spark, base + "/db")
+    try {
+      // seed a multi-file history (one parquet file per put)
+      (1 to 20).foreach(i => store.put(s"d$i", s"""{"v":$i}"""))
+
+      val seen = ConcurrentHashMap.newKeySet[String]()
+      val tail = StoreChanges.stream(spark, store.path, maxFilesPerTrigger = 4)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select("id").collect().foreach(r => seen.add(r.getString(0))); ()
+        }
+        .start()
+      try {
+        tail.processAllAvailable()
+        assert((1 to 20).forall(i => seen.contains(s"d$i")), "catch-up replay")
+
+        // concurrent ingest racing the compaction: puts serialize around
+        // compact() on the store lock, so every one must land
+        val writerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+        val writer = new Thread(() =>
+          try (21 to 40).foreach { i =>
+            store.put(s"d$i", s"""{"v":$i}"""); Thread.sleep(5)
+          } catch { case t: Throwable => writerErr.set(t) })
+        writer.start()
+        Thread.sleep(20) // let the writer get in flight first
+        store.compact()
+        writer.join()
+        assert(writerErr.get() == null,
+          s"writes racing compact must serialize, not fail: ${writerErr.get()}")
+
+        tail.processAllAvailable()
+        assert(tail.exception.isEmpty,
+          s"the tail must survive compaction without a failed batch: ${tail.exception}")
+        // at-least-once: every id observed (the compacted files replay the
+        // history once — allowed; losing a row is not)
+        val missing = (1 to 40).map(i => s"d$i").filterNot(seen.contains)
+        assert(missing.isEmpty, s"rows lost across compaction: $missing")
+      } finally tail.stop()
+
+      // batch read parity: the compacted + post-compact table answers
+      // exactly as the uncompacted one would
+      assert(store.db().count() == 40, "current snapshot row count")
+      (1 to 40).foreach(i =>
+        assert(store.entity(s"d$i").contains(s"""{"v":$i}"""), s"entity d$i"))
+      // and the version log kept everything (no tombstones were written)
+      assert(store.versions().count() == 40)
+    } finally store.close()
+  }
+}
