@@ -129,4 +129,101 @@ class DemoAppSpec extends SparkSpec {
   private implicit class QAsScala[A](q: java.util.concurrent.ConcurrentLinkedQueue[A]) {
     def asScala: Seq[A] = { val b = Seq.newBuilder[A]; q.forEach(a => b += a); b.result() }
   }
+
+  private def httpReq(method: String, url: String, body: Option[String],
+                      bearer: Option[String]): (Int, String) = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    bearer.foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
+    body.foreach { b => conn.setDoOutput(true); conn.getOutputStream.write(b.getBytes(UTF_8)) }
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val text = if (is == null) "" else new String(is.readAllBytes(), UTF_8)
+    conn.disconnect()
+    (code, text)
+  }
+
+  /** README "Operator quickstart" — the ten walkthrough steps run verbatim
+    * over HTTP (MemoryIO standing in for Kafka), in the README's order and
+    * with the README's exact bodies, so the docs can't drift from the
+    * engine. */
+  test("README quickstart: boot → register → login → grant → deploy → ingest → query → hot-swap") {
+    val db = Files.createTempDirectory("graft-quickstart").toString + "/db"
+    val io = new MemoryIO(spark)
+    // 1. boot, gated
+    val app = GraftApp(spark, db, io, new FunctionRegistry,
+      authSecret = Some("quickstart-secret")).start()
+    try {
+      val base = s"http://localhost:${app.collectors.port}"
+      def post(url: String, body: String, tok: Option[String] = None) =
+        httpReq("POST", url, Some(body), tok)
+      def get(url: String, tok: Option[String] = None) =
+        httpReq("GET", url, None, tok)
+      def token(of: (Int, String)): String =
+        (JsonMethods.parse(of._2) \ "token").extract[String]
+
+      // 2-3. first registration is the admin; login mints its token
+      assert(post(s"$base/user/new-user", """{"user":"root","pass":"R00T_PW"}""")._1 == 201)
+      val root = token(post(s"$base/app/login", """{"user":"root","pass":"R00T_PW"}"""))
+      // 4. a teammate registers role-less
+      assert(post(s"$base/user/new-user", """{"user":"dev","pass":"DEV_PW"}""")._1 == 201)
+      // 5. admin grants the developer planes; GET shows the public doc
+      assert(post(s"$base/admin/user-roles/dev",
+        """{"roles":["developer/stream","developer/collector"]}""",
+        Some(root))._1 == 200)
+      val (uc, doc) = get(s"$base/admin/user-roles/dev", Some(root))
+      assert(uc == 200 && doc.contains("developer/stream") && !doc.contains("\"pass\""))
+      val dev = token(post(s"$base/app/login", """{"user":"dev","pass":"DEV_PW"}"""))
+
+      // 6. deploy the stream pipeline through /dev
+      assert(post(s"$base/dev/stream/create", """{"name":"kafka/input"}""",
+        Some(dev))._1 == 201)
+      assert(post(s"$base/dev/stream/create",
+        """{"name":"stream/process","upstream":["kafka/input"],
+           "transducer":{"map":"TRY_CAST(value AS DOUBLE) + 1"},"buffer":100}"""
+          .replaceAll("\n\\s*", ""), Some(dev))._1 == 201)
+      assert(post(s"$base/dev/stream/create",
+        """{"name":"kafka/output","upstream":["stream/process"]}""",
+        Some(dev))._1 == 201)
+
+      // 7. deploy the three collectors
+      assert(post(s"$base/dev/collector/create",
+        """{"name":"events","path":"/app/events","handler":{"kind":"stream","node":"kafka/input"}}""",
+        Some(dev))._1 == 201)
+      assert(post(s"$base/dev/collector/create",
+        """{"name":"add-doc","path":"/app/add-doc","handler":{"kind":"ingest","idField":"doc_id"}}""",
+        Some(dev))._1 == 201)
+      assert(post(s"$base/dev/collector/create",
+        """{"name":"docs","path":"/app/docs",
+           "handler":{"kind":"query","edn":"{:find [?e ?s] :where [[?e :status ?s]]}",
+                      "fields":{"status":"string"}}}"""
+          .replaceAll("\n\\s*", ""), Some(dev))._1 == 201)
+
+      // 8. ingest: stream push + document put (reserved ':' ids refused)
+      assert(post(s"$base/app/events", "41", Some(dev))._1 == 202)
+      assert(post(s"$base/app/add-doc", """{"doc_id":"d1","status":"ok"}""",
+        Some(dev))._1 == 201)
+      assert(post(s"$base/app/add-doc", """{"doc_id":":user/evil","status":"x"}""",
+        Some(dev))._1 == 400, "stored-function namespace unreachable from HTTP")
+      app.streams.processAllAvailable()
+      assert(io.collected("output").map(_.getAs[Double]("value")) == Seq(42.0))
+
+      // 9. the Datalog query door answers over the current snapshot
+      val (qc, rows) = get(s"$base/app/docs", Some(dev))
+      assert(qc == 200 && rows.contains("\"e\":\"d1\"") && rows.contains("\"s\":\"ok\""),
+        s"query door: $qc $rows")
+
+      // 10. hot-swap the processor, then list the stored streams
+      assert(post(s"$base/dev/stream/update/process",
+        """{"name":"stream/process","upstream":["kafka/input"],
+           "transducer":{"map":"TRY_CAST(value AS DOUBLE) * 2"},"buffer":100}"""
+          .replaceAll("\n\\s*", ""), Some(dev))._1 == 200)
+      assert(post(s"$base/app/events", "10", Some(dev))._1 == 202)
+      app.streams.processAllAvailable()
+      assert(io.collected("output").map(_.getAs[Double]("value")).sorted == Seq(20.0, 42.0),
+        "hot-swapped transducer processes new traffic; old output retained")
+      val (lc, listing) = get(s"$base/dev/stream/create", Some(dev))
+      assert(lc == 200 && listing.contains(":stream/process"))
+    } finally app.stop()
+  }
 }
