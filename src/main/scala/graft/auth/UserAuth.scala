@@ -52,6 +52,13 @@ class UserAuth(store: DocumentStore, secret: String) {
   def newUser(name: String, pass: String, email: String = "",
               displayName: String = ""): Either[String, String] = store.synchronized {
     if (name.isEmpty || pass.isEmpty) Left("user and pass are required")
+    // the username becomes a store id (:user/<name>) AND an admin-plane
+    // path segment (/admin/user-roles/<name>): '/' or whitespace in it
+    // would mint an account the admin plane can never address (its GET/
+    // POST route would parse as a different user), and ':' could nest the
+    // reserved namespace — reject all three up front
+    else if (name.exists(c => c == '/' || c == ':' || c.isWhitespace))
+      Left("user name must not contain '/', ':' or whitespace")
     else if (!anyUserExists())
       Right(addUser(name, pass, email, displayName, Set("admin/all")))
     else if (userDoc(name).isDefined) Left(s"username: $name is taken.")

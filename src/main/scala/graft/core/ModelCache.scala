@@ -36,20 +36,37 @@ object ModelCache {
     * no data read — the same cost class as the parquet footer listing every
     * scan already pays; trainers call it once per (dir, params) miss. */
   def dirKey(dir: String): String = {
-    val root = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.exists(root)) return s"$dir@absent"
-    var n = 0L; var bytes = 0L; var latest = 0L; var h = 1125899906842597L // FNV-ish
-    val stream = java.nio.file.Files.walk(root)
-    try stream.forEach { p =>
-      val f = p.toFile
-      if (f.isFile) {
-        n += 1; bytes += f.length(); latest = math.max(latest, f.lastModified())
-        val s = root.relativize(p).toString + "|" + f.length() + "|" + f.lastModified()
-        var fh = 1469598103934665603L
-        var i = 0; while (i < s.length) { fh = (fh ^ s.charAt(i)) * 1099511628211L; i += 1 }
-        h += fh // commutative combine: walk order is filesystem-dependent
-      }
-    } finally stream.close()
+    var n = 0L; var bytes = 0L; var latest = 0L; var h = 1125899906842597L
+    def add(rel: String, len: Long, mtime: Long): Unit = {
+      n += 1; bytes += len; latest = math.max(latest, mtime)
+      val s = rel + "|" + len + "|" + mtime
+      var fh = 1469598103934665603L // FNV-1a per file…
+      var i = 0; while (i < s.length) { fh = (fh ^ s.charAt(i)) * 1099511628211L; i += 1 }
+      h += fh // …combined commutatively: listing order is filesystem-dependent
+    }
+    if (dir.contains("://")) {
+      // cluster paths (hdfs://, s3a://, …): the nio walk can't see them, and
+      // silently keying on the path alone would disable staleness detection
+      // exactly where re-staged data is most likely — list via Hadoop
+      try {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        if (!fs.exists(p)) return s"$dir@absent"
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val st = it.next()
+          add(st.getPath.toString.stripPrefix(p.toString), st.getLen, st.getModificationTime)
+        }
+      } catch { case scala.util.control.NonFatal(_) => return s"$dir@unlistable" }
+    } else {
+      val root = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.exists(root)) return s"$dir@absent"
+      val stream = java.nio.file.Files.walk(root)
+      try stream.forEach { p =>
+        val f = p.toFile
+        if (f.isFile) add(root.relativize(p).toString, f.length(), f.lastModified())
+      } finally stream.close()
+    }
     s"$dir@$n:$bytes:$latest:${java.lang.Long.toHexString(h)}"
   }
 

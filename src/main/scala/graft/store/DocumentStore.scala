@@ -392,14 +392,26 @@ object DocumentStore {
       } catch {
         case _: java.io.IOException => // lock file exists — examine the holder
           liveHolders.remove(lp.toString, token)
-          val holder = try {
+          def readHolder(): String = try {
             val in = fs.open(lp)
             try new String(in.readAllBytes(), "UTF-8") finally in.close()
           } catch { case _: Exception => "" }
+          var holder = readHolder()
+          if (holder.isEmpty) {
+            // an empty lock is EITHER a crash between create and write (the
+            // two aren't atomic — reclaimable) OR another driver mid-create
+            // right now; a short grace re-read separates them, since the
+            // healthy writer finishes in microseconds
+            Thread.sleep(100)
+            holder = readHolder()
+          }
           val pid = "\"pid\":(\\d+)".r.findFirstMatchIn(holder).map(_.group(1).toLong)
           val host = "\"host\":\"([^\"]*)\"".r.findFirstMatchIn(holder).map(_.group(1))
+          // forall, not exists: a still-empty/unparseable lock has no live
+          // claimant to defer to — reclaim it (the exclusive re-create still
+          // arbitrates if two reclaimers race)
           val staleSameHost = host.forall(_ == localHost) &&
-            pid.exists(p => ProcessHandle.of(p).map[Boolean](h => !h.isAlive).orElse(true))
+            pid.forall(p => ProcessHandle.of(p).map[Boolean](h => !h.isAlive).orElse(true))
           if (staleSameHost && attempts < 3) {
             // crashed holder on this host (or an unreadable/empty lock from
             // one): reclaim and retry the exclusive create — the create

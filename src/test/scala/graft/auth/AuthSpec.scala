@@ -79,6 +79,10 @@ class AuthSpec extends SparkSpec {
     val second = users.newUser("bob", "pw-bob")
     assert(second.exists(!_.contains("admin/all")), "later users start roleless")
     assert(users.newUser("ada", "again").left.exists(_.contains("taken")))
+    // names that would be unaddressable on the admin plane (path segment)
+    // or could nest the reserved ':' namespace are refused up front
+    for (bad <- Seq("a/b", "a b", "x:y", "tab\tname"))
+      assert(users.newUser(bad, "pw").isLeft, s"'$bad' must be rejected")
     assert(users.checkCred("ada", "nope") == Left("Incorrect Password"))
     assert(users.checkCred("ghost", "x") == Left("User: ghost Not Found"))
     val token = users.checkCred("ada", "pw-ada")

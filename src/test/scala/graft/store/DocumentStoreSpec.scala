@@ -150,6 +150,11 @@ class DocumentStoreSpec extends SparkSpec {
     val s3 = DocumentStore(spark, path) // must not throw
     try assert(s3.entity("d1").nonEmpty, "post-crash reopen serves the data")
     finally s3.close()
+    // an EMPTY lock file (crash between create and write) is reclaimable
+    // after the mid-create grace re-read
+    java.nio.file.Files.write(lockFile, Array.emptyByteArray)
+    val s4 = DocumentStore(spark, path) // must not throw
+    try assert(s4.entity("d1").nonEmpty) finally s4.close()
     // a FOREIGN-host lock is never presumed stale: fail, tell the operator
     java.nio.file.Files.write(lockFile,
       """{"pid":1,"host":"some-other-driver-host","token":"x","since":"2026-01-01T00:00:00Z"}"""
