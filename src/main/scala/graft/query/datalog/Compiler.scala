@@ -360,7 +360,18 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
     * named-transformer surface, F1), then Spark builtins. */
   private def fnColumn(fn: String, args: Seq[Term]): Column = {
     val cs = args.map(termCol)
-    registry.columnFn(fn).map(_(cs)).getOrElse(call_function(fn, cs: _*))
+    fn match {
+      // arithmetic operators appear throughout crux bind clauses
+      // ([(+ ?x 1) ?y] …) but are NOT resolvable through call_function —
+      // Spark's parser rejects operator tokens as function names
+      // (caught by DatalogDifferentialSpec's generated bind queries)
+      case "+" => cs.reduce(_ + _)
+      case "-" => if (cs.size == 1) -cs.head else cs.reduce(_ - _)
+      case "*" => cs.reduce(_ * _)
+      case "/" => cs.reduce(_ / _)
+      case "mod" => cs.reduce(_ % _)
+      case _ => registry.columnFn(fn).map(_(cs)).getOrElse(call_function(fn, cs: _*))
+    }
   }
 
   // -------------------------------------------------------- :find projection

@@ -64,7 +64,12 @@ object EdnDatalog {
       : Either[String, org.apache.spark.sql.DataFrame] =
     parseQuery(edn).flatMap { q =>
       try Right(compiler.run(docs, q))
-      catch { case e: Exception => Left(Option(e.getMessage).getOrElse(e.toString)) }
+      catch { case e: Exception =>
+        // some Spark exceptions (ParseException) have messages that START
+        // with a newline — a trimmed-blank message reads as "no reason",
+        // so fall back to toString
+        Left(Option(e.getMessage).map(_.trim).filter(_.nonEmpty).getOrElse(e.toString))
+      }
     }
 
   // ------------------------------------------------------------------ pieces

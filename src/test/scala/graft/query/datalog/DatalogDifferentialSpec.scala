@@ -373,4 +373,113 @@ class DatalogDifferentialSpec extends SparkSpec {
   test("differential regressions: pinned query shapes") {
     regressionQueries.foreach(check)
   }
+
+  // ---------------------------------------- binds and rules (second sweep)
+  // These clause classes don't fit the GQuery IR above, so each template
+  // gets its own tiny renderer + naive evaluation — still EDN-text in,
+  // independent formulation out.
+
+  private def runEdn(edn: String): Seq[Seq[Any]] =
+    EdnDatalog.run(docs, edn) match {
+      case Left(err) => fail(s"pipeline rejected $edn: $err")
+      case Right(df) => df.collect().toSeq.map(_.toSeq)
+    }
+
+  private def asBags(got: Seq[Seq[Any]], want: Seq[Seq[Any]], edn: String): Unit = {
+    val g = got.map(_.map(normalize)).groupBy(identity).view.mapValues(_.size).toMap
+    val w = want.map(_.map(normalize)).groupBy(identity).view.mapValues(_.size).toMap
+    assert(g == w, s"mismatch for $edn\n  spark-only: ${(g.keySet -- w.keySet).take(3)}" +
+      s"\n  naive-only: ${(w.keySet -- g.keySet).take(3)}")
+  }
+
+  test("differential: 40 generated bind-clause queries (arithmetic + string fns)") {
+    val gen = for {
+      op <- Gen.oneOf("+", "-", "*")
+      k <- Gen.oneOf(5.0, 10.0, 2.0, 50.0)
+      predOp <- Gen.oneOf(">=", "<", "!=")
+      predK <- Gen.oneOf(100.0, 150.0, 200.0, 90.0)
+      withPred <- Gen.oneOf(true, false)
+      strBind <- Gen.oneOf(true, false)
+    } yield (op, k, predOp, predK, withPred, strBind)
+    for ((op, k, predOp, predK, withPred, strBind) <- samples(gen, 40)) {
+      val pred = if (withPred) s" [($predOp ?s2 ${ednConst(predK)})]" else ""
+      val (findExtra, bindExtra) =
+        if (strBind) (" ?u", " [(upper ?n) ?u]") else ("", "")
+      val edn = s"{:find [?n ?s2$findExtra] :where [[?e :name ?n] [?e :salary ?s]" +
+        s" [($op ?s ${ednConst(k)}) ?s2]$bindExtra$pred]}"
+      val want = emps.flatMap { e =>
+        val s2 = op match {
+          case "+" => e.salary + k
+          case "-" => e.salary - k
+          case "*" => e.salary * k
+        }
+        val keep = !withPred || (predOp match {
+          case ">=" => s2 >= predK
+          case "<" => s2 < predK
+          case "!=" => s2 != predK
+        })
+        if (keep)
+          Some(if (strBind) Seq(e.name, s2, e.name.toUpperCase) else Seq(e.name, s2))
+        else None
+      }.distinct
+      asBags(runEdn(edn), want, edn)
+    }
+  }
+
+  test("differential: 30 generated non-recursive multi-body rules (union semantics)") {
+    val gen = for {
+      nBodies <- Gen.chooseNum(1, 2)
+      ks <- Gen.listOfN(nBodies, Gen.oneOf(salaryConsts))
+      dept <- Gen.option(Gen.oneOf(depts))
+    } yield (ks, dept)
+    for ((ks, dept) <- samples(gen, 30)) {
+      // each body names its params differently on purpose (legal in crux;
+      // the compiler α-renames) and keeps a private body var
+      val ruleBodies = ks.zipWithIndex.map { case (k, i) =>
+        s"[(wellpaid ?p$i) [?p$i :salary ?x$i] [(>= ?x$i ${ednConst(k)})]]"
+      }.mkString(" ")
+      val deptPat = dept.fold("")(d => s" [?e :dept ${ednConst(d)}]")
+      val edn = s"{:find [?n] :where [[?e :name ?n]$deptPat (wellpaid ?e)]" +
+        s" :rules [$ruleBodies]}"
+      val want = emps.filter(e => ks.exists(e.salary >= _))
+        .filter(e => dept.forall(_ == e.dept))
+        .map(e => Seq(e.name)).distinct
+      asBags(runEdn(edn), want, edn)
+    }
+  }
+
+  test("differential: 20 recursive reachability rule queries (transitive manager)") {
+    // naive side: transitive closure by iteration over the manager edges —
+    // no shared machinery with the compiler's semi-naive fixpoint
+    val edges = emps.collect { case e if e.manager != null => (e.id, e.manager) }
+    def closure: Set[(String, String)] = {
+      var acc = edges.toSet
+      var grew = true
+      while (grew) {
+        val next = acc ++ (for ((a, b) <- acc; (b2, c) <- edges if b2 == b) yield (a, c))
+        grew = next.size > acc.size; acc = next
+      }
+      acc
+    }
+    val names = emps.map(e => e.id -> e.name).toMap
+    val gen = for {
+      dept <- Gen.option(Gen.oneOf(depts))
+      prefix <- Gen.option(Gen.oneOf("a", "b", "c", "d", "g"))
+    } yield (dept, prefix)
+    for ((dept, prefix) <- samples(gen, 20)) {
+      val deptPat = dept.fold("")(d => s" [?e :dept ${ednConst(d)}]")
+      val pfxPred = prefix.fold("")(p => s""" [(starts-with? ?bn "$p")]""")
+      val edn = s"{:find [?n ?bn] :where [[?e :name ?n]$deptPat (boss ?e ?b) " +
+        s"[?b :name ?bn]$pfxPred] " +
+        ":rules [[(boss ?a ?b) [?a :manager ?b]] " +
+        "[(boss ?a2 ?b2) [?a2 :manager ?x] (boss ?x ?b2)]]}"
+      val byId = emps.map(e => e.id -> e).toMap
+      val want = closure.toSeq
+        .filter { case (a, _) => dept.forall(_ == byId(a).dept) }
+        .map { case (a, b) => Seq[Any](names(a), names(b)) }
+        .filter(r => prefix.forall(p => r(1).toString.startsWith(p)))
+        .distinct
+      asBags(runEdn(edn), want, edn)
+    }
+  }
 }
