@@ -448,6 +448,48 @@ class DatalogDifferentialSpec extends SparkSpec {
     }
   }
 
+  test("differential: 30 generated or-join / not-join / :args queries") {
+    // or-join/not-join restrict unification to DECLARED vars — branches and
+    // negations bind private vars freely; :args substitutes constants
+    // before compilation. All three templates evaluated naively by direct
+    // row logic over the fixture.
+    val byId = emps.map(e => e.id -> e).toMap
+    def mgrDept(e: DiffEmp): Option[String] =
+      Option(e.manager).flatMap(byId.get).map(_.dept)
+    val gen = for {
+      kind <- Gen.oneOf("not-join", "or-join", "args")
+      c1 <- Gen.oneOf(depts)
+      c2 <- Gen.oneOf(depts)
+      minSal <- Gen.option(Gen.oneOf(salaryConsts))
+    } yield (kind, c1, c2, minSal)
+    for ((kind, c1, c2, minSal) <- samples(gen, 30)) {
+      val salPat = minSal.fold("")(_ => " [?e :salary ?s]")
+      val salPred = minSal.fold("")(k => s" [(>= ?s ${ednConst(k)})]")
+      def salOk(e: DiffEmp) = minSal.forall(e.salary >= _)
+      val (edn, want) = kind match {
+        case "not-join" =>
+          // exclude e whose MANAGER is in dept c1 (?mm is private to the not)
+          (s"{:find [?n] :where [[?e :name ?n]$salPat$salPred " +
+            s"(not-join [?e] [?e :manager ?mm] [?mm :dept ${ednConst(c1)}])]}",
+            emps.filter(e => salOk(e) && !mgrDept(e).contains(c1))
+              .map(e => Seq[Any](e.name)))
+        case "or-join" =>
+          // e in dept c1 OR managed by someone in dept c2 (?mm private)
+          (s"{:find [?n] :where [[?e :name ?n]$salPat$salPred " +
+            s"(or-join [?e] [?e :dept ${ednConst(c1)}] " +
+            s"(and [?e :manager ?mm] [?mm :dept ${ednConst(c2)}]))]}",
+            emps.filter(e => salOk(e) && (e.dept == c1 || mgrDept(e).contains(c2)))
+              .map(e => Seq[Any](e.name)))
+        case _ =>
+          // parameter binding: ?d arrives via :args, not the query text
+          (s"{:find [?n] :where [[?e :name ?n] [?e :dept ?d]$salPat$salPred] " +
+            s""":args [{?d ${ednConst(c1)}}]}""",
+            emps.filter(e => salOk(e) && e.dept == c1).map(e => Seq[Any](e.name)))
+      }
+      asBags(runEdn(edn), want.distinct, edn)
+    }
+  }
+
   test("differential: 20 recursive reachability rule queries (transitive manager)") {
     // naive side: transitive closure by iteration over the manager edges —
     // no shared machinery with the compiler's semi-naive fixpoint
