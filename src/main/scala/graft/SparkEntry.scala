@@ -91,6 +91,7 @@ object SparkEntry {
     "datalog_query"       -> (graft.query.datalog.DatalogDb.datalogQuery(_, _)),
     "datalog_edn"         -> (graft.query.datalog.DatalogDb.datalogEdnQuery(_, _)),
     "datalog_sample"      -> (graft.query.datalog.DatalogDb.datalogSampleQuery(_, _)),
+    "datalog_bind_arith"  -> (graft.query.datalog.DatalogDb.datalogBindArithQuery(_, _)),
     // north-star LLM-pipeline extensions
     "dedup_exact"         -> (Dedup.dedupExactQuery(_, _)),
     "dedup_minhash"       -> (Dedup.minhashQuery(_, _)),
@@ -1013,6 +1014,13 @@ object SparkEntry {
       """SELECT c_mktsegment AS seg, count(*) AS count_o
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_totalprice > 300000.0 GROUP BY c_mktsegment""",
+    // datalog_bind_arith: the bind chain is pure scalar IEEE arithmetic —
+    // identical in any engine — so only the count aggregates (exact)
+    "datalog_bind_arith" ->
+      """SELECT c_mktsegment AS seg, count(*) AS count_o
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE (o_totalprice * 2.0) - 100000.0 > 500000.0
+         GROUP BY c_mktsegment""",
     // datalog_sample: crux 1.16 (sample 3 ?n) = first 3 distinct values in
     // salted-md5 order; (rand 2 ?n) = picks i=1..2 indexing the SORTED value
     // bag at ((i*2654435761) mod 2^31) mod size. Both scrambles are

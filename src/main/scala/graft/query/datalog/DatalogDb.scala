@@ -55,6 +55,24 @@ object DatalogDb {
                   [?c :c-mktsegment ?seg]]}""")
       .fold(e => throw new IllegalArgumentException(e), identity)
 
+  /** SparkEntry query `datalog_bind_arith`: arithmetic BIND clauses —
+    * `[(* ?t 2.0) ?tt]` etc — chained through a derived-value predicate.
+    * The operators compile to Column arithmetic (call_function rejects
+    * operator tokens; caught by DatalogDifferentialSpec, fixed round 9).
+    * Only scalar IEEE ops feed the filter (no float aggregation), so the
+    * DuckDB oracle replays the arithmetic bit-exactly and the gate is
+    * hash-checked. */
+  def datalogBindArithQuery(s: SparkSession, d: String): DataFrame =
+    EdnDatalog.run(ordersCustomers(s, d),
+      """{:find  [?seg (count ?o)]
+          :where [[?o :o-totalprice ?t]
+                  [(* ?t 2.0) ?tt]
+                  [(- ?tt 100000.0) ?net]
+                  [(> ?net 500000.0)]
+                  [?o :order-cust ?c]
+                  [?c :c-mktsegment ?seg]]}""")
+      .fold(e => throw new IllegalArgumentException(e), identity)
+
   /** SparkEntry query `datalog_sample`: the crux 1.16 two-arg `:find`
     * aggregates `(sample N ?x)` / `(rand N ?x)` over the customer universe.
     * The picks use engine-portable scrambles (salted md5 order for sample,
