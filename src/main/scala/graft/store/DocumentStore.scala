@@ -101,8 +101,18 @@ class DocumentStore(val spark: SparkSession, val path: String) {
     // column, i.e. exactly what `append` writes.
     if (fs.exists(p))
       spark.read.schema(versionSchema).parquet(path)
-    else spark.emptyDataset[VersionedDoc].toDF()
-      .withColumn("valid_date", to_date(col("validFrom")))
+    else {
+      // compact()'s swap is rename(path→.old) then rename(.compact→path):
+      // a reader landing between the two — or after a crash there — finds
+      // the path absent while .old holds the FULL pre-compact data.
+      // Reading .old in that window is the correct snapshot (compaction
+      // changes layout, never rows); silently returning empty here made
+      // the swap window a wrong-answer window, not just a slow one.
+      val bak = new org.apache.hadoop.fs.Path(path + ".old")
+      if (fs.exists(bak)) spark.read.schema(versionSchema).parquet(bak.toString)
+      else spark.emptyDataset[VersionedDoc].toDF()
+        .withColumn("valid_date", to_date(col("validFrom")))
+    }
   }
 
   private lazy val versionSchema =
@@ -171,6 +181,13 @@ class DocumentStore(val spark: SparkSession, val path: String) {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a previous compact that crashed between its two renames left the data
+    // at `.old` and the path absent — restore it first (readers were
+    // already being served from `.old` by versionsRaw's fallback)
+    val prevBak = new Path(path + ".old")
+    if (!fs.exists(p) && fs.exists(prevBak) && !fs.rename(prevBak, p))
+      throw new java.io.IOException(
+        s"compact: crashed-swap recovery rename $prevBak -> $p failed")
     if (!fs.exists(p)) return
     val tmp = new Path(path + ".compact")
     // one file per date partition, rows CLUSTERED by (id, validFrom): parquet

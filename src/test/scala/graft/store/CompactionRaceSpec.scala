@@ -77,4 +77,29 @@ class CompactionRaceSpec extends SparkSpec {
       assert(store.versions().count() == 40)
     } finally store.close()
   }
+
+  test("crashed swap: reads fall back to .old; the next compact self-heals") {
+    val base = Files.createTempDirectory("compact-crash").toString
+    val store = DocumentStore(spark, base + "/db")
+    try {
+      (1 to 5).foreach(i => store.put(s"c$i", s"""{"v":$i}"""))
+      // simulate a compact that died between its two renames: data at .old,
+      // live path absent
+      val fs = new org.apache.hadoop.fs.Path(store.path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(store.path),
+        new org.apache.hadoop.fs.Path(store.path + ".old")))
+      // readers keep answering from the backup — NOT a silent empty store
+      assert(store.db().count() == 5, "mid-swap reads must serve .old, not empty")
+      assert(store.entity("c3").contains("""{"v":3}"""))
+      // the next compact restores the path first, then compacts normally
+      store.compact()
+      assert(fs.exists(new org.apache.hadoop.fs.Path(store.path)))
+      assert(store.db().count() == 5)
+      (1 to 5).foreach(i => assert(store.entity(s"c$i").contains(s"""{"v":$i}""")))
+      // and writes work again post-recovery
+      store.put("c6", """{"v":6}""")
+      assert(store.db().count() == 6)
+    } finally store.close()
+  }
 }
