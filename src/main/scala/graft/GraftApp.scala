@@ -27,16 +27,19 @@ import graft.stream.{AlertScheduler, NodeSpec, StreamIO, StreamManager, Topology
   */
 class GraftApp(val spark: SparkSession, val store: DocumentStore,
                val io: StreamIO, val registry: FunctionRegistry,
-               authSecret: Option[String] = None) {
+               authSecret: Option[String] = None,
+               requireRole: Boolean = false) {
 
   val topology = new Topology(io, registry)
   val streams = new StreamManager(topology)
   /** With a secret, the REST surface runs behind the bearer gate — only
     * the register/login doors stay public (the reference's auth wiring,
-    * `/root/reference/src/dataworks/core.clj` + `utils/auth.clj`). */
+    * `/root/reference/src/dataworks/core.clj` + `utils/auth.clj`).
+    * `requireRole` is the deny-by-default knob (see [[graft.api.BearerAuth]]). */
   val collectors = new graft.api.CollectorServer(store, streams,
     auth = authSecret.map(s => graft.api.BearerAuth(s,
-      publicPaths = Set(GraftApp.registerPath, GraftApp.loginPath))))
+      publicPaths = Set(GraftApp.registerPath, GraftApp.loginPath),
+      requireRole = requireRole)))
   /** User accounts + credential flow (present iff the gate is on). */
   val users: Option[graft.auth.UserAuth] =
     authSecret.map(new graft.auth.UserAuth(store, _))
@@ -127,6 +130,8 @@ object GraftApp {
 
   def apply(spark: SparkSession, dbPath: String, io: StreamIO,
             registry: FunctionRegistry = FunctionRegistry.default,
-            authSecret: Option[String] = None): GraftApp =
-    new GraftApp(spark, DocumentStore(spark, dbPath), io, registry, authSecret)
+            authSecret: Option[String] = None,
+            requireRole: Boolean = false): GraftApp =
+    new GraftApp(spark, DocumentStore(spark, dbPath), io, registry,
+      authSecret, requireRole)
 }
