@@ -490,6 +490,50 @@ class DatalogDifferentialSpec extends SparkSpec {
     }
   }
 
+  test("totality fuzz: mutated and garbage query text always Lefts, never throws") {
+    // the management plane feeds operator-typed EDN straight into
+    // EdnDatalog.run — an exception here would 500 the query door, so the
+    // contract is total: every malformed input is a Left(reason) with a
+    // non-empty reason. Mutations: truncations, bracket surgery, char
+    // swaps, and raw ASCII noise over a valid seed query.
+    val seed = "{:find [?n (sum ?s)] :where [[?e :name ?n] [?e :salary ?s] " +
+      "[(>= ?s 90.0)] (not [?e :dept \"eng\"])] :order-by [[?n :asc]] :limit 3}"
+    val mutGen = for {
+      kind <- Gen.chooseNum(0, 3)
+      i <- Gen.chooseNum(0, seed.length - 1)
+      j <- Gen.chooseNum(0, seed.length - 1)
+      c <- Gen.asciiPrintableChar
+      len <- Gen.chooseNum(0, 60)
+      noise <- Gen.listOfN(len, Gen.asciiPrintableChar).map(_.mkString)
+    } yield kind match {
+      case 0 => seed.take(i) // truncation
+      case 1 => seed.updated(i, c) // point mutation
+      case 2 => // bracket surgery: drop one delimiter
+        if (i < seed.length && "[]{}()".contains(seed(i)))
+          seed.take(i) + seed.drop(i + 1)
+        else seed.take(i) + seed.drop(math.min(i + 1, seed.length))
+      case _ => noise // raw garbage
+    }
+    for (text <- samples(mutGen, 200)) {
+      val out = try EdnDatalog.run(docs, text)
+      catch { case e: Throwable => fail(s"threw ${e.getClass.getSimpleName} on: $text") }
+      out match {
+        case Left(reason) => assert(reason.trim.nonEmpty, s"empty reason for: $text")
+        case Right(df) =>
+          // a mutation can stay well-formed yet type-mismatched at runtime
+          // (e.g. [(>= ?s 1s)] compares a double to the string "1s"): an
+          // ANSI cast error at execution is legitimate SQL semantics (the
+          // HTTP query door surfaces it as a typed 500) — but an NPE,
+          // MatchError or stack overflow here would be a compiler bug
+          try { df.collect(); () } catch {
+            case _: org.apache.spark.SparkThrowable => ()
+            case e: Throwable if e.getCause.isInstanceOf[org.apache.spark.SparkThrowable] => ()
+            case e: Throwable => fail(s"pathological ${e.getClass.getSimpleName} on: $text")
+          }
+      }
+    }
+  }
+
   test("differential: 20 recursive reachability rule queries (transitive manager)") {
     // naive side: transitive closure by iteration over the manager edges —
     // no shared machinery with the compiler's semi-naive fixpoint
