@@ -1,0 +1,148 @@
+package graft.store
+
+import java.sql.Timestamp
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Randomized differential testing of the bitemporal store: generated
+  * op sequences (puts at past/present/future valid time, tombstones,
+  * match-puts) applied BOTH to a [[DocumentStore]] and to a naive
+  * in-memory model of Crux's bitemporal semantics (a bag of
+  * (validFrom, txTime, deleted, doc) versions; visible doc at (vt, tt) =
+  * latest by (validFrom, txTime) among those with validFrom ≤ vt ∧
+  * txTime ≤ tt, if not a tombstone). Then every read face is compared at
+  * adversarial cuts: entity(), full asOf() snapshots (bitemporal),
+  * history chains, and the CDC change classification.
+  *
+  * What this exercises that the fixed specs don't: interleavings of
+  * past-valid-time writes with tombstones (a late-arriving correction
+  * must not resurrect under a later cut), the window tie-break when one
+  * valid instant carries several tx versions, and the date-partition
+  * prune's timezone slack (a wrong prune silently drops whole days —
+  * here every snapshot is checked row-for-row). Fixed seeds; ~60 ops
+  * across two sequences keep the Spark-job budget test-sized. */
+class StorePropertySpec extends SparkSpec {
+
+  private sealed trait Op
+  private case class PutOp(id: String, doc: String, offsetMs: Option[Long]) extends Op
+  private case class DelOp(id: String, offsetMs: Option[Long]) extends Op
+  private case class MatchPutOp(id: String, expectCurrent: Boolean, doc: String) extends Op
+
+  private case class Version(id: String, validFrom: Long, txTime: Long,
+                             deleted: Boolean, doc: String)
+
+  /** The naive model: visible doc per the Crux rule, direct scan. */
+  private def visible(versions: Seq[Version], id: String, vt: Long, tt: Long): Option[String] =
+    versions.filter(v => v.id == id && v.validFrom <= vt && v.txTime <= tt)
+      .sortBy(v => (v.validFrom, v.txTime)).lastOption
+      .filterNot(_.deleted).map(_.doc)
+
+  private def snapshot(versions: Seq[Version], vt: Long, tt: Long): Map[String, String] =
+    versions.map(_.id).distinct
+      .flatMap(id => visible(versions, id, vt, tt).map(id -> _)).toMap
+
+  private val ids = Seq("a", "b", "c")
+  private val offsets: Seq[Option[Long]] =
+    Seq(None, Some(-7200000L), Some(-1L), Some(1L), Some(3600000L))
+
+  private val genOp: Gen[Op] = Gen.frequency(
+    5 -> (for {
+      id <- Gen.oneOf(ids); v <- Gen.chooseNum(0, 999)
+      off <- Gen.oneOf(offsets)
+    } yield PutOp(id, s"""{"v":$v}""", off)),
+    2 -> (for {
+      id <- Gen.oneOf(ids); off <- Gen.oneOf(offsets)
+    } yield DelOp(id, off)),
+    2 -> (for {
+      id <- Gen.oneOf(ids); expect <- Gen.oneOf(true, false)
+      v <- Gen.chooseNum(1000, 1999)
+    } yield MatchPutOp(id, expect, s"""{"v":$v}""")))
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    Iterator.from(0).map(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+      .collect { case Some(v) => v }.take(n).toSeq
+
+  test("differential: generated op sequences — entity, bitemporal snapshots, history, CDC") {
+    for ((seed, nOps) <- Seq((77L, 30), (901L, 30))) {
+      val store = DocumentStore(spark,
+        java.nio.file.Files.createTempDirectory(s"store-prop-$seed").toString + "/db")
+      try {
+        var model = Vector.empty[Version]
+        for (op <- samples(genOp, nOps, seed)) op match {
+          case PutOp(id, doc, off) =>
+            // mirror the store's own valid-time derivation: tx-clock now + offset
+            val vf = off.map(o => new Timestamp(store.now().getTime + o))
+            val tx = store.put(id, doc, vf)
+            model :+= Version(id, vf.getOrElse(tx).getTime, tx.getTime, deleted = false, doc)
+          case DelOp(id, off) =>
+            val vf = off.map(o => new Timestamp(store.now().getTime + o))
+            val tx = store.delete(id, vf)
+            model :+= Version(id, vf.getOrElse(tx).getTime, tx.getTime, deleted = true, null)
+          case MatchPutOp(id, expectCurrent, doc) =>
+            // the model predicts whether the cas-style match commits
+            val now = store.now().getTime
+            val cur = visible(model, id, now, now)
+            val expected = if (expectCurrent) cur else cur.map(_ + "-stale")
+            val committed = store.matchPut(id, expected, doc)
+            assert(committed == (expected == cur),
+              s"matchPut commit decision diverged for $id (expected=$expected cur=$cur)")
+            if (committed) {
+              // the exact committed tx (matchPut returns only Boolean):
+              // read it back — approximating with now() can drift a few ms
+              // past the real tx and corrupt the model's cuts
+              val tx = store.versions()
+                .agg(org.apache.spark.sql.functions.max("txTime"))
+                .collect()(0).getTimestamp(0).getTime
+              model :+= Version(id, tx, tx, deleted = false, doc)
+            }
+        }
+
+        // ---- read-face comparison at adversarial cuts
+        val txs = model.map(_.txTime).sorted
+        val vts = model.map(_.validFrom).sorted
+        val now = store.now().getTime
+        // entity() at now
+        for (id <- ids)
+          assert(store.entity(id) == visible(model, id, now, now),
+            s"entity($id) diverged [seed $seed]")
+        // full bitemporal snapshots at mid-sequence and boundary cuts
+        val vtCuts = (Seq(now, now + 7200001L) ++ vts.take(3) ++ vts.takeRight(2)).distinct
+        val ttCuts = (Seq(now) ++ txs.drop(nOps / 3).take(2)).distinct
+        for (vt <- vtCuts; tt <- ttCuts) {
+          val got = store.asOf(new Timestamp(vt), new Timestamp(tt))
+            .select("id", "doc").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+          assert(got == snapshot(model, vt, tt),
+            s"asOf(vt=$vt, tt=$tt) diverged [seed $seed]:\n got $got\n want ${snapshot(model, vt, tt)}")
+        }
+        // per-entity history chain (newest first, tombstones included)
+        for (id <- ids) {
+          val got = store.history(id).select("validFrom", "txTime", "deleted")
+            .collect().map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime, r.getBoolean(2))).toSeq
+          val want = model.filter(_.id == id)
+            .sortBy(v => (-v.validFrom, -v.txTime))
+            .map(v => (v.validFrom, v.txTime, v.deleted))
+          assert(got == want, s"history($id) diverged [seed $seed]")
+        }
+        // CDC classification: delete rows are deletes; a version whose
+        // PREDECESSOR (tx order) is absent or a tombstone is an insert
+        val gotChanges = store.changes().select("id", "txTime", "validFrom", "op")
+          .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+            r.getTimestamp(2).getTime, r.getString(3))).toSet
+        val wantChanges = model.groupBy(_.id).flatMap { case (_, vs) =>
+          val ordered = vs.sortBy(v => (v.txTime, v.validFrom))
+          ordered.zipWithIndex.map { case (v, i) =>
+            val op =
+              if (v.deleted) "delete"
+              else if (i == 0 || ordered(i - 1).deleted) "insert"
+              else "update"
+            (v.id, v.txTime, v.validFrom, op)
+          }
+        }.toSet
+        assert(gotChanges == wantChanges, s"changes() classification diverged [seed $seed]")
+      } finally store.close()
+    }
+  }
+}
