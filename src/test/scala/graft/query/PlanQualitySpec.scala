@@ -116,6 +116,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans == 2, s"orders + customer = exactly 2 scans, got $scans")
   }
 
+  test("datalog arithmetic binds stay whole-stage projections on the scan side") {
+    val df = graft.query.datalog.DatalogDb.datalogBindArithQuery(spark, sf("sf0.001"))
+    // the bind chain + derived-value predicate must collapse into the
+    // orders-side scan/filter (2 relation leaves, no extra shuffle beyond
+    // the join + final aggregate), not materialize per-bind projections
+    val scans = df.queryExecution.optimizedPlan.collectLeaves().length
+    assert(scans == 2, s"orders + customer = exactly 2 scans, got $scans")
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"bind arithmetic must not break the equi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the dim side must broadcast — no fact-side join shuffle:\n$plan")
+    // the derived-value predicate must reach the SCAN STAGE's filter (the
+    // binds fold into one projection), not sit above the join
+    assert(plan.contains("* 2.0") && plan.contains("- 100000.0"),
+      s"bind arithmetic must fold into the scan-side filter:\n$plan")
+  }
+
   test("near-dup candidate generation never degenerates to a cartesian product") {
     // the 100 TB contract of every LSH path: candidates come from an
     // EQUI-join on a small hash key; a CartesianProduct/BroadcastNestedLoop
