@@ -221,6 +221,37 @@ class DocumentStore(val spark: SparkSession, val path: String) {
     if (fs.exists(p)) fs.delete(bak, true)
   }
 
+  /** Files per `valid_date` partition — the fragmentation the
+    * one-file-per-transaction append layout accumulates. Metadata-only
+    * (a directory listing, no data read); the operator-facing health
+    * probe behind [[compactIfFragmented]]. */
+  def fragmentation(): Map[String, Int] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("valid_date="))
+      .map { dir =>
+        dir.getPath.getName -> fs.listStatus(dir.getPath)
+          .count(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+      }.toMap
+  }
+
+  /** Compaction POLICY over the manual [[compact]]: rewrite only when some
+    * date partition has accumulated more than `maxFilesPerPartition`
+    * transaction files. The intended cadence is a periodic maintenance
+    * tick (an alert-scheduler transactor, a cron) calling this — cheap
+    * no-op listing most of the time, a single compaction when the append
+    * log is actually fragmented. Returns whether a compaction ran. */
+  def compactIfFragmented(maxFilesPerPartition: Int = 64): Boolean = {
+    require(maxFilesPerPartition >= 1, "maxFilesPerPartition must be >= 1")
+    val frag = fragmentation()
+    if (frag.values.exists(_ > maxFilesPerPartition)) { compact(); true }
+    else false
+  }
+
   /** S5: delete — tombstone ending validity now (or at `validFrom`). */
   def delete(id: String, validFrom: Option[Timestamp] = None): Timestamp =
     lock.synchronized {

@@ -78,6 +78,27 @@ class CompactionRaceSpec extends SparkSpec {
     } finally store.close()
   }
 
+  test("compactIfFragmented: policy triggers only past the threshold, then coalesces") {
+    val base = Files.createTempDirectory("compact-policy").toString
+    val store = DocumentStore(spark, base + "/db")
+    try {
+      (1 to 8).foreach(i => store.put(s"f$i", s"""{"v":$i}"""))
+      val before = store.fragmentation()
+      assert(before.values.sum >= 8,
+        s"one file per transaction expected, got $before")
+      // under-threshold: a no-op (the cheap periodic-tick common case)
+      assert(!store.compactIfFragmented(maxFilesPerPartition = 100))
+      assert(store.fragmentation() == before, "no-op must not touch the layout")
+      // past the threshold: compacts down to one file per date partition
+      assert(store.compactIfFragmented(maxFilesPerPartition = 4))
+      val after = store.fragmentation()
+      assert(after.values.forall(_ == 1), s"coalesced layout expected, got $after")
+      assert(store.db().count() == 8, "read view unchanged by the policy run")
+      // and immediately re-running is a no-op again
+      assert(!store.compactIfFragmented(maxFilesPerPartition = 4))
+    } finally store.close()
+  }
+
   test("crashed swap: reads fall back to .old; the next compact self-heals") {
     val base = Files.createTempDirectory("compact-crash").toString
     val store = DocumentStore(spark, base + "/db")
