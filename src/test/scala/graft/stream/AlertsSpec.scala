@@ -108,4 +108,46 @@ class AlertsSpec extends SparkSpec {
     Thread.sleep(300) // allow a hypothetical double-fire to land
     assert(calls.size == 1, s"exactly one scheduler must win, got ${calls.size}")
   }
+
+  test("maintenance tick: scheduled transactor runs the compaction policy, reschedules itself") {
+    // the operational shape compactIfFragmented is designed for, built
+    // purely by composition: a transactor runs the policy AND schedules
+    // the next tick as another future-valid alert — a self-perpetuating
+    // maintenance loop with no engine support beyond T20 + the policy
+    val store = freshStore()
+    val reg = new FunctionRegistry
+    val ran = new ConcurrentLinkedQueue[Boolean]()
+    def schedule(atMs: Long): Unit =
+      store.put("maint/compact-tick/alert",
+        """{"appName":"maint","alertHandler":"compactStore","alertParams":[]}""",
+        Some(new Timestamp(atMs)))
+    reg.registerTransactor("compactStore", _ => {
+      ran.add(store.compactIfFragmented(maxFilesPerPartition = 4))
+      schedule(System.currentTimeMillis() + 3600000) // next tick in an hour
+    })
+    (1 to 8).foreach(i => store.put(s"m$i", s"""{"v":$i}"""))
+    assert(store.fragmentation().values.sum >= 8)
+
+    schedule(System.currentTimeMillis() - 1) // due immediately
+    val sched = new AlertScheduler(store, reg, pollMillis = 100)
+    sched.tick()
+    val deadline = System.currentTimeMillis() + 10000
+    while (ran.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(ran.toArray.toSeq == Seq(true), "the due tick must compact the fragmented log")
+    // the scheduler's own claim/delete appends and the reschedule put may
+    // land after the compact — a few post-compact files are expected; the
+    // 8-file fragmentation must be gone
+    assert(store.fragmentation().values.forall(_ <= 4),
+      s"post-tick layout must be coalesced: ${store.fragmentation()}")
+    assert(store.db().filter("id like 'm%'").count() == 8, "data intact")
+    // the loop re-armed itself: the next tick is scheduled in the future
+    // (invisible now, visible at its due time) and does not fire early
+    val inAnHour = new Timestamp(System.currentTimeMillis() + 3600000 + 60000)
+    assert(store.entity("maint/compact-tick/alert").isEmpty ||
+      store.entity("maint/compact-tick/alert", inAnHour).isDefined,
+      "rescheduled tick must exist at its future valid time")
+    sched.tick()
+    Thread.sleep(300)
+    assert(ran.size == 1, "the rescheduled tick must not fire before it is due")
+  }
 }
