@@ -16,6 +16,11 @@ import graft.store.DocumentStore
   *   DELETE /dev/<type>/update/<name>  → delete! (extension: the reference
   *                                       has no HTTP delete; ours reuses
   *                                       the same railway)
+  *   POST   /dev/<type>/template       → F9 spec templating: deep
+  *                                       find/replace over a spec body
+  *                                       (the reference's recursive-replace
+  *                                       as its dev macros use it), no
+  *                                       side effects
   *
   * Bodies are the SAME JSON specs the Scala `FunctionManager` takes —
   * one management format everywhere. Failures return the reference's 406
@@ -23,6 +28,28 @@ import graft.store.DocumentStore
   * per `make-authorize-by-fn`, with `developer/all`/`admin/all` implied)
   * is enforced by [[CollectorServer]] when it runs with a [[BearerAuth]].
   */
+object DevResource {
+  /** F9 over the management plane's JSON specs: deep find/replace with the
+    * reference's `recursive-replace` semantics (`utils/common.clj:505-522`
+    * — used by its dev macros to template spec forms before shipping,
+    * `utils/dev.clj:140,151`): containers are recursed into, never
+    * compared wholesale; only leaves are replaced — and FIELD NAMES
+    * participate (a Clojure MapEntry is a vector, so its map pass renames
+    * matching keys too). */
+  def deepReplace(j: JValue, find: JValue, repl: JValue): JValue = j match {
+    case JObject(fields) => JObject(fields.map { case (k, v) =>
+      val key =
+        if (find == JString(k)) repl match {
+          case JString(r) => r
+          case other => JsonMethods.compact(JsonMethods.render(other))
+        } else k
+      (key, deepReplace(v, find, repl))
+    })
+    case JArray(items) => JArray(items.map(deepReplace(_, find, repl)))
+    case leaf => if (leaf == find) repl else leaf
+  }
+}
+
 class DevResource(store: DocumentStore, functions: FunctionManager) {
   private implicit val fmts: Formats = DefaultFormats
 
@@ -53,12 +80,42 @@ class DevResource(store: DocumentStore, functions: FunctionManager) {
       .flatMap(j => (j \ "name").extractOpt[String])
       .map(n => n.substring(n.lastIndexOf('/') + 1))
 
+  import DevResource.deepReplace
+
+  /** `replace-these` over a spec: `{"spec": <spec>, "replace":
+    * [[find, repl], ...]}` → the templated spec. Tuples apply
+    * left-to-right (later tuples see earlier results). */
+  private def template(body: String): (Int, String) =
+    JsonMethods.parseOpt(body) match {
+      case None => err(400, "body must be JSON")
+      case Some(j) => (j \ "spec") match {
+        case JNothing => err(400, "body must carry a 'spec' field")
+        case spec =>
+          val tuples = (j \ "replace") match {
+            case JArray(ts) => ts.map {
+              case JArray(List(f, r)) => Right((f, r))
+              case other => Left(JsonMethods.compact(JsonMethods.render(other)))
+            }
+            case JNothing => scala.collection.immutable.Nil
+            case _ => List(Left("'replace' must be an array of [find, replace] pairs"))
+          }
+          tuples.collectFirst { case Left(bad) => bad } match {
+            case Some(bad) => err(400, s"bad replace tuple: $bad")
+            case None =>
+              val templated = tuples.collect { case Right((f, r)) => (f, r) }
+                .foldLeft(spec) { case (s, (f, r)) => deepReplace(s, f, r) }
+              ok(200, "spec" -> templated)
+          }
+      }
+    }
+
   def handle(method: String, path: String, body: String): (Int, String) =
     parsePath(path) match {
       case None => err(404, "no such dev resource (types: " +
         functions.functionTypes.toSeq.sorted.mkString(", ") + ")")
       case Some((tpe, action)) => (method, action.split("/").toList) match {
         case ("GET", "create" :: Nil) => list(tpe)
+        case ("POST", "template" :: Nil) => template(body)
         case ("POST", "create" :: Nil) =>
           mgmtName(body) match {
             case None => err(400, "spec body must be JSON with a name field")
@@ -88,8 +145,10 @@ class DevResource(store: DocumentStore, functions: FunctionManager) {
           err(405, s"method $m not allowed on /dev/$tpe/create")
         case (m, "update" :: _ :: Nil) =>
           err(405, s"method $m not allowed on /dev/$tpe/update")
+        case (m, "template" :: Nil) =>
+          err(405, s"method $m not allowed on /dev/$tpe/template")
         case _ => err(404, s"no such dev resource /dev/$tpe/$action " +
-          "(actions: create, update/<name>)")
+          "(actions: create, update/<name>, template)")
       }
     }
 

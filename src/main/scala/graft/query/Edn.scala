@@ -69,6 +69,52 @@ object Edn {
     case Tagged(_, value) => jsonify(value) // #inst "..." → the ISO string
   }
 
+  /** F9 (`recursive-replace`, `/root/reference/src/dataworks/utils/
+    * common.clj:505-522`): deep find/replace over a parsed form. Matches
+    * the reference's semantics exactly: collections are RECURSED INTO,
+    * never compared wholesale (its `cond` checks `map?`/`vector?`/`set?`/
+    * `seq?` before `=`), so only atoms are ever replaced — and map KEYS
+    * participate (a Clojure MapEntry is a vector, so its `once-more` hits
+    * both slots). Naive and total, as documented there. */
+  def recursiveReplace(form: Value, find: Value, replacement: Value): Value =
+    form match {
+      case Vec(xs) => Vec(xs.map(recursiveReplace(_, find, replacement)))
+      case Lst(xs) => Lst(xs.map(recursiveReplace(_, find, replacement)))
+      case SetV(xs) => SetV(xs.map(recursiveReplace(_, find, replacement)).distinct)
+      case MapV(es) => MapV(es.map { case (k, v) =>
+        (recursiveReplace(k, find, replacement), recursiveReplace(v, find, replacement)) })
+      case Tagged(t, v) => Tagged(t, recursiveReplace(v, find, replacement))
+      case atom => if (atom == find) replacement else atom
+    }
+
+  /** `replace-these` (common.clj:524-533): fold [[recursiveReplace]] over
+    * find/replacement tuples left-to-right — later tuples see the results
+    * of earlier ones, exactly like the reference's `recur` loop. */
+  def replaceThese(form: Value, tuples: (Value, Value)*): Value =
+    tuples.foldLeft(form) { case (f, (find, repl)) => recursiveReplace(f, find, repl) }
+
+  /** Canonical EDN text for a form — the `pr-str` the reference puts
+    * recursive-replace in front of ("ensure that maps actually end up
+    * quoted as maps, sets as sets"). Round-trips through [[parse]] for
+    * every finite value. */
+  def render(v: Value): String = v match {
+    case Nil => "nil"
+    case Bool(b) => b.toString
+    case Lng(l) => l.toString
+    case Dbl(d) =>
+      if (d.isNaN) "##NaN" else if (d == Double.PositiveInfinity) "##Inf"
+      else if (d == Double.NegativeInfinity) "##-Inf" else d.toString
+    case Str(s) => quote(s)
+    case Kw(n) => s":$n"
+    case Sym(n) => n
+    case Vec(xs) => xs.map(render).mkString("[", " ", "]")
+    case Lst(xs) => xs.map(render).mkString("(", " ", ")")
+    case SetV(xs) => xs.map(render).mkString("#{", " ", "}")
+    case MapV(es) => es.map { case (k, value) => s"${render(k)} ${render(value)}" }
+      .mkString("{", ", ", "}")
+    case Tagged(tag, value) => s"#$tag ${render(value)}"
+  }
+
   private def quote(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""

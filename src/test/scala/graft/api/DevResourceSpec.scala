@@ -74,6 +74,21 @@ class DevResourceSpec extends SparkSpec {
       assert(http("POST", s"$base/app/v2/add-user", Some("""{"user_id":"u3"}"""))._1 == 404)
       assert(http("GET", s"$base/dev/collector/update/add-user")._1 == 404)
 
+      // F9 spec templating: deep find/replace, no side effects
+      val (tc, tbody) = http("POST", s"$base/dev/collector/template",
+        Some("""{"spec":{"name":"NAME","path":"PATH",
+                 "handler":{"kind":"ingest","idField":"id"}},
+                 "replace":[["NAME","orders"],["PATH","TMP"],["TMP","/app/v2/orders"]]}"""
+          .replaceAll("\n\\s*", "")))
+      assert(tc == 200 && tbody.contains("\"name\":\"orders\"") &&
+        tbody.contains("\"path\":\"/app/v2/orders\""), s"$tc $tbody")
+      assert(http("POST", s"$base/dev/collector/template",
+        Some("""{"replace":[]}"""))._1 == 400, "missing spec field → 400")
+      assert(http("POST", s"$base/dev/collector/template",
+        Some("""{"spec":{},"replace":[["lonely"]]}"""))._1 == 400,
+        "non-pair replace tuple → 400")
+      assert(http("GET", s"$base/dev/collector/template")._1 == 405)
+
       // unknown type / malformed body stay on the railway
       assert(http("GET", s"$base/dev/bogus/create")._1 == 404)
       assert(http("POST", s"$base/dev/collector/create", Some("not json"))._1 == 400)
@@ -132,5 +147,25 @@ class DevResourceSpec extends SparkSpec {
         bearer = Some(devTok))._1 == 403,
         "developer/stream must not open the collector plane")
     } finally app.stop()
+  }
+
+  test("F9 deepReplace: reference recursive-replace semantics over JSON") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods.{parse, compact, render}
+    import DevResource.deepReplace
+    val spec = parse("""{"a":{"x":[1,2,{"x":"x"}]},"ys":["x",2,[2]]}""")
+    // leaves replaced at any depth; FIELD NAMES participate (a Clojure
+    // MapEntry is a vector, so the reference renames matching keys too)
+    assert(compact(render(deepReplace(spec, JString("x"), JString("z")))) ==
+      """{"a":{"z":[1,2,{"z":"z"}]},"ys":["z",2,[2]]}""")
+    assert(compact(render(deepReplace(spec, JInt(2), JInt(9)))) ==
+      """{"a":{"x":[1,9,{"x":"x"}]},"ys":["x",9,[9]]}""")
+    // containers are recursed into, never compared wholesale
+    val arr = parse("""[[1,2],[1,2]]""")
+    assert(deepReplace(arr, parse("[1,2]"), JInt(0)) == arr)
+    // a non-string replacement landing on a key is stringified (JSON keys
+    // must be strings — the one divergence from EDN, documented)
+    assert(compact(render(deepReplace(parse("""{"x":1}"""), JString("x"), JInt(7)))) ==
+      """{"7":1}""")
   }
 }

@@ -43,6 +43,49 @@ class EdnSpec extends AnyFunSuite {
     assert(j == """{"fn/name":"add","args":[1,2,-3.5],"opts":["a","b"],"meta":null}""")
   }
 
+  test("F9 recursive-replace: atoms replaced at any depth, keys included") {
+    import Edn._
+    val form = parse("""{:topic :raw, :routes [{:raw 1} #{:raw "raw"}], :fn (inc :raw)}""").get
+    val out = recursiveReplace(form, Kw("raw"), Kw("clean"))
+    assert(render(out) ==
+      """{:topic :clean, :routes [{:clean 1} #{:clean "raw"}], :fn (inc :clean)}""")
+    // strings are distinct from keywords — "raw" above survived; and the
+    // reference's cond order means a COLLECTION equal to the find target
+    // is recursed into, never replaced wholesale
+    val nested = parse("[[1 2] [1 2]]").get
+    assert(recursiveReplace(nested, parse("[1 2]").get, Lng(9L)) == nested)
+  }
+
+  test("F9 replace-these: tuples apply left-to-right, later sees earlier") {
+    import Edn._
+    val form = parse("[:a :b]").get
+    // :a → :b first, then :b → :c — BOTH end as :c, like the reference's recur
+    assert(render(replaceThese(form, (Kw("a"), Kw("b")), (Kw("b"), Kw("c"))))
+      == "[:c :c]")
+  }
+
+  test("property: render/parse round-trip on generated finite forms") {
+    import Edn._
+    val rnd = new scala.util.Random(7)
+    def gen(depth: Int): Value = rnd.nextInt(if (depth > 2) 7 else 10) match {
+      case 0 => Nil
+      case 1 => Bool(rnd.nextBoolean())
+      case 2 => Lng(rnd.nextLong() % 1000)
+      case 3 => Dbl(math.round(rnd.nextDouble() * 1e4) / 1e2) // finite, exact
+      case 4 => Str(rnd.alphanumeric.take(rnd.nextInt(6)).mkString + "\n\"x")
+      case 5 => Kw("k" + rnd.nextInt(100))
+      case 6 => Sym("s" + rnd.nextInt(100))
+      case 7 => Vec(List.fill(rnd.nextInt(4))(gen(depth + 1)))
+      case 8 => Lst(List.fill(rnd.nextInt(4))(gen(depth + 1)))
+      case 9 => MapV(List.fill(rnd.nextInt(3))((Kw("f" + rnd.nextInt(50)), gen(depth + 1)))
+        .distinctBy(_._1))
+    }
+    for (i <- 1 to 300) {
+      val v = gen(0)
+      assert(parse(render(v)).contains(v), s"seed-case $i: ${render(v)}")
+    }
+  }
+
   test("property: parser is total on arbitrary strings") {
     val gen = Gen.asciiPrintableStr
     (1 to 500).foreach(n => gen.apply(Gen.Parameters.default.withSize(n % 60),
