@@ -159,8 +159,17 @@ object VectorExpressions {
   def vec_dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(toExpr(a), toExpr(b)))
   def vec_norm(a: Column): Column = ColumnBridge.column(L2Norm(toExpr(a)))
-  def vec_cosine(a: Column, b: Column): Column =
-    vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+  /** Cosine similarity, null-safe on degenerate vectors: a zero-norm
+    * embedding (empty array, or an all-zeros vector from a failed encode)
+    * has no defined direction, and under ANSI mode (Spark 4 default) the
+    * naive `dot/(‖a‖·‖b‖)` kills the whole job with DIVIDE_BY_ZERO the
+    * first time one appears — at corpus scale, that's a certainty, not an
+    * edge case. CaseWhen evaluates the division only on the non-zero
+    * branch, so the guard costs nothing on the hot path. */
+  def vec_cosine(a: Column, b: Column): Column = {
+    val denom = vec_norm(a) * vec_norm(b)
+    org.apache.spark.sql.functions.when(denom =!= 0.0, vec_dot(a, b) / denom)
+  }
   def srp_sig(a: Column, nBits: Int, tables: Int): Column =
     ColumnBridge.column(SrpSig(toExpr(a), nBits, tables))
 
