@@ -148,6 +148,12 @@ object Similarity {
       val init = v.select(
         pmod(col("vec_id"), lit(kCentroids.toLong)).as("centroid_id"), col("v"))
       var cents = collectCentroidPairs(meanPairs(init))
+      // zero centroids would flow downstream as an empty literal array —
+      // array_min(array()) is VOID-typed and every consumer dies with an
+      // unrelatable AnalysisException. Fail HERE, in the trainer, with the
+      // actual requirement instead (EmptyInputTotalitySpec pins this).
+      require(cents.nonEmpty,
+        "k-means quantizer: cannot train on an empty corpus (no embeddings)")
       for (_ <- 1 to iters)
         cents = collectCentroidPairs(
           meanPairs(assignToNearestLit(v, cents).select("centroid_id", "v")))
@@ -401,7 +407,10 @@ object Similarity {
     // per-subspace Lloyd rounds: the same model-iteration shape as
     // trainCentroids — reduce side ≤ m·ksub rows, so scope the loop
     graft.core.ModelLoop.scoped(v.sparkSession) {
-      val dim = v.select(size(col("v"))).first().getInt(0)
+      val dimRow = v.select(size(col("v"))).take(1)
+      require(dimRow.nonEmpty,
+        "trainPqCodebooks: cannot train PQ codebooks on an empty corpus (no embeddings)")
+      val dim = dimRow(0).getInt(0)
       require(dim % m == 0, s"trainPqCodebooks: dim $dim not divisible by m=$m")
       val dsub = dim / m
       val sub = graft.core.CacheRegistry.persisted(subVectors(v, m, dsub))
