@@ -712,8 +712,8 @@ object SparkEntry {
          max(o_totalprice) AS max_price, count(*) AS n_orders
          FROM orders GROUP BY o_orderstatus""",
     "agg_stats" ->
-      """SELECT l_returnflag, n, (sx2 - sx * sx / n) / (n - 1) AS var_price,
-         sqrt((sx2 - sx * sx / n) / (n - 1)) AS stddev_price, median_price
+      """SELECT l_returnflag, n, (sx2 - sx * sx / n) / NULLIF(n - 1, 0) AS var_price,
+         sqrt((sx2 - sx * sx / n) / NULLIF(n - 1, 0)) AS stddev_price, median_price
          FROM (
            SELECT l_returnflag, count(*) AS n,
              CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,

@@ -700,7 +700,12 @@ object Dedup {
       .join(v.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
       .join(v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+        // zero-norm vectors have no direction: null cosine (which the
+        // threshold filter drops) instead of an ANSI DIVIDE_BY_ZERO that
+        // kills the whole dedup job the first time a failed encode
+        // produces an all-zeros embedding
+        when(col("na") * col("nb") =!= 0.0,
+          Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

@@ -222,8 +222,13 @@ object Relational {
         exactSum(x, 28, 6).as("sx"),
         exactSum(x * x, 38, 6).as("sx2"),
         median(x).as("median_price"))
+      // n=1 group: sample variance is UNDEFINED (SQL var_samp returns
+      // NULL) — the bare (n-1) divisor is an ANSI DIVIDE_BY_ZERO job
+      // killer on any single-row group (PathologicalInputSpec pins this;
+      // the oracle spells the same NULLIF)
       .withColumn("var_price",
-        (col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+        (col("sx2") - col("sx") * col("sx") / col("n")) /
+          when(col("n") > 1, col("n") - 1))
       .withColumn("stddev_price", sqrt(col("var_price")))
       .select("l_returnflag", "n", "var_price", "stddev_price", "median_price")
   }
