@@ -101,7 +101,11 @@ object Multimodal {
   def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.map { r =>
+      // null payload = missing/corrupt blob (an upstream extract gap a
+      // 100 TB media table always contains somewhere): skip it here
+      // instead of NPE-ing the task — a typed-lambda crash fails the
+      // whole job after retries, the worst possible shape for one bad row
+      rows.filter(_.bytes != null).map { r =>
         val (w, h) = StubCodec.decodeDims(r.bytes)
         DecodedMedia(r.media_id, r.kind, w, h,
           StubCodec.frameCount(r.bytes), StubCodec.features(r.bytes))
@@ -112,7 +116,8 @@ object Multimodal {
   /** Sample every `everyN`th frame of video rows → one row per frame. */
   def sampleFrames(media: Dataset[MediaRow], everyN: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
-    media.filter(_.kind == "video").flatMap { r =>
+    // null payload skipped, same contract as decode
+    media.filter(r => r.kind == "video" && r.bytes != null).flatMap { r =>
       (0 until StubCodec.frameCount(r.bytes) by everyN)
         .map(i => Frame(r.media_id, i, StubCodec.frame(r.bytes, i)))
     }
@@ -122,7 +127,9 @@ object Multimodal {
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>
-      if (r.kind == "image")
+      // null payload passes through untouched (resize is a row transform,
+      // not a filter — quarantining undecodables is decode's job)
+      if (r.kind == "image" && r.bytes != null)
         r.copy(bytes = StubCodec.resize(r.bytes, w, h), width = w, height = h)
       else r
     }
