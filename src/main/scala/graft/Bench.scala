@@ -44,19 +44,29 @@ object Bench {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
         graft.core.CacheRegistry.unpersistAll()
       }
-    // SPARK_GRAFT_BENCH_STATS=1: per-query job/stage/task counts on stderr —
-    // scheduling-overhead waste is visible in these when wall-clock is noise.
-    val stats = sys.env.get("SPARK_GRAFT_BENCH_STATS").contains("1")
+    // Per-query job/stage/task counts are recorded UNCONDITIONALLY: wall-clock
+    // on a shared host swings ±2× with co-tenant load (BENCH_r09 read 1.84×
+    // BENCH_r08 on identical code), but job/stage/task counts are
+    // deterministic plan facts — they let a reader separate host noise from a
+    // real plan regression without rerunning. SPARK_GRAFT_BENCH_STATS=1 just
+    // adds the human-readable stderr lines.
+    val statsStderr = sys.env.get("SPARK_GRAFT_BENCH_STATS").contains("1")
     val jobs = new java.util.concurrent.atomic.AtomicLong
     val stages = new java.util.concurrent.atomic.AtomicLong
     val tasks = new java.util.concurrent.atomic.AtomicLong
-    if (stats) spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size.toLong)
         tasks.addAndGet(j.stageInfos.map(_.numTasks.toLong).sum)
       }
     })
+    // Pre-flight load probe: 1-minute system loadavg before the timed loop.
+    // On this 32-cpu box a loadavg near 0 means quiet; near/over 32 means the
+    // wall-clock numbers are co-tenant-inflated. Recorded in every artifact.
+    val loadavg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val qstats = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
     val results = queries.map { case (name, fn) =>
       val (j0, s0, t0c) = (jobs.get(), stages.get(), tasks.get())
       val t0 = System.nanoTime()
@@ -69,8 +79,9 @@ object Bench {
       graft.core.CacheRegistry.unpersistAll() // release per-query caches
       // listener events are delivered async — drain before sampling, or
       // this query's jobs get attributed to the next one
-      if (stats) org.apache.spark.sql.graft.DatasetBridge.drainListenerBus(spark)
-      if (stats) System.err.println(
+      org.apache.spark.sql.graft.DatasetBridge.drainListenerBus(spark)
+      qstats(name) = (jobs.get - j0, stages.get - s0, tasks.get - t0c)
+      if (statsStderr) System.err.println(
         f"[bench-stats] $name%-24s ${dt}%6.2fs jobs=${jobs.get - j0}%-3d stages=${stages.get - s0}%-4d tasks=${tasks.get - t0c}%-5d")
       name -> dt
     }
@@ -78,10 +89,15 @@ object Bench {
     val errs =
       if (failed.isEmpty) ""
       else failed.sorted.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
+    def s1(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // per-query deterministic plan facts: "name":[jobs,stages,tasks]
+    val statsJson = qstats.map { case (k, (j, s, t)) =>
+      "\"" + k + "\":[" + j + "," + s + "," + t + "]"
+    }.mkString("{", ",", "}")
     def fmtLine(q: Map[String, String], tot: String) =
-      s"""{"metric":"total","value":$tot,"unit":"sec","queries":${
+      s"""{"metric":"total","value":$tot,"unit":"sec","loadavg":${s1(loadavg)},"queries":${
         q.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      }$errs,"sf":"$sfDir","total_sec":$tot}"""
+      },"job_stats":$statsJson$errs,"sf":"$sfDir","total_sec":$tot}"""
     // The driver captures only a bounded TAIL (~2000 chars) of this process's
     // output and json-parses the LAST line it finds there. At 111 queries even
     // the 3-decimal full line (~3 KB) overflows that window and gets truncated
@@ -94,7 +110,7 @@ object Bench {
     val top5 = results.toSeq.sortBy(-_._2).take(5)
     println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":${
       top5.map { case (k, v) => "\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
-    },"n_queries":${results.size}$errs,"sf":"$sfDir","total_sec":${s3(total)}}""")
+    },"n_queries":${results.size},"loadavg":${s1(loadavg)},"jobs":${jobs.get},"stages":${stages.get},"tasks":${tasks.get}$errs,"sf":"$sfDir","total_sec":${s3(total)}}""")
     // full precision to a file for round-over-round per-query comparison
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
       (fmtLine(results.map { case (k, v) => k -> v.toString }.toMap, total.toString) + "\n")

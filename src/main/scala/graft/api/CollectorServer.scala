@@ -496,7 +496,9 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
       case "POST" =>
         JsonMethods.parseOpt(body(ex)).map(_ \ "roles") match {
           case Some(JArray(rs)) if rs.forall(_.isInstanceOf[JString]) =>
-            u.grantRoles(user, rs.collect { case JString(r) => r }.toSet) match {
+            // replace, not merge: the reference CASes :user/roles to exactly
+            // the posted set, which is how an admin revokes a role
+            u.setRoles(user, rs.collect { case JString(r) => r }.toSet) match {
               case Right(_) =>
                 respond(ex, 200, s"""{"status":"success","message":"user-roles-updated"}""")
               case Left(_) =>

@@ -92,23 +92,35 @@ class UserAuth(store: DocumentStore, secret: String) {
         else Left("Incorrect Password")
     }
 
-  /** Grant roles to a user (the admin-resource mutation). Serialized on the
-    * store's lock: the read-merge-write below is the reference's
-    * crux.tx/cas (`utils/auth.clj:139-146`) — unsynchronized, two
-    * concurrent grants to the same user could each read the pre-grant doc
-    * and one role set would silently lose. */
+  /** Set a user's roles to exactly `roles` (the admin-resource mutation).
+    * REPLACE, not merge: the reference admin POST CASes :user/roles to the
+    * posted set wholesale (`utils/auth.clj:139-146`), which is what lets an
+    * admin *revoke* a role (strip a compromised user's developer/all) —
+    * merge-only semantics could never remove anything (ADVICE r9).
+    * Serialized on the store's lock: the reference's cas is unsynchronized;
+    * two concurrent role posts there could interleave and one would lose. */
+  def setRoles(name: String, roles: Set[String]): Either[String, String] = store.synchronized {
+    userDoc(name) match {
+      case None => Left(s"User: $name Not Found")
+      case Some(doc) =>
+        // removeField+merge (not JSON replace()): replace() is a no-op when
+        // the doc has no `roles` field (a migrated/hand-written user doc)
+        // and would report a grant that never landed
+        store.put(userId(name), JsonMethods.compact(JsonMethods.render(
+          doc.removeField { case (k, _) => k == "roles" } merge
+            JObject("roles" -> JArray(roles.toList.sorted.map(JString(_)))))))
+        Right(getUser(name).get)
+    }
+  }
+
+  /** Additive convenience kept for callers that want merge semantics
+    * explicitly (NOT the reference admin endpoint — that one replaces). */
   def grantRoles(name: String, roles: Set[String]): Either[String, String] = store.synchronized {
     userDoc(name) match {
       case None => Left(s"User: $name Not Found")
       case Some(doc) =>
-        val merged = (doc \ "roles").extractOpt[List[String]].getOrElse(Nil).toSet ++ roles
-        // merge, not replace(): replace() is a no-op when the doc has no
-        // `roles` field (a migrated/hand-written user doc) and would
-        // report a grant that never landed
-        store.put(userId(name), JsonMethods.compact(JsonMethods.render(
-          doc.removeField { case (k, _) => k == "roles" } merge
-            JObject("roles" -> JArray(merged.toList.sorted.map(JString(_)))))))
-        Right(getUser(name).get)
+        setRoles(name,
+          (doc \ "roles").extractOpt[List[String]].getOrElse(Nil).toSet ++ roles)
     }
   }
 

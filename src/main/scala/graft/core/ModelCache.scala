@@ -50,14 +50,28 @@ object ModelCache {
       // exactly where re-staged data is most likely — list via Hadoop
       try {
         val p = new org.apache.hadoop.fs.Path(dir)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        // the session's hadoopConfiguration, not a bare new Configuration():
+        // fs credentials/settings arrive via spark.hadoop.* (s3a keys, abfs
+        // auth) and a bare config can't open exactly the cluster paths this
+        // branch exists for (ADVICE r9)
+        val conf = org.apache.spark.sql.SparkSession.getActiveSession
+          .map(_.sparkContext.hadoopConfiguration)
+          .getOrElse(new org.apache.hadoop.conf.Configuration())
+        val fs = p.getFileSystem(conf)
         if (!fs.exists(p)) return s"$dir@absent"
         val it = fs.listFiles(p, true)
         while (it.hasNext) {
           val st = it.next()
           add(st.getPath.toString.stripPrefix(p.toString), st.getLen, st.getModificationTime)
         }
-      } catch { case scala.util.control.NonFatal(_) => return s"$dir@unlistable" }
+      } catch { case scala.util.control.NonFatal(e) =>
+        // loud, not silent: an unlistable dir disables staleness detection
+        // (same model served after an in-place re-stage) — the caller should
+        // know which path and why
+        System.err.println(s"[graft] ModelCache.dirKey: cannot list $dir ($e); " +
+          "staleness detection degraded to path-only for this entry")
+        return s"$dir@unlistable"
+      }
     } else {
       val root = java.nio.file.Paths.get(dir)
       if (!java.nio.file.Files.exists(root)) return s"$dir@absent"

@@ -369,7 +369,16 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
       case "-" => if (cs.size == 1) -cs.head else cs.reduce(_ - _)
       case "*" => cs.reduce(_ * _)
       case "/" => cs.reduce(_ / _)
-      case "mod" => cs.reduce(_ % _)
+      // Crux `mod` is Clojure's floor-mod (result takes the DIVISOR's sign:
+      // (mod -3 7) = 4), while Spark's % is truncating remainder (dividend's
+      // sign: -3 % 7 = -3) — compile as ((a % b) + b) % b, which matches
+      // floor-mod for every sign combination (ADVICE r9). `rem` maps to %
+      // (Clojure rem IS truncating remainder).
+      case "mod" => ((cs(0) % cs(1)) + cs(1)) % cs(1)
+      case "rem" => cs.reduce(_ % _)
+      // Clojure `quot` is truncating integer division, not Spark's
+      // fractional `/` — Spark's `div` (IntegralDivide) has quot semantics
+      case "quot" => call_function("div", cs: _*)
       case _ => registry.columnFn(fn).map(_(cs)).getOrElse(call_function(fn, cs: _*))
     }
   }

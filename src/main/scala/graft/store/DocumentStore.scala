@@ -462,9 +462,21 @@ object DocumentStore {
             pid.forall(p => ProcessHandle.of(p).map[Boolean](h => !h.isAlive).orElse(true))
           if (staleSameHost && attempts < 3) {
             // crashed holder on this host (or an unreadable/empty lock from
-            // one): reclaim and retry the exclusive create — the create
-            // still arbitrates if two reclaimers race
-            fs.delete(lp, false)
+            // one): reclaim by RENAMING the stale lock aside, not
+            // delete-then-create. Delete is not atomic with the re-create:
+            // two reclaimers B and C could both observe staleness, B
+            // delete+create, then C's pending delete removes B's fresh lock
+            // and C creates its own — two live drivers, two tx clocks
+            // (ADVICE r9). Rename IS atomic (posix + HDFS): exactly one
+            // reclaimer wins the rename; the loser's rename fails (source
+            // gone) and it loops back to find the winner's lock in place.
+            val aside = new org.apache.hadoop.fs.Path(
+              lp.toString + s".stale.$token.$attempts")
+            if (fs.rename(lp, aside)) {
+              try fs.delete(aside, false) catch { case _: Exception => () }
+            }
+            // whether or not we won the rename, retry the exclusive create —
+            // it still arbitrates
           } else throw new IllegalStateException(
             s"document store at $path is locked by another driver " +
               s"(${holder.trim.stripPrefix("{").stripSuffix("}")}); " +

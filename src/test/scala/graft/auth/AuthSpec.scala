@@ -102,6 +102,17 @@ class AuthSpec extends SparkSpec {
     val legacyTok = users.checkCred("legacy", "pw-legacy").toOption.get
     assert(Tokens.verify(legacyTok, "hush").exists(_.roles == Set("ops/reader")),
       "granted role must mint into the token for a roles-less legacy doc")
+    // setRoles is the admin-endpoint semantics: REPLACE, so an admin can
+    // REVOKE (the reference CASes :user/roles to the posted set wholesale);
+    // merge-only semantics could never strip a compromised role
+    assert(users.setRoles("bob", Set("viewer/basic")).isRight)
+    val bobTok2 = users.checkCred("bob", "pw-bob").toOption.get
+    assert(Tokens.verify(bobTok2, "hush").exists(_.roles == Set("viewer/basic")),
+      "setRoles must replace: ops/reader revoked, viewer/basic the only role")
+    assert(users.setRoles("bob", Set.empty).isRight)
+    val bobTok3 = users.checkCred("bob", "pw-bob").toOption.get
+    assert(Tokens.verify(bobTok3, "hush").exists(_.roles.isEmpty),
+      "posting an empty set strips every role")
   }
 
   // ------------------------------------- end-to-end bearer-gated collector

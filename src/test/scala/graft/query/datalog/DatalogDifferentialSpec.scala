@@ -394,14 +394,17 @@ class DatalogDifferentialSpec extends SparkSpec {
 
   test("differential: 40 generated bind-clause queries (arithmetic + string fns)") {
     val gen = for {
-      op <- Gen.oneOf("+", "-", "*")
-      k <- Gen.oneOf(5.0, 10.0, 2.0, 50.0)
+      // mod/rem included with NEGATIVE divisors: crux mod is Clojure
+      // floor-mod (divisor's sign), rem is truncating — the sign cases are
+      // exactly where a naive %-for-both translation diverges (ADVICE r9)
+      op <- Gen.oneOf("+", "-", "*", "mod", "rem")
+      k <- Gen.oneOf(5.0, 10.0, 2.0, 50.0, -7.0, -30.0)
       predOp <- Gen.oneOf(">=", "<", "!=")
       predK <- Gen.oneOf(100.0, 150.0, 200.0, 90.0)
       withPred <- Gen.oneOf(true, false)
       strBind <- Gen.oneOf(true, false)
     } yield (op, k, predOp, predK, withPred, strBind)
-    for ((op, k, predOp, predK, withPred, strBind) <- samples(gen, 40)) {
+    for ((op, k, predOp, predK, withPred, strBind) <- samples(gen, 60)) {
       val pred = if (withPred) s" [($predOp ?s2 ${ednConst(predK)})]" else ""
       val (findExtra, bindExtra) =
         if (strBind) (" ?u", " [(upper ?n) ?u]") else ("", "")
@@ -412,6 +415,12 @@ class DatalogDifferentialSpec extends SparkSpec {
           case "+" => e.salary + k
           case "-" => e.salary - k
           case "*" => e.salary * k
+          case "mod" => // Clojure floor-mod, formulated Clojure's way (not
+            // the engine's ((a%b)+b)%b): adjust the truncating remainder
+            // when its sign disagrees with the divisor's
+            val r = e.salary % k
+            if (r != 0.0 && ((r < 0) != (k < 0))) r + k else r
+          case "rem" => e.salary % k
         }
         val keep = !withPred || (predOp match {
           case ">=" => s2 >= predK

@@ -162,6 +162,23 @@ class DatalogSpec extends SparkSpec {
     assert(got == want.toSet, s"missing: ${want.toSet -- got}")
   }
 
+  test("mod is floor-mod (Clojure), rem/quot truncate — negative operand vectors") {
+    // canonical Clojure vectors: (mod -3 7)=4, (mod 3 -7)=-4, (rem -3 7)=-3,
+    // (quot -17 5)=-3 — a %-for-mod translation fails all the mod cases
+    val nums = Seq(("a", -3L), ("b", 3L), ("c", -17L), ("d", 17L)).toDF("id", "x")
+    def run(edn: String): Map[String, Long] =
+      EdnDatalog.run(nums, edn).fold(e => fail(e), _.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    assert(run("{:find [?i ?m] :where [[?e :id ?i] [?e :x ?x] [(mod ?x 7) ?m]]}")
+      == Map("a" -> 4L, "b" -> 3L, "c" -> 4L, "d" -> 3L))
+    assert(run("{:find [?i ?m] :where [[?e :id ?i] [?e :x ?x] [(mod ?x -7) ?m]]}")
+      == Map("a" -> -3L, "b" -> -4L, "c" -> -3L, "d" -> -4L))
+    assert(run("{:find [?i ?m] :where [[?e :id ?i] [?e :x ?x] [(rem ?x 7) ?m]]}")
+      == Map("a" -> -3L, "b" -> 3L, "c" -> -3L, "d" -> 3L))
+    assert(run("{:find [?i ?m] :where [[?e :id ?i] [?e :x ?x] [(quot ?x 5) ?m]]}")
+      == Map("a" -> 0L, "b" -> 0L, "c" -> -3L, "d" -> 3L))
+  }
+
   test("mutual recursion is rejected with a clear error, not a StackOverflow") {
     val p = Rule("p", Seq(V("x")), Seq(Seq(RuleApp("q", Seq(V("x"))))))
     val qr = Rule("q", Seq(V("x")), Seq(
