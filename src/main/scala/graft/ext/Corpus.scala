@@ -689,10 +689,17 @@ object Corpus {
     * same control-plane collect as Lloyd centroids. Tokens are restricted
     * to `[a-z0-9]+` so the separator chars stay out of band; trained over
     * bare char sequences (no `</w>` end-marker — a documented
-    * simplification that changes no part of the distributed shape). */
+    * simplification that changes no part of the distributed shape).
+    *
+    * `rounds` is the TOTAL number of merges learned; `batch` > 1 selects up
+    * to that many mutually non-conflicting pairs per driver round (pairs
+    * sharing no symbol commute — the standard batched-BPE schedule), so a
+    * production ~30k-merge vocabulary needs ~30k/batch sequential rounds,
+    * not 30k. batch=1 is exact sequential BPE and the oracled-gate setting. */
   def bpeMerges(docs: DataFrame, rounds: Int = 10,
-                textCol: String = "text"): DataFrame = {
-    require(rounds > 0 && rounds <= 64, "bpeMerges: rounds must be in [1, 64]")
+                textCol: String = "text", batch: Int = 1): DataFrame = {
+    require(rounds > 0 && rounds <= 65536, "bpeMerges: rounds must be in [1, 65536]")
+    require(batch > 0 && batch <= 256, "bpeMerges: batch must be in [1, 256]")
     val spark = docs.sparkSession
     import spark.implicits._
     // ONE cached table for the whole loop: each round's vocab is the
@@ -717,10 +724,25 @@ object Corpus {
     // KB-scale model iterations (the Lloyd-loop shape) where fixed
     // per-job overhead IS the cost. Restored on every exit path.
     graft.core.ModelLoop.scoped(spark) {
-      var r = 1
       var exhausted = false
-      while (r <= rounds && !exhausted) {
-        val best = vocab
+      // replace-chain length since the last materialized rebase: a 30k-merge
+      // production run cannot carry 30k nested replaces in one Catalyst tree
+      // (quadratic analysis, codegen method-size fallback) — rebase the
+      // cached vocab every 128 merges, keeping the live chain bounded
+      var chainLen = 0
+      while (merges.size < rounds && !exhausted) {
+        val want = math.min(batch, rounds - merges.size)
+        // collect a small ordered candidate prefix (KB — pairs over the
+        // vocab's symbol alphabet), then select up to `want` MUTUALLY
+        // NON-CONFLICTING pairs greedily on the driver. Non-conflicting =
+        // no shared symbol AND no symbol equal to another selected pair's
+        // concatenation (either direction) — such merges commute at the
+        // wrapped-string level, so applying them in one round with
+        // pre-round counts is the standard batched-BPE schedule that cuts
+        // driver-coordinated rounds by ~batch× (VERDICT r9). batch=1
+        // degenerates to exact sequential BPE (the argmax is always
+        // selected first).
+        val cand = vocab
           .select(col("freq"), expr("split(trim(BOTH '|' FROM seq), '\\\\|\\\\|')").as("s"))
           .filter(size(col("s")) > 1)
           .select(col("freq"), explode(zip_with(
@@ -730,16 +752,31 @@ object Corpus {
           .groupBy(col("p.l").as("l"), col("p.r").as("r"))
           .agg(sum(col("freq")).as("c"))
           .orderBy(desc("c"), asc("l"), asc("r"))
-          .limit(1).collect()
-        if (best.isEmpty) exhausted = true // every word fully merged
+          .limit(math.max(want * 4, 16)).collect()
+        if (cand.isEmpty) exhausted = true // every word fully merged
         else {
-          val (l, rr, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-          merges += ((r, l, rr, c))
-          // tokens are [a-z0-9]+ — inlining the pair into the replace
-          // literal is injection-safe by construction
-          vocab = vocab.withColumn("seq",
-            expr(s"replace(seq, '|$l||$rr|', '|$l$rr|')"))
-          r += 1
+          val used = scala.collection.mutable.Set.empty[String]
+          val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+          for (row <- cand if sel.size < want) {
+            val (l, rr, c) = (row.getString(0), row.getString(1), row.getLong(2))
+            if (!used(l) && !used(rr) && !used(l + rr)) {
+              sel += ((l, rr, c)); used += l; used += rr; used += (l + rr)
+            }
+          }
+          for ((l, rr, c) <- sel) {
+            merges += ((merges.size + 1, l, rr, c))
+            // tokens are [a-z0-9]+ — inlining the pair into the replace
+            // literal is injection-safe by construction
+            vocab = vocab.withColumn("seq",
+              expr(s"replace(seq, '|$l||$rr|', '|$l$rr|')"))
+            chainLen += 1
+          }
+          if (chainLen >= 128 && merges.size < rounds) {
+            val rebased = graft.core.CacheRegistry.persisted(vocab)
+            rebased.count() // materialize: later rounds read this, not the chain
+            vocab = rebased
+            chainLen = 0
+          }
         }
       }
     }
