@@ -24,6 +24,15 @@ object CacheRegistry {
     p
   }
 
+  /** Release ONE registered cached DataFrame early — for loops that chain
+    * persisted generations (e.g. BPE's 128-merge rebases), where waiting
+    * for scope-exit unpersistAll would accumulate every superseded
+    * generation in storage memory. */
+  def release(ds: Dataset[_]): Unit = {
+    refs.remove(ds)
+    try ds.unpersist(blocking = false) catch { case _: Exception => () }
+  }
+
   /** Release every registered cached DataFrame (non-blocking). */
   def unpersistAll(): Unit = {
     var d = refs.poll()

@@ -697,9 +697,23 @@ object Corpus {
     * production ~30k-merge vocabulary needs ~30k/batch sequential rounds,
     * not 30k. batch=1 is exact sequential BPE and the oracled-gate setting. */
   def bpeMerges(docs: DataFrame, rounds: Int = 10,
-                textCol: String = "text", batch: Int = 1): DataFrame = {
+                textCol: String = "text", batch: Int = 1): DataFrame =
+    bpeMergesWithStats(docs, rounds, textCol, batch)._1
+
+  /** Scheduling diagnostics for a [[bpeMerges]] run: how many sequential
+    * driver rounds the schedule took (the number batching exists to cut)
+    * and how many chain rebases materialized. */
+  private[graft] final case class BpeStats(driverRounds: Int, rebases: Int)
+
+  /** [[bpeMerges]] plus scheduling stats; `rebaseEvery` overrides the
+    * 128-merge chain rebase threshold so the spec can prove the rebase is
+    * value-neutral (same merges with and without it). */
+  private[graft] def bpeMergesWithStats(
+      docs: DataFrame, rounds: Int = 10, textCol: String = "text",
+      batch: Int = 1, rebaseEvery: Int = 128): (DataFrame, BpeStats) = {
     require(rounds > 0 && rounds <= 65536, "bpeMerges: rounds must be in [1, 65536]")
     require(batch > 0 && batch <= 256, "bpeMerges: batch must be in [1, 256]")
+    require(rebaseEvery > 0, "bpeMerges: rebaseEvery must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
     // ONE cached table for the whole loop: each round's vocab is the
@@ -718,19 +732,26 @@ object Corpus {
           array_join(expr("filter(split(w, ''), x -> x <> '')"), "||"),
           lit("|")).as("seq"))
         .coalesce(8))
+    // the currently-persisted generation `vocab` chains replaces onto;
+    // superseded (and released) at each rebase
+    var base = vocab
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     // AQE off for the micro-round loop: adaptive re-planning runs each
     // round's 2-stage argmax as ~3 separate jobs; the rounds are
     // KB-scale model iterations (the Lloyd-loop shape) where fixed
     // per-job overhead IS the cost. Restored on every exit path.
+    var driverRounds = 0
+    var rebases = 0
     graft.core.ModelLoop.scoped(spark) {
       var exhausted = false
       // replace-chain length since the last materialized rebase: a 30k-merge
       // production run cannot carry 30k nested replaces in one Catalyst tree
       // (quadratic analysis, codegen method-size fallback) — rebase the
-      // cached vocab every 128 merges, keeping the live chain bounded
+      // cached vocab every `rebaseEvery` (default 128) merges, keeping the
+      // live chain bounded
       var chainLen = 0
       while (merges.size < rounds && !exhausted) {
+        driverRounds += 1
         val want = math.min(batch, rounds - merges.size)
         // collect a small ordered candidate prefix (KB — pairs over the
         // vocab's symbol alphabet), then select up to `want` MUTUALLY
@@ -771,16 +792,23 @@ object Corpus {
               expr(s"replace(seq, '|$l||$rr|', '|$l$rr|')"))
             chainLen += 1
           }
-          if (chainLen >= 128 && merges.size < rounds) {
+          if (chainLen >= rebaseEvery && merges.size < rounds) {
             val rebased = graft.core.CacheRegistry.persisted(vocab)
             rebased.count() // materialize: later rounds read this, not the chain
+            // the superseded base is dead the moment the rebase is
+            // materialized — release it NOW, or a 30k-merge run stacks
+            // ~230 dead cached generations in storage memory (ADVICE r10)
+            graft.core.CacheRegistry.release(base)
+            base = rebased
             vocab = rebased
             chainLen = 0
+            rebases += 1
           }
         }
       }
     }
-    merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
+    (merges.toSeq.toDF("round", "lhs", "rhs", "pair_count"),
+      BpeStats(driverRounds, rebases))
   }
 
   /** Apply learned merges: segment every `[a-z0-9]+` word into its BPE

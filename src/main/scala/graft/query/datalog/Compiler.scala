@@ -138,14 +138,15 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
       case Pred(op, as) =>
         val r = rel.getOrElse(throw new IllegalStateException(
           s"predicate ($op …) before any pattern binds its variables"))
-        rel = Some(r.filter(predColumn(op, as)))
+        rel = Some(r.filter(predColumn(op, as, r.schema)))
       case Bind(f, as, out) =>
         val r = rel.getOrElse(throw new IllegalStateException(
           s"bind [($f …) ?${out.name}] before any pattern"))
         // binding an already-bound variable unifies (filters), not rebinds
         rel = Some(
-          if (r.columns.contains(out.name)) r.filter(col(out.name) === fnColumn(f, as))
-          else r.withColumn(out.name, fnColumn(f, as)))
+          if (r.columns.contains(out.name))
+            r.filter(col(out.name) === fnColumn(f, as, r.schema))
+          else r.withColumn(out.name, fnColumn(f, as, r.schema)))
       case Not(inner, unifyVars) =>
         val r = rel.getOrElse(throw new IllegalStateException("(not …) first"))
         val n = compileClauses(docs, inner, rules, applying)
@@ -292,9 +293,11 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
                 case (p: Pattern, _) => merge(compilePattern(docs, p))
                 case (RuleApp(n, as), _) =>
                   merge(applyRule(docs, rules(n), as, rules, inProgress))
-                case (Pred(op, as), _) => rel = Some(rel.get.filter(predColumn(op, as)))
+                case (Pred(op, as), _) =>
+                  rel = Some(rel.get.filter(predColumn(op, as, rel.get.schema)))
                 case (Bind(f, as, out), _) =>
-                  rel = Some(rel.get.withColumn(out.name, fnColumn(f, as)))
+                  rel = Some(rel.get.withColumn(out.name,
+                    fnColumn(f, as, rel.get.schema)))
                 case (other, _) => throw new UnsupportedOperationException(
                   s"clause $other inside recursive body")
               }
@@ -339,7 +342,8 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
 
   /** Predicate ops (Q6/Q12): comparison + common string predicates; any
     * other name resolves as a boolean-returning registered/builtin fn. */
-  private def predColumn(op: String, args: Seq[Term]): Column = {
+  private def predColumn(op: String, args: Seq[Term],
+      schema: org.apache.spark.sql.types.StructType): Column = {
     val cs = args.map(termCol)
     op match {
       case "<" => cs(0) < cs(1)
@@ -352,14 +356,36 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
       case "ends-with?" | "clojure.string/ends-with?" => cs(0).endsWith(cs(1))
       case "includes?" | "clojure.string/includes?" => cs(0).contains(cs(1))
       case "like" => cs(0).like(args(1) match { case C(s: String) => s; case _ => "%" })
-      case other => fnColumn(other, args)
+      case other => fnColumn(other, args, schema)
+    }
+  }
+
+  /** Whether a term is statically integral: a var whose bound column is an
+    * integral type, or an integral constant. Drives the quot compile split. */
+  private def isIntegral(t: Term,
+      schema: org.apache.spark.sql.types.StructType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case V(n) => schema.find(_.name == n).map(_.dataType).exists {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      case C(c) => c.isInstanceOf[Byte] || c.isInstanceOf[Short] ||
+        c.isInstanceOf[Int] || c.isInstanceOf[Long]
     }
   }
 
   /** Function resolution for binds (Q17): registry column fns first (the
     * named-transformer surface, F1), then Spark builtins. */
-  private def fnColumn(fn: String, args: Seq[Term]): Column = {
+  private def fnColumn(fn: String, args: Seq[Term],
+      schema: org.apache.spark.sql.types.StructType): Column = {
     val cs = args.map(termCol)
+    // mod/rem/quot are strictly binary in Clojure; a malformed 1-arg form
+    // must fail with a compile error naming the clause, not an
+    // IndexOutOfBoundsException from cs(1) (ADVICE r10)
+    def binary(name: String): Unit =
+      if (cs.size != 2) throw new IllegalArgumentException(
+        s"($name …) expects exactly 2 arguments, got ${cs.size}")
     fn match {
       // arithmetic operators appear throughout crux bind clauses
       // ([(+ ?x 1) ?y] …) but are NOT resolvable through call_function —
@@ -374,11 +400,22 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
       // sign: -3 % 7 = -3) — compile as ((a % b) + b) % b, which matches
       // floor-mod for every sign combination (ADVICE r9). `rem` maps to %
       // (Clojure rem IS truncating remainder).
-      case "mod" => ((cs(0) % cs(1)) + cs(1)) % cs(1)
-      case "rem" => cs.reduce(_ % _)
-      // Clojure `quot` is truncating integer division, not Spark's
-      // fractional `/` — Spark's `div` (IntegralDivide) has quot semantics
-      case "quot" => call_function("div", cs: _*)
+      case "mod" => binary("mod"); ((cs(0) % cs(1)) + cs(1)) % cs(1)
+      case "rem" => binary("rem"); cs(0) % cs(1)
+      // Clojure `quot` is truncating division. Integral operands map to
+      // Spark's `div` (IntegralDivide — exact for the full long range);
+      // fractional operands would make `div` FAIL ANALYSIS (ADVICE r10), and
+      // Clojure keeps them fractional: (quot 17.5 5) = 3.0. q − (q % 1.0)
+      // truncates toward zero for every finite double — including magnitudes
+      // past 2⁶³ where a floor/ceil-to-long would overflow (there % 1.0 is
+      // exactly 0, so q passes through unchanged).
+      case "quot" =>
+        binary("quot")
+        if (args.forall(isIntegral(_, schema))) call_function("div", cs: _*)
+        else {
+          val q = cs(0).cast("double") / cs(1).cast("double")
+          q - (q % lit(1.0))
+        }
       case _ => registry.columnFn(fn).map(_(cs)).getOrElse(call_function(fn, cs: _*))
     }
   }

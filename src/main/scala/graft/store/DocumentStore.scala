@@ -415,6 +415,12 @@ object DocumentStore {
     * this JVM are tracked here. Keyed by the lock file's string path. */
   private val liveHolders = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Test hook: runs after a reclaimer observes a stale holder and before its
+    * reclaim rename — the window in which a competing reclaimer can win and
+    * recreate a fresh lock. Lets the spec force that interleaving
+    * deterministically instead of hoping a thread race lands on it. */
+  private[store] var reclaimInterleaveHook: () => Unit = () => ()
+
   private def lockPath(path: String) = new org.apache.hadoop.fs.Path(path + ".lock")
   private def localHost: String =
     try java.net.InetAddress.getLocalHost.getHostName catch { case _: Exception => "unknown" }
@@ -467,16 +473,41 @@ object DocumentStore {
             // two reclaimers B and C could both observe staleness, B
             // delete+create, then C's pending delete removes B's fresh lock
             // and C creates its own — two live drivers, two tx clocks
-            // (ADVICE r9). Rename IS atomic (posix + HDFS): exactly one
-            // reclaimer wins the rename; the loser's rename fails (source
-            // gone) and it loops back to find the winner's lock in place.
+            // (ADVICE r9). Rename arbitrates racing reclaimers, but rename
+            // alone is NOT enough (ADVICE r10): between C's observation and
+            // C's rename, winner B may have renamed-and-recreated, so C's
+            // rename succeeds against B's FRESH lock. Guard: after the
+            // rename, re-read the aside file and compare it to the holder
+            // content observed BEFORE the rename. Same bytes → we moved the
+            // stale lock we examined; discard it. Different bytes → we stole
+            // a fresh lock; put it back and defer to its holder. (Holder
+            // descriptors embed a per-instance random token + nanos-scale
+            // timestamp, so fresh content never equals stale content.)
+            reclaimInterleaveHook()
             val aside = new org.apache.hadoop.fs.Path(
               lp.toString + s".stale.$token.$attempts")
             if (fs.rename(lp, aside)) {
-              try fs.delete(aside, false) catch { case _: Exception => () }
+              val taken = try {
+                val in = fs.open(aside)
+                try new String(in.readAllBytes(), "UTF-8") finally in.close()
+              } catch { case _: Exception => "" }
+              if (taken == holder) {
+                try fs.delete(aside, false) catch { case _: Exception => () }
+              } else if (!fs.rename(aside, lp)) {
+                // lp reappeared while we held the stolen lock aside (a third
+                // claimant won the exclusive create): restore the stolen
+                // descriptor only if the slot is free again; otherwise the
+                // newest claimant has superseded it — drop the aside copy
+                try {
+                  val out = fs.create(lp, false)
+                  try out.write(taken.getBytes("UTF-8")) finally out.close()
+                } catch { case _: Exception => () }
+                try fs.delete(aside, false) catch { case _: Exception => () }
+              }
             }
             // whether or not we won the rename, retry the exclusive create —
-            // it still arbitrates
+            // it still arbitrates (a restored fresh lock makes the retry
+            // observe a live holder and fail loudly below)
           } else throw new IllegalStateException(
             s"document store at $path is locked by another driver " +
               s"(${holder.trim.stripPrefix("{").stripSuffix("}")}); " +

@@ -179,6 +179,35 @@ class DatalogSpec extends SparkSpec {
       == Map("a" -> 0L, "b" -> 0L, "c" -> -3L, "d" -> 3L))
   }
 
+  test("quot on fractional operands truncates toward zero, stays fractional (ADVICE r10)") {
+    // Clojure: (quot 17.5 5) = 3.0, (quot -17.5 5) = -3.0 — integral
+    // IntegralDivide would FAIL ANALYSIS on a double column; the compiler
+    // must pick the fractional truncating form from the bound column's type
+    val nums = Seq(("a", 17.5), ("b", -17.5), ("c", 4.0), ("d", 0.3))
+      .toDF("id", "x")
+    val got = EdnDatalog.run(nums,
+        "{:find [?i ?q] :where [[?e :id ?i] [?e :x ?x] [(quot ?x 5) ?q]]}")
+      .fold(e => fail(e), _.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap)
+    assert(got == Map("a" -> 3.0, "b" -> -3.0, "c" -> 0.0, "d" -> 0.0), s"$got")
+    // mixed: integral column divided by a fractional constant
+    val ints = Seq(("a", 17L)).toDF("id", "x")
+    val got2 = EdnDatalog.run(ints,
+        "{:find [?i ?q] :where [[?e :id ?i] [?e :x ?x] [(quot ?x 2.5) ?q]]}")
+      .fold(e => fail(e), _.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap)
+    assert(got2 == Map("a" -> 6.0), s"$got2")
+  }
+
+  test("mod/rem/quot arity errors are descriptive compile errors (ADVICE r10)") {
+    val nums = Seq(("a", 3L)).toDF("id", "x")
+    for (fn <- Seq("mod", "rem", "quot")) {
+      val r = EdnDatalog.run(nums,
+        s"{:find [?i ?m] :where [[?e :id ?i] [?e :x ?x] [($fn ?x) ?m]]}")
+      assert(r.isLeft, s"1-arg ($fn ?x) must be a compile error")
+      assert(r.swap.exists(_.contains("2 arguments")),
+        s"error must name the arity contract: $r")
+    }
+  }
+
   test("mutual recursion is rejected with a clear error, not a StackOverflow") {
     val p = Rule("p", Seq(V("x")), Seq(Seq(RuleApp("q", Seq(V("x"))))))
     val qr = Rule("q", Seq(V("x")), Seq(

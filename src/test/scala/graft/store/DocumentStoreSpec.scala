@@ -163,4 +163,42 @@ class DocumentStoreSpec extends SparkSpec {
     assert(foreign.getMessage.contains("some-other-driver-host"))
     java.nio.file.Files.delete(lockFile)
   }
+
+  test("reclaim does not steal a fresh lock recreated between observe and rename (ADVICE r10)") {
+    val path = Files.createTempDirectory("docstore-race").toString + "/db"
+    val s0 = DocumentStore(spark, path); s0.put("d1", "{}"); s0.close()
+    val lockFile = java.nio.file.Paths.get(path + ".lock")
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    // stale lock from a dead pid — reclaimer C will observe this
+    java.nio.file.Files.write(lockFile,
+      s"""{"pid":2147483646,"host":"$host","token":"gone","since":"2026-01-01T00:00:00Z"}"""
+        .getBytes("UTF-8"))
+    // winner B's fresh lock: OUR live pid — if C honors it, C must fail loudly
+    val fresh =
+      s"""{"pid":${ProcessHandle.current.pid},"host":"$host","token":"winner-b","since":"2026-02-02T00:00:00Z"}"""
+    @volatile var fired = false
+    DocumentStore.reclaimInterleaveHook = () => if (!fired) {
+      fired = true
+      // simulate winner B completing its whole reclaim inside C's window:
+      // stale lock gone, fresh lock in place
+      java.nio.file.Files.write(lockFile, fresh.getBytes("UTF-8"))
+    }
+    try {
+      val err = intercept[IllegalStateException] { DocumentStore(spark, path) }
+      assert(err.getMessage.contains("locked by another driver"),
+        s"C must defer to B's fresh lock, got: ${err.getMessage}")
+      assert(fired, "interleave hook must have run")
+      val onDisk = new String(java.nio.file.Files.readAllBytes(lockFile), "UTF-8")
+      assert(onDisk == fresh,
+        s"B's fresh lock must survive C's reclaim attempt intact, got: $onDisk")
+      // no stray aside files left behind
+      val dir = lockFile.getParent
+      val strays = java.nio.file.Files.list(dir).toArray.map(_.toString)
+        .filter(_.contains(".stale."))
+      assert(strays.isEmpty, s"aside files must not leak: ${strays.mkString(",")}")
+    } finally {
+      DocumentStore.reclaimInterleaveHook = () => ()
+      java.nio.file.Files.deleteIfExists(lockFile)
+    }
+  }
 }
