@@ -1022,20 +1022,16 @@ object SparkEntry {
          WHERE (o_totalprice * 2.0) - 100000.0 > 500000.0
          GROUP BY c_mktsegment""",
     // datalog_sample: crux 1.16 (sample 3 ?n) = first 3 distinct values in
-    // salted-md5 order; (rand 2 ?n) = picks i=1..2 indexing the SORTED value
-    // bag at ((i*2654435761) mod 2^31) mod size. Both scrambles are
-    // engine-portable (md5 + exact i64 arithmetic), so DuckDB replays the
-    // exact picks.
+    // salted-md5 order; (rand 2 ?n) = picks i=1..2, pick i = the value
+    // minimizing md5(n || ':' || i || ':42') (independent seeded hash order
+    // per pick — with-replacement semantics with O(k) aggregate state on the
+    // Spark side). Both scrambles are engine-portable md5, so DuckDB
+    // replays the exact picks.
     "datalog_sample" ->
       """WITH cust AS (
            SELECT DISTINCT c_mktsegment AS seg, c_custkey AS c, c_name AS n FROM customer
          ), grp AS (
            SELECT seg, CAST(count(*) AS BIGINT) AS count_c FROM cust GROUP BY seg
-         ), bag AS (
-           SELECT seg, n,
-             row_number() OVER (PARTITION BY seg ORDER BY n ASC) AS r,
-             CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS sz
-           FROM cust
          ), ranked AS (
            SELECT seg, n,
              row_number() OVER (PARTITION BY seg ORDER BY md5(n || ':42') ASC, n ASC) AS r
@@ -1044,9 +1040,10 @@ object SparkEntry {
            SELECT seg, string_agg(n, ',' ORDER BY r ASC) AS sample_names
            FROM ranked WHERE r <= 3 GROUP BY seg
          ), rnd AS (
-           SELECT b.seg, p.i, b.n
-           FROM bag b JOIN (SELECT 1 AS i UNION ALL SELECT 2) p
-             ON b.r = ((p.i * 2654435761) % 2147483648) % b.sz + 1
+           SELECT c.seg, p.i,
+             min_by(c.n, md5(c.n || ':' || CAST(p.i AS VARCHAR) || ':42')) AS n
+           FROM cust c CROSS JOIN (SELECT 1 AS i UNION ALL SELECT 2 AS i) p
+           GROUP BY c.seg, p.i
          ), rnd_agg AS (
            SELECT seg, string_agg(n, ',' ORDER BY i ASC) AS rand_names FROM rnd GROUP BY seg
          )

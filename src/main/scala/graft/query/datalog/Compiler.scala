@@ -434,36 +434,21 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
     case "stddev" => stddev_samp(col(v))
     case "distinct" => collect_set(col(v))
     // crux 1.16 two-arg aggregates. Deterministic pseudo-randomness (seeded
-    // hash order, not java.util.Random) so a query is reproducible across
-    // runs and engines — sampling N items per group stays O(group size).
-    case "rand" => // N picks WITH replacement: scramble-indexed element picks.
-      // collect_list order is shuffle-dependent, so picks index into the
-      // SORTED bag (array_sort is deterministic on the multiset) — without
-      // this the same query could return different picks run-to-run. The
-      // pick scramble is plain i64 arithmetic on the 2^31 ring (same Weyl
-      // multiplier as Corpus.tokenBudgetMix) so an external SQL engine can
-      // replay the picks exactly: i stays < 2^31, product < 2^63.
-      val k = n.getOrElse(1)
-      val arr = array_sort(collect_list(col(v)))
-      transform(sequence(lit(1), lit(k)),
-        i => element_at(arr,
-          (((i.cast("long") * lit(2654435761L)) % lit(2147483648L))
-            % size(arr)).cast("int") + 1))
-    case "sample" => // N DISTINCT picks: value set in salted-md5 order.
-      // md5 of the UTF-8 value bytes is engine-portable (identical hex in
-      // any SQL engine), so the "seeded shuffle" replays in plain SQL —
-      // unlike Spark's murmur3 hash(), which nothing else implements.
-      val k = n.getOrElse(1)
-      val salted = (c: Column) => md5(concat(c.cast("string"), lit(":42")).cast("binary"))
-      // ONE md5 per element: sort (hash, value) structs under the default
-      // field-order comparator (hash asc, raw value as tiebreak) and
-      // project the values back out. A comparator lambda that calls md5 on
-      // both operands recomputes it O(n log n) times per group through the
-      // interpreter — the same per-element-recompute trap repetitionStats
-      // documents.
-      val keyed = transform(collect_set(col(v)),
-        x => struct(salted(x).as("h"), x.as("v")))
-      slice(transform(array_sort(keyed), s => s.getField("v")), 1, k)
+    // md5 order, not java.util.Random) so a query is reproducible across
+    // runs and engines. Both are BOUNDED partial aggregates (≤ k entries
+    // per group per map task — graft.functions.PickExpressions): the former
+    // collect_set/collect_list formulation buffered the whole group on the
+    // reduce side, which a single hot key at 100 TB turns into an
+    // executor-killing buffer (VERDICT r10 #2).
+    case "rand" => // N picks WITH replacement: pick i = the group value
+      // minimizing md5(cast(v as string) || ':' || i || ':42') — each i an
+      // independent seeded hash order, so picks can repeat. Replays in any
+      // SQL engine as min_by(v, md5(v || ':' || i || ':42')).
+      graft.functions.PickExpressions.rand_picks(col(v), n.getOrElse(1))
+    case "sample" => // N DISTINCT picks: first k values in salted-md5
+      // order (md5(cast(v as string) || ':42') asc) — engine-portable hex,
+      // so the "seeded shuffle" replays in plain SQL.
+      graft.functions.PickExpressions.sample_picks(col(v), n.getOrElse(1))
     case other => throw new UnsupportedOperationException(s"aggregate $other")
   }
 

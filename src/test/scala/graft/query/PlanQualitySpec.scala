@@ -134,6 +134,22 @@ class PlanQualitySpec extends SparkSpec {
       s"bind arithmetic must fold into the scan-side filter:\n$plan")
   }
 
+  test("datalog rand/sample aggregates are bounded — no collect_list/collect_set state") {
+    // (rand N ?x)/(sample N ?x) must run as O(k)-state partial aggregates
+    // (PickExpressions), not whole-group collect_* buffers: a hot group at
+    // 100 TB would otherwise buffer everything on one reducer (VERDICT r10)
+    val df = graft.query.datalog.DatalogDb.datalogSampleQuery(spark, sf("sf0.001"))
+    val plan = executedPlan(df)
+    assert(!plan.contains("collect_list") && !plan.contains("collect_set"),
+      s"rand/sample must not materialize whole groups:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") &&
+      (plan.contains("samplebottomk") || plan.contains("SampleBottomK")),
+      s"bounded pick aggregates must drive the plan:\n$plan")
+    assert(plan.contains("partial_samplebottomk") || plan.contains("partial samplebottomk") ||
+      "(?i)partial.*samplebottomk".r.findFirstIn(plan).nonEmpty,
+      s"pick aggregate must run PARTIAL before the shuffle:\n$plan")
+  }
+
   test("near-dup candidate generation never degenerates to a cartesian product") {
     // the 100 TB contract of every LSH path: candidates come from an
     // EQUI-join on a small hash key; a CartesianProduct/BroadcastNestedLoop
