@@ -91,6 +91,8 @@ object SparkEntry {
     "datalog_query"       -> (graft.query.datalog.DatalogDb.datalogQuery(_, _)),
     "datalog_edn"         -> (graft.query.datalog.DatalogDb.datalogEdnQuery(_, _)),
     "datalog_sample"      -> (graft.query.datalog.DatalogDb.datalogSampleQuery(_, _)),
+    // mutually recursive rules (odd/even path parity, combined SCC fixpoint)
+    "datalog_mutual"      -> (graft.query.datalog.DatalogDb.datalogMutualQuery(_, _)),
     "datalog_bind_arith"  -> (graft.query.datalog.DatalogDb.datalogBindArithQuery(_, _)),
     // north-star LLM-pipeline extensions
     "dedup_exact"         -> (Dedup.dedupExactQuery(_, _)),
@@ -1049,6 +1051,22 @@ object SparkEntry {
          )
          SELECT g.seg, g.count_c, s.sample_names, r.rand_names
          FROM grp g JOIN samp s ON g.seg = s.seg JOIN rnd_agg r ON g.seg = r.seg""",
+    // datalog_mutual: even-length paths over the c→n→r / s→n DAG — the
+    // mutually recursive odd/even rule pair linearizes in SQL to one
+    // recursive CTE carrying a path-length parity counter
+    "datalog_mutual" ->
+      """WITH RECURSIVE edges AS (
+           SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src, 'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+           UNION
+           SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+           UNION
+           SELECT 's' || CAST(s_suppkey AS VARCHAR), 'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+         ), paths AS (
+           SELECT src, dst, 1 AS len FROM edges
+           UNION
+           SELECT p.src, e.dst, p.len + 1 FROM paths p JOIN edges e ON p.dst = e.src
+         )
+         SELECT DISTINCT src, dst FROM paths WHERE len % 2 = 0""",
     "dedup_exact" ->
       """SELECT lang, count(*) AS n_docs FROM (
            SELECT arg_min(lang, doc_id) AS lang FROM documents GROUP BY text)

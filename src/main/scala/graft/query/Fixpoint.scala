@@ -142,6 +142,72 @@ object Fixpoint {
                keys: Seq[String], maxIter: Int = 50): DataFrame =
     fixpoint2(base, (delta, _) => step(delta), keys, maxIter)
 
+  /** Multi-relation semi-naive fixpoint — the evaluation engine for a
+    * strongly-connected component of MUTUALLY recursive Datalog rules
+    * (Q9 extension; crux permits them via `src/dataworks/db/user_db.clj:33-43`'s
+    * arbitrary rule vectors). Each member relation keeps its own
+    * (accumulator, frontier); one iteration derives every member's new
+    * tuples from the CURRENT frontiers + accumulators, then advances all
+    * frontiers together. Terminates when every frontier is empty in the
+    * same round — per-member termination would be wrong, since an empty
+    * round for P can be followed by new P-tuples derived through Q.
+    *
+    * `bases` may omit members with no non-recursive body: such a member's
+    * relation (and schema) materializes the first time a rule derives into
+    * it; `step` receives only materialized members in its maps and must
+    * skip conjunctions that reference an absent one (they are empty by
+    * definition). Members still absent at convergence genuinely ARE the
+    * empty relation — the caller supplies its own empty stand-in.
+    *
+    * Scale shape matches [[fixpoint2]]: per-member checkpointed delta legs,
+    * flat-union accumulators (O(|delta|) per round, never O(|acc|)),
+    * `<=>`-anti-join freshness, one materialize job per member per round. */
+  def fixpointMulti(
+      bases: Map[String, DataFrame],
+      step: (Map[String, DataFrame], Map[String, DataFrame]) => Map[String, DataFrame],
+      keys: Map[String, Seq[String]],
+      maxIter: Int = 50): Map[String, DataFrame] = {
+    require(bases.nonEmpty, "fixpointMulti needs at least one base relation")
+    val spark = bases.head._2.sparkSession
+    case class St(legs: Vector[RDD[InternalRow]], schema: StructType, acc: DataFrame)
+    var states = Map.empty[String, St]
+    var deltas = Map.empty[String, DataFrame]
+    bases.foreach { case (n, df) =>
+      val m = materialize(df.select(keys(n).map(col): _*).distinct())
+      states += n -> St(Vector(m.rdd), m.df.schema, m.df)
+      if (m.rows > 0) deltas += n -> m.df
+    }
+    var i = 0
+    var done = deltas.isEmpty
+    while (!done && i < maxIter) {
+      val accs = states.map { case (n, s) => n -> s.acc }
+      val derived = step(deltas, accs)
+      var next = Map.empty[String, DataFrame]
+      derived.foreach { case (n, df) =>
+        val pruned = df.select(keys(n).map(col): _*).distinct()
+        val fresh = states.get(n) match {
+          case Some(s) => materialize(antiAlreadySeen(pruned, s.acc, keys(n)))
+          case None => materialize(pruned)
+        }
+        if (fresh.rows > 0) {
+          val st = states.get(n) match {
+            case Some(s) =>
+              val legs = s.legs :+ fresh.rdd
+              St(legs, s.schema, fromLegs(spark, legs, s.schema))
+            case None => St(Vector(fresh.rdd), fresh.df.schema, fresh.df)
+          }
+          states += n -> st
+          next += n -> fresh.df
+        }
+      }
+      deltas = next
+      done = next.isEmpty
+      i += 1
+    }
+    if (!done) nonConverged("fixpointMulti", maxIter)
+    states.map { case (n, s) => n -> s.acc }
+  }
+
   /** Semi-naive fixpoint whose step sees BOTH the frontier and the full
     * accumulator — required for NONLINEAR recursion (a rule body with two
     * self-references must join delta against acc, not only delta against

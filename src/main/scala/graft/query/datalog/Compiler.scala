@@ -237,39 +237,64 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
     if (shared.isEmpty) a.crossJoin(b) else a.join(b, shared)
   }
 
+  /** Rule names referenced anywhere in `r`'s bodies (defined rules only). */
+  private def ruleRefs(r: Rule, rules: Map[String, Rule]): Set[String] =
+    r.bodies.flatten.collect { case RuleApp(n, _) if rules.contains(n) => n }.toSet
+
+  /** Rules reachable from `from` via one or more RuleApp edges. */
+  private def reachableFrom(from: Set[String], rules: Map[String, Rule]): Set[String] = {
+    var acc = from
+    var grew = true
+    while (grew) {
+      val next = acc ++ acc.flatMap(n => ruleRefs(rules(n), rules))
+      grew = next.size > acc.size
+      acc = next
+    }
+    acc
+  }
+
+  /** The strongly-connected component containing `name` (every rule m with
+    * name →* m and m →* name), or EMPTY if `name` is on no cycle. Rule sets
+    * are tiny (a query's :rules vector), so the O(n²) closure is free. */
+  private def sccOf(name: String, rules: Map[String, Rule]): Set[String] = {
+    val fwd = reachableFrom(ruleRefs(rules(name), rules), rules) // ≥1 step out
+    if (!fwd.contains(name)) Set.empty
+    else (fwd + name).filter(n => n == name ||
+      reachableFrom(ruleRefs(rules(n), rules), rules).contains(name))
+  }
+
   /** Rule application: rename the rule's head params to the caller's
-    * variables (or filter on constants). Non-recursive rules inline
-    * (multi-body = union, Q8); self-referencing rules run a semi-naive
-    * fixpoint (Q9) — including NONLINEAR bodies (several self-references):
-    * each self-reference in turn gets the frontier while the others get
-    * the full accumulator, so a derivation pairing a new tuple with an old
-    * one is never lost (the classic semi-naive rewrite; delta⋈delta alone
-    * would be incomplete).
+    * variables (or filter on constants). Acyclic rules inline (multi-body =
+    * union, Q8); self-referencing rules run a semi-naive fixpoint (Q9) —
+    * including NONLINEAR bodies (several self-references): each
+    * self-reference in turn gets the frontier while the others get the full
+    * accumulator, so a derivation pairing a new tuple with an old one is
+    * never lost (the classic semi-naive rewrite; delta⋈delta alone would be
+    * incomplete). MUTUALLY recursive rule sets (an SCC of ≥ 2 rules —
+    * crux-legal via arbitrary :rules vectors) evaluate as ONE combined
+    * multi-relation fixpoint over the whole component ([[evalScc]]).
     *
-    * `applying` tracks in-progress rule expansions: a rule reached again
-    * through ANOTHER rule's body is mutual recursion, which this compiler
-    * does not stratify — rejected with a clear error instead of a
-    * StackOverflowError escaping the totality guarantee. */
+    * `applying` tracks in-progress rule expansions purely as an internal
+    * re-entry guard: component detection routes every legal cycle into a
+    * fixpoint, so re-entering an in-progress rule indicates a compiler bug,
+    * not a user error. */
   private def applyRule(docs: DataFrame, rule: Rule, args: Seq[Term],
                         rules: Map[String, Rule],
                         applying: Set[String] = Set.empty): Rel = {
     require(args.length == rule.params.length,
       s"rule ${rule.name} arity ${rule.params.length} got ${args.length}")
     if (applying.contains(rule.name))
-      throw new UnsupportedOperationException(
-        s"mutual recursion involving rule ${rule.name} is not supported " +
-          "(only direct self-recursion); inline the intermediate rule")
+      throw new IllegalStateException(
+        s"internal: re-entered rule ${rule.name} outside its recursive component")
     val inProgress = applying + rule.name
-    val selfRec = rule.bodies.exists(_.exists {
-      case RuleApp(n, _) => n == rule.name
-      case _ => false
-    })
+    val scc = sccOf(rule.name, rules)
     val paramNames = rule.params.map(_.name)
     val resolved: Rel =
-      if (!selfRec)
+      if (scc.isEmpty)
         rule.bodies.map(b => compileClauses(docs, b, rules, inProgress)
             .select(paramNames.map(col): _*))
           .reduce(_.unionByName(_)).distinct()
+      else if (scc.sizeIs > 1) evalScc(docs, scc, rules, applying)(rule.name)
       else {
         val (baseBodies, recBodies) = rule.bodies.partition(
           _.forall { case RuleApp(n, _) => n != rule.name; case _ => true })
@@ -308,6 +333,103 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
       }
     renameTo(resolved, paramNames, args)
   }
+
+  /** One fixpoint run per (docs, component, rule set): several call sites
+    * in one query — or repeated applications with permuted args — share the
+    * single evaluation. Keyed by the docs DataFrame REFERENCE, so a reused
+    * compiler instance over different data never serves stale relations. */
+  private val sccCache = scala.collection.mutable.HashMap
+    .empty[(DataFrame, Set[String], Map[String, Rule]), Map[String, Rel]]
+
+  /** Evaluate a mutually recursive rule component (|scc| ≥ 2) as ONE
+    * combined multi-relation semi-naive fixpoint
+    * ([[graft.query.Fixpoint.fixpointMulti]]). Per member: bodies with no
+    * component references seed its relation; each round derives every
+    * member's new tuples, binding ONE component reference per conjunction
+    * to that member's frontier and every other one to the accumulator —
+    * the semi-naive rewrite generalized across the component, so a
+    * derivation pairing a new P-tuple with an old Q-tuple is never lost.
+    * A member with no seed body starts absent and materializes the first
+    * round something derives into it (conjunctions referencing an absent
+    * member are empty by definition and skipped). */
+  private def evalScc(docs: DataFrame, scc: Set[String], rules: Map[String, Rule],
+                      applying: Set[String]): Map[String, Rel] =
+    sccCache.getOrElseUpdate((docs, scc, rules), {
+      val inProgress = applying ++ scc
+      val members = scc.toSeq.sorted
+      def params(n: String): Seq[String] = rules(n).params.map(_.name)
+
+      val partitioned: Map[String, (Seq[Seq[Clause]], Seq[Seq[Clause]])] =
+        members.map { m =>
+          m -> rules(m).bodies.partition(
+            _.forall { case RuleApp(n, _) => !scc.contains(n); case _ => true })
+        }.toMap
+
+      val bases: Map[String, DataFrame] = partitioned.collect {
+        case (m, (baseBodies, _)) if baseBodies.nonEmpty =>
+          m -> baseBodies.map(b => compileClauses(docs, b, rules, inProgress)
+              .select(params(m).map(col): _*))
+            .reduce(_.unionByName(_))
+      }
+      require(bases.nonEmpty, s"mutually recursive rules ${members.mkString(", ")} " +
+        "need at least one body with no component reference (a base case)")
+
+      /** Compile one conjunction with per-OCCURRENCE bindings for component
+        * references (the same member may appear twice in one body with
+        * different delta/acc roles, so binding by name would be wrong). */
+      def compileBody(owner: String, body: Seq[Clause],
+                      bindRef: Int => Rel): Rel = {
+        var rel: Option[Rel] = None
+        def merge(r: Rel): Unit = rel = Some(rel.fold(r)(naturalJoin(_, r)))
+        body.zipWithIndex.foreach {
+          case (RuleApp(n, as), i) if scc.contains(n) =>
+            merge(renameTo(bindRef(i), params(n), as))
+          case (p: Pattern, _) => merge(compilePattern(docs, p))
+          case (RuleApp(n, as), _) =>
+            merge(applyRule(docs, rules(n), as, rules, inProgress))
+          case (Pred(op, as), _) =>
+            rel = Some(rel.get.filter(predColumn(op, as, rel.get.schema)))
+          case (Bind(f, as, out), _) =>
+            rel = Some(rel.get.withColumn(out.name, fnColumn(f, as, rel.get.schema)))
+          case (other, _) => throw new UnsupportedOperationException(
+            s"clause $other inside mutually recursive body")
+        }
+        rel.get.select(params(owner).map(col): _*)
+      }
+
+      val step = (deltas: Map[String, DataFrame], accs: Map[String, DataFrame]) =>
+        members.flatMap { m =>
+          val conjs = partitioned(m)._2.flatMap { body =>
+            val refs = body.zipWithIndex.collect {
+              case (RuleApp(n, _), i) if scc.contains(n) => (i, n)
+            }
+            refs.flatMap { case (chosen, chosenName) =>
+              // viable iff the chosen occurrence has a frontier and every
+              // other occurrence has a materialized accumulator
+              val viable = deltas.contains(chosenName) &&
+                refs.forall { case (i, n) => i == chosen || accs.contains(n) }
+              if (!viable) None
+              else Some(compileBody(m, body, i =>
+                if (i == chosen) deltas(chosenName)
+                else accs(refs.find(_._1 == i).get._2)))
+            }
+          }
+          if (conjs.isEmpty) None
+          else Some(m -> conjs.reduce(_.unionByName(_)))
+        }.toMap
+
+      val results = graft.query.Fixpoint.fixpointMulti(
+        bases, step, members.map(m => m -> params(m)).toMap)
+      members.map { m =>
+        m -> results.getOrElse(m, {
+          // a member nothing ever derived into genuinely IS empty: a 0-row
+          // relation with its param columns (null-typed — every use joins
+          // or unions an empty set, so no value ever flows out of it)
+          docs.sparkSession.emptyDataFrame
+            .select(params(m).map(n => lit(null).as(n)): _*)
+        })
+      }.toMap
+    })
 
   /** Rename a relation's param columns to caller terms: vars rename (ONE
     * select — sequential withColumnRenamed corrupts permuted calls like

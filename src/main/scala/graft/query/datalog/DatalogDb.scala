@@ -90,6 +90,34 @@ object DatalogDb {
         concat_ws(",", col("sample_n")).as("sample_names"),
         concat_ws(",", col("rand_n")).as("rand_names"))
 
+  /** SparkEntry query `datalog_mutual`: MUTUALLY recursive rules — the
+    * even-length-path relation over the customer→nation→region /
+    * supplier→nation edge DAG, defined through two rules that reference
+    * each other (odd-path ↔ even-path). The whole component evaluates as
+    * ONE combined semi-naive fixpoint ([[DatalogCompiler]] SCC handling →
+    * `Fixpoint.fixpointMulti`); the oracle replays parity with a WITH
+    * RECURSIVE length counter. even-path has NO base body — its relation
+    * materializes the first round odd-path derives into it. */
+  def datalogMutualQuery(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.customer(s, d)
+        .select(concat(lit("c"), col("c_custkey").cast("string")).as("id"),
+                concat(lit("n"), col("c_nationkey").cast("string")).as("link"))
+      .union(Tables.nation(s, d)
+        .select(concat(lit("n"), col("n_nationkey").cast("string")),
+                concat(lit("r"), col("n_regionkey").cast("string"))))
+      .union(Tables.supplier(s, d)
+        .select(concat(lit("s"), col("s_suppkey").cast("string")),
+                concat(lit("n"), col("s_nationkey").cast("string"))))
+    EdnDatalog.run(edges,
+      """{:find [?a ?b]
+          :where [(even-path ?a ?b)]
+          :rules [[(odd-path ?a ?b) [?a :link ?b]]
+                  [(odd-path ?a ?b) [?a :link ?x] (even-path ?x ?b)]
+                  [(even-path ?c ?d) [?c :link ?y] (odd-path ?y ?d)]]}""")
+      .fold(e => throw new IllegalArgumentException(e), identity)
+      .select(col("a").as("src"), col("b").as("dst"))
+  }
+
   def datalogQuery(s: SparkSession, d: String): DataFrame = {
     val q = Query(
       find = Seq(FindVar(V("seg")), FindAgg("count", V("o"), Some("n_orders"))),

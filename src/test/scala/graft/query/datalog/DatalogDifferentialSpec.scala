@@ -543,6 +543,51 @@ class DatalogDifferentialSpec extends SparkSpec {
     }
   }
 
+  test("differential: 20 mutually recursive odd/even chain-parity queries") {
+    // naive side: manager-path parity by plain iteration — odd/even pair
+    // sets grown together until neither changes. No shared machinery with
+    // the compiler's SCC fixpoint (Fixpoint.fixpointMulti).
+    val edges = emps.collect { case e if e.manager != null => (e.id, e.manager) }
+    def parity: (Set[(String, String)], Set[(String, String)]) = {
+      var odd = edges.toSet
+      var even = Set.empty[(String, String)]
+      var grew = true
+      while (grew) {
+        val nextEven = even ++
+          (for ((a, x) <- edges.toSet; (x2, b) <- odd if x2 == x) yield (a, b))
+        val nextOdd = odd ++
+          (for ((a, x) <- edges.toSet; (x2, b) <- even if x2 == x) yield (a, b))
+        grew = nextEven.size > even.size || nextOdd.size > odd.size
+        even = nextEven; odd = nextOdd
+      }
+      (odd, even)
+    }
+    val (oddSet, evenSet) = parity
+    val names = emps.map(e => e.id -> e.name).toMap
+    val byId = emps.map(e => e.id -> e).toMap
+    val gen = for {
+      head <- Gen.oneOf("opath", "epath")
+      dept <- Gen.option(Gen.oneOf(depts))
+      prefix <- Gen.option(Gen.oneOf("a", "b", "c", "d", "g"))
+    } yield (head, dept, prefix)
+    for ((head, dept, prefix) <- samples(gen, 20)) {
+      val deptPat = dept.fold("")(d => s" [?e :dept ${ednConst(d)}]")
+      val pfxPred = prefix.fold("")(p => s""" [(starts-with? ?bn "$p")]""")
+      val edn = s"{:find [?n ?bn] :where [[?e :name ?n]$deptPat ($head ?e ?b) " +
+        s"[?b :name ?bn]$pfxPred] " +
+        ":rules [[(opath ?a ?b) [?a :manager ?b]] " +
+        "[(opath ?a ?b) [?a :manager ?x] (epath ?x ?b)] " +
+        "[(epath ?c ?d) [?c :manager ?y] (opath ?y ?d)]]}"
+      val pairs = if (head == "opath") oddSet else evenSet
+      val want = pairs.toSeq
+        .filter { case (a, _) => dept.forall(_ == byId(a).dept) }
+        .map { case (a, b) => Seq[Any](names(a), names(b)) }
+        .filter(r => prefix.forall(p => r(1).toString.startsWith(p)))
+        .distinct
+      asBags(runEdn(edn), want, edn)
+    }
+  }
+
   test("differential: 20 recursive reachability rule queries (transitive manager)") {
     // naive side: transitive closure by iteration over the manager edges —
     // no shared machinery with the compiler's semi-naive fixpoint

@@ -208,16 +208,53 @@ class DatalogSpec extends SparkSpec {
     }
   }
 
-  test("mutual recursion is rejected with a clear error, not a StackOverflow") {
+  test("mutual recursion: odd/even manager-chain parity (combined SCC fixpoint)") {
+    // odd(a,b): a reaches b through an ODD number of manager hops;
+    // even(a,b): through an EVEN (≥2) number — each defined via the other.
+    // Chains: e4→e2→e1, e5→e3→e1 (depth 2), so odd = the direct edges and
+    // even = the two length-2 pairs.
+    val odd = Rule("odd", Seq(V("a"), V("b")), Seq(
+      Seq(Pattern(V("a"), "manager", V("b"))),
+      Seq(Pattern(V("a"), "manager", V("x")), RuleApp("even", Seq(V("x"), V("b"))))))
+    val even = Rule("even", Seq(V("a"), V("b")), Seq(
+      Seq(Pattern(V("a"), "manager", V("x")), RuleApp("odd", Seq(V("x"), V("b"))))))
+    def run(head: String): Set[(String, String)] =
+      compiler.run(docs, Query(
+        find = Seq(FindVar(V("a")), FindVar(V("b"))),
+        where = Seq(RuleApp(head, Seq(V("a"), V("b")))),
+        rules = Seq(odd, even))).as[(String, String)].collect().toSet
+    assert(run("odd") == Set(("e2", "e1"), ("e3", "e1"), ("e4", "e2"), ("e5", "e3")))
+    assert(run("even") == Set(("e4", "e1"), ("e5", "e1")))
+  }
+
+  test("mutual recursion: a member with NO base body materializes via its peer") {
+    // up = manager ∪ hop (full closure); hop = manager ∘ up (paths ≥ 2).
+    // hop has no non-recursive body — its relation must appear the first
+    // round up derives into it, not fail for lack of a seed.
+    val up = Rule("up", Seq(V("a"), V("b")), Seq(
+      Seq(Pattern(V("a"), "manager", V("b"))),
+      Seq(RuleApp("hop", Seq(V("a"), V("b"))))))
+    val hop = Rule("hop", Seq(V("a"), V("b")), Seq(
+      Seq(Pattern(V("a"), "manager", V("x")), RuleApp("up", Seq(V("x"), V("b"))))))
+    def run(head: String): Set[(String, String)] =
+      compiler.run(docs, Query(
+        find = Seq(FindVar(V("a")), FindVar(V("b"))),
+        where = Seq(RuleApp(head, Seq(V("a"), V("b")))),
+        rules = Seq(up, hop))).as[(String, String)].collect().toSet
+    val closure = Set(("e2", "e1"), ("e3", "e1"), ("e4", "e2"), ("e5", "e3"),
+      ("e4", "e1"), ("e5", "e1"))
+    assert(run("up") == closure)
+    assert(run("hop") == Set(("e4", "e1"), ("e5", "e1")))
+  }
+
+  test("mutual recursion without any base body anywhere is a clear error") {
     val p = Rule("p", Seq(V("x")), Seq(Seq(RuleApp("q", Seq(V("x"))))))
-    val qr = Rule("q", Seq(V("x")), Seq(
-      Seq(Pattern(V("x"), "dept", C("eng"))),
-      Seq(RuleApp("p", Seq(V("x"))))))
+    val qr = Rule("q", Seq(V("x")), Seq(Seq(RuleApp("p", Seq(V("x"))))))
     val query = Query(
       find = Seq(FindVar(V("x"))),
       where = Seq(RuleApp("p", Seq(V("x")))),
       rules = Seq(p, qr))
-    val ex = intercept[UnsupportedOperationException] { compiler.run(docs, query) }
-    assert(ex.getMessage.contains("mutual recursion"))
+    val ex = intercept[IllegalArgumentException] { compiler.run(docs, query) }
+    assert(ex.getMessage.contains("base case"), ex.getMessage)
   }
 }
