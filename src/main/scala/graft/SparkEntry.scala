@@ -93,6 +93,8 @@ object SparkEntry {
     "datalog_sample"      -> (graft.query.datalog.DatalogDb.datalogSampleQuery(_, _)),
     // mutually recursive rules (odd/even path parity, combined SCC fixpoint)
     "datalog_mutual"      -> (graft.query.datalog.DatalogDb.datalogMutualQuery(_, _)),
+    // crux (pull ?e [:attr ...]) :find projection, flattened for compare
+    "datalog_pull"        -> (graft.query.datalog.DatalogDb.datalogPullQuery(_, _)),
     "datalog_bind_arith"  -> (graft.query.datalog.DatalogDb.datalogBindArithQuery(_, _)),
     // north-star LLM-pipeline extensions
     "dedup_exact"         -> (Dedup.dedupExactQuery(_, _)),
@@ -1051,6 +1053,13 @@ object SparkEntry {
          )
          SELECT g.seg, g.count_c, s.sample_names, r.rand_names
          FROM grp g JOIN samp s ON g.seg = s.seg JOIN rnd_agg r ON g.seg = r.seg""",
+    // datalog_pull: the pull join must not change cardinality or break the
+    // find tuple's set semantics — DISTINCT over the same projection
+    "datalog_pull" ->
+      """SELECT DISTINCT c_mktsegment AS seg, c_name AS cust_name,
+           c_acctbal AS acctbal
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_totalprice > 300000.0""",
     // datalog_mutual: even-length paths over the c→n→r / s→n DAG — the
     // mutually recursive odd/even rule pair linearizes in SQL to one
     // recursive CTE carrying a path-length parity counter

@@ -34,7 +34,7 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
     require(docs.columns.contains("id"), "document relation needs an `id` column")
     val ruleMap = mergeRules(q.rules)
     val body = compileClauses(docs, substArgs(q.where, q.args), ruleMap)
-    project(body, q)
+    project(docs, body, q)
   }
 
   // ------------------------------------------------------------ args (Q7)
@@ -574,11 +574,52 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
     case other => throw new UnsupportedOperationException(s"aggregate $other")
   }
 
-  private def project(rel: Rel, q: Query): DataFrame = {
+  private def project(docs: DataFrame, rel: Rel, q: Query): DataFrame = {
     val aggs = q.find.collect { case a: FindAgg => a }
     val vars = q.find.collect { case FindVar(v) => v.name }
+    val pulls = q.find.collect { case p: FindPull => p }
     val projected =
-      if (aggs.isEmpty) rel.select(vars.map(col): _*).distinct() // Q18 set semantics
+      if (pulls.nonEmpty) {
+        // crux (pull ?e [:attr …]): attach the named attributes of the
+        // bound entity as ONE struct column per pull (a map in crux; the
+        // struct is its typed relational face). Dedup the binding tuple
+        // FIRST (set semantics), enrich via an equi-join against the doc
+        // relation (one doc per id, so cardinality is unchanged; broadcast-
+        // or hash-joinable at any scale), then dedup the RESULT tuples —
+        // crux's q returns a set of find tuples, and a pull of a non-key
+        // attribute can collapse distinct entities to one tuple.
+        require(aggs.isEmpty,
+          "(pull …) cannot be combined with :find aggregates")
+        pulls.foreach(p => p.attrs.foreach(a =>
+          require(docs.columns.contains(a), s"unknown attribute $a in (pull ?${p.v.name} …)")))
+        // output column per pull: pull_<var>, disambiguated by position
+        // when the same var is pulled more than once
+        val pullNames = pulls.zipWithIndex.map { case (p, i) =>
+          val base = s"pull_${p.v.name}"
+          if (pulls.count(_.v.name == p.v.name) > 1) s"${base}_$i" else base
+        }
+        val needed = (vars ++ pulls.map(_.v.name)).distinct
+        var out = rel.select(needed.map(col): _*).distinct()
+        pulls.zipWithIndex.foreach { case (p, i) =>
+          val tmpId = s"__pull_id_$i"
+          val side = docs.select(
+            col("id").as(tmpId) +:
+              p.attrs.map(a => col(a).as(s"__pull_${i}_$a")): _*)
+          out = out.join(side, col(p.v.name) === col(tmpId), "left")
+            .withColumn(pullNames(i), struct(
+              p.attrs.map(a => col(s"__pull_${i}_$a").as(a)): _*))
+            .drop(tmpId +: p.attrs.map(a => s"__pull_${i}_$a"): _*)
+        }
+        // final tuple in :find order, set-deduped
+        var pi = -1
+        val ordered = q.find.map {
+          case FindVar(v) => v.name
+          case _: FindPull => pi += 1; pullNames(pi)
+          case other => throw new IllegalStateException(s"unexpected $other")
+        }
+        out.select(ordered.map(col): _*).distinct()
+      }
+      else if (aggs.isEmpty) rel.select(vars.map(col): _*).distinct() // Q18 set semantics
       else {
         // non-aggregated find vars act as the GROUP BY key; crux aggregates
         // over the DISTINCT binding tuples of the find variables (its

@@ -55,6 +55,11 @@ object Ast {
     * (N distinct picks), whose N rides in `n`. */
   final case class FindAgg(fn: String, v: V, alias: Option[String] = None,
                            n: Option[Int] = None) extends FindElem
+  /** Crux `(pull ?e [:attr …])` projection (flat attribute vectors): the
+    * named attributes of the bound entity, returned as one struct column
+    * (crux returns a map; a struct is its typed relational face). Nested /
+    * wildcard pull specs are outside the reference's surface. */
+  final case class FindPull(v: V, attrs: Seq[String]) extends FindElem
 
   final case class Query(
       find: Seq[FindElem],

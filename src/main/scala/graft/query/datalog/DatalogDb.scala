@@ -118,6 +118,23 @@ object DatalogDb {
       .select(col("a").as("src"), col("b").as("dst"))
   }
 
+  /** SparkEntry query `datalog_pull`: crux `(pull ?e [:attr …])` :find
+    * projection (flat attribute vectors) — high-value orders' customers
+    * pulled as (name, acctbal) structs, flattened to scalars for the
+    * driver's row compare. The oracle replays the same DISTINCT projection
+    * in SQL, so a wrong pull join (cardinality change, wrong attribute,
+    * lost set semantics) hash-fails. */
+  def datalogPullQuery(s: SparkSession, d: String): DataFrame =
+    EdnDatalog.run(ordersCustomers(s, d),
+      """{:find [?seg (pull ?c [:c-name :c-acctbal])]
+          :where [[?o :o-totalprice ?t]
+                  [(> ?t 300000.0)]
+                  [?o :order-cust ?c]
+                  [?c :c-mktsegment ?seg]]}""")
+      .fold(e => throw new IllegalArgumentException(e), identity)
+      .select(col("seg"), col("pull_c.c_name").as("cust_name"),
+        col("pull_c.c_acctbal").as("acctbal"))
+
   def datalogQuery(s: SparkSession, d: String): DataFrame = {
     val q = Query(
       find = Seq(FindVar(V("seg")), FindAgg("count", V("o"), Some("n_orders"))),

@@ -111,6 +111,15 @@ object EdnDatalog {
               Right(FindAgg(fn, V(n.stripPrefix("?")), n = Some(k.toInt)))
             case _ => Left(s"aggregate ($fn …) takes a positive count and a variable")
           }
+        // crux pull projection, flat attribute vectors: (pull ?e [:a :b])
+        case Lst(List(Sym("pull"), Sym(e), Vec(attrs))) if e.startsWith("?") =>
+          sequenceE(attrs.map {
+            case Kw(k) => Right(kwToAttr(k))
+            case other => Left(s"(pull …) spec entries must be attribute keywords, got $other")
+          }).flatMap { as =>
+            if (as.isEmpty) Left("(pull …) spec must name at least one attribute")
+            else Right(FindPull(V(e.stripPrefix("?")), as))
+          }
         case other => Left(s"bad :find element $other")
       })
     case _ => Left(":find must be a non-empty vector")

@@ -41,7 +41,20 @@ class BenchStatsSpec extends SparkSpec {
     // jump means a stage started re-executing (lost persist) or re-planning
     ("pipeline_clean_corpus", 40), // 28 measured cold at sf0.001 (stages the pair artifact)
     ("corpus_dsir_select", 28),
-    ("similarity_pq", 14))
+    ("similarity_pq", 14),
+    // r11: extended to the top-15 gates by measured bench cost (r10
+    // bench_result.json job_stats), budgets = cold sf0.001 measurement
+    // + ~50% slack
+    ("dedup_stream_filter", 32),    // 21 measured (staged shingle index + batches)
+    ("dedup_ngram_jaccard", 20),    // 13
+    ("dedup_embedding_lsh", 18),    // 12
+    ("dedup_minhash", 17),          // 11
+    ("text_bm25_topk", 11),         // 7
+    ("corpus_decontam_report", 18), // 12
+    ("corpus_bpe_merges", 21),      // 14 (10 sequential merge rounds + scan)
+    ("text_top_terms", 14),         // 9
+    ("dedup_semantic", 24),         // 16 (k-means rounds + prune chain)
+    ("dedup_simhash", 23))          // 15
 
   for ((gate, budget) <- budgets)
     test(s"$gate stays within its job budget ($budget)") {

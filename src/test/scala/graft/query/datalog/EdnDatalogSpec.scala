@@ -39,6 +39,29 @@ class EdnDatalogSpec extends SparkSpec {
     assert(got == Set(("ada", 120.0), ("bob", 90.0), ("dee", 100.0)))
   }
 
+  test("(pull ?e [:attr …]) projection — flat attribute vectors (crux 1.16)") {
+    // struct column carrying the pulled attributes, in :find order with
+    // plain vars; entity stays joinable alongside its pull
+    val got = run(
+      """{:find [?e (pull ?e [:name :salary])]
+          :where [[?e :dept "eng"]]}""")
+      .as[(String, (String, Double))].collect().toSet
+    assert(got == Set(
+      ("e1", ("ada", 120.0)), ("e2", ("bob", 90.0)), ("e4", ("dee", 100.0))))
+    // set semantics on the RESULT tuple: a pull of a non-key attribute
+    // collapses distinct entities to one tuple (crux's q returns a set)
+    val depts = run("{:find [(pull ?e [:dept])] :where [[?e :salary ?s]]}")
+      .collect().map(_.getStruct(0).getString(0)).toSeq
+    assert(depts.sorted == Seq("eng", "ops"), s"collapsed to distinct: $depts")
+    // a pulled attribute the entity lacks is a null field, not a lost row
+    val mgr = run("""{:find [?e (pull ?e [:manager])] :where [[?e :name "ada"]]}""")
+      .collect().map(r => (r.getString(0), r.getStruct(1).isNullAt(0))).toSet
+    assert(mgr == Set(("e1", true)))
+    // malformed pull specs are compile errors, not crashes
+    assert(EdnDatalog.run(docs, "{:find [(pull ?e [])] :where [[?e :name ?n]]}").isLeft)
+    assert(EdnDatalog.run(docs, """{:find [(pull ?e ["x"])] :where [[?e :name ?n]]}""").isLeft)
+  }
+
   test("auth.clj:91-96 shape — string predicate clause") {
     val got = run(
       """{:find [?n]
