@@ -66,9 +66,15 @@ object Bench {
     val loadavg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val qstats = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
+    val qstats =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long, Double)]
     val results = queries.map { case (name, fn) =>
       val (j0, s0, t0c) = (jobs.get(), stages.get(), tasks.get())
+      // loadavg sampled at THIS query's start: a co-tenant spike mid-run
+      // then shows up exactly at the queries it inflated, not as one
+      // pre-flight number a reader has to hope held for the whole loop
+      val loadQ = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); () } catch { case e: Throwable =>
         // a crashed query must not masquerade as a fast one
@@ -80,7 +86,7 @@ object Bench {
       // listener events are delivered async — drain before sampling, or
       // this query's jobs get attributed to the next one
       org.apache.spark.sql.graft.DatasetBridge.drainListenerBus(spark)
-      qstats(name) = (jobs.get - j0, stages.get - s0, tasks.get - t0c)
+      qstats(name) = (jobs.get - j0, stages.get - s0, tasks.get - t0c, loadQ)
       if (statsStderr) System.err.println(
         f"[bench-stats] $name%-24s ${dt}%6.2fs jobs=${jobs.get - j0}%-3d stages=${stages.get - s0}%-4d tasks=${tasks.get - t0c}%-5d")
       name -> dt
@@ -90,9 +96,10 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.sorted.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
     def s1(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    // per-query deterministic plan facts: "name":[jobs,stages,tasks]
-    val statsJson = qstats.map { case (k, (j, s, t)) =>
-      "\"" + k + "\":[" + j + "," + s + "," + t + "]"
+    // per-query plan facts + start-of-query loadavg:
+    // "name":[jobs,stages,tasks,loadavg]
+    val statsJson = qstats.map { case (k, (j, s, t, l)) =>
+      "\"" + k + "\":[" + j + "," + s + "," + t + "," + s1(l) + "]"
     }.mkString("{", ",", "}")
     def fmtLine(q: Map[String, String], tot: String) =
       s"""{"metric":"total","value":$tot,"unit":"sec","loadavg":${s1(loadavg)},"queries":${

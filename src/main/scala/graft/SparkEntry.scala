@@ -95,6 +95,8 @@ object SparkEntry {
     "datalog_mutual"      -> (graft.query.datalog.DatalogDb.datalogMutualQuery(_, _)),
     // crux (pull ?e [:attr ...]) :find projection, flattened for compare
     "datalog_pull"        -> (graft.query.datalog.DatalogDb.datalogPullQuery(_, _)),
+    // nested pull {:ref [sub...]} — child doc joined through the ref attr
+    "datalog_pull_nested" -> (graft.query.datalog.DatalogDb.datalogPullNestedQuery(_, _)),
     "datalog_bind_arith"  -> (graft.query.datalog.DatalogDb.datalogBindArithQuery(_, _)),
     // north-star LLM-pipeline extensions
     "dedup_exact"         -> (Dedup.dedupExactQuery(_, _)),
@@ -1060,6 +1062,14 @@ object SparkEntry {
            c_acctbal AS acctbal
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_totalprice > 300000.0""",
+    // datalog_pull_nested: the child equi-join through the order-cust ref
+    // must keep cardinality and match each ref to exactly its doc
+    "datalog_pull_nested" ->
+      """SELECT DISTINCT 'o' || CAST(o_orderkey AS VARCHAR) AS order_id,
+           o_totalprice AS totalprice, c_name AS cust_name,
+           c_mktsegment AS seg
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_totalprice > 340000.0""",
     // datalog_mutual: even-length paths over the c→n→r / s→n DAG — the
     // mutually recursive odd/even rule pair linearizes in SQL to one
     // recursive CTE carrying a path-length parity counter

@@ -337,7 +337,11 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
   /** One fixpoint run per (docs, component, rule set): several call sites
     * in one query — or repeated applications with permuted args — share the
     * single evaluation. Keyed by the docs DataFrame REFERENCE, so a reused
-    * compiler instance over different data never serves stale relations. */
+    * compiler instance over different data never serves stale relations.
+    * Entries pin checkpointed iteration data, so the cache's lifetime
+    * should match a query's: `EdnDatalog.run` builds a fresh compiler per
+    * query by default — a long-lived service holding ONE compiler across
+    * many queries would accumulate entries instead. */
   private val sccCache = scala.collection.mutable.HashMap
     .empty[(DataFrame, Set[String], Map[String, Rule]), Map[String, Rel]]
 
@@ -574,13 +578,58 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
     case other => throw new UnsupportedOperationException(s"aggregate $other")
   }
 
+  /** Materialize one pull spec as a two-column side table
+    * `(__pid_<tag>, __pstruct_<tag>)` keyed by doc id. `*` expands to
+    * every doc attribute (crux's `*` includes the eid, so `id` stays in);
+    * a `{:ref [sub…]}` join entry recursively builds the child side and
+    * replaces the ref id with the child struct via one more id
+    * equi-join — depth-d pull is d hash joins over the doc relation,
+    * never a per-row lookup. Spec entries dedup by output field name
+    * (first occurrence wins, matching crux map semantics); unmatched
+    * refs yield a null child struct (left join). Crux's unbounded
+    * recursive specs (`...`) are out of scope — specs here are finite. */
+  private def pullSide(docs: DataFrame, spec: Seq[PullEntry], tag: String): DataFrame = {
+    def fieldName(e: PullEntry): String = e match {
+      case PullAttr(a) => a
+      case PullJoin(a, _) => a
+      case PullWildcard =>
+        throw new IllegalStateException("wildcard must be expanded first")
+    }
+    val expanded = spec.flatMap {
+      case PullWildcard => docs.columns.toSeq.map(PullAttr)
+      case e => Seq(e)
+    }
+    val entries = expanded.foldLeft(Vector.empty[PullEntry]) { (acc, e) =>
+      if (acc.exists(fieldName(_) == fieldName(e))) acc else acc :+ e
+    }
+    entries.foreach(e => require(docs.columns.contains(fieldName(e)),
+      s"unknown attribute ${fieldName(e)} in (pull …) spec"))
+    var side = docs.select(col("id").as(s"__pid_$tag") +:
+      entries.zipWithIndex.map { case (e, i) =>
+        col(fieldName(e)).as(s"__pf_${tag}_$i")   // for a join entry: the ref id, swapped below
+      }: _*)
+    entries.zipWithIndex.foreach {
+      case (PullJoin(_, sub), i) =>
+        val childTag = s"${tag}_$i"
+        val child = pullSide(docs, sub, childTag)
+        side = side.join(child,
+            col(s"__pf_${tag}_$i") === col(s"__pid_$childTag"), "left")
+          .withColumn(s"__pf_${tag}_$i", col(s"__pstruct_$childTag"))
+          .drop(s"__pid_$childTag", s"__pstruct_$childTag")
+      case _ => ()
+    }
+    side.select(col(s"__pid_$tag"), struct(entries.zipWithIndex.map {
+      case (e, i) => col(s"__pf_${tag}_$i").as(fieldName(e))
+    }: _*).as(s"__pstruct_$tag"))
+  }
+
   private def project(docs: DataFrame, rel: Rel, q: Query): DataFrame = {
     val aggs = q.find.collect { case a: FindAgg => a }
     val vars = q.find.collect { case FindVar(v) => v.name }
     val pulls = q.find.collect { case p: FindPull => p }
     val projected =
       if (pulls.nonEmpty) {
-        // crux (pull ?e [:attr …]): attach the named attributes of the
+        // crux (pull ?e [spec…]): attach the spec'd attributes of the
         // bound entity as ONE struct column per pull (a map in crux; the
         // struct is its typed relational face). Dedup the binding tuple
         // FIRST (set semantics), enrich via an equi-join against the doc
@@ -590,8 +639,6 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
         // attribute can collapse distinct entities to one tuple.
         require(aggs.isEmpty,
           "(pull …) cannot be combined with :find aggregates")
-        pulls.foreach(p => p.attrs.foreach(a =>
-          require(docs.columns.contains(a), s"unknown attribute $a in (pull ?${p.v.name} …)")))
         // output column per pull: pull_<var>, disambiguated by position
         // when the same var is pulled more than once
         val pullNames = pulls.zipWithIndex.map { case (p, i) =>
@@ -601,14 +648,11 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
         val needed = (vars ++ pulls.map(_.v.name)).distinct
         var out = rel.select(needed.map(col): _*).distinct()
         pulls.zipWithIndex.foreach { case (p, i) =>
-          val tmpId = s"__pull_id_$i"
-          val side = docs.select(
-            col("id").as(tmpId) +:
-              p.attrs.map(a => col(a).as(s"__pull_${i}_$a")): _*)
-          out = out.join(side, col(p.v.name) === col(tmpId), "left")
-            .withColumn(pullNames(i), struct(
-              p.attrs.map(a => col(s"__pull_${i}_$a").as(a)): _*))
-            .drop(tmpId +: p.attrs.map(a => s"__pull_${i}_$a"): _*)
+          val tag = s"p$i"
+          val side = pullSide(docs, p.spec, tag)
+          out = out.join(side, col(p.v.name) === col(s"__pid_$tag"), "left")
+            .withColumn(pullNames(i), col(s"__pstruct_$tag"))
+            .drop(s"__pid_$tag", s"__pstruct_$tag")
         }
         // final tuple in :find order, set-deduped
         var pi = -1

@@ -55,11 +55,23 @@ object Ast {
     * (N distinct picks), whose N rides in `n`. */
   final case class FindAgg(fn: String, v: V, alias: Option[String] = None,
                            n: Option[Int] = None) extends FindElem
-  /** Crux `(pull ?e [:attr …])` projection (flat attribute vectors): the
-    * named attributes of the bound entity, returned as one struct column
-    * (crux returns a map; a struct is its typed relational face). Nested /
-    * wildcard pull specs are outside the reference's surface. */
-  final case class FindPull(v: V, attrs: Seq[String]) extends FindElem
+  /** One entry of a crux pull spec: a named attribute, the `*` wildcard
+    * (every attribute of the document), or a nested join
+    * `{:ref-attr [subspec…]}` following a reference-valued attribute to
+    * the document it identifies. */
+  sealed trait PullEntry
+  final case class PullAttr(name: String) extends PullEntry
+  case object PullWildcard extends PullEntry
+  final case class PullJoin(attr: String, spec: Seq[PullEntry]) extends PullEntry
+
+  /** Crux `(pull ?e [:attr …])` projection: the spec'd attributes of the
+    * bound entity, returned as one struct column (crux returns a map; a
+    * struct is its typed relational face). Supports flat attribute
+    * vectors, the `*` wildcard, and nested `{:ref [:sub …]}` joins —
+    * each nesting level is one more id equi-join against the doc
+    * relation, so depth-d pull costs d hash joins, never a per-row
+    * lookup. */
+  final case class FindPull(v: V, spec: Seq[PullEntry]) extends FindElem
 
   final case class Query(
       find: Seq[FindElem],

@@ -135,6 +135,23 @@ object DatalogDb {
       .select(col("seg"), col("pull_c.c_name").as("cust_name"),
         col("pull_c.c_acctbal").as("acctbal"))
 
+  /** SparkEntry query `datalog_pull_nested`: nested pull spec — the
+    * order's `order-cust` ref followed through one more id equi-join to
+    * its customer doc, `{:ref [sub…]}` EQL form; nested struct flattened
+    * to scalars for the driver's row compare. A wrong child join
+    * (cardinality change, ref matched to the wrong doc, lost null-ref
+    * rows) hash-fails against the SQL replay. */
+  def datalogPullNestedQuery(s: SparkSession, d: String): DataFrame =
+    EdnDatalog.run(ordersCustomers(s, d),
+      """{:find [?o (pull ?o [:o-totalprice {:order-cust [:c-name :c-mktsegment]}])]
+          :where [[?o :o-totalprice ?t]
+                  [(> ?t 340000.0)]]}""")
+      .fold(e => throw new IllegalArgumentException(e), identity)
+      .select(col("o").as("order_id"),
+        col("pull_o.o_totalprice").as("totalprice"),
+        col("pull_o.order_cust.c_name").as("cust_name"),
+        col("pull_o.order_cust.c_mktsegment").as("seg"))
+
   def datalogQuery(s: SparkSession, d: String): DataFrame = {
     val q = Query(
       find = Seq(FindVar(V("seg")), FindAgg("count", V("o"), Some("n_orders"))),

@@ -111,18 +111,30 @@ object EdnDatalog {
               Right(FindAgg(fn, V(n.stripPrefix("?")), n = Some(k.toInt)))
             case _ => Left(s"aggregate ($fn …) takes a positive count and a variable")
           }
-        // crux pull projection, flat attribute vectors: (pull ?e [:a :b])
-        case Lst(List(Sym("pull"), Sym(e), Vec(attrs))) if e.startsWith("?") =>
-          sequenceE(attrs.map {
-            case Kw(k) => Right(kwToAttr(k))
-            case other => Left(s"(pull …) spec entries must be attribute keywords, got $other")
-          }).flatMap { as =>
-            if (as.isEmpty) Left("(pull …) spec must name at least one attribute")
-            else Right(FindPull(V(e.stripPrefix("?")), as))
-          }
+        // crux pull projection: (pull ?e [:a * {:ref [:sub …]}]) —
+        // attribute keywords, the * wildcard, and nested join maps
+        case Lst(List(Sym("pull"), Sym(e), spec)) if e.startsWith("?") =>
+          parsePullSpec(spec).map(s => FindPull(V(e.stripPrefix("?")), s))
         case other => Left(s"bad :find element $other")
       })
     case _ => Left(":find must be a non-empty vector")
+  }
+
+  /** Crux pull spec (EQL subset): `[:attr …]`, `*`, and single-entry
+    * join maps `{:ref-attr [subspec …]}` (nested arbitrarily). */
+  private def parsePullSpec(v: Value): Either[String, Seq[PullEntry]] = v match {
+    case Vec(items) if items.nonEmpty =>
+      sequenceE(items.map[Either[String, PullEntry]] {
+        case Kw(k) => Right(PullAttr(kwToAttr(k)))
+        case Sym("*") => Right(PullWildcard)
+        case Edn.MapV(List((Kw(k), sub))) =>
+          parsePullSpec(sub).map(PullJoin(kwToAttr(k), _))
+        case Edn.MapV(_) =>
+          Left("(pull …) join entry must be a single-entry map {:ref-attr [subspec …]}")
+        case other => Left(
+          s"(pull …) spec entries must be attribute keywords, *, or join maps, got $other")
+      })
+    case _ => Left("(pull …) spec must be a non-empty vector")
   }
 
   private def parseClauses(v: Value): Either[String, Seq[Clause]] = v match {

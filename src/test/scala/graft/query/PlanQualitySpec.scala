@@ -134,6 +134,17 @@ class PlanQualitySpec extends SparkSpec {
       s"bind arithmetic must fold into the scan-side filter:\n$plan")
   }
 
+  test("datalog pull join is a keyed equi-join, never a cartesian") {
+    // (pull ?e [...]) enriches the binding tuple via an id equi-join
+    // against the doc relation — hash/broadcast-joinable at any scale; a
+    // nested-loop here would be all-pairs over the document universe
+    val df = graft.query.datalog.DatalogDb.datalogPullQuery(spark, sf("sf0.001"))
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pull must stay an equi-join:\n$plan")
+  }
+
   test("datalog rand/sample aggregates are bounded — no collect_list/collect_set state") {
     // (rand N ?x)/(sample N ?x) must run as O(k)-state partial aggregates
     // (PickExpressions), not whole-group collect_* buffers: a hot group at

@@ -62,6 +62,42 @@ class EdnDatalogSpec extends SparkSpec {
     assert(EdnDatalog.run(docs, """{:find [(pull ?e ["x"])] :where [[?e :name ?n]]}""").isLeft)
   }
 
+  test("(pull ?e [* {:ref […]}]) — wildcard and nested join specs") {
+    // * = every attribute of the doc, eid included (crux's * keeps
+    // :crux.db/id); spec entries dedup by field name, so [:name *] is
+    // legal and names each field once
+    val star = run("""{:find [(pull ?e [:name *])] :where [[?e :name "ada"]]}""")
+    val fields = star.schema.fields.head.dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    assert(fields == Seq("name", "id", "dept", "salary", "manager",
+      "stored_function_type"), s"wildcard fields: $fields")
+    val ada = star.collect().map(_.getStruct(0)).head
+    assert(ada.getString(0) == "ada" && ada.getString(1) == "e1")
+    // nested join: follow the manager ref to its doc; a missing ref is a
+    // null child struct (ada has no manager), not a lost row
+    val got = run(
+      """{:find [?e (pull ?e [:name {:manager [:name :dept]}])]
+          :where [[?e :dept "eng"]]}""")
+      .collect().map { r =>
+        val s = r.getStruct(1)
+        (r.getString(0), s.getString(0),
+          if (s.isNullAt(1)) null else s.getStruct(1).getString(0))
+      }.toSet
+    assert(got == Set(("e1", "ada", null), ("e2", "bob", "ada"),
+      ("e4", "dee", "bob")), s"nested pull: $got")
+    // two levels deep: dee → bob → ada
+    val deep = run(
+      """{:find [(pull ?e [:name {:manager [:name {:manager [:name]}]}])]
+          :where [[?e :name "dee"]]}""")
+      .collect().map(_.getStruct(0)).head
+    assert(deep.getString(0) == "dee" &&
+      deep.getStruct(1).getString(0) == "bob" &&
+      deep.getStruct(1).getStruct(1).getString(0) == "ada")
+    // a multi-entry join map is ambiguous EQL here — compile error
+    assert(EdnDatalog.run(docs,
+      "{:find [(pull ?e [{:manager [:name] :dept [:name]}])] :where [[?e :name ?n]]}").isLeft)
+  }
+
   test("auth.clj:91-96 shape — string predicate clause") {
     val got = run(
       """{:find [?n]
