@@ -97,6 +97,8 @@ object SparkEntry {
     "datalog_pull"        -> (graft.query.datalog.DatalogDb.datalogPullQuery(_, _)),
     // nested pull {:ref [sub...]} — child doc joined through the ref attr
     "datalog_pull_nested" -> (graft.query.datalog.DatalogDb.datalogPullNestedQuery(_, _)),
+    // EQL attribute options: :as renames, :default fills absent attrs
+    "datalog_pull_opts"   -> (graft.query.datalog.DatalogDb.datalogPullOptsQuery(_, _)),
     "datalog_bind_arith"  -> (graft.query.datalog.DatalogDb.datalogBindArithQuery(_, _)),
     // north-star LLM-pipeline extensions
     "dedup_exact"         -> (Dedup.dedupExactQuery(_, _)),
@@ -1070,6 +1072,16 @@ object SparkEntry {
            c_mktsegment AS seg
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_totalprice > 340000.0""",
+    // datalog_pull_opts: :as renames are name-level only (values identical
+    // to the source columns); :default materializes as a constant on every
+    // order row because order docs carry NULL for customer-only attrs in
+    // the widened universe
+    "datalog_pull_opts" ->
+      """SELECT DISTINCT 'o' || CAST(o_orderkey AS VARCHAR) AS order_id,
+           o_totalprice AS price, 'NONE' AS segd, c_name AS cust_name,
+           c_acctbal AS acctbal
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_totalprice > 345000.0""",
     // datalog_mutual: even-length paths over the c→n→r / s→n DAG — the
     // mutually recursive odd/even rule pair linearizes in SQL to one
     // recursive CTE carrying a path-length parity counter

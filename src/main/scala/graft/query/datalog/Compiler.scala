@@ -586,32 +586,75 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
     * equi-join — depth-d pull is d hash joins over the doc relation,
     * never a per-row lookup. Spec entries dedup by output field name
     * (first occurrence wins, matching crux map semantics); unmatched
-    * refs yield a null child struct (left join). Crux's unbounded
-    * recursive specs (`...`) are out of scope — specs here are finite. */
+    * refs yield a null child struct (left join). Attribute options:
+    * `:as` renames the output field, `:default` coalesces an absent
+    * (null) value to a constant, `:limit` slices an array attribute.
+    * Bounded recursion `{:attr N}` unrolls to N static self-joins (the
+    * unbounded `...` form has no static schema and is parse-rejected). */
   private def pullSide(docs: DataFrame, spec: Seq[PullEntry], tag: String): DataFrame = {
+    def srcName(e: PullEntry): String = e match {
+      case PullAttr(a, _, _, _) => a
+      case PullJoin(a, _, _) => a
+      case PullRecur(a, _) => a
+      case PullWildcard =>
+        throw new IllegalStateException("wildcard must be expanded first")
+    }
     def fieldName(e: PullEntry): String = e match {
-      case PullAttr(a) => a
-      case PullJoin(a, _) => a
+      case PullAttr(a, as, _, _) => as.getOrElse(a)
+      case PullJoin(a, _, as) => as.getOrElse(a)
+      case PullRecur(a, _) => a
       case PullWildcard =>
         throw new IllegalStateException("wildcard must be expanded first")
     }
     val expanded = spec.flatMap {
-      case PullWildcard => docs.columns.toSeq.map(PullAttr)
+      case PullWildcard => docs.columns.toSeq.map(c => PullAttr(c))
       case e => Seq(e)
     }
     val entries = expanded.foldLeft(Vector.empty[PullEntry]) { (acc, e) =>
       if (acc.exists(fieldName(_) == fieldName(e))) acc else acc :+ e
     }
-    entries.foreach(e => require(docs.columns.contains(fieldName(e)),
-      s"unknown attribute ${fieldName(e)} in (pull …) spec"))
+    entries.foreach(e => require(docs.columns.contains(srcName(e)),
+      s"unknown attribute ${srcName(e)} in (pull …) spec"))
+    // bounded recursion {:attr N} unrolls here: the child re-applies THIS
+    // spec with the recursive entry at depth-1, dropped at the leaf — so
+    // {:manager 3} is three static self-joins, each level's struct one
+    // field narrower at the bottom
+    def unrolledChild(r: PullRecur): Seq[PullEntry] = entries.flatMap {
+      case PullRecur(a, _) if a == r.attr =>
+        if (r.depth <= 1) Seq.empty else Seq(PullRecur(a, r.depth - 1))
+      case x => Seq(x)
+    }
     var side = docs.select(col("id").as(s"__pid_$tag") +:
       entries.zipWithIndex.map { case (e, i) =>
-        col(fieldName(e)).as(s"__pf_${tag}_$i")   // for a join entry: the ref id, swapped below
+        // for a join/recur entry: the ref id, swapped for the child struct below
+        val base = e match {
+          case PullAttr(a, _, _, Some(n)) =>
+            require(docs.schema(a).dataType
+                .isInstanceOf[org.apache.spark.sql.types.ArrayType],
+              s":limit applies to cardinality-many (array) attributes; " +
+                s"$a is ${docs.schema(a).dataType.simpleString}")
+            slice(col(a), 1, n)
+          case _ => col(srcName(e))
+        }
+        val withDefault = e match {
+          case PullAttr(_, _, Some(v), _) => coalesce(base, lit(v))
+          case _ => base
+        }
+        withDefault.as(s"__pf_${tag}_$i")
       }: _*)
     entries.zipWithIndex.foreach {
-      case (PullJoin(_, sub), i) =>
+      case (PullJoin(_, sub, _), i) =>
         val childTag = s"${tag}_$i"
         val child = pullSide(docs, sub, childTag)
+        side = side.join(child,
+            col(s"__pf_${tag}_$i") === col(s"__pid_$childTag"), "left")
+          .withColumn(s"__pf_${tag}_$i", col(s"__pstruct_$childTag"))
+          .drop(s"__pid_$childTag", s"__pstruct_$childTag")
+      case (r: PullRecur, i) if unrolledChild(r).nonEmpty =>
+        // an all-recursive spec bottoms out with an EMPTY child spec at the
+        // leaf (guard above): the leaf keeps the raw ref id, crux-style
+        val childTag = s"${tag}_$i"
+        val child = pullSide(docs, unrolledChild(r), childTag)
         side = side.join(child,
             col(s"__pf_${tag}_$i") === col(s"__pid_$childTag"), "left")
           .withColumn(s"__pf_${tag}_$i", col(s"__pstruct_$childTag"))

@@ -55,14 +55,27 @@ object Ast {
     * (N distinct picks), whose N rides in `n`. */
   final case class FindAgg(fn: String, v: V, alias: Option[String] = None,
                            n: Option[Int] = None) extends FindElem
-  /** One entry of a crux pull spec: a named attribute, the `*` wildcard
-    * (every attribute of the document), or a nested join
-    * `{:ref-attr [subspec…]}` following a reference-valued attribute to
-    * the document it identifies. */
+  /** One entry of a crux pull spec: a named attribute (optionally
+    * parameterized), the `*` wildcard (every attribute of the document), a
+    * nested join `{:ref-attr [subspec…]}` following a reference-valued
+    * attribute to the document it identifies, or a bounded recursive join
+    * `{:ref-attr N}`. */
   sealed trait PullEntry
-  final case class PullAttr(name: String) extends PullEntry
+  /** Attribute options are crux's EQL parameterization
+    * `(:attr {:as … :default … :limit …})`: `as` renames the output
+    * field, `default` substitutes a constant when the attribute is absent
+    * (null), `limit` truncates a cardinality-many (array) attribute to
+    * its first n elements. */
+  final case class PullAttr(name: String, as: Option[String] = None,
+                            default: Option[Any] = None,
+                            limit: Option[Int] = None) extends PullEntry
   case object PullWildcard extends PullEntry
-  final case class PullJoin(attr: String, spec: Seq[PullEntry]) extends PullEntry
+  final case class PullJoin(attr: String, spec: Seq[PullEntry],
+                            as: Option[String] = None) extends PullEntry
+  /** `{:ref-attr N}` re-applies the ENCLOSING spec through `attr` N levels
+    * deep (the unrolled-static face of EQL's bounded recursion; the
+    * unbounded `…` form has no static schema and is rejected at parse). */
+  final case class PullRecur(attr: String, depth: Int) extends PullEntry
 
   /** Crux `(pull ?e [:attr …])` projection: the spec'd attributes of the
     * bound entity, returned as one struct column (crux returns a map; a

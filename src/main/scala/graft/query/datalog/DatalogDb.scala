@@ -152,6 +152,27 @@ object DatalogDb {
         col("pull_o.order_cust.c_name").as("cust_name"),
         col("pull_o.order_cust.c_mktsegment").as("seg"))
 
+  /** SparkEntry query `datalog_pull_opts`: EQL attribute options — `:as`
+    * renames at both the attribute and join-key level, `:default` fills an
+    * attribute the entity lacks (order docs carry NULL for every
+    * customer-only column in the widened universe, so the default shows on
+    * every row). A wrong coalesce (default leaking over a present value)
+    * or a rename misapplied to the source column hash-fails the replay. */
+  def datalogPullOptsQuery(s: SparkSession, d: String): DataFrame =
+    EdnDatalog.run(ordersCustomers(s, d),
+      """{:find [?o (pull ?o [(:o-totalprice {:as :price})
+                              (:c-mktsegment {:default "NONE"})
+                              {(:order-cust {:as :cust}) [(:c-name {:as :cust-name})
+                                                          :c-acctbal]}])]
+          :where [[?o :o-totalprice ?t]
+                  [(> ?t 345000.0)]]}""")
+      .fold(e => throw new IllegalArgumentException(e), identity)
+      .select(col("o").as("order_id"),
+        col("pull_o.price").as("price"),
+        col("pull_o.c_mktsegment").as("segd"),
+        col("pull_o.cust.cust_name").as("cust_name"),
+        col("pull_o.cust.c_acctbal").as("acctbal"))
+
   def datalogQuery(s: SparkSession, d: String): DataFrame = {
     val q = Query(
       find = Seq(FindVar(V("seg")), FindAgg("count", V("o"), Some("n_orders"))),

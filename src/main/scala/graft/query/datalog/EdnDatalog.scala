@@ -120,22 +120,71 @@ object EdnDatalog {
     case _ => Left(":find must be a non-empty vector")
   }
 
-  /** Crux pull spec (EQL subset): `[:attr …]`, `*`, and single-entry
-    * join maps `{:ref-attr [subspec …]}` (nested arbitrarily). */
+  /** Crux pull spec (EQL subset): `[:attr …]`, `*`, parameterized
+    * attributes `(:attr {:as … :default … :limit …})`, single-entry join
+    * maps `{:ref-attr [subspec …]}` (key optionally parameterized with
+    * `:as`; nested arbitrarily), and bounded recursion `{:ref-attr N}`. */
   private def parsePullSpec(v: Value): Either[String, Seq[PullEntry]] = v match {
     case Vec(items) if items.nonEmpty =>
-      sequenceE(items.map[Either[String, PullEntry]] {
-        case Kw(k) => Right(PullAttr(kwToAttr(k)))
-        case Sym("*") => Right(PullWildcard)
-        case Edn.MapV(List((Kw(k), sub))) =>
-          parsePullSpec(sub).map(PullJoin(kwToAttr(k), _))
-        case Edn.MapV(_) =>
-          Left("(pull …) join entry must be a single-entry map {:ref-attr [subspec …]}")
-        case other => Left(
-          s"(pull …) spec entries must be attribute keywords, *, or join maps, got $other")
-      })
+      sequenceE(items.map[Either[String, PullEntry]](parsePullEntry))
     case _ => Left("(pull …) spec must be a non-empty vector")
   }
+
+  private def parsePullEntry(item: Value): Either[String, PullEntry] = item match {
+    case Kw(k) => Right(PullAttr(kwToAttr(k)))
+    case Sym("*") => Right(PullWildcard)
+    case Lst(List(Kw(k), Edn.MapV(opts))) =>
+      pullOpts(opts).map { case (as, dflt, lim) =>
+        PullAttr(kwToAttr(k), as, dflt, lim) }
+    case Edn.MapV(List((key, sub))) =>
+      val keyed: Either[String, (String, Option[String])] = key match {
+        case Kw(k) => Right((kwToAttr(k), None))
+        // parameterized join key {(:ref {:as :alias}) [subspec …]}
+        case Lst(List(Kw(k), Edn.MapV(opts))) => pullOpts(opts).flatMap {
+          case (as, None, None) => Right((kwToAttr(k), as))
+          case _ => Left("(pull …) join-key options support only :as")
+        }
+        case other => Left(s"bad (pull …) join key $other")
+      }
+      keyed.flatMap { case (attr, as) => sub match {
+        case Vec(_) => parsePullSpec(sub).map(PullJoin(attr, _, as))
+        // bounded recursion: re-apply the enclosing spec N levels deep.
+        // N is capped small — each level is one static join in the plan,
+        // and a deep chain belongs in a recursive RULE, not a pull.
+        case Lng(d) if d >= 1 && d <= 10 && as.isEmpty =>
+          Right(PullRecur(attr, d.toInt))
+        case Lng(d) if as.isEmpty => Left(
+          s"recursive pull depth must be 1..10 (each level is one static join), got $d")
+        case Sym("...") => Left(
+          "unbounded recursive pull {:attr ...} has no static schema — use a bounded depth {:attr N}")
+        case other => Left(s"bad (pull …) join value $other")
+      }}
+    case Edn.MapV(_) =>
+      Left("(pull …) join entry must be a single-entry map {:ref-attr [subspec …]}")
+    case other => Left(
+      s"(pull …) spec entries must be attribute keywords, *, parameterized attributes, or join maps, got $other")
+  }
+
+  /** `(:attr {…})` option map: `:as` (keyword/string rename), `:default`
+    * (constant substituted for an absent value), `:limit` (positive int;
+    * array attributes only — enforced at compile). */
+  private def pullOpts(entries: List[(Value, Value)])
+      : Either[String, (Option[String], Option[Any], Option[Int])] =
+    entries.foldLeft[Either[String, (Option[String], Option[Any], Option[Int])]](
+        Right((None, None, None))) {
+      case (acc, (Kw("as"), v)) => acc.flatMap { case (_, d, l) => v match {
+        case Kw(k) => Right((Some(kwToAttr(k)), d, l))
+        case Str(s) => Right((Some(s), d, l))
+        case other => Left(s":as takes a keyword or string, got $other")
+      }}
+      case (acc, (Kw("default"), v)) =>
+        acc.map { case (a, _, l) => (a, Some(const(v)), l) }
+      case (acc, (Kw("limit"), Lng(n))) if n >= 1 =>
+        acc.map { case (a, d, _) => (a, d, Some(n.toInt)) }
+      case (_, (Kw("limit"), other)) =>
+        Left(s":limit takes a positive integer, got $other")
+      case (_, (k, _)) => Left(s"unsupported (pull …) attribute option $k")
+    }
 
   private def parseClauses(v: Value): Either[String, Seq[Clause]] = v match {
     case Vec(items) if items.nonEmpty => sequenceE(items.map(parseClause))

@@ -622,4 +622,138 @@ class DatalogDifferentialSpec extends SparkSpec {
       asBags(runEdn(edn), want, edn)
     }
   }
+
+  // --------------------------------------------------------- pull specs
+  // Random EQL pull specs — attrs with :as/:default options, the *
+  // wildcard, nested {:manager [sub…]} joins, bounded {:manager N}
+  // recursion — against a naive evaluator that walks the fixture maps.
+  // The semantics mirrored independently: wildcard = every column in
+  // relation order, dedup by OUTPUT field name (first wins), unmatched
+  // ref → null child, recursion re-applies the enclosing spec with the
+  // depth decremented and keeps the raw ref id at an all-recursive leaf.
+
+  private sealed trait GPull
+  private case class GPAttr(a: String, as: Option[String],
+                            dflt: Option[Any]) extends GPull
+  private case object GPWild extends GPull
+  private case class GPJoin(sub: Seq[GPull]) extends GPull   // via :manager
+  private case class GPRecur(depth: Int) extends GPull       // via :manager
+
+  private val pullColOrder = Seq("id", "name", "dept", "salary", "age", "manager")
+  private lazy val docsById = rows.map(m => m("id").toString -> m).toMap
+
+  private def ednPullEntry(e: GPull): String = e match {
+    case GPAttr(a, None, None) => s":$a"
+    case GPAttr(a, as, dflt) =>
+      val opts = as.map(x => s":as :$x").toSeq ++
+        dflt.map(v => s":default ${ednConst(v)}")
+      s"(:$a {${opts.mkString(" ")}})"
+    case GPWild => "*"
+    case GPJoin(sub) => s"{:manager [${sub.map(ednPullEntry).mkString(" ")}]}"
+    case GPRecur(d) => s"{:manager $d}"
+  }
+
+  private def pullFieldName(e: GPull): String = e match {
+    case GPAttr(a, as, _) => as.getOrElse(a)
+    case GPJoin(_) | GPRecur(_) => "manager"
+    case GPWild => throw new IllegalStateException("expand first")
+  }
+
+  private def naivePull(id: String, spec: Seq[GPull]): Any =
+    docsById.get(id) match {
+      case None => null
+      case Some(doc) =>
+        val expanded = spec.flatMap {
+          case GPWild => pullColOrder.map(c => GPAttr(c, None, None))
+          case e => Seq(e)
+        }
+        val entries = expanded.foldLeft(Vector.empty[GPull]) { (acc, e) =>
+          if (acc.exists(pullFieldName(_) == pullFieldName(e))) acc else acc :+ e
+        }
+        def childOf(d: Int): Seq[GPull] = entries.flatMap {
+          case GPRecur(_) => if (d <= 1) Seq.empty else Seq(GPRecur(d - 1))
+          case x => Seq(x)
+        }
+        entries.toList.map {
+          case GPAttr(a, as, dflt) =>
+            val v = doc(a)
+            (as.getOrElse(a), if (v == null) dflt.orNull else v)
+          case GPJoin(sub) =>
+            val ref = doc("manager")
+            ("manager", if (ref == null) null else naivePull(ref.toString, sub))
+          case GPRecur(d) =>
+            val ref = doc("manager")
+            val sub = childOf(d)
+            ("manager",
+              if (sub.isEmpty) ref // all-recursive leaf: the raw ref id
+              else if (ref == null) null
+              else naivePull(ref.toString, sub))
+          case GPWild => throw new IllegalStateException("expand first")
+        }
+    }
+
+  /** Struct Rows → the naive side's nested (fieldName, value) lists. */
+  private def canonStruct(v: Any): Any = v match {
+    case r: org.apache.spark.sql.Row =>
+      r.schema.fields.toList.map(f =>
+        f.name -> canonStruct(r.get(r.fieldIndex(f.name))))
+    case x => x
+  }
+
+  test("differential: 40 generated pull specs (options, wildcard, joins, recursion)") {
+    val genAttrEntry: Gen[GPull] = for {
+      a <- Gen.oneOf("name", "dept", "salary", "age", "manager")
+      as <- Gen.option(Gen.oneOf("x", "y", "alias1"))
+      // :default stays type-matched to the column (manager: string) so the
+      // coalesce is cast-free on the Spark side
+      dflt <- if (a == "manager") Gen.option(Gen.const[Any]("none"))
+              else Gen.const(None)
+    } yield GPAttr(a, as, dflt)
+    def genSpec(depth: Int): Gen[Seq[GPull]] = {
+      val entry: Gen[GPull] =
+        if (depth <= 0) Gen.frequency(6 -> genAttrEntry, 1 -> Gen.const(GPWild))
+        else Gen.frequency(
+          5 -> genAttrEntry,
+          1 -> Gen.const(GPWild),
+          2 -> Gen.lzy(genSpec(depth - 1).map(GPJoin(_))),
+          1 -> Gen.chooseNum(1, 3).map(GPRecur(_)))
+      Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, entry))
+    }
+    val genCase = for {
+      spec <- genSpec(2)
+      whereMode <- Gen.oneOf(0, 1, 2)
+      dept <- Gen.oneOf(depts)
+      sal <- Gen.oneOf(salaryConsts)
+    } yield (spec, whereMode, dept, sal)
+    val cases = samples(genCase, 40)
+    // the generator must exercise every spec-entry class
+    def allEntries(s: Seq[GPull]): Seq[GPull] = s.flatMap {
+      case j @ GPJoin(sub) => j +: allEntries(sub)
+      case e => Seq(e)
+    }
+    val everything = cases.flatMap(c => allEntries(c._1))
+    assert(everything.exists(_.isInstanceOf[GPJoin]), "…joins")
+    assert(everything.exists(_.isInstanceOf[GPRecur]), "…recursion")
+    assert(everything.contains(GPWild), "…wildcard")
+    assert(everything.exists { case GPAttr(_, as, d) => as.nonEmpty || d.nonEmpty
+      case _ => false }, "…attribute options")
+    for ((spec, whereMode, dept, sal) <- cases) {
+      val where = whereMode match {
+        case 0 => "[?e :name ?n0]"
+        case 1 => s"[?e :dept ${ednConst(dept)}]"
+        case 2 => s"[?e :salary ?s0] [(> ?s0 ${ednConst(sal)})]"
+      }
+      val edn = s"{:find [?e (pull ?e [${spec.map(ednPullEntry).mkString(" ")}])] " +
+        s":where [$where]}"
+      val got = runEdn(edn).map(r => (r(0), canonStruct(r(1)))).toSet
+      val wantIds = emps.filter(e => whereMode match {
+        case 0 => true
+        case 1 => e.dept == dept
+        case 2 => e.salary > sal
+      }).map(_.id)
+      val want = wantIds.map(id => (id: Any, naivePull(id, spec))).toSet
+      assert(got == want, s"mismatch for $edn\n  spark-only: ${(got -- want).take(2)}" +
+        s"\n  naive-only: ${(want -- got).take(2)}")
+    }
+  }
 }

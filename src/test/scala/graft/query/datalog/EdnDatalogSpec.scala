@@ -98,6 +98,75 @@ class EdnDatalogSpec extends SparkSpec {
       "{:find [(pull ?e [{:manager [:name] :dept [:name]}])] :where [[?e :name ?n]]}").isLeft)
   }
 
+  test("pull attribute options — :as, :default, :limit, parameterized join key") {
+    // :as renames the output field; :default fills an ABSENT (null) value
+    val got = run(
+      """{:find [(pull ?e [(:name {:as :who})
+                           (:manager {:as :boss, :default "none"})])]
+          :where [[?e :dept "eng"]]}""")
+    val fields = got.schema.fields.head.dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    assert(fields == Seq("who", "boss"), s"renamed fields: $fields")
+    val rows = got.collect().map(_.getStruct(0))
+      .map(s => (s.getString(0), s.getString(1))).toSet
+    assert(rows == Set(("ada", "none"), ("bob", "e1"), ("dee", "e2")))
+    // parameterized JOIN key: {(:manager {:as :mgr}) [:name]}
+    val j = run(
+      """{:find [(pull ?e [:name {(:manager {:as :mgr}) [:name]}])]
+          :where [[?e :name "bob"]]}""")
+      .collect().map(_.getStruct(0)).head
+    assert(j.schema.fieldNames.toSeq == Seq("name", "mgr"))
+    assert(j.getString(0) == "bob" && j.getStruct(1).getString(0) == "ada")
+    // :limit slices a cardinality-many (array) attribute; non-array → error
+    val arr = Seq(("a1", Seq("x", "y", "z")), ("a2", Seq("p")))
+      .toDF("id", "tags")
+    val lim = EdnDatalog.run(arr,
+      """{:find [(pull ?e [(:tags {:limit 2})])] :where [[?e :tags]]}""")
+      .fold(e => fail(e), identity)
+      .collect().map(_.getStruct(0).getSeq[String](0)).toSet
+    assert(lim == Set(Seq("x", "y"), Seq("p")))
+    val nonArr = EdnDatalog.run(docs,
+      """{:find [(pull ?e [(:name {:limit 2})])] :where [[?e :name ?n]]}""")
+    assert(nonArr.isLeft && nonArr.swap.exists(_.contains("cardinality-many")),
+      s"got $nonArr")
+    // unknown options and malformed values are compile errors
+    assert(EdnDatalog.run(docs,
+      "{:find [(pull ?e [(:name {:frobnicate 1})])] :where [[?e :name ?n]]}").isLeft)
+    assert(EdnDatalog.run(docs,
+      "{:find [(pull ?e [(:name {:limit 0})])] :where [[?e :name ?n]]}").isLeft)
+  }
+
+  test("pull bounded recursion {:ref N} — unrolled static self-joins") {
+    // {:manager 2} re-applies the enclosing spec two levels up the chain;
+    // the leaf level's struct simply lacks the recursive field
+    val eva = run(
+      """{:find [(pull ?e [:name {:manager 2}])] :where [[?e :name "eva"]]}""")
+      .collect().map(_.getStruct(0)).head
+    assert(eva.getString(0) == "eva")
+    val l1 = eva.getStruct(1) // cid
+    assert(l1.getString(0) == "cid")
+    val l2 = l1.getStruct(1) // ada — leaf: name only, no manager field
+    assert(l2.getString(0) == "ada" && l2.schema.fieldNames.toSeq == Seq("name"))
+    // chain shorter than the depth: nulls, not lost rows
+    val ada = run(
+      """{:find [(pull ?e [:name {:manager 2}])] :where [[?e :name "ada"]]}""")
+      .collect().map(_.getStruct(0)).head
+    assert(ada.getString(0) == "ada" && ada.isNullAt(1))
+    // an ALL-recursive spec bottoms out with the raw ref id at the leaf
+    val leaf = run(
+      """{:find [(pull ?e [{:manager 1}])] :where [[?e :name "bob"]]}""")
+      .collect().map(_.getStruct(0)).head
+    assert(leaf.getString(0) == "e1", s"leaf keeps the ref id: $leaf")
+    // unbounded and out-of-range depths are descriptive compile errors
+    val unb = EdnDatalog.run(docs,
+      "{:find [(pull ?e [{:manager ...}])] :where [[?e :name ?n]]}")
+    assert(unb.isLeft && unb.swap.exists(_.contains("static schema")), s"got $unb")
+    assert(EdnDatalog.run(docs,
+      "{:find [(pull ?e [{:manager 11}])] :where [[?e :name ?n]]}").isLeft)
+    assert(EdnDatalog.run(docs,
+      "{:find [(pull ?e [{:manager 0}])] :where [[?e :name ?n]]}").isLeft)
+  }
+
   test("auth.clj:91-96 shape — string predicate clause") {
     val got = run(
       """{:find [?n]
