@@ -779,8 +779,10 @@ object SparkEntry {
          WHERE event_id > 700""",
     "time_truncate" ->
       "SELECT date_trunc('hour', ts) AS bucket, count(*) AS n FROM events GROUP BY date_trunc('hour', ts)",
+    // next-or-SAME Monday (consume-time's DayOfWeek arm tests today before
+    // advancing): offset (8 - isodow) mod 7, so a Monday maps to itself
     "time_next_day" ->
-      """SELECT CAST(ts AS DATE) + INTERVAL ((8 - isodow(CAST(ts AS DATE)))) DAY AS next_monday, count(*) AS n
+      """SELECT CAST(ts AS DATE) + INTERVAL ((8 - isodow(CAST(ts AS DATE))) % 7) DAY AS next_monday, count(*) AS n
          FROM events GROUP BY 1""",
     // ts_resample: per-user daily grid via generate_series over each
     // user's own span — gap days appear with zeros, exact decimal sums

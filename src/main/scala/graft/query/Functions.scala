@@ -39,13 +39,28 @@ object Functions {
     * (`time.clj`'s :never arm; used by alert scheduling). */
   val Never: Instant = Instant.ofEpochMilli(Long.MaxValue >> 12)
 
-  private val chronoUnits: Map[String, ChronoUnit] = Map(
+  /** Duration-representable keyword units (`t/new-duration` accepts exactly
+    * the exact-length ChronoUnits): now + 1 unit, truncated to the unit —
+    * `time.clj:76-79`'s first arm. */
+  private val durationUnits: Map[String, ChronoUnit] = Map(
+    "nano" -> ChronoUnit.NANOS, "nanos" -> ChronoUnit.NANOS,
+    "micro" -> ChronoUnit.MICROS, "micros" -> ChronoUnit.MICROS,
     "milli" -> ChronoUnit.MILLIS, "millis" -> ChronoUnit.MILLIS,
     "second" -> ChronoUnit.SECONDS, "seconds" -> ChronoUnit.SECONDS,
     "minute" -> ChronoUnit.MINUTES, "minutes" -> ChronoUnit.MINUTES,
     "hour" -> ChronoUnit.HOURS, "hours" -> ChronoUnit.HOURS,
-    "day" -> ChronoUnit.DAYS, "days" -> ChronoUnit.DAYS,
-    "week" -> ChronoUnit.WEEKS, "weeks" -> ChronoUnit.WEEKS)
+    "half-day" -> ChronoUnit.HALF_DAYS, "half-days" -> ChronoUnit.HALF_DAYS,
+    "day" -> ChronoUnit.DAYS, "days" -> ChronoUnit.DAYS)
+
+  /** Period-only keyword units: `t/new-duration` THROWS on estimated units
+    * (weeks/months/years), so the reference falls through to its period arm
+    * — today + 1 period at MIDNIGHT, deliberately NOT truncated to a
+    * week/month/year boundary (`time.clj:80-85`). `:weeks` is therefore
+    * today+7d at 00:00, not the next Monday. */
+  private val periodUnits: Map[String, Period] = Map(
+    "week" -> Period.ofWeeks(1), "weeks" -> Period.ofWeeks(1),
+    "month" -> Period.ofMonths(1), "months" -> Period.ofMonths(1),
+    "year" -> Period.ofYears(1), "years" -> Period.ofYears(1))
 
   /** Full coercion matrix. Total: never throws; unparseable → None.
     * Arms mirror `time.clj:11-86` case order. */
@@ -60,22 +75,24 @@ object Functions {
         case p: Period => // today + period, at midnight (time.clj Period arm)
           Some(LocalDate.ofInstant(now, ZoneOffset.UTC).plus(p)
             .atStartOfDay(ZoneOffset.UTC).toInstant)
-        case dow: DayOfWeek => // next such weekday, midnight (time.clj:70-73)
-          var d = LocalDate.ofInstant(now, ZoneOffset.UTC).plusDays(1)
+        case dow: DayOfWeek =>
+          // next-or-SAME weekday at midnight: the reference's loop starts
+          // at TODAY and tests before advancing (time.clj:70-73), so an
+          // alert for :saturday set on a Saturday resolves to today 00:00
+          // (already past → fires immediately), not next week
+          var d = LocalDate.ofInstant(now, ZoneOffset.UTC)
           while (d.getDayOfWeek != dow) d = d.plusDays(1)
           Some(d.atStartOfDay(ZoneOffset.UTC).toInstant)
         case ms: Int => Some(now.plusMillis(ms.toLong)) // int millis-from-now
         case ms: Long => Some(now.plusMillis(ms))
         case ":never" | "never" => Some(Never)
-        case kw: String if chronoUnits.contains(kw.stripPrefix(":")) =>
-          // keyword unit: now + 1 unit, truncated to unit (time.clj:76-79).
-          // WEEKS is not a supported truncation unit; truncate to days first.
-          val u = chronoUnits(kw.stripPrefix(":"))
-          if (u == ChronoUnit.WEEKS) {
-            val d = LocalDate.ofInstant(now, ZoneOffset.UTC).plusWeeks(1)
-            Some(d.minusDays((d.getDayOfWeek.getValue - 1).toLong)
-              .atStartOfDay(ZoneOffset.UTC).toInstant)
-          } else Some(now.plus(1, u).truncatedTo(u))
+        case kw: String if durationUnits.contains(kw.stripPrefix(":")) =>
+          val u = durationUnits(kw.stripPrefix(":"))
+          Some(now.plus(1, u).truncatedTo(u))
+        case kw: String if periodUnits.contains(kw.stripPrefix(":")) =>
+          Some(LocalDate.ofInstant(now, ZoneOffset.UTC)
+            .plus(periodUnits(kw.stripPrefix(":")))
+            .atStartOfDay(ZoneOffset.UTC).toInstant)
         case s: String => parseTimeString(s, now)
         case xs: Seq[_] => // sequence → running reductions (time.clj:80-86):
           // each element coerced relative to the previous result; final value.
@@ -111,9 +128,12 @@ object Functions {
   /** X3: truncate-to-unit — `date_trunc` (codegen'd). */
   def truncateTo(ts: Column, unit: String): Column = date_trunc(unit, ts)
 
-  /** X4: next day-of-week at midnight — `next_day` + cast. */
+  /** X4: next-or-SAME day-of-week at midnight (`consume-time`'s DayOfWeek
+    * arm tests today BEFORE advancing, time.clj:70-73). Spark's `next_day`
+    * is strictly-after, so anchor it one day back: `next_day(d-1, dow)` is
+    * d itself when d already falls on `dow`. */
   def nextDayOfWeek(ts: Column, dow: String): Column =
-    next_day(ts.cast("date"), dow).cast("timestamp")
+    next_day(date_sub(ts.cast("date"), 1), dow).cast("timestamp")
 
   /** X2 column form: millis until `ts` from `current_timestamp()`. */
   def millisUntil(ts: Column): Column =

@@ -440,12 +440,14 @@ object Relational {
       .groupBy(date_trunc("hour", col("ts")).as("bucket"))
       .agg(count(lit(1)).as("n"))
 
-  /** X4: next day-of-week (`consume-time`'s DayOfWeek arm,
-    * `/root/reference/src/dataworks/utils/time.clj:70-73`): events counted
-    * by the next Monday strictly after their timestamp. */
+  /** X4: next-or-same day-of-week (`consume-time`'s DayOfWeek arm,
+    * `/root/reference/src/dataworks/utils/time.clj:70-73` — the loop tests
+    * TODAY before advancing): events counted by the first Monday on or
+    * after their timestamp's date. */
   def timeNextDay(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .groupBy(next_day(col("ts").cast("date"), "Mon").as("next_monday"))
+      .groupBy(graft.query.Functions.nextDayOfWeek(col("ts"), "Mon")
+        .cast("date").as("next_monday"))
       .agg(count(lit(1)).as("n"))
 
   /** Dense time-grid resample: per-user DAILY activity with gap days

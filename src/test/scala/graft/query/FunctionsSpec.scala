@@ -27,22 +27,33 @@ class FunctionsSpec extends AnyFunSuite {
       .contains(Instant.parse("2024-06-18T00:00:00Z")))
   }
 
-  test("day-of-week arm: next such weekday at midnight") {
+  test("day-of-week arm: next-or-SAME weekday at midnight (time.clj:70-73)") {
     // 2024-06-15 is a Saturday; next Monday is 06-17
     assert(Functions.consumeTime(DayOfWeek.MONDAY, now)
       .contains(Instant.parse("2024-06-17T00:00:00Z")))
-    // next Saturday must be the following week, not today
+    // the reference's loop starts at TODAY and tests before advancing, so
+    // Saturday-on-a-Saturday is TODAY at midnight (already past — an alert
+    // so scheduled fires immediately), not the following week
     assert(Functions.consumeTime(DayOfWeek.SATURDAY, now)
-      .contains(Instant.parse("2024-06-22T00:00:00Z")))
+      .contains(Instant.parse("2024-06-15T00:00:00Z")))
   }
 
-  test("int-millis arm and keyword-unit arm") {
+  test("int-millis arm and keyword-unit arms (duration vs period fallback)") {
     assert(Functions.consumeTime(1500, now).contains(now.plusMillis(1500)))
-    // :hour → now + 1h truncated to hour
+    // :hour → now + 1h truncated to hour (t/new-duration arm)
     assert(Functions.consumeTime(":hour", now)
       .contains(Instant.parse("2024-06-15T13:00:00Z")))
     assert(Functions.consumeTime(":day", now)
       .contains(Instant.parse("2024-06-16T00:00:00Z")))
+    // :weeks/:months/:years: t/new-duration THROWS on estimated units, so
+    // the reference lands in its PERIOD arm — today + 1 period at
+    // midnight, NOT truncated (no snapping to Monday / the 1st / Jan 1)
+    assert(Functions.consumeTime(":weeks", now)
+      .contains(Instant.parse("2024-06-22T00:00:00Z")))
+    assert(Functions.consumeTime(":months", now)
+      .contains(Instant.parse("2024-07-15T00:00:00Z")))
+    assert(Functions.consumeTime(":years", now)
+      .contains(Instant.parse("2025-06-15T00:00:00Z")))
   }
 
   test(":never sentinel sorts after any real time") {
