@@ -93,7 +93,11 @@ class FunctionManager(store: DocumentStore, manager: StreamManager,
     }
 
   /** update!: must exist (`updating-correct-function?` — fixes the
-    * silent-create hole), compare-and-swap the doc, then broadcast. */
+    * silent-create hole), must actually CHANGE something (`valid-update?`,
+    * `utils/common.clj:valid-update?` — an identical redeploy is a
+    * failure, not a new doc version; without this an idempotent re-POST
+    * would hot-swap the node and rotate its checkpoint for nothing),
+    * compare-and-swap the doc, then broadcast. */
   def update(tpe: String, name: String, specJson: String): Either[String, String] =
     for {
       _ <- validType(tpe)
@@ -101,6 +105,8 @@ class FunctionManager(store: DocumentStore, manager: StreamManager,
       _ <- parseableSpec(tpe, name, specJson)
       id = Functions.namespacedId(tpe, name)
       current <- store.entity(id).toRight(s"$id does not exist (use create)")
+      _ <- if (current == specJson) Left(s"no-change-from-existing-$tpe")
+           else Right(id)
       _ <- if (store.cas(id, current, specJson)) Right(id)
            else Left(s"$id changed concurrently; retry")
     } yield {

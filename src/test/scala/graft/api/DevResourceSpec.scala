@@ -111,8 +111,14 @@ class DevResourceSpec extends SparkSpec {
       // original node keeps running with no backing doc)
       assert(http("POST", s"$base/dev/stream/update/devin",
         Some("""{"name":"kafka/devin2"}"""))._1 == 406)
+      // …and valid-update? rejects an IDENTICAL redeploy (the reference's
+      // no-change-from-existing-% failure — no new doc version, no
+      // needless hot-swap), while a real same-node change passes
       assert(http("POST", s"$base/dev/stream/update/devin",
-        Some("""{"name":"kafka/devin"}"""))._1 == 200,
+        Some("""{"name":"kafka/devin"}"""))._1 == 406,
+        "no-change redeploy is a railway failure")
+      assert(http("POST", s"$base/dev/stream/update/devin",
+        Some("""{"name":"kafka/devin","buffer":64}"""))._1 == 200,
         "same-node updates still pass")
     } finally app.stop()
   }

@@ -44,10 +44,15 @@ class FunctionManagerSpec extends SparkSpec {
     assert(fm.update("stream", "ghost", procSpec)
       .swap.exists(_.contains("must have local name")))
     fm.create("stream", "proc", procSpec)
+    // valid-update?: an identical redeploy is a FAILURE with the
+    // reference's message vocabulary, not a new doc version + hot-swap
+    assert(fm.update("stream", "proc", procSpec)
+      .swap.exists(_.contains("no-change-from-existing-stream")))
     val v2 = procSpec.replace("upper(value)", "lower(value)")
     assert(fm.update("stream", "proc", v2) == Right(":stream/proc"))
     assert(store.entity(":stream/proc").contains(v2))
-    // bitemporal audit: version history keeps both deploys
+    // bitemporal audit: version history keeps both deploys — and exactly
+    // two: the rejected no-change redeploy left no audit row
     assert(store.versions().filter("id = ':stream/proc'").count() == 2)
   }
 
