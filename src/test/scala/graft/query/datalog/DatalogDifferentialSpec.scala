@@ -505,9 +505,15 @@ class DatalogDifferentialSpec extends SparkSpec {
     // contract is total: every malformed input is a Left(reason) with a
     // non-empty reason. Mutations: truncations, bracket surgery, char
     // swaps, and raw ASCII noise over a valid seed query.
-    val seed = "{:find [?n (sum ?s)] :where [[?e :name ?n] [?e :salary ?s] " +
-      "[(>= ?s 90.0)] (not [?e :dept \"eng\"])] :order-by [[?n :asc]] :limit 3}"
+    val seeds = Seq(
+      "{:find [?n (sum ?s)] :where [[?e :name ?n] [?e :salary ?s] " +
+        "[(>= ?s 90.0)] (not [?e :dept \"eng\"])] :order-by [[?n :asc]] :limit 3}",
+      // pull-shaped seed: options, wildcard, nested join, bounded recursion
+      "{:find [?e (pull ?e [(:name {:as :who}) * {:manager 2} " +
+        "{(:manager {:as :m}) [(:dept {:default \"x\"})]}])] " +
+        ":where [[?e :salary ?s] [(> ?s 80.0)]]}")
     val mutGen = for {
+      seed <- Gen.oneOf(seeds)
       kind <- Gen.chooseNum(0, 3)
       i <- Gen.chooseNum(0, seed.length - 1)
       j <- Gen.chooseNum(0, seed.length - 1)
