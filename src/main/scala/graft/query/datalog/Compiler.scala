@@ -33,8 +33,26 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
   def run(docs: DataFrame, q: Query): DataFrame = {
     require(docs.columns.contains("id"), "document relation needs an `id` column")
     val ruleMap = mergeRules(q.rules)
-    val body = compileClauses(docs, substArgs(q.where, q.args), ruleMap)
-    project(docs, body, q)
+    // crux :args is a RELATION: one body evaluation per args row (each
+    // row's constants substitute into the clauses — predicate pushdown
+    // per branch, the OR-expansion plan shape), set-unioned in project()
+    // BEFORE dedup/aggregation so a tuple reachable under two parameter
+    // rows counts once, and aggregates see one combined binding set
+    val rows = if (q.args.isEmpty) Seq(Map.empty[String, Any]) else q.args
+    val bodies = rows.map { row =>
+      var rel = compileClauses(docs, substArgs(q.where, row), ruleMap)
+      // an arg var named in :find/:order-by is a column of the args
+      // relation, not necessarily of the body — attach it as a constant
+      val needed = (q.find.collect {
+        case FindVar(v) => v.name
+        case FindAgg(_, v, _, _) => v.name
+        case p: FindPull => p.v.name
+      } ++ q.orderBy.map(_._1)).distinct
+      needed.filter(n => row.contains(n) && !rel.columns.contains(n))
+        .foreach(n => rel = rel.withColumn(n, lit(row(n))))
+      rel
+    }
+    project(docs, bodies, q)
   }
 
   // ------------------------------------------------------------ args (Q7)
@@ -666,10 +684,15 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
     }: _*).as(s"__pstruct_$tag"))
   }
 
-  private def project(docs: DataFrame, rel: Rel, q: Query): DataFrame = {
+  private def project(docs: DataFrame, bodies: Seq[Rel], q: Query): DataFrame = {
     val aggs = q.find.collect { case a: FindAgg => a }
     val vars = q.find.collect { case FindVar(v) => v.name }
     val pulls = q.find.collect { case p: FindPull => p }
+    // one body per :args row; selecting the needed columns per branch
+    // normalizes the schemas, and the union lands BEFORE the dedup each
+    // branch below performs — crux's args-relation set semantics
+    def sel(cols: Seq[String]): Rel =
+      bodies.map(_.select(cols.map(col): _*)).reduce(_.unionByName(_))
     val projected =
       if (pulls.nonEmpty) {
         // crux (pull ?e [spec…]): attach the spec'd attributes of the
@@ -689,7 +712,7 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
           if (pulls.count(_.v.name == p.v.name) > 1) s"${base}_$i" else base
         }
         val needed = (vars ++ pulls.map(_.v.name)).distinct
-        var out = rel.select(needed.map(col): _*).distinct()
+        var out = sel(needed).distinct()
         pulls.zipWithIndex.foreach { case (p, i) =>
           val tag = s"p$i"
           val side = pullSide(docs, p.spec, tag)
@@ -706,14 +729,14 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
         }
         out.select(ordered.map(col): _*).distinct()
       }
-      else if (aggs.isEmpty) rel.select(vars.map(col): _*).distinct() // Q18 set semantics
+      else if (aggs.isEmpty) sel(vars).distinct() // Q18 set semantics
       else {
         // non-aggregated find vars act as the GROUP BY key; crux aggregates
         // over the DISTINCT binding tuples of the find variables (its
         // documented set semantics — `:with` to keep duplicates is not in
         // the reference's surface, so not implemented)
         val involved = (vars ++ aggs.map(_.v.name)).distinct
-        val deduped = rel.select(involved.map(col): _*).distinct()
+        val deduped = sel(involved).distinct()
         val aggCols = aggs.map(a =>
           aggColumn(a.fn, a.v.name, a.n).as(a.alias.getOrElse(s"${a.fn.replace("-", "_")}_${a.v.name}")))
         if (vars.isEmpty) deduped.agg(aggCols.head, aggCols.tail: _*)

@@ -90,7 +90,12 @@ object Ast {
       find: Seq[FindElem],
       where: Seq[Clause],
       rules: Seq[Rule] = Nil,
-      args: Map[String, Any] = Map.empty,       // Q7 parameter binding
+      /** Q7 parameter binding. Crux's `:args` is a RELATION — each map is
+        * one row, and the query result is the set-union over rows (binding
+        * tuples dedup across rows BEFORE any aggregation). One map is the
+        * common parameterization case; several express an OR over
+        * parameter tuples. */
+      args: Seq[Map[String, Any]] = Nil,
       orderBy: Seq[(String, Boolean)] = Nil,    // (var, ascending) — Q16
       limit: Option[Int] = None,
       offset: Option[Int] = None)

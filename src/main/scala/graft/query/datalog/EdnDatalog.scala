@@ -48,7 +48,7 @@ object EdnDatalog {
           whereV <- m.get("where").toRight(":where is required")
           where <- parseClauses(whereV)
           rules <- m.get("rules").map(parseRules).getOrElse(Right(Nil))
-          args <- m.get("args").map(parseArgs).getOrElse(Right(Map.empty[String, Any]))
+          args <- m.get("args").map(parseArgs).getOrElse(Right(Nil))
           orderBy <- m.get("order-by").map(parseOrderBy).getOrElse(Right(Nil))
           limit <- parseIntOpt(m.get("limit"), "limit")
           offset <- parseIntOpt(m.get("offset"), "offset")
@@ -249,9 +249,11 @@ object EdnDatalog {
     case _ => Left(":rules must be a vector")
   }
 
-  private def parseArgs(v: Value): Either[String, Map[String, Any]] = v match {
+  /** `:args` rows — each map is one row of crux's args RELATION (several
+    * maps = set-union over parameter tuples, not last-map-wins). */
+  private def parseArgs(v: Value): Either[String, Seq[Map[String, Any]]] = v match {
     case Vec(maps) =>
-      sequenceE(maps.map {
+      sequenceE(maps.map[Either[String, Map[String, Any]]] {
         case Edn.MapV(entries) =>
           sequenceE(entries.map {
             case (Sym(n), value) if n.startsWith("?") =>
@@ -259,7 +261,7 @@ object EdnDatalog {
             case (k, _) => Left(s"args keys must be ?vars, got $k")
           }).map(_.toMap)
         case other => Left(s":args entries must be maps, got $other")
-      }).map(_.foldLeft(Map.empty[String, Any])(_ ++ _))
+      })
     case _ => Left(":args must be a vector of maps")
   }
 

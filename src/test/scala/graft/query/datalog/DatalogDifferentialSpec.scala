@@ -466,12 +466,12 @@ class DatalogDifferentialSpec extends SparkSpec {
     def mgrDept(e: DiffEmp): Option[String] =
       Option(e.manager).flatMap(byId.get).map(_.dept)
     val gen = for {
-      kind <- Gen.oneOf("not-join", "or-join", "args")
+      kind <- Gen.oneOf("not-join", "or-join", "args", "args-rel")
       c1 <- Gen.oneOf(depts)
       c2 <- Gen.oneOf(depts)
       minSal <- Gen.option(Gen.oneOf(salaryConsts))
     } yield (kind, c1, c2, minSal)
-    for ((kind, c1, c2, minSal) <- samples(gen, 30)) {
+    for ((kind, c1, c2, minSal) <- samples(gen, 40)) {
       val salPat = minSal.fold("")(_ => " [?e :salary ?s]")
       val salPred = minSal.fold("")(k => s" [(>= ?s ${ednConst(k)})]")
       def salOk(e: DiffEmp) = minSal.forall(e.salary >= _)
@@ -489,11 +489,18 @@ class DatalogDifferentialSpec extends SparkSpec {
             s"(and [?e :manager ?mm] [?mm :dept ${ednConst(c2)}]))]}",
             emps.filter(e => salOk(e) && (e.dept == c1 || mgrDept(e).contains(c2)))
               .map(e => Seq[Any](e.name)))
-        case _ =>
+        case "args" =>
           // parameter binding: ?d arrives via :args, not the query text
           (s"{:find [?n] :where [[?e :name ?n] [?e :dept ?d]$salPat$salPred] " +
             s""":args [{?d ${ednConst(c1)}}]}""",
             emps.filter(e => salOk(e) && e.dept == c1).map(e => Seq[Any](e.name)))
+        case _ =>
+          // args RELATION: two parameter rows = set-union (c1 may equal
+          // c2 — the overlap must not double rows)
+          (s"{:find [?n] :where [[?e :name ?n] [?e :dept ?d]$salPat$salPred] " +
+            s""":args [{?d ${ednConst(c1)}} {?d ${ednConst(c2)}}]}""",
+            emps.filter(e => salOk(e) && (e.dept == c1 || e.dept == c2))
+              .map(e => Seq[Any](e.name)))
       }
       asBags(runEdn(edn), want.distinct, edn)
     }

@@ -108,11 +108,44 @@ class DatalogSpec extends SparkSpec {
         Pattern(V("e"), "dept", V("d")),
         Pattern(V("e"), "name", V("n")),
         Pattern(V("e"), "salary", V("s"))),
-      args = Map("d" -> "eng"),
+      args = Seq(Map("d" -> "eng")),
       orderBy = Seq(("s", false)),
       limit = Some(2))
     val got = compiler.run(docs, q).as[(String, Double)].collect().toSeq
     assert(got == Seq(("ada", 120.0), ("dee", 100.0)))
+  }
+
+  test(":args with several rows is a relation — set-union, dedup BEFORE aggregation") {
+    // two parameter rows = OR over parameter tuples (crux args-relation
+    // semantics; a single map is just the one-row case)
+    val q = Query(
+      find = Seq(FindVar(V("n"))),
+      where = Seq(
+        Pattern(V("e"), "dept", V("d")),
+        Pattern(V("e"), "name", V("n"))),
+      args = Seq(Map("d" -> "eng"), Map("d" -> "ops")))
+    val got = compiler.run(docs, q).as[String].collect().toSet
+    assert(got == Set("ada", "bob", "dee", "cid", "eva"))
+    // aggregation happens over the UNIONED, deduped binding set — an
+    // entity reachable under both parameter rows must count once, so
+    // union-of-per-row-aggregates (two rows of counts) would be wrong
+    val agg = Query(
+      find = Seq(FindAgg("count", V("e"))),
+      where = Seq(Pattern(V("e"), "salary", V("s")), Pred(">=", Seq(V("s"), V("lo")))),
+      args = Seq(Map("lo" -> 0.0), Map("lo" -> 100.0))) // every e matches row 1
+    val n = compiler.run(docs, agg).collect().map(_.getLong(0)).toSeq
+    assert(n == Seq(5L), s"args rows must dedup before count: $n")
+    // an arg var in :find is a column of the args relation — returned as
+    // the constant of whichever row(s) produced the tuple
+    val withArg = Query(
+      find = Seq(FindVar(V("d")), FindVar(V("n"))),
+      where = Seq(
+        Pattern(V("e"), "dept", V("d")),
+        Pattern(V("e"), "name", V("n"))),
+      args = Seq(Map("d" -> "eng"), Map("d" -> "hr")))
+    val pairs = compiler.run(docs, withArg).as[(String, String)].collect().toSet
+    assert(pairs == Set(("eng", "ada"), ("eng", "bob"), ("eng", "dee")),
+      s"hr row matches nothing, eng row carries its constant: $pairs")
   }
 
   test("non-recursive rule with multiple bodies unions (Q8)") {
