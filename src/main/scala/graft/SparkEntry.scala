@@ -99,6 +99,8 @@ object SparkEntry {
     "datalog_pull_nested" -> (graft.query.datalog.DatalogDb.datalogPullNestedQuery(_, _)),
     // EQL attribute options: :as renames, :default fills absent attrs
     "datalog_pull_opts"   -> (graft.query.datalog.DatalogDb.datalogPullOptsQuery(_, _)),
+    // :with — duplicate-preserving aggregation (dedup includes :with vars)
+    "datalog_with"        -> (graft.query.datalog.DatalogDb.datalogWithQuery(_, _)),
     "datalog_bind_arith"  -> (graft.query.datalog.DatalogDb.datalogBindArithQuery(_, _)),
     // north-star LLM-pipeline extensions
     "dedup_exact"         -> (Dedup.dedupExactQuery(_, _)),
@@ -1084,6 +1086,12 @@ object SparkEntry {
            c_acctbal AS acctbal
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_totalprice > 345000.0""",
+    // datalog_with: duplicate-preserving sum — one custkey per order (the
+    // :with [?o] dedup tuple), NOT per distinct (priority, custkey) pair;
+    // custkeys are integers so the sum is exact in both engines
+    "datalog_with" ->
+      """SELECT o_orderpriority AS p, CAST(sum(o_custkey) AS BIGINT) AS sum_ck
+         FROM orders GROUP BY 1""",
     // datalog_mutual: even-length paths over the c→n→r / s→n DAG — the
     // mutually recursive odd/even rule pair linearizes in SQL to one
     // recursive CTE carrying a path-length parity counter

@@ -729,13 +729,22 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
         }
         out.select(ordered.map(col): _*).distinct()
       }
-      else if (aggs.isEmpty) sel(vars).distinct() // Q18 set semantics
+      else if (aggs.isEmpty) {
+        if (q.withVars.isEmpty) sel(vars).distinct() // Q18 set semantics
+        else
+          // :with on a plain find: dedup INCLUDES the with vars, then they
+          // drop WITHOUT re-deduping — duplicates surface in the result
+          // (crux's documented bag escape from set semantics)
+          sel((vars ++ q.withVars).distinct).distinct().select(vars.map(col): _*)
+      }
       else {
         // non-aggregated find vars act as the GROUP BY key; crux aggregates
-        // over the DISTINCT binding tuples of the find variables (its
-        // documented set semantics — `:with` to keep duplicates is not in
-        // the reference's surface, so not implemented)
-        val involved = (vars ++ aggs.map(_.v.name)).distinct
+        // over the DISTINCT binding tuples of the find variables — plus any
+        // `:with` vars, which join the dedup tuple WITHOUT being returned,
+        // so `(sum ?price)` with `:with [?order]` keeps one price per order
+        // instead of collapsing equal prices (crux's documented duplicate-
+        // preserving aggregation)
+        val involved = (vars ++ aggs.map(_.v.name) ++ q.withVars).distinct
         val deduped = sel(involved).distinct()
         val aggCols = aggs.map(a =>
           aggColumn(a.fn, a.v.name, a.n).as(a.alias.getOrElse(s"${a.fn.replace("-", "_")}_${a.v.name}")))

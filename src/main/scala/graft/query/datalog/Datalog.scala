@@ -96,6 +96,10 @@ object Ast {
         * common parameterization case; several express an OR over
         * parameter tuples. */
       args: Seq[Map[String, Any]] = Nil,
+      /** Crux `:with`: vars added to the pre-aggregation dedup tuple but
+        * NOT returned — `(sum ?price)` with `:with [?order]` sums one
+        * price per order instead of one per distinct price value. */
+      withVars: Seq[String] = Nil,
       orderBy: Seq[(String, Boolean)] = Nil,    // (var, ascending) — Q16
       limit: Option[Int] = None,
       offset: Option[Int] = None)

@@ -173,6 +173,23 @@ object DatalogDb {
         col("pull_o.cust.cust_name").as("cust_name"),
         col("pull_o.cust.c_acctbal").as("acctbal"))
 
+  /** SparkEntry query `datalog_with`: crux `:with` — `(sum ?ck)` per
+    * order priority with `:with [?o]` keeps one custkey per ORDER, where
+    * plain find-var set semantics would first collapse every repeat
+    * customer within a priority class (ubiquitous: ~10 orders per
+    * customer) — the two answers differ wildly and the replay pins the
+    * duplicate-preserving one. Custkeys are integers, so the sum is
+    * exact and engine-order-independent. */
+  def datalogWithQuery(s: SparkSession, d: String): DataFrame =
+    EdnDatalog.run(
+      widen(Seq(("o", "o_orderkey", Tables.orders(s, d)))),
+      """{:find [?p (sum ?ck)]
+          :with [?o]
+          :where [[?o :o-orderpriority ?p]
+                  [?o :o-custkey ?ck]]}""")
+      .fold(e => throw new IllegalArgumentException(e), identity)
+      .select(col("p"), col("sum_ck"))
+
   def datalogQuery(s: SparkSession, d: String): DataFrame = {
     val q = Query(
       find = Seq(FindVar(V("seg")), FindAgg("count", V("o"), Some("n_orders"))),

@@ -49,10 +49,11 @@ object EdnDatalog {
           where <- parseClauses(whereV)
           rules <- m.get("rules").map(parseRules).getOrElse(Right(Nil))
           args <- m.get("args").map(parseArgs).getOrElse(Right(Nil))
+          withVars <- m.get("with").map(parseWith).getOrElse(Right(Nil))
           orderBy <- m.get("order-by").map(parseOrderBy).getOrElse(Right(Nil))
           limit <- parseIntOpt(m.get("limit"), "limit")
           offset <- parseIntOpt(m.get("offset"), "offset")
-        } yield Query(find, where, rules, args, orderBy, limit, offset)
+        } yield Query(find, where, rules, args, withVars, orderBy, limit, offset)
       case _ => Left("query must be an EDN map")
     }
 
@@ -247,6 +248,17 @@ object EdnDatalog {
       // (legal in crux: bodies of one rule may name params differently) —
       // the compiler's mergeRules unifies them with α-renaming
     case _ => Left(":rules must be a vector")
+  }
+
+  /** `:with [?e …]` — vars joining the pre-aggregation dedup tuple
+    * without being returned (crux duplicate-preserving aggregation). */
+  private def parseWith(v: Value): Either[String, Seq[String]] = v match {
+    case Vec(items) if items.nonEmpty =>
+      sequenceE(items.map {
+        case Sym(n) if n.startsWith("?") => Right(n.stripPrefix("?"))
+        case other => Left(s":with entries must be ?vars, got $other")
+      })
+    case _ => Left(":with must be a non-empty vector of ?vars")
   }
 
   /** `:args` rows — each map is one row of crux's args RELATION (several

@@ -167,6 +167,35 @@ class EdnDatalogSpec extends SparkSpec {
       "{:find [(pull ?e [{:manager 0}])] :where [[?e :name ?n]]}").isLeft)
   }
 
+  test(":with — duplicate-preserving aggregation and bag projection") {
+    // without :with, crux aggregates over DISTINCT (dept, salary) tuples:
+    // bob(90) and a second eng 90.0 would collapse. The fixture has eng
+    // salaries 120/90/100 → distinct-sum 310; adding e5b(eng, 90) leaves
+    // distinct-sum at 310 while :with [?e] sums per-employee → 400
+    val docs2 = docs.unionByName(
+      Seq(("e9", "gil", "eng", 90.0, "e1",
+        null.asInstanceOf[String])).toDF(docs.columns: _*))
+    val noWith = EdnDatalog.run(docs2,
+      "{:find [?d (sum ?s)] :where [[?e :dept ?d] [?e :salary ?s]]}")
+      .fold(e => fail(e), identity)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(noWith("eng") == 310.0, s"set semantics collapse equal salaries: $noWith")
+    val withE = EdnDatalog.run(docs2,
+      "{:find [?d (sum ?s)] :with [?e] :where [[?e :dept ?d] [?e :salary ?s]]}")
+      .fold(e => fail(e), identity)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(withE("eng") == 400.0, s":with [?e] keeps one salary per employee: $withE")
+    // plain find + :with = bag: dedup includes ?e then drops it, so the
+    // two 90.0 eng salaries BOTH surface
+    val bag = EdnDatalog.run(docs2,
+      """{:find [?s] :with [?e] :where [[?e :dept "eng"] [?e :salary ?s]]}""")
+      .fold(e => fail(e), identity)
+      .collect().map(_.getDouble(0)).toSeq.sorted
+    assert(bag == Seq(90.0, 90.0, 100.0, 120.0), s"bag projection: $bag")
+    // malformed :with is a compile error
+    assert(EdnDatalog.run(docs, "{:find [?n] :with [x] :where [[?e :name ?n]]}").isLeft)
+  }
+
   test("auth.clj:91-96 shape — string predicate clause") {
     val got = run(
       """{:find [?n]
