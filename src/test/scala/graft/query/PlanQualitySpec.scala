@@ -134,6 +134,25 @@ class PlanQualitySpec extends SparkSpec {
       s"bind arithmetic must fold into the scan-side filter:\n$plan")
   }
 
+  test(":args relation rows each push their constant into the branch scan") {
+    // the args fan-out compiles one body per row with the row's constants
+    // substituted — each branch's scan must carry its own pushed filter
+    // (the OR-expansion plan shape); a post-scan filter would read the
+    // store unpruned once per row at 100 TB
+    import org.apache.spark.sql.functions.col
+    val docs = graft.query.datalog.DatalogDb.ordersCustomers(spark, sf("sf0.001"))
+    val df = graft.query.datalog.EdnDatalog.run(docs,
+      """{:find [?n] :where [[?c :c-mktsegment ?seg] [?c :c-name ?n]]
+          :args [{?seg "BUILDING"} {?seg "MACHINERY"}]}""")
+      .fold(e => fail(e), identity)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val pushed = scans(plan).map(_.metadata.getOrElse("PushedFilters", ""))
+    assert(pushed.exists(_.contains("BUILDING")) &&
+      pushed.exists(_.contains("MACHINERY")),
+      s"each args row's constant must reach a scan: $pushed")
+  }
+
   test("datalog pull join is a keyed equi-join, never a cartesian") {
     // (pull ?e [...]) enriches the binding tuple via an id equi-join
     // against the doc relation — hash/broadcast-joinable at any scale; a
