@@ -54,7 +54,11 @@ class BenchStatsSpec extends SparkSpec {
     ("corpus_bpe_merges", 21),      // 14 (10 sequential merge rounds + scan)
     ("text_top_terms", 14),         // 9
     ("dedup_semantic", 24),         // 16 (k-means rounds + prune chain)
-    ("dedup_simhash", 23))          // 15
+    ("dedup_simhash", 23),          // 15
+    // r11: the heaviest new datalog gate — a fixed 2-level pull cascade
+    // (dedup + two id equi-joins); a job-count jump means the pull side
+    // started re-planning or lost its single-pass shape
+    ("datalog_pull_nested", 12))    // 8 measured cold at sf0.001
 
   for ((gate, budget) <- budgets)
     test(s"$gate stays within its job budget ($budget)") {
