@@ -28,18 +28,33 @@ import graft.stream.{AlertScheduler, NodeSpec, StreamIO, StreamManager, Topology
 class GraftApp(val spark: SparkSession, val store: DocumentStore,
                val io: StreamIO, val registry: FunctionRegistry,
                authSecret: Option[String] = None,
-               requireRole: Boolean = false) {
+               requireRole: Boolean = false,
+               /** true = the reference's two-listener layout (`core.clj:
+                 * 11-25`): user collectors on one port, the /dev + admin
+                 * management planes on a SEPARATE one ([[devServer]]), so
+                 * network policy can firewall the management plane
+                 * independently of the data plane. Default keeps the
+                 * single-server layout (one port, role-gated /dev). */
+               splitPlanes: Boolean = false) {
 
   val topology = new Topology(io, registry)
   val streams = new StreamManager(topology)
+  private val bearer = authSecret.map(s => graft.api.BearerAuth(s,
+    publicPaths = Set(GraftApp.registerPath, GraftApp.loginPath),
+    requireRole = requireRole))
   /** With a secret, the REST surface runs behind the bearer gate — only
     * the register/login doors stay public (the reference's auth wiring,
     * `/root/reference/src/dataworks/core.clj` + `utils/auth.clj`).
     * `requireRole` is the deny-by-default knob (see [[graft.api.BearerAuth]]). */
-  val collectors = new graft.api.CollectorServer(store, streams,
-    auth = authSecret.map(s => graft.api.BearerAuth(s,
-      publicPaths = Set(GraftApp.registerPath, GraftApp.loginPath),
-      requireRole = requireRole)))
+  val collectors = new graft.api.CollectorServer(store, streams, auth = bearer)
+  /** The management-plane listener when [[splitPlanes]] — serves ONLY
+    * /dev, the admin plane, and the auth doors; user collector routes
+    * 404 and deploys are refused. */
+  val devServer: Option[graft.api.CollectorServer] =
+    if (splitPlanes)
+      Some(new graft.api.CollectorServer(store, streams, auth = bearer,
+        serveUser = false))
+    else None
   /** User accounts + credential flow (present iff the gate is on). */
   val users: Option[graft.auth.UserAuth] =
     authSecret.map(new graft.auth.UserAuth(store, _))
@@ -49,10 +64,13 @@ class GraftApp(val spark: SparkSession, val store: DocumentStore,
     * when the server runs with auth. */
   val devResource = new graft.api.DevResource(store, functions)
   locally {
-    collectors.enableDev(devResource)
-    // the admin plane (role grants over HTTP) rides the same server — the
-    // /dev developer/<type> gating is only administrable remotely with it
-    users.foreach(collectors.enableAdmin)
+    // management planes live on the dev listener when split, else ride
+    // the single server; the user-plane server then 404s /dev and admin
+    val mgmt = devServer.getOrElse(collectors)
+    mgmt.enableDev(devResource)
+    // the admin plane (role grants over HTTP) — the /dev developer/<type>
+    // gating is only administrable remotely with it
+    users.foreach(mgmt.enableAdmin)
   }
   val alerts = new AlertScheduler(store, registry)
 
@@ -98,15 +116,20 @@ class GraftApp(val spark: SparkSession, val store: DocumentStore,
       // only way it fails is a foreign collector squatting on a public
       // path — which would be served UNAUTHENTICATED (publicPaths exempts
       // the path) while locking every operator out of token minting
-      Seq(
-        graft.api.CollectorSpec("auth-register",
-          GraftApp.registerPath, graft.api.CollectorHandler.Named("auth/register")),
-        graft.api.CollectorSpec("auth-login",
-          GraftApp.loginPath, graft.api.CollectorHandler.Named("auth/login")))
-        .foreach(door => collectors.deployDoor(door).left.foreach(err =>
-          throw new IllegalStateException(
-            s"auth door '${door.name}' cannot claim ${door.path}: $err — " +
-              "remove the conflicting collector before enabling auth")))
+      // the doors mount on EVERY listener (the reference's dev and user
+      // servers each carry their own register/login): a split management
+      // plane must be able to mint tokens without the data-plane port
+      for {
+        srv <- Seq(collectors) ++ devServer
+        door <- Seq(
+          graft.api.CollectorSpec("auth-register",
+            GraftApp.registerPath, graft.api.CollectorHandler.Named("auth/register")),
+          graft.api.CollectorSpec("auth-login",
+            GraftApp.loginPath, graft.api.CollectorHandler.Named("auth/login")))
+      } srv.deployDoor(door).left.foreach(err =>
+        throw new IllegalStateException(
+          s"auth door '${door.name}' cannot claim ${door.path}: $err — " +
+            "remove the conflicting collector before enabling auth"))
     }
     streams.startControlPlane(store, NodeSpec.parse)
     alerts.start()
@@ -117,6 +140,7 @@ class GraftApp(val spark: SparkSession, val store: DocumentStore,
     alerts.stop()
     streams.stopAll()
     collectors.stop()
+    devServer.foreach(_.stop())
     // release the store's single-driver lock so a successor app on the same
     // path can boot (crash recovery without this is the stale-pid reclaim)
     store.close()
@@ -131,7 +155,8 @@ object GraftApp {
   def apply(spark: SparkSession, dbPath: String, io: StreamIO,
             registry: FunctionRegistry = FunctionRegistry.default,
             authSecret: Option[String] = None,
-            requireRole: Boolean = false): GraftApp =
+            requireRole: Boolean = false,
+            splitPlanes: Boolean = false): GraftApp =
     new GraftApp(spark, DocumentStore(spark, dbPath), io, registry,
-      authSecret, requireRole)
+      authSecret, requireRole, splitPlanes)
 }

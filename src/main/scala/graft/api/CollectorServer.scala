@@ -165,7 +165,14 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
                       bindHost: String = "127.0.0.1",
                       maxBodyBytes: Int = 1 << 20,
                       maxQueryRows: Int = 10000,
-                      auth: Option[BearerAuth] = None) {
+                      auth: Option[BearerAuth] = None,
+                      /** false = a MANAGEMENT-plane listener (the reference
+                        * runs dev and user servers on separate ports,
+                        * `core.clj:11-25`): user collector routes 404 here,
+                        * only the boot-deployed auth doors (register/login)
+                        * and whatever planes GraftApp enables (/dev, admin)
+                        * are served. */
+                      serveUser: Boolean = true) {
 
   /** The /dev management plane, attached post-construction (GraftApp wires
     * it at boot — DevResource needs the FunctionManager, which needs this
@@ -218,6 +225,10 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
   private val deployLock = new Object
 
   def deploy(spec: CollectorSpec): Either[String, CollectorSpec] = deployLock.synchronized {
+    // a management-plane listener serves no user collectors at all — only
+    // the boot doors (deployDoor) and the /dev + admin planes
+    if (!serveUser)
+      return Left("this listener is the management plane; deploy collectors on the user server")
     // /dev/* is the management plane's address space: a collector deployed
     // there would SHADOW the plane (dispatch checks routes first) and swap
     // the developer-role gate for the collector's own roles. parse()

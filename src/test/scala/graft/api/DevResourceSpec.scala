@@ -155,6 +155,43 @@ class DevResourceSpec extends SparkSpec {
     } finally app.stop()
   }
 
+  test("splitPlanes: management and data planes on separate listeners (core.clj layout)") {
+    val db = Files.createTempDirectory("graft-split").toString + "/db"
+    val app = GraftApp(spark, db, new MemoryIO(spark), new FunctionRegistry,
+      authSecret = Some("hush"), splitPlanes = true).start()
+    try {
+      val user = s"http://localhost:${app.collectors.port}"
+      val mgmt = s"http://localhost:${app.devServer.get.port}"
+      assert(app.collectors.port != app.devServer.get.port, "two listeners")
+      // doors mount on BOTH listeners (each reference server carries its
+      // own register/login), so the management port mints tokens alone
+      assert(http("POST", s"$mgmt/user/new-user",
+        Some("""{"user":"root","pass":"pw"}"""))._1 == 201)
+      val tok = http("POST", s"$mgmt/app/login",
+        Some("""{"user":"root","pass":"pw"}"""))._2
+        .split("\"").find(_.count(_ == '.') == 2).get
+      // /dev lives ONLY on the management listener; the data plane 404s it
+      // (with a valid token — unauthenticated probes get the uniform 401)
+      val spec = """{"name":"c1","path":"/app/c1","handler":{"kind":"ingest","idField":"id"}}"""
+      assert(http("POST", s"$mgmt/dev/collector/create", Some(spec),
+        bearer = Some(tok))._1 == 201)
+      assert(http("POST", s"$user/dev/collector/create", Some(spec),
+        bearer = Some(tok))._1 == 404, "data plane must not serve /dev")
+      // ...and the deployed collector serves ONLY on the data plane
+      assert(http("POST", s"$user/app/c1", Some("""{"id":"x1"}"""),
+        bearer = Some(tok))._1 == 201)
+      assert(http("POST", s"$mgmt/app/c1", Some("""{"id":"x2"}"""),
+        bearer = Some(tok))._1 == 404, "management plane must not serve collectors")
+      // admin plane rides the management listener only
+      assert(http("GET", s"$mgmt/admin/user-roles/root", bearer = Some(tok))._1 == 200)
+      assert(http("GET", s"$user/admin/user-roles/root", bearer = Some(tok))._1 == 404)
+      // direct deploy() on the management listener is refused loudly
+      assert(app.devServer.get.deploy(graft.api.CollectorSpec("sq", "/app/sq",
+        graft.api.CollectorHandler.Ingest("id"))).swap
+        .exists(_.contains("management plane")))
+    } finally app.stop()
+  }
+
   test("F9 deepReplace: reference recursive-replace semantics over JSON") {
     import org.json4s._
     import org.json4s.jackson.JsonMethods.{parse, compact, render}
