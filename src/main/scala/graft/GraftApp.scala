@@ -35,7 +35,14 @@ class GraftApp(val spark: SparkSession, val store: DocumentStore,
                  * network policy can firewall the management plane
                  * independently of the data plane. Default keeps the
                  * single-server layout (one port, role-gated /dev). */
-               splitPlanes: Boolean = false) {
+               splitPlanes: Boolean = false,
+               /** The reference's user-db/app-db split (`db/user_db.clj` vs
+                 * `db/app_db.clj`): when set, collector ingest writes and
+                 * query reads operate on THIS store while stored functions,
+                 * accounts, and alerts stay in [[store]]. GraftApp owns it
+                 * once handed in (closed on [[stop]]). Default: one
+                 * combined document universe. */
+               val userStore: Option[DocumentStore] = None) {
 
   val topology = new Topology(io, registry)
   val streams = new StreamManager(topology)
@@ -46,7 +53,8 @@ class GraftApp(val spark: SparkSession, val store: DocumentStore,
     * the register/login doors stay public (the reference's auth wiring,
     * `/root/reference/src/dataworks/core.clj` + `utils/auth.clj`).
     * `requireRole` is the deny-by-default knob (see [[graft.api.BearerAuth]]). */
-  val collectors = new graft.api.CollectorServer(store, streams, auth = bearer)
+  val collectors = new graft.api.CollectorServer(store, streams, auth = bearer,
+    userStore = userStore)
   /** The management-plane listener when [[splitPlanes]] — serves ONLY
     * /dev, the admin plane, and the auth doors; user collector routes
     * 404 and deploys are refused. */
@@ -141,6 +149,7 @@ class GraftApp(val spark: SparkSession, val store: DocumentStore,
     streams.stopAll()
     collectors.stop()
     devServer.foreach(_.stop())
+    userStore.foreach(_.close())
     // release the store's single-driver lock so a successor app on the same
     // path can boot (crash recovery without this is the stale-pid reclaim)
     store.close()
@@ -156,7 +165,9 @@ object GraftApp {
             registry: FunctionRegistry = FunctionRegistry.default,
             authSecret: Option[String] = None,
             requireRole: Boolean = false,
-            splitPlanes: Boolean = false): GraftApp =
+            splitPlanes: Boolean = false,
+            userDbPath: Option[String] = None): GraftApp =
     new GraftApp(spark, DocumentStore(spark, dbPath), io, registry,
-      authSecret, requireRole, splitPlanes)
+      authSecret, requireRole, splitPlanes,
+      userDbPath.map(DocumentStore(spark, _)))
 }

@@ -172,7 +172,17 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
                         * only the boot-deployed auth doors (register/login)
                         * and whatever planes GraftApp enables (/dev, admin)
                         * are served. */
-                      serveUser: Boolean = true) {
+                      serveUser: Boolean = true,
+                      /** The DATA-plane store for ingest writes and query
+                        * reads — the reference keeps user data in its own
+                        * crux node (`db/user_db.clj`) apart from the
+                        * stored-function app db. Defaults to `store` (one
+                        * combined universe, the rebuild's historical
+                        * layout). */
+                      userStore: Option[DocumentStore] = None) {
+
+  /** Where collector ingest/query operate: the user-db when split. */
+  private val dataStore: DocumentStore = userStore.getOrElse(store)
 
   /** The /dev management plane, attached post-construction (GraftApp wires
     * it at boot — DevResource needs the FunctionManager, which needs this
@@ -431,7 +441,7 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
         respond(ex, 400,
           s"""{"status":"failure","message":"ids starting with ':' are reserved for stored functions"}""")
       case Some(id) =>
-        val tx = store.put(id, doc)
+        val tx = dataStore.put(id, doc)
         respond(ex, 201,
           s"""{"status":"success","id":${JsonMethods.compact(JsonMethods.render(JString(id)))},"txTime":${tx.getTime}}""")
     }
@@ -476,7 +486,7 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
 
   private def query(ex: HttpExchange, h: CollectorHandler.Query): Unit = {
     val schema = StructType(h.fields.map { case (n, t) => StructField(n, CollectorSpec.toType(t)) })
-    store.q(h.edn, schema) match {
+    dataStore.q(h.edn, schema) match {
       case Left(err) => respond(ex, 400, s"""{"status":"failure","message":${JsonMethods.compact(JsonMethods.render(JString(err)))}}""")
       case Right(df) =>
         // management-plane result sizes (entity lookups, registry listings);

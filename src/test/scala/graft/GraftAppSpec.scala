@@ -44,6 +44,36 @@ class GraftAppSpec extends SparkSpec {
     } finally app.stop()
   }
 
+  test("userStore split: collector ingest/query hit the user-db, app plane stays in app-db") {
+    // the reference's db/user_db.clj vs db/app_db.clj separation: user
+    // data written by collectors lives in its own store while stored
+    // functions, accounts, and alerts stay in the app store
+    val appDb = Files.createTempDirectory("graft-appdb").toString + "/db"
+    val userDb = Files.createTempDirectory("graft-userdb").toString + "/db"
+    val app = GraftApp(spark, appDb, new MemoryIO(spark), new FunctionRegistry,
+      userDbPath = Some(userDb)).start()
+    try {
+      val base = s"http://localhost:${app.collectors.port}"
+      def http(method: String, url: String, body: Option[String]): Int = {
+        val c = new java.net.URL(url).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod(method)
+        body.foreach { b => c.setDoOutput(true); c.getOutputStream.write(b.getBytes("UTF-8")) }
+        val code = c.getResponseCode; c.disconnect(); code
+      }
+      assert(app.functions.create("collector", "add-ev",
+        """{"name":"add-ev","path":"/app/add-ev","handler":{"kind":"ingest","idField":"ev"}}""").isRight)
+      assert(http("POST", s"$base/app/add-ev", Some("""{"ev":"e1","v":7}""")) == 201)
+      // the document landed in the USER store only…
+      assert(app.userStore.get.entity("e1").isDefined, "ingest writes user-db")
+      assert(app.store.entity("e1").isEmpty, "app-db must not see user data")
+      // …while the stored-function doc lives in the APP store only
+      assert(app.store.entity(":collector/add-ev").isDefined)
+      assert(app.userStore.get.entity(":collector/add-ev").isEmpty,
+        "user-db must not see stored functions")
+    } finally app.stop()
+  }
+
   test("crash recovery: abrupt stop mid-stream, restart resumes quota + store from checkpoint") {
     // The production crash-consistency drill: a quota-admit → store-ingest
     // topology is killed WITHOUT draining after ≥1 committed batch, then
