@@ -359,9 +359,14 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
     * Entries pin checkpointed iteration data, so the cache's lifetime
     * should match a query's: `EdnDatalog.run` builds a fresh compiler per
     * query by default — a long-lived service holding ONE compiler across
-    * many queries would accumulate entries instead. */
+    * many queries should call [[clearFixpointCache]] between them. */
   private val sccCache = scala.collection.mutable.HashMap
     .empty[(DataFrame, Set[String], Map[String, Rule]), Map[String, Rel]]
+
+  /** Release cached fixpoint results (for services reusing one compiler
+    * across queries; the cached DataFrames' persisted/checkpointed backing
+    * is released separately via `CacheRegistry.unpersistAll()`). */
+  def clearFixpointCache(): Unit = sccCache.clear()
 
   /** Evaluate a mutually recursive rule component (|scc| ≥ 2) as ONE
     * combined multi-relation semi-naive fixpoint
