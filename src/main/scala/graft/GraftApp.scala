@@ -166,8 +166,15 @@ object GraftApp {
             authSecret: Option[String] = None,
             requireRole: Boolean = false,
             splitPlanes: Boolean = false,
-            userDbPath: Option[String] = None): GraftApp =
-    new GraftApp(spark, DocumentStore(spark, dbPath), io, registry,
-      authSecret, requireRole, splitPlanes,
-      userDbPath.map(DocumentStore(spark, _)))
+            userDbPath: Option[String] = None): GraftApp = {
+    val appStore = DocumentStore(spark, dbPath)
+    // a user-db that fails to open (e.g. locked by another driver) must
+    // release the app store's just-taken driver lock, or a same-JVM retry
+    // with a fixed path dies on "already open" until restart
+    val userStore =
+      try userDbPath.map(DocumentStore(spark, _))
+      catch { case e: Throwable => appStore.close(); throw e }
+    new GraftApp(spark, appStore, io, registry,
+      authSecret, requireRole, splitPlanes, userStore)
+  }
 }

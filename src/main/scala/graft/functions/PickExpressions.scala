@@ -61,12 +61,15 @@ private[functions] trait PickAggBase {
     UnsafeProjection.create(Array(valueType))
 
   /** Catalyst values read off a reused input row must be copied before
-    * the buffer retains them past the row's lifetime. */
+    * the buffer retains them past the row's lifetime — INCLUDING the
+    * container types: an UnsafeArrayData/MapData/InternalRow returned by
+    * eval() is a VIEW into the operator's reused row buffer, and a
+    * retained view mutates into the next row's bytes (wrong picks for an
+    * array-typed ?x). `InternalRow.copyValue` handles every Catalyst
+    * value shape. */
   protected def copyVal(v: Any): Any = v match {
-    case s: UTF8String => s.copy()
     case b: Array[Byte] => b.clone()
-    case d: org.apache.spark.sql.types.Decimal => d
-    case x => x
+    case x => InternalRow.copyValue(x)
   }
 
   protected def writeValue(bb: java.io.ByteArrayOutputStream, v: Any): Unit = {
@@ -252,18 +255,25 @@ case class RandPicks(
 
   override def createAggregationBuffer(): RandPickBuffer = new RandPickBuffer(k)
 
+  // hot-path hygiene: ONE digest per task and the k salt suffixes
+  // precomputed once — update() runs per input ROW, and a fresh
+  // MessageDigest.getInstance plus k string-encode allocations per row is
+  // measurable at the scale this aggregate exists for
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+  @transient private lazy val salts: Array[Array[Byte]] =
+    Array.tabulate(k)(i => s":${i + 1}:42".getBytes("UTF-8"))
+
   override def update(b: RandPickBuffer, input: InternalRow): RandPickBuffer = {
     val s = str.eval(input)
     val v = value.eval(input)
     if (s != null && v != null) {
       val base = s.asInstanceOf[UTF8String].getBytes
       val vc = copyVal(v)
-      val md = MessageDigest.getInstance("MD5")
       var i = 0
       while (i < k) {
         md.reset()
         md.update(base)
-        md.update(s":${i + 1}:42".getBytes("UTF-8"))
+        md.update(salts(i))
         b.offer(i, md.digest(), vc)
         i += 1
       }

@@ -41,13 +41,13 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
     val rows = if (q.args.isEmpty) Seq(Map.empty[String, Any]) else q.args
     val bodies = rows.map { row =>
       var rel = compileClauses(docs, substArgs(q.where, row), ruleMap)
-      // an arg var named in :find/:order-by is a column of the args
+      // an arg var named in :find/:order-by/:with is a column of the args
       // relation, not necessarily of the body — attach it as a constant
       val needed = (q.find.collect {
         case FindVar(v) => v.name
         case FindAgg(_, v, _, _) => v.name
         case p: FindPull => p.v.name
-      } ++ q.orderBy.map(_._1)).distinct
+      } ++ q.orderBy.map(_._1) ++ q.withVars).distinct
       needed.filter(n => row.contains(n) && !rel.columns.contains(n))
         .foreach(n => rel = rel.withColumn(n, lit(row(n))))
       rel
@@ -255,9 +255,65 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
     if (shared.isEmpty) a.crossJoin(b) else a.join(b, shared)
   }
 
+  /** Rule names referenced anywhere in a clause — TRAVERSING or/not: a
+    * recursive call nested in a disjunction branch is still a recursive
+    * call, and missing it would misclassify the rule as acyclic (the
+    * inliner would then re-enter it and die on the internal guard). */
+  private def clauseRuleRefs(c: Clause, rules: Map[String, Rule]): Set[String] = c match {
+    case RuleApp(n, _) if rules.contains(n) => Set(n)
+    case Not(cs, _) => cs.flatMap(clauseRuleRefs(_, rules)).toSet
+    case Or(bs, _) => bs.flatten.flatMap(clauseRuleRefs(_, rules)).toSet
+    case _ => Set.empty
+  }
+
   /** Rule names referenced anywhere in `r`'s bodies (defined rules only). */
   private def ruleRefs(r: Rule, rules: Map[String, Rule]): Set[String] =
-    r.bodies.flatten.collect { case RuleApp(n, _) if rules.contains(n) => n }.toSet
+    r.bodies.flatten.flatMap(clauseRuleRefs(_, rules)).toSet
+
+  /** Normalize a recursive rule's bodies so every reference to a rule in
+    * `names` sits at the TOP level of its conjunction — the fixpoint's
+    * per-occurrence delta/acc binding can then see it. An `(or …)` whose
+    * branches reference the component distributes into one body per branch
+    * (standard Datalog: a disjunctive recursive body IS several bodies);
+    * or-join branch-private vars are α-renamed fresh so distribution can't
+    * capture an outer name. Recursion THROUGH `(not …)` is unstratified
+    * negation — rejected with a clear error instead of the internal
+    * re-entry guard. */
+  private def normalizeRecBodies(owner: String, bodies: Seq[Seq[Clause]],
+      names: Set[String], rules: Map[String, Rule]): Seq[Seq[Clause]] = {
+    var fresh = 0
+    def refsComponent(cs: Seq[Clause]): Boolean =
+      cs.flatMap(clauseRuleRefs(_, rules)).toSet.intersect(names).nonEmpty
+    def expand(body: Seq[Clause]): Seq[Seq[Clause]] = {
+      body.foreach {
+        case Not(cs, _) if refsComponent(cs) =>
+          throw new UnsupportedOperationException(
+            s"rule $owner: recursion through (not …) is unstratified and not supported")
+        case _ => ()
+      }
+      body.zipWithIndex.collectFirst {
+        case (o: Or, i) if refsComponent(o.branches.flatten) => (o, i)
+      } match {
+        case None => Seq(body)
+        case Some((Or(branches, uv), i)) =>
+          branches.flatMap { br =>
+            val renamed =
+              if (uv.isEmpty) br // plain or: branches bind the SAME vars (crux)
+              else {
+                // or-join: only declared vars are visible outside — keep
+                // branch privates private across the distribution
+                val privates = br.flatMap(clauseVars).toSet -- uv.map(_.name)
+                val m = privates.map { v =>
+                  fresh += 1; v -> s"${v}__orb$fresh"
+                }.toMap
+                br.map(renameVarsClause(_, m))
+              }
+            expand(body.patch(i, renamed, 1))
+          }
+      }
+    }
+    bodies.flatMap(expand)
+  }
 
   /** Rules reachable from `from` via one or more RuleApp edges. */
   private def reachableFrom(from: Set[String], rules: Map[String, Rule]): Set[String] = {
@@ -314,8 +370,13 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
           .reduce(_.unionByName(_)).distinct()
       else if (scc.sizeIs > 1) evalScc(docs, scc, rules, applying)(rule.name)
       else {
-        val (baseBodies, recBodies) = rule.bodies.partition(
-          _.forall { case RuleApp(n, _) => n != rule.name; case _ => true })
+        // normalize FIRST: or-nested self-references distribute into their
+        // own bodies; the partition below then sees every recursive call at
+        // the top level (deep check — a nested ref in a base body would
+        // silently re-enter the inliner)
+        val bodies = normalizeRecBodies(rule.name, rule.bodies, scc + rule.name, rules)
+        val (baseBodies, recBodies) = bodies.partition(
+          !_.flatMap(clauseRuleRefs(_, rules)).contains(rule.name))
         require(baseBodies.nonEmpty, s"recursive rule ${rule.name} needs a base body")
         val base = baseBodies.map(b => compileClauses(docs, b, rules, inProgress)
             .select(paramNames.map(col): _*))
@@ -388,8 +449,8 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
 
       val partitioned: Map[String, (Seq[Seq[Clause]], Seq[Seq[Clause]])] =
         members.map { m =>
-          m -> rules(m).bodies.partition(
-            _.forall { case RuleApp(n, _) => !scc.contains(n); case _ => true })
+          m -> normalizeRecBodies(m, rules(m).bodies, scc, rules).partition(
+            _.flatMap(clauseRuleRefs(_, rules)).toSet.intersect(scc).isEmpty)
         }.toMap
 
       val bases: Map[String, DataFrame] = partitioned.collect {
@@ -517,10 +578,15 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
     t match {
       case V(n) => schema.find(_.name == n).map(_.dataType).exists {
         case ByteType | ShortType | IntegerType | LongType => true
+        // decimals keep exactness through Spark's `div` (truncating
+        // integral divide) — routing them through the double path would
+        // round values past 2^53 (Clojure quot on BigDecimal is exact)
+        case _: DecimalType => true
         case _ => false
       }
       case C(c) => c.isInstanceOf[Byte] || c.isInstanceOf[Short] ||
-        c.isInstanceOf[Int] || c.isInstanceOf[Long]
+        c.isInstanceOf[Int] || c.isInstanceOf[Long] ||
+        c.isInstanceOf[BigDecimal] || c.isInstanceOf[java.math.BigDecimal]
     }
   }
 
@@ -629,8 +695,17 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
       case PullWildcard =>
         throw new IllegalStateException("wildcard must be expanded first")
     }
+    // EQL precedence: explicit entries beat `*` REGARDLESS of order —
+    // `[* {:manager […]}]` must return the joined struct, not the raw ref
+    // id the wildcard would emit. (An :as-renamed entry claims its ALIAS
+    // key, so the wildcard still emits the plain attribute alongside it,
+    // matching crux's map semantics.)
+    val explicitKeys = spec.collect {
+      case e if e != PullWildcard => fieldName(e)
+    }.toSet
     val expanded = spec.flatMap {
-      case PullWildcard => docs.columns.toSeq.map(c => PullAttr(c))
+      case PullWildcard =>
+        docs.columns.toSeq.filterNot(explicitKeys).map(c => PullAttr(c))
       case e => Seq(e)
     }
     val entries = expanded.foldLeft(Vector.empty[PullEntry]) { (acc, e) =>
@@ -716,7 +791,10 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
           val base = s"pull_${p.v.name}"
           if (pulls.count(_.v.name == p.v.name) > 1) s"${base}_$i" else base
         }
-        val needed = (vars ++ pulls.map(_.v.name)).distinct
+        // :with vars join the dedup tuple here too — a pull of a non-key
+        // attribute must NOT collapse distinct entities when the query
+        // declared them as the duplication unit
+        val needed = (vars ++ pulls.map(_.v.name) ++ q.withVars).distinct
         var out = sel(needed).distinct()
         pulls.zipWithIndex.foreach { case (p, i) =>
           val tag = s"p$i"
@@ -725,14 +803,16 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
             .withColumn(pullNames(i), col(s"__pstruct_$tag"))
             .drop(s"__pid_$tag", s"__pstruct_$tag")
         }
-        // final tuple in :find order, set-deduped
+        // final tuple in :find order — set-deduped, unless :with made the
+        // projection a bag (the with vars drop WITHOUT re-deduping)
         var pi = -1
         val ordered = q.find.map {
           case FindVar(v) => v.name
           case _: FindPull => pi += 1; pullNames(pi)
           case other => throw new IllegalStateException(s"unexpected $other")
         }
-        out.select(ordered.map(col): _*).distinct()
+        val sel2 = out.select(ordered.map(col): _*)
+        if (q.withVars.isEmpty) sel2.distinct() else sel2
       }
       else if (aggs.isEmpty) {
         if (q.withVars.isEmpty) sel(vars).distinct() // Q18 set semantics

@@ -468,46 +468,89 @@ object DocumentStore {
             pid.forall(p => ProcessHandle.of(p).map[Boolean](h => !h.isAlive).orElse(true))
           if (staleSameHost && attempts < 3) {
             // crashed holder on this host (or an unreadable/empty lock from
-            // one): reclaim by RENAMING the stale lock aside, not
-            // delete-then-create. Delete is not atomic with the re-create:
-            // two reclaimers B and C could both observe staleness, B
-            // delete+create, then C's pending delete removes B's fresh lock
-            // and C creates its own — two live drivers, two tx clocks
-            // (ADVICE r9). Rename arbitrates racing reclaimers, but rename
-            // alone is NOT enough (ADVICE r10): between C's observation and
-            // C's rename, winner B may have renamed-and-recreated, so C's
-            // rename succeeds against B's FRESH lock. Guard: after the
-            // rename, re-read the aside file and compare it to the holder
-            // content observed BEFORE the rename. Same bytes → we moved the
-            // stale lock we examined; discard it. Different bytes → we stole
-            // a fresh lock; put it back and defer to its holder. (Holder
-            // descriptors embed a per-instance random token + nanos-scale
-            // timestamp, so fresh content never equals stale content.)
-            reclaimInterleaveHook()
-            val aside = new org.apache.hadoop.fs.Path(
-              lp.toString + s".stale.$token.$attempts")
-            if (fs.rename(lp, aside)) {
-              val taken = try {
-                val in = fs.open(aside)
-                try new String(in.readAllBytes(), "UTF-8") finally in.close()
-              } catch { case _: Exception => "" }
-              if (taken == holder) {
-                try fs.delete(aside, false) catch { case _: Exception => () }
-              } else if (!fs.rename(aside, lp)) {
-                // lp reappeared while we held the stolen lock aside (a third
-                // claimant won the exclusive create): restore the stolen
-                // descriptor only if the slot is free again; otherwise the
-                // newest claimant has superseded it — drop the aside copy
-                try {
-                  val out = fs.create(lp, false)
-                  try out.write(taken.getBytes("UTF-8")) finally out.close()
-                } catch { case _: Exception => () }
-                try fs.delete(aside, false) catch { case _: Exception => () }
+            // one). Reclaim protocol, hardened twice over:
+            //
+            //  1. A RECLAIM MUTEX (exclusive-create sibling file):
+            //     reclaimers serialize, so only ONE may touch lp at a time.
+            //     Without it, reclaimer C could rename winner B's FRESH
+            //     lock aside (rename can't compare-and-swap), opening a
+            //     window where a third acquirer's exclusive create wins —
+            //     two live drivers (the r10-review interleaving). A mutex
+            //     left by a crashed reclaimer is recognized by the same
+            //     dead-pid rule and removed.
+            //  2. Under the mutex, RE-READ lp and proceed only if it still
+            //     carries the stale descriptor we examined; then rename it
+            //     aside (never delete-then-create: delete isn't atomic with
+            //     the re-create, ADVICE r9) and verify the moved bytes one
+            //     more time (defense in depth — holder descriptors embed a
+            //     per-instance random token, so fresh ≠ stale always).
+            //
+            // Plain acquirers never rename; if one's exclusive create wins
+            // the emptied slot before ours, the retry below observes its
+            // live holder and defers loudly — safe, not a corruption.
+            val mx = new org.apache.hadoop.fs.Path(lp.toString + ".reclaim")
+            val gotMutex =
+              try {
+                val out = fs.create(mx, false)
+                try out.write(desc.getBytes("UTF-8")) finally out.close()
+                true
+              } catch {
+                case _: java.io.IOException =>
+                  // held by a live reclaimer (wait; retry the outer loop) or
+                  // left by a crashed one (dead pid → remove; the exclusive
+                  // mutex create re-arbitrates next attempt)
+                  val m = try {
+                    val in = fs.open(mx)
+                    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+                  } catch { case _: Exception => "" }
+                  val mPid = "\"pid\":(\\d+)".r.findFirstMatchIn(m).map(_.group(1).toLong)
+                  val mHost = "\"host\":\"([^\"]*)\"".r.findFirstMatchIn(m).map(_.group(1))
+                  if (mHost.forall(_ == localHost) && mPid.forall(p =>
+                      ProcessHandle.of(p).map[Boolean](h => !h.isAlive).orElse(true)))
+                    try fs.delete(mx, false) catch { case _: Exception => () }
+                  false
               }
-            }
-            // whether or not we won the rename, retry the exclusive create —
-            // it still arbitrates (a restored fresh lock makes the retry
-            // observe a live holder and fail loudly below)
+            if (gotMutex) { try {
+              reclaimInterleaveHook()
+              val cur = readHolder()
+              if (cur == holder) {
+                val aside = new org.apache.hadoop.fs.Path(
+                  lp.toString + s".stale.$token.$attempts")
+                if (fs.rename(lp, aside)) {
+                  val taken = try {
+                    val in = fs.open(aside)
+                    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+                  } catch { case _: Exception => "" }
+                  if (taken == holder) {
+                    try fs.delete(aside, false) catch { case _: Exception => () }
+                  } else if (!fs.rename(aside, lp)) {
+                    // should be unreachable under the mutex; if a takeover
+                    // race ever lands here, try to put the stolen
+                    // descriptor back, and if the slot was re-claimed keep
+                    // the aside file ON DISK — it is the displaced
+                    // driver's only evidence
+                    val restored =
+                      try {
+                        val out = fs.create(lp, false)
+                        try out.write(taken.getBytes("UTF-8")) finally out.close()
+                        true
+                      } catch { case _: Exception => false }
+                    if (restored)
+                      try fs.delete(aside, false) catch { case _: Exception => () }
+                    else System.err.println(
+                      s"[graft] lock reclaim displaced a live descriptor and " +
+                        s"could not restore it — preserved at $aside; " +
+                        s"two drivers may be active on $path")
+                  }
+                }
+              }
+              // else: the slot changed under us — fall through; the retry
+              // observes (and defers to) the new holder
+            } finally {
+              try fs.delete(mx, false) catch { case _: Exception => () }
+            } } else Thread.sleep(150) // let the mutex holder finish, then retry
+            // whether or not we reclaimed, retry the exclusive create — it
+            // still arbitrates (a live holder makes the retry fail loudly)
           } else throw new IllegalStateException(
             s"document store at $path is locked by another driver " +
               s"(${holder.trim.stripPrefix("{").stripSuffix("}")}); " +

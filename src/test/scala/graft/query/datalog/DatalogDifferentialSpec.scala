@@ -676,8 +676,15 @@ class DatalogDifferentialSpec extends SparkSpec {
     docsById.get(id) match {
       case None => null
       case Some(doc) =>
+        // EQL precedence (mirrors the compiler): explicit entries beat *
+        // regardless of order — the wildcard never emits a key an explicit
+        // entry claims
+        val explicitKeys = spec.collect {
+          case e if e != GPWild => pullFieldName(e)
+        }.toSet
         val expanded = spec.flatMap {
-          case GPWild => pullColOrder.map(c => GPAttr(c, None, None))
+          case GPWild =>
+            pullColOrder.filterNot(explicitKeys).map(c => GPAttr(c, None, None))
           case e => Seq(e)
         }
         val entries = expanded.foldLeft(Vector.empty[GPull]) { (acc, e) =>

@@ -228,6 +228,14 @@ class DatalogSpec extends SparkSpec {
         "{:find [?i ?q] :where [[?e :id ?i] [?e :x ?x] [(quot ?x 2.5) ?q]]}")
       .fold(e => fail(e), _.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap)
     assert(got2 == Map("a" -> 6.0), s"$got2")
+    // DECIMAL columns stay exact (review r11): routed through div, never
+    // the double path — 2^53+1 would round in a double
+    val big = BigDecimal("9007199254740993") // 2^53 + 1
+    val decs = Seq(("a", big)).toDF("id", "x")
+    val got3 = EdnDatalog.run(decs,
+        "{:find [?i ?q] :where [[?e :id ?i] [?e :x ?x] [(quot ?x 1) ?q]]}")
+      .fold(e => fail(e), _.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    assert(got3 == Map("a" -> 9007199254740993L), s"decimal quot must be exact: $got3")
   }
 
   test("mod/rem/quot arity errors are descriptive compile errors (ADVICE r10)") {

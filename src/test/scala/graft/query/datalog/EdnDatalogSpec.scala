@@ -96,6 +96,26 @@ class EdnDatalogSpec extends SparkSpec {
     // a multi-entry join map is ambiguous EQL here — compile error
     assert(EdnDatalog.run(docs,
       "{:find [(pull ?e [{:manager [:name] :dept [:name]}])] :where [[?e :name ?n]]}").isLeft)
+    // EQL precedence: an explicit entry beats * REGARDLESS of order —
+    // [* {:manager […]}] must return the joined struct, not the raw ref
+    // id the wildcard would emit (review r11)
+    val prec = run(
+      """{:find [(pull ?e [* {:manager [:name]}])] :where [[?e :name "bob"]]}""")
+      .collect().map(_.getStruct(0)).head
+    val mIdx = prec.schema.fieldNames.indexOf("manager")
+    assert(prec.getStruct(mIdx).getString(0) == "ada",
+      s"explicit join must win over *: ${prec.getStruct(mIdx)}")
+  }
+
+  test("pull respects :with — entities stay distinct by the with var") {
+    // two eng employees share dept: a pull of [:dept] alone collapses them
+    // (set semantics); :with [?e] keeps one row per entity (bag)
+    val collapsed = run(
+      """{:find [(pull ?e [:dept])] :where [[?e :dept "eng"]]}""").count()
+    assert(collapsed == 1L)
+    val bag = run(
+      """{:find [(pull ?e [:dept])] :with [?e] :where [[?e :dept "eng"]]}""").count()
+    assert(bag == 3L, s":with [?e] must keep one pulled row per entity, got $bag")
   }
 
   test("pull attribute options — :as, :default, :limit, parameterized join key") {
@@ -194,6 +214,37 @@ class EdnDatalogSpec extends SparkSpec {
     assert(bag == Seq(90.0, 90.0, 100.0, 120.0), s"bag projection: $bag")
     // malformed :with is a compile error
     assert(EdnDatalog.run(docs, "{:find [?n] :with [x] :where [[?e :name ?n]]}").isLeft)
+  }
+
+  test("recursive rule written via (or …) — distributed into the fixpoint (review r11)") {
+    // a disjunctive recursive body IS several bodies; nesting the
+    // self-reference in an or-branch used to bypass SCC detection and die
+    // on the internal re-entry guard
+    val got = run(
+      """{:find [?n ?bn]
+          :where [[?e :name "eva"] [?e :name ?n] (boss ?e ?b) [?b :name ?bn]]
+          :rules [[(boss ?a ?c)
+                   (or [?a :manager ?c]
+                       (and [?a :manager ?x] (boss ?x ?c)))]]}""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("eva", "cid"), ("eva", "ada")), s"or-bodied closure: $got")
+    // recursion through (not …) is unstratified — a CLEAR error, not the
+    // internal guard's IllegalStateException
+    val neg = EdnDatalog.run(docs,
+      """{:find [?x] :where [(p ?x)]
+          :rules [[(p ?x) [?x :name ?n] (not (p ?x))]]}""")
+    assert(neg.isLeft && neg.swap.exists(_.contains("unstratified")), s"got $neg")
+  }
+
+  test(":with var supplied via :args attaches as a constant (review r11)") {
+    // each args row contributes its own (d, e, w) dedup tuple, so every
+    // entity counts once PER ROW — the args-relation bag semantics
+    val got = run(
+      """{:find [?d (count ?e)] :with [?w]
+          :where [[?e :dept ?d]]
+          :args [{?w 1} {?w 2}]}""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("eng" -> 6L, "ops" -> 4L), s"doubled by the args rows: $got")
   }
 
   test("auth.clj:91-96 shape — string predicate clause") {

@@ -191,13 +191,46 @@ class DocumentStoreSpec extends SparkSpec {
       val onDisk = new String(java.nio.file.Files.readAllBytes(lockFile), "UTF-8")
       assert(onDisk == fresh,
         s"B's fresh lock must survive C's reclaim attempt intact, got: $onDisk")
-      // no stray aside files left behind
+      // no stray aside or mutex files left behind
       val dir = lockFile.getParent
       val strays = java.nio.file.Files.list(dir).toArray.map(_.toString)
-        .filter(_.contains(".stale."))
-      assert(strays.isEmpty, s"aside files must not leak: ${strays.mkString(",")}")
+        .filter(s => s.contains(".stale.") || s.endsWith(".reclaim"))
+      assert(strays.isEmpty, s"aside/mutex files must not leak: ${strays.mkString(",")}")
     } finally {
       DocumentStore.reclaimInterleaveHook = () => ()
+      java.nio.file.Files.deleteIfExists(lockFile)
+    }
+  }
+
+  test("a stale reclaim mutex from a crashed reclaimer does not wedge recovery") {
+    // crash DURING reclaim leaves lock.reclaim on disk; the dead-pid rule
+    // must clear it so the next opener still recovers the stale lock
+    val path = Files.createTempDirectory("docstore-mutex").toString + "/db"
+    val s0 = DocumentStore(spark, path); s0.put("d1", "{}"); s0.close()
+    val lockFile = java.nio.file.Paths.get(path + ".lock")
+    val mutexFile = java.nio.file.Paths.get(path + ".lock.reclaim")
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    val stale =
+      s"""{"pid":2147483646,"host":"$host","token":"gone","since":"2026-01-01T00:00:00Z"}"""
+    java.nio.file.Files.write(lockFile, stale.getBytes("UTF-8"))
+    java.nio.file.Files.write(mutexFile, stale.getBytes("UTF-8"))
+    val s1 = DocumentStore(spark, path) // must reclaim BOTH stale files
+    try {
+      assert(s1.entity("d1").isDefined)
+      assert(!java.nio.file.Files.exists(mutexFile), "stale mutex must be cleared")
+    } finally s1.close()
+    // a mutex held by a LIVE reclaimer (our own pid) defers instead
+    java.nio.file.Files.write(lockFile, stale.getBytes("UTF-8"))
+    java.nio.file.Files.write(mutexFile,
+      s"""{"pid":${ProcessHandle.current.pid},"host":"$host","token":"live","since":"2026-01-01T00:00:00Z"}"""
+        .getBytes("UTF-8"))
+    try {
+      val err = intercept[IllegalStateException] { DocumentStore(spark, path) }
+      assert(err.getMessage.contains("locked by another driver"),
+        s"must defer while a live reclaimer holds the mutex: ${err.getMessage}")
+      assert(java.nio.file.Files.exists(mutexFile), "live mutex must be left alone")
+    } finally {
+      java.nio.file.Files.deleteIfExists(mutexFile)
       java.nio.file.Files.deleteIfExists(lockFile)
     }
   }
