@@ -101,6 +101,8 @@ object SparkEntry {
     "datalog_pull_opts"   -> (graft.query.datalog.DatalogDb.datalogPullOptsQuery(_, _)),
     // :with — duplicate-preserving aggregation (dedup includes :with vars)
     "datalog_with"        -> (graft.query.datalog.DatalogDb.datalogWithQuery(_, _)),
+    // crux :keys result-map names (positional rename, agg-first find order)
+    "datalog_keys"        -> (graft.query.datalog.DatalogDb.datalogKeysQuery(_, _)),
     "datalog_bind_arith"  -> (graft.query.datalog.DatalogDb.datalogBindArithQuery(_, _)),
     // north-star LLM-pipeline extensions
     "dedup_exact"         -> (Dedup.dedupExactQuery(_, _)),
@@ -1092,6 +1094,12 @@ object SparkEntry {
     "datalog_with" ->
       """SELECT o_orderpriority AS p, CAST(sum(o_custkey) AS BIGINT) AS sum_ck
          FROM orders GROUP BY 1""",
+    // datalog_keys: :keys renames are name-level; the driver compare sorts
+    // columns by NAME, so matching aliases here prove the rename landed
+    "datalog_keys" ->
+      """SELECT count(*) AS n_orders, c_mktsegment AS segment
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_totalprice > 150000.0 GROUP BY c_mktsegment""",
     // datalog_mutual: even-length paths over the c→n→r / s→n DAG — the
     // mutually recursive odd/even rule pair linearizes in SQL to one
     // recursive CTE carrying a path-length parity counter

@@ -833,8 +833,21 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
         val deduped = sel(involved).distinct()
         val aggCols = aggs.map(a =>
           aggColumn(a.fn, a.v.name, a.n).as(a.alias.getOrElse(s"${a.fn.replace("-", "_")}_${a.v.name}")))
-        if (vars.isEmpty) deduped.agg(aggCols.head, aggCols.tail: _*)
-        else deduped.groupBy(vars.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+        val agged =
+          if (vars.isEmpty) deduped.agg(aggCols.head, aggCols.tail: _*)
+          else deduped.groupBy(vars.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+        // groupBy().agg() emits group columns first regardless of :find
+        // order — restore crux tuple order (`[:find [(sum ?x) ?g]]` puts
+        // the aggregate first), which the positional :keys rename relies on
+        var ai = -1
+        val findOrder = q.find.map {
+          case FindVar(v) => v.name
+          case _: FindAgg => ai += 1
+            aggs(ai).alias.getOrElse(s"${aggs(ai).fn.replace("-", "_")}_${aggs(ai).v.name}")
+          case other => throw new IllegalStateException(s"unexpected $other")
+        }
+        if (findOrder == agged.columns.toSeq) agged
+        else agged.select(findOrder.map(col): _*)
       }
     val ordered =
       if (q.orderBy.isEmpty) projected
@@ -842,6 +855,12 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
         if (asc) col(v).asc else col(v).desc }: _*)
     val limited = q.limit.fold(ordered)(n =>
       q.offset.fold(ordered.limit(n))(o => ordered.offset(o).limit(n)))
-    q.limit.fold(q.offset.fold(limited)(o => limited.offset(o)))(_ => limited)
+    val sliced =
+      q.limit.fold(q.offset.fold(limited)(o => limited.offset(o)))(_ => limited)
+    // :keys/:syms/:strs — positional rename of the find tuple (crux's
+    // result-map keys). Applied LAST so it also renames aggregate columns;
+    // arity was validated at parse, and project() emits exactly one column
+    // per :find element in :find order, so a positional toDF is safe.
+    q.keys.fold(sliced)(ks => sliced.toDF(ks: _*))
   }
 }

@@ -102,5 +102,13 @@ object Ast {
       withVars: Seq[String] = Nil,
       orderBy: Seq[(String, Boolean)] = Nil,    // (var, ascending) — Q16
       limit: Option[Int] = None,
-      offset: Option[Int] = None)
+      offset: Option[Int] = None,
+      /** Crux `:keys`/`:syms`/`:strs`: names for the find tuple elements —
+        * crux returns result MAPS keyed by these instead of positional
+        * vectors; the relational face is a positional column rename. One
+        * name per :find element, applied after projection/aggregation, so
+        * they override the default `?var` / `fn_var` column names. (The
+        * keyword/symbol/string distinction is representation-level in crux;
+        * all three are the same column rename here.) */
+      keys: Option[Seq[String]] = None)
 }

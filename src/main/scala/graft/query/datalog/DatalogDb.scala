@@ -190,6 +190,20 @@ object DatalogDb {
       .fold(e => throw new IllegalArgumentException(e), identity)
       .select(col("p"), col("sum_ck"))
 
+  /** SparkEntry query `datalog_keys`: crux `:keys` result-map names over
+    * an aggregate-FIRST find (`[:find [(count ?o) ?seg]]`) — exercises
+    * both the positional rename and the find-tuple-order restoration the
+    * groupBy/agg branch needs (group columns would otherwise lead). */
+  def datalogKeysQuery(s: SparkSession, d: String): DataFrame =
+    EdnDatalog.run(ordersCustomers(s, d),
+      """{:find  [(count ?o) ?seg]
+          :keys  [n_orders segment]
+          :where [[?o :o-totalprice ?t]
+                  [(> ?t 150000.0)]
+                  [?o :order-cust ?c]
+                  [?c :c-mktsegment ?seg]]}""")
+      .fold(e => throw new IllegalArgumentException(e), identity)
+
   def datalogQuery(s: SparkSession, d: String): DataFrame = {
     val q = Query(
       find = Seq(FindVar(V("seg")), FindAgg("count", V("o"), Some("n_orders"))),

@@ -53,7 +53,8 @@ object EdnDatalog {
           orderBy <- m.get("order-by").map(parseOrderBy).getOrElse(Right(Nil))
           limit <- parseIntOpt(m.get("limit"), "limit")
           offset <- parseIntOpt(m.get("offset"), "offset")
-        } yield Query(find, where, rules, args, withVars, orderBy, limit, offset)
+          keys <- parseKeys(m, find.length)
+        } yield Query(find, where, rules, args, withVars, orderBy, limit, offset, keys)
       case _ => Left("query must be an EDN map")
     }
 
@@ -259,6 +260,38 @@ object EdnDatalog {
         case other => Left(s":with entries must be ?vars, got $other")
       })
     case _ => Left(":with must be a non-empty vector of ?vars")
+  }
+
+  /** Crux `:keys`/`:syms`/`:strs` — names for the :find tuple elements
+    * (crux returns maps keyed by keyword/symbol/string respectively; the
+    * relational face is a positional column rename, so all three parse the
+    * same way). Exactly one of the three may appear; entry count must
+    * equal the :find arity; names must be distinct (duplicate map keys
+    * would silently collapse in crux and would be ambiguous columns here).
+    * Entries are plain symbols (crux's syntax even for :strs). */
+  private def parseKeys(m: Map[String, Value], findArity: Int)
+      : Either[String, Option[Seq[String]]] = {
+    val present = Seq("keys", "syms", "strs").filter(m.contains)
+    present match {
+      case Nil => Right(None)
+      case Seq(k) => m(k) match {
+        case Vec(items) if items.nonEmpty =>
+          sequenceE(items.map[Either[String, String]] {
+            case Sym(n) if !n.startsWith("?") => Right(n)
+            case Str(s) if k == "strs" => Right(s)
+            case other => Left(s":$k entries must be plain symbols, got $other")
+          }).flatMap { names =>
+            if (names.length != findArity)
+              Left(s":$k names ${names.length} elements but :find has $findArity")
+            else if (names.distinct.length != names.length)
+              Left(s":$k names must be distinct, got $names")
+            else Right(Some(names))
+          }
+        case _ => Left(s":$k must be a non-empty vector of symbols")
+      }
+      case several =>
+        Left(s"at most one of :keys/:syms/:strs may appear, got ${several.map(":" + _).mkString(" ")}")
+    }
   }
 
   /** `:args` rows — each map is one row of crux's args RELATION (several

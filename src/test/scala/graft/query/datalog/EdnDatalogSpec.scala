@@ -386,6 +386,45 @@ class EdnDatalogSpec extends SparkSpec {
     assert(got == Set("e2", "e3", "e4", "e5"))
   }
 
+  test(":keys/:syms/:strs — result-map names as a positional column rename") {
+    // plain vars
+    val k = run("""{:find [?n ?s] :keys [emp-name pay]
+                    :where [[?e :dept "eng"] [?e :name ?n] [?e :salary ?s]]}""")
+    assert(k.columns.toSeq == Seq("emp-name", "pay"))
+    assert(k.as[(String, Double)].collect().toSet ==
+      Set(("ada", 120.0), ("bob", 90.0), ("dee", 100.0)))
+    // aggregate-FIRST find: the rename must track :find tuple order, not
+    // groupBy output order (group cols lead in Spark's agg output)
+    val a = run("""{:find [(count ?e) ?d] :syms [n dept]
+                    :where [[?e :dept ?d]]}""")
+    assert(a.columns.toSeq == Seq("n", "dept"))
+    assert(a.as[(Long, String)].collect().toSet == Set((3L, "eng"), (2L, "ops")))
+    // :strs accepts strings too
+    val s = run("""{:find [?d] :strs ["the dept"] :where [[?e :dept ?d]]}""")
+    assert(s.columns.toSeq == Seq("the dept"))
+    // pull keeps its struct under the renamed column
+    val p = run("""{:find [(pull ?e [:name])] :keys [doc]
+                    :where [[?e :dept "ops"]]}""")
+    assert(p.columns.toSeq == Seq("doc"))
+    assert(p.collect().map(_.getStruct(0).getString(0)).toSet == Set("cid", "eva"))
+    // malformed: arity mismatch, duplicates, ?vars, several of the three
+    for (bad <- Seq(
+        "{:find [?n ?s] :keys [one] :where [[?e :name ?n] [?e :salary ?s]]}",
+        "{:find [?n ?s] :keys [x x] :where [[?e :name ?n] [?e :salary ?s]]}",
+        "{:find [?n] :keys [?n] :where [[?e :name ?n]]}",
+        "{:find [?n] :keys [a] :syms [b] :where [[?e :name ?n]]}",
+        "{:find [?n] :keys [] :where [[?e :name ?n]]}"))
+      assert(EdnDatalog.run(docs, bad).isLeft, s"should reject: $bad")
+  }
+
+  test(":find tuple order is restored when aggregates precede group vars") {
+    // even WITHOUT :keys, crux returns tuples in :find order
+    val got = run("""{:find [(sum ?s) ?d] :where [[?e :dept ?d] [?e :salary ?s]]}""")
+    assert(got.columns.toSeq == Seq("sum_s", "d"))
+    assert(got.as[(Double, String)].collect().toSet ==
+      Set((310.0, "eng"), (150.0, "ops")))
+  }
+
   test("malformed queries give Left, never throw") {
     for (bad <- Seq("{}", "{:find []}", "{:find [?x]}", "[1 2 3]", "{:find [?x] :where [[?x",
                     "{:find [?x] :where [[?x :name ?n]] :limit \"ten\"}"))
