@@ -103,6 +103,10 @@ object SparkEntry {
     "datalog_with"        -> (graft.query.datalog.DatalogDb.datalogWithQuery(_, _)),
     // crux :keys result-map names (positional rename, agg-first find order)
     "datalog_keys"        -> (graft.query.datalog.DatalogDb.datalogKeysQuery(_, _)),
+    // crux :in bindings — collection (substitution path, pushdown per branch)
+    "datalog_in_coll"     -> (graft.query.datalog.DatalogDb.datalogInCollQuery(_, _)),
+    // crux :in relation at 20 rows — the broadcast-join path
+    "datalog_in_rel"      -> (graft.query.datalog.DatalogDb.datalogInRelQuery(_, _)),
     "datalog_bind_arith"  -> (graft.query.datalog.DatalogDb.datalogBindArithQuery(_, _)),
     // north-star LLM-pipeline extensions
     "dedup_exact"         -> (Dedup.dedupExactQuery(_, _)),
@@ -1100,6 +1104,22 @@ object SparkEntry {
       """SELECT count(*) AS n_orders, c_mktsegment AS segment
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_totalprice > 150000.0 GROUP BY c_mktsegment""",
+    // datalog_in_coll: the :in collection binding is an IN list
+    "datalog_in_coll" ->
+      """SELECT c_mktsegment AS seg, count(*) AS count_o
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_totalprice > 100000.0
+           AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+         GROUP BY 1""",
+    // datalog_in_rel: the 20-pair :in relation replays as a VALUES join
+    "datalog_in_rel" ->
+      s"""SELECT o_orderpriority AS p, c_mktsegment AS seg, count(*) AS count_o
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN (VALUES ${graft.query.datalog.DatalogDb.inRelPairs
+           .map { case Seq(p, g) => s"('$p', '$g')" }.mkString(", ")})
+           AS v(vp, vseg)
+           ON o_orderpriority = vp AND c_mktsegment = vseg
+         GROUP BY 1, 2""",
     // datalog_mutual: even-length paths over the c→n→r / s→n DAG — the
     // mutually recursive odd/even rule pair linearizes in SQL to one
     // recursive CTE carrying a path-length parity counter

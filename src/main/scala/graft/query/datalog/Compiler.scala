@@ -30,15 +30,35 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
   /** A compiled clause set = bindings relation; columns are variable names. */
   private type Rel = DataFrame
 
-  def run(docs: DataFrame, q: Query): DataFrame = {
+  def run(docs: DataFrame, q: Query, inputs: Seq[Any] = Nil): DataFrame = {
     require(docs.columns.contains("id"), "document relation needs an `id` column")
+    require(q.in.isEmpty || q.args.isEmpty,
+      ":in and the legacy :args cannot be combined in one query")
+    require(q.in.nonEmpty || inputs.isEmpty,
+      s"query declares no :in bindings but got ${inputs.length} argument(s)")
     val ruleMap = mergeRules(q.rules)
-    // crux :args is a RELATION: one body evaluation per args row (each
-    // row's constants substitute into the clauses — predicate pushdown
-    // per branch, the OR-expansion plan shape), set-unioned in project()
-    // BEFORE dedup/aggregation so a tuple reachable under two parameter
-    // rows counts once, and aggregates see one combined binding set
-    val rows = if (q.args.isEmpty) Seq(Map.empty[String, Any]) else q.args
+    val inRows = expandIn(q.in, inputs)
+    // crux :args / expanded :in is a RELATION of binding rows. Small sets
+    // evaluate one body per row (each row's constants substitute into the
+    // clauses — predicate pushdown per branch, the OR-expansion plan
+    // shape), set-unioned in project() BEFORE dedup/aggregation so a tuple
+    // reachable under two parameter rows counts once, and aggregates see
+    // one combined binding set. A LARGE :in relation (a 10k-element
+    // IN-collection) must NOT become 10k unioned bodies: when every bound
+    // var is pattern-bound, compile the body ONCE with the vars free and
+    // broadcast-join the binding relation instead.
+    val inVars = q.in.flatMap(_.vars.map(_.name)).distinct
+    val patternBound: Set[String] = q.where.collect {
+      case Pattern(e, _, v) => Seq(e, v).collect { case V(n) => n }
+    }.flatten.toSet
+    val joinPath = q.in.nonEmpty &&
+      (inRows.lengthCompare(16) > 0 || inRows.isEmpty) &&
+      inVars.forall(patternBound)
+    val rows =
+      if (q.in.nonEmpty) { if (joinPath) Seq(Map.empty[String, Any]) else inRows }
+      else if (q.args.isEmpty) Seq(Map.empty[String, Any]) else q.args
+    require(rows.nonEmpty,
+      ":in bound an empty collection/relation on a var the patterns never bind — no result schema")
     val bodies = rows.map { row =>
       var rel = compileClauses(docs, substArgs(q.where, row), ruleMap)
       // an arg var named in :find/:order-by/:with is a column of the args
@@ -50,9 +70,85 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
       } ++ q.orderBy.map(_._1) ++ q.withVars).distinct
       needed.filter(n => row.contains(n) && !rel.columns.contains(n))
         .foreach(n => rel = rel.withColumn(n, lit(row(n))))
-      rel
+      if (joinPath)
+        rel.join(broadcast(bindingDf(docs, inVars, inRows)), inVars, "inner")
+      else rel
     }
     project(docs, bodies, q)
+  }
+
+  // -------------------------------------------------------------- :in
+
+  /** Expand `:in` bindings × positional runtime arguments into binding
+    * rows — the cross product across entries (each entry contributes its
+    * own row set; crux's relation semantics), deduped (set semantics). */
+  private def expandIn(in: Seq[InBinding], inputs: Seq[Any]): Seq[Map[String, Any]] = {
+    require(in.length == inputs.length,
+      s":in declares ${in.length} binding(s) but got ${inputs.length} argument(s)")
+    def rowsOf(b: InBinding, arg: Any): Seq[Map[String, Any]] = (b, arg) match {
+      case (InScalar(v), a) => Seq(Map(v.name -> a))
+      case (InColl(v), a: Iterable[_]) => a.toSeq.map(x => Map(v.name -> x))
+      case (InColl(v), other) => throw new IllegalArgumentException(
+        s"collection binding [?${v.name} ...] needs an Iterable argument, got $other")
+      case (InTuple(vs), a: Iterable[_]) =>
+        val t = a.toSeq
+        require(t.length == vs.length,
+          s"tuple binding [${vs.map("?" + _.name).mkString(" ")}] got a ${t.length}-element tuple")
+        Seq(vs.map(_.name).zip(t).toMap)
+      case (InTuple(vs), other) => throw new IllegalArgumentException(
+        s"tuple binding [${vs.map("?" + _.name).mkString(" ")}] needs an Iterable argument, got $other")
+      case (InRel(vs), a: Iterable[_]) => a.toSeq.map {
+        case t: Iterable[_] =>
+          val tt = t.toSeq
+          require(tt.length == vs.length,
+            s"relation binding [[${vs.map("?" + _.name).mkString(" ")}]] got a ${tt.length}-element tuple")
+          vs.map(_.name).zip(tt).toMap
+        case other => throw new IllegalArgumentException(
+          s"relation binding rows must be Iterables, got $other")
+      }
+      case (InRel(vs), other) => throw new IllegalArgumentException(
+        s"relation binding [[${vs.map("?" + _.name).mkString(" ")}]] needs an Iterable argument, got $other")
+    }
+    in.zip(inputs).map { case (b, a) => rowsOf(b, a) }
+      .foldLeft(Seq(Map.empty[String, Any])) { (acc, rs) =>
+        for (m <- acc; r <- rs) yield m ++ r
+      }.distinct
+  }
+
+  /** The binding rows as a one-partition DataFrame (broadcast-join side).
+    * Per-var type = the first non-null value's (integrals widen to long,
+    * fractionals to double); a var whose values are all null types as
+    * string (the join then matches nothing, like crux's nil binding). */
+  private def bindingDf(docs: DataFrame, vars: Seq[String],
+                        rows: Seq[Map[String, Any]]): DataFrame = {
+    import org.apache.spark.sql.types._
+    def widen(x: Any): Any = x match {
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case f: Float => f.toDouble
+      case other => other
+    }
+    def dt(x: Any): DataType = widen(x) match {
+      case _: String => StringType
+      case _: Long => LongType
+      case _: Double => DoubleType
+      case _: Boolean => BooleanType
+      case _: java.sql.Timestamp => TimestampType
+      case _: java.sql.Date => DateType
+      case other => throw new IllegalArgumentException(
+        s":in binding values must be strings/numbers/booleans/timestamps, got ${other.getClass.getName}")
+    }
+    val schema = StructType(vars.map { v =>
+      val t = rows.iterator.map(_.getOrElse(v, null)).find(_ != null)
+        .map(dt).getOrElse(StringType)
+      StructField(v, t, nullable = true)
+    })
+    val data = rows.map(r => org.apache.spark.sql.Row(
+      vars.map(v => widen(r.getOrElse(v, null))): _*))
+    val spark = docs.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 1), schema)
   }
 
   // ------------------------------------------------------------ args (Q7)

@@ -47,6 +47,17 @@ object Ast {
     * itself makes the rule recursive (evaluated via semi-naive fixpoint). */
   final case class Rule(name: String, params: Seq[V], bodies: Seq[Seq[Clause]])
 
+  /** One `:in` entry (crux 1.15+ parameter bindings; supersedes `:args`).
+    * The four crux binding forms, each consuming one positional runtime
+    * argument of `q`: `?x` a single value, `[?x ...]` each element of a
+    * collection, `[?x ?y]` one tuple, `[[?x ?y]]` each tuple of a
+    * relation. */
+  sealed trait InBinding { def vars: Seq[V] }
+  final case class InScalar(v: V) extends InBinding { def vars = Seq(v) }
+  final case class InColl(v: V) extends InBinding { def vars = Seq(v) }
+  final case class InTuple(vs: Seq[V]) extends InBinding { def vars = vs }
+  final case class InRel(vs: Seq[V]) extends InBinding { def vars = vs }
+
   sealed trait FindElem
   final case class FindVar(v: V) extends FindElem
   /** Crux 1.16 `:find` aggregates (Q15): count, count-distinct, sum, avg,
@@ -110,5 +121,13 @@ object Ast {
         * they override the default `?var` / `fn_var` column names. (The
         * keyword/symbol/string distinction is representation-level in crux;
         * all three are the same column rename here.) */
-      keys: Option[Seq[String]] = None)
+      keys: Option[Seq[String]] = None,
+      /** Crux `:in` parameter bindings — one entry per positional runtime
+        * argument (supplied to the compiler's `run` alongside the query).
+        * Expanded to binding ROWS like `:args` (whose legacy form it
+        * supersedes; combining both is an error): small binding sets
+        * substitute constants per row (per-branch predicate pushdown),
+        * large ones become one broadcast equi-join against a binding
+        * relation — never N unioned bodies. */
+      in: Seq[InBinding] = Nil)
 }

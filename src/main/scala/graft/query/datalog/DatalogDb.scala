@@ -204,6 +204,41 @@ object DatalogDb {
                   [?c :c-mktsegment ?seg]]}""")
       .fold(e => throw new IllegalArgumentException(e), identity)
 
+  /** SparkEntry query `datalog_in_coll`: crux `:in` collection binding
+    * (`[?seg ...]` = an IN list) — 3 elements, so the compiler takes the
+    * substitution path: one body per element with the segment constant
+    * pushed into that branch's scan. */
+  def datalogInCollQuery(s: SparkSession, d: String): DataFrame =
+    EdnDatalog.runWith(ordersCustomers(s, d),
+      """{:find  [?seg (count ?o)]
+          :in    [[?seg ...]]
+          :where [[?o :o-totalprice ?t]
+                  [(> ?t 100000.0)]
+                  [?o :order-cust ?c]
+                  [?c :c-mktsegment ?seg]]}""",
+      Seq(Seq("BUILDING", "AUTOMOBILE", "MACHINERY")))
+      .fold(e => throw new IllegalArgumentException(e), identity)
+
+  /** The 20 (order-priority, market-segment) pairs `datalog_in_rel` binds —
+    * above the compiler's 16-row substitution threshold, so the binding
+    * relation broadcast-joins instead of fanning out 20 unioned bodies. */
+  val inRelPairs: Seq[Seq[String]] = for {
+    p <- Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    g <- Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY")
+  } yield Seq(p, g)
+
+  /** SparkEntry query `datalog_in_rel`: crux `:in` relation binding
+    * (`[[?p ?seg]]`) at 20 rows — the broadcast-join path. */
+  def datalogInRelQuery(s: SparkSession, d: String): DataFrame =
+    EdnDatalog.runWith(ordersCustomers(s, d),
+      """{:find  [?p ?seg (count ?o)]
+          :in    [[[?p ?seg]]]
+          :where [[?o :o-orderpriority ?p]
+                  [?o :order-cust ?c]
+                  [?c :c-mktsegment ?seg]]}""",
+      Seq(inRelPairs))
+      .fold(e => throw new IllegalArgumentException(e), identity)
+
   def datalogQuery(s: SparkSession, d: String): DataFrame = {
     val q = Query(
       find = Seq(FindVar(V("seg")), FindAgg("count", V("o"), Some("n_orders"))),

@@ -54,7 +54,10 @@ object EdnDatalog {
           limit <- parseIntOpt(m.get("limit"), "limit")
           offset <- parseIntOpt(m.get("offset"), "offset")
           keys <- parseKeys(m, find.length)
-        } yield Query(find, where, rules, args, withVars, orderBy, limit, offset, keys)
+          in <- m.get("in").map(parseIn).getOrElse(Right(Nil))
+          _ <- if (in.nonEmpty && args.nonEmpty)
+                 Left(":in and the legacy :args cannot be combined") else Right(())
+        } yield Query(find, where, rules, args, withVars, orderBy, limit, offset, keys, in)
       case _ => Left("query must be an EDN map")
     }
 
@@ -64,8 +67,16 @@ object EdnDatalog {
   def run(docs: org.apache.spark.sql.DataFrame, edn: String,
           compiler: DatalogCompiler = new DatalogCompiler())
       : Either[String, org.apache.spark.sql.DataFrame] =
+    runWith(docs, edn, Nil, compiler)
+
+  /** [[run]] with positional runtime arguments consumed by the query's
+    * `:in` bindings (crux's `(q db query arg1 arg2 …)` calling shape). */
+  def runWith(docs: org.apache.spark.sql.DataFrame, edn: String,
+              inputs: Seq[Any],
+              compiler: DatalogCompiler = new DatalogCompiler())
+      : Either[String, org.apache.spark.sql.DataFrame] =
     parseQuery(edn).flatMap { q =>
-      try Right(compiler.run(docs, q))
+      try Right(compiler.run(docs, q, inputs))
       catch { case e: Exception =>
         // some Spark exceptions (ParseException) have messages that START
         // with a newline — a trimmed-blank message reads as "no reason",
@@ -260,6 +271,31 @@ object EdnDatalog {
         case other => Left(s":with entries must be ?vars, got $other")
       })
     case _ => Left(":with must be a non-empty vector of ?vars")
+  }
+
+  /** Crux `:in` parameter bindings (1.15+; supersedes `:args`): one entry
+    * per positional argument of `q`. The four crux binding forms:
+    * `?x` scalar, `[?x ...]` collection, `[?x ?y]` tuple, `[[?x ?y]]`
+    * relation. */
+  private def parseIn(v: Value): Either[String, Seq[Ast.InBinding]] = v match {
+    case Vec(items) if items.nonEmpty =>
+      sequenceE(items.map[Either[String, Ast.InBinding]] {
+        case Sym(n) if n.startsWith("?") => Right(InScalar(V(n.stripPrefix("?"))))
+        case Vec(List(s @ Sym(n), Sym("..."))) if n.startsWith("?") =>
+          parseVar(s).map(InColl(_))
+        case Vec(List(Vec(inner))) if inner.nonEmpty =>
+          sequenceE(inner.map(parseVar)).map(InRel(_))
+        case Vec(inner) if inner.nonEmpty =>
+          sequenceE(inner.map(parseVar)).map(InTuple(_))
+        case other => Left(
+          s":in entries must be ?x, [?x ...], [?x ?y] or [[?x ?y]], got $other")
+      }).flatMap { bs =>
+        val vars = bs.flatMap(_.vars.map(_.name))
+        if (vars.distinct.length != vars.length)
+          Left(s":in binds a variable twice: ${vars.mkString(" ")}")
+        else Right(bs)
+      }
+    case _ => Left(":in must be a non-empty vector of bindings")
   }
 
   /** Crux `:keys`/`:syms`/`:strs` — names for the :find tuple elements

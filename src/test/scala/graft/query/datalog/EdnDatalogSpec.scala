@@ -425,6 +425,70 @@ class EdnDatalogSpec extends SparkSpec {
       Set((310.0, "eng"), (150.0, "ops")))
   }
 
+  test(":in bindings — scalar, collection, tuple, relation (crux 1.15+)") {
+    def runIn(edn: String, args: Any*) =
+      EdnDatalog.runWith(docs, edn, args.toSeq).fold(e => fail(e), identity)
+    // scalar
+    val sc = runIn("""{:find [?n] :in [?d] :where [[?e :dept ?d] [?e :name ?n]]}""", "ops")
+      .as[String].collect().toSet
+    assert(sc == Set("cid", "eva"))
+    // collection — an IN list; small set takes the substitution path
+    val cl = runIn("""{:find [?n] :in [[?d ...]] :where [[?e :dept ?d] [?e :name ?n]]}""",
+        Seq("ops", "eng"))
+      .as[String].collect().toSet
+    assert(cl == Set("ada", "bob", "cid", "dee", "eva"))
+    // tuple
+    val tp = runIn("""{:find [?n] :in [[?d ?s]] :where [[?e :dept ?d] [?e :salary ?s] [?e :name ?n]]}""",
+        Seq("eng", 90.0))
+      .as[String].collect().toSet
+    assert(tp == Set("bob"))
+    // relation
+    val rl = runIn("""{:find [?n] :in [[[?d ?s]]] :where [[?e :dept ?d] [?e :salary ?s] [?e :name ?n]]}""",
+        Seq(Seq("eng", 90.0), Seq("ops", 70.0)))
+      .as[String].collect().toSet
+    assert(rl == Set("bob", "eva"))
+    // scalar × collection cross product, bound var returned in :find
+    val xp = runIn("""{:find [?d ?n] :in [?d [?n ...]] :where [[?e :dept ?d] [?e :name ?n]]}""",
+        "eng", Seq("ada", "cid", "dee"))
+      .as[(String, String)].collect().toSet
+    assert(xp == Set(("eng", "ada"), ("eng", "dee")))
+  }
+
+  test(":in large relation takes the broadcast-join path, not N unioned bodies") {
+    // 20 (dept, salary) pairs — only 2 real; > 16 rows triggers the join
+    val pairs = (1 to 18).map(i => Seq("ghost", i.toDouble)) ++
+      Seq(Seq("eng", 90.0), Seq("ops", 70.0))
+    val q = """{:find [?n] :in [[[?d ?s]]] :where [[?e :dept ?d] [?e :salary ?s] [?e :name ?n]]}"""
+    val df = EdnDatalog.runWith(docs, q, Seq(pairs)).fold(e => fail(e), identity)
+    assert(df.as[String].collect().toSet == Set("bob", "eva"))
+    // one body + one binding join — no per-row union fan-out
+    val unions = df.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }.size
+    assert(unions == 0, s"expected no Union fan-out for a large :in relation, got $unions")
+    // an empty collection yields an empty result, not an error
+    val empty = EdnDatalog.runWith(docs,
+      """{:find [?n] :in [[?d ...]] :where [[?e :dept ?d] [?e :name ?n]]}""",
+      Seq(Seq.empty[String])).fold(e => fail(e), identity)
+    assert(empty.count() == 0)
+  }
+
+  test(":in misuse is a Left, never a throw") {
+    for ((edn, args) <- Seq[(String, Seq[Any])](
+        // arg-count mismatch, both directions
+        ("{:find [?n] :in [?d] :where [[?e :dept ?d] [?e :name ?n]]}", Nil),
+        ("{:find [?n] :where [[?e :name ?n]]}", Seq("x")),
+        // :in + :args combined
+        ("{:find [?n] :in [?d] :args [{?d \"eng\"}] :where [[?e :dept ?d] [?e :name ?n]]}", Seq("x")),
+        // collection binding fed a scalar; tuple arity mismatch
+        ("{:find [?n] :in [[?d ...]] :where [[?e :dept ?d] [?e :name ?n]]}", Seq("eng")),
+        ("{:find [?n] :in [[?d ?s]] :where [[?e :dept ?d] [?e :salary ?s] [?e :name ?n]]}", Seq(Seq("eng"))),
+        // a variable bound twice across entries
+        ("{:find [?n] :in [?d [?d ...]] :where [[?e :dept ?d] [?e :name ?n]]}", Seq("a", Seq("b"))),
+        // malformed binding form
+        ("{:find [?n] :in [42] :where [[?e :name ?n]]}", Seq(1))))
+      assert(EdnDatalog.runWith(docs, edn, args).isLeft, s"should reject: $edn with $args")
+  }
+
   test("malformed queries give Left, never throw") {
     for (bad <- Seq("{}", "{:find []}", "{:find [?x]}", "[1 2 3]", "{:find [?x] :where [[?x",
                     "{:find [?x] :where [[?x :name ?n]] :limit \"ten\"}"))
