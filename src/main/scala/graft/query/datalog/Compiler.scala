@@ -25,7 +25,12 @@ import Ast._
   * cartesian product. Recursive rules run through [[Fixpoint]] (driver-side
   * semi-naive loop, the standard Spark answer to recursion).
   */
-class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
+class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
+                      /** :in binding sets larger than this broadcast-join
+                        * one compiled body instead of substituting per row
+                        * (tests force either path by pinning it to 0 or
+                        * Int.MaxValue). */
+                      inJoinThreshold: Int = 16) {
 
   /** A compiled clause set = bindings relation; columns are variable names. */
   private type Rel = DataFrame
@@ -52,7 +57,7 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default) {
       case Pattern(e, _, v) => Seq(e, v).collect { case V(n) => n }
     }.flatten.toSet
     val joinPath = q.in.nonEmpty &&
-      (inRows.lengthCompare(16) > 0 || inRows.isEmpty) &&
+      (inRows.lengthCompare(inJoinThreshold) > 0 || inRows.isEmpty) &&
       inVars.forall(patternBound)
     val rows =
       if (q.in.nonEmpty) { if (joinPath) Seq(Map.empty[String, Any]) else inRows }

@@ -345,6 +345,48 @@ class DatalogDifferentialSpec extends SparkSpec {
     qs.foreach(check)
   }
 
+  test("differential: :in substitution path ≡ broadcast-join path ≡ naive (40 binding sets)") {
+    // the two :in execution paths share only the parser: substitution
+    // reduces to the :args semantics validated above; forcing BOTH paths
+    // on identical binding relations transfers that trust to the join
+    // path, and an inline naive filter triangulates the pair
+    val subst = new DatalogCompiler(inJoinThreshold = Int.MaxValue)
+    val joined = new DatalogCompiler(inJoinThreshold = 0)
+    val deptPool = Seq("eng", "ops", "hr", "ghost")
+    val salPool = Seq(70.0, 75.0, 80.0, 85.0, 90.0, 95.0, 100.0, 110.0, 120.0, 999.0)
+    val genPairs: Gen[Seq[(String, Double)]] = for {
+      n <- Gen.choose(0, 40)
+      ps <- Gen.listOfN(n, Gen.zip(Gen.oneOf(deptPool), Gen.oneOf(salPool)))
+    } yield ps
+    val plainQ =
+      """{:find [?n ?d] :in [[[?d ?s]]]
+          :where [[?e :dept ?d] [?e :salary ?s] [?e :name ?n]]}"""
+    val aggQ =
+      """{:find [?d (count ?e) (sum ?s)] :in [[[?d ?s]]]
+          :where [[?e :dept ?d] [?e :salary ?s] [?e :name ?n]]}"""
+    for ((pairs, i) <- samples(genPairs, 40).zipWithIndex) {
+      val edn = if (i % 2 == 0) plainQ else aggQ
+      val arg = Seq(pairs.map { case (d, s) => Seq(d, s) })
+      def runWith(c: DatalogCompiler) =
+        EdnDatalog.runWith(docs, edn, arg, c)
+          .fold(e => fail(s"sample $i rejected: $e"), _.collect().toSeq
+            .map(_.toSeq.map(normalize)).sortBy(_.mkString("|")))
+      val a = runWith(subst)
+      val b = runWith(joined)
+      assert(a == b, s"path divergence on sample $i (${pairs.size} pairs, $edn)" +
+        s"\n  subst:  ${a.take(5)}\n  joined: ${b.take(5)}")
+      // naive: employees whose (dept, salary) is in the binding set
+      val sel = emps.filter(e => pairs.contains((e.dept, e.salary)))
+      val naive =
+        if (i % 2 == 0) sel.map(e => Seq(e.name, e.dept).map(normalize)).distinct
+        else sel.groupBy(_.dept).map { case (d, es) =>
+          Seq(d, es.length.toLong, es.map(_.salary).sum).map(normalize)
+        }.toSeq
+      assert(a == naive.sortBy(_.mkString("|")),
+        s"naive divergence on sample $i ($edn)\n  spark: ${a.take(5)}\n  naive: ${naive.take(5)}")
+    }
+  }
+
   /** Counterexamples the differential run minimized, pinned as fixed
     * regressions. The first landing caught one real divergence: a GLOBAL
     * aggregate over zero bindings — the evaluators disagreed (NaN vs null)
