@@ -153,6 +153,26 @@ class PlanQualitySpec extends SparkSpec {
       s"each args row's constant must reach a scan: $pushed")
   }
 
+  test(":in relation binding broadcasts; collection binding pushes per-branch") {
+    // join path (20-pair relation): the binding side must broadcast — a
+    // shuffled join keyed on a 20-row driver relation would re-key the
+    // whole store at 100 TB. Union fan-out must also be absent.
+    val relDf = graft.query.datalog.DatalogDb.datalogInRelQuery(spark, sf("sf0.001"))
+    val relPlan = executedPlan(relDf)
+    assert(relPlan.contains("BroadcastHashJoin"),
+      s"the 20-row :in binding relation must broadcast:\n$relPlan")
+    assert(!relPlan.contains("CartesianProduct"),
+      "binding join must stay an equi-join")
+    // substitution path (3-element collection): each branch's constant
+    // reaches its own scan, like the :args fan-out
+    val collDf = graft.query.datalog.DatalogDb.datalogInCollQuery(spark, sf("sf0.001"))
+    collDf.collect()
+    val pushed = scans(collDf.queryExecution.executedPlan)
+      .map(_.metadata.getOrElse("PushedFilters", ""))
+    assert(pushed.exists(_.contains("BUILDING")) && pushed.exists(_.contains("MACHINERY")),
+      s"each :in collection element must reach a scan as a pushed constant: $pushed")
+  }
+
   test("datalog pull join is a keyed equi-join, never a cartesian") {
     // (pull ?e [...]) enriches the binding tuple via an id equi-join
     // against the doc relation — hash/broadcast-joinable at any scale; a
