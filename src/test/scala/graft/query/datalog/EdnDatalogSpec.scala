@@ -472,6 +472,23 @@ class EdnDatalogSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test(":in 10k-element collection compiles flat — join path, bounded plan") {
+    // a web-scale IN list (10k ids) must neither fan out 10k bodies nor
+    // take super-linear driver time to plan; the whole run (parse →
+    // expand → binding DF → join → collect) must stay in test-suite time
+    val big = (1 to 10000).map(i => s"dept_$i") ++ Seq("eng", "ops")
+    val t0 = System.nanoTime()
+    val df = EdnDatalog.runWith(docs,
+      """{:find [?n] :in [[?d ...]] :where [[?e :dept ?d] [?e :name ?n]]}""",
+      Seq(big)).fold(e => fail(e), identity)
+    assert(df.as[String].collect().toSet == Set("ada", "bob", "cid", "dee", "eva"))
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30.0, f"10k-element :in took $secs%.1f s — planning blew up")
+    val unions = df.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }.size
+    assert(unions == 0, s"10k-element :in must not union bodies, got $unions")
+  }
+
   test(":in misuse is a Left, never a throw") {
     for ((edn, args) <- Seq[(String, Seq[Any])](
         // arg-count mismatch, both directions
