@@ -53,19 +53,34 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
     // var is pattern-bound, compile the body ONCE with the vars free and
     // broadcast-join the binding relation instead.
     val inVars = q.in.flatMap(_.vars.map(_.name)).distinct
-    val patternBound: Set[String] = q.where.collect {
-      case Pattern(e, _, v) => Seq(e, v).collect { case V(n) => n }
-    }.flatten.toSet
-    val joinPath = q.in.nonEmpty &&
-      (inRows.lengthCompare(inJoinThreshold) > 0 || inRows.isEmpty) &&
-      inVars.forall(patternBound)
+    // Join-path eligibility is decided by COMPILING the body once with the
+    // in-vars free and checking they all surfaced as columns — the exact
+    // criterion, where a syntactic pattern scan misses vars bound inside
+    // (or …) branches and would silently fan a 10k-element binding into
+    // 10k unioned bodies. A body that cannot compile with the vars free
+    // (an in-var used only in a predicate) falls back to substitution.
+    val freeBody: Option[Rel] =
+      if (q.in.nonEmpty && (inRows.lengthCompare(inJoinThreshold) > 0 || inRows.isEmpty))
+        try {
+          val r = compileClauses(docs, q.where, ruleMap)
+          if (inVars.forall(r.columns.contains)) Some(r) else None
+        } catch { case _: Exception => None }
+      else None
     val rows =
-      if (q.in.nonEmpty) { if (joinPath) Seq(Map.empty[String, Any]) else inRows }
+      if (q.in.nonEmpty) { if (freeBody.nonEmpty) Seq(Map.empty[String, Any]) else inRows }
       else if (q.args.isEmpty) Seq(Map.empty[String, Any]) else q.args
     require(rows.nonEmpty,
       ":in bound an empty collection/relation on a var the patterns never bind — no result schema")
     val bodies = rows.map { row =>
-      var rel = compileClauses(docs, substArgs(q.where, row), ruleMap)
+      var rel = freeBody.getOrElse(
+        compileClauses(docs, substArgs(q.where, row), ruleMap))
+      // crux unification for a substituted var the body nonetheless BINDS
+      // (a Bind-clause output, e.g. [(* ?s 2.0) ?y] with ?y :in-bound):
+      // substitution cannot reach an output position, so the parameter
+      // must be enforced as an equality filter or it is silently ignored
+      row.foreach { case (n, value) =>
+        if (rel.columns.contains(n)) rel = rel.filter(col(n) === lit(value))
+      }
       // an arg var named in :find/:order-by/:with is a column of the args
       // relation, not necessarily of the body — attach it as a constant
       val needed = (q.find.collect {
@@ -75,8 +90,17 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
       } ++ q.orderBy.map(_._1) ++ q.withVars).distinct
       needed.filter(n => row.contains(n) && !rel.columns.contains(n))
         .foreach(n => rel = rel.withColumn(n, lit(row(n))))
-      if (joinPath)
-        rel.join(broadcast(bindingDf(docs, inVars, inRows)), inVars, "inner")
+      if (freeBody.nonEmpty) {
+        // the binding side is driver-built and usually tiny — hint the
+        // broadcast so a 20-row relation never re-keys the store. Past
+        // ~100k rows stop hinting: a forced broadcast of an arbitrarily
+        // large user relation bypasses autoBroadcastJoinThreshold and can
+        // OOM an executor; let Spark pick broadcast-vs-shuffle from stats.
+        val side = bindingDf(docs, inVars, inRows)
+        rel.join(
+          if (inRows.lengthCompare(100000) <= 0) broadcast(side) else side,
+          inVars, "inner")
+      }
       else rel
     }
     project(docs, bodies, q)
@@ -121,9 +145,13 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
   }
 
   /** The binding rows as a one-partition DataFrame (broadcast-join side).
-    * Per-var type = the first non-null value's (integrals widen to long,
-    * fractionals to double); a var whose values are all null types as
-    * string (the join then matches nothing, like crux's nil binding). */
+    * Per-var type unifies over ALL values (integrals widen to long,
+    * fractionals to double, a long/double mix becomes double) — deciding
+    * from the first value alone would build a schema later rows violate
+    * and crash inside a task AFTER run() returned. A genuinely mixed var
+    * (string + number) is rejected here, which surfaces as a Left. A var
+    * whose values are all null types as string (the join then matches
+    * nothing, like crux's nil binding). */
   private def bindingDf(docs: DataFrame, vars: Seq[String],
                         rows: Seq[Map[String, Any]]): DataFrame = {
     import org.apache.spark.sql.types._
@@ -144,13 +172,27 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
       case other => throw new IllegalArgumentException(
         s":in binding values must be strings/numbers/booleans/timestamps, got ${other.getClass.getName}")
     }
-    val schema = StructType(vars.map { v =>
-      val t = rows.iterator.map(_.getOrElse(v, null)).find(_ != null)
-        .map(dt).getOrElse(StringType)
-      StructField(v, t, nullable = true)
-    })
+    val colType: Map[String, DataType] = vars.map { v =>
+      val types = rows.iterator.map(_.getOrElse(v, null))
+        .filter(_ != null).map(dt).toSeq.distinct
+      val t = types match {
+        case Nil => StringType
+        case Seq(one) => one
+        case several if several.forall(t => t == LongType || t == DoubleType) =>
+          DoubleType
+        case several => throw new IllegalArgumentException(
+          s":in binding ?$v mixes incompatible value types: ${several.mkString(", ")}")
+      }
+      v -> t
+    }.toMap
+    val schema = StructType(vars.map(v => StructField(v, colType(v), nullable = true)))
     val data = rows.map(r => org.apache.spark.sql.Row(
-      vars.map(v => widen(r.getOrElse(v, null))): _*))
+      vars.map { v =>
+        (widen(r.getOrElse(v, null)), colType(v)) match {
+          case (l: Long, DoubleType) => l.toDouble // the unified numeric type
+          case (x, _) => x
+        }
+      }: _*))
     val spark = docs.sparkSession
     spark.createDataFrame(
       spark.sparkContext.parallelize(data, 1), schema)
@@ -226,8 +268,22 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
     case Pattern(e, a, v) => Pattern(substTerm(e, args), a, substTerm(v, args))
     case Pred(op, ts) => Pred(op, ts.map(substTerm(_, args)))
     case Bind(f, ts, out) => Bind(f, ts.map(substTerm(_, args)), out)
-    case Not(cs, uv) => Not(cs.map(substClause(_, args)), uv)
-    case Or(bs, uv) => Or(bs.map(_.map(substClause(_, args))), uv)
+    // a declared unify var that substitution turned into a constant is
+    // consistent on both sides by construction — drop it from the list
+    // (keeping it would make the branch-binding requires reject a legal
+    // query). If EVERY declared var is substituted the join form would
+    // need scalar-exists semantics — reject with a usable message instead
+    // of the misleading "must be bound inside" error.
+    case Not(cs, uv) =>
+      val kept = uv.filterNot(v => args.contains(v.name))
+      if (uv.nonEmpty && kept.isEmpty) throw new IllegalArgumentException(
+        "(not-join …) whose every declared variable is :in/:args-bound is not supported — inline the constant into the clauses instead")
+      Not(cs.map(substClause(_, args)), kept)
+    case Or(bs, uv) =>
+      val kept = uv.filterNot(v => args.contains(v.name))
+      if (uv.nonEmpty && kept.isEmpty) throw new IllegalArgumentException(
+        "(or-join …) whose every declared variable is :in/:args-bound is not supported — inline the constant into the clauses instead")
+      Or(bs.map(_.map(substClause(_, args))), kept)
     case RuleApp(n, ts) => RuleApp(n, ts.map(substTerm(_, args)))
   }
 
@@ -932,23 +988,34 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
         // preserving aggregation)
         val involved = (vars ++ aggs.map(_.v.name) ++ q.withVars).distinct
         val deduped = sel(involved).distinct()
-        val aggCols = aggs.map(a =>
-          aggColumn(a.fn, a.v.name, a.n).as(a.alias.getOrElse(s"${a.fn.replace("-", "_")}_${a.v.name}")))
+        // groupBy().agg() emits group columns first regardless of :find
+        // order — restore crux tuple order (`[:find [(sum ?x) ?g]]` puts
+        // the aggregate first), which the positional :keys rename relies
+        // on. Aggregates compute under collision-proof internal aliases
+        // first: selecting by the PUBLIC name would silently swap columns
+        // when a find var shares an aggregate's default name (?count_x vs
+        // (count ?x)) and break on a duplicated aggregate (ambiguous ref).
+        var pfx = "__agg_"
+        while (vars.exists(_.startsWith(pfx))) pfx = "_" + pfx
+        val aggCols = aggs.zipWithIndex.map { case (a, i) =>
+          aggColumn(a.fn, a.v.name, a.n).as(s"$pfx$i") }
         val agged =
           if (vars.isEmpty) deduped.agg(aggCols.head, aggCols.tail: _*)
           else deduped.groupBy(vars.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-        // groupBy().agg() emits group columns first regardless of :find
-        // order — restore crux tuple order (`[:find [(sum ?x) ?g]]` puts
-        // the aggregate first), which the positional :keys rename relies on
         var ai = -1
-        val findOrder = q.find.map {
-          case FindVar(v) => v.name
-          case _: FindAgg => ai += 1
-            aggs(ai).alias.getOrElse(s"${aggs(ai).fn.replace("-", "_")}_${aggs(ai).v.name}")
+        val ordered = q.find.map {
+          case FindVar(v) => col(v.name)
+          case _: FindAgg => ai += 1; col(s"$pfx$ai")
           case other => throw new IllegalStateException(s"unexpected $other")
         }
-        if (findOrder == agged.columns.toSeq) agged
-        else agged.select(findOrder.map(col): _*)
+        var aj = -1
+        val names = q.find.map {
+          case FindVar(v) => v.name
+          case _: FindAgg => aj += 1; val a = aggs(aj)
+            a.alias.getOrElse(s"${a.fn.replace("-", "_")}_${a.v.name}")
+          case other => throw new IllegalStateException(s"unexpected $other")
+        }
+        agged.select(ordered: _*).toDF(names: _*)
       }
     val ordered =
       if (q.orderBy.isEmpty) projected

@@ -280,7 +280,7 @@ object EdnDatalog {
   private def parseIn(v: Value): Either[String, Seq[Ast.InBinding]] = v match {
     case Vec(items) if items.nonEmpty =>
       sequenceE(items.map[Either[String, Ast.InBinding]] {
-        case Sym(n) if n.startsWith("?") => Right(InScalar(V(n.stripPrefix("?"))))
+        case s @ Sym(n) if n.startsWith("?") => parseVar(s).map(InScalar(_))
         case Vec(List(s @ Sym(n), Sym("..."))) if n.startsWith("?") =>
           parseVar(s).map(InColl(_))
         case Vec(List(Vec(inner))) if inner.nonEmpty =>

@@ -158,10 +158,29 @@ class PlanQualitySpec extends SparkSpec {
     // shuffled join keyed on a 20-row driver relation would re-key the
     // whole store at 100 TB. Union fan-out must also be absent.
     val relDf = graft.query.datalog.DatalogDb.datalogInRelQuery(spark, sf("sf0.001"))
-    val relPlan = executedPlan(relDf)
-    assert(relPlan.contains("BroadcastHashJoin"),
-      s"the 20-row :in binding relation must broadcast:\n$relPlan")
-    assert(!relPlan.contains("CartesianProduct"),
+    relDf.collect()
+    // the orders⋈customer dimension join broadcasts at test scale on its
+    // own, so a plan-string grep can't catch a regression — pin that the
+    // BINDING relation (the parallelized driver rows, an RDD scan) sits
+    // under a BroadcastExchange/BroadcastQueryStage specifically
+    import org.apache.spark.sql.execution.{RDDScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec}
+    def bindingBroadcasts(p: SparkPlan, underBroadcast: Boolean = false): Boolean = {
+      val (here, flag) = p match {
+        case a: AdaptiveSparkPlanExec => return bindingBroadcasts(a.executedPlan, underBroadcast)
+        case q: QueryStageExec => return bindingBroadcasts(q.plan, underBroadcast)
+        case r: ReusedExchangeExec => return bindingBroadcasts(r.child, underBroadcast)
+        case _: BroadcastExchangeLike => (false, true)
+        case _: RDDScanExec => (underBroadcast, underBroadcast)
+        case _ => (false, underBroadcast)
+      }
+      here || p.children.exists(bindingBroadcasts(_, flag))
+    }
+    assert(bindingBroadcasts(relDf.queryExecution.executedPlan),
+      s"the 20-row :in binding relation (RDD scan) must sit under a broadcast " +
+        s"exchange:\n${executedPlan(relDf)}")
+    assert(!executedPlan(relDf).contains("CartesianProduct"),
       "binding join must stay an equi-join")
     // substitution path (3-element collection): each branch's constant
     // reaches its own scan, like the :args fan-out

@@ -489,6 +489,84 @@ class EdnDatalogSpec extends SparkSpec {
     assert(unions == 0, s"10k-element :in must not union bodies, got $unions")
   }
 
+  test(":in/:args value unifies with a Bind-clause output (review r11)") {
+    // ?y is BOUND by the bind clause — substitution can't reach an output
+    // position, so the runtime argument must act as an equality filter;
+    // before the fix it was silently ignored and all employees returned
+    val viaIn = EdnDatalog.runWith(docs,
+      """{:find [?n] :in [?y] :where [[?e :salary ?s] [(* ?s 2.0) ?y] [?e :name ?n]]}""",
+      Seq(180.0)).fold(e => fail(e), identity).as[String].collect().toSet
+    assert(viaIn == Set("bob"), s"the :in value must constrain the bind output: $viaIn")
+    val viaArgs = run(
+      """{:find [?n] :args [{?y 180.0}]
+          :where [[?e :salary ?s] [(* ?s 2.0) ?y] [?e :name ?n]]}""")
+      .as[String].collect().toSet
+    assert(viaArgs == Set("bob"), s":args too: $viaArgs")
+    // a non-matching value yields empty, not everything
+    val none = EdnDatalog.runWith(docs,
+      """{:find [?n] :in [?y] :where [[?e :salary ?s] [(* ?s 2.0) ?y] [?e :name ?n]]}""",
+      Seq(7.5)).fold(e => fail(e), identity)
+    assert(none.count() == 0)
+  }
+
+  test(":in var bound only inside (or …) branches still takes the join path (review r11)") {
+    // dept OR name matches the binding; a syntactic top-level-pattern scan
+    // missed the or-bound var and fanned 20 rows into 20 unioned bodies
+    val vals = (1 to 18).map(i => s"ghost_$i") ++ Seq("ops", "ada")
+    val df = EdnDatalog.runWith(docs,
+      """{:find [?e] :in [[?x ...]]
+          :where [(or [?e :dept ?x] [?e :name ?x])]}""",
+      Seq(vals)).fold(e => fail(e), identity)
+    assert(df.as[String].collect().toSet == Set("e1", "e3", "e5"))
+    // the only Union is the or's two branches — no 20-way fan-out
+    val unions = df.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u.children.size }
+    assert(unions.forall(_ <= 2) && unions.size <= 1,
+      s"or-bound :in must not fan out per binding row: $unions")
+  }
+
+  test(":in mixed numeric bindings unify to double; string+number is a Left (review r11)") {
+    // 17 longs + 1 double crosses the join threshold: the schema must
+    // unify to double instead of crashing inside a task after Right
+    val longsAndDouble: Seq[Any] = (1 to 17).map(_ * 1000L) ++ Seq(90.0, 70.0)
+    val got = EdnDatalog.runWith(docs,
+      """{:find [?n] :in [[?s ...]] :where [[?e :salary ?s] [?e :name ?n]]}""",
+      Seq(longsAndDouble)).fold(e => fail(e), identity).as[String].collect().toSet
+    assert(got == Set("bob", "eva"), s"long/double mix must join as double: $got")
+    // a genuinely mixed var (string + number) is a Left, not a task crash
+    val mixed: Seq[Any] = (1 to 18).map(i => s"x$i") ++ Seq(90.0)
+    assert(EdnDatalog.runWith(docs,
+      """{:find [?n] :in [[?s ...]] :where [[?e :salary ?s] [?e :name ?n]]}""",
+      Seq(mixed)).isLeft)
+  }
+
+  test("not-join/or-join whose every declared var is parameter-bound gives a clear Left") {
+    val r = EdnDatalog.runWith(docs,
+      """{:find [?n] :in [?d]
+          :where [[?e :name ?n] (not-join [?d] [?x :dept ?d])]}""",
+      Seq("eng"))
+    assert(r.isLeft && r.swap.exists(_.contains("not-join")), s"got $r")
+    // a PARTIALLY substituted join keeps unifying on the remaining vars
+    val ok = EdnDatalog.runWith(docs,
+      """{:find [?n] :in [?d]
+          :where [[?e :name ?n] [?e :salary ?s]
+                  (not-join [?e ?d] [?e :dept ?d])]}""",
+      Seq("eng")).fold(e => fail(e), identity).as[String].collect().toSet
+    assert(ok == Set("cid", "eva"), s"non-eng employees: $ok")
+  }
+
+  test("find var colliding with an aggregate's default alias keeps tuple positions (review r11)") {
+    // ?count_e is a real var whose NAME equals (count ?e)'s default alias —
+    // a name-keyed reorder silently swapped the two columns
+    val got = run("""{:find [(count ?e) ?count_e] :where [[?e :dept ?count_e]]}""")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((3L, "eng"), (2L, "ops")), s"count first, dept second: $got")
+    // a duplicated aggregate in non-find order compiles (was: ambiguous ref)
+    val dup = run("""{:find [(sum ?s) ?d (sum ?s)] :where [[?e :dept ?d] [?e :salary ?s]]}""")
+      .as[(Double, String, Double)].collect().toSet
+    assert(dup == Set((310.0, "eng", 310.0), (150.0, "ops", 150.0)), s"$dup")
+  }
+
   test(":in misuse is a Left, never a throw") {
     for ((edn, args) <- Seq[(String, Seq[Any])](
         // arg-count mismatch, both directions
