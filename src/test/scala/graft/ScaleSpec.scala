@@ -46,7 +46,8 @@ class ScaleSpec extends SparkSpec {
     "corpus_fuzzy_decontam",  // cross-corpus LSH: candidates bounded by bucket collisions
     "ts_resample",            // per-key grid explode: span-bounded, users-linear
     "text_top_terms",         // tf cached once, vocab-sized df broadcast (r7 bench flag)
-    "datalog_pull_nested")    // r11 pull cascade: one id equi-join per nesting level
+    "datalog_pull_nested",    // r11 pull cascade: one id equi-join per nesting level
+    "datalog_in_rel")         // r11 :in broadcast-join path: binding side stays model-sized
     // NOT gated: join_range_binned — a range join's output is
     // points × interval-density by SEMANTICS (every point matches every
     // covering interval), so 10× both sides is ~100× output; the gate
