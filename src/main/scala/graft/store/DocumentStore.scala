@@ -58,6 +58,19 @@ class DocumentStore(val spark: SparkSession, val path: String) {
   locally { DocumentStore.acquire(spark, path, lockToken) }
   @volatile private var closed = false
 
+  // Seed the tx clock from the table's max committed txTime (one footer-
+  // stats-friendly aggregate at open). A previous instance's clock can
+  // have run AHEAD of wall-clock (same-ms collision bumps, a backwards
+  // NTP step); restarting at wall-clock would assign txTimes <= already-
+  // committed ones — changesSince(checkpoint) would silently drop the new
+  // writes and asOf's txTime-desc tie-break would prefer the OLD payload.
+  // The single-driver lock serializes concurrent opens; this serializes
+  // the clock across sequential ones.
+  locally {
+    val m = versionsRaw().agg(max(col("txTime"))).head().getTimestamp(0)
+    if (m != null) { lastTx.updateAndGet(prev => math.max(prev, m.getTime)); () }
+  }
+
   /** Release the single-driver lock. Idempotent; the store object must not
     * be used afterwards (a later re-open is a NEW instance on the path). */
   def close(): Unit = lock.synchronized {
@@ -81,10 +94,21 @@ class DocumentStore(val spark: SparkSession, val path: String) {
   def now(): Timestamp =
     new Timestamp(math.max(System.currentTimeMillis(), lastTx.get()))
 
-  private def append(rows: Seq[VersionedDoc]): Unit =
-    rows.toDS()
+  /** The ONE physical append pipeline (partition column, partitioning,
+    * save mode): `append` (driver-side rows) and `putBatch` (distributed
+    * rows) both delegate here so the table layout can never fork. */
+  private def appendDF(rows: DataFrame): Unit =
+    rows
       .withColumn("valid_date", to_date(col("validFrom")))
       .write.mode(SaveMode.Append).partitionBy("valid_date").parquet(path)
+
+  private def append(rows: Seq[VersionedDoc]): Unit = appendDF(rows.toDS().toDF())
+
+  /** Writes on a closed store would interleave an unserialized tx clock
+    * with whatever driver now legitimately holds the lock — fail fast. */
+  private def requireOpen(): Unit =
+    require(!closed, s"document store at $path is closed — writes after " +
+      "close() would bypass the single-driver lock")
 
   /** Versioned table INCLUDING the `valid_date` directory-partition column.
     * As-of readers filter on it so Spark prunes whole date partitions from
@@ -128,6 +152,7 @@ class DocumentStore(val spark: SparkSession, val path: String) {
     * scheduled visibility (`/root/reference/doc/demo-app-1.org:125-127`). */
   def put(id: String, doc: String, validFrom: Option[Timestamp] = None): Timestamp =
     lock.synchronized {
+      requireOpen()
       val tx = nextTxTime()
       append(Seq(VersionedDoc(id, validFrom.getOrElse(tx), tx, deleted = false, doc)))
       tx
@@ -140,8 +165,17 @@ class DocumentStore(val spark: SparkSession, val path: String) {
   def putAll(docs: Seq[(String, String)],
              validFrom: Option[Timestamp] = None): Timestamp =
     lock.synchronized {
+      requireOpen()
       val tx = nextTxTime()
-      append(docs.map { case (id, doc) =>
+      // crux applies a tx's ops IN ORDER (last put of an id wins); all rows
+      // here share one (validFrom, txTime), so a duplicated id would make
+      // the as-of winner a shuffle-order accident — keep the LAST
+      // occurrence, which is exactly the state crux's sequential apply
+      // leaves visible
+      val lastWins = docs.zipWithIndex
+        .groupBy(_._1._1).values.map(_.maxBy(_._2))
+        .toSeq.sortBy(_._2).map(_._1) // stable original order
+      append(lastWins.map { case (id, doc) =>
         VersionedDoc(id, validFrom.getOrElse(tx), tx, deleted = false, doc) })
       tx
     }
@@ -156,20 +190,23 @@ class DocumentStore(val spark: SparkSession, val path: String) {
     * for a data-scale stream; match/cas batches still need the collect
     * path because their read-compare-write is inherently per-entity.
     *
-    * `docs` must have columns `id` and `doc` (castable to string). */
+    * `docs` must have columns `id` and `doc` (castable to string), and ids
+    * must be distinct WITHIN the batch: all rows share one (validFrom,
+    * txTime), so a duplicated id's visible winner would be a shuffle-order
+    * accident (`putAll` dedups driver-side; here a dedup would cost a
+    * shuffle on every ingest batch — the contract is the caller's). */
   def putBatch(docs: DataFrame, validFrom: Option[Timestamp] = None): Timestamp =
     lock.synchronized {
+      requireOpen()
       val tx = nextTxTime()
       val vf = validFrom.getOrElse(tx)
-      docs
+      appendDF(docs
         .select(
           col("id").cast("string").as("id"),
           lit(vf).as("validFrom"),
           lit(tx).as("txTime"),
           lit(false).as("deleted"),
-          col("doc").cast("string").as("doc"))
-        .withColumn("valid_date", to_date(col("validFrom")))
-        .write.mode(SaveMode.Append).partitionBy("valid_date").parquet(path)
+          col("doc").cast("string").as("doc")))
       tx
     }
 
@@ -178,6 +215,7 @@ class DocumentStore(val spark: SparkSession, val path: String) {
     * At warehouse scale this is the periodic compaction job every
     * append-log table needs; here it runs under the store's write lock. */
   def compact(): Unit = lock.synchronized {
+    requireOpen()
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -195,8 +233,11 @@ class DocumentStore(val spark: SparkSession, val path: String) {
     // entity()/history(id) point reads skip every row group but the entity's
     // own — the SURVEY §4 "partitioned by date(valid_from), sorted by id"
     // layout
-    versions()
-      .withColumn("valid_date", to_date(col("validFrom")))
+    // versionsRaw keeps the ORIGINAL valid_date partition values — re-
+    // deriving them via to_date in THIS session's timezone could silently
+    // re-bucket rows written under another zone (still readable thanks to
+    // the as-of prune slack, but a layout shift and a wasted projection)
+    versionsRaw()
       .repartition(col("valid_date"))
       .sortWithinPartitions(col("valid_date"), col("id"), col("validFrom"))
       .write.mode(SaveMode.Overwrite).partitionBy("valid_date")
@@ -255,6 +296,7 @@ class DocumentStore(val spark: SparkSession, val path: String) {
   /** S5: delete — tombstone ending validity now (or at `validFrom`). */
   def delete(id: String, validFrom: Option[Timestamp] = None): Timestamp =
     lock.synchronized {
+      requireOpen()
       val tx = nextTxTime()
       append(Seq(VersionedDoc(id, validFrom.getOrElse(tx), tx, deleted = true, doc = null)))
       tx
@@ -267,6 +309,7 @@ class DocumentStore(val spark: SparkSession, val path: String) {
   def matchPut(id: String, expected: Option[String], doc: String,
                validFrom: Option[Timestamp] = None): Boolean =
     lock.synchronized {
+      requireOpen()
       if (entity(id) == expected) { put(id, doc, validFrom); true } else false
     }
 
@@ -304,7 +347,7 @@ class DocumentStore(val spark: SparkSession, val path: String) {
       .select("id", "validFrom", "txTime", "doc")
   }
 
-  def asOf(validTime: Timestamp): DataFrame = asOf(validTime, new Timestamp(Long.MaxValue >> 12))
+  def asOf(validTime: Timestamp): DataFrame = asOf(validTime, DocumentStore.MaxTxTime)
 
   /** Current snapshot (Crux `(db node)`). */
   def db(): DataFrame = asOf(now())
@@ -361,7 +404,16 @@ class DocumentStore(val spark: SparkSession, val path: String) {
     * plan is one window over (id) in tx order — one shuffle on id, per-id
     * chains are short, no join. Downstream incremental maintenance
     * ([[graft.stream.StoreChanges]]) consumes this batch view for catch-up
-    * and the appended-file stream for steady-state tailing. */
+    * and the appended-file stream for steady-state tailing.
+    *
+    * This feed is TRANSACTION-ordered, like crux's own tx-log listeners:
+    * a retroactive put (validFrom before an existing tombstone) or a
+    * scheduled future put is emitted when COMMITTED, classified against
+    * the per-id chain in (txTime, validFrom) order — not against the
+    * valid-time-resolved read view. A consumer that needs "current state
+    * as [[asOf]] would report it" must resolve valid-time itself (or just
+    * query asOf); materializing this feed verbatim reflects the tx log,
+    * which is the CDC contract. */
   def changes(): DataFrame = {
     val w = Window.partitionBy("id").orderBy(col("txTime"), col("validFrom"))
     val prevDeleted = lag(col("deleted"), 1).over(w)
@@ -389,7 +441,10 @@ class DocumentStore(val spark: SparkSession, val path: String) {
                validTime: Timestamp, txTime: Timestamp): DataFrame =
     asOf(validTime, txTime)
       .select(col("id"), from_json(col("doc"), schema).as("d"))
-      .select(col("id") +: schema.fieldNames.toSeq.map(f => col(s"d.$f")): _*)
+      // getField takes the literal name — col(s"d.$f") would parse a field
+      // named "price.usd" as a two-level path and fail analysis
+      .select(col("id") +: schema.fieldNames.toSeq
+        .map(f => col("d").getField(f).as(f)): _*)
 
   /** The full Crux query surface over this store: an EDN Datalog query
     * against the (valid-time, tx-time) snapshot — `query(vt, tt, q)`
@@ -400,7 +455,7 @@ class DocumentStore(val spark: SparkSession, val path: String) {
 
   def q(edn: String, schema: org.apache.spark.sql.types.StructType,
         validTime: Timestamp): Either[String, DataFrame] =
-    q(edn, schema, validTime, new Timestamp(Long.MaxValue >> 12))
+    q(edn, schema, validTime, DocumentStore.MaxTxTime)
 
   def q(edn: String, schema: org.apache.spark.sql.types.StructType): Either[String, DataFrame] =
     q(edn, schema, now())
@@ -409,6 +464,12 @@ class DocumentStore(val spark: SparkSession, val path: String) {
 object DocumentStore {
   def apply(spark: SparkSession, path: String): DocumentStore =
     new DocumentStore(spark, path)
+
+  /** "No tx-time cut" sentinel for as-of reads. NOT Long.MaxValue: Catalyst
+    * converts a literal Timestamp to MICROseconds (a ×1000), so the raw max
+    * would overflow the long — the >> 12 keeps the scaled value in range
+    * while staying ~71k years in the future. */
+  private[store] val MaxTxTime = new Timestamp(Long.MaxValue >> 12)
 
   /** In-JVM holder registry: the pid check below cannot see a second store
     * INSIDE this same process (its pid is alive — ours), so live holders in
@@ -442,7 +503,21 @@ object DocumentStore {
       try {
         val out = fs.create(lp, false) // exclusive: fails if the file exists
         try out.write(desc.getBytes("UTF-8")) finally out.close()
-        return
+        // Verify our descriptor actually holds the slot. On HDFS the
+        // exclusive create alone arbitrates, but LocalFileSystem's
+        // create(overwrite=false) is exists-check-then-create (TOCTOU) and
+        // object stores may not expose the file until close() — two
+        // creators can BOTH succeed. The read-back shrinks that window to
+        // write-vs-write: whoever's bytes survive is the holder; the other
+        // observes a foreign token and falls through to the holder-
+        // examination path below.
+        val readBack = try {
+          val in = fs.open(lp)
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        } catch { case _: Exception => "" }
+        if (readBack == desc) return
+        // the catch path removes our liveHolders entry and re-examines
+        throw new java.io.IOException("lost a non-atomic create race")
       } catch {
         case _: java.io.IOException => // lock file exists — examine the holder
           liveHolders.remove(lp.toString, token)
@@ -459,12 +534,25 @@ object DocumentStore {
             Thread.sleep(100)
             holder = readHolder()
           }
+          // A STILL-empty descriptor needs an age gate before it counts as
+          // stale: a live holder can stall between create and write for far
+          // longer than the 100 ms grace (GC pause, object-store read lag),
+          // and pid/host of an empty descriptor parse to None — which the
+          // foralls below would happily treat as a dead same-host process.
+          // Only an empty lock OLDER than the gate (no healthy writer takes
+          // seconds to write 100 bytes) is a crash artifact to reclaim.
+          val emptyButYoung = holder.isEmpty && {
+            val age = try System.currentTimeMillis() -
+              fs.getFileStatus(lp).getModificationTime
+            catch { case _: Exception => 0L } // vanished/unreadable: defer
+            age < 10000L
+          }
           val pid = "\"pid\":(\\d+)".r.findFirstMatchIn(holder).map(_.group(1).toLong)
           val host = "\"host\":\"([^\"]*)\"".r.findFirstMatchIn(holder).map(_.group(1))
-          // forall, not exists: a still-empty/unparseable lock has no live
+          // forall, not exists: an OLD empty/unparseable lock has no live
           // claimant to defer to — reclaim it (the exclusive re-create still
           // arbitrates if two reclaimers race)
-          val staleSameHost = host.forall(_ == localHost) &&
+          val staleSameHost = !emptyButYoung && host.forall(_ == localHost) &&
             pid.forall(p => ProcessHandle.of(p).map[Boolean](h => !h.isAlive).orElse(true))
           if (staleSameHost && attempts < 3) {
             // crashed holder on this host (or an unreadable/empty lock from

@@ -150,9 +150,14 @@ class DocumentStoreSpec extends SparkSpec {
     val s3 = DocumentStore(spark, path) // must not throw
     try assert(s3.entity("d1").nonEmpty, "post-crash reopen serves the data")
     finally s3.close()
-    // an EMPTY lock file (crash between create and write) is reclaimable
-    // after the mid-create grace re-read
+    // a FRESH empty lock file could be another driver mid-create (a GC
+    // pause can outlast the grace re-read) — it must DEFER, not reclaim
     java.nio.file.Files.write(lockFile, Array.emptyByteArray)
+    intercept[IllegalStateException] { DocumentStore(spark, path) }
+    // an AGED empty lock file (crash between create and write — no healthy
+    // writer takes seconds to write 100 bytes) is a reclaimable artifact
+    java.nio.file.Files.setLastModifiedTime(lockFile,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 15000))
     val s4 = DocumentStore(spark, path) // must not throw
     try assert(s4.entity("d1").nonEmpty) finally s4.close()
     // a FOREIGN-host lock is never presumed stale: fail, tell the operator
@@ -233,5 +238,52 @@ class DocumentStoreSpec extends SparkSpec {
       java.nio.file.Files.deleteIfExists(mutexFile)
       java.nio.file.Files.deleteIfExists(lockFile)
     }
+  }
+
+  test("tx clock reseeds from the table across close/reopen (review r11)") {
+    val path = Files.createTempDirectory("docstore-reseed").toString + "/db"
+    val s1 = DocumentStore(spark, path)
+    // drive the clock AHEAD of wall-clock via same-ms collision bumps
+    val lastTx = (1 to 50).map(_ => s1.put("k", "{}")).last
+    s1.close()
+    // a reopened instance must continue AFTER the committed max, never
+    // at wall-clock below it — otherwise changesSince(lastTx) silently
+    // drops the new write and the asOf tie-break prefers the old payload
+    val s2 = DocumentStore(spark, path)
+    try {
+      val tx2 = s2.put("k", "{\"v\":2}")
+      assert(tx2.after(lastTx),
+        s"reopened clock must resume past the committed max: $tx2 vs $lastTx")
+      assert(s2.changesSince(lastTx).count() == 1)
+      assert(s2.entity("k").contains("{\"v\":2}"))
+    } finally s2.close()
+  }
+
+  test("writes on a closed store fail fast (review r11)") {
+    val path = Files.createTempDirectory("docstore-closed").toString + "/db"
+    val s = DocumentStore(spark, path)
+    s.put("a", "{}")
+    s.close()
+    for (op <- Seq[() => Any](
+        () => s.put("a", "{}"), () => s.putAll(Seq("a" -> "{}")),
+        () => s.delete("a"), () => s.matchPut("a", None, "{}"),
+        () => s.compact()))
+      intercept[IllegalArgumentException] { op() }
+    // the successor holds the lock undisturbed
+    val s2 = DocumentStore(spark, path)
+    try assert(s2.entity("a").nonEmpty) finally s2.close()
+  }
+
+  test("putAll with a duplicated id keeps the LAST occurrence (crux op order)") {
+    val path = Files.createTempDirectory("docstore-dup").toString + "/db"
+    val s = DocumentStore(spark, path)
+    try {
+      s.putAll(Seq("a" -> "{\"v\":1}", "b" -> "{}", "a" -> "{\"v\":2}"))
+      assert(s.entity("a").contains("{\"v\":2}"),
+        "the visible doc must be the batch's last put, not a shuffle accident")
+      // exactly ONE version row per id for the tx (the overwritten
+      // intermediate is not separately addressable at one (vt, tt))
+      assert(s.history("a").count() == 1)
+    } finally s.close()
   }
 }
