@@ -41,6 +41,12 @@ trait StreamIO {
   /** T16 `stream!`: push one message into a node/topic by name from any
     * stored function. */
   def publish(topic: String, key: String, value: String): Unit
+  /** Durable checkpoint dir for the control-plane subscriber, when the IO
+    * has durable offsets worth resuming across restarts (Kafka) — a temp
+    * checkpoint over `startingOffsets=latest` would permanently drop any
+    * broadcast landing while the subscriber is down. None → temp
+    * (MemoryIO offsets are process-scoped anyway). */
+  def controlCheckpoint(queryName: String): Option[String] = None
   /** S9: ensure the topic exists before wiring (AdminClient for Kafka). */
   def ensureTopic(topic: String): Unit
   /** One-time checkpoint adoption: earlier releases escaped query names
@@ -103,6 +109,12 @@ class KafkaIO(val spark: SparkSession, bootstrapServers: String,
       .trigger(Trigger.ProcessingTime("100 milliseconds")) // poll cadence (kafka.clj:108)
       .start()
 
+  /** Kafka offsets are durable — give the control-plane subscriber a
+    * durable checkpoint so broadcasts landing while it is down replay on
+    * the next start instead of being skipped by startingOffsets=latest. */
+  override def controlCheckpoint(queryName: String): Option[String] =
+    Some(s"$checkpointRoot/$queryName")
+
   /** Adopt a pre-injective-escape checkpoint directory (see trait doc):
     * rename `$checkpointRoot/<legacy>` → `$checkpointRoot/<current>` when
     * only the legacy one exists AND its newest committed offsets entry
@@ -146,6 +158,9 @@ class KafkaIO(val spark: SparkSession, bootstrapServers: String,
                               legacy: org.apache.hadoop.fs.Path,
                               expected: Set[String]): Either[String, String] = {
     if (expected.isEmpty) return Right("no source expectation supplied")
+    // committed offsets reference PHYSICAL topic names — normalize the
+    // expected logical node names the same way the reader options do
+    val expectedPhysical = expected.map(KafkaIO.topicName)
     val dir = new org.apache.hadoop.fs.Path(legacy, "offsets")
     if (!fs.exists(dir)) return Right("no committed offsets")
     val batches = fs.listStatus(dir).toSeq.filter(_.isFile)
@@ -162,9 +177,9 @@ class KafkaIO(val spark: SparkSession, bootstrapServers: String,
         new String(out.toByteArray, "UTF-8")
       } finally in.close()
     }
-    expected.find(t => content.contains("\"" + t + "\"") || content.contains(t))
+    expectedPhysical.find(t => content.contains("\"" + t + "\"") || content.contains(t))
       .toRight(s"newest offsets entry ($newest) references none of the " +
-        s"query's source topics ${expected.mkString("[", ", ", "]")}")
+        s"query's source topics ${expectedPhysical.mkString("[", ", ", "]")}")
       .map(t => s"offsets entry $newest tracks source '$t'")
   }
 
@@ -193,7 +208,8 @@ class KafkaIO(val spark: SparkSession, bootstrapServers: String,
         val newTopicCls = Class.forName("org.apache.kafka.clients.admin.NewTopic")
         val newTopic = newTopicCls
           .getConstructor(classOf[String], classOf[Int], classOf[Short])
-          .newInstance(topic, Int.box(topicPartitions), Short.box(topicReplication)) // kafka.clj:36-37
+          .newInstance(KafkaIO.topicName(topic),
+            Int.box(topicPartitions), Short.box(topicReplication)) // kafka.clj:36-37
         val result = adminCls
           .getMethod("createTopics", classOf[java.util.Collection[_]])
           .invoke(admin, java.util.Collections.singleton(newTopic))
@@ -225,6 +241,19 @@ class KafkaIO(val spark: SparkSession, bootstrapServers: String,
   * asserts precisely what a real deployment's reader/writer receives. */
 object KafkaIO {
 
+  /** Physical Kafka topic for a logical node/topic name. Node full names
+    * carry '/' (`kafka/out`), ILLEGAL in a Kafka topic ([a-zA-Z0-9._-]):
+    * a kafka-topic node's topic is its LOCAL name (the reference's node
+    * `:topic`, kafka.clj:75 — `kafka/out` ⇒ topic `out`), and any other
+    * '/' (non-kafka node kinds used as topics) maps to '.', legal and
+    * injective. Applied by source, sink, publish, AND ensureTopic, so a
+    * same-named source and a sink node meet on ONE topic — previously
+    * sources subscribed to the full name while sinks wrote the local one,
+    * and the full form was rejected by a real broker anyway. MemoryIO is
+    * untouched (arbitrary string keys; tests pin its naming). */
+  private[graft] def topicName(t: String): String =
+    (if (t.startsWith("kafka/")) t.stripPrefix("kafka/") else t).replace('/', '.')
+
   /** Reader options: subscribe-by-topic, `startingOffsets=latest`
     * (= the reference's `auto.offset.reset=latest`, kafka.clj:84-88), and
     * the node's fixed-buffer bound as `maxOffsetsPerTrigger` (T7). */
@@ -232,7 +261,7 @@ object KafkaIO {
                                    rateLimit: Option[Long]): Map[String, String] =
     Map(
       "kafka.bootstrap.servers" -> bootstrap,
-      "subscribe" -> topic,
+      "subscribe" -> topicName(topic),
       "startingOffsets" -> "latest") ++
       rateLimit.map(n => "maxOffsetsPerTrigger" -> n.toString)
 
@@ -244,12 +273,12 @@ object KafkaIO {
                                  checkpointName: String): Map[String, String] =
     Map(
       "kafka.bootstrap.servers" -> bootstrap,
-      "topic" -> topic,
+      "topic" -> topicName(topic),
       "checkpointLocation" -> s"$checkpointRoot/$checkpointName")
 
   /** One-shot batch publish options (T16 `stream!`). */
   private[graft] def publishOptions(bootstrap: String, topic: String): Map[String, String] =
-    Map("kafka.bootstrap.servers" -> bootstrap, "topic" -> topic)
+    Map("kafka.bootstrap.servers" -> bootstrap, "topic" -> topicName(topic))
 
   /** The sink's record shape: key as binary, value = the row serialized to
     * JSON (S10's wire format) as binary — exactly what the connector's

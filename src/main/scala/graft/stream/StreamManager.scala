@@ -113,9 +113,14 @@ class StreamManager(val topology: Topology) {
   private[stream] def checkpointFor(full: String, suffix: String = ""): String = {
     val sig = topology.statefulSignature(full)
     val base = queryName(full) + suffix
+    // "_t" is UNFORGEABLE in escaped text: '_' appears in queryName output
+    // only as the escapes "_s"/"_u", so no node name can produce "_t…" and
+    // collide with a signature-suffixed checkpoint. (The previous "_st"
+    // suffix was forgeable: node "kafka/a/t<hex>" escaped to
+    // "kafka_sa" + "_st<hex>" — exactly stateful "kafka/a"'s checkpoint.)
     val name =
       if (sig.isEmpty) base
-      else base + "_st" + java.lang.Long.toHexString(
+      else base + "_t" + java.lang.Long.toHexString(
         scala.util.hashing.MurmurHash3.orderedHash(sig).toLong & 0xffffffffL)
     lastCheckpoint.put(full + suffix, name).foreach { prev =>
       if (prev != name)
@@ -157,6 +162,19 @@ class StreamManager(val topology: Topology) {
   /** T13/T19 `apply-graph!` + startup bootstrap: start every sink query and
     * every error-handler's dead-letter query not yet running. Idempotent. */
   def applyGraph(): Seq[StreamingQuery] = adminLock.synchronized {
+    // liveness sweep FIRST: a query that TERMINATED with an exception (not
+    // stopped by us — stopSink deregisters) would otherwise keep its map
+    // entry forever, and the membership checks below would never restart
+    // it — a transient broker outage would take the pipeline down silently
+    // until process restart. Restart-from-checkpoint is exactly the
+    // recovery the hot-swap machinery already provides.
+    running.filterInPlace { (k, q) =>
+      val alive = q.isActive
+      if (!alive) log.warn(s"query '$k' terminated" +
+        q.exception.map(e => s" (${e.getMessage})").getOrElse("") +
+        " — restarting it from its checkpoint")
+      alive
+    }
     // per-sink isolation: one node whose plan can't build (e.g. a
     // bootstrapped doc referencing a node that no longer exists) must not
     // prevent every OTHER sink from starting — and must never propagate out
@@ -172,7 +190,13 @@ class StreamManager(val topology: Topology) {
     val deads = topology.nodes.values.toSeq.sortBy(_.name.full)
       .filter(n => n.errorSink.isDefined && !running.contains(n.name.full + "#errors"))
       .flatMap(n => tryStart(s"dead-letter ${n.name.full}")(startDeadLetter(n)).flatten)
-    mains ++ deads
+    // drains are user intent (T17 "keep this node flowing") — a hot-swap of
+    // anything upstream stops them via stopSink, so apply-graph must bring
+    // them back like any other query, or an update silently unplugs them
+    val drains = drainIntents.toArray(Array.empty[String]).toSeq.sorted
+      .filter(f => topology.nodes.contains(f) && !running.contains(f + "#drain"))
+      .flatMap(f => tryStart(s"drain $f")(startDrain(f)))
+    mains ++ deads ++ drains
   }
 
   def runningQueries: Map[String, StreamingQuery] = running.toMap
@@ -185,7 +209,17 @@ class StreamManager(val topology: Topology) {
   /** T17 drain: consume-and-discard a node's output to keep it flowing
     * (`take-while`, `/root/reference/src/dataworks/utils/stream.clj:120-126`)
     * — the `noop` sink. */
+  /** Nodes the user asked to keep draining — survives stopSink (a hot-swap
+    * stops the #drain query; applyGraph restarts it from this set). */
+  private val drainIntents =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def drain(full: String): StreamingQuery = {
+    drainIntents.add(full)
+    startDrain(full)
+  }
+
+  private def startDrain(full: String): StreamingQuery = {
     // no checkpoint adoption here: the noop drain sets no checkpointLocation
     // (consume-and-discard has no offsets worth resuming), so there is no
     // durable directory under either naming scheme to migrate
@@ -208,20 +242,40 @@ class StreamManager(val topology: Topology) {
     // Holding adminLock across that join deadlocks (monitor-enter is not
     // interruptible, so Spark's stop-interrupt can't break the cycle).
     val qs = adminLock.synchronized {
-      Seq(full, full + "#errors", full + "#drain").flatMap(k => running.remove(k))
+      Seq(full, full + "#errors", full + "#drain")
+        .flatMap(k => running.remove(k).map(k -> _))
     }
-    qs.foreach(_.stop())
+    // stop each independently: one stop() timing out must not leave the
+    // REST deregistered-but-active (an orphan blocks its name forever and
+    // runs a stale plan). A query that would not stop goes back under
+    // management so the next pass can retry it.
+    qs.foreach { case (k, q) =>
+      try q.stop() catch {
+        case scala.util.control.NonFatal(e) =>
+          log.warn(s"stop of query '$k' failed: ${e.getMessage}" +
+            (if (q.isActive) " — re-registering it for a later retry" else ""))
+          if (q.isActive) running.putIfAbsent(k, q)
+      }
+    }
   }
 
   def stopAll(): Unit = {
+    drainIntents.clear() // full shutdown withdraws drain intent too
     // control plane FIRST: once it is down nothing else starts queries, so
     // the loop converges — an in-flight control-plane batch may have
-    // started new sinks between our snapshot and its stop, hence re-snapshot
+    // started new sinks between our snapshot and its stop, hence re-snapshot.
+    // Bounded: a query whose stop() keeps failing re-registers itself (see
+    // stopSink); without a cap that would spin here forever.
     var remaining = running.keys.toSeq
-    while (remaining.nonEmpty) {
+    var rounds = 0
+    while (remaining.nonEmpty && rounds < 8) {
       remaining.sortBy(k => (if (k == controlTopic) 0 else 1, k)).foreach(stopSink)
       remaining = running.keys.toSeq
+      rounds += 1
     }
+    if (remaining.nonEmpty)
+      log.warn(s"stopAll: queries would not stop after $rounds rounds: " +
+        remaining.sorted.mkString(", "))
   }
 
   /** Wait until every running query has processed all available input
@@ -260,6 +314,7 @@ class StreamManager(val topology: Topology) {
   def deleteNode(full: String): Unit = adminLock.synchronized {
     (topology.downstreamOf(full) + full).filter(hasRunningQueries).foreach(stopSink)
     topology.removeNode(full)
+    drainIntents.remove(full)
     // a later same-named node starts its drop counters from zero and does
     // not inherit the removed node's checkpoint-rotation history
     Seq(full, full + "_errors").foreach(lastCheckpoint.remove)
@@ -272,15 +327,18 @@ class StreamManager(val topology: Topology) {
   def bootstrapFromStore(store: DocumentStore): Seq[StreamingQuery] = {
     import store.spark.implicits._
     store.db().filter("id LIKE ':stream/%'")
-      .select("doc").as[String].collect()
-      .flatMap(NodeSpec.parse)
-      .foreach { n =>
-        // a stored graph recorded under a pre-validation release can carry
-        // a node addNode now rejects (e.g. part of a cycle) — dropping it
-        // silently would look like a pipeline that just stopped; log loudly
-        // so the operator knows which node to fix via updateNode
-        topology.addNode(n).left.foreach(err =>
-          log.warn(s"bootstrap: stored node ${n.name.full} rejected: $err"))
+      .select("id", "doc").as[(String, String)].collect()
+      .foreach { case (id, doc) =>
+        // a stored doc this release can't parse (written by a newer one, or
+        // corrupted) OR a node addNode rejects (e.g. part of a cycle) —
+        // dropping either silently would look like a pipeline that just
+        // stopped; log loudly so the operator knows which doc to fix
+        NodeSpec.parse(doc) match {
+          case None => log.warn(s"bootstrap: stored doc $id does not parse " +
+            s"as a stream node spec — NOT started: $doc")
+          case Some(n) => topology.addNode(n).left.foreach(err =>
+            log.warn(s"bootstrap: stored node ${n.name.full} rejected: $err"))
+        }
       }
     applyGraph()
   }
@@ -294,32 +352,60 @@ class StreamManager(val topology: Topology) {
     * the stored doc payload into a StreamNode (declarative op-spec, not
     * eval). */
   def startControlPlane(store: DocumentStore,
-                        parse: String => Option[StreamNode]): StreamingQuery = {
+                        parse: String => Option[StreamNode]): StreamingQuery =
     // idempotent, like every other start path (GraftApp.start's documented
     // contract): a second call returns the running subscriber instead of
-    // throwing on the duplicate active query name
-    running.get(controlTopic).filter(_.isActive).getOrElse {
-    val src = topology.io.source(controlTopic)
-    val q = src.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val ids = batch.select("value").collect().map(_.getString(0))
-        ids.foreach { id =>
-          // a poisonous update must not fail the micro-batch — that would
-          // terminate the control-plane query itself, permanently
-          try store.entity(id).flatMap(parse).foreach { n =>
-            updateNode(n).left.foreach(err =>
-              log.warn(s"control-plane update rejected for '$id': $err"))
-          } catch {
-            case scala.util.control.NonFatal(e) =>
-              log.warn(s"control-plane update failed for '$id'", e)
+    // throwing on the duplicate active query name. Under adminLock — the
+    // check-then-start is not atomic on its own, and two concurrent boots
+    // would both pass the liveness check and collide on the query name.
+    adminLock.synchronized {
+      running.get(controlTopic).filter(_.isActive).getOrElse {
+        val src = topology.io.source(controlTopic)
+        val writer = src.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val ids = batch.select("value").collect().map(_.getString(0))
+            ids.foreach { id =>
+              // a poisonous update must not fail the micro-batch — that
+              // would terminate the control-plane query itself, permanently
+              try store.entity(id) match {
+                case Some(doc) => parse(doc) match {
+                  case Some(n) => updateNode(n).left.foreach(err =>
+                    log.warn(s"control-plane update rejected for '$id': $err"))
+                  case None => log.warn(
+                    s"control-plane: doc for '$id' does not parse as a " +
+                      s"stream node spec — ignored: $doc")
+                }
+                case None =>
+                  // FunctionManager.delete tombstones the doc BEFORE
+                  // broadcasting the id, so "no visible doc" for a stream id
+                  // we know locally IS the delete event — peers must tear
+                  // the node down, not silently skip the message
+                  if (id.startsWith(":stream/")) {
+                    val local = graft.query.Functions.idName(id)
+                    topology.nodes.keys
+                      .find(f => f.substring(f.lastIndexOf('/') + 1) == local)
+                      .foreach { full =>
+                        log.info(s"control-plane: '$id' tombstoned — deleting node $full")
+                        deleteNode(full)
+                      }
+                  }
+              } catch {
+                case scala.util.control.NonFatal(e) =>
+                  log.warn(s"control-plane update failed for '$id'", e)
+              }
+            }
+            ()
           }
-        }
-        ()
+          .queryName(queryName(controlTopic))
+        // durable offsets where the IO has them (Kafka): a broadcast that
+        // lands while this subscriber is down/restarting must replay on the
+        // next start — a temp checkpoint over startingOffsets=latest would
+        // drop it permanently (bootstrapFromStore only runs at process boot)
+        val q = topology.io.controlCheckpoint(queryName(controlTopic))
+          .fold(writer)(dir => writer.option("checkpointLocation", dir))
+          .start()
+        running.put(controlTopic, q)
+        q
       }
-      .queryName(queryName(controlTopic))
-      .start()
-    running.put(controlTopic, q)
-    q
     }
-  }
 }

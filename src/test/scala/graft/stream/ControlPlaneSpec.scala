@@ -3,7 +3,7 @@ package graft.stream
 import java.nio.file.Files
 
 import graft.SparkSpec
-import graft.core.{NodeName, OpSpec}
+import graft.core.{BufferSpec, NodeName, OpSpec, StreamNode}
 import graft.store.DocumentStore
 
 /** T18/T19 end-to-end: stored-function docs in the app db drive topology
@@ -86,6 +86,86 @@ class ControlPlaneSpec extends SparkSpec {
       s"pre-swap +1, post-swap *100, no reprocessing; got $vals")
     assert(topo.node("stream/process").get.transducer
       .contains(OpSpec.MapExpr("TRY_CAST(value AS DOUBLE) * 100")))
+    mgr.stopAll()
+  }
+
+  test("control-plane event for a TOMBSTONED doc deletes the node on peers (review r11)") {
+    val store = DocumentStore(spark,
+      Files.createTempDirectory("cp-del").toString + "/db")
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    val mgr = new StreamManager(topo)
+    store.put(":stream/input", """{"name":"kafka/input","upstream":[]}""")
+    store.put(":stream/process", specJson("TRY_CAST(value AS DOUBLE) + 1"))
+    store.put(":stream/output", """{"name":"kafka/output","upstream":["stream/process"]}""")
+    mgr.bootstrapFromStore(store)
+    mgr.startControlPlane(store, NodeSpec.parse)
+    assert(topo.node("stream/process").nonEmpty)
+    // a PEER instance deletes the function: tombstone lands in the shared
+    // store BEFORE the broadcast (FunctionManager.delete's order) — this
+    // instance must tear the node down, not silently skip the event
+    store.delete(":stream/process")
+    io.publish(mgr.controlTopic, "k", ":stream/process")
+    mgr.processAllAvailable()
+    assert(topo.node("stream/process").isEmpty,
+      "a tombstoned broadcast must delete the node on every instance")
+    assert(!mgr.runningQueries.contains("kafka/output"),
+      "downstream of the deleted node stops too")
+    mgr.stopAll()
+  }
+
+  test("a terminated query is swept and restarted by applyGraph (review r11)") {
+    val store = DocumentStore(spark,
+      Files.createTempDirectory("cp-dead").toString + "/db")
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    val mgr = new StreamManager(topo)
+    store.put(":stream/input", """{"name":"kafka/input","upstream":[]}""")
+    store.put(":stream/out", """{"name":"kafka/out","upstream":["kafka/input"]}""")
+    mgr.bootstrapFromStore(store)
+    val q0 = mgr.runningQueries("kafka/out")
+    // kill the query OUT FROM UNDER the manager (a crash leaves exactly
+    // this state: terminated query, map entry still present)
+    q0.stop()
+    assert(!q0.isActive && mgr.runningQueries.contains("kafka/out"))
+    // the next applyGraph (any control-plane update triggers one) must
+    // sweep the dead entry and restart the sink from its checkpoint
+    mgr.applyGraph()
+    val q1 = mgr.runningQueries.get("kafka/out")
+    assert(q1.exists(_.isActive) && !q1.contains(q0),
+      "dead sink must be restarted, not skipped by the membership check")
+    // and it still processes data
+    io.publish("kafka/input", "a", "1")
+    mgr.processAllAvailable()
+    assert(io.collected("out").nonEmpty)
+    mgr.stopAll()
+  }
+
+  test("a drain survives a hot-swap of its node (review r11)") {
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    val mgr = new StreamManager(topo)
+    assert(topo.addNode(StreamNode(NodeName.parse("kafka/input"),
+      Set.empty, None, None, None)).isRight)
+    val added = topo.addNode(StreamNode(NodeName.parse("stream/x"), Set("kafka/input"),
+      Some(OpSpec.MapExpr("TRY_CAST(value AS DOUBLE) + 1")),
+      Some(BufferSpec.Fixed(1000)), None))
+    assert(added.isRight, s"addNode: $added")
+    mgr.applyGraph()
+    mgr.drain("stream/x")
+    assert(mgr.runningQueries.contains("stream/x#drain"))
+    // hot-swap the node: stopSink kills the drain; applyGraph must bring
+    // it back — user intent (T17 keep-flowing) survives updates
+    val updated = StreamNode(NodeName.parse("stream/x"), Set("kafka/input"),
+      Some(OpSpec.MapExpr("TRY_CAST(value AS DOUBLE) * 2")),
+      Some(BufferSpec.Fixed(1000)), None)
+    assert(mgr.updateNode(updated).isRight)
+    assert(mgr.runningQueries.get("stream/x#drain").exists(_.isActive),
+      "the drain must be restarted after a hot-swap")
+    // deleteNode withdraws the intent — no orphan restart afterwards
+    mgr.deleteNode("stream/x")
+    mgr.applyGraph()
+    assert(!mgr.runningQueries.contains("stream/x#drain"))
     mgr.stopAll()
   }
 

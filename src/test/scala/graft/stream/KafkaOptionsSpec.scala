@@ -43,6 +43,29 @@ class KafkaOptionsSpec extends SparkSpec {
       Map("kafka.bootstrap.servers" -> "b:9092", "topic" -> "t1"))
   }
 
+  test("node names normalize to Kafka-legal topics, symmetrically (review r11)") {
+    // a kafka-topic node's topic is its LOCAL name (the reference's node
+    // :topic) — '/' is illegal in Kafka topic names, and sources/sinks/
+    // publishes of one node must meet on ONE topic
+    assert(KafkaIO.topicName("kafka/out") == "out")
+    assert(KafkaIO.topicName("out") == "out") // already-local stays
+    // non-kafka node kinds map '/' to '.', legal and injective
+    assert(KafkaIO.topicName("stream/x") == "stream.x")
+    assert(KafkaIO.topicName("dataworks.internal.functions") ==
+      "dataworks.internal.functions")
+    // the normalization is applied by every option builder — a source node
+    // kafka/events and a sink node kafka/events target the SAME topic
+    assert(KafkaIO.sourceOptions("b", "kafka/events", None)("subscribe") == "events")
+    assert(KafkaIO.sinkOptions("b", "events", "/r", "q")("topic") == "events")
+    assert(KafkaIO.publishOptions("b", "kafka/events")("topic") == "events")
+  }
+
+  test("control-plane checkpoint is durable on Kafka, temp on MemoryIO") {
+    val kio = new KafkaIO(spark, "b:9092", "/ckpt/root")
+    assert(kio.controlCheckpoint("ctl_q").contains("/ckpt/root/ctl_q"))
+    assert(new MemoryIO(spark).controlCheckpoint("ctl_q").isEmpty)
+  }
+
   test("sink projection: (key binary, value = row JSON binary) — the wire format") {
     val df = Seq(("k1", "hello", 42L)).toDF("key", "payload", "n")
     val out = KafkaIO.sinkProjection(df)
