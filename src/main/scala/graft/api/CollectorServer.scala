@@ -204,22 +204,39 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
   @volatile private var server: HttpServer = _
   @volatile private var pool: java.util.concurrent.ExecutorService = _
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** A request body larger than [[maxBodyBytes]] — surfaced as HTTP 413
     * instead of buffering an unbounded payload on the management host. */
   private class BodyTooLarge extends Exception
+  /** A body trickled in slower than the read deadline — HTTP 408 (the
+    * slow-POST half of the slowloris guard; the header half is the
+    * maxReqTime knob in [[ensureStarted]]). */
+  private class BodyTimeout extends Exception
 
   /** Lazily started: an engine with no collectors binds no port. */
-  private def ensureStarted(): Unit = synchronized {
+  private def ensureStarted(): Unit = deployLock.synchronized {
     if (server == null) {
+      // Slowloris guard, layer 1: the JDK server has NO request/response
+      // time bound by default — 4 idle slow-POST connections to the
+      // UNAUTHENTICATED auth doors would pin a small pool forever. These
+      // are JVM-global ServerConfig knobs read at class init, so set them
+      // only if the deployment didn't; layer 2 is the body() read
+      // deadline, layer 3 the larger pool below.
+      for ((k, v) <- Seq("sun.net.httpserver.maxReqTime" -> "60",
+                         "sun.net.httpserver.maxRspTime" -> "60"))
+        if (System.getProperty(k) == null) System.setProperty(k, v)
       // loopback by default: these endpoints WRITE to the store and fire
       // transactors with no authentication layer — exposing them beyond
       // the management host is an explicit deployment decision (pass the
       // interface address, put a real gateway in front)
       val s = HttpServer.create(new InetSocketAddress(bindHost, 0), 0)
       s.createContext("/", (ex: HttpExchange) => handle(ex))
-      // small fixed pool (not the default single-threaded dispatcher): one
-      // slow query or oversized upload must not stall every other endpoint
-      pool = java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+      // fixed pool (not the default single-threaded dispatcher): one slow
+      // query or oversized upload must not stall every other endpoint —
+      // and the pool must outnumber the handful of connections a trivial
+      // slow-POST attacker holds open within the read deadline
+      pool = java.util.concurrent.Executors.newFixedThreadPool(16, r => {
         val t = new Thread(r, "graft-collector"); t.setDaemon(true); t
       })
       s.setExecutor(pool)
@@ -228,7 +245,7 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
     }
   }
 
-  def port: Int = { ensureStarted(); server.getAddress.getPort }
+  def port: Int = deployLock.synchronized { ensureStarted(); server.getAddress.getPort }
 
   /** Deploy (create semantics): rejects a path already owned by a DIFFERENT
     * collector; same-name redeploy is the update path and swaps in place. */
@@ -309,7 +326,12 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
     b.result()
   }
 
-  def stop(): Unit = synchronized {
+  /** Under deployLock, the SAME monitor deploy/deployImpl/ensureStarted
+    * hold: with a split lock a racing deploy could pass its route-table
+    * work, lose the stop() interleaving, then resume into ensureStarted
+    * and bind a brand-new listener AFTER stop() returned — an orphaned
+    * live server nothing would ever stop. */
+  def stop(): Unit = deployLock.synchronized {
     if (server != null) { server.stop(0); server = null }
     if (pool != null) { pool.shutdownNow(); pool = null }
     routes.clear()
@@ -350,12 +372,21 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
             // the management plane needs the developer/<type> role when
             // the server is gated (make-authorize-by-fn, dev.clj)
             case (Some(d), _) if path.startsWith("/dev/") =>
-              if (auth.isDefined &&
-                  !graft.auth.Tokens.authorized(roles, d.requiredRole(path).toSet))
-                respond(ex, 403, s"""{"status":"failure","message":"insufficient role"}""")
-              else {
-                val (code, json) = d.handle(ex.getRequestMethod, path, body(ex))
-                respond(ex, code, json)
+              d.requiredRole(path) match {
+                // an ill-formed /dev path has NO derivable role — it must
+                // 404 generically, not fall through with an EMPTY required
+                // set (authorized(roles, ∅) is true for any valid token,
+                // bypassing requireRole) and leak the function-type list
+                case None =>
+                  respond(ex, 404, s"""{"status":"failure","message":"no such endpoint"}""")
+                case Some(role) =>
+                  if (auth.isDefined &&
+                      !graft.auth.Tokens.authorized(roles, Set(role)))
+                    respond(ex, 403, s"""{"status":"failure","message":"insufficient role"}""")
+                  else {
+                    val (code, json) = d.handle(ex.getRequestMethod, path, body(ex))
+                    respond(ex, code, json)
+                  }
               }
             // the admin plane (reference admin-resource, utils/auth.clj:115):
             // GET /admin/user-roles/<user> → public user doc, POST with
@@ -373,12 +404,35 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
       }
     } catch {
       case _: BodyTooLarge =>
-        respond(ex, 413,
+        tryRespond(ex, 413,
           s"""{"status":"failure","message":"request body exceeds $maxBodyBytes bytes"}""")
+      case _: BodyTimeout =>
+        tryRespond(ex, 408,
+          s"""{"status":"failure","message":"request body read timed out"}""")
       case e: Exception =>
-        respond(ex, 500, JsonMethods.compact(JsonMethods.render(
-          JObject("status" -> JString("failure"), "message" -> JString(String.valueOf(e.getMessage))))))
-    } finally ex.close()
+        // generic body: exception messages embed filesystem paths and
+        // engine internals — that belongs in the server log, not in a
+        // response any self-registered token (or, on an ungated server,
+        // anyone) can read
+        log.warn(s"request ${ex.getRequestMethod} ${ex.getRequestURI.getPath} failed", e)
+        tryRespond(ex, 500, s"""{"status":"failure","message":"internal error"}""")
+    } finally { responded.remove(ex); ex.close() }
+
+  /** Exchanges whose response headers already went out. NOT an exchange
+    * attribute: HttpExchange.setAttribute stores in the shared HttpContext
+    * map, so one response would poison every later exchange of the
+    * context. Identity-keyed; handle()'s finally removes the entry. */
+  private val responded = java.util.Collections.newSetFromMap(
+    new ConcurrentHashMap[HttpExchange, java.lang.Boolean]())
+
+  /** The catch-all variant of [[respond]]: if headers already went out
+    * (client disconnected mid-write, or the failure happened after a
+    * response started), a second sendResponseHeaders would itself throw
+    * and escape the dispatcher — skip it instead. */
+  private def tryRespond(ex: HttpExchange, code: Int, json: String): Unit =
+    if (!responded.contains(ex))
+      try respond(ex, code, json)
+      catch { case _: java.io.IOException => () } // connection already gone
 
   /** Bearer authentication (reference: `bearer-auth`, `utils/auth.clj:39`).
     * Right(claims) = proceed (None claims ⇔ ungated or public route);
@@ -412,10 +466,15 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
     val in = ex.getRequestBody
     val buf = new java.io.ByteArrayOutputStream()
     val chunk = new Array[Byte](8192)
+    // total-time deadline: a client trickling one byte per minute keeps
+    // each read() returning (so maxReqTime's idle detection never fires)
+    // while pinning this pool thread — bound the WHOLE body read
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
     var n = in.read(chunk)
     while (n >= 0) {
       buf.write(chunk, 0, n)
       if (buf.size() > maxBodyBytes) throw new BodyTooLarge
+      if (System.nanoTime() > deadline) throw new BodyTimeout
       n = in.read(chunk)
     }
     new String(buf.toByteArray, UTF_8)
@@ -429,8 +488,11 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
       case _ => None
     }) match {
       case None =>
-        respond(ex, 400,
-          s"""{"status":"failure","message":"body must be JSON with field ${h.idField}"}""")
+        // idField is spec-controlled text — escape it or a crafted field
+        // name forges/breaks the JSON error body
+        respond(ex, 400, s"""{"status":"failure","message":${
+          JsonMethods.compact(JsonMethods.render(
+            JString(s"body must be JSON with field ${h.idField}")))}}""")
       // ':'-prefixed ids are the stored-function namespace (':collector/…',
       // ':stream/…', ':transactor/…' docs that GraftApp.init bootstraps and
       // ACTIVATES on restart) — an HTTP client must not be able to plant
@@ -447,26 +509,57 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
     }
   }
 
-  private def push(ex: HttpExchange, spec: CollectorSpec, h: CollectorHandler.StreamPush): Unit = {
-    streams.stream(h.node, spec.name, body(ex))
-    respond(ex, 202, s"""{"status":"success","message":"pushed"}""")
-  }
+  private def push(ex: HttpExchange, spec: CollectorSpec, h: CollectorHandler.StreamPush): Unit =
+    // existence check, like transact's: a 202 for a node that doesn't
+    // exist (typo in the spec, node deleted since) is silent data loss —
+    // and with MemoryIO the publish computeIfAbsent-creates an orphan
+    // stream no query consumes, accumulating driver memory client-rate
+    if (streams.topology.node(h.node).isEmpty)
+      respond(ex, 404, s"""{"status":"failure","message":${
+        JsonMethods.compact(JsonMethods.render(JString(s"no stream node ${h.node}")))}}""")
+    else {
+      streams.stream(h.node, spec.name, body(ex))
+      respond(ex, 202, s"""{"status":"success","message":"pushed"}""")
+    }
 
   private def transact(ex: HttpExchange, h: CollectorHandler.Transact): Unit = {
-    val args = JsonMethods.parseOpt(body(ex)) match {
+    // args parse TOTALLY or the request fails: silently DROPPING an
+    // unsupported element (a boolean, a null, a nested object) shifts
+    // every later positional argument while still answering 202 — the
+    // fire-and-forget side effect then runs with corrupted arity. An
+    // absent "args" key means a no-arg invocation (fine); a present one
+    // must be an array of scalars.
+    val parsed: Either[String, Seq[String]] = JsonMethods.parseOpt(body(ex)) match {
+      case None => Right(Nil) // empty body = no args (reference go-block call)
       case Some(j) => (j \ "args") match {
-        case JArray(vs) => vs.collect { case JString(v) => v
-                                        case JInt(v) => v.toString
-                                        case JDouble(v) => v.toString }
-        case _ => Nil
+        case JNothing => Right(Nil)
+        case JArray(vs) =>
+          vs.foldLeft[Either[String, Vector[String]]](Right(Vector.empty)) {
+            case (acc, v) => acc.flatMap { xs => v match {
+              case JString(s) => Right(xs :+ s)
+              case JInt(i) => Right(xs :+ i.toString)
+              case JDouble(d) => Right(xs :+ d.toString)
+              case JBool(b) => Right(xs :+ b.toString)
+              case other => Left(s"unsupported args element $other (scalars only)")
+            }}
+          }
+        case other => Left(s""""args" must be an array, got $other""")
       }
-      case None => Nil
     }
+    parsed match {
+      case Left(reason) =>
+        respond(ex, 400, s"""{"status":"failure","message":${
+          JsonMethods.compact(JsonMethods.render(JString(reason)))}}""")
+        return
+      case Right(_) => ()
+    }
+    val args = parsed.toOption.get
     // transactors ONLY: registry.names also lists transformers/column fns,
     // and answering 202 for one of those would report success for a side
     // effect that then dies on a discarded Future
     if (!streams.topology.registry.transactorExists(h.name))
-      respond(ex, 404, s"""{"status":"failure","message":"no transactor ${h.name}"}""")
+      respond(ex, 404, s"""{"status":"failure","message":${
+        JsonMethods.compact(JsonMethods.render(JString(s"no transactor ${h.name}")))}}""")
     else {
       // fire-and-forget (the reference's go-block semantics): failures
       // surface on the Future, not the HTTP caller
@@ -536,6 +629,11 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
   private def respond(ex: HttpExchange, code: Int, json: String): Unit = {
     val bytes = json.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
+    responded.add(ex)
+    // HEAD: the JDK forces content-length 0 and throws on any body write —
+    // send headers only (a HEAD probe previously cascaded into a
+    // double-respond 500 that escaped the dispatcher)
+    if (ex.getRequestMethod == "HEAD") { ex.sendResponseHeaders(code, -1); return }
     ex.sendResponseHeaders(code, bytes.length)
     ex.getResponseBody.write(bytes)
   }

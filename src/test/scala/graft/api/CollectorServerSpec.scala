@@ -211,4 +211,52 @@ class CollectorServerSpec extends SparkSpec {
       } finally pool.shutdownNow()
     } finally { srv.stop(); streams.stopAll() }
   }
+
+  test("response-layer hardening: HEAD, push 404, transact arg totality (review r11)") {
+    val db = Files.createTempDirectory("graft-collector-resp").toString + "/db"
+    val io = new MemoryIO(spark)
+    val registry = new FunctionRegistry
+    val store = graft.store.DocumentStore(spark, db)
+    val streams = new graft.stream.StreamManager(
+      new graft.stream.Topology(io, registry))
+    val srv = new CollectorServer(store, streams)
+    try {
+      assert(srv.deploy(CollectorSpec("add", "/add",
+        CollectorHandler.Ingest("user_id"))).isRight)
+      val base = s"http://localhost:${srv.port}"
+
+      // HEAD: previously cascaded into a double-respond 500 that escaped
+      // the dispatcher and tore the connection — now headers-only 405
+      val (hc, _) = http("HEAD", s"$base/add")
+      assert(hc == 405, s"HEAD must answer cleanly, got $hc")
+      // the server must still be serving afterwards
+      assert(http("POST", s"$base/add", Some("""{"user_id":"u1"}"""))._1 == 201)
+
+      // push to a NONEXISTENT stream node: 404, not a 202 that silently
+      // drops the data into an orphan MemoryStream
+      assert(srv.deploy(CollectorSpec("pusher", "/push",
+        CollectorHandler.StreamPush("kafka/nope"))).isRight)
+      val (pc, pbody) = http("POST", s"$base/push", Some("x"))
+      assert(pc == 404 && pbody.contains("kafka/nope"), s"got $pc $pbody")
+
+      // transact: boolean args keep their POSITION (were silently dropped,
+      // shifting later args); non-scalar args are a 400, not a silent skip
+      val sent = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      registry.registerTransactor("t", args => { sent.add(args.mkString("|")); () })
+      assert(srv.deploy(CollectorSpec("t", "/t",
+        CollectorHandler.Transact("t"))).isRight)
+      assert(http("POST", s"$base/t",
+        Some("""{"args":["refund",true,"user7"]}"""))._1 == 202)
+      val deadline = System.currentTimeMillis() + 5000
+      while (!sent.contains("refund|true|user7") && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(sent.contains("refund|true|user7"), s"boolean arg must keep its position: $sent")
+      val (tc, tbody) = http("POST", s"$base/t", Some("""{"args":[{"nested":1}]}"""))
+      assert(tc == 400 && tbody.contains("scalars"), s"got $tc $tbody")
+      val (ac, _) = http("POST", s"$base/t", Some("""{"args":"oops"}"""))
+      assert(ac == 400, s"non-array args must 400, got $ac")
+      // absent args = no-arg invocation, still accepted
+      assert(http("POST", s"$base/t", Some("""{}"""))._1 == 202)
+    } finally { srv.stop(); streams.stopAll() }
+  }
 }

@@ -152,6 +152,14 @@ class DevResourceSpec extends SparkSpec {
       assert(http("GET", s"$base/dev/collector/create",
         bearer = Some(devTok))._1 == 403,
         "developer/stream must not open the collector plane")
+      // an ILL-FORMED /dev path has no derivable role — it must 404
+      // generically, NOT bypass the role gate via an empty required set
+      // and leak the function-type list (review r11)
+      val roleless = login("plain2", "pw-plain2")
+      val (bc, bbody) = http("GET", s"$base/dev/bogus/create", bearer = Some(roleless))
+      assert(bc == 404, s"ill-formed /dev path must 404, got $bc")
+      assert(!bbody.contains("collector") && !bbody.contains("stream"),
+        s"404 body must not enumerate function types: $bbody")
     } finally app.stop()
   }
 
