@@ -579,7 +579,10 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
 
   private def query(ex: HttpExchange, h: CollectorHandler.Query): Unit = {
     val schema = StructType(h.fields.map { case (n, t) => StructField(n, CollectorSpec.toType(t)) })
-    dataStore.q(h.edn, schema) match {
+    // qPublic: a deployed query collector must not be able to bind
+    // reserved ':' docs — on a combined store, :user/* docs carry bcrypt
+    // hashes and :collector/:stream docs map the control plane
+    dataStore.qPublic(h.edn, schema) match {
       case Left(err) => respond(ex, 400, s"""{"status":"failure","message":${JsonMethods.compact(JsonMethods.render(JString(err)))}}""")
       case Right(df) =>
         // management-plane result sizes (entity lookups, registry listings);

@@ -11,9 +11,18 @@ import graft.store.DocumentStore
   * bcrypt'd pass, first-ever user gets `admin/all`
   * (`new-user`, auth.clj:93-102), `check-cred` verifies and mints a token.
   *
-  * Documents live under the reserved `:user/` namespace — unreachable from
-  * the HTTP ingest path (CollectorServer rejects ':'-prefixed ids), same
-  * isolation the reference gets from its separate user-db node.
+  * Documents live under the reserved `:user/` namespace, isolated from the
+  * data plane BOTH ways: the HTTP ingest path rejects ':'-prefixed ids
+  * (no writing), and query collectors run [[DocumentStore.qPublic]], which
+  * excludes the reserved namespace from the relation (no reading the
+  * bcrypt hashes back out) — plus the opt-in user-db store split isolates
+  * them physically, like the reference's separate user-db node.
+  *
+  * Token revocation caveat (reference-faithful JWT design): roles are
+  * BAKED into a token at sign time with a 30-day TTL — [[setRoles]] takes
+  * effect for tokens minted AFTER the change; outstanding tokens keep
+  * their roles until expiry. A deployment that must revoke instantly
+  * rotates the signing secret (invalidating every live token).
   */
 class UserAuth(store: DocumentStore, secret: String) {
   private implicit val fmts: Formats = DefaultFormats
@@ -29,9 +38,14 @@ class UserAuth(store: DocumentStore, secret: String) {
     userDoc(name).map(j => JsonMethods.compact(JsonMethods.render(
       j.removeField { case (k, _) => k == "pass" })))
 
-  private def anyUserExists(): Boolean = {
+  // monotonic once true — without the cache every anonymous /register
+  // would re-run a full-snapshot window scan just to re-learn users exist
+  @volatile private var seenUser = false
+  private def anyUserExists(): Boolean = seenUser || {
     import store.spark.implicits._
-    !store.db().filter("id LIKE ':user/%'").select("id").as[String].isEmpty
+    val any = !store.db().filter("id LIKE ':user/%'").select("id").as[String].isEmpty
+    if (any) seenUser = true
+    any
   }
 
   /** `add-user`: store the doc with a freshly derived hash. */
@@ -43,6 +57,7 @@ class UserAuth(store: DocumentStore, secret: String) {
       "email" -> JString(email),
       "roles" -> JArray(roles.toList.sorted.map(JString(_))),
       "pass" -> JString(Bcrypt.derive(pass))))))
+    seenUser = true
     getUser(name).get
   }
 
@@ -59,9 +74,23 @@ class UserAuth(store: DocumentStore, secret: String) {
     // reserved namespace — reject all three up front
     else if (name.exists(c => c == '/' || c == ':' || c.isWhitespace))
       Left("user name must not contain '/', ':' or whitespace")
+    // size caps: the name becomes a store id and an admin-plane path
+    // segment, and every register persists a PERMANENT bitemporal doc —
+    // without caps an anonymous client bloats the store one maxBodyBytes
+    // doc at a time
+    else if (name.length > 64) Left("user name must be at most 64 characters")
+    else if (email.length > 256 || displayName.length > 256)
+      Left("email and display-name must be at most 256 characters")
     else if (!anyUserExists())
       Right(addUser(name, pass, email, displayName, Set("admin/all")))
-    else if (userDoc(name).isDefined) Left(s"username: $name is taken.")
+    else if (userDoc(name).isDefined) {
+      // a taken name answers WITHOUT a derive — a ~250 ms timing gap that
+      // would re-open the username oracle the login door's decoy closes;
+      // burn the same bcrypt work on this path (response text stays the
+      // reference's, auth.clj:99)
+      Bcrypt.check(pass, timingDecoy)
+      Left(s"username: $name is taken.")
+    }
     else Right(addUser(name, pass, email, displayName, Set.empty))
   }
 
@@ -85,11 +114,24 @@ class UserAuth(store: DocumentStore, secret: String) {
         Bcrypt.check(pass, timingDecoy)
         Left(s"User: $name Not Found")
       case Some(doc) =>
-        val stored = (doc \ "pass").extractOpt[String].getOrElse("")
-        if (Bcrypt.check(pass, stored))
-          Right(Tokens.sign(name,
-            (doc \ "roles").extractOpt[List[String]].getOrElse(Nil).toSet, secret))
-        else Left("Incorrect Password")
+        (doc \ "pass").extractOpt[String].filter(_.nonEmpty) match {
+          // a migrated/hand-written doc without a usable hash must cost
+          // the same bcrypt work as a wrong password — a fast-fail here
+          // is a timing tell distinguishing exactly these accounts
+          case None =>
+            Bcrypt.check(pass, timingDecoy)
+            Left("Incorrect Password")
+          case Some(stored) =>
+            // a MALFORMED stored hash throws fast inside check — burn the
+            // decoy then, same uniform-cost contract as the absent case
+            val ok =
+              try Bcrypt.check(pass, stored)
+              catch { case _: Exception => Bcrypt.check(pass, timingDecoy); false }
+            if (ok)
+              Right(Tokens.sign(name,
+                (doc \ "roles").extractOpt[List[String]].getOrElse(Nil).toSet, secret))
+            else Left("Incorrect Password")
+        }
     }
 
   /** Set a user's roles to exactly `roles` (the admin-resource mutation).
@@ -130,8 +172,19 @@ class UserAuth(store: DocumentStore, secret: String) {
     * `{"handler":{"kind":"named","fn":"auth/register"}}` etc. These two
     * must be PUBLIC routes (a bearer gate can't guard the door people get
     * their tokens from). */
+  /** Bounds concurrent bcrypt work on the PUBLIC doors: each anonymous
+    * request costs a cost-12 derive (~250 ms of CPU by design), so without
+    * a bound a handful of concurrent unauthenticated POSTs monopolizes the
+    * HTTP pool — a free CPU-exhaustion DoS. Excess callers get a 429
+    * instead of queueing unboundedly. */
+  private val bcryptGate = new java.util.concurrent.Semaphore(4)
+  private def gated(f: => (Int, String)): (Int, String) =
+    if (!bcryptGate.tryAcquire(2, java.util.concurrent.TimeUnit.SECONDS))
+      (429, """{"error":"too many authentication requests; retry shortly"}""")
+    else try f finally bcryptGate.release()
+
   def registerHandlers(registry: graft.registry.FunctionRegistry): Unit = {
-    registry.registerHttpHandler("auth/register", body => {
+    registry.registerHttpHandler("auth/register", body => gated {
       val j = JsonMethods.parseOpt(body).getOrElse(JNothing)
       newUser(
         (j \ "user").extractOpt[String].getOrElse(""),
@@ -143,7 +196,7 @@ class UserAuth(store: DocumentStore, secret: String) {
           (400, JsonMethods.compact(JsonMethods.render(JObject("error" -> JString(err)))))
       }
     })
-    registry.registerHttpHandler("auth/login", body => {
+    registry.registerHttpHandler("auth/login", body => gated {
       val j = JsonMethods.parseOpt(body).getOrElse(JNothing)
       checkCred(
         (j \ "user").extractOpt[String].getOrElse(""),

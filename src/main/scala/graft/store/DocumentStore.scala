@@ -459,6 +459,20 @@ class DocumentStore(val spark: SparkSession, val path: String) {
 
   def q(edn: String, schema: org.apache.spark.sql.types.StructType): Either[String, DataFrame] =
     q(edn, schema, now())
+
+  /** [[q]] over the PUBLIC document universe only: ids in the reserved
+    * ':' namespace — stored-function control docs AND `:user/…` accounts
+    * (which carry bcrypt hashes) — are excluded from the relation. The
+    * REST query collectors go through this: ingest symmetrically refuses
+    * to WRITE ':' ids, and on a combined-store deployment a data-plane
+    * reader must not be able to bind credential docs into a result (the
+    * opt-in user-db split isolates them physically; this isolates them
+    * logically either way). */
+  def qPublic(edn: String, schema: org.apache.spark.sql.types.StructType)
+      : Either[String, DataFrame] =
+    graft.query.datalog.EdnDatalog.run(
+      relation(schema, now(), DocumentStore.MaxTxTime)
+        .filter(!col("id").startsWith(":")), edn)
 }
 
 object DocumentStore {

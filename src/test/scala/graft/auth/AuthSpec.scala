@@ -335,4 +335,37 @@ class AuthSpec extends SparkSpec {
       } finally app2.stop()
     } finally app.stop()
   }
+
+  test("auth-door hardening: qPublic isolation, size caps, degenerate hashes (review r11)") {
+    val store = DocumentStore(spark,
+      Files.createTempDirectory("graft-auth-hard").toString + "/db")
+    val users = new UserAuth(store, "hush")
+    assert(users.newUser("root", "pw-root").isRight)
+    // a QUERY over the store must not be able to bind :user docs (bcrypt
+    // hashes) or control-plane docs — the data-plane read face excludes
+    // the reserved ':' namespace even on a combined store
+    store.put("plain1", """{"karma": 7}""")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pass",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("karma",
+        org.apache.spark.sql.types.LongType)))
+    val leak = store.qPublic("{:find [?e ?p] :where [[?e :pass ?p]]}", schema)
+      .fold(e => fail(e), identity)
+    assert(leak.count() == 0, "qPublic must never surface a :user doc's hash")
+    val ok = store.qPublic("{:find [?k] :where [[?e :karma ?k]]}", schema)
+      .fold(e => fail(e), identity)
+    assert(ok.count() == 1, "plain data docs still query")
+    // register caps: oversized names/emails are a clean Left, not a
+    // permanent junk doc
+    assert(users.newUser("x" * 65, "pw").isLeft)
+    assert(users.newUser("y", "pw", email = "e" * 257).isLeft)
+    assert(store.entity(s":user/${"x" * 65}").isEmpty)
+    // a stored doc with an absent or malformed hash fails CLEANLY (and
+    // burns the decoy — timing is asserted structurally, not by clock)
+    store.put(":user/nohash", """{"user-name":"nohash"}""")
+    store.put(":user/badhash", """{"user-name":"badhash","pass":"not-a-bcrypt"}""")
+    assert(users.checkCred("nohash", "x") == Left("Incorrect Password"))
+    assert(users.checkCred("badhash", "x") == Left("Incorrect Password"))
+  }
 }
