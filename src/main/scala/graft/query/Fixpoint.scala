@@ -33,8 +33,18 @@ object Fixpoint {
 
   /** Session conf key: when set to a reliable (HDFS/S3/shared-fs) path,
     * fixpoint iterations checkpoint there instead of executor-local
-    * storage, surviving executor loss on a real cluster. */
+    * storage, surviving executor loss on a real cluster.
+    *
+    * Scope note: `SparkContext.setCheckpointDir` is CONTEXT-global. If the
+    * host application already set its own checkpoint dir, graft does NOT
+    * flip it (redirecting the app's unrelated RDD checkpoints under
+    * graft's path — and its retention policy — would be a silent side
+    * effect); reliable materialization then lands in the app's dir, which
+    * is just as durable. This key only takes effect when no checkpoint
+    * dir is set yet. */
   val CheckpointDirKey = "graft.fixpoint.checkpointDir"
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** A materialized iteration: rebased frame (fresh attribute ids — reusing
     * checkpointed ExprIds across iterations trips Catalyst's Union
@@ -62,9 +72,18 @@ object Fixpoint {
       val dirPath = new org.apache.hadoop.fs.Path(dir)
       val qualified =
         dirPath.getFileSystem(sc.hadoopConfiguration).makeQualified(dirPath)
-      val alreadySet = sc.getCheckpointDir
-        .exists(cur => new org.apache.hadoop.fs.Path(cur).getParent == qualified)
-      if (!alreadySet) sc.setCheckpointDir(dir)
+      sc.getCheckpointDir match {
+        case None => sc.setCheckpointDir(dir)
+        case Some(cur)
+            if new org.apache.hadoop.fs.Path(cur).getParent == qualified => ()
+        case Some(cur) =>
+          // the context already checkpoints somewhere else — flipping the
+          // GLOBAL dir would redirect the host app's own checkpoints under
+          // graft's path (see CheckpointDirKey doc); reuse the app's dir
+          log.info(s"$CheckpointDirKey=$dir ignored: the SparkContext " +
+            s"already checkpoints to $cur (context-global setting); " +
+            "reliable fixpoint checkpoints will use that directory")
+      }
     }
     val (out, n, rdd) =
       DatasetBridge.materializeWithCount(df, reliable = reliableDir.isDefined)
@@ -90,6 +109,26 @@ object Fixpoint {
     DatasetBridge.internalCreate(spark, bounded, schema)
   }
 
+  /** Align a round's derived frame to the accumulator's column TYPES.
+    * Every delta leg is later read back under the first materialization's
+    * schema ([[fromLegs]] reinterprets the raw InternalRow bytes) — a leg
+    * whose column types drifted (a rule body binding a double where the
+    * base had a long) would be silently read as garbage, not cast. The
+    * accumulator schema is nullability-relaxed at creation, so only
+    * dataTypes need the cast here. */
+  private def alignTo(df: DataFrame, schema: StructType): DataFrame =
+    if (df.schema.fields.map(_.dataType).sameElements(schema.fields.map(_.dataType))) df
+    else df.select(schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+
+  /** The accumulator's canonical schema: the first leg's, with every field
+    * nullable — later legs may legitimately carry nulls the base did not
+    * (an outer-join-shaped rule body), and a false nullable=false would
+    * license the optimizer to elide null handling over them. Nullability
+    * does not affect InternalRow layout, so the first leg reads back
+    * fine under the relaxed schema. */
+  private def relaxed(schema: StructType): StructType =
+    StructType(schema.fields.map(_.copy(nullable = true)))
+
   /** Null-safe "not already in acc": a plain left_anti on the key columns
     * uses EqualTo, under which a null-containing tuple NEVER matches its
     * own copy in the accumulator — it would be re-derived as "fresh" every
@@ -107,32 +146,18 @@ object Fixpoint {
       s"$what did not converge within maxIter=$maxIter iterations — " +
         "the result would be silently incomplete; raise maxIter")
 
-  /** Transitive closure of `edges(src, dst)` → all reachable `(src, dst)`. */
+  /** Transitive closure of `edges(src, dst)` → all reachable `(src, dst)`.
+    * Delegates to the shared loop ([[fixpointFrom]]) — this used to be a
+    * hand-mirrored copy of fixpoint2's loop, and a fix to one (the
+    * null-key convergence fix was exactly this class) had to be ported to
+    * the other by hand. */
   def transitiveClosure(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val e0 = materialize(edges.select("src", "dst").distinct())
-    val e = e0.df
-    val spark = e.sparkSession
-    var legs = Vector(e0.rdd)
-    var acc = e
-    var delta = e
-    var i = 0
-    var done = false
-    while (!done && i < maxIter) {
-      val extended = delta.as("d")
-        .join(e.as("g"), col("d.dst") === col("g.src"))
-        .select(col("d.src").as("src"), col("g.dst").as("dst"))
-        .distinct()
-      val fresh = materialize(antiAlreadySeen(extended, acc, Seq("src", "dst")))
-      if (fresh.rows == 0L) done = true
-      else {
-        legs :+= fresh.rdd
-        acc = fromLegs(spark, legs, e.schema)
-        delta = fresh.df
-      }
-      i += 1
-    }
-    if (!done) nonConverged("transitiveClosure", maxIter)
-    acc
+    fixpointFrom(e0, (delta, _) =>
+      delta.as("d")
+        .join(e0.df.as("g"), col("d.dst") === col("g.src"))
+        .select(col("d.src").as("src"), col("g.dst").as("dst")),
+      Seq("src", "dst"), maxIter, "transitiveClosure")
   }
 
   /** General semi-naive fixpoint: `step(delta)` derives new tuples from the
@@ -168,33 +193,57 @@ object Fixpoint {
       keys: Map[String, Seq[String]],
       maxIter: Int = 50): Map[String, DataFrame] = {
     require(bases.nonEmpty, "fixpointMulti needs at least one base relation")
+    bases.keys.foreach(n => require(keys.contains(n),
+      s"fixpointMulti: base relation '$n' has no keys entry"))
+    keys.foreach { case (n, ks) => require(ks.nonEmpty,
+      s"fixpointMulti: member '$n' needs at least one dedup key column") }
     val spark = bases.head._2.sparkSession
     case class St(legs: Vector[RDD[InternalRow]], schema: StructType, acc: DataFrame)
     var states = Map.empty[String, St]
     var deltas = Map.empty[String, DataFrame]
     bases.foreach { case (n, df) =>
       val m = materialize(df.select(keys(n).map(col): _*).distinct())
-      states += n -> St(Vector(m.rdd), m.df.schema, m.df)
-      if (m.rows > 0) deltas += n -> m.df
+      val schema = relaxed(m.df.schema)
+      states += n -> St(Vector(m.rdd), schema, fromLegs(spark, Seq(m.rdd), schema))
+      if (m.rows > 0) deltas += n -> states(n).acc
     }
     var i = 0
     var done = deltas.isEmpty
     while (!done && i < maxIter) {
       val accs = states.map { case (n, s) => n -> s.acc }
       val derived = step(deltas, accs)
+      derived.keys.foreach(n => require(keys.contains(n),
+        s"fixpointMulti: step derived into unknown member '$n' " +
+          s"(keys are ${keys.keys.toSeq.sorted.mkString(", ")})"))
+      // materialize the members' rounds CONCURRENTLY: each is an
+      // independent blocking Spark job reading only round-start state, so
+      // submitting them from one thread serializes the cluster round to
+      // |SCC| × single-member latency for no reason
+      val freshes: Seq[(String, Mat)] = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: scala.concurrent.ExecutionContext = memberEc
+        Await.result(Future.traverse(derived.toSeq) { case (n, df) =>
+          Future {
+            val pruned = df.select(keys(n).map(col): _*).distinct()
+            n -> (states.get(n) match {
+              case Some(s) =>
+                materialize(antiAlreadySeen(alignTo(pruned, s.schema), s.acc, keys(n)))
+              case None => materialize(pruned)
+            })
+          }
+        }, Duration.Inf)
+      }
       var next = Map.empty[String, DataFrame]
-      derived.foreach { case (n, df) =>
-        val pruned = df.select(keys(n).map(col): _*).distinct()
-        val fresh = states.get(n) match {
-          case Some(s) => materialize(antiAlreadySeen(pruned, s.acc, keys(n)))
-          case None => materialize(pruned)
-        }
+      freshes.foreach { case (n, fresh) =>
         if (fresh.rows > 0) {
           val st = states.get(n) match {
             case Some(s) =>
               val legs = s.legs :+ fresh.rdd
               St(legs, s.schema, fromLegs(spark, legs, s.schema))
-            case None => St(Vector(fresh.rdd), fresh.df.schema, fresh.df)
+            case None =>
+              val schema = relaxed(fresh.df.schema)
+              St(Vector(fresh.rdd), schema, fromLegs(spark, Seq(fresh.rdd), schema))
           }
           states += n -> st
           next += n -> fresh.df
@@ -208,31 +257,51 @@ object Fixpoint {
     states.map { case (n, s) => n -> s.acc }
   }
 
+  /** Small daemon pool for per-member round materializations (SCCs are
+    * 2-3 members; Spark job submission is thread-safe). */
+  private lazy val memberEc = scala.concurrent.ExecutionContext.fromExecutorService(
+    java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+      val t = new Thread(r, "graft-fixpoint-member"); t.setDaemon(true); t
+    }))
+
   /** Semi-naive fixpoint whose step sees BOTH the frontier and the full
     * accumulator — required for NONLINEAR recursion (a rule body with two
     * self-references must join delta against acc, not only delta against
     * delta, or derivations pairing a new tuple with an old one are lost). */
   def fixpoint2(base: DataFrame, step: (DataFrame, DataFrame) => DataFrame,
                 keys: Seq[String], maxIter: Int = 50): DataFrame = {
-    val first = materialize(base.select(keys.map(col): _*).distinct())
+    require(keys.nonEmpty, "fixpoint needs at least one dedup key column")
+    fixpointFrom(materialize(base.select(keys.map(col): _*).distinct()),
+      step, keys, maxIter, "fixpoint")
+  }
+
+  /** The ONE semi-naive loop body, from a pre-materialized base. An empty
+    * base is trivially converged (no round runs — previously an empty edge
+    * set still paid a full join + anti-join + materialize round, and
+    * maxIter=0 on it threw nonConverged where fixpointMulti returned). */
+  private def fixpointFrom(first: Mat, step: (DataFrame, DataFrame) => DataFrame,
+                           keys: Seq[String], maxIter: Int,
+                           what: String): DataFrame = {
     val spark = first.df.sparkSession
+    val schema = relaxed(first.df.schema)
     var legs = Vector(first.rdd)
-    var acc = first.df
-    var delta = first.df
+    var acc = fromLegs(spark, legs, schema)
+    var delta = acc
     var i = 0
-    var done = false
+    var done = first.rows == 0L
     while (!done && i < maxIter) {
       val fresh = materialize(antiAlreadySeen(
-        step(delta, acc).select(keys.map(col): _*).distinct(), acc, keys))
+        alignTo(step(delta, acc).select(keys.map(col): _*).distinct(), schema),
+        acc, keys))
       if (fresh.rows == 0L) done = true
       else {
         legs :+= fresh.rdd
-        acc = fromLegs(spark, legs, first.df.schema)
+        acc = fromLegs(spark, legs, schema)
         delta = fresh.df
       }
       i += 1
     }
-    if (!done) nonConverged("fixpoint", maxIter)
+    if (!done) nonConverged(what, maxIter)
     acc
   }
 }

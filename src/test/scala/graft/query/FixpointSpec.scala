@@ -66,4 +66,27 @@ class FixpointSpec extends SparkSpec {
       Seq("src", "dst"))
     assert(closure.count() === 6)
   }
+
+  test("a step whose column type drifts is cast, not byte-reinterpreted (review r11)") {
+    // base is LongType; the step derives a DoubleType column. Delta legs
+    // are raw InternalRows read back under the FIRST schema — without the
+    // alignment cast, double 2.0's bits read as long 4611686018427387904
+    import org.apache.spark.sql.functions._
+    val base = Seq(1L).toDF("src")
+    val acc = graft.query.Fixpoint.fixpoint2(base,
+      (delta, _) => delta.select(lit(2.0).as("src")), Seq("src"))
+    assert(acc.as[Long].collect().toSet == Set(1L, 2L),
+      s"drifted-type leg must be cast to the accumulator type")
+  }
+
+  test("empty base is trivially converged — no round runs, maxIter=0 allowed") {
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(graft.query.Fixpoint.transitiveClosure(empty).count() == 0)
+    assert(graft.query.Fixpoint.fixpoint2(empty,
+      (d, _) => d, Seq("src", "dst"), maxIter = 0).count() == 0)
+    // and empty keys fail fast with a usable message, not a reduce crash
+    intercept[IllegalArgumentException] {
+      graft.query.Fixpoint.fixpoint2(empty, (d, _) => d, Seq.empty)
+    }
+  }
 }
