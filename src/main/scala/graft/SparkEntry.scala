@@ -1320,11 +1320,18 @@ object SparkEntry {
            SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM sh
          ), rare AS (
            SELECT shingle FROM posting GROUP BY shingle HAVING count(*) BETWEEN 2 AND 10
-         ), cand AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         ), surv AS (
+           SELECT doc_id, count(*) AS ns FROM posting JOIN rare USING (shingle) GROUP BY 1
+         ), cand0 AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
            FROM posting a JOIN rare USING (shingle) JOIN posting b USING (shingle)
            WHERE a.doc_id < b.doc_id
-           GROUP BY 1, 2 HAVING count(*) >= least(2, min(a.n), min(b.n))
+           GROUP BY 1, 2
+         ), cand AS (
+           SELECT id_a, id_b FROM cand0
+           JOIN surv xa ON xa.doc_id = cand0.id_a
+           JOIN surv xb ON xb.doc_id = cand0.id_b
+           WHERE n_common >= least(2, xa.ns, xb.ns)
          )
          SELECT id_a, id_b, floor(j * 1e4 + 0.5) / 1e4 AS jaccard FROM (
            SELECT c.id_a, c.id_b,
@@ -1352,10 +1359,17 @@ object SparkEntry {
            SELECT shingle FROM cpost GROUP BY shingle HAVING count(*) <= 10
          ), ipost AS (
            SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM arriving
-         ), cand AS (
-           SELECT i.doc_id AS in_id, c.doc_id AS match_id
+         ), csurv AS (
+           SELECT doc_id, count(*) AS ns FROM cpost JOIN kept USING (shingle) GROUP BY 1
+         ), cand0 AS (
+           SELECT i.doc_id AS in_id, c.doc_id AS match_id,
+             count(*) AS n_common, min(i.n) AS ni
            FROM ipost i JOIN kept USING (shingle) JOIN cpost c USING (shingle)
-           GROUP BY 1, 2 HAVING count(*) >= least(2, min(i.n), min(c.n))
+           GROUP BY 1, 2
+         ), cand AS (
+           SELECT in_id, match_id FROM cand0
+           JOIN csurv ON csurv.doc_id = cand0.match_id
+           WHERE n_common >= least(2, ni, csurv.ns)
          )
          SELECT in_id AS doc_id, match_id, floor(j * 1e4 + 0.5) / 1e4 AS jaccard FROM (
            SELECT c.in_id, c.match_id,
@@ -1379,11 +1393,18 @@ object SparkEntry {
            SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM sh
          ), rare AS (
            SELECT shingle FROM posting GROUP BY shingle HAVING count(*) BETWEEN 2 AND 10
-         ), cand AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         ), surv AS (
+           SELECT doc_id, count(*) AS ns FROM posting JOIN rare USING (shingle) GROUP BY 1
+         ), cand0 AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
            FROM posting a JOIN rare USING (shingle) JOIN posting b USING (shingle)
            WHERE a.doc_id < b.doc_id
-           GROUP BY 1, 2 HAVING count(*) >= least(2, min(a.n), min(b.n))
+           GROUP BY 1, 2
+         ), cand AS (
+           SELECT id_a, id_b FROM cand0
+           JOIN surv xa ON xa.doc_id = cand0.id_a
+           JOIN surv xb ON xb.doc_id = cand0.id_b
+           WHERE n_common >= least(2, xa.ns, xb.ns)
          ), pairs AS (
            SELECT c.id_a, c.id_b
            FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
@@ -1776,11 +1797,18 @@ object SparkEntry {
            SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM sh
          ), rare AS (
            SELECT shingle FROM posting GROUP BY shingle HAVING count(*) BETWEEN 2 AND 10
-         ), cand AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         ), surv AS (
+           SELECT doc_id, count(*) AS ns FROM posting JOIN rare USING (shingle) GROUP BY 1
+         ), cand0 AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
            FROM posting a JOIN rare USING (shingle) JOIN posting b USING (shingle)
            WHERE a.doc_id < b.doc_id
-           GROUP BY 1, 2 HAVING count(*) >= least(2, min(a.n), min(b.n))
+           GROUP BY 1, 2
+         ), cand AS (
+           SELECT id_a, id_b FROM cand0
+           JOIN surv xa ON xa.doc_id = cand0.id_a
+           JOIN surv xb ON xb.doc_id = cand0.id_b
+           WHERE n_common >= least(2, xa.ns, xb.ns)
          ), pairs AS (
            SELECT c.id_a, c.id_b
            FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b

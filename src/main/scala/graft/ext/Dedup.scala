@@ -18,17 +18,61 @@ import graft.core.{CacheRegistry, Tables}
 object Dedup {
 
   /** Keep only rows whose bucket (the `partCols` group) holds between
-    * `minDf` and `maxDf` members: ONE window-count shuffle computes the
-    * document frequency AND leaves the data hash-partitioned by the bucket
-    * key, so the self-join that follows reuses the partitioning (the
-    * groupBy-then-semi-join spelling shuffles twice). The shared hot-bucket
-    * guard of every LSH candidate path. */
+    * `minDf` and `maxDf` members — the shared hot-bucket guard of every
+    * LSH candidate path. Spelled groupBy-then-join, NOT a window count:
+    * a window routes EVERY row of a hot bucket into one task that BUFFERS
+    * the whole group before the filter can discard it — the skew guard
+    * becoming the skew bottleneck on exactly the stop-shingle inputs
+    * maxDf exists for. The partial-aggregating groupBy collapses a hot
+    * key map-side to one row; the join probe then STREAMS (and AQE can
+    * split a skewed probe partition), and its output stays partitioned by
+    * the bucket key for the self-join that follows. */
   private def pruneByBucketSize(df: DataFrame, partCols: Seq[String],
-                                minDf: Int, maxDf: Int): DataFrame =
-    df.withColumn("__df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(partCols.map(col): _*)))
+                                minDf: Int, maxDf: Int): DataFrame = {
+    val sized = df.groupBy(partCols.map(col): _*)
+      .agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf && col("__df") <= maxDf)
       .drop("__df")
+    df.join(sized, partCols)
+  }
+
+  /** Candidate pairs over a PRUNED posting table (`id`, `shingle`): pairs
+    * sharing at least `least(minCommon, survA, survB)` shingles, where
+    * surv is each side's count of shingles that SURVIVED the df prune.
+    * The cap must NOT use the doc's total shingle count: a short doc
+    * whose other shingles are pruned stop-shingles can never share more
+    * than its surviving count, and a total-count cap silently exempted
+    * exactly those duplicates from pairing (review r11 — the same pair
+    * then slipped the streaming admission filter). The surv aggregate is
+    * thin (id, count) and joins against the CANDIDATE table, which is
+    * orders of magnitude smaller than the postings. */
+  private def candidatePairs(pruned: DataFrame, minCommon: Int): DataFrame = {
+    val surv = pruned.groupBy("id").agg(count(lit(1)).as("__ns"))
+    pruned.as("a").join(pruned.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(surv.select(col("id").as("id_a"), col("__ns").as("__na")), Seq("id_a"))
+      .join(surv.select(col("id").as("id_b"), col("__ns").as("__nb")), Seq("id_b"))
+      .filter(col("n_common") >= least(lit(minCommon), col("__na"), col("__nb")))
+      .select("id_a", "id_b")
+  }
+
+  /** Exact-Jaccard verification of candidate `(id_a, id_b)` pairs against
+    * the shingle-set table `withSh(id, sh)` — the one copy of the verify
+    * join all three candidate paths share. */
+  private def verifyJaccard(cand: DataFrame, withSh: DataFrame,
+                            threshold: Double): DataFrame =
+    cand
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      // native |A∩B| count — no intermediate intersection array per pair
+      .withColumn("__i", graft.functions.SetExpressions
+        .intersection_size(col("sh_a"), col("sh_b")).cast("double"))
+      .withColumn("jaccard", // |A∪B| = |A|+|B|−|A∩B| — avoids the costlier array_union
+        col("__i") / (size(col("sh_a")) + size(col("sh_b")) - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
 
   // ------------------------------------------------------------ exact dedup
 
@@ -74,6 +118,11 @@ object Dedup {
                       idCol: String = "doc_id", shingleN: Int = 3,
                       numPerm: Int = 64, bands: Int = 16,
                       threshold: Double = 0.8): DataFrame = {
+    // bands > numPerm would make rows = 0: every slice() empty, every doc
+    // in ONE bucket per band — a full O(n²) self-join; a non-divisor would
+    // silently drop trailing permutations and shift the threshold curve
+    require(bands > 0 && bands <= numPerm && numPerm % bands == 0,
+      s"bands ($bands) must positively divide numPerm ($numPerm)")
     val rows = numPerm / bands
     // persist() is load-bearing twice over: (a) the self-join below would
     // otherwise compute every signature on BOTH sides; (b) it blocks
@@ -100,16 +149,7 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    pairs
-      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      // native |A∩B| count — no intermediate intersection array per pair
-      .withColumn("__i", graft.functions.SetExpressions
-        .intersection_size(col("sh_a"), col("sh_b")).cast("double"))
-      .withColumn("jaccard", // |A∪B| = |A|+|B|−|A∩B| — avoids the costlier array_union
-        col("__i") / (size(col("sh_a")) + size(col("sh_b")) - col("__i")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyJaccard(pairs, withSh, threshold)
   }
 
   /** SparkEntry query (FULL DuckDB oracle — the md5-affine permutation
@@ -148,16 +188,27 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", maxHamming: Int = 3,
                       maxBucket: Int = 256): DataFrame = {
+    // pigeonhole needs maxHamming+1 chunks: with a FIXED 4-chunk split,
+    // any maxHamming > 3 silently lost every pair whose flipped bits hit
+    // 4 distinct chunks (review r11 — recall hole, not an error). The
+    // default (3) keeps the exact 4×15-bit layout the oracle replays;
+    // larger radii get more, narrower chunks — wider buckets, still
+    // bounded by the class collapse + maxBucket cap below.
+    val nChunks = maxHamming + 1
+    require(maxHamming >= 0 && nChunks <= 60,
+      s"maxHamming must be in [0, 59] (needs maxHamming+1 chunks of >=1 bit), got $maxHamming")
+    val width = 60 / nChunks
+    val mask = (1L << width) - 1
     // persist: classes feed three consumers (chunk join, member expansion,
     // intra-class pairs) and must not re-run the simhash expression.
     val classes = CacheRegistry.persisted(
       docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
         .groupBy("fp").agg(sort_array(collect_list(col("id"))).as("members")))
     val chunks = classes.select(col("fp"),
-        explode(transform(sequence(lit(0), lit(3)),
+        explode(transform(sequence(lit(0), lit(nChunks - 1)),
           c => struct(c.as("chunk"),
-            call_function("shiftright", col("fp"), c * 15)
-              .bitwiseAND(0x7FFFL).as("key")))).as("ck"))
+            call_function("shiftright", col("fp"), c * width)
+              .bitwiseAND(mask).as("key")))).as("ck"))
       .select(col("fp"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
     val pruned = pruneByBucketSize(chunks, Seq("chunk", "key"), minDf = 2, maxDf = maxBucket)
     val fpPairs = pruned.as("a")
@@ -210,34 +261,15 @@ object Dedup {
     // text (hash collisions would need two distinct shingles in one corpus
     // to share an xxhash64 — ~2⁻⁶⁴ per pair, immaterial even at 100 TB;
     // exact verification below still runs on the true shingle sets)
-    val posting = withSh.select(col("id"), size(col("sh")).as("n"),
+    val posting = withSh.select(col("id"),
       explode(transform(col("sh"), s => xxhash64(s))).as("shingle"))
     val pruned = pruneByBucketSize(posting, Seq("shingle"), minDf = 2, maxDf = maxDf)
     // Candidate pairs ranked by how many rare shingles they share: a true
     // near-dup shares many, an incidental vocabulary collision shares one
     // or two — requiring `minCommon` slashes the verify-join fan-in without
-    // touching recall at any meaningful threshold (a pair at jaccard ≥ 0.5
-    // over ≥ (2·minCommon/(1-maxDf/n))-shingle docs shares far more). The
-    // threshold is capped at each side's OWN shingle count: a ≤3-token doc
-    // has exactly one shingle, so a flat `>= 2` would silently exempt
-    // short-doc duplicates from pairing entirely.
-    val cand = pruned.as("a").join(pruned.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"),
-        min(col("a.n")).as("__na"), min(col("b.n")).as("__nb"))
-      .filter(col("n_common") >= least(lit(minCommon), col("__na"), col("__nb")))
-      .select("id_a", "id_b")
-    cand
-      .join(withSh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
-      .join(withSh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
-      // native |A∩B| count — no intermediate intersection array per pair
-      .withColumn("__i", graft.functions.SetExpressions
-        .intersection_size(col("sh_a"), col("sh_b")).cast("double"))
-      .withColumn("jaccard", // |A∪B| = |A|+|B|−|A∩B| — avoids the costlier array_union
-        col("__i") / (size(col("sh_a")) + size(col("sh_b")) - col("__i")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    // touching recall at any meaningful threshold; the cap is each side's
+    // SURVIVING shingle count (see candidatePairs).
+    verifyJaccard(candidatePairs(pruned, minCommon), withSh, threshold)
   }
 
   /** SparkEntry query (rows-only): exact 3-gram Jaccard dup pairs ≥ 0.5. */
@@ -388,8 +420,9 @@ object Dedup {
 
   private def writeIndexTables(withSh: DataFrame, dir: String, maxDf: Int): Unit = {
     withSh.write.mode("overwrite").parquet(dir + "/docs")
-    // postings carry the owning doc's shingle count so the probe can cap
-    // its minCommon threshold per pair without a third join
+    // postings still carry the owning doc's TOTAL shingle count (kept for
+    // on-disk format stability); the probe's minCommon cap now uses the
+    // SURVIVING per-id posting count (matchesFromShingles — review r11)
     val posting = withSh.select(col("id"), size(col("sh")).as("n"),
       explode(col("sh")).as("shingle"))
     pruneByBucketSize(posting, Seq("shingle"), minDf = 1, maxDf = maxDf)
@@ -487,12 +520,19 @@ object Dedup {
                                          minCommon: Int): DataFrame = {
     val inPost = inSh.select(col("id"), size(col("sh")).as("n"),
       explode(col("sh")).as("shingle"))
+    // corpus-side cap = the doc's SURVIVING posting count, not its total:
+    // a corpus duplicate whose other shingles the index pruned can never
+    // share more than its surviving count, and a total-count cap silently
+    // admitted exactly those near-duplicates (review r11 — see
+    // candidatePairs). The probe side keeps its total (incoming batches
+    // are unpruned); the thin surv aggregate joins the candidate table.
+    val cSurv = index.postings.groupBy("id").agg(count(lit(1)).as("__ncs"))
     val cand = inPost.as("i")
       .join(index.postings.as("c"), col("i.shingle") === col("c.shingle"))
       .groupBy(col("i.id").as("in_id"), col("c.id").as("match_id"))
-      .agg(count(lit(1)).as("n_common"),
-        min(col("i.n")).as("__ni"), min(col("c.n")).as("__nc"))
-      .filter(col("n_common") >= least(lit(minCommon), col("__ni"), col("__nc")))
+      .agg(count(lit(1)).as("n_common"), min(col("i.n")).as("__ni"))
+      .join(cSurv.select(col("id").as("match_id"), col("__ncs")), Seq("match_id"))
+      .filter(col("n_common") >= least(lit(minCommon), col("__ni"), col("__ncs")))
       .select("in_id", "match_id")
     cand
       .join(inSh.select(col("id").as("in_id"), col("sh").as("sh_i")), Seq("in_id"))
@@ -512,25 +552,9 @@ object Dedup {
   private[graft] def pairsFromHashedShingles(withSh: DataFrame,
                                              threshold: Double, maxDf: Int,
                                              minCommon: Int): DataFrame = {
-    val posting = withSh.select(col("id"), size(col("sh")).as("n"),
-      explode(col("sh")).as("shingle"))
+    val posting = withSh.select(col("id"), explode(col("sh")).as("shingle"))
     val pruned = pruneByBucketSize(posting, Seq("shingle"), minDf = 2, maxDf = maxDf)
-    val cand = pruned.as("a").join(pruned.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"),
-        min(col("a.n")).as("__na"), min(col("b.n")).as("__nb"))
-      .filter(col("n_common") >= least(lit(minCommon), col("__na"), col("__nb")))
-      .select("id_a", "id_b")
-    cand
-      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("__i", graft.functions.SetExpressions
-        .intersection_size(col("sh_a"), col("sh_b")).cast("double"))
-      .withColumn("jaccard",
-        col("__i") / (size(col("sh_a")) + size(col("sh_b")) - col("__i")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyJaccard(candidatePairs(pruned, minCommon), withSh, threshold)
   }
 
   /** Admission filter: the `incoming` rows with NO corpus near-match — what

@@ -139,4 +139,64 @@ class DedupSpec extends SparkSpec {
     // unpaired docs are not emitted (singletons are their own canonical)
     assert(!got.exists(_._1 == 9L))
   }
+
+  test("short-doc dup sharing one HOT shingle still pairs — surviving-count cap (review r11)") {
+    // d1 and d2 are identical 4-token docs (2 shingles); one shingle is a
+    // corpus stop-shingle (df 13 > maxDf 10, pruned). The minCommon cap
+    // must count SURVIVING shingles (1 each) — capping by the total (2)
+    // silently exempted exactly this jaccard-1.0 duplicate from pairing
+    val hot = (1 to 11).map(i => (100L + i, s"x$i beta gamma delta"))
+    val docs = (Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta")) ++ hot)
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)),
+      s"the exact short-doc duplicate must pair despite its hot shingle: $pairs")
+    // the streaming admission filter must likewise CATCH the duplicate:
+    // corpus holds d1 (+ the hot docs), d2 arrives
+    val dir = java.nio.file.Files.createTempDirectory("graft-shortdup-idx").toString + "/idx"
+    Dedup.stageShingleIndex(
+      (Seq((1L, "alpha beta gamma delta")) ++ hot).toDF("doc_id", "text"), dir)
+    val idx = Dedup.loadShingleIndex(spark, dir)
+    val matches = Dedup.nearDupMatches(
+      Seq((2L, "alpha beta gamma delta")).toDF("doc_id", "text"), idx)
+      .select("doc_id", "match_id").as[(Long, Long)].collect().toSet
+    assert(matches.contains((2L, 1L)),
+      s"the admission probe must match the short-doc duplicate: $matches")
+    val admitted = Dedup.nearDupFilter(
+      Seq((2L, "alpha beta gamma delta")).toDF("doc_id", "text"), idx)
+    assert(admitted.count() == 0, "the exact duplicate must NOT be admitted")
+  }
+
+  test("simhash LSH covers maxHamming > 3 via maxHamming+1 chunks (review r11)") {
+    // two 60-bit fingerprints at Hamming distance 5 whose flips land in 4
+    // DIFFERENT 15-bit chunks shared no chunk key under the fixed 4-chunk
+    // split — silently missing from the output despite hamming <= 5. Use
+    // text pairs empirically: assert candidates at distance d <= maxHamming
+    // equal the brute-force hamming filter over all pairs.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "completely different text about spark query optimization plans"),
+      (4L, "totally unrelated musings on bitemporal document storage")
+    ).toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.col
+    val fps = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (mh <- Seq(5, 10)) {
+      val want = (for {
+        a <- fps.keys; b <- fps.keys if a < b
+        if ham(fps(a), fps(b)) <= mh
+      } yield (a, b)).toSet
+      val got = Dedup.simhashNearDups(docs, maxHamming = mh)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == want, s"maxHamming=$mh: got $got want $want")
+    }
+    // degenerate parameters fail fast
+    intercept[IllegalArgumentException] { Dedup.simhashNearDups(docs, maxHamming = 60) }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashNearDups(docs, bands = 100) // bands > numPerm
+    }
+  }
 }
