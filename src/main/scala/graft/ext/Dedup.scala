@@ -364,16 +364,41 @@ object Dedup {
     * stale artifacts across driver runs. */
   private[graft] def stagedArtifactPath(cache: java.util.concurrent.ConcurrentHashMap[String, String],
                                         prefix: String, dir: String)
-                                       (stage: String => Unit): String =
-    cache.computeIfAbsent(dir, d => {
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        prefix + "-" + d.replaceAll("[^A-Za-z0-9._-]", "_") +
-          "-" + digest + "-" + jvmNonce).toString
-      stage(path)
-      path
-    })
+                                       (stage: String => Unit): String = {
+    // once-per-key via a FUTURE, not computeIfAbsent(stage): the stage
+    // thunk is a multi-minute corpus-wide Spark job, and running it inside
+    // the CHM mapping function holds the bin lock for its whole duration —
+    // an unrelated dir hashing to the same bin blocks behind it. The
+    // claimer stages OUTSIDE any map lock; losers await the future. A
+    // failed stage removes the future so a later call can retry.
+    val fresh = new java.util.concurrent.CompletableFuture[String]()
+    val prev = stagedFutures.putIfAbsent((prefix, dir), fresh)
+    val fut = if (prev != null) prev else {
+      try {
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+          prefix + "-" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+            "-" + digest + "-" + jvmNonce).toString
+        stage(path)
+        fresh.complete(path)
+      } catch {
+        case e: Throwable =>
+          fresh.completeExceptionally(e)
+          stagedFutures.remove((prefix, dir), fresh)
+          throw e
+      }
+      fresh
+    }
+    val path = fut.join()
+    cache.putIfAbsent(dir, path) // keep the legacy per-caller cache populated
+    path
+  }
+
+  /** (prefix, dir) → staged path, shared by every artifact family; the
+    * per-caller `cache` maps remain as the public face. */
+  private val stagedFutures = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), java.util.concurrent.CompletableFuture[String]]()
 
   /** Stage the default-parameter pair artifact for `dir` once per JVM and
     * return its path: the gate queries that share pairs (`dedup_clusters`,
@@ -638,10 +663,19 @@ object Dedup {
     val q = docs.select(col(idCol).as("doc_id"),
       floor(TextOps.qualityScore(col(textCol)) * 1e6 + lit(0.5))
         .cast("long").as("__q6"))
-    val member = dedupClusters(pairs).join(q, "doc_id")
-    val best = member.groupBy("cluster_id")
-      .agg(max(struct(col("__q6"), (-col("doc_id")).as("__nid"))).as("__b"))
-      .select(col("cluster_id"), (-col("__b.__nid")).as("canonical_id"))
+    // LEFT join: a clustered member absent from `docs` (pairs from a staged
+    // artifact, docs since filtered) must still emit a row — an inner join
+    // silently dropped it, so a keep/drop pass driven by is_canonical KEPT
+    // the known duplicate by default and cluster sizes disagreed with the
+    // emitted rows. Unscored members (null __q6) never win the argmax.
+    val member = dedupClusters(pairs).join(q, Seq("doc_id"), "left")
+    // two-phase argmax (max quality, then min id among ties): type-agnostic
+    // in the id — the old max(struct(q6, −id)) negation failed outright on
+    // string doc ids, which every other pair-pipeline stage accepts
+    val bestQ = member.groupBy("cluster_id").agg(max(col("__q6")).as("__bq"))
+    val best = member.join(bestQ, "cluster_id")
+      .filter(col("__q6") <=> col("__bq"))
+      .groupBy("cluster_id").agg(min(col("doc_id")).as("canonical_id"))
     member.join(best, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
         (col("doc_id") === col("canonical_id")).as("is_canonical"))

@@ -140,6 +140,22 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(_._1 == 9L))
   }
 
+  test("dedupClustersBest: missing members still emit; string ids work (review r11)") {
+    import org.apache.spark.sql.functions.col
+    // pairs reference doc "c", which the (filtered) docs table lacks: it
+    // must still get a row (is_canonical=false) — an inner join dropped it
+    // and a keep/drop pass then KEPT the known duplicate by default
+    val docs = Seq(("a", "high quality text with many varied words here"),
+                   ("b", "zz")).toDF("doc_id", "text")
+    val pairs = Seq(("a", "b", 0.9), ("b", "c", 0.9)).toDF("id_a", "id_b", "jaccard")
+    val got = Dedup.dedupClustersBest(docs, pairs)
+      .select("doc_id", "is_canonical").as[(String, Boolean)].collect().toMap
+    assert(got.keySet == Set("a", "b", "c"),
+      s"every clustered member must emit a row: $got")
+    assert(got("a") && !got("b") && !got("c"),
+      s"the scored best member is canonical; the unscored one never wins: $got")
+  }
+
   test("short-doc dup sharing one HOT shingle still pairs — surviving-count cap (review r11)") {
     // d1 and d2 are identical 4-token docs (2 shingles); one shingle is a
     // corpus stop-shingle (df 13 > maxDf 10, pruned). The minCommon cap
