@@ -263,7 +263,11 @@ object Dedup {
     // exact verification below still runs on the true shingle sets)
     val posting = withSh.select(col("id"),
       explode(transform(col("sh"), s => xxhash64(s))).as("shingle"))
-    val pruned = pruneByBucketSize(posting, Seq("shingle"), minDf = 2, maxDf = maxDf)
+    // persist: the pruned posting table feeds THREE consumers (both
+    // self-join sides + the surviving-count aggregate) — recomputing the
+    // explode+prune per consumer tripled the job count
+    val pruned = CacheRegistry.persisted(
+      pruneByBucketSize(posting, Seq("shingle"), minDf = 2, maxDf = maxDf))
     // Candidate pairs ranked by how many rare shingles they share: a true
     // near-dup shares many, an incidental vocabulary collision shares one
     // or two — requiring `minCommon` slashes the verify-join fan-in without
@@ -578,7 +582,8 @@ object Dedup {
                                              threshold: Double, maxDf: Int,
                                              minCommon: Int): DataFrame = {
     val posting = withSh.select(col("id"), explode(col("sh")).as("shingle"))
-    val pruned = pruneByBucketSize(posting, Seq("shingle"), minDf = 2, maxDf = maxDf)
+    val pruned = CacheRegistry.persisted( // three consumers, see ngramJaccardPairs
+      pruneByBucketSize(posting, Seq("shingle"), minDf = 2, maxDf = maxDf))
     verifyJaccard(candidatePairs(pruned, minCommon), withSh, threshold)
   }
 

@@ -371,9 +371,13 @@ class StreamManager(val topology: Topology) {
                 case Some(doc) => parse(doc) match {
                   case Some(n) => updateNode(n).left.foreach(err =>
                     log.warn(s"control-plane update rejected for '$id': $err"))
-                  case None => log.warn(
-                    s"control-plane: doc for '$id' does not parse as a " +
-                      s"stream node spec — ignored: $doc")
+                  case None =>
+                    // collector/transactor broadcasts ride the same topic
+                    // and legitimately aren't stream specs — only a
+                    // :stream/ doc failing to parse is worth a warning
+                    if (id.startsWith(":stream/")) log.warn(
+                      s"control-plane: doc for '$id' does not parse as a " +
+                        s"stream node spec — ignored: $doc")
                 }
                 case None =>
                   // FunctionManager.delete tombstones the doc BEFORE
