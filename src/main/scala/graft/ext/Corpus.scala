@@ -30,16 +30,24 @@ object Corpus {
     * members is normal), which would blow past the broadcast limit exactly
     * at scale — AQE broadcasts it automatically when it is actually small. */
   def cleanCorpus(docs: DataFrame): DataFrame =
-    cleanCorpusWith(docs, Dedup.ngramJaccardPairs(docs))
+    cleanCorpusWith(docs, Dedup.dedupClusters(Dedup.ngramJaccardPairs(docs)))
 
   /** [[cleanCorpus]] consuming a staged pair artifact
     * ([[Dedup.stagePairs]]) instead of regenerating pairs — the composed-
     * pipeline form: one signature pass feeds clustering AND cleaning. */
   def cleanCorpusStaged(docs: DataFrame, pairsPath: String): DataFrame =
-    cleanCorpusWith(docs, Dedup.stagedPairs(docs.sparkSession, pairsPath))
+    cleanCorpusWith(docs, Dedup.dedupClusters(
+      Dedup.stagedPairs(docs.sparkSession, pairsPath)))
 
-  private def cleanCorpusWith(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val dupDrops = Dedup.dedupClusters(pairs)
+  /** [[cleanCorpus]] consuming a staged CLUSTER-LABEL artifact
+    * ([[Dedup.stageClusters]]) — the fully-staged pipeline form: pair
+    * generation AND the CC fixpoint both ran at stage time, so the clean
+    * pass is signals + two joins (VERDICT r11 #2). */
+  def cleanCorpusClustered(docs: DataFrame, clustersPath: String): DataFrame =
+    cleanCorpusWith(docs, Dedup.stagedClusters(docs.sparkSession, clustersPath))
+
+  private def cleanCorpusWith(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val dupDrops = clusters
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
     val rep = TextOps.repetitionSignals(docs)
@@ -53,9 +61,10 @@ object Corpus {
   }
 
   /** SparkEntry query (oracled): the full cleaning pass over `documents`,
-    * through the staged pair artifact shared with `dedup_clusters`. */
+    * through the staged cluster-label artifact shared with
+    * `dedup_clusters` and `dedup_canonical_best`. */
   def cleanCorpusQuery(s: SparkSession, d: String): DataFrame =
-    cleanCorpusStaged(Tables.documents(s, d), Dedup.gatePairsPath(s, d))
+    cleanCorpusClustered(Tables.documents(s, d), Dedup.gateClustersPath(s, d))
 
   /** Benchmark DECONTAMINATION: per training document, the fraction of its
     * n-gram shingles that appear anywhere in the eval/benchmark set —
@@ -924,10 +933,12 @@ object Corpus {
     * last_seq); every stage inherits its component's scale shape. */
   def trainingShardManifest(docs: DataFrame, seqLen: Long, shards: Int,
                             trainPct: Int = 90, valPct: Int = 5,
-                            pairsPath: Option[String] = None): DataFrame = {
-    val kept = pairsPath match {
-      case Some(p) => cleanCorpusStaged(docs, p)
-      case None    => cleanCorpus(docs)
+                            pairsPath: Option[String] = None,
+                            clustersPath: Option[String] = None): DataFrame = {
+    val kept = (clustersPath, pairsPath) match {
+      case (Some(c), _) => cleanCorpusClustered(docs, c)
+      case (None, Some(p)) => cleanCorpusStaged(docs, p)
+      case _ => cleanCorpus(docs)
     }
     val cleaned = docs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
     packCore(cleaned.join(assignSplits(cleaned, trainPct, valPct), Seq("doc_id")),
@@ -945,9 +956,11 @@ object Corpus {
   def writeTrainingShards(docs: DataFrame, path: String, seqLen: Long = 2048L,
                           shards: Int = 16, trainPct: Int = 90, valPct: Int = 5,
                           pairsPath: Option[String] = None,
-                          textCol: String = "text"): DataFrame = {
+                          textCol: String = "text",
+                          clustersPath: Option[String] = None): DataFrame = {
     val manifest = graft.core.CacheRegistry.persisted(
-      trainingShardManifest(docs, seqLen, shards, trainPct, valPct, pairsPath))
+      trainingShardManifest(docs, seqLen, shards, trainPct, valPct, pairsPath,
+        clustersPath))
     docs.select(col("doc_id"), col(textCol))
       .join(manifest.select("doc_id", "split", "shard", "start_tok", "n_tokens"),
         Seq("doc_id"))
@@ -967,7 +980,7 @@ object Corpus {
     val path = Dedup.stagedArtifactPath(stagedShardsOnce, "graft-staged-shards", d) {
       p =>
         writeTrainingShards(Tables.documents(s, d), p, seqLen = 512L, shards = 4,
-          pairsPath = Some(Dedup.gatePairsPath(s, d)))
+          clustersPath = Some(Dedup.gateClustersPath(s, d)))
         ()
     }
     s.read.parquet(path + "/manifest")

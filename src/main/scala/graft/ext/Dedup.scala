@@ -358,6 +358,23 @@ object Dedup {
   def dedupClustersStaged(spark: SparkSession, path: String): DataFrame =
     dedupClusters(stagedPairs(spark, path))
 
+  /** Stage the CLUSTER-LABEL table — the connected-components output
+    * `(doc_id, cluster_id, cluster_size)` — as its own artifact (VERDICT
+    * r11 #2): the log-diameter CC fixpoint runs once at stage time, and
+    * every label consumer (cluster listing, canonical argmax, clean-corpus
+    * drop list) is then a plain parquet read + joins; before this,
+    * `dedup_canonical_best` re-ran the whole fixpoint `dedup_clusters` had
+    * already computed from the same staged pairs (21 vs 13 jobs). */
+  def stageClusters(spark: SparkSession, pairs: DataFrame, path: String): Unit = {
+    graft.core.Staged.stageVersion(spark, path)(
+      dedupClusters(pairs).write.mode("overwrite").parquet(_))
+    ()
+  }
+
+  /** Read a staged cluster-label artifact (consume side of [[stageClusters]]). */
+  def stagedClusters(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(graft.core.Staged.resolve(spark, path))
+
   /** Injective once-per-JVM tmp path for a staged gate artifact of `dir`:
     * the sanitized name alone is non-injective ('/data/a_b' and
     * '/data/a/b' collide — the same collision class the injective
@@ -412,6 +429,14 @@ object Dedup {
   def gatePairsPath(s: SparkSession, dir: String): String =
     stagedArtifactPath(stagedOnce, "graft-staged-pairs", dir)(
       stagePairs(Tables.documents(s, dir), _))
+
+  /** Stage the cluster-label table for `dir`'s gate pairs once per JVM —
+    * consumed by `dedup_clusters`, `dedup_canonical_best`, and
+    * `pipeline_clean_corpus`, so the CC fixpoint runs exactly once. */
+  private val stagedClustersOnce = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def gateClustersPath(s: SparkSession, dir: String): String =
+    stagedArtifactPath(stagedClustersOnce, "graft-staged-clusters", dir)(
+      stageClusters(s, stagedPairs(s, gatePairsPath(s, dir)), _))
   private lazy val jvmNonce: String =
     java.lang.Long.toHexString(java.lang.ProcessHandle.current().pid())
 
@@ -647,7 +672,7 @@ object Dedup {
     * so DuckDB replays it with a WITH RECURSIVE reachability CTE). Runs
     * through the staged artifact shared with `pipeline_clean_corpus`. */
   def dedupClustersQuery(s: SparkSession, d: String): DataFrame =
-    dedupClustersStaged(s, gatePairsPath(s, d))
+    stagedClusters(s, gateClustersPath(s, d))
 
   /** Quality-aware canonical selection: per dup cluster, the canonical
     * member is the BEST one — highest quality score, doc_id as the
@@ -664,7 +689,15 @@ object Dedup {
     * structs, not a window sort. */
   def dedupClustersBest(docs: DataFrame, pairs: DataFrame,
                         textCol: String = "text",
-                        idCol: String = "doc_id"): DataFrame = {
+                        idCol: String = "doc_id"): DataFrame =
+    dedupClustersBestFrom(docs, dedupClusters(pairs), textCol, idCol)
+
+  /** [[dedupClustersBest]] over an already-computed label table
+    * `(doc_id, cluster_id, …)` — the staged-artifact form: the argmax
+    * itself needs no CC re-run (VERDICT r11 #2). */
+  def dedupClustersBestFrom(docs: DataFrame, clusters: DataFrame,
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
     val q = docs.select(col(idCol).as("doc_id"),
       floor(TextOps.qualityScore(col(textCol)) * 1e6 + lit(0.5))
         .cast("long").as("__q6"))
@@ -673,7 +706,7 @@ object Dedup {
     // silently dropped it, so a keep/drop pass driven by is_canonical KEPT
     // the known duplicate by default and cluster sizes disagreed with the
     // emitted rows. Unscored members (null __q6) never win the argmax.
-    val member = dedupClusters(pairs).join(q, Seq("doc_id"), "left")
+    val member = clusters.select("doc_id", "cluster_id").join(q, Seq("doc_id"), "left")
     // two-phase argmax (max quality, then min id among ties): type-agnostic
     // in the id — the old max(struct(q6, −id)) negation failed outright on
     // string doc ids, which every other pair-pipeline stage accepts
@@ -687,10 +720,11 @@ object Dedup {
   }
 
   /** SparkEntry query (oracled): best-member canonicals over the staged
-    * pair artifact — the dedup_clusters chain plus the quality argmax. */
+    * CLUSTER-LABEL artifact — the quality argmax alone; the CC fixpoint
+    * ran once at stage time, shared with `dedup_clusters`. */
   def dedupCanonicalBestQuery(s: SparkSession, d: String): DataFrame =
-    dedupClustersBest(graft.core.Tables.documents(s, d),
-      stagedPairs(s, gatePairsPath(s, d)))
+    dedupClustersBestFrom(graft.core.Tables.documents(s, d),
+      stagedClusters(s, gateClustersPath(s, d)))
 
   // ------------------------------------------------- embedding near-dup
 

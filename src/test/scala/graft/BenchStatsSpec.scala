@@ -58,7 +58,16 @@ class BenchStatsSpec extends SparkSpec {
     // r11: the heaviest new datalog gate — a fixed 2-level pull cascade
     // (dedup + two id equi-joins); a job-count jump means the pull side
     // started re-planning or lost its single-pass shape
-    ("datalog_pull_nested", 12))    // 8 measured cold at sf0.001
+    ("datalog_pull_nested", 12),    // 8 measured cold at sf0.001
+    // r12: the staged CLUSTER-LABEL artifact (VERDICT r11 #2) — the CC
+    // fixpoint runs once at stage time; clusters/canonical-best/clean all
+    // consume the label table. Solo-cold includes pair staging AND label
+    // staging (the worst case); once staged, clusters reads in 3 jobs and
+    // canonical-best in 11 (r11: 13/21 with a full CC re-run in the
+    // latter). A jump past the ceiling means the argmax started
+    // re-running connected components.
+    ("dedup_clusters", 48),         // 34 measured solo-cold (both stagings)
+    ("dedup_canonical_best", 58))   // 42 measured solo-cold = clusters + argmax
 
   for ((gate, budget) <- budgets)
     test(s"$gate stays within its job budget ($budget)") {

@@ -38,6 +38,18 @@ class CorpusSpec extends SparkSpec {
       "staged clusters must equal the inline pipeline")
     assert(rows(Corpus.cleanCorpusStaged(docs, path)) == rows(Corpus.cleanCorpus(docs)),
       "staged cleaning must equal the inline pipeline")
+    // the fully-staged form: cluster LABELS staged too (r12) — the clean
+    // pass consumes them without re-running connected components
+    val cpath = java.nio.file.Files.createTempDirectory("graft-cl").toString + "/clusters"
+    Dedup.stageClusters(spark, Dedup.stagedPairs(spark, path), cpath)
+    assert(rows(Dedup.stagedClusters(spark, cpath)) ==
+      rows(Dedup.dedupClusters(Dedup.ngramJaccardPairs(docs))),
+      "staged cluster labels must equal the inline pipeline")
+    assert(rows(Corpus.cleanCorpusClustered(docs, cpath)) == rows(Corpus.cleanCorpus(docs)),
+      "cluster-staged cleaning must equal the inline pipeline")
+    assert(rows(Dedup.dedupClustersBestFrom(docs, Dedup.stagedClusters(spark, cpath))) ==
+      rows(Dedup.dedupClustersBest(docs, Dedup.stagedPairs(spark, path))),
+      "label-staged canonical argmax must equal the pair-driven one")
   }
 
   test("token-budget mix: fills each language to its budget, never over") {
