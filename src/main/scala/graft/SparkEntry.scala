@@ -99,6 +99,8 @@ object SparkEntry {
     "datalog_pull_nested" -> (graft.query.datalog.DatalogDb.datalogPullNestedQuery(_, _)),
     // EQL attribute options: :as renames, :default fills absent attrs
     "datalog_pull_opts"   -> (graft.query.datalog.DatalogDb.datalogPullOptsQuery(_, _)),
+    // unbounded recursive pull {:link ...} — depth discovered from data
+    "datalog_pull_recursive" -> (graft.query.datalog.DatalogDb.datalogPullRecursiveQuery(_, _)),
     // :with — duplicate-preserving aggregation (dedup includes :with vars)
     "datalog_with"        -> (graft.query.datalog.DatalogDb.datalogWithQuery(_, _)),
     // crux :keys result-map names (positional rename, agg-first find order)
@@ -1092,6 +1094,15 @@ object SparkEntry {
            c_acctbal AS acctbal
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_totalprice > 345000.0""",
+    // datalog_pull_recursive: unbounded {:link ...} over the
+    // customer→nation→region chain — discovered depth 2 means exactly two
+    // ref joins; a wrong depth loses the region level or nulls a column
+    "datalog_pull_recursive" ->
+      """SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS cust_id,
+           c_name AS cust_name, n_name AS nation_name, r_name AS region_name
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         WHERE c_acctbal > 9000.0""",
     // datalog_with: duplicate-preserving sum — one custkey per order (the
     // :with [?o] dedup tuple), NOT per distinct (priority, custkey) pair;
     // custkeys are integers so the sum is exact in both engines

@@ -23,9 +23,37 @@ object NodeName {
   final case class KafkaTopic(name: String) extends NodeName { def full = s"kafka/$name" }
   final case class Internal(name: String) extends NodeName { def full = s"stream/$name" }
 
+  /** Reserved internal control-plane topic
+    * (`/root/reference/src/dataworks/app_graph.clj:13-19`): a user kafka
+    * node may not claim it, or control messages would cross-read. */
+  val ControlTopic = "dataworks.internal.functions"
+
+  // Kafka's legal topic charset ([a-zA-Z0-9._-], ≤249 chars) for kafka
+  // nodes; internal node names additionally ban '.' so the physical-topic
+  // mapping `stream/<x>` -> `stream.<x>` stays injective (see
+  // KafkaIO.topicName): with '.' banned in <x>, no two distinct node
+  // names can meet on one physical topic, and the reserved `stream.`
+  // prefix below keeps kafka nodes out of that namespace entirely.
+  private val KafkaLegal = "[a-zA-Z0-9._-]{1,249}".r
+  private val InternalLegal = "[a-zA-Z0-9_-]{1,240}".r
+
   def parse(s: String): NodeName = s.split("/", 2) match {
-    case Array("kafka", t)  => KafkaTopic(t)
-    case Array("stream", n) => Internal(n)
+    case Array("kafka", t) =>
+      if (!KafkaLegal.matches(t) || t == "." || t == "..")
+        throw new IllegalArgumentException(
+          s"kafka topic must match [a-zA-Z0-9._-]{1,249} (not '.'/'..'): $t")
+      if (t == ControlTopic)
+        throw new IllegalArgumentException(
+          s"kafka topic '$t' is reserved for the control plane")
+      if (t.startsWith("stream."))
+        throw new IllegalArgumentException(
+          s"kafka topic prefix 'stream.' is reserved for internal nodes: $t")
+      KafkaTopic(t)
+    case Array("stream", n) =>
+      if (!InternalLegal.matches(n))
+        throw new IllegalArgumentException(
+          s"internal node name must match [a-zA-Z0-9_-]{1,240}: $n")
+      Internal(n)
     case _ => throw new IllegalArgumentException(
       s"node name must be kafka/<topic> or stream/<name>: $s")
   }

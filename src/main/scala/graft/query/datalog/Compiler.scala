@@ -1003,8 +1003,48 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
     * refs yield a null child struct (left join). Attribute options:
     * `:as` renames the output field, `:default` coalesces an absent
     * (null) value to a constant, `:limit` slices an array attribute.
-    * Bounded recursion `{:attr N}` unrolls to N static self-joins (the
-    * unbounded `...` form has no static schema and is parse-rejected). */
+    * Bounded recursion `{:attr N}` unrolls to N static self-joins; the
+    * unbounded `{:attr ...}` form first discovers the data's longest
+    * resolvable ref chain ([[discoveredRefDepth]]) and unrolls to that. */
+  /** Longest RESOLVABLE ref chain of `attr` over the doc relation — the
+    * plan-time depth for an unbounded `{:attr ...}` pull. A ref is
+    * resolvable only when it matches some doc id (dangling refs end a
+    * chain the same way null does, mirroring the left-join-null the
+    * unrolled plan produces). Discovery walks the frontier of ids
+    * reachable in k steps: a scalar ref attribute is a FUNCTIONAL graph
+    * (out-degree ≤ 1), so each probe is one semi-join over the two-column
+    * edge projection — column-pruned at the scan, dimension-cheap even on
+    * a fact-sized doc relation. Chains past
+    * [[PullRecur.MaxDiscoveredDepth]] (incl. any ref cycle, which never
+    * drains the frontier) are rejected: each level is one static
+    * self-join in the unrolled plan, and that deep a traversal belongs in
+    * a recursive RULE's fixpoint, not a pull. */
+  private def discoveredRefDepth(docs: DataFrame, attr: String): Int = {
+    val edges = docs.select(col("id").as("__src"), col(attr).as("__dst"))
+      .where(col("__dst").isNotNull)
+      .join(docs.select(col("id").as("__did")),
+        col("__dst") === col("__did"), "leftsemi")
+      .persist()
+    try {
+      var depth = 0
+      // ids reachable in exactly depth+1 steps from some doc
+      var frontier = edges.select(col("__dst").as("__cur")).distinct()
+      var more = frontier.limit(1).count() > 0
+      while (more && depth < PullRecur.MaxDiscoveredDepth) {
+        depth += 1
+        frontier = frontier
+          .join(edges, col("__cur") === col("__src"))
+          .select(col("__dst").as("__cur")).distinct()
+        more = frontier.limit(1).count() > 0
+      }
+      if (more) throw new IllegalArgumentException(
+        s"unbounded recursive pull {:$attr ...}: ref chain exceeds " +
+          s"${PullRecur.MaxDiscoveredDepth} levels (or the refs cycle) — " +
+          "use a recursive rule, or a bounded depth {:attr N}")
+      depth
+    } finally { edges.unpersist(); () }
+  }
+
   private def pullSide(docs: DataFrame, spec: Seq[PullEntry], tag: String): DataFrame = {
     def srcName(e: PullEntry): String = e match {
       case PullAttr(a, _, _, _) => a
@@ -1033,11 +1073,19 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
         docs.columns.toSeq.filterNot(explicitKeys).map(c => PullAttr(c))
       case e => Seq(e)
     }
-    val entries = expanded.foldLeft(Vector.empty[PullEntry]) { (acc, e) =>
+    val deduped = expanded.foldLeft(Vector.empty[PullEntry]) { (acc, e) =>
       if (acc.exists(fieldName(_) == fieldName(e))) acc else acc :+ e
     }
-    entries.foreach(e => require(docs.columns.contains(srcName(e)),
+    deduped.foreach(e => require(docs.columns.contains(srcName(e)),
       s"unknown attribute ${srcName(e)} in (pull …) spec"))
+    // resolve the unbounded `...` sentinel to the DATA's longest resolvable
+    // ref chain: plan-time discovery keeps the unrolled schema static for
+    // this query while matching crux `...` semantics over acyclic refs
+    val entries = deduped.map {
+      case PullRecur(a, d) if d == PullRecur.Unbounded =>
+        PullRecur(a, math.max(1, discoveredRefDepth(docs, a)))
+      case e => e
+    }
     // bounded recursion {:attr N} unrolls here: the child re-applies THIS
     // spec with the recursive entry at depth-1, dropped at the leaf — so
     // {:manager 3} is three static self-joins, each level's struct one

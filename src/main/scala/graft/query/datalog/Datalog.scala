@@ -84,9 +84,23 @@ object Ast {
   final case class PullJoin(attr: String, spec: Seq[PullEntry],
                             as: Option[String] = None) extends PullEntry
   /** `{:ref-attr N}` re-applies the ENCLOSING spec through `attr` N levels
-    * deep (the unrolled-static face of EQL's bounded recursion; the
-    * unbounded `…` form has no static schema and is rejected at parse). */
+    * deep (the unrolled-static face of EQL's bounded recursion). The
+    * unbounded `{:ref-attr ...}` form parses to the [[PullRecur.Unbounded]]
+    * sentinel: the compiler DISCOVERS the longest resolvable ref chain in
+    * the doc relation at plan time (a handful of frontier probes over the
+    * ref column) and unrolls to that depth — Spark schemas are computed
+    * per plan, so a data-dependent depth is still a static schema for the
+    * query. Chains deeper than [[PullRecur.MaxDiscoveredDepth]] (or a ref
+    * cycle, which has no finite chain) are rejected with a pointer at
+    * recursive rules, whose fixpoint handles unbounded depth properly. */
   final case class PullRecur(attr: String, depth: Int) extends PullEntry
+  object PullRecur {
+    /** Depth sentinel for the `...` form (resolved at compile). */
+    val Unbounded: Int = Int.MaxValue
+    /** Cap on discovered depth: each level is one static self-join; a
+      * deeper chain belongs in a recursive rule, not a pull. */
+    val MaxDiscoveredDepth: Int = 32
+  }
 
   /** Crux `(pull ?e [:attr …])` projection: the spec'd attributes of the
     * bound entity, returned as one struct column (crux returns a map; a

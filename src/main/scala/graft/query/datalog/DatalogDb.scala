@@ -152,6 +152,35 @@ object DatalogDb {
         col("pull_o.order_cust.c_name").as("cust_name"),
         col("pull_o.order_cust.c_mktsegment").as("seg"))
 
+  /** SparkEntry query `datalog_pull_recursive`: the UNBOUNDED recursive
+    * pull `{:link ...}` (crux EQL `...`). The universe chains
+    * customer→nation→region through one `link` ref attribute with a
+    * shared `name`; region is the leaf (no link), so the compiler's
+    * plan-time chain discovery must find depth 2 and unroll exactly two
+    * self-joins — a wrong depth loses the region level (hash-fail) or
+    * adds a spurious null level (schema-fail). The oracle replays the
+    * discovered-depth join chain in SQL. */
+  def datalogPullRecursiveQuery(s: SparkSession, d: String): DataFrame = {
+    val uni = widen(Seq(
+      ("c", "c_custkey", Tables.customer(s, d).select(
+        col("c_custkey"), col("c_name").as("name"), col("c_acctbal"),
+        concat(lit("n"), col("c_nationkey").cast("string")).as("link"))),
+      ("n", "n_nationkey", Tables.nation(s, d).select(
+        col("n_nationkey"), col("n_name").as("name"),
+        concat(lit("r"), col("n_regionkey").cast("string")).as("link"))),
+      ("r", "r_regionkey", Tables.region(s, d).select(
+        col("r_regionkey"), col("r_name").as("name")))))
+    EdnDatalog.run(uni,
+      """{:find [?c (pull ?c [:name {:link ...}])]
+          :where [[?c :c-acctbal ?b]
+                  [(> ?b 9000.0)]]}""")
+      .fold(e => throw new IllegalArgumentException(e), identity)
+      .select(col("c").as("cust_id"),
+        col("pull_c.name").as("cust_name"),
+        col("pull_c.link.name").as("nation_name"),
+        col("pull_c.link.link.name").as("region_name"))
+  }
+
   /** SparkEntry query `datalog_pull_opts`: EQL attribute options — `:as`
     * renames at both the attribute and join-key level, `:default` fills an
     * attribute the entity lacks (order docs carry NULL for every

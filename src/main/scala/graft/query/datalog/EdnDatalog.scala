@@ -168,8 +168,12 @@ object EdnDatalog {
           Right(PullRecur(attr, d.toInt))
         case Lng(d) if as.isEmpty => Left(
           s"recursive pull depth must be 1..10 (each level is one static join), got $d")
-        case Sym("...") => Left(
-          "unbounded recursive pull {:attr ...} has no static schema — use a bounded depth {:attr N}")
+        // unbounded recursion {:attr ...}: depth is discovered from the
+        // data at compile (longest resolvable ref chain), then unrolled
+        // like the bounded form — crux EQL's `...` over an acyclic universe
+        case Sym("...") if as.isEmpty =>
+          Right(PullRecur(attr, PullRecur.Unbounded))
+        case Sym("...") => Left("(pull …) recursive join key takes no :as")
         case other => Left(s"bad (pull …) join value $other")
       }}
     case Edn.MapV(_) =>

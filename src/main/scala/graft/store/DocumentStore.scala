@@ -496,6 +496,11 @@ object DocumentStore {
     * deterministically instead of hoping a thread race lands on it. */
   private[store] var reclaimInterleaveHook: () => Unit = () => ()
 
+  /** Test hook: transforms the post-create verification read-back. Lets the
+    * spec simulate an object store whose read lags the exclusive create
+    * (read-back returns "" though our bytes are durably on disk). */
+  private[store] var readBackHook: String => String = identity
+
   private def lockPath(path: String) = new org.apache.hadoop.fs.Path(path + ".lock")
   private def localHost: String =
     try java.net.InetAddress.getLocalHost.getHostName catch { case _: Exception => "unknown" }
@@ -525,10 +530,10 @@ object DocumentStore {
         // write-vs-write: whoever's bytes survive is the holder; the other
         // observes a foreign token and falls through to the holder-
         // examination path below.
-        val readBack = try {
+        val readBack = readBackHook(try {
           val in = fs.open(lp)
           try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        } catch { case _: Exception => "" }
+        } catch { case _: Exception => "" })
         if (readBack == desc) return
         // the catch path removes our liveHolders entry and re-examines
         throw new java.io.IOException("lost a non-atomic create race")
@@ -540,6 +545,18 @@ object DocumentStore {
             try new String(in.readAllBytes(), "UTF-8") finally in.close()
           } catch { case _: Exception => "" }
           var holder = readHolder()
+          // Our own descriptor on disk means the exclusive create DID win
+          // and only the verification read-back transiently failed (object
+          // store read lag): without this check the alive-pid test below
+          // would see "a live same-host holder" — ourselves — and wedge
+          // every open from this JVM forever. The token is per-instance
+          // random, so matching bytes can only be this acquire's write.
+          if (holder == desc) {
+            if (liveHolders.putIfAbsent(lp.toString, token) == null) return
+            throw new IllegalStateException(
+              s"document store at $path is already open in this JVM " +
+                "(close() the other instance first)")
+          }
           if (holder.isEmpty) {
             // an empty lock is EITHER a crash between create and write (the
             // two aren't atomic — reclaimable) OR another driver mid-create

@@ -246,11 +246,15 @@ object KafkaIO {
     * a kafka-topic node's topic is its LOCAL name (the reference's node
     * `:topic`, kafka.clj:75 — `kafka/out` ⇒ topic `out`), and any other
     * '/' (non-kafka node kinds used as topics) maps to '.', legal and
-    * injective. Applied by source, sink, publish, AND ensureTopic, so a
-    * same-named source and a sink node meet on ONE topic — previously
-    * sources subscribed to the full name while sinks wrote the local one,
-    * and the full form was rejected by a real broker anyway. MemoryIO is
-    * untouched (arbitrary string keys; tests pin its naming). */
+    * injective. Injectivity is guaranteed by NodeName.parse validation,
+    * not by this function alone: internal local names ban '.', kafka
+    * local names may not use the reserved `stream.` prefix or the
+    * control topic, so `kafka/stream.x` vs `stream/x` and
+    * `kafka/dataworks.internal.functions` are rejected at registration
+    * rather than silently sharing a physical topic. Applied by source,
+    * sink, publish, AND ensureTopic, so a same-named source and a sink
+    * node meet on ONE topic. MemoryIO is untouched (arbitrary string
+    * keys; tests pin its naming). */
   private[graft] def topicName(t: String): String =
     (if (t.startsWith("kafka/")) t.stripPrefix("kafka/") else t).replace('/', '.')
 

@@ -86,8 +86,9 @@ class StreamManager(val topology: Topology) {
   }
 
   /** Name of the internal control-plane topic
-    * (`/root/reference/src/dataworks/app_graph.clj:13-19`). */
-  val controlTopic = "dataworks.internal.functions"
+    * (`/root/reference/src/dataworks/app_graph.clj:13-19`). Reserved at
+    * NodeName.parse so no user kafka node can collide with it. */
+  val controlTopic = NodeName.ControlTopic
 
   // last checkpoint name used per running-map key — lets a restart detect
   // that the stateful change class rotated the checkpoint (clean restart)
@@ -132,6 +133,25 @@ class StreamManager(val topology: Topology) {
 
   // ------------------------------------------------------------------ wiring
 
+  /** One-time adoption of a pre-rename stateful checkpoint: the suffix
+    * literal changed "_st"→"_t" (forgeability fix) but the signature hash
+    * did not, so an upgraded deployment's stateful query must resume its
+    * committed state+offsets under the new name instead of silently
+    * restarting fresh — `lastCheckpoint` is in-memory, so the rotation
+    * warning could never fire across a process restart (ADVICE r11).
+    * Same rails as legacy adoption: migrateCheckpoint renames only when
+    * the new dir doesn't exist yet AND the old dir's committed offsets
+    * actually track this query's source topics (a forged "_st" dir from
+    * the collision this rename fixed reads different sources → refused). */
+  private[stream] def adoptStatefulRename(full: String, suffix: String,
+                                          ckpt: String): Unit = {
+    val marker = queryName(full) + suffix + "_t"
+    if (ckpt.startsWith(marker))
+      topology.io.migrateCheckpoint(
+        queryName(full) + suffix + "_st" + ckpt.stripPrefix(marker),
+        ckpt, topology.sourceTopics(full))
+  }
+
   /** Start the sink query for one kafka sink node (producer loop). */
   def startSink(n: StreamNode): StreamingQuery = {
     val topic = n.name.asInstanceOf[NodeName.KafkaTopic].name
@@ -141,6 +161,7 @@ class StreamManager(val topology: Topology) {
     // a signature-suffixed dir never existed under the legacy scheme, and a
     // stateful plan must not adopt offsets committed under an unknown shape
     if (ckpt == queryName(n.name.full)) adoptCheckpoint(n.name.full)
+    else adoptStatefulRename(n.name.full, "", ckpt)
     val q = topology.io.sink(topic, plan, queryName(n.name.full), ckpt)
     running.put(n.name.full, q)
     q
@@ -153,6 +174,7 @@ class StreamManager(val topology: Topology) {
       val ckpt = checkpointFor(n.name.full, "_errors")
       if (ckpt == queryName(n.name.full) + "_errors")
         adoptCheckpoint(n.name.full, "_errors")
+      else adoptStatefulRename(n.name.full, "_errors", ckpt)
       val eq = topology.io.sink(n.errorSink.get, dead,
         queryName(n.name.full) + "_errors", ckpt)
       running.put(n.name.full + "#errors", eq)
@@ -382,15 +404,32 @@ class StreamManager(val topology: Topology) {
                 case None =>
                   // FunctionManager.delete tombstones the doc BEFORE
                   // broadcasting the id, so "no visible doc" for a stream id
-                  // we know locally IS the delete event — peers must tear
-                  // the node down, not silently skip the message
+                  // we know locally is USUALLY the delete event. But
+                  // entity() also returns None for a doc put with a FUTURE
+                  // validFrom (S2 scheduled visibility) — a scheduled
+                  // create/update broadcast must not be misread as a delete
+                  // and tear down a live same-named node (ADVICE r11).
+                  // Distinguish via the version chain (which includes
+                  // tombstones and future versions; compaction preserves
+                  // both): tear down only when the CURRENT cut of the
+                  // chain ends in an explicit tombstone.
                   if (id.startsWith(":stream/")) {
                     val local = graft.query.Functions.idName(id)
                     topology.nodes.keys
                       .find(f => f.substring(f.lastIndexOf('/') + 1) == local)
                       .foreach { full =>
-                        log.info(s"control-plane: '$id' tombstoned — deleting node $full")
-                        deleteNode(full)
+                        val nowTs = new java.sql.Timestamp(System.currentTimeMillis())
+                        val current = store.history(id) // newest-first chain
+                          .filter(org.apache.spark.sql.functions
+                            .col("validFrom") <= org.apache.spark.sql.functions.lit(nowTs))
+                          .select("deleted").limit(1).collect().headOption
+                        if (current.exists(_.getBoolean(0))) {
+                          log.info(s"control-plane: '$id' tombstoned — deleting node $full")
+                          deleteNode(full)
+                        } else log.info(
+                          s"control-plane: '$id' has no visible doc but no " +
+                            s"current tombstone (scheduled future version or " +
+                            s"unknown id) — keeping node $full")
                       }
                   }
               } catch {

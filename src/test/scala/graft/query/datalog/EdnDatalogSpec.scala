@@ -177,14 +177,52 @@ class EdnDatalogSpec extends SparkSpec {
       """{:find [(pull ?e [{:manager 1}])] :where [[?e :name "bob"]]}""")
       .collect().map(_.getStruct(0)).head
     assert(leaf.getString(0) == "e1", s"leaf keeps the ref id: $leaf")
-    // unbounded and out-of-range depths are descriptive compile errors
-    val unb = EdnDatalog.run(docs,
-      "{:find [(pull ?e [{:manager ...}])] :where [[?e :name ?n]]}")
-    assert(unb.isLeft && unb.swap.exists(_.contains("static schema")), s"got $unb")
+    // out-of-range literal depths are descriptive compile errors
     assert(EdnDatalog.run(docs,
       "{:find [(pull ?e [{:manager 11}])] :where [[?e :name ?n]]}").isLeft)
     assert(EdnDatalog.run(docs,
       "{:find [(pull ?e [{:manager 0}])] :where [[?e :name ?n]]}").isLeft)
+  }
+
+  test("pull unbounded recursion {:ref ...} — depth discovered from the data") {
+    // the manager graph's longest chain is eva→cid→ada (2 edges): `...`
+    // must discover depth 2 at plan time and unroll exactly like
+    // {:manager 2} — full chain expanded, leaf struct lacks the field
+    val eva = run(
+      """{:find [(pull ?e [:name {:manager ...}])] :where [[?e :name "eva"]]}""")
+      .collect().map(_.getStruct(0)).head
+    assert(eva.getString(0) == "eva")
+    val l1 = eva.getStruct(1)
+    assert(l1.getString(0) == "cid")
+    val l2 = l1.getStruct(1)
+    assert(l2.getString(0) == "ada" && l2.schema.fieldNames.toSeq == Seq("name"),
+      "discovered depth expands the FULL chain; the leaf level drops the recur field")
+    // a root entity (no manager): nulls at every level, row kept
+    val ada = run(
+      """{:find [(pull ?e [:name {:manager ...}])] :where [[?e :name "ada"]]}""")
+      .collect().map(_.getStruct(0)).head
+    assert(ada.getString(0) == "ada" && ada.isNullAt(1))
+    // identical result to the explicitly-bounded discovered depth
+    val bounded = run(
+      """{:find [(pull ?e [:name {:manager 2}])] :where [[?e :name "eva"]]}""")
+      .collect().map(_.getStruct(0)).head
+    assert(eva == bounded, s"`...` ≡ {:manager <discovered>}: $eva vs $bounded")
+    // dangling refs end a chain like null does (they can't expand): a
+    // universe whose only refs dangle discovers depth 0 → compiled as one
+    // left join, child struct null
+    val dangling = Seq(("d1", "solo", "zz9")).toDF("id", "name", "manager")
+    val d = EdnDatalog.run(dangling,
+      """{:find [(pull ?e [:name {:manager ...}])] :where [[?e :name "solo"]]}""")
+      .fold(e => fail(e), identity).collect().map(_.getStruct(0)).head
+    assert(d.getString(0) == "solo" && d.isNullAt(1))
+    // a ref CYCLE has no finite chain — rejected with a pointer at rules
+    val cyc = Seq(("a", "x", "b"), ("b", "y", "a")).toDF("id", "name", "manager")
+    val bad = EdnDatalog.run(cyc,
+      "{:find [(pull ?e [:name {:manager ...}])] :where [[?e :name ?n]]}")
+    assert(bad.isLeft && bad.swap.exists(_.contains("recursive rule")), s"got $bad")
+    // :as on a recursive join key is still rejected at parse
+    assert(EdnDatalog.run(docs,
+      """{:find [(pull ?e [{(:manager {:as :boss}) ...}])] :where [[?e :name ?n]]}""").isLeft)
   }
 
   test(":with — duplicate-preserving aggregation and bag projection") {

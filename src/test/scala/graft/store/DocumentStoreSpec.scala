@@ -240,6 +240,28 @@ class DocumentStoreSpec extends SparkSpec {
     }
   }
 
+  test("transient read-back failure does not wedge the rightful holder (ADVICE r11)") {
+    // the exclusive create wins but the verification read transiently
+    // returns "" (object-store read lag): the examination path must
+    // recognize its OWN descriptor on disk and return as the holder —
+    // previously the alive-pid test saw "a live same-host holder"
+    // (ourselves) and permanently refused every open from this JVM
+    val path = Files.createTempDirectory("docstore-readback").toString + "/db"
+    @volatile var failures = 0
+    DocumentStore.readBackHook = s => if (failures < 1) { failures += 1; "" } else s
+    try {
+      val s1 = DocumentStore(spark, path) // must not throw
+      try {
+        assert(failures == 1, "hook must have failed the first read-back")
+        s1.put("d1", "{}")
+        assert(s1.entity("d1").isDefined)
+      } finally s1.close()
+      // lock is properly released: a reopen succeeds without reclaim
+      val s2 = DocumentStore(spark, path)
+      try assert(s2.entity("d1").isDefined) finally s2.close()
+    } finally DocumentStore.readBackHook = identity
+  }
+
   test("tx clock reseeds from the table across close/reopen (review r11)") {
     val path = Files.createTempDirectory("docstore-reseed").toString + "/db"
     val s1 = DocumentStore(spark, path)

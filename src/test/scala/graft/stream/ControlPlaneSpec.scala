@@ -114,6 +114,49 @@ class ControlPlaneSpec extends SparkSpec {
     mgr.stopAll()
   }
 
+  test("a scheduled-future update broadcast is NOT misread as a delete (ADVICE r11)") {
+    val store = DocumentStore(spark,
+      Files.createTempDirectory("cp-fut").toString + "/db")
+    val io = new MemoryIO(spark)
+    val topo = new Topology(io)
+    val mgr = new StreamManager(topo)
+    store.put(":stream/input", """{"name":"kafka/input","upstream":[]}""")
+    store.put(":stream/process", specJson("TRY_CAST(value AS DOUBLE) + 1"))
+    store.put(":stream/output", """{"name":"kafka/output","upstream":["stream/process"]}""")
+    mgr.bootstrapFromStore(store)
+    mgr.startControlPlane(store, NodeSpec.parse)
+    assert(topo.node("stream/process").nonEmpty)
+    // S2 scheduled visibility: the NEW spec version becomes valid an hour
+    // from now — entity() returns the CURRENT doc… but after a peer's
+    // delete+re-put-scheduled sequence the current cut can be empty with
+    // no tombstone newest. Drill the precise hazard: a put whose validFrom
+    // is in the future for an id whose current cut has no visible doc.
+    store.delete(":stream/old_ghost") // unrelated tombstone, sanity noise
+    val future = new java.sql.Timestamp(System.currentTimeMillis() + 3600_000L)
+    store.delete(":stream/process") // peer retires the current version…
+    store.put(":stream/process", specJson("TRY_CAST(value AS DOUBLE) * 7"),
+      validFrom = Some(future)) // …and schedules the replacement
+    io.publish(mgr.controlTopic, "k", ":stream/process")
+    mgr.processAllAvailable()
+    // current cut IS a tombstone here (delete then future put) → node goes
+    assert(topo.node("stream/process").isEmpty,
+      "current-cut tombstone still deletes even with a scheduled successor")
+
+    // the pure scheduled-create case: node known locally, store holds ONLY
+    // a future-validFrom version (no tombstone anywhere in the chain) →
+    // entity() is None but the broadcast must NOT tear the live node down
+    assert(topo.addNode(graft.core.StreamNode(
+      graft.core.NodeName.parse("stream/gate"), Set("kafka/input"),
+      Some(OpSpec.MapExpr("value")), Some(BufferSpec.Fixed(10)), None)).isRight)
+    store.put(":stream/gate", specJson("value"), validFrom = Some(future))
+    assert(store.entity(":stream/gate").isEmpty, "future doc not yet visible")
+    io.publish(mgr.controlTopic, "k", ":stream/gate")
+    mgr.processAllAvailable()
+    assert(topo.node("stream/gate").nonEmpty,
+      "a scheduled-future create must not be misread as a delete")
+    mgr.stopAll()
+  }
+
   test("a terminated query is swept and restarted by applyGraph (review r11)") {
     val store = DocumentStore(spark,
       Files.createTempDirectory("cp-dead").toString + "/db")

@@ -407,6 +407,55 @@ class TopologySpec extends SparkSpec {
       "unambiguous legacy checkpoint still adopted")
   }
 
+  test("pre-rename stateful checkpoint (_st<hex>) is adopted under _t<hex> (ADVICE r11)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt-st")
+    val io = new KafkaIO(spark, "broker:9092", root.toString)
+    val topo = new Topology(io)
+    assert(topo.addNode(StreamNode(NodeName.parse("kafka/in"),
+      Set.empty, None, None, None)).isRight)
+    // stateful node: windowAgg gives it a non-empty stateful signature
+    assert(topo.addNode(StreamNode(NodeName.parse("kafka/agg"),
+      Set("kafka/in"),
+      Some(OpSpec.WindowAgg("ts", "10 seconds", None, "5 seconds",
+        Seq("key"), Seq("count(1) AS n"))),
+      Some(BufferSpec.Fixed(10)), None)).isRight)
+    val mgr = new StreamManager(topo)
+    val ckpt = mgr.checkpointFor("kafka/agg")
+    assert(ckpt.startsWith("kafka_sagg_t") && !ckpt.contains("_st"),
+      s"stateful checkpoint uses the unforgeable _t suffix: $ckpt")
+    // the same query's checkpoint as committed by a pre-rename deployment
+    val hex = ckpt.stripPrefix("kafka_sagg_t")
+    val old = root.resolve("kafka_sagg_st" + hex)
+    java.nio.file.Files.createDirectories(old.resolve("offsets"))
+    java.nio.file.Files.write(old.resolve("offsets").resolve("3"),
+      """v1 {"kafka/in":{"0":7}}""".getBytes)
+    java.nio.file.Files.write(old.resolve("metadata"), "id".getBytes)
+    mgr.adoptStatefulRename("kafka/agg", "", ckpt)
+    assert(java.nio.file.Files.exists(root.resolve(ckpt).resolve("metadata")),
+      "pre-rename stateful checkpoint adopted under the new suffix")
+    assert(!java.nio.file.Files.exists(old), "old _st dir renamed away")
+    // idempotent: a second call (stray old dir reappearing) never clobbers
+    java.nio.file.Files.createDirectories(old)
+    mgr.adoptStatefulRename("kafka/agg", "", ckpt)
+    assert(java.nio.file.Files.exists(root.resolve(ckpt).resolve("metadata")))
+    // an _st dir whose offsets track a FOREIGN topic is refused (the
+    // forged-collision case the rename fixed)
+    val ckpt2 = "kafka_sother_t" + hex
+    val old2 = root.resolve("kafka_sother_st" + hex)
+    java.nio.file.Files.createDirectories(old2.resolve("offsets"))
+    java.nio.file.Files.write(old2.resolve("offsets").resolve("1"),
+      """v1 {"kafka/elsewhere":{"0":1}}""".getBytes)
+    assert(topo.addNode(StreamNode(NodeName.parse("kafka/other"),
+      Set("kafka/in"),
+      Some(OpSpec.WindowAgg("ts", "10 seconds", None, "5 seconds",
+        Seq("key"), Seq("count(1) AS n"))),
+      Some(BufferSpec.Fixed(10)), None)).isRight)
+    mgr.adoptStatefulRename("kafka/other", "", ckpt2)
+    assert(java.nio.file.Files.exists(old2), "foreign-source _st dir preserved")
+    assert(!java.nio.file.Files.exists(root.resolve(ckpt2)),
+      "no adoption from a checkpoint tracking someone else's sources")
+  }
+
   test("updateNode rejects cycles BEFORE stopping sinks; bad plans are isolated") {
     val io = new MemoryIO(spark)
     val (topo, mgr) = pipeline(io)
@@ -643,5 +692,30 @@ class TopologySpec extends SparkSpec {
       s"only prose-like text may pass the trained gate: $got")
     assert(got.head._2 >= 500000L, s"admitted row carries its score: $got")
     mgr.stopAll()
+  }
+
+  // F6 + S7/S8: the logical→physical topic mapping must be INJECTIVE or
+  // two distinct nodes silently share a Kafka topic and cross-read. The
+  // validation lives in NodeName.parse (the single construction funnel
+  // for both REST registration and control-plane JSON via NodeSpec.parse).
+  test("node naming: physical-topic collisions are rejected at parse") {
+    // would collide with internal node stream/x's physical topic stream.x
+    intercept[IllegalArgumentException](NodeName.parse("kafka/stream.x"))
+    // would collide with the control-plane topic
+    intercept[IllegalArgumentException](
+      NodeName.parse("kafka/" + NodeName.ControlTopic))
+    // '.' in an internal name would make stream/a.b ≡ stream/a/b
+    intercept[IllegalArgumentException](NodeName.parse("stream/a.b"))
+    intercept[IllegalArgumentException](NodeName.parse("stream/a/b"))
+    // Kafka-illegal characters and degenerate names
+    intercept[IllegalArgumentException](NodeName.parse("kafka/has space"))
+    intercept[IllegalArgumentException](NodeName.parse("kafka/."))
+    intercept[IllegalArgumentException](NodeName.parse("kafka/"))
+    // legal names still parse, including dots in EXTERNAL topic names
+    assert(NodeName.parse("kafka/raw.events-v2").name == "raw.events-v2")
+    assert(NodeName.parse("stream/admit_2").name == "admit_2")
+    // the control-plane JSON railway reports the same rejection as None
+    assert(NodeSpec.parse("""{"name":"kafka/stream.x"}""").isEmpty)
+    assert(NodeSpec.parse("""{"name":"kafka/raw.events-v2"}""").isDefined)
   }
 }
