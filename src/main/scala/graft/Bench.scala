@@ -65,9 +65,21 @@ object Bench {
     // wall-clock numbers are co-tenant-inflated. Recorded in every artifact.
     val loadavg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // Process CPU time separates host slowdown from plan regression
+    // without rerunning: identical job counts + flat CPU + inflated wall
+    // = co-tenant/host; CPU inflated alongside wall = the plan really does
+    // more work (the r11 wall doubled at identical job counts and the
+    // question was unanswerable from the artifact alone).
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def processCpuNs: Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val qstats =
-      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long, Double)]
+      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long, Double, Double)]
+    val cpuLoop0 = processCpuNs
+    val wallLoop0 = System.nanoTime()
     val results = queries.map { case (name, fn) =>
       val (j0, s0, t0c) = (jobs.get(), stages.get(), tasks.get())
       // loadavg sampled at THIS query's start: a co-tenant spike mid-run
@@ -75,6 +87,7 @@ object Bench {
       // pre-flight number a reader has to hope held for the whole loop
       val loadQ = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
+      val c0 = processCpuNs
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); () } catch { case e: Throwable =>
         // a crashed query must not masquerade as a fast one
@@ -82,27 +95,36 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      val cpuQ = if (c0 < 0) -1.0 else (processCpuNs - c0) / 1e9
       graft.core.CacheRegistry.unpersistAll() // release per-query caches
       // listener events are delivered async — drain before sampling, or
       // this query's jobs get attributed to the next one
       org.apache.spark.sql.graft.DatasetBridge.drainListenerBus(spark)
-      qstats(name) = (jobs.get - j0, stages.get - s0, tasks.get - t0c, loadQ)
+      qstats(name) = (jobs.get - j0, stages.get - s0, tasks.get - t0c, loadQ, cpuQ)
       if (statsStderr) System.err.println(
-        f"[bench-stats] $name%-24s ${dt}%6.2fs jobs=${jobs.get - j0}%-3d stages=${stages.get - s0}%-4d tasks=${tasks.get - t0c}%-5d")
+        f"[bench-stats] $name%-24s ${dt}%6.2fs cpu=${cpuQ}%6.2fs jobs=${jobs.get - j0}%-3d stages=${stages.get - s0}%-4d tasks=${tasks.get - t0c}%-5d")
       name -> dt
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val cpuLoopSec = if (cpuLoop0 < 0) -1.0 else (processCpuNs - cpuLoop0) / 1e9
+    val wallLoopSec = (System.nanoTime() - wallLoop0) / 1e9
+    // JVM-wide cpu/wall over the timed loop: on an otherwise-quiet 32-thread
+    // box this sits well above 1 (parallel stages); host contention drags
+    // WALL up at constant CPU, so the ratio FALLING round-over-round at
+    // identical job counts reads as host, not plan
+    val cpuWallRatio = if (cpuLoopSec < 0 || wallLoopSec <= 0) -1.0
+      else cpuLoopSec / wallLoopSec
     val errs =
       if (failed.isEmpty) ""
       else failed.sorted.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
     def s1(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    // per-query plan facts + start-of-query loadavg:
-    // "name":[jobs,stages,tasks,loadavg]
-    val statsJson = qstats.map { case (k, (j, s, t, l)) =>
-      "\"" + k + "\":[" + j + "," + s + "," + t + "," + s1(l) + "]"
+    // per-query plan facts + start-of-query loadavg + process CPU seconds:
+    // "name":[jobs,stages,tasks,loadavg,cpu_sec]
+    val statsJson = qstats.map { case (k, (j, s, t, l, c)) =>
+      "\"" + k + "\":[" + j + "," + s + "," + t + "," + s1(l) + "," + s1(c) + "]"
     }.mkString("{", ",", "}")
     def fmtLine(q: Map[String, String], tot: String) =
-      s"""{"metric":"total","value":$tot,"unit":"sec","loadavg":${s1(loadavg)},"queries":${
+      s"""{"metric":"total","value":$tot,"unit":"sec","loadavg":${s1(loadavg)},"cpu_sec":${s1(cpuLoopSec)},"cpu_wall_ratio":${s1(cpuWallRatio)},"queries":${
         q.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       },"job_stats":$statsJson$errs,"sf":"$sfDir","total_sec":$tot}"""
     // The driver captures only a bounded TAIL (~2000 chars) of this process's
@@ -117,7 +139,7 @@ object Bench {
     val top5 = results.toSeq.sortBy(-_._2).take(5)
     println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":${
       top5.map { case (k, v) => "\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
-    },"n_queries":${results.size},"loadavg":${s1(loadavg)},"jobs":${jobs.get},"stages":${stages.get},"tasks":${tasks.get}$errs,"sf":"$sfDir","total_sec":${s3(total)}}""")
+    },"n_queries":${results.size},"loadavg":${s1(loadavg)},"cpu_sec":${s1(cpuLoopSec)},"cpu_wall_ratio":${s1(cpuWallRatio)},"jobs":${jobs.get},"stages":${stages.get},"tasks":${tasks.get}$errs,"sf":"$sfDir","total_sec":${s3(total)}}""")
     // full precision to a file for round-over-round per-query comparison
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
       (fmtLine(results.map { case (k, v) => k -> v.toString }.toMap, total.toString) + "\n")

@@ -67,7 +67,13 @@ class BenchStatsSpec extends SparkSpec {
     // latter). A jump past the ceiling means the argmax started
     // re-running connected components.
     ("dedup_clusters", 48),         // 34 measured solo-cold (both stagings)
-    ("dedup_canonical_best", 58))   // 42 measured solo-cold = clusters + argmax
+    ("dedup_canonical_best", 58),   // 42 measured solo-cold = clusters + argmax
+    // r12: unbounded recursive pull — plan-time chain discovery (one
+    // persist + depth+2 frontier probes over the edge projection) + the
+    // discovered-depth unrolled join cascade. A jump past the ceiling
+    // means discovery started iterating past the data's real chain depth
+    // (or the probe lost its persisted edge table)
+    ("datalog_pull_recursive", 38)) // 26 measured cold at sf0.001
 
   for ((gate, budget) <- budgets)
     test(s"$gate stays within its job budget ($budget)") {

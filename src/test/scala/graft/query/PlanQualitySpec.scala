@@ -203,6 +203,19 @@ class PlanQualitySpec extends SparkSpec {
       s"pull must stay an equi-join:\n$plan")
   }
 
+  test("unbounded recursive pull unrolls to equi-joins, never a cartesian") {
+    // {:link ...}: plan-time depth discovery + static unroll — the final
+    // plan must look exactly like the bounded form's (chain of id
+    // equi-joins over the doc relation), with no cartesian/NL join from
+    // the discovery machinery leaking into the query plan
+    val df = graft.query.datalog.DatalogDb
+      .datalogPullRecursiveQuery(spark, sf("sf0.001"))
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"unbounded pull must stay an equi-join chain:\n$plan")
+  }
+
   test("datalog rand/sample aggregates are bounded — no collect_list/collect_set state") {
     // (rand N ?x)/(sample N ?x) must run as O(k)-state partial aggregates
     // (PickExpressions), not whole-group collect_* buffers: a hot group at

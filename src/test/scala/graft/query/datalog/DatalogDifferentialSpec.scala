@@ -387,6 +387,106 @@ class DatalogDifferentialSpec extends SparkSpec {
     }
   }
 
+  test("differential: :in relation → recursive rule → pull, composed (40 seeded cases)") {
+    // r11 landed :in binding forms, recursive/mutual rules, and EQL pull —
+    // each differentially tested ALONE. This composes all three in one
+    // query (a relation binding feeding a transitive-closure rule whose
+    // surviving entities are pulled with a bounded or unbounded manager
+    // chain) and forces BOTH :in execution paths, so any interaction bug
+    // between the features (binding columns leaking into the fixpoint,
+    // pull side-join breaking the post-rule distinct, unbounded depth
+    // discovered on a substituted body) diverges from the naive side.
+    val subst = new DatalogCompiler(inJoinThreshold = Int.MaxValue)
+    val joined = new DatalogCompiler(inJoinThreshold = 0)
+    val rnd = new scala.util.Random(20260815L)
+    val deptPool = Seq("eng", "ops", "hr", "ghost")
+    val salPool = Seq(60.0, 70.0, 75.0, 80.0, 85.0, 90.0, 95.0, 100.0, 110.0, 120.0)
+    val agePool = Seq(45L, 31L, 52L, 28L, 39L, 33L, 61L, 24L, 47L, 99L)
+    val byId = emps.map(e => e.id -> e).toMap
+    def bossChain(e: DiffEmp): List[DiffEmp] = {
+      var cur = Option(e.manager).filter(_ != null).map(byId)
+      var acc = List.empty[DiffEmp]
+      while (cur.isDefined) { acc :+= cur.get
+        cur = Option(cur.get.manager).filter(_ != null).map(byId) }
+      acc
+    }
+    for (i <- 0 until 40) {
+      val nBind = rnd.nextInt(21) // 0..20 — crosses the 16-row path threshold
+      val depth = rnd.nextInt(3) match { case 0 => "1"; case 1 => "2"; case _ => "..." }
+      val maxD = if (depth == "...") 2 else depth.toInt // fixture's longest chain is 2
+      val target = deptPool(rnd.nextInt(3)) // boss-dept constant (never ghost)
+      // template A (predicate-bound in-var: ?ms only in a pred — the join
+      // path must detect ineligibility and fall back); template B (both
+      // in-vars pattern-bound — join path runs as a real broadcast join)
+      val predTemplate = i % 2 == 0
+      val (edn, pairs) =
+        if (predTemplate) {
+          val ps = Seq.fill(nBind)(Seq[Any](
+            deptPool(rnd.nextInt(deptPool.size)), salPool(rnd.nextInt(salPool.size))))
+          (s"""{:find [?e (pull ?e [:name {:manager $depth}])]
+               :in [[[?d ?ms]]]
+               :where [[?e :dept ?d]
+                       [?e :salary ?s]
+                       [(>= ?s ?ms)]
+                       (boss ?e ?b)
+                       [?b :dept "$target"]]
+               :rules [[(boss ?x ?y) [?x :manager ?y]]
+                       [(boss ?x ?y) [?x :manager ?m] (boss ?m ?y)]]}""", ps)
+        } else {
+          val ps = Seq.fill(nBind)(Seq[Any](
+            deptPool(rnd.nextInt(deptPool.size)), agePool(rnd.nextInt(agePool.size))))
+          (s"""{:find [?e (pull ?e [:name {:manager $depth}])]
+               :in [[[?d ?a]]]
+               :where [[?e :dept ?d]
+                       [?e :age ?a]
+                       (boss ?e ?b)
+                       [?b :dept "$target"]]
+               :rules [[(boss ?x ?y) [?x :manager ?y]]
+                       [(boss ?x ?y) [?x :manager ?m] (boss ?m ?y)]]}""", ps)
+        }
+      // flatten (id, pull-struct) to id + the name chain padded to maxD+1
+      def flat(r: org.apache.spark.sql.Row): Seq[Any] = {
+        val out = scala.collection.mutable.ArrayBuffer[Any](r.getString(0))
+        var s = r.getStruct(1)
+        out += s.getString(s.fieldIndex("name"))
+        var lvl = 0
+        while (lvl < maxD) {
+          val child =
+            if (s != null && s.schema.fieldNames.contains("manager") &&
+              !s.isNullAt(s.fieldIndex("manager"))) s.getStruct(s.fieldIndex("manager"))
+            else null
+          out += (if (child == null) null else child.getString(child.fieldIndex("name")))
+          s = child
+          lvl += 1
+        }
+        out.toSeq
+      }
+      def runPath(c: DatalogCompiler) =
+        EdnDatalog.runWith(docs, edn, Seq(pairs), c)
+          .fold(e => fail(s"sample $i rejected: $e"),
+            _.collect().toSeq.map(flat).map(_.mkString("|")).sorted)
+      val a = runPath(subst)
+      val b = runPath(joined)
+      assert(a == b, s"path divergence on sample $i (${pairs.size} pairs, $edn)" +
+        s"\n  subst:  ${a.take(5)}\n  joined: ${b.take(5)}")
+      val naive = emps.flatMap { e =>
+        val okBind =
+          if (predTemplate)
+            pairs.exists(p => p.head == e.dept &&
+              e.salary >= p(1).asInstanceOf[Double])
+          else pairs.exists(p => p.head == e.dept && p(1) == e.age)
+        val okBoss = bossChain(e).exists(_.dept == target)
+        if (okBind && okBoss) {
+          val names = e.name :: bossChain(e).map(_.name)
+          Some((e.id +: (0 to maxD).map(k =>
+            if (k < names.size) names(k) else null)).mkString("|"))
+        } else None
+      }.distinct.sorted
+      assert(a == naive, s"naive divergence on sample $i ($edn)" +
+        s"\n  spark: ${a.take(5)}\n  naive: ${naive.take(5)}")
+    }
+  }
+
   /** Counterexamples the differential run minimized, pinned as fixed
     * regressions. The first landing caught one real divergence: a GLOBAL
     * aggregate over zero bindings — the evaluators disagreed (NaN vs null)
