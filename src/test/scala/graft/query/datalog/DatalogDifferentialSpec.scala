@@ -345,6 +345,40 @@ class DatalogDifferentialSpec extends SparkSpec {
     qs.foreach(check)
   }
 
+  test("differential: clause order is semantically irrelevant (30 queries × shuffles)") {
+    // the selectivity-aware compile-time reordering (VERDICT r11 #1) must
+    // be RESULT-invariant: any permutation of a query's :where clauses is
+    // the same query in crux. Run each generated query against 3 seeded
+    // shuffles of its own clause list — the reorderer sees wildly
+    // different written orders and must converge on identical answers.
+    // (Predicate clauses may precede the patterns that bind their vars
+    // after a shuffle — exactly the shape a naive left-to-right compiler
+    // chokes on.)
+    val rnd = new scala.util.Random(424242L)
+    val qs = samples(genQuery, 30).filter(_.order.isEmpty) // bags compare
+    assert(qs.size >= 15, s"need a healthy unordered sample, got ${qs.size}")
+    def bag(q: GQuery): Map[Seq[Any], Int] = {
+      val edn = ednQuery(q)
+      EdnDatalog.run(docs, edn) match {
+        case Left(err) => fail(s"rejected permuted query $edn: $err")
+        case Right(df) => df.collect().toSeq.map(_.toSeq.map(normalize))
+          .groupBy(identity).view.mapValues(_.size).toMap
+      }
+    }
+    for ((q, i) <- qs.zipWithIndex) {
+      val base = bag(q)
+      for (k <- 1 to 3) {
+        val shuffled = q.copy(where = rnd.shuffle(q.where))
+        val got = bag(shuffled)
+        assert(got == base,
+          s"clause-order sensitivity on sample $i shuffle $k:" +
+            s"\n  original: ${ednQuery(q)}\n  shuffled: ${ednQuery(shuffled)}" +
+            s"\n  base-only: ${(base.keySet -- got.keySet).take(3)}" +
+            s"\n  shuf-only: ${(got.keySet -- base.keySet).take(3)}")
+      }
+    }
+  }
+
   test("differential: :in substitution path ≡ broadcast-join path ≡ naive (40 binding sets)") {
     // the two :in execution paths share only the parser: substitution
     // reduces to the :args semantics validated above; forcing BOTH paths

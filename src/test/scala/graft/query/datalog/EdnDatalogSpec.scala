@@ -223,6 +223,28 @@ class EdnDatalogSpec extends SparkSpec {
     // :as on a recursive join key is still rejected at parse
     assert(EdnDatalog.run(docs,
       """{:find [(pull ?e [{(:manager {:as :boss}) ...}])] :where [[?e :name ?n]]}""").isLeft)
+    // `...` nested INSIDE a join sub-spec: each pullSide resolves its own
+    // unbounded entries, so the chain discovery runs on the child level too
+    val nested = run(
+      """{:find [(pull ?e [:dept {:manager [:name {:manager ...}]}])]
+          :where [[?e :name "eva"]]}""")
+      .collect().map(_.getStruct(0)).head
+    assert(nested.getString(0) == "ops")
+    val n1 = nested.getStruct(1) // cid's sub-spec view
+    assert(n1.getString(n1.fieldIndex("name")) == "cid")
+    val n2 = n1.getStruct(n1.fieldIndex("manager")) // ada via inner `...`
+    assert(n2.getString(n2.fieldIndex("name")) == "ada")
+    // `...` alongside the * wildcard: explicit recursion claims `manager`,
+    // the wildcard fills every other attribute
+    val wild = run(
+      """{:find [(pull ?e [* {:manager ...}])] :where [[?e :name "dee"]]}""")
+      .collect().map(_.getStruct(0)).head
+    assert(wild.schema.fieldNames.contains("dept") &&
+      wild.schema.fieldNames.contains("manager"))
+    val w1 = wild.getStruct(wild.fieldIndex("manager")) // bob
+    assert(w1.getString(w1.fieldIndex("name")) == "bob")
+    val w2 = w1.getStruct(w1.fieldIndex("manager")) // ada
+    assert(w2.getString(w2.fieldIndex("name")) == "ada")
   }
 
   test(":with — duplicate-preserving aggregation and bag projection") {
