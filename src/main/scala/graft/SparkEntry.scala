@@ -144,6 +144,8 @@ object SparkEntry {
     "multimodal_frames"   -> (graft.ext.Multimodal.frameSampleQuery(_, _)),
     // north-star composition: dedup clusters + repetition + quality
     "pipeline_clean_corpus" -> (graft.ext.Corpus.cleanCorpusQuery(_, _)),
+    // filter audit: every doc's keep/drop outcome + the first failing rule
+    "corpus_clean_audit"    -> (graft.ext.Corpus.cleanCorpusAuditQuery(_, _)),
     // training-mix construction: per-language token budgets
     "corpus_token_mix"      -> (graft.ext.Corpus.tokenBudgetMixQuery(_, _)),
     // α=0.5 temperature flattening of the per-source token distribution
@@ -413,7 +415,33 @@ object SparkEntry {
       ("corpus_decontam_report" -> decontamReportOracle) +
       ("graph_pagerank" -> pageRankOracle) +
       ("corpus_cluster_stats" -> clusterStatsOracle) +
-      ("dedup_canonical_best" -> canonicalBestOracle)
+      ("dedup_canonical_best" -> canonicalBestOracle) +
+      ("corpus_clean_audit" -> cleanAuditOracle)
+
+  /** corpus_clean_audit: the pipeline_clean_corpus replay verbatim up to
+    * its final SELECT (one source of truth for every signal and
+    * threshold), with the conjunction re-expressed as a first-failing-rule
+    * CASE — the precedence mirrors Corpus.cleanCorpusAudit exactly, so a
+    * drift between the keep-set here and pipeline_clean_corpus's rows
+    * hash-fails BOTH gates. */
+  private lazy val cleanAuditOracle: String = {
+    val clean = oracleSqlBase("pipeline_clean_corpus")
+    val cut = clean.lastIndexOf("SELECT d.doc_id")
+    require(cut > 0, "pipeline_clean_corpus oracle changed shape")
+    clean.substring(0, cut) +
+      """SELECT d.doc_id,
+           CASE WHEN d.doc_id IN (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+                  THEN 'duplicate'
+                WHEN q.quality < 0.6 THEN 'low_quality'
+                WHEN r.distinct_token_ratio < 0.3 THEN 'repetitive'
+                WHEN r.top_bigram_frac IS NOT NULL AND r.top_bigram_frac > 0.1
+                  THEN 'bigram_loop'
+                ELSE 'keep' END AS outcome,
+           q.quality
+         FROM documents d
+         JOIN rep r ON r.doc_id = d.doc_id
+         JOIN qual q ON q.doc_id = d.doc_id"""
+  }
 
   /** dedup_canonical_best: the dedup_clusters reachability chain verbatim
     * + the corpus_quality_topfrac scoring CTEs (renamed q*) + a

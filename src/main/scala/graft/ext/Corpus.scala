@@ -66,6 +66,41 @@ object Corpus {
   def cleanCorpusQuery(s: SparkSession, d: String): DataFrame =
     cleanCorpusClustered(Tables.documents(s, d), Dedup.gateClustersPath(s, d))
 
+  /** Filter AUDIT of the cleaning pass: EVERY document with its outcome —
+    * `keep`, or the FIRST rule that dropped it (`duplicate` →
+    * `low_quality` → `repetitive` → `bigram_loop`, mirroring
+    * [[cleanCorpusWith]]'s conjunction). This is the per-filter
+    * removal-rate report a production pipeline publishes with each corpus
+    * release (why did 40% of domain X disappear?) and the debugging view
+    * for threshold tuning — the keep rows are BY CONSTRUCTION exactly
+    * [[cleanCorpus]]'s output, because both classifiers read the same
+    * signal columns. Scale shape identical to the clean pass: signals are
+    * single-pass codegen'd per-doc aggregates, the cluster-label join is
+    * the staged artifact, nothing new shuffles. */
+  def cleanCorpusAudit(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val dupDrops = clusters
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(true).as("__dup"))
+    val rep = TextOps.repetitionSignals(docs)
+    docs.join(dupDrops, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"))
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .select(col("doc_id"),
+        when(col("__dup").isNotNull, lit("duplicate"))
+          .when(col("quality") < 0.6, lit("low_quality"))
+          .when(col("distinct_token_ratio") < 0.3, lit("repetitive"))
+          .when(col("top_bigram_frac").isNotNull && col("top_bigram_frac") > 0.1,
+            lit("bigram_loop"))
+          .otherwise(lit("keep")).as("outcome"),
+        col("quality"))
+  }
+
+  /** SparkEntry query (oracled): the audit over `documents`, consuming
+    * the same staged cluster labels as `pipeline_clean_corpus`. */
+  def cleanCorpusAuditQuery(s: SparkSession, d: String): DataFrame =
+    cleanCorpusAudit(Tables.documents(s, d),
+      Dedup.stagedClusters(s, Dedup.gateClustersPath(s, d)))
+
   /** Benchmark DECONTAMINATION: per training document, the fraction of its
     * n-gram shingles that appear anywhere in the eval/benchmark set —
     * the overlap check every serious pretraining pipeline runs before

@@ -27,6 +27,38 @@ class CorpusSpec extends SparkSpec {
     assert(kept.contains(5L), "ordinary prose survives")
   }
 
+  test("cleanCorpusAudit: total partition, first-failing-rule precedence, keep ≡ cleanCorpus") {
+    val docs = Seq(
+      (1L, prose, "en"),
+      (2L, prose.replace("green", "dark"), "en"),   // near-dup of 1 → duplicate
+      (3L, Seq.fill(40)("spam ham").mkString(" "), "en"), // loop
+      (4L, "!!! ??? ... ;;; ::: ,,, (((", "en"),    // junk → low_quality
+      (5L, "a completely different ordinary sentence about sailing boats " +
+        "across the wide open sea during the warm summer months with friends", "en"),
+      // duplicate of the LOOP doc: fails dedup AND repetition — must report
+      // 'duplicate' (first rule), never 'repetitive'
+      (6L, Seq.fill(40)("spam ham").mkString(" ") + " extra", "en")
+    ).toDF("doc_id", "text", "lang")
+    val clusters = Dedup.dedupClusters(Dedup.ngramJaccardPairs(docs))
+    val audit = Corpus.cleanCorpusAudit(docs, clusters)
+      .select("doc_id", "outcome").as[(Long, String)].collect().toMap
+    // TOTAL: every document appears exactly once
+    assert(audit.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L), s"audit must be total: $audit")
+    assert(audit(1L) == "keep" && audit(5L) == "keep")
+    assert(audit(2L) == "duplicate")
+    assert(audit(4L) == "low_quality")
+    // 3 and 6 are near-dups of each other; the non-canonical one reports
+    // 'duplicate' (precedence), the canonical one its own repetition fail.
+    // Canonical = min doc_id under CC labeling = 3.
+    assert(audit(6L) == "duplicate", s"dup beats repetitive: ${audit(6L)}")
+    assert(Set("repetitive", "low_quality").contains(audit(3L)),
+      s"the canonical loop doc fails on its own signals: ${audit(3L)}")
+    // the keep rows ARE cleanCorpus's output
+    val kept = Corpus.cleanCorpus(docs).select("doc_id").as[Long].collect().toSet
+    assert(audit.filter(_._2 == "keep").keySet == kept,
+      "audit keep-set must equal the clean pass")
+  }
+
   test("staged pair artifact: dedupClusters and cleanCorpus match the inline path") {
     val docs = graft.core.Tables.documents(spark, sf("sf0.001"))
     val path = java.nio.file.Files.createTempDirectory("graft-pairs").toString + "/pairs"
