@@ -142,6 +142,10 @@ object SparkEntry {
     "text_normalize"      -> (TextOps.normalizeQuery(_, _)),
     "multimodal_pipeline" -> (graft.ext.Multimodal.multimodalQuery(_, _)),
     "multimodal_frames"   -> (graft.ext.Multimodal.frameSampleQuery(_, _)),
+    // REAL RIFF/PCM WAV parse vs an analytic replay of the synth formula
+    "multimodal_wav_decode" -> (graft.ext.Multimodal.wavDecodeQuery(_, _)),
+    // REAL 24bpp BMP parse (both row origins) vs the analytic gradient
+    "multimodal_bmp_decode" -> (graft.ext.Multimodal.bmpDecodeQuery(_, _)),
     // north-star composition: dedup clusters + repetition + quality
     "pipeline_clean_corpus" -> (graft.ext.Corpus.cleanCorpusQuery(_, _)),
     // filter audit: every doc's keep/drop outcome + the first failing rule
@@ -2090,6 +2094,54 @@ object SparkEntry {
            CAST(64 + max((h // 512) % 512) AS BIGINT) AS max_h,
            CAST(sum(greatest(nb // 256, 1)) AS BIGINT) AS total_frames
          FROM m GROUP BY kind""",
+    // multimodal_wav_decode: the REAL RIFF parser's output vs an analytic
+    // replay of the integer sawtooth the synthesizer wrote — the oracle
+    // never parses bytes, so any header/stride/sign bug in the parser
+    // diverges. Exact: samples are int, sum(v²) < 2^53, sqrt is IEEE.
+    "multimodal_wav_decode" ->
+      """WITH params AS (
+           SELECT doc_id, 256 + doc_id % 128 AS n, 131 + doc_id % 97 AS step
+           FROM documents
+         ), ks AS (
+           SELECT doc_id, n, step,
+             unnest(generate_series(0, n - 1)) AS k
+           FROM params
+         ), s AS (
+           SELECT doc_id, n, ((k * step + 17) % 65536) - 32768 AS v FROM ks
+         )
+         SELECT doc_id AS media_id, CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(max(n) * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(floor(sqrt(CAST(sum(v * v) AS DOUBLE) / max(n)) * 1e6 + 0.5) AS BIGINT) AS rms_q6,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(8000 AS BIGINT) AS sample_rate
+         FROM s GROUP BY doc_id""",
+    // multimodal_bmp_decode: the REAL BMP parser (bottom-up AND top-down
+    // row order by id parity) vs the analytic pixel gradient; the corner
+    // lumas pin the row origin — channel sums alone are order-invariant
+    "multimodal_bmp_decode" ->
+      """WITH params AS (
+           SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+           FROM documents
+         ), px0 AS (
+           SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS p
+           FROM params
+         ), c AS (
+           SELECT doc_id, w, h, p % w AS x, p // w AS y,
+             (13 * (p % w) + 17 * (p // w) + 3 * doc_id) % 256 AS r,
+             (7 * (p % w) + 11 * (p // w) + 2 * doc_id) % 256 AS g,
+             (5 * (p % w) + 3 * (p // w) + doc_id) % 256 AS b
+           FROM px0
+         )
+         SELECT doc_id AS media_id,
+           CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+           CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b,
+           CAST(max(CASE WHEN x = 0 AND y = 0
+             THEN (299 * r + 587 * g + 114 * b) // 1000 END) AS BIGINT) AS first_luma,
+           CAST(max(CASE WHEN x = w - 1 AND y = h - 1
+             THEN (299 * r + 587 * g + 114 * b) // 1000 END) AS BIGINT) AS last_luma
+         FROM c GROUP BY doc_id""",
     // multimodal_frames: every-4th-frame sampling of the 256-byte stub
     // frames — index set and per-frame byte mass replayed as arithmetic
     "multimodal_frames" ->

@@ -1,0 +1,199 @@
+package graft.ext
+
+/** REAL pure-JVM media codecs for the multimodal column family — no
+  * external libraries, so they run in this environment and upgrade two of
+  * [[Multimodal.StubCodec]]'s documented stubs to actual decoders:
+  *
+  *  - WAV (RIFF / PCM): chunk-walking header parse + 16-bit LE sample
+  *    extraction → duration, RMS loudness, peak amplitude. The audio
+  *    quality signals a speech-corpus pipeline filters on (silence /
+  *    clipping detection).
+  *  - BMP (BITMAPINFOHEADER, 24 bpp, top-down AND bottom-up): header
+  *    parse honoring the 4-byte row stride and row origin → dimensions,
+  *    per-channel sums, corner luma. The image stats an image-corpus
+  *    pipeline aggregates before training.
+  *
+  * Both decoders are TOTAL (`Option` — malformed bytes are a quarantine
+  * row, never a task-killing throw: one corrupt blob in a 100 TB media
+  * table must not fail the job after four retries). The companion
+  * synthesizers emit canonical files from integer-only formulas, so the
+  * SparkEntry gates can verify the decoders against an ANALYTIC DuckDB
+  * replay: the oracle recomputes the expected stats from the generator
+  * formula without ever seeing the bytes — any header-offset, stride,
+  * sign, or endianness mistake in the parser hash-fails.
+  *
+  * Everything is exact integer arithmetic except the final RMS sqrt,
+  * which both engines evaluate as the IEEE-correctly-rounded sqrt of the
+  * same exactly-representable rational (sums stay < 2^53). */
+object Codecs {
+
+  // ------------------------------------------------------------------ WAV
+
+  /** Decoded PCM WAV facts. `rmsQ6` = floor(sqrt(Σs²/n)·1e6 + 0.5) — the
+    * repo's 6-decimal fixed-point convention (oracle-portable). */
+  final case class WavInfo(channels: Int, sampleRate: Int, bits: Int,
+                           nSamples: Int, durationMs: Long,
+                           rmsQ6: Long, peak: Int)
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+      ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  /** Parse a RIFF/WAVE container: walk the chunk list (never assume the
+    * canonical 44-byte layout — real encoders insert LIST/fact chunks),
+    * require PCM 16-bit, and fold the data chunk's samples. */
+  def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {
+    if (bytes == null || bytes.length < 44) return None
+    if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // format, channels, rate, bits
+    var info: Option[WavInfo] = None
+    while (pos + 8 <= bytes.length && info.isEmpty) {
+      val id = tag(bytes, pos)
+      val size = le32(bytes, pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          fmt = Some((le16(bytes, pos + 8), le16(bytes, pos + 10),
+            le32(bytes, pos + 12), le16(bytes, pos + 22)))
+        case "data" =>
+          val (f, ch, rate, bits) = fmt.getOrElse(return None)
+          if (f != 1 || bits != 16 || ch < 1 || rate <= 0) return None
+          val bytesPerFrame = 2 * ch
+          val n = size / bytesPerFrame
+          var sumSq = 0L
+          var peak = 0
+          var k = 0
+          val base = pos + 8
+          while (k < n * ch) { // stats over every sample of every channel
+            val raw = le16(bytes, base + 2 * k)
+            val s = (raw << 16) >> 16 // sign-extend int16
+            sumSq += s.toLong * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            k += 1
+          }
+          val rmsQ6 =
+            if (n * ch == 0) 0L
+            else math.floor(math.sqrt(sumSq.toDouble / (n * ch)) * 1e6 + 0.5).toLong
+          info = Some(WavInfo(ch, rate, bits, n,
+            n.toLong * 1000L / rate, rmsQ6, peak))
+        case _ => () // LIST/fact/cue …: skip
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    info
+  }
+
+  /** Canonical 44-byte-header mono PCM-16 WAV whose sample k is the pure
+    * integer sawtooth `((k·step + phase) mod 65536) − 32768` — exactly
+    * replayable in SQL via generate_series. */
+  def synthWav(sampleRate: Int, n: Int, step: Int, phase: Int): Array[Byte] = {
+    val data = 2 * n
+    val out = new Array[Byte](44 + data)
+    def put(i: Int, s: String): Unit = { s.getBytes("US-ASCII").copyToArray(out, i) }
+    def p16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    def p32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    put(0, "RIFF"); p32(4, 36 + data); put(8, "WAVE")
+    put(12, "fmt "); p32(16, 16); p16(20, 1); p16(22, 1)
+    p32(24, sampleRate); p32(28, sampleRate * 2); p16(32, 2); p16(34, 16)
+    put(36, "data"); p32(40, data)
+    var k = 0
+    while (k < n) {
+      val s = (((k.toLong * step + phase) % 65536L).toInt & 0xFFFF) - 32768
+      p16(44 + 2 * k, s & 0xFFFF)
+      k += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------------------ BMP
+
+  /** Decoded 24-bpp BMP facts: dimensions, exact per-channel sums, and the
+    * lumas of the (0,0) and (w−1,h−1) pixels in IMAGE coordinates — the
+    * corner probes that catch a wrong row origin (bottom-up vs top-down)
+    * or a mis-sized stride, which channel SUMS alone cannot (sums are
+    * pixel-order-invariant). Luma = (299·r + 587·g + 114·b) div 1000. */
+  final case class BmpInfo(width: Int, height: Int,
+                           sumR: Long, sumG: Long, sumB: Long,
+                           firstLuma: Int, lastLuma: Int)
+
+  def decodeBmp(bytes: Array[Byte]): Option[BmpInfo] = {
+    if (bytes == null || bytes.length < 54) return None
+    if (bytes(0) != 'B' || bytes(1) != 'M') return None
+    val dataOffset = le32(bytes, 10)
+    val hdrSize = le32(bytes, 14)
+    if (hdrSize < 40) return None
+    val w = le32(bytes, 18)
+    val hRaw = le32(bytes, 22)
+    val bpp = le16(bytes, 28)
+    val compression = le32(bytes, 30)
+    if (w <= 0 || hRaw == 0 || bpp != 24 || compression != 0) return None
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (dataOffset < 54 || dataOffset.toLong + stride.toLong * h > bytes.length)
+      return None
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var firstLuma = 0; var lastLuma = 0
+    var y = 0
+    while (y < h) {
+      val storedRow = if (topDown) y else h - 1 - y
+      val rowBase = dataOffset + storedRow * stride
+      var x = 0
+      while (x < w) {
+        val b = bytes(rowBase + 3 * x) & 0xFF
+        val g = bytes(rowBase + 3 * x + 1) & 0xFF
+        val r = bytes(rowBase + 3 * x + 2) & 0xFF
+        sr += r; sg += g; sb += b
+        if (x == 0 && y == 0) firstLuma = (299 * r + 587 * g + 114 * b) / 1000
+        if (x == w - 1 && y == h - 1) lastLuma = (299 * r + 587 * g + 114 * b) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    Some(BmpInfo(w, h, sr, sg, sb, firstLuma, lastLuma))
+  }
+
+  /** 24-bpp BMP whose pixel (x, y) — image coordinates, y=0 the TOP row —
+    * is the pure integer gradient
+    * `b=(5x+3y+id) mod 256, g=(7x+11y+2id) mod 256, r=(13x+17y+3id) mod 256`;
+    * written bottom-up by default or top-down (negative height) so both
+    * row origins exercise the decoder. */
+  def synthBmp(w: Int, h: Int, id: Long, topDown: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0, s"synthBmp: bad dims ${w}x$h")
+    val stride = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](54 + stride * h)
+    def p16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    def p32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    p32(2, out.length); p32(10, 54)
+    p32(14, 40); p32(18, w); p32(22, if (topDown) -h else h)
+    p16(26, 1); p16(28, 24); p32(30, 0); p32(34, stride * h)
+    var y = 0
+    while (y < h) {
+      val storedRow = if (topDown) y else h - 1 - y
+      val rowBase = 54 + storedRow * stride
+      var x = 0
+      while (x < w) {
+        out(rowBase + 3 * x) = ((5L * x + 3L * y + id) % 256).toByte
+        out(rowBase + 3 * x + 1) = ((7L * x + 11L * y + 2 * id) % 256).toByte
+        out(rowBase + 3 * x + 2) = ((13L * x + 17L * y + 3 * id) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}

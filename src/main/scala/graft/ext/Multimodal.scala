@@ -97,7 +97,13 @@ object Multimodal {
 
   /** Decode + feature-extract, partition-batched (the mapInPandas shape:
     * an iterator of rows per partition, processed without materializing
-    * the whole partition). Projects the blob away in the output. */
+    * the whole partition). Projects the blob away in the output.
+    *
+    * Formats `wav` and `bmp` dispatch to the REAL pure-JVM parsers in
+    * [[Codecs]] (r12 — no longer stubs for those two); anything else
+    * takes the StubCodec path. A malformed wav/bmp payload decodes to
+    * None and the row is quarantined (dropped here), same contract as a
+    * null blob — never a task-killing throw. */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -105,10 +111,22 @@ object Multimodal {
       // 100 TB media table always contains somewhere): skip it here
       // instead of NPE-ing the task — a typed-lambda crash fails the
       // whole job after retries, the worst possible shape for one bad row
-      rows.filter(_.bytes != null).map { r =>
-        val (w, h) = StubCodec.decodeDims(r.bytes)
-        DecodedMedia(r.media_id, r.kind, w, h,
-          StubCodec.frameCount(r.bytes), StubCodec.features(r.bytes))
+      rows.filter(_.bytes != null).flatMap { r =>
+        r.format match {
+          case "wav" => Codecs.decodeWav(r.bytes).map(wv =>
+            DecodedMedia(r.media_id, r.kind, 0, 0, wv.nSamples,
+              Array(wv.rmsQ6 / 1e6, wv.peak.toDouble, wv.durationMs.toDouble,
+                wv.sampleRate.toDouble)))
+          case "bmp" => Codecs.decodeBmp(r.bytes).map(bi => {
+            val n = math.max(bi.width.toLong * bi.height, 1L).toDouble
+            DecodedMedia(r.media_id, r.kind, bi.width, bi.height, 1,
+              Array(bi.sumR / n, bi.sumG / n, bi.sumB / n))
+          })
+          case _ =>
+            val (w, h) = StubCodec.decodeDims(r.bytes)
+            Some(DecodedMedia(r.media_id, r.kind, w, h,
+              StubCodec.frameCount(r.bytes), StubCodec.features(r.bytes)))
+        }
       }
     }
   }
@@ -157,6 +175,51 @@ object Multimodal {
         min(col("width")).cast("long").as("min_w"),
         max(col("height")).cast("long").as("max_h"),
         sum(col("n_frames")).as("total_frames"))
+  }
+
+  /** SparkEntry query (oracled ANALYTICALLY): real WAV decode end-to-end.
+    * Each document row synthesizes a canonical mono PCM-16 WAV whose
+    * samples follow a pure integer sawtooth of (doc_id)-derived length and
+    * step, then the REAL RIFF parser ([[Codecs.decodeWav]]) re-reads the
+    * bytes and folds sample stats. The DuckDB oracle recomputes the
+    * expected stats FROM THE FORMULA via generate_series — it never sees
+    * a byte — so a header-offset, endianness, sign-extension, or
+    * chunk-walk mistake in the parser hash-fails. */
+  def wavDecodeQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (256 + id % 128).toInt
+        val step = (131 + id % 97).toInt
+        val bytes = Codecs.synthWav(8000, n, step, 17)
+        val w = Codecs.decodeWav(bytes).getOrElse(
+          throw new IllegalStateException(s"wav decode failed for media $id"))
+        (id, w.nSamples.toLong, w.durationMs, w.rmsQ6, w.peak.toLong,
+          w.channels.toLong, w.sampleRate.toLong)
+      })
+      .toDF("media_id", "n_samples", "duration_ms", "rms_q6", "peak",
+        "channels", "sample_rate")
+  }
+
+  /** SparkEntry query (oracled ANALYTICALLY): real BMP decode end-to-end,
+    * alternating bottom-up and top-down row order per media id. The
+    * corner-luma probes pin the row ORIGIN and stride handling — channel
+    * sums alone are pixel-order-invariant and would pass a parser that
+    * reads rows upside down. */
+  def bmpDecodeQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (4 + id % 13).toInt
+        val h = (3 + id % 11).toInt
+        val bytes = Codecs.synthBmp(w, h, id, topDown = id % 2 == 1)
+        val bi = Codecs.decodeBmp(bytes).getOrElse(
+          throw new IllegalStateException(s"bmp decode failed for media $id"))
+        (id, bi.width.toLong, bi.height.toLong, bi.sumR, bi.sumG, bi.sumB,
+          bi.firstLuma.toLong, bi.lastLuma.toLong)
+      })
+      .toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        "first_luma", "last_luma")
   }
 
   /** SparkEntry query (oracled): frame sampling over the video slice —

@@ -61,6 +61,73 @@ class MultimodalSpec extends SparkSpec {
     assert(leaves.size == 1, s"expected a single scan, got: $leaves")
   }
 
+  test("WAV codec: synth → real RIFF parse round trip, hand-checked vector") {
+    // hand-checkable 4-sample file: step 1000, phase 0, rate 8000
+    // samples: ((k*1000) mod 65536) - 32768 = -32768, -31768, -30768, -29768
+    val bytes = Codecs.synthWav(8000, 4, 1000, 0)
+    val w = Codecs.decodeWav(bytes).get
+    assert(w.channels == 1 && w.sampleRate == 8000 && w.bits == 16)
+    assert(w.nSamples == 4 && w.durationMs == 0L) // 4/8000 s → 0 ms (int div)
+    assert(w.peak == 32768)
+    val expectSq = Seq(-32768L, -31768L, -30768L, -29768L).map(s => s * s).sum
+    val expectRms = math.floor(math.sqrt(expectSq.toDouble / 4) * 1e6 + 0.5).toLong
+    assert(w.rmsQ6 == expectRms, s"${w.rmsQ6} vs $expectRms")
+    // chunk WALKING, not fixed offsets: splice a LIST chunk between fmt
+    // and data (real encoders do this) — parse must skip it
+    val listChunk = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      "INFO".getBytes("US-ASCII")
+    val spliced = bytes.slice(0, 36) ++ listChunk ++ bytes.slice(36, bytes.length)
+    // fix the RIFF size field (+12)
+    spliced(4) = ((bytes.length - 8 + 12) & 0xFF).toByte
+    val w2 = Codecs.decodeWav(spliced).get
+    assert(w2 == w, "a LIST chunk between fmt and data must not move the data parse")
+    // malformed inputs quarantine as None, never throw
+    assert(Codecs.decodeWav(null).isEmpty)
+    assert(Codecs.decodeWav(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Codecs.decodeWav("RIFFxxxxWAVE".getBytes ++ new Array[Byte](40)).isEmpty)
+    assert(Codecs.decodeWav(bytes.take(40)).isEmpty, "truncated data chunk")
+  }
+
+  test("BMP codec: both row origins, stride padding, corner lumas") {
+    // 3x2 bottom-up: stride = 12 (9 data + 3 pad) — decode must skip pad
+    val up = Codecs.decodeBmp(Codecs.synthBmp(3, 2, 7L, topDown = false)).get
+    val dn = Codecs.decodeBmp(Codecs.synthBmp(3, 2, 7L, topDown = true)).get
+    // channel sums are pixel-order-invariant: identical across origins
+    assert((up.sumR, up.sumG, up.sumB) == (dn.sumR, dn.sumG, dn.sumB))
+    // corner lumas are origin-SENSITIVE probes: also identical because
+    // both encodings represent the SAME image (x=0,y=0 is the top-left)
+    assert(up.firstLuma == dn.firstLuma && up.lastLuma == dn.lastLuma,
+      "top-down and bottom-up encodings of one image must decode identically")
+    // hand check pixel (0,0) of id=7: b=(0+0+7)%256=7, g=14, r=21
+    val expectFirst = (299 * 21 + 587 * 14 + 114 * 7) / 1000
+    assert(up.firstLuma == expectFirst, s"${up.firstLuma} vs $expectFirst")
+    // and pixel (2,1): b=(10+3+7)=20, g=(14+11+14)=39, r=(26+17+21)=64
+    val expectLast = (299 * 64 + 587 * 39 + 114 * 20) / 1000
+    assert(up.lastLuma == expectLast, s"${up.lastLuma} vs $expectLast")
+    assert(up.width == 3 && up.height == 2)
+    assert(up.sumR == (0 until 2).flatMap(y => (0 until 3).map(x =>
+      (13 * x + 17 * y + 21) % 256)).sum)
+    // malformed inputs quarantine
+    assert(Codecs.decodeBmp(null).isEmpty)
+    assert(Codecs.decodeBmp(new Array[Byte](54)).isEmpty) // no BM magic
+    val trunc = Codecs.synthBmp(8, 8, 1L, topDown = false).take(80)
+    assert(Codecs.decodeBmp(trunc).isEmpty, "pixel data shorter than stride*h")
+  }
+
+  test("decode dispatches wav/bmp to the real codecs and quarantines corrupt blobs") {
+    val rows = Seq(
+      MediaRow(1L, "audio", Codecs.synthWav(8000, 100, 7, 0), "wav", 0, 0, 8000, 0L),
+      MediaRow(2L, "image", Codecs.synthBmp(4, 4, 2L, topDown = false), "bmp", 0, 0, 0, 0L),
+      MediaRow(3L, "audio", Array[Byte](1, 2, 3, 4), "wav", 0, 0, 8000, 0L), // corrupt
+      MediaRow(4L, "image", mediaRow(4, "image", 300).bytes, "stub", 0, 0, 0, 0L)
+    ).toDS()
+    val out = decode(rows).collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq == Seq(1L, 2L, 4L),
+      "corrupt wav row quarantined; stub path intact")
+    assert(out(0).n_frames == 100, "wav maps nSamples into n_frames")
+    assert(out(1).width == 4 && out(1).height == 4)
+  }
+
   test("pipeline query over fixture-derived media returns per-kind stats") {
     val out = multimodalQuery(spark, sf("sf0.001"))
     val rows = out.collect()
