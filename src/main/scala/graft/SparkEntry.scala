@@ -146,6 +146,8 @@ object SparkEntry {
     "multimodal_wav_decode" -> (graft.ext.Multimodal.wavDecodeQuery(_, _)),
     // REAL 24bpp BMP parse (both row origins) vs the analytic gradient
     "multimodal_bmp_decode" -> (graft.ext.Multimodal.bmpDecodeQuery(_, _)),
+    // REAL PNG parse (zlib inflate + all 5 filters) vs the analytic gradient
+    "multimodal_png_decode" -> (graft.ext.Multimodal.pngDecodeQuery(_, _)),
     // north-star composition: dedup clusters + repetition + quality
     "pipeline_clean_corpus" -> (graft.ext.Corpus.cleanCorpusQuery(_, _)),
     // filter audit: every doc's keep/drop outcome + the first failing rule
@@ -2131,6 +2133,33 @@ object SparkEntry {
              (13 * (p % w) + 17 * (p // w) + 3 * doc_id) % 256 AS r,
              (7 * (p % w) + 11 * (p // w) + 2 * doc_id) % 256 AS g,
              (5 * (p % w) + 3 * (p // w) + doc_id) % 256 AS b
+           FROM px0
+         )
+         SELECT doc_id AS media_id,
+           CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+           CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b,
+           CAST(max(CASE WHEN x = 0 AND y = 0
+             THEN (299 * r + 587 * g + 114 * b) // 1000 END) AS BIGINT) AS first_luma,
+           CAST(max(CASE WHEN x = w - 1 AND y = h - 1
+             THEN (299 * r + 587 * g + 114 * b) // 1000 END) AS BIGINT) AS last_luma
+         FROM c GROUP BY doc_id""",
+    // multimodal_png_decode: the REAL PNG decode (DEFLATE + per-row
+    // unfiltering, filter type = y mod 5) vs the analytic gradient — the
+    // oracle never touches compression, so the entire inflate+unfilter
+    // path is pinned by pixel-exact agreement
+    "multimodal_png_decode" ->
+      """WITH params AS (
+           SELECT doc_id, 5 + doc_id % 12 AS w, 5 + doc_id % 9 AS h
+           FROM documents
+         ), px0 AS (
+           SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS p
+           FROM params
+         ), c AS (
+           SELECT doc_id, w, h, p % w AS x, p // w AS y,
+             (11 * (p % w) + 23 * (p // w) + doc_id) % 256 AS r,
+             (19 * (p % w) + 5 * (p // w) + 2 * doc_id) % 256 AS g,
+             (3 * (p % w) + 29 * (p // w) + 5 * doc_id) % 256 AS b
            FROM px0
          )
          SELECT doc_id AS media_id,

@@ -163,6 +163,194 @@ object Codecs {
     Some(BmpInfo(w, h, sr, sg, sb, firstLuma, lastLuma))
   }
 
+  // ------------------------------------------------------------------ PNG
+
+  /** Decoded 8-bit RGB PNG facts — same probe shape as [[BmpInfo]]. */
+  final case class PngInfo(width: Int, height: Int,
+                           sumR: Long, sumG: Long, sumB: Long,
+                           firstLuma: Int, lastLuma: Int)
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    .map(_.toByte)
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+
+  /** REAL PNG decode for the 8-bit/RGB (color type 2, no interlace)
+    * profile: signature + chunk walk, multi-IDAT zlib inflate
+    * (`java.util.zip.Inflater` — the JDK ships zlib), then per-row
+    * UNFILTERING of all five PNG filter types (None/Sub/Up/Average/
+    * Paeth, RFC 2083 §6). Total: anything malformed — bad signature,
+    * truncated chunk, unsupported profile, corrupt deflate stream, wrong
+    * decompressed size, invalid filter byte — quarantines as None. */
+  def decodePng(bytes: Array[Byte]): Option[PngInfo] = {
+    if (bytes == null || bytes.length < 8 + 25) return None
+    var i = 0
+    while (i < 8) { if (bytes(i) != PngSig(i)) return None; i += 1 }
+    var pos = 8
+    var w = 0; var h = 0
+    var sawIhdr = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var ended = false
+    while (!ended && pos + 8 <= bytes.length) {
+      val len = be32(bytes, pos)
+      if (len < 0 || pos + 12 + len > bytes.length) return None
+      val ctype = tag(bytes, pos + 4)
+      ctype match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32(bytes, pos + 8); h = be32(bytes, pos + 12)
+          val bitDepth = bytes(pos + 16) & 0xFF
+          val colorType = bytes(pos + 17) & 0xFF
+          val interlace = bytes(pos + 20) & 0xFF
+          if (w <= 0 || h <= 0 || bitDepth != 8 || colorType != 2 ||
+            interlace != 0) return None
+          sawIhdr = true
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => ended = true
+        case _ => () // ancillary chunks (tEXt, pHYs, …): skip
+      }
+      pos += 12 + len // len + type + data + CRC
+    }
+    if (!sawIhdr || idat.size == 0) return None
+    val stride = w * 3
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (!inf.finished() && off < raw.length) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && !inf.finished()) return None // truncated/needs-dict
+        off += n
+      }
+      if (off != raw.length) return None // wrong decompressed size
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // unfilter in place into `img` (h rows of stride bytes)
+    val img = new Array[Int](stride * h)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (stride + 1)) & 0xFF
+      if (ft > 4) return None
+      val rowIn = y * (stride + 1) + 1
+      val rowOut = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowIn + x) & 0xFF
+        val left = if (x >= 3) img(rowOut + x - 3) else 0
+        val up = if (y > 0) img(rowOut - stride + x) else 0
+        val ul = if (y > 0 && x >= 3) img(rowOut - stride + x - 3) else 0
+        img(rowOut + x) = ft match {
+          case 0 => cur
+          case 1 => (cur + left) & 0xFF
+          case 2 => (cur + up) & 0xFF
+          case 3 => (cur + (left + up) / 2) & 0xFF
+          case 4 => (cur + paeth(left, up, ul)) & 0xFF
+        }
+        x += 1
+      }
+      y += 1
+    }
+    var sr = 0L; var sg = 0L; var sb = 0L
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        sr += img(y * stride + 3 * x)
+        sg += img(y * stride + 3 * x + 1)
+        sb += img(y * stride + 3 * x + 2)
+        x += 1
+      }
+      y += 1
+    }
+    def luma(x: Int, yy: Int): Int =
+      (299 * img(yy * stride + 3 * x) + 587 * img(yy * stride + 3 * x + 1) +
+        114 * img(yy * stride + 3 * x + 2)) / 1000
+    Some(PngInfo(w, h, sr, sg, sb, luma(0, 0), luma(w - 1, h - 1)))
+  }
+
+  /** 8-bit RGB PNG of the integer gradient `r=(11x+23y+id) mod 256,
+    * g=(19x+5y+2id) mod 256, b=(3x+29y+5id) mod 256`, with row y
+    * FILTERED as type `y mod 5` (every PNG filter exercised — the
+    * encoder applies the forward filter, the decoder must invert it) and
+    * the compressed stream split across TWO IDAT chunks (decoders must
+    * concatenate). Chunk CRCs are real (`java.util.zip.CRC32`). */
+  def synthPng(w: Int, h: Int, id: Long): Array[Byte] = {
+    require(w > 0 && h > 0, s"synthPng: bad dims ${w}x$h")
+    val stride = w * 3
+    val img = new Array[Int](stride * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      img(y * stride + 3 * x) = ((11L * x + 23L * y + id) % 256).toInt
+      img(y * stride + 3 * x + 1) = ((19L * x + 5L * y + 2 * id) % 256).toInt
+      img(y * stride + 3 * x + 2) = ((3L * x + 29L * y + 5 * id) % 256).toInt
+    }
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new Array[Byte]((stride + 1) * h)
+    for (y <- 0 until h) {
+      val ft = y % 5
+      raw(y * (stride + 1)) = ft.toByte
+      for (x <- 0 until stride) {
+        val cur = img(y * stride + x)
+        val left = if (x >= 3) img(y * stride + x - 3) else 0
+        val up = if (y > 0) img((y - 1) * stride + x) else 0
+        val ul = if (y > 0 && x >= 3) img((y - 1) * stride + x - 3) else 0
+        val f = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, ul)
+        }
+        raw(y * (stride + 1) + 1 + x) = (f & 0xFF).toByte
+      }
+    }
+    val def_ = new java.util.zip.Deflater()
+    def_.setInput(raw); def_.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!def_.finished()) zbuf.write(tmp, 0, def_.deflate(tmp))
+    def_.end()
+    val z = zbuf.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(Array((len >>> 24).toByte, (len >>> 16).toByte,
+        (len >>> 8).toByte, len.toByte).map(_.toInt & 0xFF).map(_.toByte))
+      val body = ctype.getBytes("US-ASCII") ++ data
+      out.write(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(body)
+      val c = crc.getValue
+      out.write(Array((c >>> 24).toByte, (c >>> 16).toByte,
+        (c >>> 8).toByte, c.toByte))
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+    ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
+    ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8; ihdr(9) = 2; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    chunk("IHDR", ihdr)
+    val split = math.max(1, z.length / 2)
+    chunk("IDAT", z.slice(0, split))   // two IDATs: concatenation is
+    chunk("IDAT", z.slice(split, z.length)) // part of the format contract
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** 24-bpp BMP whose pixel (x, y) — image coordinates, y=0 the TOP row —
     * is the pure integer gradient
     * `b=(5x+3y+id) mod 256, g=(7x+11y+2id) mod 256, r=(13x+17y+3id) mod 256`;

@@ -122,6 +122,11 @@ object Multimodal {
             DecodedMedia(r.media_id, r.kind, bi.width, bi.height, 1,
               Array(bi.sumR / n, bi.sumG / n, bi.sumB / n))
           })
+          case "png" => Codecs.decodePng(r.bytes).map(pi => {
+            val n = math.max(pi.width.toLong * pi.height, 1L).toDouble
+            DecodedMedia(r.media_id, r.kind, pi.width, pi.height, 1,
+              Array(pi.sumR / n, pi.sumG / n, pi.sumB / n))
+          })
           case _ =>
             val (w, h) = StubCodec.decodeDims(r.bytes)
             Some(DecodedMedia(r.media_id, r.kind, w, h,
@@ -217,6 +222,28 @@ object Multimodal {
           throw new IllegalStateException(s"bmp decode failed for media $id"))
         (id, bi.width.toLong, bi.height.toLong, bi.sumR, bi.sumG, bi.sumB,
           bi.firstLuma.toLong, bi.lastLuma.toLong)
+      })
+      .toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        "first_luma", "last_luma")
+  }
+
+  /** SparkEntry query (oracled ANALYTICALLY): real PNG decode end-to-end —
+    * DEFLATE via the JDK's zlib, multi-IDAT concatenation, and per-row
+    * unfiltering with every PNG filter type exercised (the synthesizer
+    * filters row y as type y mod 5). The oracle replays the pixel
+    * gradient analytically; a wrong Paeth predictor, a missed IDAT
+    * boundary, or an off-by-one in the filter byte skew hash-fails. */
+  def pngDecodeQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (5 + id % 12).toInt
+        val h = (5 + id % 9).toInt
+        val bytes = Codecs.synthPng(w, h, id)
+        val pi = Codecs.decodePng(bytes).getOrElse(
+          throw new IllegalStateException(s"png decode failed for media $id"))
+        (id, pi.width.toLong, pi.height.toLong, pi.sumR, pi.sumG, pi.sumB,
+          pi.firstLuma.toLong, pi.lastLuma.toLong)
       })
       .toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b",
         "first_luma", "last_luma")

@@ -114,6 +114,37 @@ class MultimodalSpec extends SparkSpec {
     assert(Codecs.decodeBmp(trunc).isEmpty, "pixel data shorter than stride*h")
   }
 
+  test("PNG codec: inflate + all five filters + multi-IDAT, agrees with BMP probes") {
+    // the synth filters row y as type y mod 5 — an 8x7 image exercises
+    // None/Sub/Up/Average/Paeth, and the stream is split over two IDATs
+    val bytes = Codecs.synthPng(8, 7, 42L)
+    val pi = Codecs.decodePng(bytes).get
+    assert(pi.width == 8 && pi.height == 7)
+    // analytic expectations (same formulas as the synth gradient)
+    def px(x: Int, y: Int) = ((11 * x + 23 * y + 42) % 256,
+      (19 * x + 5 * y + 84) % 256, (3 * x + 29 * y + 210) % 256)
+    val all = for { y <- 0 until 7; x <- 0 until 8 } yield px(x, y)
+    assert(pi.sumR == all.map(_._1).sum && pi.sumG == all.map(_._2).sum &&
+      pi.sumB == all.map(_._3).sum, "unfiltered pixels must match the gradient")
+    val (r0, g0, b0) = px(0, 0)
+    assert(pi.firstLuma == (299 * r0 + 587 * g0 + 114 * b0) / 1000)
+    val (r1, g1, b1) = px(7, 6)
+    assert(pi.lastLuma == (299 * r1 + 587 * g1 + 114 * b1) / 1000)
+    // 1x1 corner case (only filter row 0; left/up all zero)
+    val tiny = Codecs.decodePng(Codecs.synthPng(1, 1, 3L)).get
+    assert(tiny.width == 1 && tiny.height == 1 &&
+      tiny.firstLuma == tiny.lastLuma)
+    // malformed inputs quarantine as None, never throw
+    assert(Codecs.decodePng(null).isEmpty)
+    assert(Codecs.decodePng(bytes.take(30)).isEmpty, "truncated chunk list")
+    assert(Codecs.decodePng(bytes.updated(1, 'Q'.toByte)).isEmpty, "bad signature")
+    val corrupt = bytes.clone() // flip a byte INSIDE the deflate stream
+    corrupt(50) = (corrupt(50) ^ 0x5A).toByte
+    assert(Codecs.decodePng(corrupt).isEmpty ||
+      Codecs.decodePng(corrupt).get != pi,
+      "a corrupted deflate stream must not silently decode to the original")
+  }
+
   test("decode dispatches wav/bmp to the real codecs and quarantines corrupt blobs") {
     val rows = Seq(
       MediaRow(1L, "audio", Codecs.synthWav(8000, 100, 7, 0), "wav", 0, 0, 8000, 0L),
