@@ -148,6 +148,8 @@ object SparkEntry {
     "multimodal_bmp_decode" -> (graft.ext.Multimodal.bmpDecodeQuery(_, _)),
     // REAL PNG parse (zlib inflate + all 5 filters) vs the analytic gradient
     "multimodal_png_decode" -> (graft.ext.Multimodal.pngDecodeQuery(_, _)),
+    // REAL resize: PNG → nearest-neighbor → BMP → re-decode, analytic replay
+    "multimodal_resize_decode" -> (graft.ext.Multimodal.resizeDecodeQuery(_, _)),
     // north-star composition: dedup clusters + repetition + quality
     "pipeline_clean_corpus" -> (graft.ext.Corpus.cleanCorpusQuery(_, _)),
     // filter audit: every doc's keep/drop outcome + the first failing rule
@@ -2169,6 +2171,37 @@ object SparkEntry {
            CAST(max(CASE WHEN x = 0 AND y = 0
              THEN (299 * r + 587 * g + 114 * b) // 1000 END) AS BIGINT) AS first_luma,
            CAST(max(CASE WHEN x = w - 1 AND y = h - 1
+             THEN (299 * r + 587 * g + 114 * b) // 1000 END) AS BIGINT) AS last_luma
+         FROM c GROUP BY doc_id""",
+    // multimodal_resize_decode: nearest-neighbor sampling map composed
+    // with the PNG gradient, then BMP re-encode/re-decode — the oracle
+    // evaluates gradient(src(x), src(y)) directly; the whole
+    // decode→resample→encode→decode chain must be pixel-exact
+    "multimodal_resize_decode" ->
+      """WITH params AS (
+           SELECT doc_id, 5 + doc_id % 12 AS w, 5 + doc_id % 9 AS h
+           FROM documents
+         ), px0 AS (
+           SELECT doc_id, w, h, unnest(generate_series(0, 7 * 6 - 1)) AS p
+           FROM params
+         ), m AS (
+           SELECT doc_id, w, h, p % 7 AS x, p // 7 AS y,
+             ((p % 7) * w) // 7 AS sx, ((p // 7) * h) // 6 AS sy
+           FROM px0
+         ), c AS (
+           SELECT doc_id, x, y,
+             (11 * sx + 23 * sy + doc_id) % 256 AS r,
+             (19 * sx + 5 * sy + 2 * doc_id) % 256 AS g,
+             (3 * sx + 29 * sy + 5 * doc_id) % 256 AS b
+           FROM m
+         )
+         SELECT doc_id AS media_id,
+           CAST(7 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+           CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b,
+           CAST(max(CASE WHEN x = 0 AND y = 0
+             THEN (299 * r + 587 * g + 114 * b) // 1000 END) AS BIGINT) AS first_luma,
+           CAST(max(CASE WHEN x = 6 AND y = 5
              THEN (299 * r + 587 * g + 114 * b) // 1000 END) AS BIGINT) AS last_luma
          FROM c GROUP BY doc_id""",
     // multimodal_frames: every-4th-frame sampling of the 256-byte stub

@@ -126,7 +126,23 @@ object Codecs {
                            sumR: Long, sumG: Long, sumB: Long,
                            firstLuma: Int, lastLuma: Int)
 
-  def decodeBmp(bytes: Array[Byte]): Option[BmpInfo] = {
+  /** Decoded interleaved-RGB pixel buffer (image coordinates, y=0 top). */
+  private[ext] final case class Pixels(w: Int, h: Int, rgb: Array[Int]) {
+    def r(x: Int, y: Int): Int = rgb(3 * (y * w + x))
+    def g(x: Int, y: Int): Int = rgb(3 * (y * w + x) + 1)
+    def b(x: Int, y: Int): Int = rgb(3 * (y * w + x) + 2)
+    def luma(x: Int, y: Int): Int =
+      (299 * r(x, y) + 587 * g(x, y) + 114 * b(x, y)) / 1000
+  }
+
+  private def statsOf(p: Pixels): (Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < p.rgb.length) { sr += p.rgb(i); sg += p.rgb(i + 1); sb += p.rgb(i + 2); i += 3 }
+    (sr, sg, sb)
+  }
+
+  private[ext] def pixelsBmp(bytes: Array[Byte]): Option[Pixels] = {
     if (bytes == null || bytes.length < 54) return None
     if (bytes(0) != 'B' || bytes(1) != 'M') return None
     val dataOffset = le32(bytes, 10)
@@ -142,26 +158,28 @@ object Codecs {
     val stride = ((w * 3 + 3) / 4) * 4
     if (dataOffset < 54 || dataOffset.toLong + stride.toLong * h > bytes.length)
       return None
-    var sr = 0L; var sg = 0L; var sb = 0L
-    var firstLuma = 0; var lastLuma = 0
+    val rgb = new Array[Int](3 * w * h)
     var y = 0
     while (y < h) {
       val storedRow = if (topDown) y else h - 1 - y
       val rowBase = dataOffset + storedRow * stride
       var x = 0
       while (x < w) {
-        val b = bytes(rowBase + 3 * x) & 0xFF
-        val g = bytes(rowBase + 3 * x + 1) & 0xFF
-        val r = bytes(rowBase + 3 * x + 2) & 0xFF
-        sr += r; sg += g; sb += b
-        if (x == 0 && y == 0) firstLuma = (299 * r + 587 * g + 114 * b) / 1000
-        if (x == w - 1 && y == h - 1) lastLuma = (299 * r + 587 * g + 114 * b) / 1000
+        rgb(3 * (y * w + x)) = bytes(rowBase + 3 * x + 2) & 0xFF     // R
+        rgb(3 * (y * w + x) + 1) = bytes(rowBase + 3 * x + 1) & 0xFF // G
+        rgb(3 * (y * w + x) + 2) = bytes(rowBase + 3 * x) & 0xFF     // B
         x += 1
       }
       y += 1
     }
-    Some(BmpInfo(w, h, sr, sg, sb, firstLuma, lastLuma))
+    Some(Pixels(w, h, rgb))
   }
+
+  def decodeBmp(bytes: Array[Byte]): Option[BmpInfo] =
+    pixelsBmp(bytes).map { p =>
+      val (sr, sg, sb) = statsOf(p)
+      BmpInfo(p.w, p.h, sr, sg, sb, p.luma(0, 0), p.luma(p.w - 1, p.h - 1))
+    }
 
   // ------------------------------------------------------------------ PNG
 
@@ -184,7 +202,13 @@ object Codecs {
     * Paeth, RFC 2083 §6). Total: anything malformed — bad signature,
     * truncated chunk, unsupported profile, corrupt deflate stream, wrong
     * decompressed size, invalid filter byte — quarantines as None. */
-  def decodePng(bytes: Array[Byte]): Option[PngInfo] = {
+  def decodePng(bytes: Array[Byte]): Option[PngInfo] =
+    pixelsPng(bytes).map { p =>
+      val (sr, sg, sb) = statsOf(p)
+      PngInfo(p.w, p.h, sr, sg, sb, p.luma(0, 0), p.luma(p.w - 1, p.h - 1))
+    }
+
+  private[ext] def pixelsPng(bytes: Array[Byte]): Option[Pixels] = {
     if (bytes == null || bytes.length < 8 + 25) return None
     var i = 0
     while (i < 8) { if (bytes(i) != PngSig(i)) return None; i += 1 }
@@ -259,22 +283,73 @@ object Codecs {
       }
       y += 1
     }
-    var sr = 0L; var sg = 0L; var sb = 0L
-    y = 0
-    while (y < h) {
+    Some(Pixels(w, h, img)) // PNG color type 2 is already interleaved RGB
+  }
+
+  /** Magic-sniffing pixel decode: BMP or PNG. */
+  private[ext] def sniffPixels(bytes: Array[Byte]): Option[Pixels] = {
+    if (bytes == null || bytes.length < 2) None
+    else if (bytes(0) == 'B' && bytes(1) == 'M') pixelsBmp(bytes)
+    else if (bytes(0) == PngSig(0) && bytes(1) == PngSig(1)) pixelsPng(bytes)
+    else None
+  }
+
+  /** Encode an RGB buffer as a canonical bottom-up 24-bpp BMP — the cheap
+    * exact re-encode target for [[resizeNearestToBmp]] (PNG re-encode
+    * would add nothing: the pixels are already verified lossless). */
+  private[ext] def encodeBmp(p: Pixels): Array[Byte] = {
+    val stride = ((p.w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](54 + stride * p.h)
+    def p16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    def p32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    p32(2, out.length); p32(10, 54)
+    p32(14, 40); p32(18, p.w); p32(22, p.h)
+    p16(26, 1); p16(28, 24); p32(30, 0); p32(34, stride * p.h)
+    var y = 0
+    while (y < p.h) {
+      val rowBase = 54 + (p.h - 1 - y) * stride
       var x = 0
-      while (x < w) {
-        sr += img(y * stride + 3 * x)
-        sg += img(y * stride + 3 * x + 1)
-        sb += img(y * stride + 3 * x + 2)
+      while (x < p.w) {
+        out(rowBase + 3 * x) = p.b(x, y).toByte
+        out(rowBase + 3 * x + 1) = p.g(x, y).toByte
+        out(rowBase + 3 * x + 2) = p.r(x, y).toByte
         x += 1
       }
       y += 1
     }
-    def luma(x: Int, yy: Int): Int =
-      (299 * img(yy * stride + 3 * x) + 587 * img(yy * stride + 3 * x + 1) +
-        114 * img(yy * stride + 3 * x + 2)) / 1000
-    Some(PngInfo(w, h, sr, sg, sb, luma(0, 0), luma(w - 1, h - 1)))
+    out
+  }
+
+  /** REAL image resize: nearest-neighbor with the deterministic integer
+    * mapping `src = (dst · srcDim) div dstDim` (exactly SQL-replayable —
+    * no float sampling grid), over a sniffed BMP/PNG payload, re-encoded
+    * as canonical BMP. Nearest-neighbor rather than a box/bilinear
+    * filter: the pipeline use is thumbnailing for dedup/feature passes
+    * where exact replayability is worth more than resample quality, and
+    * a production filter drops into the same Pixels → Pixels slot. */
+  def resizeNearestToBmp(bytes: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] = {
+    require(dstW > 0 && dstH > 0, s"resize: bad target ${dstW}x$dstH")
+    sniffPixels(bytes).map { src =>
+      val rgb = new Array[Int](3 * dstW * dstH)
+      var y = 0
+      while (y < dstH) {
+        val sy = y * src.h / dstH
+        var x = 0
+        while (x < dstW) {
+          val sx = x * src.w / dstW
+          rgb(3 * (y * dstW + x)) = src.r(sx, sy)
+          rgb(3 * (y * dstW + x) + 1) = src.g(sx, sy)
+          rgb(3 * (y * dstW + x) + 2) = src.b(sx, sy)
+          x += 1
+        }
+        y += 1
+      }
+      encodeBmp(Pixels(dstW, dstH, rgb))
+    }
   }
 
   /** 8-bit RGB PNG of the integer gradient `r=(11x+23y+id) mod 256,

@@ -146,14 +146,25 @@ object Multimodal {
     }
   }
 
-  /** Resize images: metadata updated, payload re-encoded (stub). */
+  /** Resize images. Formats `bmp`/`png` take the REAL path (r12):
+    * nearest-neighbor resample over the decoded pixels, re-encoded as
+    * canonical BMP (format updated accordingly); an undecodable payload
+    * passes through untouched (resize is a row transform, not a filter —
+    * quarantining undecodables is decode's job). Other formats keep the
+    * stub. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>
-      // null payload passes through untouched (resize is a row transform,
-      // not a filter — quarantining undecodables is decode's job)
+      // null payload passes through untouched
       if (r.kind == "image" && r.bytes != null)
-        r.copy(bytes = StubCodec.resize(r.bytes, w, h), width = w, height = h)
+        r.format match {
+          case "bmp" | "png" =>
+            Codecs.resizeNearestToBmp(r.bytes, w, h)
+              .map(out => r.copy(bytes = out, format = "bmp", width = w, height = h))
+              .getOrElse(r)
+          case _ =>
+            r.copy(bytes = StubCodec.resize(r.bytes, w, h), width = w, height = h)
+        }
       else r
     }
   }
@@ -244,6 +255,30 @@ object Multimodal {
           throw new IllegalStateException(s"png decode failed for media $id"))
         (id, pi.width.toLong, pi.height.toLong, pi.sumR, pi.sumG, pi.sumB,
           pi.firstLuma.toLong, pi.lastLuma.toLong)
+      })
+      .toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        "first_luma", "last_luma")
+  }
+
+  /** SparkEntry query (oracled ANALYTICALLY): the REAL resize path
+    * end-to-end — synth PNG → nearest-neighbor resample to 7×6 → BMP
+    * re-encode → BMP re-decode → stats. The oracle composes the pixel
+    * gradient with the integer sampling map `src = (dst·srcDim) div
+    * dstDim`; a wrong mapping, a swapped axis, or a re-encode stride bug
+    * hash-fails. */
+  def resizeDecodeQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (5 + id % 12).toInt
+        val h = (5 + id % 9).toInt
+        val png = Codecs.synthPng(w, h, id)
+        val bmp = Codecs.resizeNearestToBmp(png, 7, 6).getOrElse(
+          throw new IllegalStateException(s"resize failed for media $id"))
+        val bi = Codecs.decodeBmp(bmp).getOrElse(
+          throw new IllegalStateException(s"re-decode failed for media $id"))
+        (id, bi.width.toLong, bi.height.toLong, bi.sumR, bi.sumG, bi.sumB,
+          bi.firstLuma.toLong, bi.lastLuma.toLong)
       })
       .toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b",
         "first_luma", "last_luma")

@@ -145,6 +145,36 @@ class MultimodalSpec extends SparkSpec {
       "a corrupted deflate stream must not silently decode to the original")
   }
 
+  test("real resize: nearest-neighbor mapping, format sniff, BMP re-encode round trip") {
+    // 8x4 PNG → 4x2: sx = x*8/4 = 2x, sy = y*4/2 = 2y — every output
+    // pixel is the even-coordinate source pixel
+    val png = Codecs.synthPng(8, 4, 9L)
+    val out = Codecs.resizeNearestToBmp(png, 4, 2).get
+    val bi = Codecs.decodeBmp(out).get
+    assert(bi.width == 4 && bi.height == 2)
+    def src(x: Int, y: Int) = ((11 * x + 23 * y + 9) % 256,
+      (19 * x + 5 * y + 18) % 256, (3 * x + 29 * y + 45) % 256)
+    val picked = for { y <- 0 until 2; x <- 0 until 4 } yield src(2 * x, 2 * y)
+    assert(bi.sumR == picked.map(_._1).sum && bi.sumG == picked.map(_._2).sum &&
+      bi.sumB == picked.map(_._3).sum, "resize must sample src=(dst*srcDim)/dstDim")
+    // upscale works too (repeats pixels), and BMP input sniffs
+    val bmp = Codecs.synthBmp(2, 2, 5L, topDown = false)
+    val up = Codecs.decodeBmp(Codecs.resizeNearestToBmp(bmp, 4, 4).get).get
+    assert(up.width == 4 && up.height == 4)
+    assert(up.firstLuma == Codecs.decodeBmp(bmp).get.firstLuma,
+      "upscale keeps the corner pixel")
+    // undecodable bytes → None (and Multimodal.resize passes the row through)
+    assert(Codecs.resizeNearestToBmp(Array[Byte](1, 2, 3), 4, 4).isEmpty)
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(1L, "image", png, "png", 8, 4, 0, 0L),
+      MediaRow(2L, "image", Array[Byte](9, 9), "png", 0, 0, 0, 0L)).toDS()
+    val resized = Multimodal.resize(rows, 4, 2).collect().sortBy(_.media_id)
+    assert(resized(0).format == "bmp" && resized(0).width == 4)
+    assert(resized(1).bytes.toSeq == Seq[Byte](9, 9),
+      "undecodable payload passes through untouched")
+  }
+
   test("decode dispatches wav/bmp to the real codecs and quarantines corrupt blobs") {
     val rows = Seq(
       MediaRow(1L, "audio", Codecs.synthWav(8000, 100, 7, 0), "wav", 0, 0, 8000, 0L),
