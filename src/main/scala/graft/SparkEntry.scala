@@ -150,6 +150,8 @@ object SparkEntry {
     "multimodal_png_decode" -> (graft.ext.Multimodal.pngDecodeQuery(_, _)),
     // REAL resize: PNG → nearest-neighbor → BMP → re-decode, analytic replay
     "multimodal_resize_decode" -> (graft.ext.Multimodal.resizeDecodeQuery(_, _)),
+    // REAL audio framing: 160-sample windows + integer energy per frame
+    "multimodal_audio_frames" -> (graft.ext.Multimodal.audioFramesQuery(_, _)),
     // north-star composition: dedup clusters + repetition + quality
     "pipeline_clean_corpus" -> (graft.ext.Corpus.cleanCorpusQuery(_, _)),
     // filter audit: every doc's keep/drop outcome + the first failing rule
@@ -2204,6 +2206,27 @@ object SparkEntry {
            CAST(max(CASE WHEN x = 6 AND y = 5
              THEN (299 * r + 587 * g + 114 * b) // 1000 END) AS BIGINT) AS last_luma
          FROM c GROUP BY doc_id""",
+    // multimodal_audio_frames: REAL WAV framing (160-sample windows, last
+    // short frame kept) vs the sawtooth grouped by k div 160 — exact
+    // integer energy probes, no float drift
+    "multimodal_audio_frames" ->
+      """WITH params AS (
+           SELECT doc_id, 256 + doc_id % 128 AS n, 131 + doc_id % 97 AS step
+           FROM documents
+         ), ks AS (
+           SELECT doc_id, step,
+             unnest(generate_series(0, n - 1)) AS k
+           FROM params
+         ), s AS (
+           SELECT doc_id, k // 160 AS frame_no,
+             ((k * step + 17) % 65536) - 32768 AS v
+           FROM ks
+         )
+         SELECT doc_id AS media_id, CAST(frame_no AS BIGINT) AS frame_no,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(max(abs(v)) AS BIGINT) AS peak
+         FROM s GROUP BY doc_id, frame_no""",
     // multimodal_frames: every-4th-frame sampling of the 256-byte stub
     // frames — index set and per-frame byte mass replayed as arithmetic
     "multimodal_frames" ->

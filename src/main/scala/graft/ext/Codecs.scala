@@ -181,6 +181,63 @@ object Codecs {
       BmpInfo(p.w, p.h, sr, sg, sb, p.luma(0, 0), p.luma(p.w - 1, p.h - 1))
     }
 
+  /** One fixed-length analysis window of a PCM stream — the audio analog
+    * of video frame sampling. `sumAbs`/`peak` are exact integer energy
+    * probes (VAD-style silence/clipping signals) so a SQL oracle replays
+    * them without float drift. */
+  final case class AudioFrame(frameNo: Int, nSamples: Int, sumAbs: Long, peak: Int)
+
+  /** REAL audio framing: decode the WAV, then window the sample stream
+    * into `frameLen`-sample frames (the final short frame is kept — a
+    * real VAD scores it too). Mono 16-bit PCM, same parser as
+    * [[decodeWav]]. */
+  def wavFrames(bytes: Array[Byte], frameLen: Int): Option[Vector[AudioFrame]] = {
+    require(frameLen > 0, s"wavFrames: bad frame length $frameLen")
+    if (bytes == null || bytes.length < 44) return None
+    if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None
+    while (pos + 8 <= bytes.length) {
+      val id = tag(bytes, pos)
+      val size = le32(bytes, pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          fmt = Some((le16(bytes, pos + 8), le16(bytes, pos + 10),
+            le32(bytes, pos + 12), le16(bytes, pos + 22)))
+        case "data" =>
+          val (f, ch, _, bits) = fmt.getOrElse(return None)
+          if (f != 1 || bits != 16 || ch != 1) return None
+          val n = size / 2
+          val base = pos + 8
+          val out = Vector.newBuilder[AudioFrame]
+          var start = 0
+          var frameNo = 0
+          while (start < n) {
+            val end = math.min(start + frameLen, n)
+            var sumAbs = 0L
+            var peak = 0
+            var k = start
+            while (k < end) {
+              val s = (le16(bytes, base + 2 * k) << 16) >> 16
+              val a = math.abs(s)
+              sumAbs += a
+              if (a > peak) peak = a
+              k += 1
+            }
+            out += AudioFrame(frameNo, end - start, sumAbs, peak)
+            frameNo += 1
+            start = end
+          }
+          return Some(out.result())
+        case _ => ()
+      }
+      pos += 8 + size + (size & 1)
+    }
+    None
+  }
+
   // ------------------------------------------------------------------ PNG
 
   /** Decoded 8-bit RGB PNG facts — same probe shape as [[BmpInfo]]. */

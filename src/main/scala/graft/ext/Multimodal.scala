@@ -284,6 +284,26 @@ object Multimodal {
         "first_luma", "last_luma")
   }
 
+  /** SparkEntry query (oracled ANALYTICALLY): REAL audio framing — the
+    * WAV sample stream windowed into 160-sample frames (20 ms at 8 kHz,
+    * the standard VAD hop) with exact integer energy probes per frame,
+    * final short frame kept. One row per (media, frame). The oracle
+    * groups the sawtooth by k div 160. */
+  def audioFramesQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val n = (256 + id % 128).toInt
+        val step = (131 + id % 97).toInt
+        val bytes = Codecs.synthWav(8000, n, step, 17)
+        Codecs.wavFrames(bytes, frameLen = 160).getOrElse(
+            throw new IllegalStateException(s"wav framing failed for media $id"))
+          .map(f => (id, f.frameNo.toLong, f.nSamples.toLong, f.sumAbs,
+            f.peak.toLong))
+      })
+      .toDF("media_id", "frame_no", "n_samples", "sum_abs", "peak")
+  }
+
   /** SparkEntry query (oracled): frame sampling over the video slice —
     * every 4th frame, per-video sampled-frame count and byte mass. The
     * stub demuxer is pure byte arithmetic (256-byte frames), so the

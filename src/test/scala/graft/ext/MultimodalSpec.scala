@@ -145,6 +145,22 @@ class MultimodalSpec extends SparkSpec {
       "a corrupted deflate stream must not silently decode to the original")
   }
 
+  test("audio framing: fixed windows, short final frame, exact energies") {
+    // 5 samples, frameLen 2 → frames of 2, 2, 1
+    val bytes = Codecs.synthWav(8000, 5, 1000, 0)
+    val frames = Codecs.wavFrames(bytes, frameLen = 2).get
+    assert(frames.map(f => (f.frameNo, f.nSamples)) ==
+      Vector((0, 2), (1, 2), (2, 1)), s"got $frames")
+    // samples: -32768, -31768, -30768, -29768, -28768
+    assert(frames(0).sumAbs == 32768L + 31768L && frames(0).peak == 32768)
+    assert(frames(2).sumAbs == 28768L && frames(2).peak == 28768)
+    // a frame length covering everything yields one frame = whole-file stats
+    val whole = Codecs.wavFrames(bytes, frameLen = 100).get
+    assert(whole.size == 1 && whole(0).sumAbs == frames.map(_.sumAbs).sum)
+    // malformed input → None
+    assert(Codecs.wavFrames(Array[Byte](1, 2), 160).isEmpty)
+  }
+
   test("real resize: nearest-neighbor mapping, format sniff, BMP re-encode round trip") {
     // 8x4 PNG → 4x2: sx = x*8/4 = 2x, sy = y*4/2 = 2y — every output
     // pixel is the even-coordinate source pixel
