@@ -152,6 +152,8 @@ object SparkEntry {
     "multimodal_resize_decode" -> (graft.ext.Multimodal.resizeDecodeQuery(_, _)),
     // REAL audio framing: 160-sample windows + integer energy per frame
     "multimodal_audio_frames" -> (graft.ext.Multimodal.audioFramesQuery(_, _)),
+    // REAL G.711 µ-law expansion inside the RIFF parser, analytic replay
+    "multimodal_ulaw_decode" -> (graft.ext.Multimodal.ulawDecodeQuery(_, _)),
     // north-star composition: dedup clusters + repetition + quality
     "pipeline_clean_corpus" -> (graft.ext.Corpus.cleanCorpusQuery(_, _)),
     // filter audit: every doc's keep/drop outcome + the first failing rule
@@ -2227,6 +2229,31 @@ object SparkEntry {
            CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
            CAST(max(abs(v)) AS BIGINT) AS peak
          FROM s GROUP BY doc_id, frame_no""",
+    // multimodal_ulaw_decode: the CCITT ulaw2linear formula replayed in
+    // SQL — complement, mantissa/exponent split, shift, sign — against
+    // the parser's per-byte expansion; bits=8 pins the format dispatch
+    "multimodal_ulaw_decode" ->
+      """WITH params AS (
+           SELECT doc_id, 200 + doc_id % 100 AS n FROM documents
+         ), ks AS (
+           SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS k
+           FROM params
+         ), dec AS (
+           SELECT doc_id, n,
+             CASE WHEN (255 - ((k * 131 + doc_id % 256) % 256)) >= 128
+               THEN 132 - ((((255 - ((k * 131 + doc_id % 256) % 256)) % 16) * 8 + 132)
+                 * (1 << (((255 - ((k * 131 + doc_id % 256) % 256)) // 16) % 8)))
+               ELSE ((((255 - ((k * 131 + doc_id % 256) % 256)) % 16) * 8 + 132)
+                 * (1 << (((255 - ((k * 131 + doc_id % 256) % 256)) // 16) % 8))) - 132
+             END AS s
+           FROM ks
+         )
+         SELECT doc_id AS media_id, CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(max(n) * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(floor(sqrt(CAST(sum(s * s) AS DOUBLE) / max(n)) * 1e6 + 0.5) AS BIGINT) AS rms_q6,
+           CAST(max(abs(s)) AS BIGINT) AS peak,
+           CAST(8 AS BIGINT) AS bits
+         FROM dec GROUP BY doc_id""",
     // multimodal_frames: every-4th-frame sampling of the 256-byte stub
     // frames — index set and per-frame byte mass replayed as arithmetic
     "multimodal_frames" ->

@@ -43,9 +43,19 @@ object Codecs {
   private def tag(b: Array[Byte], i: Int): String =
     new String(b, i, 4, "US-ASCII")
 
+  /** G.711 µ-law byte → linear PCM-ish value (the CCITT ulaw2linear
+    * formula): complement, then magnitude ((mant·8 + 132) << exp) − 132
+    * with the sign bit negating. Pure integer — SQL-replayable. */
+  private[ext] def ulaw2linear(b: Byte): Int = {
+    val u = (~b) & 0xFF
+    val t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
   /** Parse a RIFF/WAVE container: walk the chunk list (never assume the
     * canonical 44-byte layout — real encoders insert LIST/fact chunks),
-    * require PCM 16-bit, and fold the data chunk's samples. */
+    * accept PCM 16-bit (format 1) or G.711 µ-law 8-bit (format 7), and
+    * fold the data chunk's samples. */
   def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {
     if (bytes == null || bytes.length < 44) return None
     if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
@@ -63,24 +73,28 @@ object Codecs {
             le32(bytes, pos + 12), le16(bytes, pos + 22)))
         case "data" =>
           val (f, ch, rate, bits) = fmt.getOrElse(return None)
-          if (f != 1 || bits != 16 || ch < 1 || rate <= 0) return None
-          val bytesPerFrame = 2 * ch
-          val n = size / bytesPerFrame
+          val pcm16 = f == 1 && bits == 16
+          val ulaw = f == 7 && bits == 8
+          if ((!pcm16 && !ulaw) || ch < 1 || rate <= 0) return None
+          val bytesPerSample = if (pcm16) 2 else 1
+          val n = size / (bytesPerSample * ch)
+          val count = n * ch
           var sumSq = 0L
           var peak = 0
           var k = 0
           val base = pos + 8
-          while (k < n * ch) { // stats over every sample of every channel
-            val raw = le16(bytes, base + 2 * k)
-            val s = (raw << 16) >> 16 // sign-extend int16
+          while (k < count) { // stats over every sample of every channel
+            val s =
+              if (pcm16) (le16(bytes, base + 2 * k) << 16) >> 16 // sign-extend
+              else ulaw2linear(bytes(base + k))
             sumSq += s.toLong * s
             val a = math.abs(s)
             if (a > peak) peak = a
             k += 1
           }
           val rmsQ6 =
-            if (n * ch == 0) 0L
-            else math.floor(math.sqrt(sumSq.toDouble / (n * ch)) * 1e6 + 0.5).toLong
+            if (count == 0) 0L
+            else math.floor(math.sqrt(sumSq.toDouble / count) * 1e6 + 0.5).toLong
           info = Some(WavInfo(ch, rate, bits, n,
             n.toLong * 1000L / rate, rmsQ6, peak))
         case _ => () // LIST/fact/cue …: skip
@@ -88,6 +102,31 @@ object Codecs {
       pos += 8 + size + (size & 1) // chunks are word-aligned
     }
     info
+  }
+
+  /** Canonical µ-law mono WAV (WAVE_FORMAT_MULAW, 18-byte fmt chunk with
+    * cbSize=0 — the spec shape for non-PCM formats, which also exercises
+    * the parser's size-flexible chunk walk): encoded byte k is
+    * `(k·step + phase) mod 256`. */
+  def synthWavUlaw(sampleRate: Int, n: Int, step: Int, phase: Int): Array[Byte] = {
+    val out = new Array[Byte](12 + 8 + 18 + 8 + n)
+    def put(i: Int, s: String): Unit = { s.getBytes("US-ASCII").copyToArray(out, i) }
+    def p16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    def p32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    put(0, "RIFF"); p32(4, out.length - 8); put(8, "WAVE")
+    put(12, "fmt "); p32(16, 18); p16(20, 7); p16(22, 1)
+    p32(24, sampleRate); p32(28, sampleRate); p16(32, 1); p16(34, 8)
+    p16(36, 0) // cbSize
+    put(38, "data"); p32(42, n)
+    var k = 0
+    while (k < n) {
+      out(46 + k) = (((k.toLong * step + phase) % 256L).toInt & 0xFF).toByte
+      k += 1
+    }
+    out
   }
 
   /** Canonical 44-byte-header mono PCM-16 WAV whose sample k is the pure

@@ -304,6 +304,24 @@ object Multimodal {
       .toDF("media_id", "frame_no", "n_samples", "sum_abs", "peak")
   }
 
+  /** SparkEntry query (oracled ANALYTICALLY): G.711 µ-law WAV decode —
+    * the telephony-audio compressed format, expanded per sample through
+    * the CCITT ulaw2linear integer formula inside the same RIFF parser.
+    * The oracle replays the complement/shift/sign formula in SQL. */
+  def ulawDecodeQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (200 + id % 100).toInt
+        val bytes = Codecs.synthWavUlaw(8000, n, 131, (id % 256).toInt)
+        val w = Codecs.decodeWav(bytes).getOrElse(
+          throw new IllegalStateException(s"ulaw decode failed for media $id"))
+        (id, w.nSamples.toLong, w.durationMs, w.rmsQ6, w.peak.toLong,
+          w.bits.toLong)
+      })
+      .toDF("media_id", "n_samples", "duration_ms", "rms_q6", "peak", "bits")
+  }
+
   /** SparkEntry query (oracled): frame sampling over the video slice —
     * every 4th frame, per-video sampled-frame count and byte mass. The
     * stub demuxer is pure byte arithmetic (256-byte frames), so the

@@ -145,6 +145,33 @@ class MultimodalSpec extends SparkSpec {
       "a corrupted deflate stream must not silently decode to the original")
   }
 
+  test("codec property: 120 random dims round-trip exactly in both formats") {
+    // every stride-padding class (w mod 4), tiny and oblong shapes, and
+    // the BMP/PNG pair must agree pixel-for-pixel on the same gradient:
+    // two independent encoders + two independent parsers, one truth
+    val rnd = new scala.util.Random(777L)
+    for (i <- 0 until 120) {
+      val w = 1 + rnd.nextInt(24)
+      val h = 1 + rnd.nextInt(17)
+      val id = rnd.nextLong(1000000L)
+      val bi = Codecs.decodeBmp(Codecs.synthBmp(w, h, id, topDown = i % 2 == 0)).get
+      assert(bi.width == w && bi.height == h, s"case $i: ${w}x$h id=$id")
+      // analytic BMP sums
+      val px = for { y <- 0 until h; x <- 0 until w } yield
+        ((13L * x + 17 * y + 3 * id) % 256, (7L * x + 11 * y + 2 * id) % 256,
+          (5L * x + 3 * y + id) % 256)
+      assert(bi.sumR == px.map(_._1).sum && bi.sumG == px.map(_._2).sum &&
+        bi.sumB == px.map(_._3).sum, s"case $i BMP sums: ${w}x$h id=$id")
+      val pi = Codecs.decodePng(Codecs.synthPng(w, h, id)).get
+      assert(pi.width == w && pi.height == h, s"case $i PNG: ${w}x$h id=$id")
+      // resize round-trip stays in range and keeps dims for identity scale
+      val same = Codecs.decodeBmp(
+        Codecs.resizeNearestToBmp(Codecs.synthBmp(w, h, id, false), w, h).get).get
+      assert((same.sumR, same.sumG, same.sumB) == (bi.sumR, bi.sumG, bi.sumB),
+        s"case $i: identity resize must be lossless")
+    }
+  }
+
   test("audio framing: fixed windows, short final frame, exact energies") {
     // 5 samples, frameLen 2 → frames of 2, 2, 1
     val bytes = Codecs.synthWav(8000, 5, 1000, 0)
@@ -159,6 +186,27 @@ class MultimodalSpec extends SparkSpec {
     assert(whole.size == 1 && whole(0).sumAbs == frames.map(_.sumAbs).sum)
     // malformed input → None
     assert(Codecs.wavFrames(Array[Byte](1, 2), 160).isEmpty)
+  }
+
+  test("µ-law codec: canonical G.711 vectors, format-7 dispatch in the RIFF parser") {
+    // canonical ulaw2linear table endpoints (CCITT G.711)
+    assert(Codecs.ulaw2linear(0x00.toByte) == -32124)
+    assert(Codecs.ulaw2linear(0x80.toByte) == 32124)
+    assert(Codecs.ulaw2linear(0xFF.toByte) == 0)
+    assert(Codecs.ulaw2linear(0x7F.toByte) == 0)
+    // full-byte-range WAV round trip through the parser
+    val bytes = Codecs.synthWavUlaw(8000, 256, 1, 0) // every code once
+    val w = Codecs.decodeWav(bytes).get
+    assert(w.bits == 8 && w.channels == 1 && w.sampleRate == 8000)
+    assert(w.nSamples == 256 && w.peak == 32124,
+      s"all 256 codes include the extremes: $w")
+    val expect = (0 until 256).map(c => Codecs.ulaw2linear(c.toByte))
+    val rms = math.floor(math.sqrt(
+      expect.map(s => s.toLong * s).sum.toDouble / 256) * 1e6 + 0.5).toLong
+    assert(w.rmsQ6 == rms)
+    // an unsupported format (e.g. 3 = IEEE float) quarantines
+    val bad = bytes.clone(); bad(20) = 3
+    assert(Codecs.decodeWav(bad).isEmpty)
   }
 
   test("real resize: nearest-neighbor mapping, format sniff, BMP re-encode round trip") {
