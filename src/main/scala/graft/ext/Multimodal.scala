@@ -322,6 +322,29 @@ object Multimodal {
       .toDF("media_id", "n_samples", "duration_ms", "rms_q6", "peak", "bits")
   }
 
+  /** Streaming audio-admission transformer (F1-registerable, `OpSpec
+    * .Named`): the stream `value` column carries a base64 WAV (the
+    * realistic wire shape for binary media on a JSON topic); each row
+    * decodes through the REAL RIFF parser and survives only when its RMS
+    * clears `minRmsQ6` — the edge silence gate a speech-ingest pipeline
+    * runs before paying storage for dead air. Undecodable payloads drop
+    * (decode-quarantine semantics); survivors carry `rms_q6` and
+    * `duration_ms`. A UDF rather than a codegen'd expression because the
+    * decode is an inherently black-box byte parser (the mapInPandas-style
+    * boundary), applied AFTER the stream's cheap row filters. */
+  def audioAdmit(minRmsQ6: Long): DataFrame => DataFrame = { df =>
+    val decode = udf((v: String) =>
+      if (v == null) None
+      else (try Codecs.decodeWav(java.util.Base64.getDecoder.decode(v))
+      catch { case _: IllegalArgumentException => None }) // not base64
+        .map(w => (w.rmsQ6, w.durationMs)))
+    df.withColumn("__wav", decode(col("value")))
+      .filter(col("__wav").isNotNull && col("__wav._1") >= minRmsQ6)
+      .withColumn("rms_q6", col("__wav._1"))
+      .withColumn("duration_ms", col("__wav._2"))
+      .drop("__wav")
+  }
+
   /** SparkEntry query (oracled): frame sampling over the video slice —
     * every 4th frame, per-video sampled-frame count and byte mass. The
     * stub demuxer is pure byte arithmetic (256-byte frames), so the

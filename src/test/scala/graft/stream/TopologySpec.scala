@@ -533,6 +533,37 @@ class TopologySpec extends SparkSpec {
     mgr.stopAll()
   }
 
+  test("audio-admission node: real WAV decode gates silence out of the stream") {
+    import graft.ext.{Codecs, Multimodal}
+    val io = new MemoryIO(spark)
+    val reg = new FunctionRegistry
+    // registry function = the codec-backed admission transformer (F1 + T3
+    // + the r12 codec family composed in the streaming plane)
+    reg.registerTransformer("audio_admit", Multimodal.audioAdmit(minRmsQ6 = 1000000L))
+    val topo = new Topology(io, reg)
+    topo.addNode(StreamNode(NodeName.parse("kafka/voice"), Set.empty, None, None, None))
+    topo.addNode(StreamNode(NodeName.parse("stream/vad"), Set("kafka/voice"),
+      Some(OpSpec.Named("audio_admit")), Some(BufferSpec.Fixed(100)), None))
+    topo.addNode(StreamNode(NodeName.parse("kafka/kept"), Set("stream/vad"), None, None, None))
+    val mgr = new StreamManager(topo)
+    val b64 = java.util.Base64.getEncoder
+    // loud sawtooth (rms ≈ 18.9k·1e6 q6), digital silence (all-zero PCM),
+    // and a corrupt payload — only the loud one may pass
+    io.publish("kafka/voice", "loud", b64.encodeToString(Codecs.synthWav(8000, 200, 1000, 0)))
+    io.publish("kafka/voice", "silent", b64.encodeToString(Codecs.synthWav(8000, 200, 0, 32768)))
+    io.publish("kafka/voice", "junk", "bm90LWEtd2F2") // base64("not-a-wav")
+    mgr.applyGraph()
+    mgr.processAllAvailable()
+    val kept = io.collected("kept")
+    assert(kept.map(_.getAs[String]("key")) == Seq("loud"),
+      s"only the loud clip survives the VAD gate: ${kept.map(_.getAs[String]("key"))}")
+    val rms = kept.head.getAs[Long]("rms_q6")
+    val expect = Codecs.decodeWav(Codecs.synthWav(8000, 200, 1000, 0)).get.rmsQ6
+    assert(rms == expect, s"admitted row carries the decoded RMS: $rms vs $expect")
+    assert(kept.head.getAs[Long]("duration_ms") == 25L) // 200 / 8000 s
+    mgr.stopAll()
+  }
+
   test("intervalJoin op-spec: declarative stream-stream correlation node") {
     val io = new MemoryIO(spark)
     val topo = new Topology(io)
