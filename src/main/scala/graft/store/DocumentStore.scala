@@ -214,22 +214,46 @@ class DocumentStore(val spark: SparkSession, val path: String) {
     * one file per valid_date partition (read view unchanged — same rows).
     * At warehouse scale this is the periodic compaction job every
     * append-log table needs; here it runs under the store's write lock. */
-  def compact(): Unit = lock.synchronized {
+  def compact(): Unit = rewriteTable("compact", identity)
+
+  /** Crux `evict`: PHYSICAL erasure of every version of the given ids —
+    * the GDPR right-to-be-forgotten operation, and the one thing a
+    * tombstone [[delete]] deliberately does NOT do (delete ends
+    * visibility; history, as-of reads before the delete, and the payload
+    * bytes all remain). Eviction rewrites the version log without the
+    * ids' rows — the only way to truly remove data from an immutable
+    * append log (crux's evict rewrites its KV indexes the same way) —
+    * using [[compact]]'s crash-safe rename-rename swap and the same
+    * clustered layout. Serialized with writers under the store lock; a
+    * subsequent [[entity]]/[[history]]/[[changes]] shows NO trace of the
+    * id, as if it never existed. Heavier than delete by design: one
+    * full-table rewrite per eviction batch, so batch ids and run
+    * off-peak, like compaction. */
+  def evict(ids: Seq[String]): Unit = {
+    require(ids.nonEmpty, "evict: no ids given")
+    require(ids.forall(i => i != null && i.nonEmpty), "evict: null/empty id")
+    rewriteTable("evict", _.filter(!col("id").isin(ids: _*)))
+  }
+
+  def evict(id: String): Unit = evict(Seq(id))
+
+  private def rewriteTable(opName: String,
+                           transform: DataFrame => DataFrame): Unit = lock.synchronized {
     requireOpen()
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a previous compact that crashed between its two renames left the data
+    // a previous rewrite that crashed between its two renames left the data
     // at `.old` and the path absent — restore it first (readers were
     // already being served from `.old` by versionsRaw's fallback)
     val prevBak = new Path(path + ".old")
     if (!fs.exists(p) && fs.exists(prevBak) && !fs.rename(prevBak, p))
       throw new java.io.IOException(
-        s"compact: crashed-swap recovery rename $prevBak -> $p failed")
+        s"$opName: crashed-swap recovery rename $prevBak -> $p failed")
     if (!fs.exists(p)) return
     val tmp = new Path(path + ".compact")
     // one file per date partition, rows CLUSTERED by (id, validFrom): parquet
-    // row-group min/max stats on `id` become tight ranges, so post-compaction
+    // row-group min/max stats on `id` become tight ranges, so post-rewrite
     // entity()/history(id) point reads skip every row group but the entity's
     // own — the SURVEY §4 "partitioned by date(valid_from), sorted by id"
     // layout
@@ -237,7 +261,7 @@ class DocumentStore(val spark: SparkSession, val path: String) {
     // deriving them via to_date in THIS session's timezone could silently
     // re-bucket rows written under another zone (still readable thanks to
     // the as-of prune slack, but a layout shift and a wasted projection)
-    versionsRaw()
+    transform(versionsRaw())
       .repartition(col("valid_date"))
       .sortWithinPartitions(col("valid_date"), col("id"), col("validFrom"))
       .write.mode(SaveMode.Overwrite).partitionBy("valid_date")
@@ -255,10 +279,10 @@ class DocumentStore(val spark: SparkSession, val path: String) {
     // the only surviving copy; abort instead, leaving tmp/bak for recovery
     if (!fs.rename(p, bak))
       throw new java.io.IOException(
-        s"compact: rename $p -> $bak failed; compacted data left at $tmp")
+        s"$opName: rename $p -> $bak failed; rewritten data left at $tmp")
     if (!fs.rename(tmp, p))
       throw new java.io.IOException(
-        s"compact: rename $tmp -> $p failed; original data left at $bak")
+        s"$opName: rename $tmp -> $p failed; original data left at $bak")
     if (fs.exists(p)) fs.delete(bak, true)
   }
 

@@ -240,6 +240,41 @@ class DocumentStoreSpec extends SparkSpec {
     }
   }
 
+  test("evict physically erases every version — delete does not (crux evict, GDPR)") {
+    val path = Files.createTempDirectory("docstore-evict").toString + "/db"
+    val store = DocumentStore(spark, path)
+    try {
+      // versions across multiple valid_date partitions + a tombstone
+      store.put("user1", """{"name":"ada","email":"a@x"}""")
+      store.put("user1", """{"name":"ada","email":"a2@x"}""",
+        validFrom = Some(java.sql.Timestamp.valueOf("2020-06-01 00:00:00")))
+      store.put("user2", """{"name":"bob"}""")
+      store.delete("user1")
+      // delete = tombstone: invisible NOW but history and old snapshots remain
+      assert(store.entity("user1").isEmpty)
+      assert(store.history("user1").count() == 3, "tombstone delete keeps history")
+      store.evict("user1")
+      // evict = erasure: NO trace anywhere — history, changes, snapshots
+      assert(store.entity("user1").isEmpty)
+      assert(store.history("user1").count() == 0, "evict erases the whole chain")
+      assert(store.changes().filter("id = 'user1'").count() == 0,
+        "the CDC view must not resurrect evicted payloads")
+      assert(store.versions().filter("id = 'user1'").count() == 0)
+      // bystanders keep their full history
+      assert(store.entity("user2").contains("""{"name":"bob"}"""))
+      assert(store.history("user2").count() == 1)
+      // the id can start a NEW life afterwards (crux semantics)
+      store.put("user1", """{"name":"eve"}""")
+      assert(store.entity("user1").contains("""{"name":"eve"}"""))
+      assert(store.history("user1").count() == 1, "fresh chain, no ghosts")
+      // batch form + validation
+      store.evict(Seq("user1", "never-existed")) // unknown ids are a no-op
+      assert(store.entity("user1").isEmpty)
+      intercept[IllegalArgumentException](store.evict(Seq.empty[String]))
+      intercept[IllegalArgumentException](store.evict(Seq("")))
+    } finally store.close()
+  }
+
   test("transient read-back failure does not wedge the rightful holder (ADVICE r11)") {
     // the exclusive create wins but the verification read transiently
     // returns "" (object-store read lag): the examination path must
