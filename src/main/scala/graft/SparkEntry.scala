@@ -58,6 +58,10 @@ object SparkEntry {
     "recursive_reach"     -> (Relational.recursiveReach(_, _)),
     // §2.1/§1.1 bitemporal document store (batch views)
     "asof_snapshot"       -> (Relational.asofSnapshot(_, _)),
+    // crux with-tx: snapshot AS IF a speculative batch committed
+    "asof_speculative"    -> (Relational.asofSpeculative(_, _)),
+    // crux attribute-stats: JSON-key discovery over the snapshot docs
+    "store_attr_stats"    -> (Relational.storeAttrStats(_, _)),
     "bitemporal_asof"     -> (Relational.bitemporalAsof(_, _)),
     "asof_history"        -> (Relational.asofHistory(_, _)),
     "store_changes"       -> (Relational.storeChanges(_, _)),
@@ -808,6 +812,49 @@ object SparkEntry {
              row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
            FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
          WHERE rn = 1""",
+    // asof_speculative: the with-tx union — speculative rows outrank all
+    // committed versions of their entity (spec DESC leads the window),
+    // a speculative delete hides the entity, committed users unchanged
+    "asof_speculative" ->
+      """WITH com AS (
+           SELECT user_id, ts, event_id, value, 0 AS spec, 0 AS del
+           FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+         ), sput AS (
+           SELECT DISTINCT user_id, NULL::TIMESTAMP AS ts, NULL::BIGINT AS event_id,
+             999999.0 AS value, 1 AS spec, 0 AS del
+           FROM com WHERE user_id % 50 = 0
+         ), sdel AS (
+           SELECT DISTINCT user_id, NULL::TIMESTAMP AS ts, NULL::BIGINT AS event_id,
+             NULL::DOUBLE AS value, 1 AS spec, 1 AS del
+           FROM com WHERE user_id = 7
+         ), uni AS (
+           SELECT * FROM com UNION ALL SELECT * FROM sput UNION ALL SELECT * FROM sdel
+         )
+         SELECT user_id, value AS latest_value FROM (
+           SELECT user_id, value, del,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY spec DESC, ts DESC, event_id DESC) AS rn
+           FROM uni)
+         WHERE rn = 1 AND del = 0""",
+    // store_attr_stats: the snapshot docs' key counts replayed analytically
+    // — 'value' is always present, 'vip' only on user_id % 50 = 0 docs,
+    // 'note' only on docs whose latest event is a click (to_json drops the
+    // null fields, so key presence IS the predicate). Zero-count attrs are
+    // absent on the Spark side (no key, no row) — the outer filter mirrors.
+    "store_attr_stats" ->
+      """WITH snap AS (
+           SELECT user_id, value, event_type FROM (
+             SELECT user_id, value, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+           WHERE rn = 1)
+         SELECT * FROM (
+           SELECT 'value' AS attribute, count(*) AS doc_count FROM snap WHERE value IS NOT NULL
+           UNION ALL
+           SELECT 'vip', count(*) FROM snap WHERE user_id % 50 = 0
+           UNION ALL
+           SELECT 'note', count(*) FROM snap WHERE event_type = 'click')
+         WHERE doc_count > 0""",
     "bitemporal_asof" ->
       """SELECT user_id, value AS latest_value FROM (
            SELECT user_id, value,

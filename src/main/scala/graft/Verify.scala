@@ -19,7 +19,13 @@ object Verify {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
       f.delete(); ()
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // builder-local fast path: SPARK_GRAFT_ONLY=a,b runs just those gates
+    // (the driver sets nothing, so its runs stay exhaustive)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+    selected.foreach { case (name, fn) =>
       // a failure BEFORE .write must not leave a previous run's parquet in
       // place to be compared as if current — stale pass is worse than a
       // visible failure

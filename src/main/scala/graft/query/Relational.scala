@@ -308,6 +308,67 @@ object Relational {
       .select(col("user_id"), col("value").as("latest_value"))
   }
 
+  /** Crux 1.16 `with-tx` over the events-as-versions mapping: the Q10
+    * snapshot AS IF a speculative batch had committed — every user with
+    * user_id % 50 = 0 gets a new value 999999.0, and user 7 is deleted —
+    * while the committed rows (and, in [[graft.store.DocumentStore]],
+    * the store itself) stay untouched. Speculative rows outrank every
+    * committed version of their entity via the `__spec` ordering column
+    * (the "txTime strictly after every committed tx" rule, made
+    * ts-type-agnostic), then visibility falls out of the SAME rn=1
+    * window as the plain snapshot — one path for both row kinds. */
+  def asofSpeculative(s: SparkSession, d: String): DataFrame = {
+    val cut = java.time.Instant.parse("2024-01-15T00:00:00Z")
+    val ev = Tables.eventsRawTs(s, d)
+    val tsType = ev.schema("ts").dataType // raw long nanos OR timestamp
+    val committed = ev.filter(Tables.tsAtMost(ev, cut))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        lit(0).as("__spec"), lit(0).as("__del"))
+    val specPut = committed.filter(col("user_id") % 50 === 0)
+      .select(col("user_id")).distinct()
+      .select(col("user_id"), lit(null).cast(tsType).as("ts"),
+        lit(null).cast("long").as("event_id"),
+        lit(999999.0).as("value"), lit(1).as("__spec"), lit(0).as("__del"))
+    val specDel = committed.filter(col("user_id") === 7L)
+      .select(col("user_id")).distinct()
+      .select(col("user_id"), lit(null).cast(tsType).as("ts"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("value"), lit(1).as("__spec"), lit(1).as("__del"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("__spec").desc, col("ts").desc, col("event_id").desc)
+    committed.unionByName(specPut).unionByName(specDel)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("__del") === 0)
+      .select(col("user_id"), col("value").as("latest_value"))
+  }
+
+  /** Crux `attribute-stats` over the events-as-versions mapping: the Q10
+    * snapshot's rows become JSON docs with VARYING key sets (`to_json`
+    * drops null struct fields, mirroring a real store where different
+    * docs carry different attributes), then attribute frequencies come
+    * from the payloads themselves via `json_object_keys` — the exact
+    * pipeline [[graft.store.DocumentStore.attributeStats]] runs, so the
+    * gate exercises JSON key discovery end-to-end while the oracle
+    * recomputes the expected counts analytically from the key-presence
+    * formulas without parsing any JSON. One scan, one (attribute)
+    * shuffle; scale is snapshot-linear with constant-width rows. */
+  def storeAttrStats(s: SparkSession, d: String): DataFrame = {
+    val cut = java.time.Instant.parse("2024-01-15T00:00:00Z")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val ev = Tables.eventsRawTs(s, d)
+    val snap = ev.filter(Tables.tsAtMost(ev, cut))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val doc = to_json(struct(
+      col("value").as("value"),
+      when(col("user_id") % 50 === 0, lit(true)).as("vip"),
+      when(col("event_type") === "click", col("event_type")).as("note")))
+    snap.select(doc.as("doc"))
+      .select(explode(json_object_keys(col("doc"))).as("attribute"))
+      .groupBy("attribute").agg(count(lit(1)).as("doc_count"))
+  }
+
   /** Q11: bitemporal — both valid-time and transaction-time cuts
     * (event_id as the tx-time proxy per FIXTURES.md). */
   def bitemporalAsof(s: SparkSession, d: String): DataFrame = {

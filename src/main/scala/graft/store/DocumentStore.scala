@@ -38,6 +38,17 @@ import graft.core.VersionedDoc
   * desc) = 1 → drop tombstones. The filter is pushed to parquet; the
   * window shuffles by id exactly once.
   */
+/** Speculative transaction op for [[DocumentStore.withTx]] — the crux
+  * `::xt/put` / `::xt/delete` op shapes (match/cas need real committed
+  * state to compare against, so speculative runs reduce them to put). */
+sealed trait TxOp
+object TxOp {
+  final case class Put(id: String, doc: String,
+                       validFrom: Option[Timestamp] = None) extends TxOp
+  final case class Delete(id: String,
+                          validFrom: Option[Timestamp] = None) extends TxOp
+}
+
 class DocumentStore(val spark: SparkSession, val path: String) {
   import spark.implicits._
 
@@ -376,6 +387,49 @@ class DocumentStore(val spark: SparkSession, val path: String) {
   /** Current snapshot (Crux `(db node)`). */
   def db(): DataFrame = asOf(now())
 
+  /** Crux 1.16 `with-tx` (speculative transactions): the snapshot AS IF
+    * `ops` had committed, WITHOUT committing anything — what-if reads for
+    * validation flows ("would this deploy produce a cycle?") and the
+    * test-before-transact idiom crux exposes through `(crux/with-tx db
+    * [...])`. The speculative rows ride a txTime strictly after every
+    * committed one (and each op after its predecessor, so crux's in-order
+    * apply semantics hold: the LAST put of an id wins, a later delete
+    * hides an earlier put), then flow through the SAME as-of window as
+    * [[db]] — one code path decides visibility for committed and
+    * speculative rows alike. The store itself is untouched: no append,
+    * no tx-clock advance; [[db]]/[[entity]] after the call are oblivious.
+    * Result schema matches [[db]]: (id, validFrom, txTime, doc). */
+  def withTx(ops: Seq[TxOp], validTime: Timestamp = now()): DataFrame = {
+    require(ops.nonEmpty, "withTx: no speculative ops")
+    val base = lastTx.get()
+    val specRows = ops.zipWithIndex.map {
+      case (TxOp.Put(id, doc, vf), i) =>
+        VersionedDoc(id, vf.getOrElse(new Timestamp(base + 1 + i)),
+          new Timestamp(base + 1 + i), deleted = false, doc)
+      case (TxOp.Delete(id, vf), i) =>
+        VersionedDoc(id, vf.getOrElse(new Timestamp(base + 1 + i)),
+          new Timestamp(base + 1 + i), deleted = true, doc = null)
+    }
+    val spec = specRows.toDS().toDF()
+      .withColumn("valid_date", to_date(col("validFrom")))
+    val vt = new Timestamp(math.max(validTime.getTime, base + ops.size + 1))
+    val w = Window.partitionBy("id")
+      .orderBy(col("validFrom").desc, col("txTime").desc)
+    versionsRaw().unionByName(spec)
+      .filter(col("valid_date") <= date_add(to_date(lit(vt)), 2) &&
+        col("validFrom") <= lit(vt))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && !col("deleted"))
+      .select("id", "validFrom", "txTime", "doc")
+  }
+
+  /** [[withTx]] convenience: one entity's doc in the speculative view. */
+  def withTxEntity(ops: Seq[TxOp], id: String): Option[String] = {
+    import spark.implicits._
+    withTx(ops).filter(col("id") === id).select("doc")
+      .as[String].collect().headOption
+  }
+
   /** Q1: entity lookup — current doc payload for `id`, if visible. */
   def entity(id: String): Option[String] = entity(id, now())
 
@@ -458,17 +512,24 @@ class DocumentStore(val spark: SparkSession, val path: String) {
 
   // --------------------------------------------------- Datalog over the store
 
-  /** Wide relation over a snapshot: JSON doc payloads expanded to typed
-    * columns via `schema` (plus `id`) — the document universe the Datalog
-    * compiler runs against. */
-  def relation(schema: org.apache.spark.sql.types.StructType,
-               validTime: Timestamp, txTime: Timestamp): DataFrame =
-    asOf(validTime, txTime)
+  /** Wide relation over an arbitrary snapshot frame (id, …, doc): JSON doc
+    * payloads expanded to typed columns via `schema` (plus `id`) — the
+    * document universe the Datalog compiler runs against. Shared by the
+    * committed ([[relation]]) and speculative ([[qWith]]) paths so both
+    * query surfaces see identical typing rules. */
+  private def relationOf(snap: DataFrame,
+                         schema: org.apache.spark.sql.types.StructType): DataFrame =
+    snap
       .select(col("id"), from_json(col("doc"), schema).as("d"))
       // getField takes the literal name — col(s"d.$f") would parse a field
       // named "price.usd" as a two-level path and fail analysis
       .select(col("id") +: schema.fieldNames.toSeq
         .map(f => col("d").getField(f).as(f)): _*)
+
+  /** Wide relation over a (valid-time, tx-time) snapshot. */
+  def relation(schema: org.apache.spark.sql.types.StructType,
+               validTime: Timestamp, txTime: Timestamp): DataFrame =
+    relationOf(asOf(validTime, txTime), schema)
 
   /** The full Crux query surface over this store: an EDN Datalog query
     * against the (valid-time, tx-time) snapshot — `query(vt, tt, q)`
@@ -497,6 +558,30 @@ class DocumentStore(val spark: SparkSession, val path: String) {
     graft.query.datalog.EdnDatalog.run(
       relation(schema, now(), DocumentStore.MaxTxTime)
         .filter(!col("id").startsWith(":")), edn)
+
+  /** Crux `(crux/q (crux/with-tx db ops) query)`: the full EDN Datalog
+    * surface over the SPECULATIVE snapshot — the test-before-transact
+    * idiom ("would this deploy create a cycle?") with real query power,
+    * not just entity reads. Nothing commits; see [[withTx]]. */
+  def qWith(ops: Seq[TxOp], edn: String,
+            schema: org.apache.spark.sql.types.StructType,
+            validTime: Timestamp = now()): Either[String, DataFrame] =
+    graft.query.datalog.EdnDatalog.run(
+      relationOf(withTx(ops, validTime), schema), edn)
+
+  /** Crux `attribute-stats`: attribute → number of CURRENT docs carrying
+    * it (the key present in the payload — an explicit JSON null still
+    * counts, exactly as crux indexes a nil value). Schema-free — keys come from
+    * the JSON payloads themselves via `json_object_keys`, so it reports
+    * attributes no reader declared (the discovery use crux puts it to:
+    * "what's in this store?"). One scan + one shuffle of (attribute)
+    * rows; crux counts eav rows from its index — for cardinality-many
+    * (array) values this counts the DOC once, which is the planning
+    * statistic [[graft.query.datalog.DatalogCompiler]] wants anyway. */
+  def attributeStats(): DataFrame =
+    db()
+      .select(explode(json_object_keys(col("doc"))).as("attribute"))
+      .groupBy("attribute").agg(count(lit(1)).as("doc_count"))
 }
 
 object DocumentStore {

@@ -240,6 +240,77 @@ class DocumentStoreSpec extends SparkSpec {
     }
   }
 
+  test("withTx: speculative snapshot without committing (crux 1.16 with-tx)") {
+    val path = Files.createTempDirectory("docstore-spec").toString + "/db"
+    val store = DocumentStore(spark, path)
+    try {
+      import graft.store.TxOp
+      store.put("a", """{"v":1}""")
+      store.put("b", """{"v":2}""")
+      val ops = Seq(
+        TxOp.Put("a", """{"v":9}"""),  // overwrite committed
+        TxOp.Delete("b"),              // hide committed
+        TxOp.Put("c", """{"v":3}""")) // new entity
+      assert(store.withTxEntity(ops, "a").contains("""{"v":9}"""))
+      assert(store.withTxEntity(ops, "b").isEmpty)
+      assert(store.withTxEntity(ops, "c").contains("""{"v":3}"""))
+      assert(store.withTx(ops).count() == 2) // a + c visible
+      // the store is UNTOUCHED — nothing committed, clock not advanced
+      assert(store.entity("a").contains("""{"v":1}"""))
+      assert(store.entity("b").contains("""{"v":2}"""))
+      assert(store.entity("c").isEmpty)
+      assert(store.versions().count() == 2)
+      // crux in-order apply: the LAST op on an id wins
+      assert(store.withTxEntity(Seq(
+        TxOp.Put("d", """{"v":1}"""), TxOp.Put("d", """{"v":2}""")), "d")
+        .contains("""{"v":2}"""))
+      assert(store.withTxEntity(Seq(
+        TxOp.Put("a", """{"x":1}"""), TxOp.Delete("a")), "a").isEmpty,
+        "a later speculative delete hides the earlier speculative put")
+      assert(store.withTxEntity(Seq(
+        TxOp.Delete("a"), TxOp.Put("a", """{"x":1}""")), "a")
+        .contains("""{"x":1}"""), "a later speculative put revives")
+      // a FUTURE-validFrom speculative put is invisible at the default cut
+      val future = new java.sql.Timestamp(System.currentTimeMillis() + 3600000L)
+      assert(store.withTxEntity(Seq(
+        TxOp.Put("e", """{"v":5}""", validFrom = Some(future))), "e").isEmpty,
+        "S2 scheduled visibility applies to speculative rows too")
+      intercept[IllegalArgumentException](store.withTx(Seq.empty))
+    } finally store.close()
+  }
+
+  test("attributeStats + qWith: key discovery and Datalog over a speculative db") {
+    val path = Files.createTempDirectory("docstore-attrs").toString + "/db"
+    val store = DocumentStore(spark, path)
+    try {
+      import graft.store.TxOp
+      store.put("a", """{"x":1,"y":"s"}""")
+      store.put("b", """{"x":2}""")
+      store.put("c", """{"z":true}""")
+      store.delete("c") // tombstoned: its keys must vanish from the stats
+      val stats = store.attributeStats().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(stats == Map("x" -> 2L, "y" -> 1L),
+        s"crux attribute-stats over CURRENT docs only, got $stats")
+      // an explicit JSON null still counts as key presence (crux nil value)
+      store.put("d", """{"x":null}""")
+      val stats2 = store.attributeStats().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(stats2("x") == 3L)
+      // qWith: the same Datalog query sees the speculative put in the
+      // with-tx view and not in the committed view
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("x", "long").add("y", "string")
+      val q = "{:find [?e ?x] :where [[?e :x ?x]]}"
+      def ids(r: Either[String, org.apache.spark.sql.DataFrame]): Set[String] =
+        r.fold(e => fail(e), _.collect().map(_.getString(0)).toSet)
+      assert(ids(store.qWith(Seq(TxOp.Put("e", """{"x":9}""")), q, schema)) ==
+        Set("a", "b", "e"))
+      assert(ids(store.qWith(Seq(TxOp.Delete("a")), q, schema)) == Set("b"))
+      assert(ids(store.q(q, schema)) == Set("a", "b"), "committed view untouched")
+    } finally store.close()
+  }
+
   test("evict physically erases every version — delete does not (crux evict, GDPR)") {
     val path = Files.createTempDirectory("docstore-evict").toString + "/db"
     val store = DocumentStore(spark, path)
