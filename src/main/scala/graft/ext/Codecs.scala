@@ -335,7 +335,17 @@ object Codecs {
     }
     if (!sawIhdr || idat.size == 0) return None
     val stride = w * 3
-    val raw = new Array[Byte]((stride + 1) * h)
+    // Totality guard BEFORE allocation: a 33-byte hostile blob declaring
+    // w=h=1e6 would overflow (stride+1)*h in Int arithmetic and throw
+    // NegativeArraySizeException out of the `new Array` — a task-killing
+    // escape from the documented quarantine-as-None contract. Deflate
+    // expands at most ~1032:1, so a decompressed size past idat·1032+64
+    // can never inflate successfully; reject it (and any Int overflow)
+    // with the same None every other malformed shape gets.
+    val rawLen = (stride.toLong + 1L) * h
+    if (rawLen > Int.MaxValue - 8 ||
+        rawLen > idat.size.toLong * 1032L + 64L) return None
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(idat.toByteArray)

@@ -143,6 +143,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Codecs.decodePng(corrupt).isEmpty ||
       Codecs.decodePng(corrupt).get != pi,
       "a corrupted deflate stream must not silently decode to the original")
+    // a hostile header declaring w=h=1e6 ((stride+1)*h overflows Int)
+    // must quarantine as None, not throw NegativeArraySizeException —
+    // one crafted blob in a 100 TB media table must not kill the task
+    val bomb = Codecs.synthPng(2, 2, 1L)
+    def be32w(v: Int, at: Int): Unit = {
+      bomb(at) = (v >>> 24).toByte; bomb(at + 1) = (v >>> 16).toByte
+      bomb(at + 2) = (v >>> 8).toByte; bomb(at + 3) = v.toByte
+    }
+    be32w(1000000, 16); be32w(1000000, 20) // IHDR w, h (CRC now wrong: moot)
+    assert(Codecs.decodePng(bomb).isEmpty, "decompression-bomb header quarantines")
+    // and a plausible-but-oversized claim (no Int overflow, but far past
+    // what the IDAT bytes could ever inflate to) also quarantines
+    be32w(5000, 16); be32w(5000, 20)
+    assert(Codecs.decodePng(bomb).isEmpty, "oversized-vs-idat claim quarantines")
   }
 
   test("codec property: 120 random dims round-trip exactly in both formats") {
