@@ -145,4 +145,67 @@ class StorePropertySpec extends SparkSpec {
       } finally store.close()
     }
   }
+
+  /** Speculative-op generator for the withTx differential: puts/deletes
+    * over the committed ids PLUS fresh ids (a speculative create must
+    * surface), some at a future valid time (S2 scheduled visibility must
+    * hide them in the speculative view too). */
+  private val genTxOp: Gen[TxOp] = {
+    val specIds = ids ++ Seq("x", "y")
+    Gen.frequency(
+      5 -> (for {
+        id <- Gen.oneOf(specIds); v <- Gen.chooseNum(5000, 5999)
+        future <- Gen.oneOf(false, false, true)
+      } yield TxOp.Put(id, s"""{"v":$v}""",
+        if (future) Some(new Timestamp(System.currentTimeMillis() + 86400000L)) else None)),
+      2 -> Gen.oneOf(specIds).map(id => TxOp.Delete(id)))
+  }
+
+  test("differential: withTx speculative snapshots against the naive model") {
+    val store = DocumentStore(spark,
+      java.nio.file.Files.createTempDirectory("store-prop-wtx").toString + "/db")
+    try {
+      // committed history: puts and tombstones, some at offset valid times
+      var model = Vector.empty[Version]
+      for (op <- samples(genOp, 18, 555L)) op match {
+        case PutOp(id, doc, off) =>
+          val vf = off.map(o => new Timestamp(store.now().getTime + o))
+          val tx = store.put(id, doc, vf)
+          model :+= Version(id, vf.getOrElse(tx).getTime, tx.getTime, deleted = false, doc)
+        case DelOp(id, off) =>
+          val vf = off.map(o => new Timestamp(store.now().getTime + o))
+          val tx = store.delete(id, vf)
+          model :+= Version(id, vf.getOrElse(tx).getTime, tx.getTime, deleted = true, null)
+        case _: MatchPutOp => () // committed surface covered by the other leg
+      }
+      val committedCount = store.versions().count()
+      val base = model.map(_.txTime).max
+      for (seed <- Seq(1L, 2L, 3L, 4L, 5L)) {
+        val ops = samples(genTxOp, 6, 9000L + seed)
+        // the model: speculative op i is one more version at
+        // (validFrom = explicit | base+1+i, txTime = base+1+i) — crux's
+        // in-order apply — and the whole union is read at
+        // vt = max(asked, base+n+1) under the SAME bitemporal rule the
+        // committed differential pins (no tx cut: withTx sees all commits)
+        val now = store.now().getTime
+        val vt = math.max(now, base + ops.size + 1)
+        val spec = ops.zipWithIndex.map {
+          case (TxOp.Put(id, doc, vf), i) =>
+            Version(id, vf.map(_.getTime).getOrElse(base + 1 + i), base + 1 + i,
+              deleted = false, doc)
+          case (TxOp.Delete(id, vf), i) =>
+            Version(id, vf.map(_.getTime).getOrElse(base + 1 + i), base + 1 + i,
+              deleted = true, null)
+        }
+        val want = snapshot(model ++ spec, vt, Long.MaxValue)
+        val got = store.withTx(ops, new Timestamp(now))
+          .select("id", "doc").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        assert(got == want,
+          s"withTx diverged [spec seed $seed, ops $ops]:\n got $got\n want $want")
+      }
+      // five speculative batches later: nothing committed, clock untouched
+      assert(store.versions().count() == committedCount,
+        "withTx must not append versions")
+    } finally store.close()
+  }
 }
