@@ -220,7 +220,18 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
       case (InRel(vs), other) => throw new IllegalArgumentException(
         s"relation binding [[${vs.map("?" + _.name).mkString(" ")}]] needs an Iterable argument, got $other")
     }
-    in.zip(inputs).map { case (b, a) => rowsOf(b, a) }
+    val perEntry = in.zip(inputs).map { case (b, a) => rowsOf(b, a) }
+    // the combined binding relation is the CROSS PRODUCT across entries
+    // (crux relation semantics) and materializes on the DRIVER: three
+    // 1k-element collections would silently build 10⁹ row-maps and OOM
+    // the driver with no diagnosis. Bound it with an error that names
+    // the fix (pre-join the collections into ONE relation binding).
+    val combined = perEntry.foldLeft(1L)((n, rs) => n * math.max(1, rs.length))
+    require(combined <= 1000000L,
+      s":in bindings expand to $combined combined rows (driver-side cross " +
+        "product across entries) — pre-join them into a single relation " +
+        "binding [[?a ?b …]] instead")
+    perEntry
       .foldLeft(Seq(Map.empty[String, Any])) { (acc, rs) =>
         for (m <- acc; r <- rs) yield m ++ r
       }.distinct
@@ -276,8 +287,12 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
         }
       }: _*))
     val spark = docs.sparkSession
+    // one partition for the common tiny relation; a large binding set
+    // (past the broadcast hint cap it SHUFFLE-joins) must not funnel the
+    // whole build side through a single task
+    val slices = math.max(1, math.min(32, rows.length / 50000))
     spark.createDataFrame(
-      spark.sparkContext.parallelize(data, 1), schema)
+      spark.sparkContext.parallelize(data, slices), schema)
   }
 
   // ------------------------------------------------------------ args (Q7)

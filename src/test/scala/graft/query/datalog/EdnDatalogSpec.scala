@@ -640,7 +640,12 @@ class EdnDatalogSpec extends SparkSpec {
         // a variable bound twice across entries
         ("{:find [?n] :in [?d [?d ...]] :where [[?e :dept ?d] [?e :name ?n]]}", Seq("a", Seq("b"))),
         // malformed binding form
-        ("{:find [?n] :in [42] :where [[?e :name ?n]]}", Seq(1))))
+        ("{:find [?n] :in [42] :where [[?e :name ?n]]}", Seq(1)),
+        // driver-side cross-product blowup across entries: 3 × 1,500-element
+        // collections = 3.4e9 combined rows — must be a diagnosed Left
+        // (naming the pre-joined-relation fix), never a silent driver OOM
+        ("{:find [?n] :in [[?a ...] [?b ...] [?c ...]] :where [[?e :dept ?a] [?e :dept ?b] [?e :dept ?c] [?e :name ?n]]}",
+          Seq(0 until 1500, 0 until 1500, 0 until 1500))))
       assert(EdnDatalog.runWith(docs, edn, args).isLeft, s"should reject: $edn with $args")
   }
 
