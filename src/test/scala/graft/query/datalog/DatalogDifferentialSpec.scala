@@ -357,9 +357,15 @@ class DatalogDifferentialSpec extends SparkSpec {
     val rnd = new scala.util.Random(424242L)
     val qs = samples(genQuery, 30).filter(_.order.isEmpty) // bags compare
     assert(qs.size >= 15, s"need a healthy unordered sample, got ${qs.size}")
-    def bag(q: GQuery): Map[Seq[Any], Int] = {
+    // statsOff exercises the STATIC ordering heuristic (1e9/|group| +
+    // constant boosts) — it is not just a test knob: production falls back
+    // to it whenever the stats aggregate throws, so it too must be
+    // result-invariant under any written order
+    val statsOff = new DatalogCompiler(useStats = false)
+    def bag(q: GQuery, compiler: DatalogCompiler = new DatalogCompiler())
+        : Map[Seq[Any], Int] = {
       val edn = ednQuery(q)
-      EdnDatalog.run(docs, edn) match {
+      EdnDatalog.run(docs, edn, compiler) match {
         case Left(err) => fail(s"rejected permuted query $edn: $err")
         case Right(df) => df.collect().toSeq.map(_.toSeq.map(normalize))
           .groupBy(identity).view.mapValues(_.size).toMap
@@ -375,6 +381,11 @@ class DatalogDifferentialSpec extends SparkSpec {
             s"\n  original: ${ednQuery(q)}\n  shuffled: ${ednQuery(shuffled)}" +
             s"\n  base-only: ${(base.keySet -- got.keySet).take(3)}" +
             s"\n  shuf-only: ${(got.keySet -- base.keySet).take(3)}")
+        if (k == 1) {
+          val noStats = bag(shuffled, statsOff)
+          assert(noStats == base,
+            s"stats-off ordering diverged on sample $i: ${ednQuery(shuffled)}")
+        }
       }
     }
   }
