@@ -39,14 +39,18 @@ import graft.core.VersionedDoc
   * window shuffles by id exactly once.
   */
 /** Speculative transaction op for [[DocumentStore.withTx]] — the crux
-  * `::xt/put` / `::xt/delete` op shapes (match/cas need real committed
-  * state to compare against, so speculative runs reduce them to put). */
+  * `::xt/put` / `::xt/delete` / `::xt/match` op shapes. A failed Match
+  * ABORTS the speculative transaction (withTx returns None — crux's nil),
+  * exactly as it would abort a committed one; cas is Match + Put. */
 sealed trait TxOp
 object TxOp {
   final case class Put(id: String, doc: String,
                        validFrom: Option[Timestamp] = None) extends TxOp
   final case class Delete(id: String,
                           validFrom: Option[Timestamp] = None) extends TxOp
+  /** Assert `id`'s visible doc equals `expected` (None = expect absent) at
+    * this point of the op sequence — earlier speculative ops count. */
+  final case class Match(id: String, expected: Option[String]) extends TxOp
 }
 
 class DocumentStore(val spark: SparkSession, val path: String) {
@@ -398,36 +402,80 @@ class DocumentStore(val spark: SparkSession, val path: String) {
     * [[db]] — one code path decides visibility for committed and
     * speculative rows alike. The store itself is untouched: no append,
     * no tx-clock advance; [[db]]/[[entity]] after the call are oblivious.
+    *
+    * A `TxOp.Match` asserts the doc visible AT THAT POINT of the op
+    * sequence (earlier speculative ops count — crux's in-order apply);
+    * a failed match ABORTS: withTx returns None, crux's nil. Match
+    * evaluation mirrors the plan's window exactly on the driver — the
+    * committed candidate is one id-pushed, partition-pruned top-1 read
+    * (memoized per id), compared by the same (validFrom, txTime) rank
+    * against the speculative rows so far — so "what Match saw" and
+    * "what the returned snapshot shows" can never disagree. Cost: one
+    * bounded Spark job per DISTINCT matched id, driver memory O(ops).
+    *
     * Result schema matches [[db]]: (id, validFrom, txTime, doc). */
-  def withTx(ops: Seq[TxOp], validTime: Timestamp = now()): DataFrame = {
+  def withTx(ops: Seq[TxOp], validTime: Timestamp = now()): Option[DataFrame] = {
     require(ops.nonEmpty, "withTx: no speculative ops")
     val base = lastTx.get()
-    val specRows = ops.zipWithIndex.map {
-      case (TxOp.Put(id, doc, vf), i) =>
-        VersionedDoc(id, vf.getOrElse(new Timestamp(base + 1 + i)),
-          new Timestamp(base + 1 + i), deleted = false, doc)
-      case (TxOp.Delete(id, vf), i) =>
-        VersionedDoc(id, vf.getOrElse(new Timestamp(base + 1 + i)),
-          new Timestamp(base + 1 + i), deleted = true, doc = null)
-    }
-    val spec = specRows.toDS().toDF()
-      .withColumn("valid_date", to_date(col("validFrom")))
     val vt = new Timestamp(math.max(validTime.getTime, base + ops.size + 1))
+    // committed top-1 candidate per matched id: (validFrom, txTime,
+    // deleted, doc) under the same vt cut the plan applies
+    val committedTop = scala.collection.mutable.Map
+      .empty[String, Option[(Long, Long, Boolean, String)]]
+    def committed(id: String): Option[(Long, Long, Boolean, String)] =
+      committedTop.getOrElseUpdate(id,
+        versionsRaw()
+          .filter(col("id") === id &&
+            col("valid_date") <= date_add(to_date(lit(vt)), 2) &&
+            col("validFrom") <= lit(vt))
+          .orderBy(col("validFrom").desc, col("txTime").desc).limit(1)
+          .select("validFrom", "txTime", "deleted", "doc")
+          .collect().headOption.map(r => (r.getTimestamp(0).getTime,
+            r.getTimestamp(1).getTime, r.getBoolean(2), r.getString(3))))
+    val specRows = Vector.newBuilder[VersionedDoc]
+    var specSoFar = List.empty[VersionedDoc] // newest first
+    ops.zipWithIndex.foreach {
+      case (TxOp.Put(id, doc, vf), i) =>
+        val v = VersionedDoc(id, vf.getOrElse(new Timestamp(base + 1 + i)),
+          new Timestamp(base + 1 + i), deleted = false, doc)
+        specRows += v; specSoFar ::= v
+      case (TxOp.Delete(id, vf), i) =>
+        val v = VersionedDoc(id, vf.getOrElse(new Timestamp(base + 1 + i)),
+          new Timestamp(base + 1 + i), deleted = true, doc = null)
+        specRows += v; specSoFar ::= v
+      case (TxOp.Match(id, expected), _) =>
+        val candidates =
+          committed(id).toSeq ++
+            specSoFar.filter(v => v.id == id && v.validFrom.getTime <= vt.getTime)
+              .map(v => (v.validFrom.getTime, v.txTime.getTime, v.deleted, v.doc))
+        val visible = candidates
+          .sortBy(c => (c._1, c._2)).lastOption
+          .filterNot(_._3).map(_._4)
+        if (visible != expected) return None // crux: failed match aborts → nil
+    }
+    val rows = specRows.result()
+    val unioned =
+      if (rows.isEmpty) versionsRaw() // all-Match op list that passed
+      else versionsRaw().unionByName(rows.toDS().toDF()
+        .withColumn("valid_date", to_date(col("validFrom"))))
     val w = Window.partitionBy("id")
       .orderBy(col("validFrom").desc, col("txTime").desc)
-    versionsRaw().unionByName(spec)
+    Some(unioned
       .filter(col("valid_date") <= date_add(to_date(lit(vt)), 2) &&
         col("validFrom") <= lit(vt))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && !col("deleted"))
-      .select("id", "validFrom", "txTime", "doc")
+      .select("id", "validFrom", "txTime", "doc"))
   }
 
-  /** [[withTx]] convenience: one entity's doc in the speculative view. */
+  /** [[withTx]] convenience: one entity's doc in the speculative view
+    * (None = entity invisible there, OR the transaction aborted on a
+    * failed Match — callers distinguishing the two use withTx itself). */
   def withTxEntity(ops: Seq[TxOp], id: String): Option[String] = {
     import spark.implicits._
-    withTx(ops).filter(col("id") === id).select("doc")
-      .as[String].collect().headOption
+    withTx(ops).flatMap(
+      _.filter(col("id") === id).select("doc")
+        .as[String].collect().headOption)
   }
 
   /** Q1: entity lookup — current doc payload for `id`, if visible. */
@@ -562,12 +610,16 @@ class DocumentStore(val spark: SparkSession, val path: String) {
   /** Crux `(crux/q (crux/with-tx db ops) query)`: the full EDN Datalog
     * surface over the SPECULATIVE snapshot — the test-before-transact
     * idiom ("would this deploy create a cycle?") with real query power,
-    * not just entity reads. Nothing commits; see [[withTx]]. */
+    * not just entity reads. Nothing commits; see [[withTx]]. A failed
+    * Match aborts with a diagnosed Left (crux's with-tx yields nil and a
+    * q over nil throws — the Left is the total-function face of that). */
   def qWith(ops: Seq[TxOp], edn: String,
             schema: org.apache.spark.sql.types.StructType,
             validTime: Timestamp = now()): Either[String, DataFrame] =
-    graft.query.datalog.EdnDatalog.run(
-      relationOf(withTx(ops, validTime), schema), edn)
+    withTx(ops, validTime) match {
+      case None => Left("speculative transaction aborted: a TxOp.Match failed")
+      case Some(snap) => graft.query.datalog.EdnDatalog.run(relationOf(snap, schema), edn)
+    }
 
   /** Crux `attribute-stats`: attribute → number of CURRENT docs carrying
     * it (the key present in the payload — an explicit JSON null still

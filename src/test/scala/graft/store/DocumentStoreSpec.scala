@@ -254,7 +254,7 @@ class DocumentStoreSpec extends SparkSpec {
       assert(store.withTxEntity(ops, "a").contains("""{"v":9}"""))
       assert(store.withTxEntity(ops, "b").isEmpty)
       assert(store.withTxEntity(ops, "c").contains("""{"v":3}"""))
-      assert(store.withTx(ops).count() == 2) // a + c visible
+      assert(store.withTx(ops).get.count() == 2) // a + c visible
       // the store is UNTOUCHED — nothing committed, clock not advanced
       assert(store.entity("a").contains("""{"v":1}"""))
       assert(store.entity("b").contains("""{"v":2}"""))
@@ -276,6 +276,33 @@ class DocumentStoreSpec extends SparkSpec {
         TxOp.Put("e", """{"v":5}""", validFrom = Some(future))), "e").isEmpty,
         "S2 scheduled visibility applies to speculative rows too")
       intercept[IllegalArgumentException](store.withTx(Seq.empty))
+      // ::xt/match — a failed match ABORTS the speculative tx (crux nil)
+      assert(store.withTx(Seq(
+        TxOp.Match("a", Some("""{"v":1}""")), // committed doc: passes
+        TxOp.Put("a", """{"v":7}"""))).isDefined)
+      assert(store.withTx(Seq(
+        TxOp.Match("a", Some("""{"v":999}""")), // wrong expectation
+        TxOp.Put("a", """{"v":7}"""))).isEmpty, "failed match → None")
+      assert(store.withTx(Seq(TxOp.Match("nope", None))).isDefined,
+        "match-absent passes on a missing entity")
+      assert(store.withTx(Seq(TxOp.Match("a", None))).isEmpty,
+        "match-absent fails on a present entity")
+      // match sees EARLIER speculative ops (crux in-order apply): the
+      // cas idiom — match committed, put, then match the NEW value
+      assert(store.withTx(Seq(
+        TxOp.Put("a", """{"v":8}"""),
+        TxOp.Match("a", Some("""{"v":8}""")))).isDefined)
+      assert(store.withTx(Seq(
+        TxOp.Delete("a"),
+        TxOp.Match("a", None))).isDefined,
+        "a speculative delete makes a later match-absent pass")
+      // an all-Match op list that passes returns the committed snapshot
+      val snap = store.withTx(Seq(TxOp.Match("a", Some("""{"v":1}""")))).get
+      assert(snap.filter(org.apache.spark.sql.functions.col("id") === "a").count() == 1)
+      // qWith surfaces the abort as a diagnosed Left
+      val schemaQ = new org.apache.spark.sql.types.StructType().add("v", "long")
+      assert(store.qWith(Seq(TxOp.Match("a", None)),
+        "{:find [?e] :where [[?e :v ?v]]}", schemaQ).isLeft)
     } finally store.close()
   }
 

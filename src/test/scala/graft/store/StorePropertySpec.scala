@@ -199,6 +199,7 @@ class StorePropertySpec extends SparkSpec {
         }
         val want = snapshot(model ++ spec, vt, Long.MaxValue)
         val got = store.withTx(ops, new Timestamp(now))
+          .getOrElse(fail("put/delete-only speculative tx can never abort"))
           .select("id", "doc").collect().map(r => r.getString(0) -> r.getString(1)).toMap
         assert(got == want,
           s"withTx diverged [spec seed $seed, ops $ops]:\n got $got\n want $want")
@@ -206,6 +207,46 @@ class StorePropertySpec extends SparkSpec {
       // five speculative batches later: nothing committed, clock untouched
       assert(store.versions().count() == committedCount,
         "withTx must not append versions")
+
+      // ---- Match semantics: expected-pass matches never abort (and the
+      // snapshot still agrees with the model); one wrong match anywhere
+      // aborts the whole batch
+      for (seed <- Seq(6L, 7L, 8L)) {
+        val ops0 = samples(genTxOp, 5, 9100L + seed)
+        val now = store.now().getTime
+        val vt = math.max(now, base + (ops0.size + 3) + 1)
+        def specVersion(op: TxOp, i: Int): Option[Version] = op match {
+          case TxOp.Put(id, doc, vf) =>
+            Some(Version(id, vf.map(_.getTime).getOrElse(base + 1 + i), base + 1 + i,
+              deleted = false, doc))
+          case TxOp.Delete(id, vf) =>
+            Some(Version(id, vf.map(_.getTime).getOrElse(base + 1 + i), base + 1 + i,
+              deleted = true, null))
+          case _: TxOp.Match => None
+        }
+        // interleave a PASSING match after every op: expected = the model's
+        // visible doc at that point (committed ∪ speculative-so-far at vt)
+        var acc = Vector.empty[Version]
+        val withMatches = ops0.zipWithIndex.flatMap { case (op, i) =>
+          acc ++= specVersion(op, i)
+          val id = op match {
+            case TxOp.Put(x, _, _) => x; case TxOp.Delete(x, _) => x
+            case TxOp.Match(x, _) => x
+          }
+          Seq(op, TxOp.Match(id, visible(model ++ acc, id, vt, Long.MaxValue)))
+        }
+        val got = store.withTx(withMatches, new Timestamp(now))
+        assert(got.isDefined, s"expected-pass matches aborted [seed $seed]")
+        val gotMap = got.get.select("id", "doc").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        val want = snapshot(model ++ ops0.zipWithIndex.flatMap((specVersion _).tupled),
+          vt, Long.MaxValue)
+        assert(gotMap == want, s"match-interleaved snapshot diverged [seed $seed]")
+        // one wrong match anywhere → the whole batch aborts
+        val withWrong = withMatches :+ TxOp.Match("a", Some("\"never-this\""))
+        assert(store.withTx(withWrong, new Timestamp(now)).isEmpty,
+          s"a failing match must abort [seed $seed]")
+      }
     } finally store.close()
   }
 }
