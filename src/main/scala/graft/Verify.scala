@@ -23,6 +23,15 @@ object Verify {
     // (the driver sets nothing, so its runs stay exhaustive)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // fail fast on a typo'd/stale gate name or an empty selection — a
+    // filter that silently matches nothing exits green without verifying
+    // anything (a vacuous pass on the builder fast path)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown gates: ${unknown.toSeq.sorted.mkString(", ")}")
+      require(names.nonEmpty, "SPARK_GRAFT_ONLY selected no gates")
+    }
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
     selected.foreach { case (name, fn) =>

@@ -65,7 +65,10 @@ object Codecs {
     while (pos + 8 <= bytes.length && info.isEmpty) {
       val id = tag(bytes, pos)
       val size = le32(bytes, pos + 4)
-      if (size < 0 || pos + 8 + size > bytes.length) return None
+      // Bounds arithmetic in Long: a lying size near 2^31 would wrap
+      // `pos + 8 + size` negative in Int, pass this check, and the sample
+      // loop would AIOOBE out of the quarantine-as-None contract.
+      if (size < 0 || pos.toLong + 8L + size > bytes.length) return None
       id match {
         case "fmt " =>
           if (size < 16) return None
@@ -191,12 +194,21 @@ object Codecs {
     val hRaw = le32(bytes, 22)
     val bpp = le16(bytes, 28)
     val compression = le32(bytes, 30)
-    if (w <= 0 || hRaw == 0 || bpp != 24 || compression != 0) return None
+    // hRaw == Int.MinValue survives math.abs as a negative; a width near
+    // 2^31 would overflow `w * 3` negative, defeating the stride/bounds
+    // check and making `new Array[Int](3*w*h)` throw. All dimension and
+    // stride arithmetic happens in Long, so any lying header lands on the
+    // bounds rejection below instead of an executor-killing exception.
+    if (w <= 0 || hRaw == 0 || hRaw == Int.MinValue || bpp != 24 ||
+      compression != 0) return None
     val h = math.abs(hRaw)
     val topDown = hRaw < 0
-    val stride = ((w * 3 + 3) / 4) * 4
-    if (dataOffset < 54 || dataOffset.toLong + stride.toLong * h > bytes.length)
+    val strideL = ((w.toLong * 3L + 3L) / 4L) * 4L
+    if (dataOffset < 54 || dataOffset.toLong + strideL * h > bytes.length)
       return None
+    // strideL*h <= bytes.length < 2^31 and strideL >= 3w, so 3*w*h and
+    // every row offset below fit in Int from here on.
+    val stride = strideL.toInt
     val rgb = new Array[Int](3 * w * h)
     var y = 0
     while (y < h) {
@@ -239,7 +251,7 @@ object Codecs {
     while (pos + 8 <= bytes.length) {
       val id = tag(bytes, pos)
       val size = le32(bytes, pos + 4)
-      if (size < 0 || pos + 8 + size > bytes.length) return None
+      if (size < 0 || pos.toLong + 8L + size > bytes.length) return None // Long: see decodeWav
       id match {
         case "fmt " =>
           if (size < 16) return None
@@ -315,7 +327,7 @@ object Codecs {
     var ended = false
     while (!ended && pos + 8 <= bytes.length) {
       val len = be32(bytes, pos)
-      if (len < 0 || pos + 12 + len > bytes.length) return None
+      if (len < 0 || pos.toLong + 12L + len > bytes.length) return None // Long: see decodeWav
       val ctype = tag(bytes, pos + 4)
       ctype match {
         case "IHDR" =>
@@ -334,17 +346,20 @@ object Codecs {
       pos += 12 + len // len + type + data + CRC
     }
     if (!sawIhdr || idat.size == 0) return None
-    val stride = w * 3
     // Totality guard BEFORE allocation: a 33-byte hostile blob declaring
     // w=h=1e6 would overflow (stride+1)*h in Int arithmetic and throw
     // NegativeArraySizeException out of the `new Array` — a task-killing
-    // escape from the documented quarantine-as-None contract. Deflate
-    // expands at most ~1032:1, so a decompressed size past idat·1032+64
-    // can never inflate successfully; reject it (and any Int overflow)
-    // with the same None every other malformed shape gets.
-    val rawLen = (stride.toLong + 1L) * h
+    // escape from the documented quarantine-as-None contract. The stride
+    // itself is computed in Long (w near 2^31 overflows `w * 3` in Int,
+    // which would corrupt the guard it feeds). Deflate expands at most
+    // ~1032:1, so a decompressed size past idat·1032+64 can never inflate
+    // successfully; reject it (and any Int overflow) with the same None
+    // every other malformed shape gets.
+    val strideL = w.toLong * 3L
+    val rawLen = (strideL + 1L) * h
     if (rawLen > Int.MaxValue - 8 ||
         rawLen > idat.size.toLong * 1032L + 64L) return None
+    val stride = strideL.toInt
     val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     try {

@@ -162,12 +162,16 @@ object EdnDatalog {
       keyed.flatMap { case (attr, as) => sub match {
         case Vec(_) => parsePullSpec(sub).map(PullJoin(attr, _, as))
         // bounded recursion: re-apply the enclosing spec N levels deep.
-        // N is capped small — each level is one static join in the plan,
-        // and a deep chain belongs in a recursive RULE, not a pull.
-        case Lng(d) if d >= 1 && d <= 10 && as.isEmpty =>
+        // The cap is the SAME limit the unbounded `...` discovery uses
+        // (each level is one static join in the plan; a deeper chain
+        // belongs in a recursive RULE, not a pull) — an explicit depth a
+        // user can write must never be lower than one the planner would
+        // discover and unroll for the same data.
+        case Lng(d) if d >= 1 && d <= PullRecur.MaxDiscoveredDepth && as.isEmpty =>
           Right(PullRecur(attr, d.toInt))
         case Lng(d) if as.isEmpty => Left(
-          s"recursive pull depth must be 1..10 (each level is one static join), got $d")
+          s"recursive pull depth must be 1..${PullRecur.MaxDiscoveredDepth} " +
+            s"(each level is one static join), got $d")
         // unbounded recursion {:attr ...}: depth is discovered from the
         // data at compile (longest resolvable ref chain), then unrolled
         // like the bounded form — crux EQL's `...` over an acyclic universe

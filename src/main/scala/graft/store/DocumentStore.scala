@@ -417,7 +417,16 @@ class DocumentStore(val spark: SparkSession, val path: String) {
   def withTx(ops: Seq[TxOp], validTime: Timestamp = now()): Option[DataFrame] = {
     require(ops.nonEmpty, "withTx: no speculative ops")
     val base = lastTx.get()
-    val vt = new Timestamp(math.max(validTime.getTime, base + ops.size + 1))
+    // The committed-row cut stays at the CALLER's valid time — crux
+    // `(with-tx (db node T) [...])` composes the speculative ops onto the
+    // as-of-T basis, so clamping vt forward to the tx clock would leak
+    // committed versions from (T, now] into the view and make Match
+    // assert against the wrong cut. Default-validFrom speculative rows
+    // are pinned AT vt (not at the tx clock): their txTime (base+1+i,
+    // strictly above every committed txTime, increasing per op) already
+    // makes them outrank committed rows at the cut and keeps crux's
+    // in-order last-put-wins among themselves.
+    val vt = validTime
     // committed top-1 candidate per matched id: (validFrom, txTime,
     // deleted, doc) under the same vt cut the plan applies
     val committedTop = scala.collection.mutable.Map
@@ -436,11 +445,11 @@ class DocumentStore(val spark: SparkSession, val path: String) {
     var specSoFar = List.empty[VersionedDoc] // newest first
     ops.zipWithIndex.foreach {
       case (TxOp.Put(id, doc, vf), i) =>
-        val v = VersionedDoc(id, vf.getOrElse(new Timestamp(base + 1 + i)),
+        val v = VersionedDoc(id, vf.getOrElse(vt),
           new Timestamp(base + 1 + i), deleted = false, doc)
         specRows += v; specSoFar ::= v
       case (TxOp.Delete(id, vf), i) =>
-        val v = VersionedDoc(id, vf.getOrElse(new Timestamp(base + 1 + i)),
+        val v = VersionedDoc(id, vf.getOrElse(vt),
           new Timestamp(base + 1 + i), deleted = true, doc = null)
         specRows += v; specSoFar ::= v
       case (TxOp.Match(id, expected), _) =>

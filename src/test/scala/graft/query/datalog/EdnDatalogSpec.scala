@@ -177,11 +177,19 @@ class EdnDatalogSpec extends SparkSpec {
       """{:find [(pull ?e [{:manager 1}])] :where [[?e :name "bob"]]}""")
       .collect().map(_.getStruct(0)).head
     assert(leaf.getString(0) == "e1", s"leaf keeps the ref id: $leaf")
-    // out-of-range literal depths are descriptive compile errors
+    // out-of-range literal depths are descriptive compile errors; the
+    // explicit cap is the SAME limit `...` discovery unrolls to (advice
+    // r12: a user-writable depth must not be lower than a discovered one)
     assert(EdnDatalog.run(docs,
-      "{:find [(pull ?e [{:manager 11}])] :where [[?e :name ?n]]}").isLeft)
+      s"{:find [(pull ?e [{:manager ${Ast.PullRecur.MaxDiscoveredDepth + 1}}])] :where [[?e :name ?n]]}").isLeft)
     assert(EdnDatalog.run(docs,
       "{:find [(pull ?e [{:manager 0}])] :where [[?e :name ?n]]}").isLeft)
+    // a depth past the old 10 cap but within the shared cap compiles and
+    // runs (short chain: extra levels are nulls, not errors)
+    val deep = run(
+      """{:find [(pull ?e [:name {:manager 12}])] :where [[?e :name "ada"]]}""")
+      .collect().map(_.getStruct(0)).head
+    assert(deep.getString(0) == "ada" && deep.isNullAt(1))
   }
 
   test("pull unbounded recursion {:ref ...} — depth discovered from the data") {

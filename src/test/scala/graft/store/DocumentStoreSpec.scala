@@ -306,6 +306,41 @@ class DocumentStoreSpec extends SparkSpec {
     } finally store.close()
   }
 
+  test("withTx honors an as-of-T basis: commits after T stay invisible") {
+    val path = Files.createTempDirectory("docstore-wtx-asof").toString + "/db"
+    val store = DocumentStore(spark, path)
+    try {
+      import graft.store.TxOp
+      val tx1 = store.put("a", """{"v":1}""")
+      Thread.sleep(5)
+      val t = store.now() // basis BETWEEN the two commits
+      Thread.sleep(5)
+      store.put("a", """{"v":2}""") // committed AFTER the basis
+      store.put("z", """{"v":9}""") // new entity after the basis
+      // crux (with-tx (db node T) ops): the view composes ops onto the
+      // as-of-T snapshot — v2 and z must NOT leak in (the pre-fix clamp
+      // read at ~now and leaked both)
+      val snap = store.withTx(Seq(TxOp.Put("b", """{"v":7}""")), t).get
+        .select("id", "doc").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(snap == Map("a" -> """{"v":1}""", "b" -> """{"v":7}"""),
+        s"as-of-T speculative view leaked post-T commits: $snap")
+      // Match asserts against the SAME as-of-T cut
+      assert(store.withTx(Seq(TxOp.Match("a", Some("""{"v":1}"""))), t).isDefined,
+        "match must see the as-of-T doc")
+      assert(store.withTx(Seq(TxOp.Match("a", Some("""{"v":2}"""))), t).isEmpty,
+        "match must NOT see a post-T commit")
+      assert(store.withTx(Seq(TxOp.Match("z", None)), t).isDefined,
+        "an entity created after T is absent at the T basis")
+      // a default-validFrom speculative put rides AT the basis, and the
+      // committed store remains untouched
+      assert(store.withTxEntity(Seq(TxOp.Put("a", """{"v":5}""")), "a")
+        .contains("""{"v":5}"""))
+      assert(store.entity("a").contains("""{"v":2}"""))
+      assert(tx1.getTime < t.getTime, "sanity: basis strictly after tx1")
+    } finally store.close()
+  }
+
   test("attributeStats + qWith: key discovery and Datalog over a speculative db") {
     val path = Files.createTempDirectory("docstore-attrs").toString + "/db"
     val store = DocumentStore(spark, path)

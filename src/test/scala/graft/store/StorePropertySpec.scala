@@ -183,18 +183,20 @@ class StorePropertySpec extends SparkSpec {
       for (seed <- Seq(1L, 2L, 3L, 4L, 5L)) {
         val ops = samples(genTxOp, 6, 9000L + seed)
         // the model: speculative op i is one more version at
-        // (validFrom = explicit | base+1+i, txTime = base+1+i) — crux's
-        // in-order apply — and the whole union is read at
-        // vt = max(asked, base+n+1) under the SAME bitemporal rule the
-        // committed differential pins (no tx cut: withTx sees all commits)
+        // (validFrom = explicit | vt, txTime = base+1+i) — crux's in-order
+        // apply, default-validFrom rows pinned AT the basis — and the
+        // whole union is read at vt = THE ASKED valid time (never clamped
+        // forward: an as-of-T basis must not leak (T, now] commits) under
+        // the SAME bitemporal rule the committed differential pins (no tx
+        // cut: withTx sees all commits)
         val now = store.now().getTime
-        val vt = math.max(now, base + ops.size + 1)
+        val vt = now
         val spec = ops.zipWithIndex.map {
           case (TxOp.Put(id, doc, vf), i) =>
-            Version(id, vf.map(_.getTime).getOrElse(base + 1 + i), base + 1 + i,
+            Version(id, vf.map(_.getTime).getOrElse(vt), base + 1 + i,
               deleted = false, doc)
           case (TxOp.Delete(id, vf), i) =>
-            Version(id, vf.map(_.getTime).getOrElse(base + 1 + i), base + 1 + i,
+            Version(id, vf.map(_.getTime).getOrElse(vt), base + 1 + i,
               deleted = true, null)
         }
         val want = snapshot(model ++ spec, vt, Long.MaxValue)
@@ -214,13 +216,13 @@ class StorePropertySpec extends SparkSpec {
       for (seed <- Seq(6L, 7L, 8L)) {
         val ops0 = samples(genTxOp, 5, 9100L + seed)
         val now = store.now().getTime
-        val vt = math.max(now, base + (ops0.size + 3) + 1)
+        val vt = now
         def specVersion(op: TxOp, i: Int): Option[Version] = op match {
           case TxOp.Put(id, doc, vf) =>
-            Some(Version(id, vf.map(_.getTime).getOrElse(base + 1 + i), base + 1 + i,
+            Some(Version(id, vf.map(_.getTime).getOrElse(vt), base + 1 + i,
               deleted = false, doc))
           case TxOp.Delete(id, vf) =>
-            Some(Version(id, vf.map(_.getTime).getOrElse(base + 1 + i), base + 1 + i,
+            Some(Version(id, vf.map(_.getTime).getOrElse(vt), base + 1 + i,
               deleted = true, null))
           case _: TxOp.Match => None
         }
