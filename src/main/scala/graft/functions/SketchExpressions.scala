@@ -304,6 +304,15 @@ object SketchExpressions {
       CmsSketch(ColumnBridge.expression(cmsCells(value, depth, width)), depth, width)
         .toAggregateExpression())
 
+  /** [[cms_sketch]] over a caller-built cells column — for callers that
+    * need to gate the cells expression (e.g. `when(v.isNotNull, cmsCells(v))`
+    * so null rows contribute NOTHING: bare `cmsCells` of a null value is an
+    * array of null cells, not a null array, and would mis-count as cell 0). */
+  def cms_sketch_cells(cells: Column, depth: Int, width: Int): Column =
+    ColumnBridge.column(
+      CmsSketch(ColumnBridge.expression(cells), depth, width)
+        .toAggregateExpression())
+
   /** Point frequency estimate of `term` from a [[cms_sketch]] column: the
     * min of its depth cells — codegen'd `element_at` lookups over the
     * sketch array, no shuffle, usable per probe row. */

@@ -68,12 +68,14 @@ class BenchStatsSpec extends SparkSpec {
     // re-running connected components.
     ("dedup_clusters", 48),         // 34 measured solo-cold (both stagings)
     ("dedup_canonical_best", 58),   // 42 measured solo-cold = clusters + argmax
-    // r12: unbounded recursive pull — plan-time chain discovery (one
-    // persist + depth+2 frontier probes over the edge projection) + the
-    // discovered-depth unrolled join cascade. A jump past the ceiling
-    // means discovery started iterating past the data's real chain depth
-    // (or the probe lost its persisted edge table)
-    ("datalog_pull_recursive", 38)) // 26 measured cold at sf0.001
+    // r13 (VERDICT r12 #2): unbounded recursive pull — the spec projection
+    // is materialized once (hash-partitioned by id, reused by every
+    // unrolled level), chain discovery probes are raw RDD counts (one job
+    // per level, no AQE stage fan), then the discovered-depth join
+    // cascade runs over the materialized leaf. A jump past the ceiling
+    // means discovery fell back to per-stage probing or a level stopped
+    // reusing the materialized base (r12: 26 jobs)
+    ("datalog_pull_recursive", 22)) // 17 measured cold at sf0.001
 
   for ((gate, budget) <- budgets)
     test(s"$gate stays within its job budget ($budget)") {

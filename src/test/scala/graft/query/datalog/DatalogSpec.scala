@@ -309,6 +309,39 @@ class DatalogSpec extends SparkSpec {
     assert(ordered2.head == C("e1"), s"id-lookup group must lead: $ordered2")
   }
 
+  test("clause ordering is value-aware: a hot-value filter no longer ranks first (VERDICT r12)") {
+    // 100 docs: dept='eng' on 90 of them (the HOT value), city='lyon' on
+    // exactly 2. A uniform 1/10-per-filter guess scores both constant
+    // filters identically (100·0.1 = 10) and ties break alphabetically —
+    // the 90-row hot build would lead. The CMS value histogram must rank
+    // the 2-row filter first instead.
+    DatalogCompiler.clearStatsCache()
+    val skewed = (1 to 100).map { i =>
+      (s"d$i",
+        if (i <= 90) "eng" else "ops",
+        if (i % 50 == 0) "lyon" else s"city$i",
+        s"d${math.max(1, i - 1)}")
+    }.toDF("id", "dept", "city", "link")
+    val ps = Seq(
+      Pattern(V("b"), "dept", C("eng")),  // hot: ~90 rows
+      Pattern(V("b"), "link", V("x")),
+      Pattern(V("c"), "city", C("lyon")), // rare: 2 rows
+      Pattern(V("c"), "link", V("x")))
+    val groups = ps.groupBy(_.e).toSeq.sortBy(_._1.toString)
+    val ordered = compiler.orderGroups(skewed, groups).map(_._1)
+    assert(ordered == Seq(V("c"), V("b")),
+      s"the rare-value group must lead the join, got $ordered")
+    // stats OFF keeps the static heuristic (ties → alphabetical): the
+    // plan differs but the RESULT may not — conjunction is commutative
+    val noStats = new DatalogCompiler(new FunctionRegistry, useStats = false)
+    val q = Query(
+      find = Seq(FindVar(V("b")), FindVar(V("c"))),
+      where = ps)
+    val a1 = compiler.run(skewed, q).as[(String, String)].collect().toSet
+    val a2 = noStats.run(skewed, q).as[(String, String)].collect().toSet
+    assert(a1 == a2 && a1.nonEmpty, "ordering must never change results")
+  }
+
   test("worst-ordered query compiles the selective group into the deepest-left join leaf") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
     val q = Query(
