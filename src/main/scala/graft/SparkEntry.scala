@@ -2301,20 +2301,28 @@ object SparkEntry {
            CAST(max(abs(s)) AS BIGINT) AS peak,
            CAST(8 AS BIGINT) AS bits
          FROM dec GROUP BY doc_id""",
-    // multimodal_frames: every-4th-frame sampling of the 256-byte stub
-    // frames — index set and per-frame byte mass replayed as arithmetic
+    // multimodal_frames: REAL MJPEG-in-AVI demux + baseline JPEG decode,
+    // every 4th frame — the oracle recomputes each sampled frame's pixel
+    // stats from the constant-block formula (4 blocks of 64 pixels at
+    // (31f + 17bx + 23by + id) mod 256); it never sees a byte, so any
+    // Huffman/DC-prediction/restart/dequant/demux mistake hash-fails
     "multimodal_frames" ->
       """WITH v AS (
-           SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS nb
+           SELECT doc_id AS media_id, 3 + doc_id % 4 AS nf
            FROM documents WHERE doc_id % 3 = 2
-         ), idx AS (
-           SELECT media_id, nb,
-             unnest(range(0, greatest(nb // 256, 1), 4)) AS i
+         ), fr AS (
+           SELECT media_id, unnest(range(0, nf, 4)) AS f
            FROM v
          )
-         SELECT media_id, count(*) AS n_sampled,
-           CAST(sum(least(256, nb - i * 256)) AS BIGINT) AS sampled_bytes
-         FROM idx GROUP BY media_id""",
+         SELECT media_id, CAST(f AS BIGINT) AS frame_no,
+           CAST(256 AS BIGINT) AS n_px,
+           CAST(64 * ( (31 * f + media_id) % 256
+                     + (31 * f + 17 + media_id) % 256
+                     + (31 * f + 23 + media_id) % 256
+                     + (31 * f + 40 + media_id) % 256 ) AS BIGINT) AS sum_luma,
+           CAST((31 * f + media_id) % 256 AS BIGINT) AS first_luma,
+           CAST((31 * f + 40 + media_id) % 256 AS BIGINT) AS last_luma
+         FROM fr""",
     // corpus_split: partition-stable split assignment — pure integer
     // arithmetic on doc_id, identical in both engines
     "corpus_split" ->

@@ -127,6 +127,14 @@ object Multimodal {
             DecodedMedia(r.media_id, r.kind, pi.width, pi.height, 1,
               Array(pi.sumR / n, pi.sumG / n, pi.sumB / n))
           })
+          case "avi" => // REAL MJPEG demux + first-frame decode (r13)
+            for {
+              fs <- Mjpeg.aviFrames(r.bytes)
+              first <- fs.headOption.flatMap(Mjpeg.decodeJpegGray)
+            } yield DecodedMedia(r.media_id, r.kind, first.w, first.h,
+              fs.length,
+              Array(first.sumLuma.toDouble /
+                math.max(first.w.toLong * first.h, 1L)))
           case _ =>
             val (w, h) = StubCodec.decodeDims(r.bytes)
             Some(DecodedMedia(r.media_id, r.kind, w, h,
@@ -136,13 +144,23 @@ object Multimodal {
     }
   }
 
-  /** Sample every `everyN`th frame of video rows → one row per frame. */
+  /** Sample every `everyN`th frame of video rows → one row per frame.
+    * Format `avi` takes the REAL path (r13): [[Mjpeg.aviFrames]] demuxes
+    * the RIFF container and each sampled row carries one complete encoded
+    * JPEG — an undemuxable payload quarantines (drops), same contract as
+    * decode. Other formats keep the stub demuxer. */
   def sampleFrames(media: Dataset[MediaRow], everyN: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     // null payload skipped, same contract as decode
     media.filter(r => r.kind == "video" && r.bytes != null).flatMap { r =>
-      (0 until StubCodec.frameCount(r.bytes) by everyN)
-        .map(i => Frame(r.media_id, i, StubCodec.frame(r.bytes, i)))
+      r.format match {
+        case "avi" =>
+          Mjpeg.aviFrames(r.bytes).toSeq.flatMap(fs =>
+            (0 until fs.length by everyN).map(i => Frame(r.media_id, i, fs(i))))
+        case _ =>
+          (0 until StubCodec.frameCount(r.bytes) by everyN)
+            .map(i => Frame(r.media_id, i, StubCodec.frame(r.bytes, i)))
+      }
     }
   }
 
@@ -345,22 +363,42 @@ object Multimodal {
       .drop("__wav")
   }
 
-  /** SparkEntry query (oracled): frame sampling over the video slice —
-    * every 4th frame, per-video sampled-frame count and byte mass. The
-    * stub demuxer is pure byte arithmetic (256-byte frames), so the
-    * explode-after-repartition plumbing is verified end-to-end by DuckDB
-    * replaying the same slicing. */
+  /** SparkEntry query (oracled ANALYTICALLY): REAL video frame extraction
+    * end-to-end (r13 — the last stubbed modality). Each video row
+    * synthesizes an MJPEG AVI whose frame f is a 16×16 grayscale baseline
+    * JPEG of constant 8×8 blocks `(31f + 17bx + 23by + id) mod 256`
+    * (even ids add restart markers every 3 MCUs); [[sampleFrames]] demuxes
+    * the RIFF container and samples every 4th frame; each sampled frame
+    * runs the FULL baseline decoder (Huffman, DC prediction, dequant,
+    * IDCT, level shift). Constant blocks under quantizer 8 round-trip
+    * bit-exactly, so the DuckDB oracle recomputes every frame's pixel
+    * stats from the block formula without seeing a byte — a wrong Huffman
+    * table, DC predictor, restart reset, dequant index, or demux offset
+    * hash-fails. */
   def frameSampleQuery(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d)
       .filter(pmod(col("doc_id"), lit(3)) === 2)
-      .select(col("doc_id").as("media_id"), lit("video").as("kind"),
-        col("text").cast("binary").as("bytes"),
-        lit("stub").as("format"), lit(0).as("width"), lit(0).as("height"),
-        lit(0).as("sample_rate"), lit(0L).as("duration_ms"))
-    sampleFrames(media.as[MediaRow], everyN = 4).toDF()
-      .groupBy("media_id")
-      .agg(count(lit(1)).as("n_sampled"),
-        sum(length(col("frame_bytes"))).as("sampled_bytes"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val nf = (3 + id % 4).toInt
+        val frames = (0 until nf).map { f =>
+          Mjpeg.synthJpegGrayBlocks(16, 16,
+            (bx, by) => ((31L * f + 17L * bx + 23L * by + id) % 256L).toInt,
+            restartEvery = if (id % 2 == 0) 3 else 0)
+        }
+        MediaRow(id, "video", Mjpeg.synthAviMjpeg(frames, 16, 16), "avi",
+          16, 16, 0, 0L)
+      })
+    sampleFrames(media, everyN = 4)
+      .mapPartitions(_.map { fr =>
+        val g = Mjpeg.decodeJpegGray(fr.frame_bytes).getOrElse(
+          throw new IllegalStateException(
+            s"frame decode failed for ${fr.media_id}/${fr.frame_no}"))
+        (fr.media_id, fr.frame_no.toLong, g.w.toLong * g.h, g.sumLuma,
+          g.luma(0, 0).toLong, g.luma(15, 15).toLong)
+      })
+      .toDF("media_id", "frame_no", "n_px", "sum_luma",
+        "first_luma", "last_luma")
   }
 }
