@@ -625,9 +625,19 @@ class DocumentStore(val spark: SparkSession, val path: String) {
   def qWith(ops: Seq[TxOp], edn: String,
             schema: org.apache.spark.sql.types.StructType,
             validTime: Timestamp = now()): Either[String, DataFrame] =
+    qWithArgs(ops, edn, schema, Nil, validTime)
+
+  /** [[qWith]] with positional `:in` arguments — crux's
+    * `(q (with-tx db ops) query arg1 …)` calling shape: the full query
+    * surface (recursive rules, :in bindings, pull) over speculative state. */
+  def qWithArgs(ops: Seq[TxOp], edn: String,
+                schema: org.apache.spark.sql.types.StructType,
+                inputs: Seq[Any],
+                validTime: Timestamp = now()): Either[String, DataFrame] =
     withTx(ops, validTime) match {
       case None => Left("speculative transaction aborted: a TxOp.Match failed")
-      case Some(snap) => graft.query.datalog.EdnDatalog.run(relationOf(snap, schema), edn)
+      case Some(snap) =>
+        graft.query.datalog.EdnDatalog.runWith(relationOf(snap, schema), edn, inputs)
     }
 
   /** Crux `attribute-stats`: attribute → number of CURRENT docs carrying

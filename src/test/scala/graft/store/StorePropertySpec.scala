@@ -251,4 +251,95 @@ class StorePropertySpec extends SparkSpec {
       }
     } finally store.close()
   }
+
+  test("differential: recursive rules + :in over SPECULATIVE state (VERDICT r12 #3)") {
+    // r12's 63-case differential pinned speculative VISIBILITY; this pins
+    // the full query surface composed over it — a recursive boss-closure
+    // rule with a :in-bound start node evaluated via qWithArgs, against a
+    // driver-side BFS over the naive speculative snapshot. Speculative
+    // batches REWIRE edges, add nodes, and delete nodes; a closure that
+    // reads stale committed edges (or loses a speculative node) diverges.
+    val store = DocumentStore(spark,
+      java.nio.file.Files.createTempDirectory("store-prop-rules").toString + "/db")
+    try {
+      def doc(boss: Option[String]): String =
+        boss.fold("""{"kind":"node"}""")(b => s"""{"kind":"node","boss":"$b"}""")
+      // committed graph with churn: n2→n1, n3→n2, n4→n3 after a rewire
+      // (n4 first pointed at n1), n5→n4, n6 deleted after creation
+      var model = Vector.empty[Version]
+      def commit(id: String, d: Option[String]): Unit = {
+        val tx = d match {
+          case Some(x) => store.put(id, x)
+          case None => store.delete(id)
+        }
+        model :+= Version(id, tx.getTime, tx.getTime, d.isEmpty, d.orNull)
+      }
+      commit("n1", Some(doc(None)))
+      commit("n2", Some(doc(Some("n1"))))
+      commit("n3", Some(doc(Some("n2"))))
+      commit("n4", Some(doc(Some("n1")))) // first wiring
+      commit("n4", Some(doc(Some("n3")))) // rewire wins
+      commit("n5", Some(doc(Some("n4"))))
+      commit("n6", Some(doc(Some("n5"))))
+      commit("n6", None) // deleted: must not appear in any closure
+      val base = model.map(_.txTime).max
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("kind", "string").add("boss", "string")
+
+      val batches: Seq[(Seq[TxOp], String)] = Seq(
+        // rewire n3 under n1 directly (shortcut) + a new leaf under n3
+        (Seq(TxOp.Put("n3", doc(Some("n1"))),
+          TxOp.Put("n7", doc(Some("n3")))), "n7"),
+        // delete a mid-chain node: closures through it must stop there
+        (Seq(TxOp.Delete("n3")), "n5"),
+        // resurrect n6 under n2 and re-wire n5 under n6 — in-order apply
+        (Seq(TxOp.Put("n6", doc(Some("n2"))),
+          TxOp.Put("n5", doc(Some("n6")))), "n5"),
+        // last-put-wins within the batch: n4 ends under n2
+        (Seq(TxOp.Put("n4", doc(Some("n1"))),
+          TxOp.Put("n4", doc(Some("n2")))), "n4"))
+
+      for (((ops, start), bi) <- batches.zipWithIndex) {
+        val now = store.now().getTime
+        val spec = ops.zipWithIndex.map {
+          case (TxOp.Put(id, d, vf), i) =>
+            Version(id, vf.map(_.getTime).getOrElse(now), base + 1 + i, deleted = false, d)
+          case (TxOp.Delete(id, vf), i) =>
+            Version(id, vf.map(_.getTime).getOrElse(now), base + 1 + i, deleted = true, null)
+          case (op, _) => fail(s"unexpected op $op")
+        }
+        val snap = snapshot(model ++ spec, now, Long.MaxValue)
+        // driver-side closure over the speculative edges. `boss` is an
+        // attribute VALUE: [?a :boss ?b] binds ?b whether or not ?b's own
+        // doc is visible (crux ref semantics) — a deleted node can still
+        // appear as a closure member, it just contributes no further edge.
+        val edge = snap.flatMap { case (id, d) =>
+          "\"boss\":\"([^\"]+)\"".r.findFirstMatchIn(d).map(m => id -> m.group(1))
+        }
+        var want = Set.empty[String]
+        var cur = edge.get(start).toSet
+        while (cur.nonEmpty) {
+          want ++= cur
+          cur = cur.flatMap(edge.get).diff(want)
+        }
+        val got = store.qWithArgs(ops,
+          """{:find [?b] :in [?start]
+              :where [(up ?start ?b)]
+              :rules [[(up ?a ?b) [?a :boss ?b]]
+                      [(up ?a ?b) [?a :boss ?x] (up ?x ?b)]]}""",
+          schema, Seq(start), new Timestamp(now))
+          .fold(e => fail(s"qWithArgs failed [batch $bi]: $e"), identity)
+          .collect().map(_.getString(0)).toSet
+        assert(got == want, s"speculative closure diverged [batch $bi, start $start]:" +
+          s"\n got $got\n want $want\n snap $snap")
+      }
+      // composition respects Match-abort: the same query over an aborting
+      // batch is a diagnosed Left, not a result over half-applied state
+      assert(store.qWithArgs(
+        Seq(TxOp.Match("n1", None), TxOp.Put("n7", doc(Some("n1")))),
+        "{:find [?b] :in [?start] :where [(up ?start ?b)] " +
+          ":rules [[(up ?a ?b) [?a :boss ?b]]]}",
+        schema, Seq("n7")).isLeft)
+    } finally store.close()
+  }
 }
