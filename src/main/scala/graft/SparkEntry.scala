@@ -94,6 +94,7 @@ object SparkEntry {
     // §2.2 Datalog compiler end-to-end (triple patterns → Catalyst plan)
     "datalog_query"       -> (graft.query.datalog.DatalogDb.datalogQuery(_, _)),
     "datalog_edn"         -> (graft.query.datalog.DatalogDb.datalogEdnQuery(_, _)),
+    "datalog_timeout"     -> (graft.query.datalog.DatalogDb.datalogTimeoutQuery(_, _)),
     "datalog_sample"      -> (graft.query.datalog.DatalogDb.datalogSampleQuery(_, _)),
     // mutually recursive rules (odd/even path parity, combined SCC fixpoint)
     "datalog_mutual"      -> (graft.query.datalog.DatalogDb.datalogMutualQuery(_, _)),
@@ -1121,6 +1122,14 @@ object SparkEntry {
       """SELECT c_mktsegment AS seg, count(*) AS count_o
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_totalprice > 300000.0 GROUP BY c_mktsegment""",
+    // datalog_timeout: crux :timeout — a generous budget returns exactly
+    // the plain query's rows (the eager-materialize path must not change
+    // results); the (reachable ?c) rule = customers with positive acctbal
+    "datalog_timeout" ->
+      """SELECT c_mktsegment AS seg, count(*) AS count_o
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_totalprice > 300000.0 AND c_acctbal > 0.0
+         GROUP BY c_mktsegment""",
     // datalog_bind_arith: the bind chain is pure scalar IEEE arithmetic —
     // identical in any engine — so only the count aggregates (exact)
     "datalog_bind_arith" ->

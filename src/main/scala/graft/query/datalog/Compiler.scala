@@ -25,7 +25,63 @@ import Ast._
   * cartesian product. Recursive rules run through [[Fixpoint]] (driver-side
   * semi-naive loop, the standard Spark answer to recursion).
   */
+/** Crux `:timeout` elapsed — surfaced as a Left at the EDN boundary. */
+final class QueryTimeoutException(msg: String) extends RuntimeException(msg)
+
 object DatalogCompiler {
+  /** Driver-side deadline (nanoTime) for the query running on this
+    * thread (crux `:timeout`). The iteration loops — rule fixpoints,
+    * pull chain discovery, per-binding-row compilation — poll it, so an
+    * unbounded fixpoint cannot outlive the budget; the boundary
+    * materialization in [[materializeWithin]] covers everything else. */
+  private val deadline = new ThreadLocal[java.lang.Long]
+
+  private[datalog] def checkDeadline(what: String): Unit = {
+    val d = deadline.get()
+    if (d != null && System.nanoTime() > d.longValue())
+      throw new QueryTimeoutException(s"query timed out during $what (:timeout)")
+  }
+
+  /** Run `body` under a `:timeout` budget of `ms` milliseconds, then
+    * EAGERLY materialize its result under a cancellable job group —
+    * crux's `q` with a timeout either returns the full result set within
+    * the budget or throws, so the relational face must not hand back a
+    * lazy plan whose cost escapes the budget at first action. On timeout
+    * the in-flight Spark jobs are cancelled (no zombie work) and the
+    * caller gets a [[QueryTimeoutException]]. */
+  private[datalog] def runWithin(ms: Long)(body: => DataFrame): DataFrame = {
+    require(ms > 0, ":timeout must be positive milliseconds")
+    val prev = deadline.get()
+    deadline.set(System.nanoTime() + ms * 1000000L)
+    try {
+      val df = body
+      val remainingMs = math.max(
+        0L, (deadline.get().longValue() - System.nanoTime()) / 1000000L)
+      if (remainingMs == 0)
+        throw new QueryTimeoutException(s"query timed out after $ms ms (:timeout)")
+      val sc = df.sparkSession.sparkContext
+      val group = s"graft-timeout-${java.util.UUID.randomUUID()}"
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val timer = new java.util.Timer("graft-query-timeout", true)
+      sc.setJobGroup(group, s"datalog :timeout $ms ms", interruptOnCancel = true)
+      try {
+        val p = df.persist()
+        timer.schedule(new java.util.TimerTask {
+          def run(): Unit = { fired.set(true); sc.cancelJobGroup(group) }
+        }, remainingMs)
+        try { p.count(); p }
+        catch { case e: Exception =>
+          try p.unpersist(false) catch { case _: Exception => () }
+          if (fired.get())
+            throw new QueryTimeoutException(s"query timed out after $ms ms (:timeout)")
+          else throw e
+        }
+      } finally { timer.cancel(); sc.clearJobGroup() }
+    } finally {
+      if (prev == null) deadline.remove() else deadline.set(prev)
+    }
+  }
+
   /** Relation statistics carried per attribute: non-null count plus a
     * count-min sketch of the value distribution ([[cmsDepth]]×[[cmsWidth]]
     * counters, fixed 32 KB) — the per-VALUE histogram that lets the clause
@@ -150,7 +206,13 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
   /** A compiled clause set = bindings relation; columns are variable names. */
   private type Rel = DataFrame
 
-  def run(docs: DataFrame, q: Query, inputs: Seq[Any] = Nil): DataFrame = {
+  def run(docs: DataFrame, q: Query, inputs: Seq[Any] = Nil): DataFrame =
+    q.timeout match {
+      case None => runInner(docs, q, inputs)
+      case Some(ms) => DatalogCompiler.runWithin(ms)(runInner(docs, q, inputs))
+    }
+
+  private def runInner(docs: DataFrame, q: Query, inputs: Seq[Any]): DataFrame = {
     require(docs.columns.contains("id"), "document relation needs an `id` column")
     require(q.in.isEmpty || q.args.isEmpty,
       ":in and the legacy :args cannot be combined in one query")
@@ -215,6 +277,7 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
     require(rows.nonEmpty,
       ":in bound an empty collection/relation on a var the patterns never bind — no result schema")
     val bodies = rows.map { row =>
+      DatalogCompiler.checkDeadline("per-binding-row compilation")
       var rel = freeBody.getOrElse(
         compileClauses(docs, substArgs(q.where, row), ruleMap))
       // crux unification for a substituted var the body nonetheless BINDS
@@ -804,6 +867,7 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
             .select(paramNames.map(col): _*))
           .reduce(_.unionByName(_)).distinct()
         Fixpoint.fixpoint2(base, (delta, acc) => {
+          DatalogCompiler.checkDeadline(s"recursive rule ${rule.name} fixpoint")
           // one compiled conjunction per (body, chosen self-reference):
           // the chosen occurrence binds to delta, every other one to acc
           recBodies.flatMap { body =>
@@ -907,7 +971,8 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
         rel.get.select(params(owner).map(col): _*)
       }
 
-      val step = (deltas: Map[String, DataFrame], accs: Map[String, DataFrame]) =>
+      val step = (deltas: Map[String, DataFrame], accs: Map[String, DataFrame]) => {
+        DatalogCompiler.checkDeadline("mutually recursive rule fixpoint")
         members.flatMap { m =>
           val conjs = partitioned(m)._2.flatMap { body =>
             val refs = body.zipWithIndex.collect {
@@ -927,6 +992,7 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
           if (conjs.isEmpty) None
           else Some(m -> conjs.reduce(_.unionByName(_)))
         }.toMap
+      }
 
       val results = graft.query.Fixpoint.fixpointMulti(
         bases, step, members.map(m => m -> params(m)).toMap)
@@ -1145,6 +1211,7 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
       persisted += frontier
       var more = frontier.count() > 0
       while (more && depth < PullRecur.MaxDiscoveredDepth) {
+        DatalogCompiler.checkDeadline("recursive pull chain discovery")
         depth += 1
         frontier = frontier.map((_, ())).join(edges)
           .map { case (_, (_, dst)) => dst }.distinct()

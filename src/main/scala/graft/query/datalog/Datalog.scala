@@ -143,5 +143,15 @@ object Ast {
         * substitute constants per row (per-branch predicate pushdown),
         * large ones become one broadcast equi-join against a binding
         * relation — never N unioned bodies. */
-      in: Seq[InBinding] = Nil)
+      in: Seq[InBinding] = Nil,
+      /** Crux `:timeout` (milliseconds). Crux's `q` with a timeout is
+        * EAGER — it returns the full result set within the budget or
+        * throws. The relational face keeps that contract: the compiled
+        * plan is materialized under a cancellable job group and the
+        * driver-side loops (rule fixpoints, pull chain discovery,
+        * per-binding-row compilation) poll the same deadline, so on
+        * timeout the in-flight Spark jobs are cancelled and the caller
+        * gets a timeout error (a Left at the EDN boundary). Without
+        * `:timeout` queries stay lazy DataFrames. */
+      timeout: Option[Long] = None)
 }

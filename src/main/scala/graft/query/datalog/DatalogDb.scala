@@ -55,6 +55,26 @@ object DatalogDb {
                   [?c :c-mktsegment ?seg]]}""")
       .fold(e => throw new IllegalArgumentException(e), identity)
 
+  /** SparkEntry query `datalog_timeout`: crux `:timeout` through the gate
+    * — the query is EAGER under a timeout (materialized under a
+    * cancellable job group, driver loops polling the deadline; a
+    * recursive rule keeps the fixpoint poll on the executed path), and a
+    * generous budget must return exactly the plain query's answer. The
+    * elapsing side (tiny budget → Left, jobs cancelled) is spec-only
+    * (EdnDatalogSpec) — an oracle can't observe a cancellation. */
+  def datalogTimeoutQuery(s: SparkSession, d: String): DataFrame =
+    EdnDatalog.run(ordersCustomers(s, d),
+      """{:find  [?seg (count ?o)]
+          :where [[?o :o-totalprice ?t]
+                  [(> ?t 300000.0)]
+                  [?o :order-cust ?c]
+                  (reachable ?c)
+                  [?c :c-mktsegment ?seg]]
+          :rules [[(reachable ?x) [?x :c-acctbal ?b] [(> ?b 0.0)]]
+                  [(reachable ?x) (reachable ?x)]]
+          :timeout 300000}""")
+      .fold(e => throw new IllegalArgumentException(e), identity)
+
   /** SparkEntry query `datalog_bind_arith`: arithmetic BIND clauses —
     * `[(* ?t 2.0) ?tt]` etc — chained through a derived-value predicate.
     * The operators compile to Column arithmetic (call_function rejects

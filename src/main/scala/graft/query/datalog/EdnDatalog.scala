@@ -57,7 +57,9 @@ object EdnDatalog {
           in <- m.get("in").map(parseIn).getOrElse(Right(Nil))
           _ <- if (in.nonEmpty && args.nonEmpty)
                  Left(":in and the legacy :args cannot be combined") else Right(())
-        } yield Query(find, where, rules, args, withVars, orderBy, limit, offset, keys, in)
+          timeout <- parseTimeout(m.get("timeout"))
+        } yield Query(find, where, rules, args, withVars, orderBy, limit, offset,
+                      keys, in, timeout)
       case _ => Left("query must be an EDN map")
     }
 
@@ -365,6 +367,15 @@ object EdnDatalog {
       })
     case _ => Left(":order-by must be a vector")
   }
+
+  /** Crux `:timeout` — positive milliseconds (crux takes a millisecond
+    * count or a Duration; the EDN face carries the number form). */
+  private def parseTimeout(v: Option[Value]): Either[String, Option[Long]] =
+    v match {
+      case None => Right(None)
+      case Some(Lng(l)) if l > 0 => Right(Some(l))
+      case Some(other) => Left(s":timeout must be positive milliseconds, got $other")
+    }
 
   private def parseIntOpt(v: Option[Value], what: String): Either[String, Option[Int]] =
     v match {

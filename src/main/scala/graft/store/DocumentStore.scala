@@ -361,6 +361,29 @@ class DocumentStore(val spark: SparkSession, val path: String) {
   def awaitTx(tx: Timestamp): Boolean = txCommitted(tx)
   def txCommitted(tx: Timestamp): Boolean = tx.getTime <= lastTx.get()
 
+  /** Crux `latest-submitted-tx` — the tx-time of the newest transaction
+    * this node has accepted (None before any write; a reopened store
+    * reseeds from the max committed tx-time, so the answer survives
+    * restarts). Crux returns a `{:crux.tx/tx-id …}` map; tx-time is the
+    * identity this store's transactions carry. */
+  def latestSubmittedTx: Option[Timestamp] = lastTx.get() match {
+    case 0L => None
+    case t => Some(new Timestamp(t))
+  }
+
+  /** Crux `(sync node timeout)` — block until the index has caught up
+    * with the latest submitted transaction, returning the tx-time it
+    * reached. Writes here commit synchronously inside the submitting
+    * call (there is no async indexer to wait on), so sync returns
+    * immediately; the reference calls it once at node start
+    * (`/root/reference/src/dataworks/db/user_db.clj:19-23`) and this
+    * keeps that call shape working. `timeoutMs` is accepted for
+    * signature fidelity and never elapses. */
+  def sync(timeoutMs: Long = 0L): Option[Timestamp] = {
+    requireOpen()
+    latestSubmittedTx
+  }
+
   // ------------------------------------------------------------------ reads
 
   /** Q10/Q11: snapshot of all documents visible at (valid-time, tx-time).
@@ -504,6 +527,27 @@ class DocumentStore(val spark: SparkSession, val path: String) {
       .select("doc")
       .as[String].collect().headOption
   }
+
+  /** Crux `entity-tx` — the bitemporal coordinates of the version that
+    * makes `entity(id, validTime)` answer: (validFrom = crux valid-time,
+    * txTime = crux tx-time). None when the entity is absent or
+    * tombstoned at that cut, exactly when `entity` is None (crux returns
+    * nil then too). Same pushed id filter + window as the payload read. */
+  def entityTx(id: String, validTime: Timestamp): Option[(Timestamp, Timestamp)] = {
+    val w = Window.partitionBy("id")
+      .orderBy(col("validFrom").desc, col("txTime").desc)
+    versionsRaw()
+      .filter(col("id") === id &&
+        col("valid_date") <= date_add(to_date(lit(validTime)), 2) &&
+        col("validFrom") <= lit(validTime))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && !col("deleted"))
+      .select("validFrom", "txTime")
+      .collect().headOption.map(r =>
+        (r.getTimestamp(0), r.getTimestamp(1)))
+  }
+
+  def entityTx(id: String): Option[(Timestamp, Timestamp)] = entityTx(id, now())
 
   /** Typed view of the history for Dataset-style callers. */
   def history(): Dataset[VersionedDoc] = {

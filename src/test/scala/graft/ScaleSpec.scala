@@ -77,7 +77,20 @@ class ScaleSpec extends SparkSpec {
     // GENEROUS: 10× rows may legitimately cost up to ~3× linear (denser
     // windows, log-factor growth, scheduler constants on a busy CI box).
     // The bug class this guards (fixed-resolution LSH) measured 127×.
-    ratios.foreach { case (g, r) =>
+    // A breach re-measures once before failing: a wall-clock ratio in a
+    // JVM that just ran 17 gates × 2 SFs flakes under GC/page-cache
+    // pressure (a sub-50 ms base caught against one 4 s hiccup reads as
+    // 80×), while a true super-linear plan reproduces on the retry.
+    ratios.foreach { case (g, r0) =>
+      val r =
+        if (r0 <= 30.0) r0
+        else {
+          val t01 = timeGate(g, sf("sf0.1"))
+          val t1 = timeGate(g, sf1Dir)
+          val retry = t1 / math.max(t01, 0.05)
+          info(f"$g%-22s RETRY sf0.1 ${t01}%6.2fs  sf1 ${t1}%6.2fs  ratio ${retry}%5.1fx")
+          math.min(r0, retry)
+        }
       assert(r <= 30.0, f"$g: ${r}%.1fx wall-clock on 10x data — super-linear")
     }
   }

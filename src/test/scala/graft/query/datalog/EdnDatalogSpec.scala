@@ -662,4 +662,35 @@ class EdnDatalogSpec extends SparkSpec {
                     "{:find [?x] :where [[?x :name ?n]] :limit \"ten\"}"))
       assert(EdnDatalog.run(docs, bad).isLeft, s"should reject: $bad")
   }
+
+  test("crux :timeout — generous budget returns the plain query's answer, eagerly") {
+    // a recursive rule keeps the fixpoint deadline poll on the executed
+    // path; the result must match the same query without :timeout
+    val q = """{:find [?n]
+                :where [(boss ?e "e1") [?e :name ?n]]
+                :rules [[(boss ?x ?b) [?x :manager ?b]]
+                        [(boss ?x ?b) [?x :manager ?m] (boss ?m ?b)]]%s}"""
+    val plain = run(q.format("")).as[String].collect().toSet
+    val timed = run(q.format(" :timeout 300000")).as[String].collect().toSet
+    assert(timed == plain && plain == Set("bob", "cid", "dee", "eva"))
+  }
+
+  test("crux :timeout — an elapsed budget is a Left naming the timeout, never a throw") {
+    // 1 ms cannot cover even plan compilation, so one of the deadline
+    // sites fires: a driver-loop poll, or the boundary materialization
+    val got = EdnDatalog.run(docs,
+      """{:find [?n]
+          :where [(boss ?e "e1") [?e :name ?n]]
+          :rules [[(boss ?x ?b) [?x :manager ?b]]
+                  [(boss ?x ?b) [?x :manager ?m] (boss ?m ?b)]]
+          :timeout 1}""")
+    assert(got.isLeft && got.left.exists(_.contains("timed out")), s"got $got")
+  }
+
+  test("crux :timeout — zero/negative/non-integer values are parse Lefts") {
+    for (bad <- Seq(":timeout 0", ":timeout -5", ":timeout \"3s\""))
+      assert(EdnDatalog.run(docs,
+        s"{:find [?n] :where [[?e :name ?n]] $bad}")
+        .left.exists(_.contains("positive milliseconds")), s"should reject: $bad")
+  }
 }

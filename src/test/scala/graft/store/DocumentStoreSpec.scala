@@ -118,6 +118,50 @@ class DocumentStoreSpec extends SparkSpec {
     assert(s.history("hist/nope").isEmpty)
   }
 
+  test("latest-submitted-tx and sync (crux node metadata surface)") {
+    val s = freshStore()
+    // a fresh store has accepted nothing
+    assert(s.latestSubmittedTx.isEmpty)
+    // sync on an empty node returns immediately (writes are synchronous;
+    // the reference calls (crux/sync db 3s) once at startup)
+    assert(s.sync(3000L).isEmpty)
+    val t1 = s.put("meta/a", """{"v":1}""")
+    assert(s.latestSubmittedTx.contains(t1))
+    assert(s.sync(3000L).contains(t1))
+    val t2 = s.delete("meta/a")
+    // monotone: the newest accepted tx, whatever its kind
+    assert(t2.after(t1) && s.latestSubmittedTx.contains(t2))
+    // survives close/reopen — reseeded from the max committed tx-time
+    val path = Files.createTempDirectory("docstore").toString + "/db"
+    val w = DocumentStore(spark, path)
+    val t3 = w.put("meta/b", """{"v":2}""")
+    w.close()
+    val r = DocumentStore(spark, path)
+    try assert(r.latestSubmittedTx.contains(t3) && r.sync().contains(t3))
+    finally r.close()
+    s.close()
+  }
+
+  test("entity-tx: bitemporal coordinates of the visible version (crux entity-tx)") {
+    val s = freshStore()
+    assert(s.entityTx("tx/doc").isEmpty)
+    val t1 = s.put("tx/doc", """{"v":1}""")
+    assert(s.entityTx("tx/doc").exists(_._2 == t1))
+    val t2 = s.put("tx/doc", """{"v":2}""")
+    // the current cut answers with the NEWEST version's coordinates
+    assert(s.entityTx("tx/doc").exists(_._2 == t2))
+    // … and an as-of valid-time cut answers with the version visible THEN,
+    // in lockstep with entity(): a future-valid put is not yet the answer
+    val future = new Timestamp(s.now().getTime + 3600L * 1000)
+    s.put("tx/doc", """{"v":3}""", validFrom = Some(future))
+    assert(s.entityTx("tx/doc").exists(_._2 == t2))
+    assert(s.entityTx("tx/doc", future).exists(_._1 == future))
+    // tombstoned → None, exactly when entity() is None
+    s.delete("tx/doc")
+    assert(s.entityTx("tx/doc").isEmpty && s.entity("tx/doc").isEmpty)
+    s.close()
+  }
+
   test("await-tx / tx-committed") {
     val s = freshStore()
     val tx = s.put("x", "{}")
