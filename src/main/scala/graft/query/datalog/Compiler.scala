@@ -65,13 +65,15 @@ object DatalogCompiler {
       val timer = new java.util.Timer("graft-query-timeout", true)
       sc.setJobGroup(group, s"datalog :timeout $ms ms", interruptOnCancel = true)
       try {
-        val p = df.persist()
+        // registered so a long-lived service (or a bench loop) releases
+        // the materialized result deterministically between requests
+        val p = graft.core.CacheRegistry.persisted(df)
         timer.schedule(new java.util.TimerTask {
           def run(): Unit = { fired.set(true); sc.cancelJobGroup(group) }
         }, remainingMs)
         try { p.count(); p }
         catch { case e: Exception =>
-          try p.unpersist(false) catch { case _: Exception => () }
+          graft.core.CacheRegistry.release(p)
           if (fired.get())
             throw new QueryTimeoutException(s"query timed out after $ms ms (:timeout)")
           else throw e

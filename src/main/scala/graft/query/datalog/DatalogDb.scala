@@ -57,21 +57,21 @@ object DatalogDb {
 
   /** SparkEntry query `datalog_timeout`: crux `:timeout` through the gate
     * — the query is EAGER under a timeout (materialized under a
-    * cancellable job group, driver loops polling the deadline; a
-    * recursive rule keeps the fixpoint poll on the executed path), and a
+    * cancellable job group, driver loops polling the deadline), and a
     * generous budget must return exactly the plain query's answer. The
-    * elapsing side (tiny budget → Left, jobs cancelled) is spec-only
-    * (EdnDatalogSpec) — an oracle can't observe a cancellation. */
+    * elapsing side (tiny budget → Left, jobs cancelled) and the
+    * fixpoint-loop deadline poll are spec-only (EdnDatalogSpec) — an
+    * oracle can't observe a cancellation, and a recursive rule here
+    * would spend ~10 fixpoint jobs proving what the spec already pins. */
   def datalogTimeoutQuery(s: SparkSession, d: String): DataFrame =
     EdnDatalog.run(ordersCustomers(s, d),
       """{:find  [?seg (count ?o)]
           :where [[?o :o-totalprice ?t]
                   [(> ?t 300000.0)]
                   [?o :order-cust ?c]
-                  (reachable ?c)
+                  (solvent ?c)
                   [?c :c-mktsegment ?seg]]
-          :rules [[(reachable ?x) [?x :c-acctbal ?b] [(> ?b 0.0)]]
-                  [(reachable ?x) (reachable ?x)]]
+          :rules [[(solvent ?x) [?x :c-acctbal ?b] [(> ?b 0.0)]]]
           :timeout 300000}""")
       .fold(e => throw new IllegalArgumentException(e), identity)
 
