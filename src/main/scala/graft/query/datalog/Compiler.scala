@@ -63,6 +63,12 @@ object DatalogCompiler {
       val group = s"graft-timeout-${java.util.UUID.randomUUID()}"
       val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
       val timer = new java.util.Timer("graft-query-timeout", true)
+      // a caller (a streaming thread, a REST handler) may run inside its
+      // own job group — restore it afterwards instead of clearing, or its
+      // later jobs silently lose their group/cancellation scope
+      val priorGroup = sc.getLocalProperty("spark.jobGroup.id")
+      val priorDesc = sc.getLocalProperty("spark.job.description")
+      val priorInterrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
       sc.setJobGroup(group, s"datalog :timeout $ms ms", interruptOnCancel = true)
       try {
         // registered so a long-lived service (or a bench loop) releases
@@ -78,7 +84,12 @@ object DatalogCompiler {
             throw new QueryTimeoutException(s"query timed out after $ms ms (:timeout)")
           else throw e
         }
-      } finally { timer.cancel(); sc.clearJobGroup() }
+      } finally {
+        timer.cancel()
+        sc.setLocalProperty("spark.jobGroup.id", priorGroup)
+        sc.setLocalProperty("spark.job.description", priorDesc)
+        sc.setLocalProperty("spark.job.interruptOnCancel", priorInterrupt)
+      }
     } finally {
       if (prev == null) deadline.remove() else deadline.set(prev)
     }

@@ -347,6 +347,14 @@ class DocumentStoreSpec extends SparkSpec {
       val schemaQ = new org.apache.spark.sql.types.StructType().add("v", "long")
       assert(store.qWith(Seq(TxOp.Match("a", None)),
         "{:find [?e] :where [[?e :v ?v]]}", schemaQ).isLeft)
+      // crux :timeout composes with the speculative view: a generous
+      // budget answers (eagerly), an elapsed one is a timeout Left
+      val timed = store.qWith(Seq(TxOp.Put("spec/t", """{"v":42}""")),
+        "{:find [?e ?v] :where [[?e :v ?v]] :timeout 300000}", schemaQ)
+      assert(timed.exists(_.collect().map(_.getLong(1)).toSet.contains(42L)))
+      assert(store.qWith(Seq(TxOp.Put("spec/t", """{"v":42}""")),
+        "{:find [?e ?v] :where [[?e :v ?v]] :timeout 1}", schemaQ)
+        .left.exists(_.contains("timed out")))
     } finally store.close()
   }
 
