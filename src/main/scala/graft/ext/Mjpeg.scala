@@ -484,42 +484,49 @@ object Mjpeg {
     if (fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "AVI ") return None
     val riffSize = le32(bytes, 4)
     if (riffSize < 4 || 8L + riffSize > bytes.length) return None
-    def walk(from: Int, to: Int): Option[Vector[Array[Byte]]] = {
+    // walk positions in LONG: on a ~2 GB blob a chunk ending exactly at
+    // Int.MaxValue plus the odd-byte pad wraps an Int cursor negative and
+    // the next fourcc read throws out of the quarantine contract — the
+    // WAV/BMP lesson applied to the cursor itself, not just chunk sizes
+    def walk(from: Long, to: Long): Option[Vector[Array[Byte]]] = {
       var pos = from
       while (pos + 8 <= to) {
-        val id = fourcc(bytes, pos)
-        val size = le32(bytes, pos + 4)
-        if (size < 0 || pos.toLong + 8L + size > to) return None
+        val id = fourcc(bytes, pos.toInt)
+        val size = le32(bytes, pos.toInt + 4)
+        if (size < 0 || pos + 8L + size > to) return None
         if (id == "LIST") {
           if (size < 4) return None
-          val listType = fourcc(bytes, pos + 8)
+          val listType = fourcc(bytes, pos.toInt + 8)
           if (listType == "movi") {
             // collect video chunks inside movi
             val frames = Vector.newBuilder[Array[Byte]]
             var p = pos + 12
             val end = pos + 8 + size
             while (p + 8 <= end) {
-              val cid = fourcc(bytes, p)
-              val csz = le32(bytes, p + 4)
-              if (csz < 0 || p.toLong + 8L + csz > end) return None
+              val cid = fourcc(bytes, p.toInt)
+              val csz = le32(bytes, p.toInt + 4)
+              if (csz < 0 || p + 8L + csz > end) return None
               if (cid.length == 4 && cid(0).isDigit && cid(1).isDigit &&
                 (cid.endsWith("dc") || cid.endsWith("db"))) {
                 val f = new Array[Byte](csz)
-                System.arraycopy(bytes, p + 8, f, 0, csz)
+                System.arraycopy(bytes, p.toInt + 8, f, 0, csz)
                 frames += f
               }
-              p += 8 + csz + (csz & 1) // word-aligned
+              p += 8L + csz + (csz & 1) // word-aligned
             }
             return Some(frames.result())
           }
           // a non-movi LIST (hdrl, …): recurse? movi is always top-level
           // inside RIFF; nothing video-bearing nests deeper — skip it.
         }
-        pos += 8 + size + (size & 1)
+        pos += 8L + size + (size & 1)
       }
       None // no movi list
     }
-    walk(12, math.min(bytes.length.toLong, 8L + riffSize).toInt)
+    try walk(12L, math.min(bytes.length.toLong, 8L + riffSize))
+    catch { // guards above should make this unreachable; honor the contract
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   /** Canonical MJPEG AVI: RIFF('AVI '){ LIST hdrl { avih, LIST strl {
