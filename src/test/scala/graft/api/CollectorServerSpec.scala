@@ -173,6 +173,20 @@ class CollectorServerSpec extends SparkSpec {
       val (qc, qbody) = http("GET", s"$base/q")
       assert(qc == 413 && qbody.contains("maxRows"), s"got $qc $qbody")
 
+      // crux :timeout through the REST face: a generous budget answers
+      // (the eager-materialize path), an elapsed one is a clean 400 with
+      // the timeout diagnosis — never a 500/hung handler
+      assert(srv.deploy(CollectorSpec("qt", "/qt", CollectorHandler.Query(
+        "{:find [?k] :where [[?e :karma ?k] [(> ?k 2)]] :timeout 300000}",
+        Seq("karma" -> "long")))).isRight)
+      val (tc, tbody) = http("GET", s"$base/qt")
+      assert(tc == 200 && tbody.contains("3"), s"got $tc $tbody")
+      assert(srv.deploy(CollectorSpec("qt0", "/qt0", CollectorHandler.Query(
+        "{:find [?k] :where [[?e :karma ?k]] :timeout 1}",
+        Seq("karma" -> "long")))).isRight)
+      val (t0c, t0body) = http("GET", s"$base/qt0")
+      assert(t0c == 400 && t0body.contains("timed out"), s"got $t0c $t0body")
+
       // atomic path claim: concurrent deploys of DIFFERENT names to the
       // same path — exactly one side may win each round (the check-then-put
       // race would let both return Right and silently unroute the loser)
