@@ -34,11 +34,15 @@ class StorePropertySpec extends SparkSpec {
   private case class Version(id: String, validFrom: Long, txTime: Long,
                              deleted: Boolean, doc: String)
 
-  /** The naive model: visible doc per the Crux rule, direct scan. */
-  private def visible(versions: Seq[Version], id: String, vt: Long, tt: Long): Option[String] =
+  /** The naive model: winning version per the Crux rule, direct scan. */
+  private def visibleVersion(versions: Seq[Version], id: String,
+                             vt: Long, tt: Long): Option[Version] =
     versions.filter(v => v.id == id && v.validFrom <= vt && v.txTime <= tt)
       .sortBy(v => (v.validFrom, v.txTime)).lastOption
-      .filterNot(_.deleted).map(_.doc)
+      .filterNot(_.deleted)
+
+  private def visible(versions: Seq[Version], id: String, vt: Long, tt: Long): Option[String] =
+    visibleVersion(versions, id, vt, tt).map(_.doc)
 
   private def snapshot(versions: Seq[Version], vt: Long, tt: Long): Map[String, String] =
     versions.map(_.id).distinct
@@ -108,6 +112,17 @@ class StorePropertySpec extends SparkSpec {
         for (id <- ids)
           assert(store.entity(id) == visible(model, id, now, now),
             s"entity($id) diverged [seed $seed]")
+        // entity-tx in lockstep: defined exactly when entity is, and the
+        // coordinates are the model's WINNING version's (validFrom, txTime)
+        for (id <- ids; vt <- Seq(now, now + 7200001L) ++ vts.take(2)) {
+          // entityTx's tx basis is "latest" (crux entity-tx over (db node vt))
+          val want = visibleVersion(model, id, vt, Long.MaxValue)
+            .map(v => (v.validFrom, v.txTime))
+          val got = store.entityTx(id, new Timestamp(vt))
+            .map { case (vf, tx) => (vf.getTime, tx.getTime) }
+          assert(got == want, s"entityTx($id, vt=$vt) diverged [seed $seed]: " +
+            s"got $got want $want")
+        }
         // full bitemporal snapshots at mid-sequence and boundary cuts
         val vtCuts = (Seq(now, now + 7200001L) ++ vts.take(3) ++ vts.takeRight(2)).distinct
         val ttCuts = (Seq(now) ++ txs.drop(nOps / 3).take(2)).distinct
