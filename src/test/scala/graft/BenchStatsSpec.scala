@@ -75,7 +75,9 @@ class BenchStatsSpec extends SparkSpec {
     // cascade runs over the materialized leaf. A jump past the ceiling
     // means discovery fell back to per-stage probing or a level stopped
     // reusing the materialized base (r12: 26 jobs)
-    ("datalog_pull_recursive", 22)) // 17 measured cold at sf0.001
+    ("datalog_pull_recursive", 18)) // 17 measured cold at sf0.001 and in
+    // the r13 driver-config bench at sf0.1 — the budget pins the r13 plan
+    // (staged projection + one-job-per-level RDD discovery) with 1 slack
 
   for ((gate, budget) <- budgets)
     test(s"$gate stays within its job budget ($budget)") {
