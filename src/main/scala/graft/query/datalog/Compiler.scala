@@ -42,55 +42,63 @@ object DatalogCompiler {
       throw new QueryTimeoutException(s"query timed out during $what (:timeout)")
   }
 
-  /** Run `body` under a `:timeout` budget of `ms` milliseconds, then
-    * EAGERLY materialize its result under a cancellable job group —
-    * crux's `q` with a timeout either returns the full result set within
-    * the budget or throws, so the relational face must not hand back a
-    * lazy plan whose cost escapes the budget at first action. On timeout
-    * the in-flight Spark jobs are cancelled (no zombie work) and the
-    * caller gets a [[QueryTimeoutException]]. */
-  private[datalog] def runWithin(ms: Long)(body: => DataFrame): DataFrame = {
+  /** Run `body` under a `:timeout` budget of `ms` milliseconds and
+    * EAGERLY materialize its result — crux's `q` with a timeout either
+    * returns the full result set within the budget or throws, so the
+    * relational face must not hand back a lazy plan whose cost escapes
+    * the budget at first action. The cancellable job group + watchdog
+    * cover the WHOLE scope, compile included: the Spark jobs compilation
+    * itself launches (the stats aggregate, fixpoint iterations, pull
+    * chain discovery) are cancelled mid-job at the deadline, not merely
+    * noticed at the next between-jobs [[checkDeadline]] poll — a single
+    * long job can't outlive the budget. On timeout the caller gets a
+    * [[QueryTimeoutException]] and no zombie work survives. */
+  private[datalog] def runWithin(spark: org.apache.spark.sql.SparkSession,
+                                 ms: Long)(body: => DataFrame): DataFrame = {
     require(ms > 0, ":timeout must be positive milliseconds")
     val prev = deadline.get()
     deadline.set(System.nanoTime() + ms * 1000000L)
+    val sc = spark.sparkContext
+    val group = s"graft-timeout-${java.util.UUID.randomUUID()}"
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val timer = new java.util.Timer("graft-query-timeout", true)
+    // a caller (a streaming thread, a REST handler) may run inside its
+    // own job group — restore it afterwards instead of clearing, or its
+    // later jobs silently lose their group/cancellation scope
+    val priorGroup = sc.getLocalProperty("spark.jobGroup.id")
+    val priorDesc = sc.getLocalProperty("spark.job.description")
+    val priorInterrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
+    sc.setJobGroup(group, s"datalog :timeout $ms ms", interruptOnCancel = true)
+    timer.schedule(new java.util.TimerTask {
+      // AndFutureJobs: the plain cancel is one-shot — fired between two
+      // driver-side jobs it cancels nothing and the NEXT job of the group
+      // would run to completion anyway
+      def run(): Unit = { fired.set(true); sc.cancelJobGroupAndFutureJobs(group) }
+    }, ms)
+    def stillWithin(): Unit =
+      if (fired.get() || System.nanoTime() > deadline.get().longValue())
+        throw new QueryTimeoutException(s"query timed out after $ms ms (:timeout)")
     try {
       val df = body
-      val remainingMs = math.max(
-        0L, (deadline.get().longValue() - System.nanoTime()) / 1000000L)
-      if (remainingMs == 0)
-        throw new QueryTimeoutException(s"query timed out after $ms ms (:timeout)")
-      val sc = df.sparkSession.sparkContext
-      val group = s"graft-timeout-${java.util.UUID.randomUUID()}"
-      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
-      val timer = new java.util.Timer("graft-query-timeout", true)
-      // a caller (a streaming thread, a REST handler) may run inside its
-      // own job group — restore it afterwards instead of clearing, or its
-      // later jobs silently lose their group/cancellation scope
-      val priorGroup = sc.getLocalProperty("spark.jobGroup.id")
-      val priorDesc = sc.getLocalProperty("spark.job.description")
-      val priorInterrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
-      sc.setJobGroup(group, s"datalog :timeout $ms ms", interruptOnCancel = true)
-      try {
-        // registered so a long-lived service (or a bench loop) releases
-        // the materialized result deterministically between requests
-        val p = graft.core.CacheRegistry.persisted(df)
-        timer.schedule(new java.util.TimerTask {
-          def run(): Unit = { fired.set(true); sc.cancelJobGroup(group) }
-        }, remainingMs)
-        try { p.count(); p }
-        catch { case e: Exception =>
-          graft.core.CacheRegistry.release(p)
-          if (fired.get())
-            throw new QueryTimeoutException(s"query timed out after $ms ms (:timeout)")
-          else throw e
-        }
-      } finally {
-        timer.cancel()
-        sc.setLocalProperty("spark.jobGroup.id", priorGroup)
-        sc.setLocalProperty("spark.job.description", priorDesc)
-        sc.setLocalProperty("spark.job.interruptOnCancel", priorInterrupt)
+      stillWithin() // compile may outlive a tiny budget without any job up
+      // registered so a long-lived service (or a bench loop) releases
+      // the materialized result deterministically between requests
+      val p = graft.core.CacheRegistry.persisted(df)
+      try { p.count(); stillWithin(); p }
+      catch { case e: Exception =>
+        graft.core.CacheRegistry.release(p); throw e
       }
+    } catch {
+      case e: QueryTimeoutException => throw e // a poll fired first
+      case e: Exception =>
+        if (fired.get())
+          throw new QueryTimeoutException(s"query timed out after $ms ms (:timeout)")
+        else throw e
     } finally {
+      timer.cancel()
+      sc.setLocalProperty("spark.jobGroup.id", priorGroup)
+      sc.setLocalProperty("spark.job.description", priorDesc)
+      sc.setLocalProperty("spark.job.interruptOnCancel", priorInterrupt)
       if (prev == null) deadline.remove() else deadline.set(prev)
     }
   }
@@ -222,7 +230,9 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
   def run(docs: DataFrame, q: Query, inputs: Seq[Any] = Nil): DataFrame =
     q.timeout match {
       case None => runInner(docs, q, inputs)
-      case Some(ms) => DatalogCompiler.runWithin(ms)(runInner(docs, q, inputs))
+      case Some(ms) =>
+        DatalogCompiler.runWithin(docs.sparkSession, ms)(
+          runInner(docs, q, inputs))
     }
 
   private def runInner(docs: DataFrame, q: Query, inputs: Seq[Any]): DataFrame = {
