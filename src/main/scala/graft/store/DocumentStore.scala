@@ -89,7 +89,12 @@ class DocumentStore(val spark: SparkSession, val path: String) {
   /** Release the single-driver lock. Idempotent; the store object must not
     * be used afterwards (a later re-open is a NEW instance on the path). */
   def close(): Unit = lock.synchronized {
-    if (!closed) { closed = true; DocumentStore.release(spark, path, lockToken) }
+    if (!closed) {
+      closed = true
+      Option(maintenance.get()).foreach(h =>
+        try h.close() catch { case _: Exception => () })
+      DocumentStore.release(spark, path, lockToken)
+    }
   }
 
   /** Monotonic tx clock: real time, bumped by 1ms under collision so tx
@@ -331,6 +336,51 @@ class DocumentStore(val spark: SparkSession, val path: String) {
     if (frag.values.exists(_ > maxFilesPerPartition)) { compact(); true }
     else false
   }
+
+  /** Background compaction cadence — the operational envelope Crux gets
+    * from RocksDB's self-compaction and this parquet append log must
+    * provide itself: without it a long-lived deployment under the 1 s
+    * alert-claim churn fragments unboundedly (measured 1.6-2× snapshot
+    * read degradation at 210-610 files, BASELINE r13 probe). A daemon
+    * thread calls [[compactIfFragmented]] every `intervalMs` — a
+    * metadata-only listing when healthy, one rewrite when fragmented.
+    * Close the returned handle to stop; the daemon also stops itself
+    * when the store closes (writes on a closed store fail fast) and an
+    * unexpected compaction failure only skips that tick, never kills
+    * the thread. One daemon per store is plenty — a second start() call
+    * returns the live handle. */
+  def startMaintenance(intervalMs: Long = 60000L,
+                       maxFilesPerPartition: Int = 64): AutoCloseable =
+    maintenance.synchronized {
+      requireOpen()
+      require(intervalMs > 0, "intervalMs must be positive")
+      maintenance.get() match {
+        case h if h != null => h
+        case _ =>
+          val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+          val t = new Thread(() => {
+            while (!stop.get()) {
+              try compactIfFragmented(maxFilesPerPartition)
+              catch {
+                case _: IllegalStateException => stop.set(true) // store closed
+                case scala.util.control.NonFatal(_) => () // skip this tick
+              }
+              if (!stop.get()) try Thread.sleep(intervalMs)
+              catch { case _: InterruptedException => stop.set(true) }
+            }
+          }, s"graft-store-maintenance-$path")
+          t.setDaemon(true)
+          val handle: AutoCloseable = () => maintenance.synchronized {
+            stop.set(true); t.interrupt(); maintenance.set(null)
+          }
+          maintenance.set(handle)
+          t.start()
+          handle
+      }
+    }
+
+  private val maintenance =
+    new java.util.concurrent.atomic.AtomicReference[AutoCloseable]()
 
   /** S5: delete — tombstone ending validity now (or at `validFrom`). */
   def delete(id: String, validFrom: Option[Timestamp] = None): Timestamp =

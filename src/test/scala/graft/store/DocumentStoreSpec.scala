@@ -142,6 +142,33 @@ class DocumentStoreSpec extends SparkSpec {
     s.close()
   }
 
+  test("maintenance daemon compacts a fragmented store and stops on close") {
+    val s = freshStore()
+    try {
+      // every put appends one file into today's valid_date partition
+      (1 to 12).foreach(i => s.put(s"m/$i", s"""{"v":$i}"""))
+      assert(s.fragmentation().values.max > 4)
+      val h = s.startMaintenance(intervalMs = 100L, maxFilesPerPartition = 4)
+      // a second start is a no-op returning the live handle
+      assert(s.startMaintenance(intervalMs = 100L).eq(h))
+      val deadline = System.currentTimeMillis() + 30000
+      while (s.fragmentation().values.max > 4 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(s.fragmentation().values.max <= 4,
+        s"daemon never compacted: ${s.fragmentation()}")
+      // reads and writes unaffected; the compacted face answers the same
+      assert(s.entity("m/12").contains("""{"v":12}"""))
+      h.close()
+      // a fresh daemon can start after the old handle closes…
+      val h2 = s.startMaintenance(intervalMs = 100L)
+      assert(!h2.eq(h))
+      // …and store close stops it (the daemon's next tick sees the closed
+      // store and exits rather than throwing forever)
+      s.close()
+      h2.close() // idempotent double-stop is fine
+    } finally s.close()
+  }
+
   test("entity-tx: bitemporal coordinates of the visible version (crux entity-tx)") {
     val s = freshStore()
     assert(s.entityTx("tx/doc").isEmpty)
