@@ -141,30 +141,41 @@ object DatalogCompiler {
     val have = docs.columns.toSet
     val want = attrs.distinct.filter(a => have.contains(a) && a != "id")
     val key = docs.queryExecution.analyzed.canonicalized
+    val cachedHit = statsCache.synchronized {
+      Option(statsCache.get(key)).map { case (t, m) => (t, m.toMap) }
+    }
+    val (total0, known) = cachedHit.getOrElse((-1L, Map.empty[String, AttrStat]))
+    val missing = want.filterNot(known.contains)
+    if (missing.isEmpty && total0 >= 0) return (total0, known)
+    // the aggregate job runs OUTSIDE the cache lock: a slow stats pass
+    // over one relation must not serialize every other query's compile
+    // in a multi-tenant service. Concurrent misses on the SAME relation
+    // may duplicate the job in the race window — the merge below is
+    // idempotent (first writer wins per attribute), strictly better
+    // than a global compile stall
+    val aggCols = count(lit(1)).as("__total") +:
+      missing.flatMap(a => Seq(
+        count(col(a)).as(s"__c_$a"),
+        // null guard: cmsCells of a null VALUE is an array of null
+        // CELLS (concat propagates inside the array), which the
+        // aggregate would mis-count as cell 0 — gate the whole array
+        // so null rows contribute nothing, matching count(col)
+        SketchExpressions.cms_sketch_cells(
+          when(col(a).isNotNull,
+            SketchExpressions.cmsCells(col(a), cmsDepth, cmsWidth)),
+          cmsDepth, cmsWidth).as(s"__s_$a")))
+    val row = docs.agg(aggCols.head, aggCols.tail: _*).head()
+    val computed = missing.zipWithIndex.map { case (a, i) =>
+      a -> AttrStat(row.getLong(1 + 2 * i),
+        row.getSeq[Long](2 + 2 * i).toArray)
+    }
     statsCache.synchronized {
-      val (total0, stats) = Option(statsCache.get(key))
+      val (tPrev, stats) = Option(statsCache.get(key))
         .getOrElse((-1L, scala.collection.mutable.Map.empty[String, AttrStat]))
-      val missing = want.filterNot(stats.contains)
-      var total = total0
-      if (missing.nonEmpty || total < 0) {
-        val aggCols = count(lit(1)).as("__total") +:
-          missing.flatMap(a => Seq(
-            count(col(a)).as(s"__c_$a"),
-            // null guard: cmsCells of a null VALUE is an array of null
-            // CELLS (concat propagates inside the array), which the
-            // aggregate would mis-count as cell 0 — gate the whole array
-            // so null rows contribute nothing, matching count(col)
-            SketchExpressions.cms_sketch_cells(
-              when(col(a).isNotNull,
-                SketchExpressions.cmsCells(col(a), cmsDepth, cmsWidth)),
-              cmsDepth, cmsWidth).as(s"__s_$a")))
-        val row = docs.agg(aggCols.head, aggCols.tail: _*).head()
-        total = row.getLong(0)
-        missing.zipWithIndex.foreach { case (a, i) =>
-          val cms = row.getSeq[Long](2 + 2 * i).toArray
-          stats(a) = AttrStat(row.getLong(1 + 2 * i), cms)
-        }
+      computed.foreach { case (a, st) =>
+        if (!stats.contains(a)) stats(a) = st
       }
+      val total = if (tPrev >= 0) tPrev else row.getLong(0)
       statsCache.put(key, (total, stats))
       (total, stats.toMap)
     }
