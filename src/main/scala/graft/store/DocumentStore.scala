@@ -505,7 +505,7 @@ class DocumentStore(val spark: SparkSession, val path: String) {
     val committedTop = scala.collection.mutable.Map
       .empty[String, Option[(Long, Long, Boolean, String)]]
     def committed(id: String): Option[(Long, Long, Boolean, String)] =
-      committedTop.getOrElseUpdate(id,
+      committedTop.getOrElseUpdate(id, retryOnSwap {
         versionsRaw()
           .filter(col("id") === id &&
             col("valid_date") <= date_add(to_date(lit(vt)), 2) &&
@@ -513,7 +513,8 @@ class DocumentStore(val spark: SparkSession, val path: String) {
           .orderBy(col("validFrom").desc, col("txTime").desc).limit(1)
           .select("validFrom", "txTime", "deleted", "doc")
           .collect().headOption.map(r => (r.getTimestamp(0).getTime,
-            r.getTimestamp(1).getTime, r.getBoolean(2), r.getString(3))))
+            r.getTimestamp(1).getTime, r.getBoolean(2), r.getString(3)))
+      })
     val specRows = Vector.newBuilder[VersionedDoc]
     var specSoFar = List.empty[VersionedDoc] // newest first
     ops.zipWithIndex.foreach {
@@ -560,10 +561,28 @@ class DocumentStore(val spark: SparkSession, val path: String) {
         .as[String].collect().headOption)
   }
 
+  /** One rebuild-and-retry for the store's OWN driver-side reads across a
+    * compaction swap: a plan lists the parquet files at DataFrame build
+    * time and reads them at action time — a rewrite landing in that
+    * millisecond gap (routine under [[startMaintenance]], not just the
+    * manual off-peak ritual) renames the listed files away and the action
+    * throws FAILED_READ_FILE. `f` must BUILD the plan as well as run it,
+    * so the retry lists the post-swap files; failing twice needs two
+    * full compactions inside two consecutive point reads. Lazy DataFrames
+    * handed to callers (db/asOf/q/changes) keep Spark's own contract:
+    * re-derive after a swap, as the error message instructs. */
+  private def retryOnSwap[T](f: => T): T =
+    try f catch {
+      case e: Exception
+          if Option(e.getMessage).exists(m =>
+            m.contains("FAILED_READ_FILE") || m.contains("FILE_NOT_EXIST") ||
+              m.contains("does not exist")) => f
+    }
+
   /** Q1: entity lookup — current doc payload for `id`, if visible. */
   def entity(id: String): Option[String] = entity(id, now())
 
-  def entity(id: String, validTime: Timestamp): Option[String] = {
+  def entity(id: String, validTime: Timestamp): Option[String] = retryOnSwap {
     // id filter applied BEFORE the window so parquet only surfaces this
     // entity's versions (predicate pushdown; no full-table window).
     val w = Window.partitionBy("id")
@@ -583,19 +602,20 @@ class DocumentStore(val spark: SparkSession, val path: String) {
     * txTime = crux tx-time). None when the entity is absent or
     * tombstoned at that cut, exactly when `entity` is None (crux returns
     * nil then too). Same pushed id filter + window as the payload read. */
-  def entityTx(id: String, validTime: Timestamp): Option[(Timestamp, Timestamp)] = {
-    val w = Window.partitionBy("id")
-      .orderBy(col("validFrom").desc, col("txTime").desc)
-    versionsRaw()
-      .filter(col("id") === id &&
-        col("valid_date") <= date_add(to_date(lit(validTime)), 2) &&
-        col("validFrom") <= lit(validTime))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && !col("deleted"))
-      .select("validFrom", "txTime")
-      .collect().headOption.map(r =>
-        (r.getTimestamp(0), r.getTimestamp(1)))
-  }
+  def entityTx(id: String, validTime: Timestamp): Option[(Timestamp, Timestamp)] =
+    retryOnSwap {
+      val w = Window.partitionBy("id")
+        .orderBy(col("validFrom").desc, col("txTime").desc)
+      versionsRaw()
+        .filter(col("id") === id &&
+          col("valid_date") <= date_add(to_date(lit(validTime)), 2) &&
+          col("validFrom") <= lit(validTime))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && !col("deleted"))
+        .select("validFrom", "txTime")
+        .collect().headOption.map(r =>
+          (r.getTimestamp(0), r.getTimestamp(1)))
+    }
 
   def entityTx(id: String): Option[(Timestamp, Timestamp)] = entityTx(id, now())
 

@@ -169,6 +169,39 @@ class DocumentStoreSpec extends SparkSpec {
     } finally s.close()
   }
 
+  test("maintenance daemon under live traffic: no lost writes, no reader crashes") {
+    // the daemon makes the compaction swap window ROUTINE instead of an
+    // off-peak ritual — writes must serialize with the rewrite (same
+    // store lock) and concurrent readers must ride the .old fallback
+    // through the rename-rename swap, never a task-killing throw
+    val s = freshStore()
+    val h = s.startMaintenance(intervalMs = 50L, maxFilesPerPartition = 2)
+    val readerErrors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stopReads = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stopReads.get()) {
+        try s.entity("live/1")
+        catch { case t: Throwable => readerErrors.add(t) }
+      }
+    }, "drill-reader")
+    reader.start()
+    try {
+      (1 to 30).foreach { i =>
+        s.put(s"live/$i", s"""{"v":$i}""")
+        Thread.sleep(10) // let the 50 ms daemon interleave real compactions
+      }
+    } finally {
+      stopReads.set(true); reader.join(10000); h.close()
+    }
+    assert(readerErrors.isEmpty,
+      s"reader crashed during compaction swap: ${readerErrors.peek()}")
+    // every write survived however many compactions ran underneath
+    (1 to 30).foreach(i =>
+      assert(s.entity(s"live/$i").contains(s"""{"v":$i}"""),
+        s"live/$i lost across compaction"))
+    s.close()
+  }
+
   test("entity-tx: bitemporal coordinates of the visible version (crux entity-tx)") {
     val s = freshStore()
     assert(s.entityTx("tx/doc").isEmpty)
