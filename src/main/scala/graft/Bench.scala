@@ -75,6 +75,32 @@ object Bench {
       case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
       case _ => -1L
     }
+    // Host-speed canary: a fixed single-thread CPU kernel plus one fixed
+    // tiny Spark job, measured immediately BEFORE and AFTER the timed loop.
+    // r13's 289 s headline was pure driver-host degradation (767 jobs both
+    // rounds, builder-local 75-86 s) and the artifact could not prove it by
+    // itself — these two numbers let any reader divide host speed out of
+    // the wall times without rerunning: cpu canary inflated → raw CPU
+    // starvation; spark canary inflated beyond cpu's ratio → scheduler/
+    // listener-path contention; both flat but walls inflated → I/O.
+    def cpuCanary(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 200000000) { // fixed work: 200M xorshift64 rounds
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      if (x == 42L) System.err.println("canary") // defeat dead-code elim
+      (System.nanoTime() - t0) / 1e9
+    }
+    def sparkCanary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 2000000L, 1L, 8).selectExpr("sum(id * 2 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sparkCanary() // untimed: pay range/agg codegen once so pre==post work
+    val canaryCpuPre = cpuCanary()
+    val canarySparkPre = sparkCanary()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val qstats =
       scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long, Double, Double)]
@@ -108,6 +134,11 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val cpuLoopSec = if (cpuLoop0 < 0) -1.0 else (processCpuNs - cpuLoop0) / 1e9
     val wallLoopSec = (System.nanoTime() - wallLoop0) / 1e9
+    // snapshot plan-fact totals BEFORE the post-loop canary so its one tiny
+    // job never pollutes the round-over-round job/stage/task comparison
+    val (jobsTotal, stagesTotal, tasksTotal) = (jobs.get, stages.get, tasks.get)
+    val canaryCpuPost = cpuCanary()
+    val canarySparkPost = sparkCanary()
     // JVM-wide cpu/wall over the timed loop: on an otherwise-quiet 32-thread
     // box this sits well above 1 (parallel stages); host contention drags
     // WALL up at constant CPU, so the ratio FALLING round-over-round at
@@ -123,8 +154,15 @@ object Bench {
     val statsJson = qstats.map { case (k, (j, s, t, l, c)) =>
       "\"" + k + "\":[" + j + "," + s + "," + t + "," + s1(l) + "," + s1(c) + "]"
     }.mkString("{", ",", "}")
+    // host-speed canary block (seconds; fixed work → directly comparable
+    // across rounds and hosts — divide a wall time by cpu_pre/0.XX to
+    // normalize). Emitted in BOTH lines so even the truncated driver tail
+    // keeps it.
+    def s3c(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val canaryJson =
+      s""""canary":{"cpu_pre":${s3c(canaryCpuPre)},"spark_pre":${s3c(canarySparkPre)},"cpu_post":${s3c(canaryCpuPost)},"spark_post":${s3c(canarySparkPost)}}"""
     def fmtLine(q: Map[String, String], tot: String) =
-      s"""{"metric":"total","value":$tot,"unit":"sec","loadavg":${s1(loadavg)},"cpu_sec":${s1(cpuLoopSec)},"cpu_wall_ratio":${s1(cpuWallRatio)},"queries":${
+      s"""{"metric":"total","value":$tot,"unit":"sec","loadavg":${s1(loadavg)},"cpu_sec":${s1(cpuLoopSec)},"cpu_wall_ratio":${s1(cpuWallRatio)},$canaryJson,"queries":${
         q.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       },"job_stats":$statsJson$errs,"sf":"$sfDir","total_sec":$tot}"""
     // The driver captures only a bounded TAIL (~2000 chars) of this process's
@@ -139,7 +177,7 @@ object Bench {
     val top5 = results.toSeq.sortBy(-_._2).take(5)
     println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":${
       top5.map { case (k, v) => "\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
-    },"n_queries":${results.size},"loadavg":${s1(loadavg)},"cpu_sec":${s1(cpuLoopSec)},"cpu_wall_ratio":${s1(cpuWallRatio)},"jobs":${jobs.get},"stages":${stages.get},"tasks":${tasks.get}$errs,"sf":"$sfDir","total_sec":${s3(total)}}""")
+    },"n_queries":${results.size},"loadavg":${s1(loadavg)},"cpu_sec":${s1(cpuLoopSec)},"cpu_wall_ratio":${s1(cpuWallRatio)},$canaryJson,"jobs":$jobsTotal,"stages":$stagesTotal,"tasks":$tasksTotal$errs,"sf":"$sfDir","total_sec":${s3(total)}}""")
     // full precision to a file for round-over-round per-query comparison
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
       (fmtLine(results.map { case (k, v) => k -> v.toString }.toMap, total.toString) + "\n")

@@ -589,11 +589,19 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
         // large analytical results belong on the query API, not REST — so
         // the collect is LIMIT-bounded and an over-limit result is a typed
         // 413, never an unbounded driver buffer
-        val rows = df.limit(maxQueryRows + 1).toJSON.collect()
-        if (rows.length > maxQueryRows)
-          respond(ex, 413,
-            s"""{"status":"failure","message":"result exceeds maxRows=$maxQueryRows; narrow the query"}""")
-        else respond(ex, 200, rows.mkString("[", ",", "]"))
+        try {
+          val rows = df.limit(maxQueryRows + 1).toJSON.collect()
+          if (rows.length > maxQueryRows)
+            respond(ex, 413,
+              s"""{"status":"failure","message":"result exceeds maxRows=$maxQueryRows; narrow the query"}""")
+          else respond(ex, 200, rows.mkString("[", ",", "]"))
+        } finally
+          // a :timeout query hands back a CacheRegistry-persisted result; a
+          // long-lived server must release it per request (the same per-batch
+          // hygiene the streaming handlers practice) or each hit leaks a
+          // strong ref + executor storage. Long-lived staged indexes are
+          // pinned via Resident, OUTSIDE the registry, so this is safe.
+          graft.core.CacheRegistry.unpersistAll()
     }
   }
 

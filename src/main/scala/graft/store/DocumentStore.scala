@@ -360,9 +360,14 @@ class DocumentStore(val spark: SparkSession, val path: String) {
           val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
           val t = new Thread(() => {
             while (!stop.get()) {
-              try compactIfFragmented(maxFilesPerPartition)
+              if (closed) stop.set(true)
+              else try compactIfFragmented(maxFilesPerPartition)
               catch {
-                case _: IllegalStateException => stop.set(true) // store closed
+                // requireOpen is a Scala require → IllegalArgumentException;
+                // a close racing the tick must stop the daemon, not spin
+                // forever through the skip-tick arm
+                case _: IllegalStateException | _: IllegalArgumentException =>
+                  stop.set(true) // store closed under us
                 case scala.util.control.NonFatal(_) => () // skip this tick
               }
               if (!stop.get()) try Thread.sleep(intervalMs)
@@ -370,8 +375,15 @@ class DocumentStore(val spark: SparkSession, val path: String) {
             }
           }, s"graft-store-maintenance-$path")
           t.setDaemon(true)
-          val handle: AutoCloseable = () => maintenance.synchronized {
-            stop.set(true); t.interrupt(); maintenance.set(null)
+          // close() only vacates the slot while it still holds THIS handle:
+          // double-closing a stale handle after a newer daemon started must
+          // not unregister the live one (store close() would then miss it
+          // and a duplicate daemon could start alongside the running thread)
+          val handle: AutoCloseable = new AutoCloseable {
+            override def close(): Unit = maintenance.synchronized {
+              stop.set(true); t.interrupt()
+              maintenance.compareAndSet(this, null)
+            }
           }
           maintenance.set(handle)
           t.start()
