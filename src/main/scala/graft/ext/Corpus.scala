@@ -1565,10 +1565,20 @@ object Corpus {
   private def ratioTable(tbRaw: DataFrame, rbRaw: DataFrame, buckets: Int): DataFrame = {
     val tb = graft.core.CacheRegistry.persisted(tbRaw)
     val rb = graft.core.CacheRegistry.persisted(rbRaw)
+    // nt/nr as UNPARTITIONED window sums over the already-joined
+    // buckets-sized table (≤ `buckets` rows, driver-bounded by the gate's
+    // parameter — single-partition windows are exactly right here): the
+    // former crossJoin(broadcast(agg)) spelling re-scanned each count
+    // table and paid two extra aggregate jobs + two broadcast builds per
+    // ratio table (r13 verdict item 2 — job-budget shave). Totals over
+    // the left-joined full range equal totals over the raw tables, so
+    // lr_q6 is bit-identical.
+    val whole = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
     tb.sparkSession.range(buckets).select(col("id").as("b"))
       .join(tb, Seq("b"), "left").join(rb, Seq("b"), "left")
-      .crossJoin(broadcast(tb.agg(sum(col("ct")).as("nt"))))
-      .crossJoin(broadcast(rb.agg(sum(col("cr")).as("nr"))))
+      .withColumn("nt", sum(coalesce(col("ct"), lit(0L))).over(whole))
+      .withColumn("nr", sum(coalesce(col("cr"), lit(0L))).over(whole))
       .select(col("b"), floor(
         (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
              (col("nt") + buckets).cast("double")) -

@@ -233,7 +233,15 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
                         * aggregate pass per doc relation) to drive the
                         * cross-entity join order; off → the static
                         * constants-first heuristic alone. */
-                      useStats: Boolean = true) {
+                      useStats: Boolean = true,
+                      /** Test-facing escape hatch: false compiles pattern
+                        * groups in WRITTEN order (crux conjunction is
+                        * commutative, so every ordering must agree — the
+                        * planner-invariance property suite runs this arm
+                        * against both heuristic arms). Production keeps
+                        * true: written order can build a cartesian a
+                        * selective group would have pruned. */
+                      reorder: Boolean = true) {
 
   /** A compiled clause set = bindings relation; columns are variable names. */
   private type Rel = DataFrame
@@ -644,7 +652,7 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
     * (conjunction is commutative — pinned by DatalogDifferentialSpec). */
   private[datalog] def orderGroups(docs: DataFrame,
       groups: Seq[(Term, Seq[Pattern])]): Seq[(Term, Seq[Pattern])] = {
-    if (groups.lengthCompare(2) < 0) return groups
+    if (!reorder || groups.lengthCompare(2) < 0) return groups
     val stats: Option[(Long, Map[String, DatalogCompiler.AttrStat])] =
       if (useStats)
         try Some(DatalogCompiler.attrStats(docs, groups.flatMap(_._2.map(_.attr))))

@@ -40,7 +40,11 @@ class BenchStatsSpec extends SparkSpec {
     // each): multi-stage pipelines whose stage list is fixed — a job-count
     // jump means a stage started re-executing (lost persist) or re-planning
     ("pipeline_clean_corpus", 40), // 28 measured cold at sf0.001 (stages the pair artifact)
-    ("corpus_dsir_select", 28),
+    // r14: ratioTable's nt/nr totals became window sums over the joined
+    // buckets table (two agg jobs + two broadcast builds gone) —
+    // 18→15 / 16→12 measured; budgets re-tightened to the new plan
+    ("corpus_dsir_select", 20),
+    ("corpus_dsir", 16),
     ("similarity_pq", 14),
     // r11: extended to the top-15 gates by measured bench cost (r10
     // bench_result.json job_stats), budgets = cold sf0.001 measurement

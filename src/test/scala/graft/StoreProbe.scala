@@ -85,6 +85,85 @@ object StoreProbe {
       }
     }
 
+    // Long soak (r13 verdict item 4): alert-claim churn with the
+    // maintenance DAEMON running and a concurrent reader, at 10k cycles —
+    // the drill-scale swap-retry test ran seconds; this proves hours of
+    // operational life. Time compression: cycles run back-to-back
+    // (~5-20/s) instead of on the 1 s scheduler, and the daemon interval
+    // compresses 60 s → 1 s to match — the daemon:churn ratio (one
+    // maintenance pass per ~10-20 claim cycles) is the production shape,
+    // just ~60× faster wall-clock. Reported: reader errors (must be 0),
+    // fragmentation trajectory, /proc/self/fd count and heap at samples
+    // (creep detection), and the snapshot-read floor before vs after.
+    if (which == "soak") {
+      val cycles = args.drop(1).headOption.map(_.toInt).getOrElse(10000)
+      val store = newStore("soak")
+      bulkLoad(store, 20000)
+      val daemon = store.startMaintenance(intervalMs = 1000L, maxFilesPerPartition = 32)
+      val readerErrors = new java.util.concurrent.atomic.AtomicLong
+      val readerOps = new java.util.concurrent.atomic.AtomicLong
+      val stopReader = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val reader = new Thread(() => {
+        var i = 0L
+        while (!stopReader.get()) {
+          try {
+            if (i % 5 == 0) require(store.db().count() > 0)
+            else store.entity(s"doc/d${(i % 10).toInt}/${i % 997}")
+            readerOps.incrementAndGet()
+          } catch { case e: Exception =>
+            readerErrors.incrementAndGet()
+            if (readerErrors.get() <= 3)
+              System.err.println(s"[soak] reader error: ${e.getMessage}")
+          }
+          i += 1
+        }
+      }, "soak-reader")
+      reader.setDaemon(true)
+      def fdCount: Int =
+        Option(new java.io.File("/proc/self/fd").list()).map(_.length).getOrElse(-1)
+      def heapMb: Long = {
+        val rt = Runtime.getRuntime
+        (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+      }
+      def snapTime(): Double = {
+        val t0 = System.nanoTime()
+        require(store.db().count() > 0)
+        (System.nanoTime() - t0) / 1e9
+      }
+      snapTime() // warm
+      val floor0 = Seq.fill(3)(snapTime()).sorted.apply(1)
+      val fd0 = fdCount
+      reader.start()
+      val t0 = System.nanoTime()
+      for (i <- 0 until cycles) {
+        store.put(s"alert/${i % 483}", """{"due":true}""")
+        store.matchPut(s"alert/${i % 483}", Some("""{"due":true}"""),
+          s"""{"claimed":$i}""")
+        store.delete(s"alert/${i % 483}")
+        if ((i + 1) % (cycles / 10).max(1) == 0) {
+          val frag = store.fragmentation().values.sum
+          println(f"[soak] cycle=${i + 1}%6d files=$frag%5d fd=$fdCount%5d " +
+            f"heap=${heapMb}%5dMB readerOps=${readerOps.get()}%7d " +
+            f"readerErrors=${readerErrors.get()}%3d " +
+            f"rate=${(i + 1) / ((System.nanoTime() - t0) / 1e9)}%6.1f cyc/s")
+        }
+      }
+      stopReader.set(true); reader.join(10000)
+      val fragEnd = store.fragmentation().values.sum
+      // one final maintenance pass models the daemon tick that would land
+      // within the next interval; the floor must return to baseline
+      store.compactIfFragmented(32)
+      snapTime()
+      val floor1 = Seq.fill(3)(snapTime()).sorted.apply(1)
+      println(f"[soak] DONE cycles=$cycles files(end)=$fragEnd " +
+        f"fd $fd0 -> $fdCount  readerOps=${readerOps.get()} " +
+        f"readerErrors=${readerErrors.get()} " +
+        f"snapshot floor $floor0%6.3fs -> $floor1%6.3fs " +
+        f"(${floor1 / math.max(floor0, 0.005)}%4.2fx)")
+      daemon.close()
+      store.close()
+    }
+
     if (which == "compact" || which == "all") {
       for (cycles <- Seq(100, 300)) {
         val store = newStore(s"frag$cycles")

@@ -1,0 +1,279 @@
+package graft.query.datalog
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+import Ast._
+
+/** Planner invariance at property scale (round-13 verdict item 5).
+  *
+  * [[DatalogDifferentialSpec]] pins SEMANTICS (pipeline vs a naive
+  * evaluator, ~270 queries). This suite pins the PLANNER: the value-aware
+  * clause ordering ([[DatalogCompiler.orderGroups]]) must be a pure
+  * optimization — for any query, the three arms
+  *
+  *   1. stats-on  (CMS value-aware ordering — production default),
+  *   2. stats-off (static constants-first heuristic — production fallback
+  *      whenever the stats aggregate throws), and
+  *   3. written order (reorder = false — the naive-order compiler),
+  *
+  * are the SAME query and must return identical bags. ≥1k seeded queries
+  * spanning every planner-visible shape: multi-entity pattern groups
+  * (chains up to 3 entities deep), constant filters hot and rare,
+  * deliberately DISCONNECTED groups (the sanctioned cartesian), not/or
+  * clauses, binding arithmetic, aggregates, all `:in` forms, and rule
+  * invocations including transitive closure and MUTUAL recursion — the
+  * fixpoint path re-enters the compiler per body, so ordering bugs there
+  * hide from single-body tests.
+  *
+  * A second, structural property drives [[DatalogCompiler.orderGroups]]
+  * directly on synthetic group sets: the order it emits never introduces
+  * a cartesian while a connected candidate exists (once a disconnected
+  * group is taken, NO remaining group may connect to what was bound) —
+  * checked independently of the greedy loop's own bookkeeping, both
+  * stats modes.
+  *
+  * Seeds are fixed; `GRAFT_PLANNER_PROP_N` overrides the query count for
+  * a quick local loop.
+  */
+class PlannerPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  // fixture: same manager-forest shape the differential suite uses
+  // (whole-number salaries keep generated sums exact in Double)
+  private val emps = Seq(
+    DiffEmp("e1", "ada", "eng", 120.0, 45L, null),
+    DiffEmp("e2", "bob", "eng", 90.0, 31L, "e1"),
+    DiffEmp("e3", "cid", "ops", 80.0, 52L, "e1"),
+    DiffEmp("e4", "dee", "eng", 100.0, 28L, "e2"),
+    DiffEmp("e5", "eva", "ops", 70.0, 39L, "e3"),
+    DiffEmp("e6", "fay", "hr", 85.0, 33L, "e1"),
+    DiffEmp("e7", "gil", "eng", 90.0, 28L, "e2"),
+    DiffEmp("e8", "hal", "ops", 95.0, 61L, "e3"),
+    DiffEmp("e9", "ivy", "hr", 75.0, 24L, "e6"),
+    DiffEmp("e10", "joe", "eng", 110.0, 47L, "e1"))
+  private lazy val docs = emps.toDF()
+
+  private val depts = Seq("eng", "ops", "hr")
+  private val salaryConsts = Seq(70.0, 80.0, 85.0, 90.0, 100.0, 120.0)
+  private val ageConsts = Seq(24L, 28L, 31L, 39L, 45L, 52L, 61L)
+
+  /** A rendered query plus its positional `:in` inputs. */
+  private case class GenQ(edn: String, inputs: Seq[Any])
+
+  // ----------------------------------------------------------- generator
+
+  private val ruleReach =
+    """[(reach ?f ?t) [?f :manager ?t]]
+       [(reach ?f ?t) [?f :manager ?z] (reach ?z ?t)]"""
+  // mutual recursion: parity-tagged reachability over the manager forest
+  private val ruleParity =
+    """[(odd-up ?a ?b) [?a :manager ?b]]
+       [(odd-up ?a ?b) [?a :manager ?x] (even-up ?x ?b)]
+       [(even-up ?a ?b) [?a :manager ?x] (odd-up ?x ?b)]"""
+
+  private def ednConst(c: Any): String = c match {
+    case s: String => "\"" + s + "\""
+    case d: Double => if (d == d.floor) f"$d%.1f" else d.toString
+    case other => other.toString
+  }
+
+  /** One random query. Parts compose onto a base [?e :name ?n] group;
+    * every var a pred/find references is bound by a pattern first (the
+    * WRITTEN order may still put predicates before their binders — that
+    * is part of what the written-order arm must survive). */
+  private val genQuery: Gen[GenQ] = for {
+    deptMode <- Gen.oneOf(0, 1, 2, 3) // 0 none, 1 var, 2 const, 3 :in-bound
+    deptConst <- Gen.oneOf(depts)
+    bindSalary <- Gen.oneOf(true, false)
+    bindAge <- Gen.oneOf(true, false)
+    // entity chain depth: ?e alone, ?e→?m, or ?e→?m→?g (3-group join)
+    chain <- Gen.frequency(3 -> 0, 2 -> 1, 1 -> 2)
+    bindMgrSalary <- Gen.oneOf(true, false)
+    // a DISCONNECTED entity group — the sanctioned cartesian
+    disconnected <- Gen.frequency(5 -> false, 1 -> true)
+    discDept <- Gen.oneOf(depts)
+    // rule invocation: none / view / transitive closure / mutual recursion
+    ruleMode <- Gen.frequency(6 -> 0, 1 -> 1, 1 -> 2, 1 -> 3)
+    seniorCut <- Gen.oneOf(salaryConsts)
+    // :in form: none / scalar / collection / relation  (dept-keyed)
+    inMode <- if (deptMode == 3) Gen.oneOf(1, 2, 3) else Gen.const(0)
+    inDepts <- Gen.someOf(depts :+ "ghost").suchThat(_.nonEmpty)
+    inSal <- Gen.oneOf(salaryConsts)
+    // binding arithmetic on salary when bound
+    bindArith <- Gen.frequency(4 -> false, 1 -> true)
+    arithK <- Gen.chooseNum(1, 50)
+    nPreds <- Gen.chooseNum(0, 2)
+    predPool = (if (bindSalary) Seq(("s", salaryConsts: Seq[Any])) else Nil) ++
+      (if (bindAge) Seq(("a", ageConsts: Seq[Any])) else Nil) ++
+      (if (chain >= 1 && bindMgrSalary) Seq(("ms", salaryConsts: Seq[Any])) else Nil)
+    preds <- Gen.listOfN(nPreds,
+      if (predPool.isEmpty) Gen.const(None)
+      else for {
+        (v, cs) <- Gen.oneOf(predPool)
+        op <- Gen.oneOf("<", "<=", ">", ">=", "=", "!=")
+        c <- Gen.oneOf(cs)
+      } yield Some(s"[($op ?$v ${ednConst(c)})]"))
+    notCl <- Gen.frequency(4 -> Gen.const(None),
+      1 -> Gen.oneOf(depts).map(d => Some(s"""(not [?e :dept "$d"])""")))
+    orCl <- Gen.frequency(4 -> Gen.const(None),
+      1 -> (for { d1 <- Gen.oneOf(depts); d2 <- Gen.oneOf(depts) } yield
+        Some(s"""(or [?e :dept "$d1"] [?e :dept "$d2"])""")))
+    isAgg <- Gen.frequency(3 -> false, 1 -> true)
+    aggFn <- Gen.oneOf("count", "sum", "min", "max")
+  } yield {
+    val pats = scala.collection.mutable.ArrayBuffer("[?e :name ?n]")
+    deptMode match {
+      case 1 => pats += "[?e :dept ?d]"
+      case 2 => pats += s"""[?e :dept "$deptConst"]"""
+      case 3 => pats += "[?e :dept ?d]" // ?d arrives via :in
+      case _ => ()
+    }
+    if (bindSalary) pats += "[?e :salary ?s]"
+    if (bindAge) pats += "[?e :age ?a]"
+    if (chain >= 1) { pats += "[?e :manager ?m]"; pats += "[?m :name ?mn]"
+      if (bindMgrSalary) pats += "[?m :salary ?ms]" }
+    if (chain >= 2) { pats += "[?m :manager ?g]"; pats += "[?g :name ?gn]" }
+    if (disconnected) { pats += s"""[?x :dept "$discDept"]"""; pats += "[?x :name ?xn]" }
+    val (ruleClause, rulesBlock) = ruleMode match {
+      case 1 => (Some("(senior ?e)"),
+        Some(s"[[(senior ?se) [?se :salary ?ss] [(>= ?ss ${ednConst(seniorCut)})]]]"))
+      case 2 => (Some("(reach ?e ?t)"), Some(s"[$ruleReach]"))
+      case 3 => (Some("(odd-up ?e ?t)"), Some(s"[$ruleParity]"))
+      case _ => (None, None)
+    }
+    val bindCl = if (bindArith && bindSalary) Some(s"[(+ ?s $arithK.0) ?sp]") else None
+    val where = (pats.toSeq ++ ruleClause ++ bindCl ++ preds.flatten ++ notCl ++ orCl)
+      .mkString(" ")
+    val stringVars = Seq("n") ++
+      (if (deptMode == 1 || deptMode == 3) Seq("d") else Nil) ++
+      (if (chain >= 1) Seq("mn") else Nil) ++
+      (if (chain >= 2) Seq("gn") else Nil) ++
+      (if (disconnected) Seq("xn") else Nil) ++
+      (if (ruleMode >= 2) Seq("t") else Nil)
+    val numVars = (if (bindSalary) Seq("s") else Nil) ++
+      (if (bindAge) Seq("a") else Nil) ++
+      (if (chain >= 1 && bindMgrSalary) Seq("ms") else Nil) ++
+      (if (bindArith && bindSalary) Seq("sp") else Nil)
+    val find =
+      if (isAgg && numVars.nonEmpty)
+        (stringVars.take(2).map("?" + _) :+ s"($aggFn ?${numVars.head})").mkString(" ")
+      else (stringVars ++ numVars).map("?" + _).mkString(" ")
+    val (inBlock, inputs) = inMode match {
+      case 1 => (" :in [?d]", Seq(inDepts.head))
+      case 2 => (" :in [[?d ...]]", Seq(inDepts.toSeq))
+      case 3 =>
+        if (bindSalary)
+          (" :in [[[?d ?s]]]",
+            Seq(inDepts.toSeq.map(d => Seq[Any](d, inSal))))
+        else (" :in [[?d ...]]", Seq(inDepts.toSeq))
+      case _ => ("", Nil)
+    }
+    val rules = rulesBlock.fold("")(r => s" :rules $r")
+    GenQ(s"{:find [$find]$inBlock :where [$where]$rules}", inputs)
+  }
+
+  private def samples[A](g: Gen[A], n: Int, seed0: Long): Seq[A] =
+    Iterator.from(0).map(i => g.apply(Gen.Parameters.default, Seed(seed0 + i)))
+      .collect { case Some(v) => v }.take(n).toSeq
+
+  private def normalize(v: Any): Any = v match {
+    case d: Double => BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_EVEN)
+    case l: Long => BigDecimal(l).setScale(9)
+    case i: Int => BigDecimal(i).setScale(9)
+    case other => other
+  }
+
+  private def bag(q: GenQ, compiler: DatalogCompiler): Map[Seq[Any], Int] =
+    EdnDatalog.runWith(docs, q.edn, q.inputs, compiler) match {
+      case Left(err) => fail(s"arm rejected generated query ${q.edn}: $err")
+      case Right(df) => df.collect().toSeq.map(_.toSeq.map(normalize))
+        .groupBy(identity).view.mapValues(_.size).toMap
+    }
+
+  // ---------------------------------------------------------------- tests
+
+  test("planner invariance: ≥1k seeded queries, stats-on ≡ stats-off ≡ written order") {
+    val n = sys.env.get("GRAFT_PLANNER_PROP_N").map(_.toInt).getOrElse(1000)
+    val statsOn = new DatalogCompiler()
+    val statsOff = new DatalogCompiler(useStats = false)
+    val written = new DatalogCompiler(useStats = false, reorder = false)
+    val qs = samples(genQuery, n, 52000L)
+    // the generator must actually exercise every planner-visible shape
+    assert(qs.exists(_.edn.contains("odd-up")), "generator must hit mutual recursion")
+    assert(qs.exists(_.edn.contains("(reach")), "…transitive closure")
+    assert(qs.exists(_.edn.contains(":in [?d]")), "…scalar :in")
+    assert(qs.exists(_.edn.contains(":in [[?d ...]]")), "…collection :in")
+    assert(qs.exists(_.edn.contains(":in [[[?d ?s]]]")), "…relation :in")
+    assert(qs.exists(_.edn.contains("?xn")), "…disconnected groups")
+    assert(qs.exists(_.edn.contains("?gn")), "…3-entity chains")
+    assert(qs.exists(q => Seq("count", "sum", "min", "max")
+      .exists(f => q.edn.contains(s"($f ?"))), "…aggregates")
+    for ((q, i) <- qs.zipWithIndex) {
+      val a = bag(q, statsOn)
+      val b = bag(q, statsOff)
+      assert(a == b, s"stats-on vs stats-off diverged on sample $i: ${q.edn}" +
+        s"\n  on-only:  ${(a.keySet -- b.keySet).take(3)}" +
+        s"\n  off-only: ${(b.keySet -- a.keySet).take(3)}")
+      // written order every 4th sample: same compiler below the ordering,
+      // so the cheap arms carry the bulk of the volume
+      if (i % 4 == 0) {
+        val c = bag(q, written)
+        assert(a == c, s"written-order arm diverged on sample $i: ${q.edn}" +
+          s"\n  planned-only: ${(a.keySet -- c.keySet).take(3)}" +
+          s"\n  written-only: ${(c.keySet -- a.keySet).take(3)}")
+      }
+    }
+  }
+
+  test("orderGroups never takes a disconnected group while a connected one exists (both stats modes)") {
+    val attrs = Seq("name", "dept", "salary", "age", "manager")
+    val varPool = Seq("v0", "v1", "v2", "v3", "v4", "v5")
+    val genGroup: Gen[(Term, Seq[Pattern])] = for {
+      ent <- Gen.frequency(5 -> Gen.oneOf(varPool).map(V),
+                           1 -> Gen.oneOf(emps.map(_.id)).map(C))
+      nPats <- Gen.chooseNum(1, 3)
+      ps <- Gen.listOfN(nPats, for {
+        attr <- Gen.oneOf(attrs)
+        v <- Gen.frequency(
+          3 -> Gen.oneOf(varPool).map(V),
+          1 -> Gen.oneOf(depts).map(C(_): Term),
+          1 -> Gen.oneOf(salaryConsts).map(C(_): Term))
+      } yield (attr, v))
+    } yield (ent, ps.map { case (a, v) => Pattern(ent, a, v) })
+    val genGroups: Gen[Seq[(Term, Seq[Pattern])]] = for {
+      n <- Gen.chooseNum(2, 6)
+      gs <- Gen.listOfN(n, genGroup)
+      // distinct entity terms — duplicate entities merge upstream of
+      // orderGroups, so feeding duplicates would test an unreachable state
+    } yield gs.groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1.toString)
+    def vars(g: (Term, Seq[Pattern])): Set[String] =
+      (g._1 +: g._2.map(_.v)).collect { case V(nm) => nm }.toSet
+    for (statsMode <- Seq(true, false)) {
+      val compiler = new DatalogCompiler(useStats = statsMode)
+      for ((gs, i) <- samples(genGroups, 400, 77000L).zipWithIndex
+           if gs.lengthCompare(2) >= 0) {
+        val out = compiler.orderGroups(docs, gs)
+        assert(out.sortBy(_._1.toString) == gs.sortBy(_._1.toString),
+          s"orderGroups must permute, sample $i (stats=$statsMode)")
+        var bound = vars(out.head)
+        for (k <- 1 until out.length) {
+          val g = out(k)
+          if (vars(g).intersect(bound).isEmpty) {
+            // a cartesian step: legal ONLY if nothing remaining connects —
+            // checked against the untaken groups, not the loop's own state
+            val rest = out.drop(k)
+            val connected = rest.filter(r => vars(r).intersect(bound).nonEmpty)
+            assert(connected.isEmpty,
+              s"sample $i (stats=$statsMode): took disconnected group ${g._1} " +
+                s"at step $k while ${connected.map(_._1)} connect to $bound\n" +
+                s"  order: ${out.map(_._1)}")
+            // after a forced cartesian the bound set grows; keep checking
+          }
+          bound ++= vars(g)
+        }
+      }
+    }
+  }
+}
