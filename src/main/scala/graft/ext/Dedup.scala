@@ -787,15 +787,24 @@ object Dedup {
     // minDf=2 drops singleton buckets before they enter the join shuffle;
     // maxDf caps hot buckets (skew guard, see scaladoc)
     val sigs = pruneByBucketSize(rawSigs, Seq("t", "bucket"), 2, maxBucket)
-    // thin (vec_id, t, bucket) shuffle; vectors join back only for verify
-    val cand = sigs.as("a").join(sigs.as("b"),
-        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
-    cand
-      .join(v.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
-      .join(v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+    // Verify INSIDE the bucket join: vectors ride with their signature
+    // rows (n·tables array-carrying rows — one bounded shuffle), the
+    // cosine is computed in the join projection, and only pairs that PASS
+    // the threshold survive to the distinct. The previous shape — thin
+    // candidate pairs, distinct, then TWO joins re-attaching the vectors —
+    // shuffled |candidates| array-carrying rows, and candidates grow
+    // n·tables·occupancy (the r14 sf10 ritual measured 45M candidates =
+    // 46 GB of array shuffle, 49× wall at 10× data). A pair sharing k
+    // buckets now pays k cosines instead of 1 (duplication factor ≈ 1.2-2
+    // at the target occupancy) — cheap against pairs-sized array shuffle;
+    // the identical-arithmetic cosine keeps the DuckDB replay bit-exact.
+    val sigv = sigs.join(v, Seq("vec_id"))
+    val a = sigv.select(col("t"), col("bucket"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = sigv.select(col("t"), col("bucket"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("t", "bucket"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         // zero-norm vectors have no direction: null cosine (which the
         // threshold filter drops) instead of an ANSI DIVIDE_BY_ZERO that
@@ -804,6 +813,7 @@ object Dedup {
         when(col("na") * col("nb") =!= 0.0,
           Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= threshold)
+      .distinct()
   }
 
   /** Exact all-pairs cosine ≥ threshold — the small-scale RECALL ORACLE the

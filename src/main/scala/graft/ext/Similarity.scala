@@ -154,9 +154,16 @@ object Similarity {
       // actual requirement instead (EmptyInputTotalitySpec pins this).
       require(cents.nonEmpty,
         "k-means quantizer: cannot train on an empty corpus (no embeddings)")
+      // nearest_centroid (reference-object model, same arithmetic and
+      // tie-breaks as the literal-struct argmin) keeps the round codegen'd
+      // at ANY k: the literal spelling at the auto-scaled k of semanticDedup
+      // (k ∝ n, 782 at the sf10 ritual) built a 782-entry expression tree
+      // that blew past the codegen method limit into the interpreter
       for (_ <- 1 to iters)
-        cents = collectCentroidPairs(
-          meanPairs(assignToNearestLit(v, cents).select("centroid_id", "v")))
+        cents = collectCentroidPairs(meanPairs(
+          v.withColumn("centroid_id",
+              graft.functions.VectorExpressions.nearest_centroid(col("v"), cents))
+            .select("centroid_id", "v")))
       cents
     }
   }
@@ -246,13 +253,19 @@ object Similarity {
   }
 
   /** Corpus-wide nearest-centroid assignment against a DRIVER-SIDE model
-    * (ModelCache pairs or a loaded index): the joined broadcast argmin
-    * over a LocalRelation of the centroids. `payload` columns ride
-    * through the aggregate (e.g. a label for cluster stats) — no join to
-    * re-attach them afterward. */
+    * (ModelCache pairs or a loaded index): ONE narrow codegen'd pass — the
+    * model arrays ride as codegen reference objects inside
+    * [[graft.functions.NearestCentroid]], payload columns pass through
+    * untouched. Replaces the broadcast crossJoin + struct-min aggregate,
+    * which materialized n·k rows (the r14 sf10 ritual measured
+    * dedup_semantic at 41× for 10× data, most of it this fan-out);
+    * the expression replicates that plan's arithmetic and tie-breaks
+    * bit-exactly, so every quantizer oracle stays hash-green. */
   private[graft] def ivfAssignModel(emb: DataFrame, cents: Seq[(Long, Seq[Double])],
                                     payload: Seq[String] = Seq("v")): DataFrame =
-    assignToNearest(emb, centroidsDf(emb.sparkSession, cents), payload)
+    emb.withColumn("centroid_id",
+        graft.functions.VectorExpressions.nearest_centroid(col("v"), cents))
+      .select(col("vec_id") +: payload.map(col) :+ col("centroid_id"): _*)
 
   /** kNN JOIN: top-k corpus neighbors for EVERY query vector in one pass —
     * the many-query form of top-k that `bruteForceTopK` (one query) and

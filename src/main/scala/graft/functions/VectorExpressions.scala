@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expressions for the vector hot path (SURVEY.md §7.3:
   * similarity/dedup are the north-star ops that must survive 100 TB).
@@ -153,9 +153,94 @@ case class SrpSig(child: Expression, nBits: Int, tables: Int)
       s"${ev.value} = graft.functions.VectorHashes.srpBuckets($a, $nBits, $tables);")
 }
 
+/** Driver-side-model centroid assignment, as one primitive loop. */
+object CentroidOps {
+  /** Nearest centroid of `v` against a literal model — a BIT-EXACT replica
+    * of the former broadcast plan `min(struct(1.0 - vec_cosine(v, cvec),
+    * centroid_id))`, kept replayable so every quantizer-consuming oracle
+    * (similarity_ivf, cluster_stats, dedup_semantic CTE chains) stays
+    * hash-green:
+    *  - dot and norm accumulate index-ascending (DotProduct/L2Norm order);
+    *  - dot length = min(|v|, |c|) (DotProduct's contract);
+    *  - a zero denominator yields a NULL cosine (vec_cosine's CaseWhen) →
+    *    a null dist field, which Spark's ascending struct order ranks
+    *    BEFORE every non-null dist;
+    *  - double comparison is Spark's SQLOrderingUtil semantics (`==` first
+    *    so 0.0 equals -0.0, then Double.compare so NaN ranks greatest);
+    *  - ties break on ascending centroid id.
+    * The former plan materialized n·k rows through a crossJoin + min
+    * aggregate — 313M rows and most of the gate's 788 cpu-s at the sf10
+    * ritual; this is the same answer in one narrow pass. */
+  def nearest(v: ArrayData, cents: Array[Array[Double]], ids: Array[Long]): Long = {
+    val dim = v.numElements()
+    var sv = 0.0
+    var i = 0
+    while (i < dim) { val x = v.getDouble(i); sv += x * x; i += 1 }
+    val nv = math.sqrt(sv)
+    var first = true
+    var bestId = 0L
+    var bestDist = 0.0
+    var bestNull = false
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var sc = 0.0
+      var j = 0
+      while (j < cv.length) { val x = cv(j); sc += x * x; j += 1 }
+      val n = math.min(dim, cv.length)
+      var d = 0.0
+      var l = 0
+      while (l < n) { d += v.getDouble(l) * cv(l); l += 1 }
+      val denom = nv * math.sqrt(sc)
+      val isNull = denom == 0.0
+      val dist = if (isNull) 0.0 else 1.0 - d / denom
+      val id = ids(c)
+      val better =
+        if (first) true
+        else if (isNull != bestNull) isNull // null dist sorts first (asc)
+        else if (isNull) id < bestId
+        else {
+          val cmp =
+            if (dist == bestDist) 0 else java.lang.Double.compare(dist, bestDist)
+          cmp < 0 || (cmp == 0 && id < bestId)
+        }
+      if (better) { first = false; bestId = id; bestDist = dist; bestNull = isNull }
+      c += 1
+    }
+    bestId
+  }
+}
+
+/** `nearest_centroid(vec)` against a driver-side literal centroid model:
+  * array<double> → the winning centroid id. See [[CentroidOps.nearest]]
+  * for the exactness contract. The model arrays ride as codegen reference
+  * objects (NOT an expression tree — a k=782 literal-struct argmin blows
+  * the codegen method limit and falls back to the interpreter). */
+case class NearestCentroid(child: Expression, cents: Array[Array[Double]],
+                           ids: Array[Long])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(cents.nonEmpty && cents.length == ids.length,
+    "nearest_centroid: need a non-empty model with one id per centroid")
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = LongType
+  override protected def withNewChildInternal(c: Expression): NearestCentroid =
+    copy(child = c)
+  override def nullSafeEval(a: Any): Any =
+    CentroidOps.nearest(a.asInstanceOf[ArrayData], cents, ids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.CentroidOps.nearest($a, $centsRef, $idsRef);")
+  }
+}
+
 object VectorExpressions {
   /** Column builders (expect `array<double>` inputs). */
   private def toExpr(c: Column): Expression = ColumnBridge.expression(c)
+  def nearest_centroid(v: Column, model: Seq[(Long, Seq[Double])]): Column =
+    ColumnBridge.column(NearestCentroid(toExpr(v),
+      model.map(_._2.toArray).toArray, model.map(_._1).toArray))
   def vec_dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(toExpr(a), toExpr(b)))
   def vec_norm(a: Column): Column = ColumnBridge.column(L2Norm(toExpr(a)))

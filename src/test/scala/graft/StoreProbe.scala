@@ -101,13 +101,30 @@ object StoreProbe {
       bulkLoad(store, 20000)
       val daemon = store.startMaintenance(intervalMs = 1000L, maxFilesPerPartition = 32)
       val readerErrors = new java.util.concurrent.atomic.AtomicLong
+      val readerRederives = new java.util.concurrent.atomic.AtomicLong
       val readerOps = new java.util.concurrent.atomic.AtomicLong
       val stopReader = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // the reader follows the store's documented contracts: entity() has
+      // the swap retry built in; a SNAPSHOT DataFrame handed to a caller
+      // keeps Spark's re-derive contract (a compaction renaming the listed
+      // files away mid-action throws FAILED_READ_FILE and the caller
+      // rebuilds the plan — DocumentStore.retryOnSwap scaladoc). Only a
+      // failure that SURVIVES one re-derive counts as a reader error;
+      // first-try transients are tallied separately as the swap-race rate.
+      def isSwapTransient(e: Throwable): Boolean =
+        Option(e.getMessage).exists(m =>
+          m.contains("FAILED_READ_FILE") || m.contains("FILE_NOT_EXIST") ||
+            m.contains("does not exist"))
       val reader = new Thread(() => {
         var i = 0L
         while (!stopReader.get()) {
           try {
-            if (i % 5 == 0) require(store.db().count() > 0)
+            if (i % 5 == 0)
+              try require(store.db().count() > 0)
+              catch { case e: Exception if isSwapTransient(e) =>
+                readerRederives.incrementAndGet()
+                require(store.db().count() > 0) // re-derive once
+              }
             else store.entity(s"doc/d${(i % 10).toInt}/${i % 997}")
             readerOps.incrementAndGet()
           } catch { case e: Exception =>
@@ -140,10 +157,11 @@ object StoreProbe {
         store.matchPut(s"alert/${i % 483}", Some("""{"due":true}"""),
           s"""{"claimed":$i}""")
         store.delete(s"alert/${i % 483}")
-        if ((i + 1) % (cycles / 10).max(1) == 0) {
+        if ((i + 1) % (cycles / 40).max(1) == 0) {
           val frag = store.fragmentation().values.sum
           println(f"[soak] cycle=${i + 1}%6d files=$frag%5d fd=$fdCount%5d " +
             f"heap=${heapMb}%5dMB readerOps=${readerOps.get()}%7d " +
+            f"rederives=${readerRederives.get()}%3d " +
             f"readerErrors=${readerErrors.get()}%3d " +
             f"rate=${(i + 1) / ((System.nanoTime() - t0) / 1e9)}%6.1f cyc/s")
         }
@@ -157,6 +175,7 @@ object StoreProbe {
       val floor1 = Seq.fill(3)(snapTime()).sorted.apply(1)
       println(f"[soak] DONE cycles=$cycles files(end)=$fragEnd " +
         f"fd $fd0 -> $fdCount  readerOps=${readerOps.get()} " +
+        f"rederives=${readerRederives.get()} " +
         f"readerErrors=${readerErrors.get()} " +
         f"snapshot floor $floor0%6.3fs -> $floor1%6.3fs " +
         f"(${floor1 / math.max(floor0, 0.005)}%4.2fx)")
