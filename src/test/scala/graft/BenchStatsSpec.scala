@@ -35,7 +35,7 @@ class BenchStatsSpec extends SparkSpec {
   private val budgets = Seq(
     ("graph_pagerank", 22),
     ("corpus_quality_classifier", 26),
-    ("corpus_cluster_stats", 14), // 10 measured cold (train + joined assign)
+    ("corpus_cluster_stats", 12), // 8 measured cold (r14 native-argmin assignment)
     // not trainers, but the next-highest job counts in the suite (~18
     // each): multi-stage pipelines whose stage list is fixed — a job-count
     // jump means a stage started re-executing (lost persist) or re-planning
@@ -45,7 +45,7 @@ class BenchStatsSpec extends SparkSpec {
     // 18→15 / 16→12 measured; budgets re-tightened to the new plan
     ("corpus_dsir_select", 20),
     ("corpus_dsir", 16),
-    ("similarity_pq", 14),
+    ("similarity_pq", 10),          // 7 measured cold (r14 native-argmin trainer)
     // r11: extended to the top-15 gates by measured bench cost (r10
     // bench_result.json job_stats), budgets = cold sf0.001 measurement
     // + ~50% slack
@@ -57,7 +57,7 @@ class BenchStatsSpec extends SparkSpec {
     ("corpus_decontam_report", 18), // 12
     ("corpus_bpe_merges", 21),      // 14 (10 sequential merge rounds + scan)
     ("text_top_terms", 14),         // 9
-    ("dedup_semantic", 24),         // 16 (k-means rounds + prune chain)
+    ("dedup_semantic", 20),         // 15 measured cold (r14 native-argmin train+assign)
     ("dedup_simhash", 23),          // 15
     // r11: the heaviest new datalog gate — a fixed 2-level pull cascade
     // (dedup + two id equi-joins); a job-count jump means the pull side
