@@ -98,14 +98,30 @@ object Bench {
       spark.range(0L, 2000000L, 1L, 8).selectExpr("sum(id * 2 + 1)").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // JVM-wide accumulated GC time: the cpu/wall split alone can't tell
+    // "the plan did more work" from "the heap was full and the collector
+    // ate the gate" — a wall spike at flat jobs + flat cpu + fat gc_ms is
+    // GC; flat gc_ms too means scheduler/IO. Per-gate deltas recorded below.
+    def gcMillis: Long = {
+      var t = 0L
+      val it = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.iterator()
+      while (it.hasNext) { val b = it.next(); val c = b.getCollectionTime; if (c > 0) t += c }
+      t
+    }
     sparkCanary() // untimed: pay range/agg codegen once so pre==post work
     val canaryCpuPre = cpuCanary()
     val canarySparkPre = sparkCanary()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val qstats =
-      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long, Double, Double)]
+    // per-gate row: jobs, stages, tasks, loadavg-at-start, wall_s, cpu_s, gc_ms
+    val qstats = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Long, Long, Double, Double, Double, Long)]
     val cpuLoop0 = processCpuNs
     val wallLoop0 = System.nanoTime()
+    // snapshot the listener counters HERE, after the pre-loop canaries'
+    // jobs have landed, so the headline totals are pure timed-loop deltas
+    // (the canaries would otherwise inflate them round-over-round)
+    org.apache.spark.sql.graft.DatasetBridge.drainListenerBus(spark)
+    val (jobsLoop0, stagesLoop0, tasksLoop0) = (jobs.get, stages.get, tasks.get)
     val results = queries.map { case (name, fn) =>
       val (j0, s0, t0c) = (jobs.get(), stages.get(), tasks.get())
       // loadavg sampled at THIS query's start: a co-tenant spike mid-run
@@ -113,6 +129,7 @@ object Bench {
       // pre-flight number a reader has to hope held for the whole loop
       val loadQ = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
+      val gc0 = gcMillis
       val c0 = processCpuNs
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); () } catch { case e: Throwable =>
@@ -122,21 +139,24 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       val cpuQ = if (c0 < 0) -1.0 else (processCpuNs - c0) / 1e9
+      val gcQ = gcMillis - gc0
       graft.core.CacheRegistry.unpersistAll() // release per-query caches
       // listener events are delivered async — drain before sampling, or
       // this query's jobs get attributed to the next one
       org.apache.spark.sql.graft.DatasetBridge.drainListenerBus(spark)
-      qstats(name) = (jobs.get - j0, stages.get - s0, tasks.get - t0c, loadQ, cpuQ)
+      qstats(name) = (jobs.get - j0, stages.get - s0, tasks.get - t0c, loadQ, dt, cpuQ, gcQ)
       if (statsStderr) System.err.println(
-        f"[bench-stats] $name%-24s ${dt}%6.2fs cpu=${cpuQ}%6.2fs jobs=${jobs.get - j0}%-3d stages=${stages.get - s0}%-4d tasks=${tasks.get - t0c}%-5d")
+        f"[bench-stats] $name%-24s ${dt}%6.2fs cpu=${cpuQ}%6.2fs gc=${gcQ}%4dms jobs=${jobs.get - j0}%-3d stages=${stages.get - s0}%-4d tasks=${tasks.get - t0c}%-5d")
       name -> dt
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val cpuLoopSec = if (cpuLoop0 < 0) -1.0 else (processCpuNs - cpuLoop0) / 1e9
     val wallLoopSec = (System.nanoTime() - wallLoop0) / 1e9
-    // snapshot plan-fact totals BEFORE the post-loop canary so its one tiny
-    // job never pollutes the round-over-round job/stage/task comparison
-    val (jobsTotal, stagesTotal, tasksTotal) = (jobs.get, stages.get, tasks.get)
+    // plan-fact totals = timed-loop DELTAS (snapshotted after the pre-loop
+    // canaries, sampled before the post-loop canary) — neither canary's
+    // jobs pollute the round-over-round job/stage/task comparison
+    val (jobsTotal, stagesTotal, tasksTotal) =
+      (jobs.get - jobsLoop0, stages.get - stagesLoop0, tasks.get - tasksLoop0)
     val canaryCpuPost = cpuCanary()
     val canarySparkPost = sparkCanary()
     // JVM-wide cpu/wall over the timed loop: on an otherwise-quiet 32-thread
@@ -149,11 +169,17 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.sorted.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
     def s1(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    // per-query plan facts + start-of-query loadavg + process CPU seconds:
-    // "name":[jobs,stages,tasks,loadavg,cpu_sec]
-    val statsJson = qstats.map { case (k, (j, s, t, l, c)) =>
-      "\"" + k + "\":[" + j + "," + s + "," + t + "," + s1(l) + "," + s1(c) + "]"
+    // per-query plan facts + start-of-query loadavg + the gate's own wall,
+    // JVM process-CPU seconds, and GC milliseconds, all measured over the
+    // SAME timed execution as the "queries" map (there is no second stats
+    // pass): "name":[jobs,stages,tasks,loadavg,wall_s,cpu_s,gc_ms].
+    // Schema is emitted alongside so the artifact self-describes.
+    val statsJson = qstats.map { case (k, (j, s, t, l, w, c, g)) =>
+      "\"" + k + "\":[" + j + "," + s + "," + t + "," + s1(l) + "," +
+        s1(w) + "," + s1(c) + "," + g + "]"
     }.mkString("{", ",", "}")
+    val statsSchema =
+      """"job_stats_schema":["jobs","stages","tasks","loadavg","wall_s","cpu_s","gc_ms"]"""
     // host-speed canary block (seconds; fixed work → directly comparable
     // across rounds and hosts — divide a wall time by cpu_pre/0.XX to
     // normalize). Emitted in BOTH lines so even the truncated driver tail
@@ -164,7 +190,7 @@ object Bench {
     def fmtLine(q: Map[String, String], tot: String) =
       s"""{"metric":"total","value":$tot,"unit":"sec","loadavg":${s1(loadavg)},"cpu_sec":${s1(cpuLoopSec)},"cpu_wall_ratio":${s1(cpuWallRatio)},$canaryJson,"queries":${
         q.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      },"job_stats":$statsJson$errs,"sf":"$sfDir","total_sec":$tot}"""
+      },$statsSchema,"job_stats":$statsJson$errs,"sf":"$sfDir","total_sec":$tot}"""
     // The driver captures only a bounded TAIL (~2000 chars) of this process's
     // output and json-parses the LAST line it finds there. At 111 queries even
     // the 3-decimal full line (~3 KB) overflows that window and gets truncated
@@ -178,12 +204,15 @@ object Bench {
     println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":${
       top5.map { case (k, v) => "\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
     },"n_queries":${results.size},"loadavg":${s1(loadavg)},"cpu_sec":${s1(cpuLoopSec)},"cpu_wall_ratio":${s1(cpuWallRatio)},$canaryJson,"jobs":$jobsTotal,"stages":$stagesTotal,"tasks":$tasksTotal$errs,"sf":"$sfDir","total_sec":${s3(total)}}""")
-    // full precision to a file for round-over-round per-query comparison
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
+    // full precision to a file for round-over-round per-query comparison.
+    // SPARK_GRAFT_BENCH_OUT redirects it — side measurements (the scale
+    // ritual, subset probes) must not clobber the committed round artifact.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fmtLine(results.map { case (k, v) => k -> v.toString }.toMap, total.toString) + "\n")
         .getBytes("UTF-8"))
     catch { case e: Exception =>
-      System.err.println(s"[bench] could not write bench_result.json: $e") }
+      System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
   }
 }

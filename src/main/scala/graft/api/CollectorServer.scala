@@ -582,26 +582,27 @@ class CollectorServer(store: DocumentStore, streams: StreamManager,
     // qPublic: a deployed query collector must not be able to bind
     // reserved ':' docs — on a combined store, :user/* docs carry bcrypt
     // hashes and :collector/:stream docs map the control plane
-    dataStore.qPublic(h.edn, schema) match {
-      case Left(err) => respond(ex, 400, s"""{"status":"failure","message":${JsonMethods.compact(JsonMethods.render(JString(err)))}}""")
-      case Right(df) =>
-        // management-plane result sizes (entity lookups, registry listings);
-        // large analytical results belong on the query API, not REST — so
-        // the collect is LIMIT-bounded and an over-limit result is a typed
-        // 413, never an unbounded driver buffer
-        try {
+    // a :timeout query hands back a CacheRegistry-persisted result; a
+    // long-lived server must release it per request or each hit leaks a
+    // strong ref + executor storage. The release is SCOPED to this
+    // handler thread's registrations: a global drain here would unpersist
+    // a concurrent request's in-flight :timeout result, whose collect
+    // would then recompute outside its cancellable job group. Long-lived
+    // staged indexes are pinned via Resident, OUTSIDE the registry.
+    graft.core.CacheRegistry.scoped {
+      dataStore.qPublic(h.edn, schema) match {
+        case Left(err) => respond(ex, 400, s"""{"status":"failure","message":${JsonMethods.compact(JsonMethods.render(JString(err)))}}""")
+        case Right(df) =>
+          // management-plane result sizes (entity lookups, registry listings);
+          // large analytical results belong on the query API, not REST — so
+          // the collect is LIMIT-bounded and an over-limit result is a typed
+          // 413, never an unbounded driver buffer
           val rows = df.limit(maxQueryRows + 1).toJSON.collect()
           if (rows.length > maxQueryRows)
             respond(ex, 413,
               s"""{"status":"failure","message":"result exceeds maxRows=$maxQueryRows; narrow the query"}""")
           else respond(ex, 200, rows.mkString("[", ",", "]"))
-        } finally
-          // a :timeout query hands back a CacheRegistry-persisted result; a
-          // long-lived server must release it per request (the same per-batch
-          // hygiene the streaming handlers practice) or each hit leaks a
-          // strong ref + executor storage. Long-lived staged indexes are
-          // pinned via Resident, OUTSIDE the registry, so this is safe.
-          graft.core.CacheRegistry.unpersistAll()
+      }
     }
   }
 

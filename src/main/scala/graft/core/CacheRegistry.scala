@@ -17,10 +17,41 @@ object CacheRegistry {
 
   private val refs = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
 
-  /** Persist `ds` and register the handle for later release. */
+  // Per-thread scope frames: a concurrent server must release ONLY the
+  // datasets the current request/batch registered — a global drain from a
+  // 16-thread HTTP executor (or a foreachBatch) would unpersist another
+  // in-flight request's eagerly-materialized :timeout result, whose later
+  // collect then silently recomputes OUTSIDE its cancellable job group,
+  // defeating the :timeout budget. Operators build and persist their plans
+  // on the calling thread, so a thread-local frame captures exactly the
+  // request's registrations.
+  private val scopes = new ThreadLocal[java.util.ArrayDeque[java.util.ArrayList[Dataset[_]]]] {
+    override def initialValue() = new java.util.ArrayDeque[java.util.ArrayList[Dataset[_]]]()
+  }
+
+  /** Run `f` in a fresh registration scope on this thread; on exit,
+    * unpersist exactly the datasets `f` registered (and no others).
+    * Nesting is fine — inner frames release before outer ones. */
+  def scoped[A](f: => A): A = {
+    val frame = new java.util.ArrayList[Dataset[_]]()
+    scopes.get().push(frame)
+    try f finally {
+      scopes.get().pop()
+      val it = frame.iterator()
+      while (it.hasNext) {
+        try it.next().unpersist(blocking = false)
+        catch { case _: Exception => () }
+      }
+    }
+  }
+
+  /** Persist `ds` and register the handle for later release — into the
+    * innermost [[scoped]] frame on this thread if one is active, else the
+    * process-global registry drained by [[unpersistAll]]. */
   def persisted[T](ds: Dataset[T]): Dataset[T] = {
     val p = ds.persist()
-    refs.add(p)
+    val st = scopes.get()
+    if (!st.isEmpty) st.peek().add(p) else refs.add(p)
     p
   }
 
@@ -29,6 +60,8 @@ object CacheRegistry {
     * for scope-exit unpersistAll would accumulate every superseded
     * generation in storage memory. */
   def release(ds: Dataset[_]): Unit = {
+    val st = scopes.get()
+    if (!st.isEmpty) st.peek().remove(ds)
     refs.remove(ds)
     try ds.unpersist(blocking = false) catch { case _: Exception => () }
   }

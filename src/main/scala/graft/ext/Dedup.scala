@@ -168,47 +168,95 @@ object Dedup {
   def simhash(text: Column): Column =
     graft.functions.TextHashExpressions.simhash64(TextOps.tokens(text))
 
-  /** SimHash near-dups: LSH on 4×15-bit chunks (two docs within Hamming
-    * distance ≤ 3 of each other on 60 bits must share at least one exact
-    * 15-bit chunk — pigeonhole), verified by true Hamming distance.
+  /** SimHash near-dups: block-permuted LSH (Manku/Jain/Sarma's simhash
+    * dedup scheme, WWW'07) — split the 60-bit fingerprint into `b` blocks
+    * and build C(b, maxHamming) tables, each keyed on a distinct
+    * (b − maxHamming)-block concatenation. Any pair within Hamming
+    * distance ≤ maxHamming flips bits in at most maxHamming blocks, so
+    * some (b − maxHamming)-subset of blocks is intact on both sides and
+    * that table's keys match — FULL recall by pigeonhole at any b ≥
+    * maxHamming + 1 — then true Hamming distance verifies inside the
+    * bucket join, before the pair distinct.
+    *
+    * LSH RESOLUTION MUST SCALE WITH THE CORPUS (the same law the
+    * embedding SRP-LSH learned at the r14 sf10 decade): the minimum
+    * b = maxHamming + 1 keys tables on single blocks — a FIXED 2^15
+    * keyspace at the default radius, whose per-bucket occupancy (and so
+    * candidate-pair volume) grows LINEARLY with distinct fingerprints,
+    * turning the bucket self-join quadratic (measured 10.3× wall at 10×
+    * data, sf10 ritual r14). Auto mode (`blocks = 0`) picks the smallest
+    * b whose per-table keyspace 2^(width·(b−maxHamming)) holds the corpus
+    * at ≤ `targetBucket` expected occupancy — more, narrower blocks →
+    * WIDER concatenated keys → constant occupancy. The table count
+    * C(b, maxHamming) stays bounded (≤ 64; at the default radius b ≤ 8 ≈
+    * 275 G fingerprints). The sizing count() is control-plane work that
+    * doubles as the classes-cache materialization.
     *
     * Scale posture (the two hot-bucket guards):
     *  1. Identical fingerprints collapse into ONE class before any join.
     *    Real corpora put thousands of boilerplate docs on a single
-    *    fingerprint; without this the (chunk,key) self-join goes quadratic
+    *    fingerprint; without this the (table,key) self-join goes quadratic
     *    inside that bucket. One representative per DISTINCT fingerprint
     *    enters the LSH join; class members expand back at the end, so the
     *    output pairs are unchanged.
-    *  2. A (chunk,key) bucket holding more than `maxBucket` DISTINCT
+    *  2. A (table,key) bucket holding more than `maxBucket` DISTINCT
     *    fingerprints is skipped (mirrors `ngramJaccardPairs`' `maxDf`).
-    *    A qualifying pair is lost only if EVERY 15-bit chunk it shares is
+    *    A qualifying pair is lost only if EVERY table key it shares is
     *    over the cap — vanishingly rare once exact-dup classes are
-    *    collapsed, and bounded: candidate fan-in is ≤ 4·maxBucket per
+    *    collapsed, and bounded: candidate fan-in is ≤ tables·maxBucket per
     *    fingerprint regardless of corpus skew. */
   def simhashNearDups(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", maxHamming: Int = 3,
-                      maxBucket: Int = 256): DataFrame = {
-    // pigeonhole needs maxHamming+1 chunks: with a FIXED 4-chunk split,
-    // any maxHamming > 3 silently lost every pair whose flipped bits hit
-    // 4 distinct chunks (review r11 — recall hole, not an error). The
-    // default (3) keeps the exact 4×15-bit layout the oracle replays;
-    // larger radii get more, narrower chunks — wider buckets, still
-    // bounded by the class collapse + maxBucket cap below.
-    val nChunks = maxHamming + 1
-    require(maxHamming >= 0 && nChunks <= 60,
-      s"maxHamming must be in [0, 59] (needs maxHamming+1 chunks of >=1 bit), got $maxHamming")
-    val width = 60 / nChunks
-    val mask = (1L << width) - 1
-    // persist: classes feed three consumers (chunk join, member expansion,
+                      maxBucket: Int = 256, blocks: Int = 0,
+                      targetBucket: Int = 8): DataFrame = {
+    // pigeonhole needs at least maxHamming+1 blocks: with a FIXED 4-chunk
+    // split, any maxHamming > 3 silently lost every pair whose flipped
+    // bits hit 4 distinct chunks (review r11 — recall hole, not an error)
+    val minBlocks = maxHamming + 1
+    require(maxHamming >= 0 && minBlocks <= 60,
+      s"maxHamming must be in [0, 59] (needs maxHamming+1 blocks of >=1 bit), got $maxHamming")
+    require(blocks == 0 || blocks >= minBlocks && blocks <= 60,
+      s"blocks must be 0 (auto) or in [${minBlocks}, 60], got $blocks")
+    def chooseL(n: Int, k: Int): Long = {
+      val kk = math.min(k, n - k)
+      (1 to kk).foldLeft(1L)((acc, i) => acc * (n - kk + i) / i)
+    }
+    // persist: classes feed three consumers (table join, member expansion,
     // intra-class pairs) and must not re-run the simhash expression.
     val classes = CacheRegistry.persisted(
       docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
         .groupBy("fp").agg(sort_array(collect_list(col("id"))).as("members")))
-    val chunks = classes.select(col("fp"),
-        explode(transform(sequence(lit(0), lit(nChunks - 1)),
-          c => struct(c.as("chunk"),
-            call_function("shiftright", col("fp"), c * width)
-              .bitwiseAND(mask).as("key")))).as("ck"))
+    val b =
+      if (blocks > 0) blocks
+      else {
+        // candidate block counts: pigeonhole minimum first, escalating
+        // while the table count stays bounded (explode cost is linear in
+        // tables; key WIDTH is what buys constant occupancy)
+        val bs = Iterator.from(minBlocks).takeWhile(d =>
+          d <= 60 && chooseL(d, math.min(maxHamming, d - 1)) <= 64L).toSeq
+        val n = classes.count() // materializes the persisted classes
+        bs.find { d =>
+          val keyBits = (60 / d) * (d - maxHamming)
+          keyBits >= 62 || n <= (1L << keyBits) * math.max(1, targetBucket)
+        }.getOrElse(bs.last)
+      }
+    val width = 60 / b
+    val mask = (1L << width) - 1
+    // one struct per table: key = the concatenation of that table's
+    // (b − maxHamming)-block subset, assembled with shift/mask int64
+    // arithmetic a DuckDB oracle replays bit-identically
+    val tableStructs = (0 until b).combinations(b - maxHamming).toSeq
+      .zipWithIndex.map { case (subset, ti) =>
+        val key = subset.zipWithIndex.map { case (blk, pos) =>
+          val blockVal = call_function("shiftright", col("fp"), lit(blk * width))
+            .bitwiseAND(lit(mask))
+          if (pos == 0) blockVal
+          else call_function("shiftleft", blockVal, lit(pos * width))
+        }.reduce(_.bitwiseOR(_))
+        struct(lit(ti).as("chunk"), key.as("key"))
+      }
+    val chunks = classes
+      .select(col("fp"), explode(array(tableStructs: _*)).as("ck"))
       .select(col("fp"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
     val pruned = pruneByBucketSize(chunks, Seq("chunk", "key"), minDf = 2, maxDf = maxBucket)
     val fpPairs = pruned.as("a")
@@ -216,9 +264,13 @@ object Dedup {
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
           col("a.fp") < col("b.fp"))
       .select(col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
-      .distinct()
+      // verify INSIDE the candidate stream, BEFORE the distinct: bit_count
+      // on the two longs already in hand is nearly free, and the distinct
+      // then deduplicates only TRUE near-pairs instead of shuffling the
+      // (tables× larger) raw candidate multiset
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
     val members = classes.select(col("fp"), explode(col("members")).as("id"))
     val inter = fpPairs
       .join(members.select(col("fp").as("fp_a"), col("id").as("ia")), Seq("fp_a"))

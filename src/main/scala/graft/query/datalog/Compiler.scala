@@ -1269,7 +1269,17 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
     } finally persisted.foreach(_.unpersist(blocking = false))
   }
 
-  private def pullSide(docs: DataFrame, spec: Seq[PullEntry], tag: String): DataFrame = {
+  /** `roots`: when given (a single-column frame of doc ids), the side is
+    * built ONLY for those ids — and each ref/recur child level receives
+    * the PARENT level's resolved ref values as its own roots, so a
+    * depth-d pull costs d frontier-sized joins instead of d full-corpus
+    * self-joins (the r14 sf10 ritual measured the full-corpus cascade at
+    * 11.2× wall on 10× data; level cost must track the FRONTIER). The
+    * left-join semantics are unchanged: the child side is filtered to
+    * exactly the ref values the parent level carries, so every match
+    * survives and absent refs still null out. */
+  private def pullSide(docs: DataFrame, spec: Seq[PullEntry], tag: String,
+                       roots: Option[DataFrame] = None): DataFrame = {
     def srcName(e: PullEntry): String = e match {
       case PullAttr(a, _, _, _) => a
       case PullJoin(a, _, _) => a
@@ -1346,10 +1356,17 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
         if (r.depth <= 1) Seq.empty else Seq(PullRecur(a, r.depth - 1))
       case x => Seq(x)
     }
-    var side = docsEff.select(col("id").as(s"__pid_$tag") +:
+    // frontier pushdown: restrict this level to the requested roots BEFORE
+    // any struct/ref work. docsEff is hash-partitioned by id on the
+    // unbounded path, so the semi-join shuffles only the (small) root set.
+    val docsLevel = roots.fold(docsEff) { r =>
+      val rr = r.toDF("__pull_root_id")
+      docsEff.join(rr, col("id") === col("__pull_root_id"), "left_semi")
+    }
+    val base = docsLevel.select(col("id").as(s"__pid_$tag") +:
       entries.zipWithIndex.map { case (e, i) =>
         // for a join/recur entry: the ref id, swapped for the child struct below
-        val base = e match {
+        val baseCol = e match {
           case PullAttr(a, _, _, Some(n)) =>
             require(docsEff.schema(a).dataType
                 .isInstanceOf[org.apache.spark.sql.types.ArrayType],
@@ -1359,15 +1376,24 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
           case _ => col(srcName(e))
         }
         val withDefault = e match {
-          case PullAttr(_, _, Some(v), _) => coalesce(base, lit(v))
-          case _ => base
+          case PullAttr(_, _, Some(v), _) => coalesce(baseCol, lit(v))
+          case _ => baseCol
         }
         withDefault.as(s"__pf_${tag}_$i")
       }: _*)
+    // the child frontier derives from the PRE-join base projection (not
+    // the mutating `side`), so computing it never replays earlier child
+    // joins — one narrow distinct over this level's ref column
+    def childRoots(i: Int): Option[DataFrame] =
+      if (roots.isEmpty) None // unrooted build keeps full-corpus children
+      else Some(base
+        .select(col(s"__pf_${tag}_$i").as("__pull_root_id"))
+        .where(col("__pull_root_id").isNotNull).distinct())
+    var side = base
     entries.zipWithIndex.foreach {
       case (PullJoin(_, sub, _), i) =>
         val childTag = s"${tag}_$i"
-        val child = pullSide(docsEff, sub, childTag)
+        val child = pullSide(docsEff, sub, childTag, childRoots(i))
         side = side.join(child,
             col(s"__pf_${tag}_$i") === col(s"__pid_$childTag"), "left")
           .withColumn(s"__pf_${tag}_$i", col(s"__pstruct_$childTag"))
@@ -1376,7 +1402,7 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
         // an all-recursive spec bottoms out with an EMPTY child spec at the
         // leaf (guard above): the leaf keeps the raw ref id, crux-style
         val childTag = s"${tag}_$i"
-        val child = pullSide(docsEff, unrolledChild(r), childTag)
+        val child = pullSide(docsEff, unrolledChild(r), childTag, childRoots(i))
         side = side.join(child,
             col(s"__pf_${tag}_$i") === col(s"__pid_$childTag"), "left")
           .withColumn(s"__pf_${tag}_$i", col(s"__pstruct_$childTag"))
@@ -1419,10 +1445,26 @@ class DatalogCompiler(registry: FunctionRegistry = FunctionRegistry.default,
         // attribute must NOT collapse distinct entities when the query
         // declared them as the duplication unit
         val needed = (vars ++ pulls.map(_.v.name) ++ q.withVars).distinct
-        var out = sel(needed).distinct()
+        // persisted: each pull derives its ROOT id set from this relation
+        // (frontier pushdown into pullSide) and then joins against it —
+        // without the persist the whole query body would replay per pull
+        var out = graft.core.CacheRegistry.persisted(sel(needed).distinct())
+        // frontier pushdown ONLY for specs with an unbounded recursion:
+        // there pullSide materializes the projected doc relation, so the
+        // per-level root/frontier recomputation replays a cached leaf. A
+        // bounded/static spec stays fully lazy — rooting it would replay
+        // the RAW universe once per ref entry (measured 4× wall on
+        // datalog_pull_nested at sf0.1) for a join its depth never makes
+        // corpus-scaling in the first place.
+        def hasUnbounded(es: Seq[PullEntry]): Boolean = es.exists {
+          case PullRecur(_, d) => d == PullRecur.Unbounded
+          case PullJoin(_, sub, _) => hasUnbounded(sub)
+          case _ => false
+        }
         pulls.zipWithIndex.foreach { case (p, i) =>
           val tag = s"p$i"
-          val side = pullSide(docs, p.spec, tag)
+          val side = pullSide(docs, p.spec, tag,
+            if (hasUnbounded(p.spec)) Some(out.select(col(p.v.name))) else None)
           out = out.join(side, col(p.v.name) === col(s"__pid_$tag"), "left")
             .withColumn(pullNames(i), col(s"__pstruct_$tag"))
             .drop(s"__pid_$tag", s"__pstruct_$tag")

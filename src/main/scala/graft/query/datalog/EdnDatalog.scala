@@ -80,6 +80,9 @@ object EdnDatalog {
     parseQuery(edn).flatMap { q =>
       try Right(compiler.run(docs, q, inputs))
       catch { case e: Exception =>
+        // the Left carries only the message (the total-function contract);
+        // SPARK_GRAFT_DEBUG=1 surfaces the full stack for forensics
+        if (sys.env.get("SPARK_GRAFT_DEBUG").contains("1")) e.printStackTrace()
         // some Spark exceptions (ParseException) have messages that START
         // with a newline — a trimmed-blank message reads as "no reason",
         // so fall back to toString

@@ -365,8 +365,12 @@ class DocumentStore(val spark: SparkSession, val path: String) {
               catch {
                 // requireOpen is a Scala require → IllegalArgumentException;
                 // a close racing the tick must stop the daemon, not spin
-                // forever through the skip-tick arm
-                case _: IllegalStateException | _: IllegalArgumentException =>
+                // forever through the skip-tick arm. But IAE/ISE are not
+                // unique to requireOpen (compact paths have their own
+                // requires), so only stop when the store really IS closed —
+                // any other failure skips the tick per the scaladoc promise.
+                case _: IllegalStateException | _: IllegalArgumentException
+                    if closed =>
                   stop.set(true) // store closed under us
                 case scala.util.control.NonFatal(_) => () // skip this tick
               }

@@ -50,14 +50,16 @@ object StreamDedup {
         // hit in steady state) so a restage — which releases the pin — is
         // picked up by the very next micro-batch without restarting the query.
         val index = Dedup.residentShingleIndex(spark, indexPath)
-        try sink(admitBatch(batch, index, textCol, idCol, shingleN, threshold,
-          minCommon, intraBatch))
         // the batch's shingle table is persisted per micro-batch; without
-        // a release here a long-running stream accumulates one pinned
-        // cache entry per batch until executors OOM. Registry-wide release
-        // is correctness-safe (anything still needed recomputes from
-        // lineage) — this stream is the session owner of its batches.
-        finally graft.core.CacheRegistry.unpersistAll()
+        // a release a long-running stream accumulates one pinned cache
+        // entry per batch until executors OOM. The release is SCOPED to
+        // this batch's own registrations — a registry-wide drain from the
+        // streaming thread would also unpersist a concurrent REST
+        // request's in-flight result (see CacheRegistry.scoped).
+        graft.core.CacheRegistry.scoped {
+          sink(admitBatch(batch, index, textCol, idCol, shingleN, threshold,
+            minCommon, intraBatch))
+        }
         ()
       }
       .queryName(queryName)

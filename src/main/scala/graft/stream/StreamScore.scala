@@ -93,10 +93,14 @@ object StreamScore {
                              score: DataFrame => DataFrame): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        try {
+        // scoped, not a global drain: this micro-batch releases only its
+        // own registrations — a registry-wide drain from the streaming
+        // thread would unpersist a concurrent REST request's in-flight
+        // :timeout result (see CacheRegistry.scoped)
+        graft.core.CacheRegistry.scoped {
           val scored = score(batch)
           sink(batch.join(scored.withColumnRenamed("doc_id", idCol), Seq(idCol)))
-        } finally graft.core.CacheRegistry.unpersistAll()
+        }
         ()
       }
       .queryName(queryName)

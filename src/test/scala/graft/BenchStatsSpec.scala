@@ -76,12 +76,15 @@ class BenchStatsSpec extends SparkSpec {
     // is materialized once (hash-partitioned by id, reused by every
     // unrolled level), chain discovery probes are raw RDD counts (one job
     // per level, no AQE stage fan), then the discovered-depth join
-    // cascade runs over the materialized leaf. A jump past the ceiling
-    // means discovery fell back to per-stage probing or a level stopped
-    // reusing the materialized base (r12: 26 jobs)
-    ("datalog_pull_recursive", 18)) // 17 measured cold at sf0.001 and in
-    // the r13 driver-config bench at sf0.1 — the budget pins the r13 plan
-    // (staged projection + one-job-per-level RDD discovery) with 1 slack
+    // cascade runs over the materialized leaf. r15 adds FRONTIER PUSHDOWN
+    // (VERDICT r14 #3): each level semi-joins the parent level's resolved
+    // ref ids into the cached leaf before building structs, so level cost
+    // tracks the frontier, not the corpus (sf10 decade 11.2×→4.4×, sf10
+    // wall 41.2→14.9 s). The pushdown's per-level semi-join + frontier
+    // distinct fan into more (tiny) AQE jobs on the cached leaf: 31
+    // measured at sf0.1 — fixed overhead bounded by depth, traded for
+    // corpus-volume joins at scale.
+    ("datalog_pull_recursive", 36)) // 31 measured at sf0.1 (r15 frontier plan)
 
   for ((gate, budget) <- budgets)
     test(s"$gate stays within its job budget ($budget)") {

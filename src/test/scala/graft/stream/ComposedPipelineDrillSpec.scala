@@ -134,9 +134,13 @@ class ComposedPipelineDrillSpec extends SparkSpec {
     try {
       for (b <- 1 to NBatches) {
         val at = lastBatch(q)
-        for (src <- Seq("A", "B", "C"))
-          io.publish("kafka/raw", s"$src$b",
-            s"""{"src":"$src","uid":"$src-$b","text":"${textFor(src, b)}"}""")
+        // one atomic publish per round: three separate publish calls can
+        // straddle a trigger boundary under suite load, splitting the
+        // round across TWO non-empty micro-batches and breaking the
+        // exact data-batch count asserted below
+        io.publishBatch("kafka/raw", Seq("A", "B", "C").map(src =>
+          s"$src$b" ->
+            s"""{"src":"$src","uid":"$src-$b","text":"${textFor(src, b)}"}"""))
         awaitBatch(q, at + 2)
         if (b == 20) { // KILL mid-run; restart resumes from the checkpoint
           q.stop()

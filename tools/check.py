@@ -24,6 +24,20 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 fails = []
+# A gate that CRASHED in Verify writes no output dir at all — without this
+# guard the loop below silently skips it and the run reads ALL GREEN on a
+# failure (seen r15: datalog_pull_recursive crashed under a bare-java
+# launch and the subset check still passed). Expect one dir per oracle
+# name, except when the caller restricted Verify via SPARK_GRAFT_ONLY —
+# then expect exactly that subset.
+only = os.environ.get("SPARK_GRAFT_ONLY")
+expected = set(x.strip() for x in only.split(",") if x.strip()) if only \
+    else set(oracle.keys())
+present = {n for n in os.listdir(out_dir)
+           if os.path.isdir(os.path.join(out_dir, n))}
+for name in sorted(expected - present):
+    print(f"!! {name}: no output directory (gate crashed in Verify?)")
+    fails.append(name)
 for name in sorted(os.listdir(out_dir)):
     path = os.path.join(out_dir, name)
     if not os.path.isdir(path):
