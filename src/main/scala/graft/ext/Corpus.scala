@@ -325,8 +325,16 @@ object Corpus {
                                       threshold: Double = 0.5): DataFrame = {
     import graft.functions.TextHashExpressions.{minhash_sig, word_shingles}
     val rows = numPerm / bands
+    // repartition by id BEFORE shingling (the dsirWeights pattern): the
+    // shingle arrays + 64-perm signatures are hundreds of times the doc
+    // row's cost, so scan-split parallelism starves them (cpu/wall 1.9 on
+    // 32 threads at sf10, 3 parquet splits); keying by id also leaves both
+    // cached shingle tables id-clustered, so the candidate verify joins
+    // re-attach arrays without shuffling the corpus side
+    val parts = train.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
     def shingled(df: DataFrame) = graft.core.CacheRegistry.persisted(
-      df.select(col(idCol).as("id"),
+      df.repartition(parts, col(idCol)).select(col(idCol).as("id"),
         word_shingles(TextOps.tokens(col(textCol)), shingleN).as("sh")))
     // signatures persist separately so CollapseProject can't inline the
     // minhash into each band slice (16× recompute — see minhashNearDups)
@@ -1392,13 +1400,35 @@ object Corpus {
       labeled.count(), buckets, rounds)
 
   /** Per-doc feature-bucket counts — built ONCE and persisted: it feeds
-    * every GD round and the final scoring pass. */
+    * every GD round and the final scoring pass.
+    *
+    * Partitioned by doc_id BEFORE the count group: hash(doc_id) satisfies
+    * the (doc_id,y,b) grouping (subset clustering), so the group costs no
+    * second exchange — and every downstream consumer (classifierZ's
+    * (doc_id,y) z-aggregate, the gradient's doc_id join, scoring) then
+    * reuses the cached clustering with ZERO per-round exchanges. Without
+    * it each GD round re-shuffled the whole corpus-sized feature table
+    * twice (2 rounds × 3 + scoring = 7 corpus shuffles; the r14 sf10
+    * ritual read 14.6× wall at 10× data with GC fat). Counts are exact
+    * integers, so the partitioning swap is value-identical. */
   private def classifierFeatures(labeled: DataFrame, buckets: Int,
                                  textCol: String, idCol: String,
                                  labelCol: String): DataFrame = {
     require(buckets >= 2, "quality classifier: buckets must be >= 2")
+    // Repartition BEFORE the tokenize/explode (the dsirWeights pattern):
+    // spreads the md5 feature hashing across the session width instead of
+    // the scan's split count, and doc_id-clusters the exploded rows so
+    // the count group AND every round's (doc_id,y)/doc_id consumer run
+    // exchange-free. EXPLICIT partition count: with an unspecified count,
+    // AQE's cached-plan coalescing (advisory 64 MB) shrinks the persisted
+    // table to a handful of partitions at bench scale, and every GD round
+    // then runs at that parallelism (measured 1.7× cpu/wall on 32
+    // threads).
+    val parts = labeled.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
     graft.core.CacheRegistry.persisted(
-      labeled.select(col(idCol).as("doc_id"), col(labelCol).cast("int").as("y"),
+      labeled.repartition(parts, col(idCol))
+        .select(col(idCol).as("doc_id"), col(labelCol).cast("int").as("y"),
           explode(graft.functions.TextHashExpressions.feat_buckets(
             TextOps.tokens(col(textCol)), buckets)).as("b"))
         .groupBy("doc_id", "y", "b").agg(count(lit(1)).as("cnt")))
@@ -1539,12 +1569,23 @@ object Corpus {
     require(buckets > 1, "dsirWeights: need at least 2 feature buckets")
     // bucket ids come from a native one-pass expression (md5 digest +
     // mod inside the loop) — no per-feature string concat/conv through
-    // the Catalyst interpreter, and the explode carries only a LONG
+    // the Catalyst interpreter, and the explode carries only a LONG.
+    // Repartition BEFORE the tokenize/explode: explode fans one doc row
+    // into hundreds of feature rows, so scan-width parallelism is wrong
+    // for everything downstream of it — a 128 MB parquet split becomes
+    // GBs of exploded rows in ONE task (measured cpu/wall 1.6 on 32
+    // threads at sf10, where documents.parquet is 3 splits). One cheap
+    // doc-row shuffle spreads the md5 work across the session width, and
+    // keying it by doc_id leaves the exploded rows doc_id-clustered so
+    // the scoring aggregate needs no second corpus exchange.
+    val parts = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
     def featBuckets(df: DataFrame, withId: Boolean): DataFrame = {
       val bk = graft.functions.TextHashExpressions.feat_buckets(
         TextOps.tokens(col(textCol)), buckets)
-      if (withId) df.select(col(idCol).as("doc_id"), explode(bk).as("b"))
-      else df.select(explode(bk).as("b"))
+      if (withId) df.repartition(parts, col(idCol))
+        .select(col(idCol).as("doc_id"), explode(bk).as("b"))
+      else df.repartition(parts).select(explode(bk).as("b"))
     }
     // persist the corpus-side feature buckets (thin (doc_id, b) rows —
     // they feed BOTH the raw-distribution count and the scoring pass)
@@ -1606,14 +1647,67 @@ object Corpus {
                  buckets: Int = 10007, textCol: String = "text",
                  idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"dsirSelect: frac $frac not in (0,1]")
-    val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
-    dsirWeights(docs, target, buckets, textCol, idCol)
-      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")), Seq("doc_id"))
-      .withColumn("__rk", row_number().over(
-        byLang.orderBy(col("dsir_weight_q6").desc, col("doc_id").asc)))
-      .withColumn("__n", count(lit(1)).over(byLang))
-      .filter(col("__rk") <= ceil(col("__n") * frac))
-      .select(col("doc_id"), col("lang"), col("dsir_weight_q6"))
+    perLangTopFrac(
+      dsirWeights(docs, target, buckets, textCol, idCol)
+        .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("dsir_weight_q6")),
+      frac)
+  }
+
+  /** Exact per-language top-frac by (weight desc, doc_id asc) rank WITHOUT
+    * a partitionBy(lang) window: a per-key window hash-partitions on the
+    * key, so each language becomes ONE reducer sorting its whole stratum —
+    * ~6 busy tasks on a 1000-executor cluster and a single-partition sort
+    * that grows with the corpus (the r14 sf10 ritual read 8.1× wall at
+    * 10× data with cpu/wall parallelism ~1.7 on 32 threads). This is the
+    * classic two-phase distributed rank instead:
+    *
+    *  1. range-partition + sort by the UNIQUE total order (lang, weight
+    *     desc, doc_id) — a parallel sort across all partitions;
+    *  2. collect per-(partition, lang) row counts — partitions × langs
+    *     rows, model-sized driver state;
+    *  3. stream each sorted partition once, assigning each row
+    *     rank = (rows of its lang in earlier partitions) + local position,
+    *     keeping rank ≤ ceil(n_lang · frac).
+    *
+    * The kept SET is rank-exact and independent of where the sampled
+    * range boundaries land (the total order is unique, so global ranks
+    * are well-defined row properties) — the DuckDB window-rank oracle
+    * replays it unchanged. */
+  private def perLangTopFrac(thin: DataFrame, frac: Double): DataFrame = {
+    val spark = thin.sparkSession
+    val ord = Seq(col("lang").asc, col("dsir_weight_q6").desc, col("doc_id").asc)
+    val ranged = graft.core.CacheRegistry.persisted(
+      thin.repartitionByRange(ord: _*).sortWithinPartitions(ord: _*))
+    val langIdx = ranged.schema.fieldIndex("lang")
+    // per-(partition, lang) counts; inside a sorted partition each lang's
+    // rows are contiguous, so local rank = running position within the lang
+    val counts: Array[(Int, Any, Long)] = ranged.toDF().rdd
+      .mapPartitionsWithIndex { (pi, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+        it.foreach { r => val k = r.get(langIdx); m.update(k, m.getOrElse(k, 0L) + 1L) }
+        m.iterator.map { case (k, n) => (pi, k, n) }
+      }.collect()
+    val keep: Map[Any, Long] = counts.groupBy(_._2).map { case (k, xs) =>
+      k -> math.ceil(xs.map(_._3).sum * frac).toLong }
+    val offsets: Map[(Int, Any), Long] = counts.groupBy(_._2).flatMap {
+      case (k, xs) =>
+        var acc = 0L
+        xs.sortBy(_._1).map { case (pi, _, n) =>
+          val entry = (pi, k) -> acc; acc += n; entry }
+    }
+    val bc = spark.sparkContext.broadcast((offsets, keep))
+    val filtered = ranged.toDF().rdd.mapPartitionsWithIndex { (pi, it) =>
+      val (offs, keepK) = bc.value
+      val local = scala.collection.mutable.HashMap.empty[Any, Long]
+      it.filter { r =>
+        val k = r.get(langIdx)
+        val pos = local.getOrElse(k, 0L) + 1L
+        local.update(k, pos)
+        offs.getOrElse((pi, k), 0L) + pos <= keepK.getOrElse(k, 0L)
+      }
+    }
+    spark.createDataFrame(filtered, ranged.schema)
   }
 
   /** SparkEntry query (oracled): keep each language's most target-like

@@ -27,6 +27,21 @@ object Dedup {
     * key map-side to one row; the join probe then STREAMS (and AQE can
     * split a skewed probe partition), and its output stays partitioned by
     * the bucket key for the self-join that follows. */
+  /** Spread per-document heavy compute (tokenize / shingle / signature /
+    * fingerprint expressions) across the session's shuffle width BEFORE
+    * it runs. These builders fan one doc row into hundreds of derived
+    * values, so the SCAN's split-count parallelism starves them: a
+    * 128 MB parquet split becomes GBs of derived rows computed by ONE
+    * task (measured cpu/wall ≈ 1.9 on 32 threads at sf10, 3 splits) —
+    * and the same ratio under-uses a real cluster whenever splits ≪
+    * cores. One cheap doc-row shuffle first; id-keyed so persisted
+    * outputs stay id-clustered for the verify/re-attach joins. */
+  private def spreadById(df: DataFrame, idCol: String): DataFrame = {
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    df.repartition(parts, col(idCol))
+  }
+
   private def pruneByBucketSize(df: DataFrame, partCols: Seq[String],
                                 minDf: Int, maxDf: Int): DataFrame = {
     val sized = df.groupBy(partCols.map(col): _*)
@@ -129,7 +144,7 @@ object Dedup {
     // CollapseProject from inlining the signature expression into the
     // per-band slice (which would re-run it per band). At warehouse scale
     // this materialization is the signature table you'd write to storage.
-    val withSh = CacheRegistry.persisted(docs.select(
+    val withSh = CacheRegistry.persisted(spreadById(docs, idCol).select(
       col(idCol).as("id"),
       graft.functions.TextHashExpressions.word_shingles(
         TextOps.tokens(col(textCol)), shingleN).as("sh")))
@@ -149,7 +164,13 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    verifyJaccard(pairs, withSh, threshold)
+    // verify on the HASHED shingle sets (8-byte elements through the two
+    // array-attach shuffles; ngramJaccardPairs' collision argument) — the
+    // STRING shingles above stay as the minhash_sig input, which the
+    // md5-affine oracle replays on the raw n-gram text
+    val withShH = CacheRegistry.persisted(withSh.select(col("id"),
+      transform(col("sh"), s => xxhash64(s)).as("sh")))
+    verifyJaccard(pairs, withShH, threshold)
   }
 
   /** SparkEntry query (FULL DuckDB oracle — the md5-affine permutation
@@ -224,7 +245,8 @@ object Dedup {
     // persist: classes feed three consumers (table join, member expansion,
     // intra-class pairs) and must not re-run the simhash expression.
     val classes = CacheRegistry.persisted(
-      docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+      spreadById(docs, idCol)
+        .select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
         .groupBy("fp").agg(sort_array(collect_list(col("id"))).as("members")))
     val b =
       if (blocks > 0) blocks
@@ -305,16 +327,17 @@ object Dedup {
                         idCol: String = "doc_id", shingleN: Int = 3,
                         threshold: Double = 0.5, maxDf: Int = 10,
                         minCommon: Int = 2): DataFrame = {
-    val withSh = CacheRegistry.persisted(docs.select(col(idCol).as("id"),
-      graft.functions.TextHashExpressions.word_shingles(
-        TextOps.tokens(col(textCol)), shingleN).as("sh")))
-    // posting lists join on the shingle's 64-bit hash, not the string: the
-    // df-count and candidate shuffles carry 8-byte keys instead of n-gram
-    // text (hash collisions would need two distinct shingles in one corpus
-    // to share an xxhash64 — ~2⁻⁶⁴ per pair, immaterial even at 100 TB;
-    // exact verification below still runs on the true shingle sets)
-    val posting = withSh.select(col("id"),
-      explode(transform(col("sh"), s => xxhash64(s))).as("shingle"))
+    // HASHED shingle sets end-to-end (the staged-index representation):
+    // posting keys, candidate shuffles, AND the verify arrays all carry
+    // 8-byte longs instead of n-gram text — the verify join's two
+    // array-attach shuffles were ~3× fatter on strings, and the per-pair
+    // intersection hashes UTF8 instead of longs. Jaccard over hashed sets
+    // equals Jaccard over string sets unless two distinct shingles of ONE
+    // pair collide in xxhash64 (~2⁻⁶⁴ per pair, immaterial even at
+    // 100 TB), so the string-set DuckDB oracle replays unchanged.
+    val withSh = CacheRegistry.persisted(
+      hashedShingles(spreadById(docs, idCol), textCol, idCol, shingleN))
+    val posting = withSh.select(col("id"), explode(col("sh")).as("shingle"))
     // persist: the pruned posting table feeds THREE consumers (both
     // self-join sides + the surviving-count aggregate) — recomputing the
     // explode+prune per consumer tripled the job count
@@ -818,7 +841,8 @@ object Dedup {
     // the DuckDB oracle add the SAME IEEE values in the same order.
     // Verification is dot/(‖a‖·‖b‖) with norms computed once per vector.
     val v = CacheRegistry.persisted(
-      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      spreadById(emb, "vec_id")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", Similarity.norm(col("v"))))
     val (bits, tbls) =
       if (nBits > 0) (nBits, tables)
