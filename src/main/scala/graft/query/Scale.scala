@@ -290,9 +290,30 @@ object Scale {
     * range — a 100M-row answer nobody asked for. */
   def rangeJoinQuery(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val day = 86400L * 1000000L
+    // PRE-AGGREGATE below the range join: the matched-pair multiset is
+    // inherently |points|·D (D = interval density), and on a 10×-denser
+    // corpus that is 100× pairs — the r15 full-registry ritual measured
+    // 32× wall at 10× data on the raw-points spelling. But this query is
+    // an INTERVAL AGGREGATE, and both sides are day-aligned (l_shipdate
+    // and o_orderdate are DATEs, windows are whole days), so a day's
+    // points are either all in or all out of a window: collapse points to
+    // one (day, count, exact partial sum) row each — a few-thousand-row
+    // table at ANY corpus size — and range-join THAT. Work drops to
+    // |points| (one pre-agg pass) + |intervals|·(days/bin fan): linear.
+    // count = Σ day counts and exactSum is an order-independent decimal,
+    // so the values are bit-identical to the raw-pair spelling and the
+    // naive-join DuckDB oracle replays unchanged. rangeJoinBinned itself
+    // still produces raw PAIRS for queries that need them — spend that
+    // deliberately; aggregate queries should push the aggregate below.
     val points = graft.core.Tables.lineitem(s, d)
       .select(unix_micros(col("l_shipdate").cast("timestamp")).as("x"),
         col("l_quantity"))
+      .groupBy("x")
+      // partials stay RAW DECIMAL — exactSum's trailing double cast must
+      // happen exactly once, on the final total, or the day-level doubles
+      // would re-sum order-dependently
+      .agg(count(lit(1)).as("__n"),
+        sum(col("l_quantity").cast("decimal(28,6)")).as("__s"))
     val intervals = graft.core.Tables.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT" &&
         col("o_orderkey") % 100 === 7)
@@ -301,7 +322,7 @@ object Scale {
       .withColumn("hi", col("lo") + lit(14L * day))
     rangeJoinBinned(points, "x", intervals, "lo", "hi", binWidth = 14L * day)
       .groupBy("o_orderkey")
-      .agg(count(lit(1)).as("n_in_window"),
-        graft.query.Relational.exactSum(col("l_quantity")).as("sum_qty"))
+      .agg(sum(col("__n")).as("n_in_window"),
+        sum(col("__s")).cast("double").as("sum_qty"))
   }
 }
