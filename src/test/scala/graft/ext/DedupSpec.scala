@@ -184,6 +184,30 @@ class DedupSpec extends SparkSpec {
     assert(admitted.count() == 0, "the exact duplicate must NOT be admitted")
   }
 
+  test("simhash block-permuted layouts (b=5,6) return exactly the b=4 pair set (r15)") {
+    // the corpus-scaled layouts must be a pure RESOLUTION change: same
+    // radius, same verify, full pigeonhole recall at every block count —
+    // pin explicit b=5/6 (what a 10x/100x corpus auto-selects) against
+    // the minimum layout AND against brute force
+    import org.apache.spark.sql.functions.col
+    val corpus = (1L to 40L).map { i =>
+      val base = s"shared prefix tokens alpha beta gamma delta epsilon zeta eta theta run $i"
+      (i, if (i % 4 == 0) base + " tail" else base)
+    }.toDF("doc_id", "text")
+    val fps = corpus.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val want = (for {
+      a <- fps.keys; b <- fps.keys if a < b && ham(fps(a), fps(b)) <= 3
+    } yield (a, b)).toSet
+    for (b <- Seq(4, 5, 6)) {
+      val got = Dedup.simhashNearDups(corpus, maxHamming = 3, blocks = b)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == want, s"blocks=$b: got ${got.size} want ${want.size} pairs")
+      graft.core.CacheRegistry.unpersistAll()
+    }
+  }
+
   test("simhash LSH covers maxHamming > 3 via maxHamming+1 chunks (review r11)") {
     // two 60-bit fingerprints at Hamming distance 5 whose flips land in 4
     // DIFFERENT 15-bit chunks shared no chunk key under the fixed 4-chunk
