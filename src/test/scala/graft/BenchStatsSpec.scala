@@ -50,6 +50,12 @@ class BenchStatsSpec extends SparkSpec {
     // bench_result.json job_stats), budgets = cold sf0.001 measurement
     // + ~50% slack
     ("dedup_stream_filter", 32),    // 21 measured (staged shingle index + batches)
+    // r15: the range gate pre-aggregates points to day granularity BELOW
+    // the bin join (the raw-pair spelling was the one super-linear plan
+    // the full-registry ritual caught: |points|·density pairs, 32× at 10×
+    // data). A jump past the ceiling means the pre-agg stopped feeding
+    // the join and the pair explosion is back.
+    ("join_range_binned", 11),      // 7 measured at sf0.1 (r15 pre-agg plan)
     ("dedup_ngram_jaccard", 20),    // 13
     ("dedup_embedding_lsh", 18),    // 12
     ("dedup_minhash", 17),          // 11
