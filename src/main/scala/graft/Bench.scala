@@ -98,6 +98,39 @@ object Bench {
       spark.range(0L, 2000000L, 1L, 8).selectExpr("sum(id * 2 + 1)").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // Disk-bandwidth canary: write 64 MB to the shuffle-spill filesystem
+    // (force=true fsync), read it back, delete. The CPU canary is blind to
+    // the failure mode r15 forensics actually caught: thread stacks showed
+    // 31/32 executor threads inside shuffle-spill copyFileStreamNIO while
+    // identical-plan walls swung 50→250 s — co-tenant DISK contention,
+    // invisible to loadavg and to a CPU-only canary. Quiet-window value on
+    // this box ≈ 0.1–0.3 s; a 10× reading means wall times of
+    // shuffle-heavy gates are I/O-window artifacts, not plan changes.
+    def diskCanary(): Double = {
+      val t0 = System.nanoTime()
+      val dir = java.nio.file.Paths.get(
+        spark.sparkContext.getConf.get("spark.local.dir",
+          System.getProperty("java.io.tmpdir")))
+      val f = java.nio.file.Files.createTempFile(dir, "graft-disk-canary", ".bin")
+      try {
+        val chunk = java.nio.ByteBuffer.allocate(1 << 20)
+        val ch = java.nio.channels.FileChannel.open(f,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          var i = 0
+          while (i < 64) { chunk.clear(); ch.write(chunk); i += 1 }
+          ch.force(true)
+        } finally ch.close()
+        val in = java.nio.channels.FileChannel.open(f,
+          java.nio.file.StandardOpenOption.READ)
+        try {
+          val buf = java.nio.ByteBuffer.allocate(1 << 20)
+          var n = 0
+          while (n >= 0) { buf.clear(); n = in.read(buf) }
+        } finally in.close()
+      } finally java.nio.file.Files.deleteIfExists(f)
+      (System.nanoTime() - t0) / 1e9
+    }
     // JVM-wide accumulated GC time: the cpu/wall split alone can't tell
     // "the plan did more work" from "the heap was full and the collector
     // ate the gate" — a wall spike at flat jobs + flat cpu + fat gc_ms is
@@ -111,6 +144,7 @@ object Bench {
     sparkCanary() // untimed: pay range/agg codegen once so pre==post work
     val canaryCpuPre = cpuCanary()
     val canarySparkPre = sparkCanary()
+    val canaryDiskPre = diskCanary()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // per-gate row: jobs, stages, tasks, loadavg-at-start, wall_s, cpu_s, gc_ms
     val qstats = scala.collection.mutable.LinkedHashMap
@@ -159,6 +193,7 @@ object Bench {
       (jobs.get - jobsLoop0, stages.get - stagesLoop0, tasks.get - tasksLoop0)
     val canaryCpuPost = cpuCanary()
     val canarySparkPost = sparkCanary()
+    val canaryDiskPost = diskCanary()
     // JVM-wide cpu/wall over the timed loop: on an otherwise-quiet 32-thread
     // box this sits well above 1 (parallel stages); host contention drags
     // WALL up at constant CPU, so the ratio FALLING round-over-round at
@@ -186,7 +221,7 @@ object Bench {
     // keeps it.
     def s3c(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val canaryJson =
-      s""""canary":{"cpu_pre":${s3c(canaryCpuPre)},"spark_pre":${s3c(canarySparkPre)},"cpu_post":${s3c(canaryCpuPost)},"spark_post":${s3c(canarySparkPost)}}"""
+      s""""canary":{"cpu_pre":${s3c(canaryCpuPre)},"spark_pre":${s3c(canarySparkPre)},"disk_pre":${s3c(canaryDiskPre)},"cpu_post":${s3c(canaryCpuPost)},"spark_post":${s3c(canarySparkPost)},"disk_post":${s3c(canaryDiskPost)}}"""
     def fmtLine(q: Map[String, String], tot: String) =
       s"""{"metric":"total","value":$tot,"unit":"sec","loadavg":${s1(loadavg)},"cpu_sec":${s1(cpuLoopSec)},"cpu_wall_ratio":${s1(cpuWallRatio)},$canaryJson,"queries":${
         q.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
