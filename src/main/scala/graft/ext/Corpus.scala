@@ -417,9 +417,12 @@ object Corpus {
     * only changes where new ids actually land in its scramble order.
     *
     * Scale shape: the scramble is a shuffle-free projection; the pick is a
-    * row_number per STRATUM (thin windows, never a global sort) — the
-    * topQualityFrac plan with the scramble as the rank key. All-integer
-    * arithmetic, so the whole pick replays in DuckDB. */
+    * row_number per STRATUM with a CONSTANT limit, so Spark 4.1's
+    * WindowGroupLimit pushes a Partial group-limit below the exchange —
+    * each map task forwards at most `nPerStratum` rows per stratum and the
+    * reducer sort is cap-bounded, not corpus-bounded (PlanQualitySpec pins
+    * the Partial+Final pair; [[capPerSource]] documents the law). All-
+    * integer arithmetic, so the whole pick replays in DuckDB. */
   def sampleStratified(docs: DataFrame, nPerStratum: Int,
                        strataCol: String = "lang",
                        idCol: String = "doc_id"): DataFrame = {
@@ -448,10 +451,15 @@ object Corpus {
     * within budget. The standard "mix N billion tokens at these language
     * proportions" step in front of tokenizer sharding.
     *
-    * Scale shape: one scan computes tokens (shuffle-free), one window per
-    * language does the running sum — partitioned by the stratum key, so
-    * the sort is per-language, not global. Budgets live in a broadcast
-    * literal map. */
+    * Scale shape: one scan computes tokens (shuffle-free); the per-language
+    * running sum is [[Strata.stratumRank]]'s two-phase distributed prefix
+    * sum — a running sum has no constant-limit filter for Spark's
+    * WindowGroupLimit to push down, so the `partitionBy(lang)` window
+    * spelling made each language ONE reducer sorting its whole stratum
+    * (corpus-growing — the r15 verdict's scale-killer shape). Here the
+    * sort is range-partitioned across the cluster and per-(partition,
+    * lang) token masses are model-sized driver state. Budgets live in a
+    * broadcast literal map. */
   def tokenBudgetMix(docs: DataFrame, budgets: Map[String, Long],
                      langCol: String = "lang"): DataFrame = {
     require(budgets.nonEmpty, "tokenBudgetMix: need at least one budget")
@@ -464,21 +472,23 @@ object Corpus {
     val scramble =
       (pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L)) % lit(2147483648L)
     val budget = budgets.foldLeft(lit(null).cast("long")) { case (acc, (l, b)) =>
-      when(col(langCol) === l, lit(b)).otherwise(acc)
+      when(col("lang") === l, lit(b)).otherwise(acc)
     }
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(langCol)
-      .orderBy(scramble.asc, col("doc_id").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    docs
-      // prune unbudgeted strata BEFORE the window: the per-lang running
+    val thin = docs
+      // prune unbudgeted strata BEFORE the rank: the per-lang running
       // sums don't see other languages, so this is output-identical but
       // keeps a 100-language corpus with 3 budgets from shuffling and
-      // sorting the other 97 just to drop them after the window
+      // sorting the other 97 just to drop them after the rank
       .filter(col(langCol).isin(budgets.keys.toSeq: _*))
       .select(col("doc_id"), col(langCol).as("lang"),
-        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-      .withColumn("running_tokens", sum(col("n_tokens")).over(w))
-      .filter(col("running_tokens") <= budget)
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        scramble.as("__scr"))
+    Strata.stratumRank(thin, "lang",
+        Seq(col("lang").asc, col("__scr").asc, col("doc_id").asc),
+        sumCol = Some("n_tokens"))
+      .filter(col("__run") <= budget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("__run").as("running_tokens"))
   }
 
   /** SparkEntry query (oracled): a 60/30/10-ish token mix over the
@@ -631,24 +641,23 @@ object Corpus {
     * kept set is deterministic and engine-exact — no float percentile
     * interpolation to disagree on.
     *
-    * Scale shape: one shuffle on the language key; the rank window and the
-    * count window share the same partitioning (per-language sort, never
-    * global — same posture as [[tokenBudgetMix]]). */
+    * Scale shape: scoring is map-side and projects the text away before
+    * any exchange — the rank then carries (doc_id, lang, q6), 16 bytes a
+    * row. The rank itself is [[Strata.stratumRank]]'s two-phase
+    * distributed rank: `rank ≤ ceil(n·frac)` is not a constant limit, so
+    * a `partitionBy(lang)` window couldn't ride WindowGroupLimit and made
+    * each language one corpus-growing reducer (the same shape the r15
+    * dsir_select rewrite killed). */
   def topQualityFrac(docs: DataFrame, frac: Double,
                      textCol: String = "text",
                      langCol: String = "lang"): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"topQualityFrac: frac $frac not in (0,1]")
-    val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
-    docs
-      // score BEFORE the window and project the text away: the per-language
-      // exchange + sort then carry (doc_id, lang, q6) — 16 bytes a row —
-      // instead of shuffling every document body just to drop it after
+    val thin = docs
       .select(col("doc_id"), col(langCol).as("lang"),
         floor(TextOps.qualityScore(col(textCol)) * 1e6 + lit(0.5)).cast("long").as("__q6"))
-      .withColumn("__rk", row_number().over(
-        byLang.orderBy(col("__q6").desc, col("doc_id").asc)))
-      .withColumn("__n", count(lit(1)).over(byLang))
-      .filter(col("__rk") <= ceil(col("__n") * frac))
+    Strata.stratumRank(thin, "lang",
+        Seq(col("lang").asc, col("__q6").desc, col("doc_id").asc))
+      .filter(col("__rank") <= ceil(col("__cnt") * frac))
       .select(col("doc_id"), col("lang"),
         (col("__q6").cast("double") / 1e6).as("quality"))
   }
@@ -673,7 +682,7 @@ object Corpus {
     * would NOT have. Output ∝ vocabulary (Heaps-law sublinear in corpus). */
   def vocabulary(docs: DataFrame, minCount: Long = 2,
                  textCol: String = "text"): DataFrame =
-    docs
+    Strata.spreadById(docs, "doc_id") // explode-width law (r15/r16)
       .select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0) // split('') yields [''] — not a token
       .groupBy("token")
@@ -699,8 +708,9 @@ object Corpus {
     * aggregate. */
   def oovRates(docs: DataFrame, vocab: DataFrame,
                textCol: String = "text"): DataFrame = {
-    val occ = docs.select(col("doc_id"),
-      explode(TextOps.tokens(col(textCol))).as("token"))
+    val occ = Strata.spreadById(docs, "doc_id") // explode-width law
+      .select(col("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
     occ.join(vocab.select(col("token"), lit(1).as("__in")),
         Seq("token"), "left")
@@ -776,7 +786,8 @@ object Corpus {
     // every micro-round into scheduling overhead; 8 partitions still hold
     // a 100 TB corpus's tens-of-millions-word vocab comfortably.
     var vocab = graft.core.CacheRegistry.persisted(
-      docs.select(explode(TextOps.tokens(col(textCol))).as("w"))
+      Strata.spread(docs.select(col(textCol))) // explode-width law
+        .select(explode(TextOps.tokens(col(textCol))).as("w"))
         .filter(col("w").rlike("^[a-z0-9]+$"))
         .groupBy("w").agg(count(lit(1)).as("freq"))
         .select(col("freq"), concat(lit("|"),
@@ -872,7 +883,8 @@ object Corpus {
     * trained tokenizer produces — no shuffle until the per-doc count agg. */
   def bpeSubwordCounts(docs: DataFrame, merges: Seq[(String, String)],
                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val words = docs.select(col(idCol).as("doc_id"),
+    val words = Strata.spreadById(docs, idCol) // explode-width law
+      .select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("w"))
       .filter(col("w").rlike("^[a-z0-9]+$"))
     val seq0: Column = concat(lit("|"),
@@ -921,11 +933,16 @@ object Corpus {
     * the anti-spam cap every web-corpus recipe applies so no single domain
     * dominates the training mix.
     *
-    * Scale shape: same as [[topQualityFrac]] — score map-side, shuffle only
-    * (doc_id, source, q6), rank inside source partitions, never a global
-    * sort. A pathologically hot domain makes ONE partition large; the rank
-    * still computes in one pass over it (row_number needs no buffering
-    * beyond sort), and AQE splits skewed partitions on the exchange. */
+    * Scale shape: score map-side, shuffle only (doc_id, source, q6), rank
+    * inside source partitions — and because `rank ≤ maxPerSource` is a
+    * CONSTANT limit, Spark 4.1's WindowGroupLimit pushes a Partial
+    * group-limit below the exchange: each map task keeps at most
+    * `maxPerSource` rows per source before shuffling, so the reducer-side
+    * sort is cap-bounded, not corpus-bounded (PlanQualitySpec pins the
+    * Partial+Final WindowGroupLimitExec pair). That pushdown — not AQE,
+    * which cannot split a window key's partition — is what protects a
+    * pathologically hot domain. Non-constant rank filters don't qualify;
+    * those use [[Strata.stratumRank]] instead ([[topQualityFrac]]). */
   def capPerSource(docs: DataFrame, maxPerSource: Int,
                    textCol: String = "text",
                    sourceCol: String = "source"): DataFrame = {
@@ -1075,7 +1092,8 @@ object Corpus {
       .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lp_q6"))).as("nll_q6"))
 
   private def docBigrams(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    Strata.spreadById(docs, idCol) // explode-width law
+      .select(col(idCol).as("doc_id"),
         explode(bigramArr(TextOps.tokens(col(textCol)))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
 
@@ -1087,7 +1105,8 @@ object Corpus {
     // without the persists each consumer re-tokenizes and re-counts the
     // reference corpus — train once, score many is the whole point
     val toks = graft.core.CacheRegistry.persisted(
-      ref.select(TextOps.tokens(col(textCol)).as("t")))
+      Strata.spread(ref.select(col(textCol))) // explode-width law
+        .select(TextOps.tokens(col(textCol)).as("t")))
     val uni = graft.core.CacheRegistry.persisted(
       toks.select(explode(col("t")).as("w1"))
         .groupBy("w1").agg(count(lit(1)).as("c1")))
@@ -1116,7 +1135,8 @@ object Corpus {
     // tokenize ONCE: the regex tokenizer is the dominant per-doc cost, and
     // both count tables consume the same token arrays
     val toks = graft.core.CacheRegistry.persisted(
-      ref.select(TextOps.tokens(col(textCol)).as("t")))
+      Strata.spread(ref.select(col(textCol))) // explode-width law
+        .select(TextOps.tokens(col(textCol)).as("t")))
     // versioned commit (graft.core.Staged): a scoring stream on the
     // previous model keeps a consistent snapshot until it re-pins
     graft.core.Staged.stageVersion(ref.sparkSession, path) { dir =>
@@ -1146,7 +1166,8 @@ object Corpus {
     val spark = newRef.sparkSession
     val cur = graft.core.Staged.resolve(spark, path)
     val toks = graft.core.CacheRegistry.persisted(
-      newRef.select(TextOps.tokens(col(textCol)).as("t")))
+      Strata.spread(newRef.select(col(textCol))) // explode-width law
+        .select(TextOps.tokens(col(textCol)).as("t")))
     val mergedUni = spark.read.parquet(cur + "/unigrams")
       .unionByName(uniCounts(toks))
       .groupBy("w1").agg(sum(col("c1")).as("c1"))
@@ -1307,23 +1328,23 @@ object Corpus {
     * comparisons — never a float percentile.
     *
     * Scale shape: scoring is [[lmPerplexity]] (vocab-bounded broadcast
-    * joins); the tercile is one thin per-language window over
-    * (doc_id, avg) rows — never a global sort. */
+    * joins); the tercile rank is [[Strata.stratumRank]]'s two-phase
+    * distributed rank over thin (doc_id, lang, avg) rows — `rn·3 ≤ cnt`
+    * is not a constant limit, so a `partitionBy(lang)` window couldn't
+    * ride WindowGroupLimit and made each language ONE reducer sorting its
+    * whole stratum (the r15 verdict's remaining scale-killer shape). */
   def ccnetBuckets(docs: DataFrame, ref: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
     val av = lmPerplexity(docs, ref, textCol, idCol)
       .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")), Seq("doc_id"))
-      .withColumn("avg_nll_q12",
+      .select(col("doc_id"), col("lang"),
         floor((col("nll_q6") * lit(1000000L)).cast("double") / col("n_bigrams"))
-          .cast("long"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("avg_nll_q12"), col("doc_id"))
-    av.withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+          .cast("long").as("avg_nll_q12"))
+    Strata.stratumRank(av, "lang",
+        Seq(col("lang").asc, col("avg_nll_q12").asc, col("doc_id").asc))
       .select(col("doc_id"), col("lang"), col("avg_nll_q12"),
-        when(col("rn") * 3 <= col("cnt"), "head")
-          .when(col("rn") * 3 <= col("cnt") * 2, "middle")
+        when(col("__rank") * 3 <= col("__cnt"), "head")
+          .when(col("__rank") * 3 <= col("__cnt") * 2, "middle")
           .otherwise("tail").as("bucket"))
   }
 
@@ -1655,60 +1676,18 @@ object Corpus {
   }
 
   /** Exact per-language top-frac by (weight desc, doc_id asc) rank WITHOUT
-    * a partitionBy(lang) window: a per-key window hash-partitions on the
-    * key, so each language becomes ONE reducer sorting its whole stratum —
-    * ~6 busy tasks on a 1000-executor cluster and a single-partition sort
-    * that grows with the corpus (the r14 sf10 ritual read 8.1× wall at
-    * 10× data with cpu/wall parallelism ~1.7 on 32 threads). This is the
-    * classic two-phase distributed rank instead:
-    *
-    *  1. range-partition + sort by the UNIQUE total order (lang, weight
-    *     desc, doc_id) — a parallel sort across all partitions;
-    *  2. collect per-(partition, lang) row counts — partitions × langs
-    *     rows, model-sized driver state;
-    *  3. stream each sorted partition once, assigning each row
-    *     rank = (rows of its lang in earlier partitions) + local position,
-    *     keeping rank ≤ ceil(n_lang · frac).
-    *
-    * The kept SET is rank-exact and independent of where the sampled
-    * range boundaries land (the total order is unique, so global ranks
-    * are well-defined row properties) — the DuckDB window-rank oracle
-    * replays it unchanged. */
-  private def perLangTopFrac(thin: DataFrame, frac: Double): DataFrame = {
-    val spark = thin.sparkSession
-    val ord = Seq(col("lang").asc, col("dsir_weight_q6").desc, col("doc_id").asc)
-    val ranged = graft.core.CacheRegistry.persisted(
-      thin.repartitionByRange(ord: _*).sortWithinPartitions(ord: _*))
-    val langIdx = ranged.schema.fieldIndex("lang")
-    // per-(partition, lang) counts; inside a sorted partition each lang's
-    // rows are contiguous, so local rank = running position within the lang
-    val counts: Array[(Int, Any, Long)] = ranged.toDF().rdd
-      .mapPartitionsWithIndex { (pi, it) =>
-        val m = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
-        it.foreach { r => val k = r.get(langIdx); m.update(k, m.getOrElse(k, 0L) + 1L) }
-        m.iterator.map { case (k, n) => (pi, k, n) }
-      }.collect()
-    val keep: Map[Any, Long] = counts.groupBy(_._2).map { case (k, xs) =>
-      k -> math.ceil(xs.map(_._3).sum * frac).toLong }
-    val offsets: Map[(Int, Any), Long] = counts.groupBy(_._2).flatMap {
-      case (k, xs) =>
-        var acc = 0L
-        xs.sortBy(_._1).map { case (pi, _, n) =>
-          val entry = (pi, k) -> acc; acc += n; entry }
-    }
-    val bc = spark.sparkContext.broadcast((offsets, keep))
-    val filtered = ranged.toDF().rdd.mapPartitionsWithIndex { (pi, it) =>
-      val (offs, keepK) = bc.value
-      val local = scala.collection.mutable.HashMap.empty[Any, Long]
-      it.filter { r =>
-        val k = r.get(langIdx)
-        val pos = local.getOrElse(k, 0L) + 1L
-        local.update(k, pos)
-        offs.getOrElse((pi, k), 0L) + pos <= keepK.getOrElse(k, 0L)
-      }
-    }
-    spark.createDataFrame(filtered, ranged.schema)
-  }
+    * a partitionBy(lang) window — [[Strata.stratumRank]]'s two-phase
+    * distributed rank (built here in r15 for dsir_select, generalized in
+    * r16 for [[topQualityFrac]]/[[ccnetBuckets]]/[[tokenBudgetMix]]). The
+    * kept SET is rank-exact and independent of where the sampled range
+    * boundaries land (the total order is unique, so global ranks are
+    * well-defined row properties) — the DuckDB window-rank oracle replays
+    * it unchanged. */
+  private def perLangTopFrac(thin: DataFrame, frac: Double): DataFrame =
+    Strata.stratumRank(thin, "lang",
+        Seq(col("lang").asc, col("dsir_weight_q6").desc, col("doc_id").asc))
+      .filter(col("__rank") <= ceil(col("__cnt") * frac))
+      .drop("__rank", "__cnt")
 
   /** SparkEntry query (oracled): keep each language's most target-like
     * half — the weights gate's end-to-end selection companion. */

@@ -27,20 +27,11 @@ object Dedup {
     * key map-side to one row; the join probe then STREAMS (and AQE can
     * split a skewed probe partition), and its output stays partitioned by
     * the bucket key for the self-join that follows. */
-  /** Spread per-document heavy compute (tokenize / shingle / signature /
-    * fingerprint expressions) across the session's shuffle width BEFORE
-    * it runs. These builders fan one doc row into hundreds of derived
-    * values, so the SCAN's split-count parallelism starves them: a
-    * 128 MB parquet split becomes GBs of derived rows computed by ONE
-    * task (measured cpu/wall ≈ 1.9 on 32 threads at sf10, 3 splits) —
-    * and the same ratio under-uses a real cluster whenever splits ≪
-    * cores. One cheap doc-row shuffle first; id-keyed so persisted
-    * outputs stay id-clustered for the verify/re-attach joins. */
-  private def spreadById(df: DataFrame, idCol: String): DataFrame = {
-    val parts = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "200").toInt
-    df.repartition(parts, col(idCol))
-  }
+  // Explode-width law: heavy per-document signature builders are spread
+  // across the shuffle width BEFORE they run — see [[Strata.spreadById]]
+  // (hoisted there in r16; the law and its measurements live with it).
+  private def spreadById(df: DataFrame, idCol: String): DataFrame =
+    Strata.spreadById(df, idCol)
 
   private def pruneByBucketSize(df: DataFrame, partCols: Seq[String],
                                 minDf: Int, maxDf: Int): DataFrame = {

@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Shared scale-shape helpers for per-stratum corpus operators.
+  *
+  * Two laws live here, both established by sf1→sf10 decade rituals:
+  *
+  *  1. '''Explode-width''' ([[spreadById]]/[[spread]]): heavy per-document
+  *     expressions (tokenize / shingle / signature / window-hash) placed
+  *     directly after a parquet scan run at SCAN-SPLIT parallelism — a
+  *     128 MB split becomes GBs of derived rows computed by ONE task
+  *     (measured cpu/wall ≈ 1.6–1.9 on 32 threads at sf10, 3 splits), and
+  *     the same ratio under-uses a real cluster whenever splits ≪ cores.
+  *     One cheap doc-row shuffle first restores width.
+  *
+  *  2. '''Two-phase stratified rank''' ([[stratumRank]]): a
+  *     `row_number().over(Window.partitionBy(stratum))` whose filter is NOT
+  *     a constant limit (top-frac ranks, running-sum budgets, tercile
+  *     edges) cannot ride Spark's WindowGroupLimit pushdown — each stratum
+  *     becomes ONE reducer sorting its whole slice, growing with the
+  *     corpus (~6 busy tasks on a 1000-executor cluster; the r14 ritual
+  *     read 8.1× wall at 10× data). The classic two-phase distributed
+  *     rank replaces it: parallel range-partitioned sort, model-sized
+  *     per-(partition, stratum) summaries, then one streamed pass with
+  *     carry-in offsets.
+  */
+private[graft] object Strata {
+
+  /** Spread per-document heavy compute across the session's shuffle width
+    * BEFORE it runs, keyed on `idCol` so persisted outputs stay
+    * id-clustered for verify/re-attach joins (see law 1 above). */
+  def spreadById(df: DataFrame, idCol: String): DataFrame =
+    df.repartition(width(df), col(idCol))
+
+  /** [[spreadById]] for inputs with no natural key (e.g. a reference
+    * corpus consumed only by aggregates): deterministic round-robin —
+    * Spark local-sorts rows before dealing, and every consumer here is
+    * partition-order-free (counts/sums). */
+  def spread(df: DataFrame): DataFrame = df.repartition(width(df))
+
+  private def width(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
+  /** Exact per-stratum rank (and optional running sum) WITHOUT a
+    * `partitionBy(stratum)` window — the two-phase distributed rank
+    * (law 2 above):
+    *
+    *  1. range-partition + sort by `ord` (a UNIQUE total order — callers
+    *     tie-break on the row id) — a parallel sort across all partitions;
+    *  2. collect per-(partition, stratum) row counts and value sums —
+    *     partitions × strata rows, model-sized driver state;
+    *  3. stream each sorted partition once, assigning each row
+    *     rank = (rows of its stratum in earlier partitions) + local
+    *     position, and running sum = (stratum value mass in earlier
+    *     partitions) + local inclusive sum.
+    *
+    * Returns the input columns plus `__rank` (1-based per-stratum rank in
+    * `ord`), `__cnt` (stratum row total), and — when `sumCol` is set —
+    * `__run` (inclusive per-stratum running sum of that NON-NULL long
+    * column). All three are exact-integer row properties of the unique
+    * total order, independent of where sampled range boundaries land, so
+    * DuckDB window-rank/window-sum oracles replay them unchanged. */
+  def stratumRank(thin: DataFrame, strataCol: String, ord: Seq[Column],
+                  sumCol: Option[String] = None): DataFrame = {
+    val spark = thin.sparkSession
+    val ranged = graft.core.CacheRegistry.persisted(
+      thin.repartitionByRange(ord: _*).sortWithinPartitions(ord: _*))
+    val kIdx = ranged.schema.fieldIndex(strataCol)
+    val vIdx = sumCol.map(ranged.schema.fieldIndex)
+    // phase 2: per-(partition, stratum) (count, sum) — model-sized
+    val parts: Array[(Int, Any, Long, Long)] = ranged.toDF().rdd
+      .mapPartitionsWithIndex { (pi, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[Any, (Long, Long)]
+        it.foreach { r =>
+          val k = r.get(kIdx)
+          val v = vIdx.fold(0L)(r.getLong)
+          val (c, s) = m.getOrElse(k, (0L, 0L))
+          m.update(k, (c + 1L, s + v))
+        }
+        m.iterator.map { case (k, (c, s)) => (pi, k, c, s) }
+      }.collect()
+    val totals: Map[Any, Long] =
+      parts.groupBy(_._2).map { case (k, xs) => k -> xs.map(_._3).sum }
+    val offsets: Map[(Int, Any), (Long, Long)] =
+      parts.groupBy(_._2).flatMap { case (k, xs) =>
+        var cAcc = 0L
+        var sAcc = 0L
+        xs.sortBy(_._1).map { case (pi, _, c, s) =>
+          val entry = (pi, k) -> ((cAcc, sAcc)); cAcc += c; sAcc += s; entry
+        }
+      }
+    val bc = spark.sparkContext.broadcast((offsets, totals))
+    val outSchema = sumCol.foldLeft(
+      ranged.schema.add("__rank", LongType, nullable = false)
+        .add("__cnt", LongType, nullable = false))(
+      (sch, _) => sch.add("__run", LongType, nullable = false))
+    // phase 3: one streamed pass per sorted partition with carry-in offsets
+    val rows = ranged.toDF().rdd.mapPartitionsWithIndex { (pi, it) =>
+      val (offs, tot) = bc.value
+      val local = scala.collection.mutable.HashMap.empty[Any, (Long, Long)]
+      it.map { r =>
+        val k = r.get(kIdx)
+        val v = vIdx.fold(0L)(r.getLong)
+        val (c0, s0) = local.getOrElse(k, offs.getOrElse((pi, k), (0L, 0L)))
+        val c = c0 + 1L
+        val s = s0 + v
+        local.update(k, (c, s))
+        val base = r.toSeq :+ c :+ tot(k)
+        Row.fromSeq(if (vIdx.isDefined) base :+ s else base)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+}

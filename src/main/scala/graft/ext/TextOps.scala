@@ -421,8 +421,11 @@ object TextOps {
                textCol: String = "text"): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK: query terms must be non-empty")
     val toksArr = filter(tokens(col(textCol)), t => length(t) > 0)
-    // one tokenization serves dl AND every per-term tf — all map-side
-    val base = docs.select(col("doc_id"), toksArr.as("toks"))
+    // one tokenization serves dl AND every per-term tf — all map-side,
+    // spread first (explode-width law: the tokenize + per-term scans
+    // otherwise run at scan-split parallelism)
+    val base = Strata.spreadById(docs, "doc_id")
+      .select(col("doc_id"), toksArr.as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
     val dl = base.select(col("doc_id"), col("dl")).filter(col("dl") > 0)
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
@@ -531,9 +534,10 @@ object TextOps {
   def duplicatedSpans(docs: DataFrame, windowN: Int = 50, minDocs: Int = 2,
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val wh = graft.core.CacheRegistry.persisted(
-      docs.select(col(idCol).as("doc_id"),
-        explode(graft.functions.TextHashExpressions.word_window_hashes(
-          tokens(col(textCol)), windowN)).as("wh")))
+      Strata.spreadById(docs, idCol) // explode-width law
+        .select(col(idCol).as("doc_id"),
+          explode(graft.functions.TextHashExpressions.word_window_hashes(
+            tokens(col(textCol)), windowN)).as("wh")))
     val hot = wh.select("wh", "doc_id").distinct()
       .groupBy("wh").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
@@ -571,7 +575,8 @@ object TextOps {
   def removeDuplicatedSpans(docs: DataFrame, windowN: Int = 50, minDocs: Int = 2,
                             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val tok = graft.core.CacheRegistry.persisted(
-      docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t")))
+      Strata.spreadById(docs, idCol) // explode-width law
+        .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t")))
     val wh = graft.core.CacheRegistry.persisted(
       tok.select(col("doc_id"), posexplode(
         graft.functions.TextHashExpressions.word_window_hashes(col("t"), windowN))
@@ -627,7 +632,9 @@ object TextOps {
                            textCol: String = "text", idCol: String = "doc_id",
                            broadcastRef: Boolean = true): DataFrame = {
     val tok = graft.core.CacheRegistry.persisted(
-      train.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t")))
+      Strata.spreadById(train, idCol) // explode-width law (train side;
+        // the ref side is benchmark-sized and collapses to its hash set)
+        .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t")))
     val wh = tok.select(col("doc_id"), posexplode(
       graft.functions.TextHashExpressions.word_window_hashes(col("t"), windowN))
       .as(Seq("pos", "wh")))
