@@ -106,31 +106,44 @@ object Bench {
     // invisible to loadavg and to a CPU-only canary. Quiet-window value on
     // this box ≈ 0.1–0.3 s; a 10× reading means wall times of
     // shuffle-heavy gates are I/O-window artifacts, not plan changes.
-    def diskCanary(): Double = {
-      val t0 = System.nanoTime()
-      val dir = java.nio.file.Paths.get(
-        spark.sparkContext.getConf.get("spark.local.dir",
-          System.getProperty("java.io.tmpdir")))
-      val f = java.nio.file.Files.createTempFile(dir, "graft-disk-canary", ".bin")
+    // The canary must never kill the measurement run: spark.local.dir may
+    // be a comma-separated list (valid Spark config — take the first
+    // entry) or point at a missing directory (fall back to java.io.tmpdir);
+    // any remaining I/O surprise returns -1.0 ("couldn't measure"), which
+    // the window classifier below treats as unknown. (ADVICE r15)
+    def diskCanary(): Double =
       try {
-        val chunk = java.nio.ByteBuffer.allocate(1 << 20)
-        val ch = java.nio.channels.FileChannel.open(f,
-          java.nio.file.StandardOpenOption.WRITE)
+        val t0 = System.nanoTime()
+        val configured = spark.sparkContext.getConf
+          .get("spark.local.dir", System.getProperty("java.io.tmpdir"))
+          .split(',').map(_.trim).filter(_.nonEmpty).headOption
+          .getOrElse(System.getProperty("java.io.tmpdir"))
+        val dir0 = java.nio.file.Paths.get(configured)
+        val dir = if (java.nio.file.Files.isDirectory(dir0)) dir0
+          else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+        val f = java.nio.file.Files.createTempFile(dir, "graft-disk-canary", ".bin")
         try {
-          var i = 0
-          while (i < 64) { chunk.clear(); ch.write(chunk); i += 1 }
-          ch.force(true)
-        } finally ch.close()
-        val in = java.nio.channels.FileChannel.open(f,
-          java.nio.file.StandardOpenOption.READ)
-        try {
-          val buf = java.nio.ByteBuffer.allocate(1 << 20)
-          var n = 0
-          while (n >= 0) { buf.clear(); n = in.read(buf) }
-        } finally in.close()
-      } finally java.nio.file.Files.deleteIfExists(f)
-      (System.nanoTime() - t0) / 1e9
-    }
+          val chunk = java.nio.ByteBuffer.allocate(1 << 20)
+          val ch = java.nio.channels.FileChannel.open(f,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            var i = 0
+            while (i < 64) { chunk.clear(); ch.write(chunk); i += 1 }
+            ch.force(true)
+          } finally ch.close()
+          val in = java.nio.channels.FileChannel.open(f,
+            java.nio.file.StandardOpenOption.READ)
+          try {
+            val buf = java.nio.ByteBuffer.allocate(1 << 20)
+            var n = 0
+            while (n >= 0) { buf.clear(); n = in.read(buf) }
+          } finally in.close()
+        } finally java.nio.file.Files.deleteIfExists(f)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] disk canary failed (non-fatal): $e")
+        -1.0
+      }
     // JVM-wide accumulated GC time: the cpu/wall split alone can't tell
     // "the plan did more work" from "the heap was full and the collector
     // ate the gate" — a wall spike at flat jobs + flat cpu + fat gc_ms is
@@ -220,8 +233,26 @@ object Bench {
     // normalize). Emitted in BOTH lines so even the truncated driver tail
     // keeps it.
     def s3c(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // Self-adjudicating window verdict (VERDICT r15 #4): classify the
+    // measurement window FROM the canaries so a reader of the artifact
+    // alone — driver, judge, next round's builder — can tell a host
+    // artifact from a plan regression without archaeology. Thresholds are
+    // this box's measured floors with headroom: cpu canary quiet ≈
+    // 0.42-0.58 s (200M fixed xorshift rounds), disk canary quiet ≈
+    // 0.1-0.5 s (64 MB write+fsync+read) — r15's starved official run
+    // read 5.6-12.3 s disk at flat cpu. A canary that failed to measure
+    // (-1) makes the window "unknown", never "quiet".
+    val window: String = {
+      val cpuMax = math.max(canaryCpuPre, canaryCpuPost)
+      val diskMax = math.max(canaryDiskPre, canaryDiskPost)
+      if (canaryCpuPre < 0 || canaryDiskPre < 0 ||
+          canaryCpuPost < 0 || canaryDiskPost < 0) "unknown"
+      else if (diskMax >= 1.0) "disk-starved"
+      else if (cpuMax >= 0.9) "cpu-loaded"
+      else "quiet"
+    }
     val canaryJson =
-      s""""canary":{"cpu_pre":${s3c(canaryCpuPre)},"spark_pre":${s3c(canarySparkPre)},"disk_pre":${s3c(canaryDiskPre)},"cpu_post":${s3c(canaryCpuPost)},"spark_post":${s3c(canarySparkPost)},"disk_post":${s3c(canaryDiskPost)}}"""
+      s""""window":"$window","canary":{"cpu_pre":${s3c(canaryCpuPre)},"spark_pre":${s3c(canarySparkPre)},"disk_pre":${s3c(canaryDiskPre)},"cpu_post":${s3c(canaryCpuPost)},"spark_post":${s3c(canarySparkPost)},"disk_post":${s3c(canaryDiskPost)}}"""
     def fmtLine(q: Map[String, String], tot: String) =
       s"""{"metric":"total","value":$tot,"unit":"sec","loadavg":${s1(loadavg)},"cpu_sec":${s1(cpuLoopSec)},"cpu_wall_ratio":${s1(cpuWallRatio)},$canaryJson,"queries":${
         q.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -242,12 +273,29 @@ object Bench {
     // full precision to a file for round-over-round per-query comparison.
     // SPARK_GRAFT_BENCH_OUT redirects it — side measurements (the scale
     // ritual, subset probes) must not clobber the committed round artifact.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (fmtLine(results.map { case (k, v) => k -> v.toString }.toMap, total.toString) + "\n")
-        .getBytes("UTF-8"))
-    catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $outPath: $e") }
+    // With no redirect, the run ALWAYS lands in bench_result.latest.json
+    // (gitignored scratch) and is PROMOTED to the committed
+    // bench_result.json only when the window verdict is "quiet" — r15's
+    // driver run silently overwrote the committed 70 s quiet record with
+    // a 558 s disk-starved artifact; now a degraded window can never
+    // clobber a quiet record (VERDICT r15 #4).
+    val fullLine =
+      fmtLine(results.map { case (k, v) => k -> v.toString }.toMap, total.toString) + "\n"
+    def writeTo(p: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p), fullLine.getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $p: $e") }
+    sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
+      case Some(explicit) => writeTo(explicit)
+      case None =>
+        writeTo("bench_result.latest.json")
+        // promote only FULL-surface quiet runs: a quiet SPARK_GRAFT_BENCH_ONLY
+        // subset must not replace the committed full-registry record either
+        if (window == "quiet" && only.isEmpty) writeTo("bench_result.json")
+        else System.err.println(
+          s"[bench] window=$window, subset=${only.nonEmpty} — NOT promoting to " +
+            "bench_result.json; full line at bench_result.latest.json")
+    }
     spark.stop()
   }
 }

@@ -1372,9 +1372,20 @@ object SparkEntry {
            FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
          WHERE j >= 0.5""",
     // dedup_simhash: FULL replay — 60-bit md5-prefix token hashes, per-bit
-    // ±1 majority votes, 4×15-bit chunk LSH with the 2..256 bucket-size
-    // prune, Hamming ≤ 3 verify, identical-fingerprint classes expanding
-    // to intra-class distance-0 pairs.
+    // ±1 majority votes, the block-permuted C(b,3)-table LSH with the
+    // 2..256 bucket-size prune, Hamming ≤ 3 verify, identical-fingerprint
+    // classes expanding to intra-class distance-0 pairs. The oracle
+    // replays the engine's AUTO block selection (ADVICE r16: the old SQL
+    // hardcoded the 4×15-bit layout, which diverges from the engine the
+    // moment a skewed corpus crosses 2^15·targetBucket distinct
+    // fingerprints and auto picks b=5 — the maxBucket prune makes outputs
+    // layout-dependent): params picks the smallest b in [4,8] whose
+    // per-table keyspace 2^((60/b)·(b−3)) holds the distinct-fingerprint
+    // count at ≤8 expected occupancy (the Scala thresholds, verbatim);
+    // tabs enumerates each table's (b−3)-block subset as a bitmask with
+    // ascending in-subset positions (the engine's combinations() order);
+    // chunk keys concatenate the subset's blocks by shift-or (disjoint
+    // ranges, so SUM == OR).
     "dedup_simhash" ->
       """WITH tok AS (
            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
@@ -1390,9 +1401,27 @@ object SparkEntry {
            FROM votes GROUP BY doc_id
          ), classes AS (
            SELECT fp, list(doc_id) AS members FROM fps GROUP BY fp
+         ), params AS (
+           SELECT CASE WHEN n <= 262144 THEN 4
+                       WHEN n <= 134217728 THEN 5
+                       WHEN n <= 8589934592 THEN 6
+                       WHEN n <= 34359738368 THEN 7
+                       ELSE 8 END AS b
+           FROM (SELECT count(*) AS n FROM classes)
+         ), tabs AS (
+           SELECT p.b, 60 // p.b AS w, m.m AS chunk, j.j AS blk,
+             CAST(row_number() OVER (PARTITION BY m.m ORDER BY j.j) - 1 AS BIGINT) AS pos
+           FROM params p
+           JOIN generate_series(0, 255) m(m)
+             ON m.m < (1 << p.b) AND bit_count(m.m) = p.b - 3
+           JOIN generate_series(0, 7) j(j)
+             ON j.j < p.b AND ((m.m >> j.j) & 1) = 1
          ), chunks AS (
-           SELECT fp, c AS chunk, (fp >> (c * 15)) & 32767 AS key
-           FROM classes CROSS JOIN generate_series(0, 3) t(c)
+           SELECT c.fp, t.chunk,
+             CAST(sum(((c.fp >> (t.blk * t.w)) & ((1::BIGINT << t.w) - 1))
+                      << (t.pos * t.w)) AS BIGINT) AS key
+           FROM classes c CROSS JOIN tabs t
+           GROUP BY c.fp, t.chunk
          ), kept AS (
            SELECT chunk, key FROM chunks GROUP BY chunk, key
            HAVING count(*) BETWEEN 2 AND 256

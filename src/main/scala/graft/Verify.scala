@@ -61,6 +61,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the ATTEMPTED gate list, for the checker's crashed-gate guard: a
+    // gate that throws before .write leaves no output dir, and deriving
+    // the expected set from oracle keys would silently skip any rows-only
+    // gate (ADVICE r15) — this file is ground truth for "what ran"
+    Files.writeString(Paths.get(s"$outDir/gates.json"),
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

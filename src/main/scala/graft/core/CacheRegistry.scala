@@ -47,7 +47,19 @@ object CacheRegistry {
 
   /** Persist `ds` and register the handle for later release — into the
     * innermost [[scoped]] frame on this thread if one is active, else the
-    * process-global registry drained by [[unpersistAll]]. */
+    * process-global registry drained by [[unpersistAll]].
+    *
+    * SAME-THREAD CONTRACT (ADVICE r15): a [[scoped]] frame captures only
+    * registrations made on the scope-owning thread. An operator that
+    * persists from a thread it spawned mid-scope registers into the
+    * process-global queue instead — which a scoped-only owner (the
+    * collector server, the streaming handlers) never drains, silently
+    * reintroducing the unbounded cache leak. Operators must build and
+    * persist their plans on the calling thread (every current operator
+    * does; Spark's job EXECUTION threads are fine — it is the
+    * registration call that must not move). If a future operator
+    * genuinely needs cross-thread persists, it must hand the handles back
+    * to the scope owner for explicit [[release]]. */
   def persisted[T](ds: Dataset[T]): Dataset[T] = {
     val p = ds.persist()
     val st = scopes.get()

@@ -421,12 +421,15 @@ object TextOps {
                textCol: String = "text"): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK: query terms must be non-empty")
     val toksArr = filter(tokens(col(textCol)), t => length(t) > 0)
-    // one tokenization serves dl AND every per-term tf — all map-side,
-    // spread first (explode-width law: the tokenize + per-term scans
-    // otherwise run at scan-split parallelism)
-    val base = Strata.spreadById(docs, "doc_id")
-      .select(col("doc_id"), toksArr.as("toks"))
-      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    // one tokenization serves dl AND every per-term tf — all map-side.
+    // Spread first (explode-width law: the tokenize + per-term scans
+    // otherwise run at scan-split parallelism) and PERSIST: base feeds
+    // both the dl stats and the tf branch, and without the cache each
+    // branch would re-shuffle the text and re-tokenize
+    val base = graft.core.CacheRegistry.persisted(
+      Strata.spreadById(docs, "doc_id")
+        .select(col("doc_id"), toksArr.as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("dl"), col("toks")))
     val dl = base.select(col("doc_id"), col("dl")).filter(col("dl") > 0)
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
     val tf = base

@@ -527,9 +527,10 @@ class PlanQualitySpec extends SparkSpec {
     val finalPlan = plan.split("== Initial Plan ==").head
     // tf and dl are array ops over one tokenization: the corpus never
     // shuffles as (doc, token) rows — the only hash exchanges are the
-    // |terms|-row df aggregate and the thin per-doc score sum
-    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length <= 2,
-      s"df agg + score sum are the only shuffles:\n$plan")
+    // r16 explode-width doc-row spread (one, shared via the persisted
+    // base), the |terms|-row df aggregate, and the thin per-doc score sum
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length <= 3,
+      s"spread + df agg + score sum are the only shuffles:\n$plan")
     assert(finalPlan.contains("TakeOrderedAndProject"),
       s"top-k must be a TakeOrdered, not a global sort:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
@@ -538,6 +539,7 @@ class PlanQualitySpec extends SparkSpec {
       .flatMap(_.schema.fieldNames).toSet
     assert(cols.subsetOf(Set("doc_id", "text")),
       s"bm25 scan must prune to (doc_id, text), read $cols")
+    graft.core.CacheRegistry.unpersistAll()
   }
 
   test("CMS probe: fixed-size sketch broadcasts; probe side never shuffles") {
@@ -593,6 +595,47 @@ class PlanQualitySpec extends SparkSpec {
       s"corpus agg + model-side agg are the only hash shuffles:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"thresholds must broadcast to the keep filter:\n$plan")
+  }
+
+  test("constant-limit stratum ranks ride WindowGroupLimit: partial below the exchange") {
+    // capPerSource / sampleStratified keep their partitionBy windows ONLY
+    // because their rank filters are CONSTANT limits, which Spark 4.1's
+    // WindowGroupLimitExec pushes below the exchange (each map task
+    // forwards at most `limit` rows per stratum, so the reducer sort is
+    // cap-bounded, not corpus-bounded). That pushdown is the entire 100 TB
+    // posture of these two operators — AQE cannot split a window key's
+    // partition — so its presence is pinned here; if a Spark upgrade or a
+    // filter rewrite drops it, these must move to Strata.stratumRank like
+    // topQualityFrac/ccnetBuckets/tokenBudgetMix did (VERDICT r15 #2).
+    for ((name, df) <- Seq(
+        "corpus_cap_source" -> graft.ext.Corpus.capPerSourceQuery(spark, sf("sf0.001")),
+        "corpus_sample_stratified" ->
+          graft.ext.Corpus.sampleStratifiedQuery(spark, sf("sf0.001")))) {
+      val plan = executedPlan(df)
+      val finalPlan = plan.split("== Initial Plan ==").head
+      val lines = finalPlan.linesIterator.filter(_.contains("WindowGroupLimit")).toSeq
+      assert(lines.exists(_.contains("Partial")),
+        s"$name: the map-side Partial WindowGroupLimit is the skew guard:\n$plan")
+      assert(lines.exists(_.contains("Final")),
+        s"$name: expected the Final WindowGroupLimit above the exchange:\n$plan")
+    }
+  }
+
+  test("non-constant stratum ranks carry no per-stratum Window exec at all") {
+    // topQualityFrac / ccnetBuckets / tokenBudgetMix / dsirSelect rank with
+    // filters WindowGroupLimit can't push (top-frac, running budget,
+    // terciles): a partitionBy(lang) Window exec reappearing in any of
+    // their plans means the corpus-growing single-reducer sort is back
+    for ((name, df) <- Seq(
+        "corpus_quality_topfrac" -> graft.ext.Corpus.topQualityFracQuery(spark, sf("sf0.001")),
+        "corpus_token_mix" -> graft.ext.Corpus.tokenBudgetMixQuery(spark, sf("sf0.001")),
+        "corpus_ccnet_buckets" -> graft.ext.Corpus.ccnetBucketsQuery(spark, sf("sf0.001")))) {
+      try {
+        val plan = executedPlan(df)
+        assert(!plan.linesIterator.exists(_.trim.startsWith("Window")),
+          s"$name must rank via Strata.stratumRank, not a Window exec:\n$plan")
+      } finally graft.core.CacheRegistry.unpersistAll()
+    }
   }
 
   test("classifier plan-literal scoring: pure scan, no join, codegen intact") {

@@ -27,12 +27,18 @@ fails = []
 # A gate that CRASHED in Verify writes no output dir at all — without this
 # guard the loop below silently skips it and the run reads ALL GREEN on a
 # failure (seen r15: datalog_pull_recursive crashed under a bare-java
-# launch and the subset check still passed). Expect one dir per oracle
-# name, except when the caller restricted Verify via SPARK_GRAFT_ONLY —
-# then expect exactly that subset.
+# launch and the subset check still passed). Verify writes gates.json —
+# the list of gates it actually ATTEMPTED (including rows-only gates with
+# no oracle entry; ADVICE r15) — so that is the expected set; fall back to
+# SPARK_GRAFT_ONLY / the oracle keys for outputs from older Verify builds.
+gates_path = os.path.join(out_dir, "gates.json")
 only = os.environ.get("SPARK_GRAFT_ONLY")
-expected = set(x.strip() for x in only.split(",") if x.strip()) if only \
-    else set(oracle.keys())
+if os.path.exists(gates_path):
+    expected = set(json.load(open(gates_path)))
+elif only:
+    expected = set(x.strip() for x in only.split(",") if x.strip())
+else:
+    expected = set(oracle.keys())
 present = {n for n in os.listdir(out_dir)
            if os.path.isdir(os.path.join(out_dir, n))}
 for name in sorted(expected - present):
