@@ -118,9 +118,14 @@ object Corpus {
   def contamination(train: DataFrame, evalDocs: DataFrame,
                     textCol: String = "text", idCol: String = "doc_id",
                     shingleN: Int = 3, broadcastEval: Boolean = true): DataFrame = {
-    def shingles(df: DataFrame) = df.select(col(idCol).as("doc_id"),
-      explode(graft.functions.TextHashExpressions.word_shingles(
-        TextOps.tokens(col(textCol)), shingleN)).as("s"))
+    // explode-width law (r16): tokenize+shingle+hash at scan-split
+    // parallelism starves on fat files (the sf10 fixture is ONE split);
+    // the doc_id-keyed spread also pre-clusters for the per-doc count, so
+    // the final aggregate adds no exchange of its own
+    def shingles(df: DataFrame) = Strata.spreadById(df, idCol)
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextHashExpressions.word_shingles(
+          TextOps.tokens(col(textCol)), shingleN)).as("s"))
     val evalSh = shingles(evalDocs)
       .select(xxhash64(col("s")).as("shingle")).distinct()
       .withColumn("__hit", lit(1))
@@ -149,9 +154,13 @@ object Corpus {
                          shingleN: Int = 3, kHash: Int = 5,
                          mBits: Int = 1 << 18): DataFrame = {
     import graft.functions.SketchExpressions.{bloom_bitmap, bloomMightContain}
-    def shingles(df: DataFrame) = df.select(col(idCol).as("doc_id"),
-      explode(graft.functions.TextHashExpressions.word_shingles(
-        TextOps.tokens(col(textCol)), shingleN)).as("s"))
+    // explode-width law (r16) — see [[contamination]]; the bitmap build's
+    // partial aggregate and the probe's per-doc count both combine
+    // map-side on the spread partitions
+    def shingles(df: DataFrame) = Strata.spreadById(df, idCol)
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextHashExpressions.word_shingles(
+          TextOps.tokens(col(textCol)), shingleN)).as("s"))
     val bloom = shingles(evalDocs)
       .agg(bloom_bitmap(col("s"), kHash, mBits).as("bloom"))
     shingles(train)

@@ -847,10 +847,15 @@ object Dedup {
     // srp bit (t,b): sign of Σ_i v[i] * r(t,b,i), r = deterministic ±1 —
     // computed by a native codegen'd expression (one primitive loop per
     // vector; the HOF formulation re-evaluated the projection lambda per
-    // (table, bit) through the interpreter)
-    val rawSigs = v.select(col("vec_id"),
+    // (table, bit) through the interpreter). PERSISTED (thin — 3 longs per
+    // signature row): the prune consumes it twice (size aggregate + probe)
+    // and the bucket self-join twice more; unpersisted, the srp expression
+    // re-ran up to 4× per vector (r16 — the sf10 cpu tail the r15 verdict
+    // flagged tracked exactly this re-evaluation, not candidate volume).
+    val rawSigs = CacheRegistry.persisted(
+      v.select(col("vec_id"),
         posexplode(graft.functions.VectorExpressions.srp_sig(col("v"), bits, tbls))
-          .as(Seq("t", "bucket")))
+          .as(Seq("t", "bucket"))))
     // minDf=2 drops singleton buckets before they enter the join shuffle;
     // maxDf caps hot buckets (skew guard, see scaladoc)
     val sigs = pruneByBucketSize(rawSigs, Seq("t", "bucket"), 2, maxBucket)
@@ -865,20 +870,22 @@ object Dedup {
     // buckets now pays k cosines instead of 1 (duplication factor ≈ 1.2-2
     // at the target occupancy) — cheap against pairs-sized array shuffle;
     // the identical-arithmetic cosine keeps the DuckDB replay bit-exact.
+    // ALIAS self-join (r16), not two pre-projected copies: with identical
+    // subtrees under both sides, Spark reuses the (t, bucket) exchange
+    // (ReusedExchange) and the n·tables array-carrying rows shuffle ONCE —
+    // the pre-renamed spelling shuffled them once PER SIDE.
     val sigv = sigs.join(v, Seq("vec_id"))
-    val a = sigv.select(col("t"), col("bucket"), col("vec_id").as("id_a"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = sigv.select(col("t"), col("bucket"), col("vec_id").as("id_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("t", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+    sigv.as("a").join(sigv.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         // zero-norm vectors have no direction: null cosine (which the
         // threshold filter drops) instead of an ANSI DIVIDE_BY_ZERO that
         // kills the whole dedup job the first time a failed encode
         // produces an all-zeros embedding
-        when(col("na") * col("nb") =!= 0.0,
-          Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+        when(col("a.nrm") * col("b.nrm") =!= 0.0,
+          Similarity.dot(col("a.v"), col("b.v")) /
+            (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
   }

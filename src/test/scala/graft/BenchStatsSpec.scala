@@ -57,7 +57,11 @@ class BenchStatsSpec extends SparkSpec {
     // the join and the pair explosion is back.
     ("join_range_binned", 11),      // 7 measured at sf0.1 (r15 pre-agg plan)
     ("dedup_ngram_jaccard", 20),    // 13
-    ("dedup_embedding_lsh", 18),    // 12
+    // r16: +persisted thin rawSigs (srp runs once, not 4x) and the alias
+    // self-join whose ReusedExchange ships the array-carrying signature
+    // rows through ONE (t,bucket) shuffle instead of one per side —
+    // sf10 105 -> 45 s, decade ratio 9.0x -> 3.0x at +2 (tiny) jobs
+    ("dedup_embedding_lsh", 26),    // 20 measured cold (r16 reuse plan)
     ("dedup_minhash", 17),          // 11
     ("text_bm25_topk", 11),         // 7
     ("corpus_decontam_report", 18), // 12

@@ -358,8 +358,10 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"eval shingle universe must broadcast:\n$plan")
     val finalPlan = plan.split("== Initial Plan ==").head
-    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length <= 2,
-      s"eval distinct + per-doc count are the only shuffles:\n$plan")
+    // r16: + the two explode-width doc-row spreads (train + eval); the
+    // per-doc count rides the train spread's doc_id clustering for free
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length <= 4,
+      s"spreads + eval distinct + per-doc count are the only shuffles:\n$plan")
   }
 
   test("admission-filter probe: hash-keyed equi-joins only, never a cartesian") {
@@ -563,11 +565,12 @@ class PlanQualitySpec extends SparkSpec {
       docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0))
     val plan = executedPlan(df)
     val finalPlan = plan.split("== Initial Plan ==").head
-    // vs the distinct-shingle probe (≤2 shuffles): the bloom build is a
-    // global partial aggregate — no eval-side distinct shuffle remains,
-    // only the per-doc hit count
-    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length <= 1,
-      s"per-doc count is the only hash shuffle:\n$plan")
+    // vs the distinct-shingle probe: the bloom build is a global partial
+    // aggregate — no eval-side distinct shuffle; the r16 explode-width
+    // spreads (train + eval doc rows) are the only hash exchanges, and
+    // the per-doc hit count rides the train spread's doc_id clustering
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length <= 2,
+      s"the two doc-row spreads are the only hash shuffles:\n$plan")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"the bitmap row must broadcast to the probe:\n$plan")
   }
