@@ -483,12 +483,14 @@ object Corpus {
     val budget = budgets.foldLeft(lit(null).cast("long")) { case (acc, (l, b)) =>
       when(col("lang") === l, lit(b)).otherwise(acc)
     }
-    val thin = docs
-      // prune unbudgeted strata BEFORE the rank: the per-lang running
-      // sums don't see other languages, so this is output-identical but
-      // keeps a 100-language corpus with 3 budgets from shuffling and
-      // sorting the other 97 just to drop them after the rank
-      .filter(col(langCol).isin(budgets.keys.toSeq: _*))
+    val thin = Strata.spreadById(docs
+        // prune unbudgeted strata BEFORE the spread and rank: the per-lang
+        // running sums don't see other languages, so this is
+        // output-identical but keeps a 100-language corpus with 3 budgets
+        // from shuffling and sorting the other 97 just to drop them after
+        .filter(col(langCol).isin(budgets.keys.toSeq: _*)), "doc_id")
+      // tokenCount after the spread (explode-width law — the rank input is
+      // computed twice: range-sampling job + sort shuffle map side)
       .select(col("doc_id"), col(langCol).as("lang"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
         scramble.as("__scr"))
@@ -528,8 +530,14 @@ object Corpus {
   def temperatureMix(docs: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id",
                      sourceCol: String = "source"): DataFrame = {
-    val toks = docs.select(col(idCol), col(sourceCol),
-      TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    // explode-width law: the token count feeds both the per-source
+    // aggregate and the keep filter — spread so neither runs at
+    // scan-split width, and PERSIST the thin result (doc_id, source,
+    // n_tokens) so the two consumers share one text shuffle + tokenize
+    val toks = graft.core.CacheRegistry.persisted(
+      Strata.spreadById(docs, idCol)
+        .select(col(idCol), col(sourceCol),
+          TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens")))
     val per = toks.groupBy(sourceCol)
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("src_tokens"))
     // n_min rides the plan as a 1-row broadcast, not a driver collect
@@ -595,7 +603,9 @@ object Corpus {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("split", "shard")
       .orderBy(col("__h").asc, col("doc_id").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    docs
+    // explode-width law: count tokens at shuffle width, not scan-split
+    // width — the (split, shard) exchange follows anyway
+    Strata.spreadById(docs, "doc_id")
       .select(col("doc_id"), col("split"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
         scramble.as("__h"))
@@ -661,7 +671,12 @@ object Corpus {
                      textCol: String = "text",
                      langCol: String = "lang"): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"topQualityFrac: frac $frac not in (0,1]")
-    val thin = docs
+    // explode-width law: qualityScore is the heavy per-doc expression and
+    // runs TWICE on the rank input (the range partitioner's sampling job +
+    // the sort shuffle's map side) — unspread, both passes run at
+    // scan-split width (single-task on the sf10 fixture; r16 ritual read
+    // cpu/wall ≈ 1.1)
+    val thin = Strata.spreadById(docs, "doc_id")
       .select(col("doc_id"), col(langCol).as("lang"),
         floor(TextOps.qualityScore(col(textCol)) * 1e6 + lit(0.5)).cast("long").as("__q6"))
     Strata.stratumRank(thin, "lang",
@@ -956,7 +971,10 @@ object Corpus {
                    textCol: String = "text",
                    sourceCol: String = "source"): DataFrame = {
     require(maxPerSource > 0, s"capPerSource: cap $maxPerSource must be positive")
-    docs
+    // explode-width law: score at shuffle width, not scan-split width (the
+    // sf10 fixture is one split — the r16 ritual read this gate cpu/wall
+    // ≈ 1.1, a single task scoring the whole corpus under the group-limit)
+    Strata.spreadById(docs, "doc_id")
       .select(col("doc_id"), col(sourceCol).as("source"),
         floor(TextOps.qualityScore(col(textCol)) * 1e6 + lit(0.5)).cast("long").as("__q6"))
       .withColumn("__rk", row_number().over(

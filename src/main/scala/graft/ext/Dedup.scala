@@ -873,9 +873,15 @@ object Dedup {
     // ALIAS self-join (r16), not two pre-projected copies: with identical
     // subtrees under both sides, Spark reuses the (t, bucket) exchange
     // (ReusedExchange) and the n·tables array-carrying rows shuffle ONCE —
-    // the pre-renamed spelling shuffled them once PER SIDE.
+    // the pre-renamed spelling shuffled them once PER SIDE. SHUFFLE_HASH,
+    // not sort-merge: SMJ would SORT both array-carrying sides (GBs of
+    // UnsafeExternalSorter traffic whose spill behavior made identical
+    // runs swing 45→127 s at sf10 depending on leftover heap state); the
+    // hash join builds one side's per-bucket map and streams the other —
+    // same exchanges, no sorts, and it degrades to sort-based per
+    // partition only if a build map genuinely can't fit.
     val sigv = sigs.join(v, Seq("vec_id"))
-    sigv.as("a").join(sigv.as("b"),
+    sigv.as("a").join(sigv.as("b").hint("SHUFFLE_HASH"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),

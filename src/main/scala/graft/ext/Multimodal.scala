@@ -80,6 +80,18 @@ object Multimodal {
       bytes.take(math.max(64, math.min(bytes.length, w * h / 64)))
   }
 
+  /** Document ids spread to shuffle width for the per-id synth+decode
+    * gates below (explode-width law, r16): the DEFLATE/Huffman/RIFF work
+    * inside mapPartitions is the heavy per-row compute, and the id scan
+    * is ONE parquet split on fat fixtures — unspread, the whole decode
+    * ran a single task wide (the sf10 ritual read cpu/wall ≈ 1.0 on
+    * multimodal_png_decode). The shuffle moves bare longs. */
+  private def spreadIds(s: SparkSession, d: String): Dataset[Long] = {
+    import s.implicits._
+    Strata.spreadById(Tables.documents(s, d).select(col("doc_id")), "doc_id")
+      .as[Long]
+  }
+
   /** Size-aware repartition: balance partitions by cumulative blob bytes
     * (targetBytes per partition), not row count. The total size comes from
     * the optimizer's plan statistics (file sizes / column stats propagated
@@ -221,7 +233,7 @@ object Multimodal {
     * chunk-walk mistake in the parser hash-fails. */
   def wavDecodeQuery(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long]
+    spreadIds(s, d)
       .mapPartitions(_.map { id =>
         val n = (256 + id % 128).toInt
         val step = (131 + id % 97).toInt
@@ -242,7 +254,7 @@ object Multimodal {
     * reads rows upside down. */
   def bmpDecodeQuery(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long]
+    spreadIds(s, d)
       .mapPartitions(_.map { id =>
         val w = (4 + id % 13).toInt
         val h = (3 + id % 11).toInt
@@ -264,7 +276,7 @@ object Multimodal {
     * boundary, or an off-by-one in the filter byte skew hash-fails. */
   def pngDecodeQuery(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long]
+    spreadIds(s, d)
       .mapPartitions(_.map { id =>
         val w = (5 + id % 12).toInt
         val h = (5 + id % 9).toInt
@@ -286,7 +298,7 @@ object Multimodal {
     * hash-fails. */
   def resizeDecodeQuery(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long]
+    spreadIds(s, d)
       .mapPartitions(_.map { id =>
         val w = (5 + id % 12).toInt
         val h = (5 + id % 9).toInt
@@ -309,7 +321,7 @@ object Multimodal {
     * groups the sawtooth by k div 160. */
   def audioFramesQuery(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long]
+    spreadIds(s, d)
       .mapPartitions(_.flatMap { id =>
         val n = (256 + id % 128).toInt
         val step = (131 + id % 97).toInt
@@ -328,7 +340,7 @@ object Multimodal {
     * The oracle replays the complement/shift/sign formula in SQL. */
   def ulawDecodeQuery(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long]
+    spreadIds(s, d)
       .mapPartitions(_.map { id =>
         val n = (200 + id % 100).toInt
         val bytes = Codecs.synthWavUlaw(8000, n, 131, (id % 256).toInt)
@@ -377,9 +389,9 @@ object Multimodal {
     * hash-fails. */
   def frameSampleQuery(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val media = Tables.documents(s, d)
-      .filter(pmod(col("doc_id"), lit(3)) === 2)
-      .select(col("doc_id")).as[Long]
+    val media = Strata.spreadById(Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 2)
+        .select(col("doc_id")), "doc_id").as[Long]
       .mapPartitions(_.map { id =>
         val nf = (3 + id % 4).toInt
         val frames = (0 until nf).map { f =>

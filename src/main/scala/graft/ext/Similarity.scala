@@ -139,8 +139,14 @@ object Similarity {
   private[graft] def trainCentroidPairs(emb: DataFrame, kCentroids: Int,
                                         iters: Int): Seq[(Long, Seq[Double])] = {
     val spark = emb.sparkSession
+    // explode-width law (r16): every Lloyd round re-scans this cache; at
+    // scan-split width (ONE split on fat fixture files) each round ran a
+    // single task wide. Spread once at build; rounds then run at cluster
+    // width.
     val v = graft.core.CacheRegistry.persisted(
-      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+      Strata.spreadById(
+        emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+        "vec_id"))
     // Lloyd rounds are model iterations — run them under ModelLoop's
     // AQE-off / narrow-shuffle scope (each round's reduce side is ≤ k
     // centroid rows; the adaptive planner only adds jobs here)
@@ -415,8 +421,13 @@ object Similarity {
     * scale shape to [[trainCentroids]], just keyed by (sub, code). */
   def trainPqCodebooks(emb: DataFrame, m: Int, ksub: Int,
                        iters: Int = 2): PqModel = {
+    // explode-width law (r16): the per-round subvector agg re-scans the
+    // cache — spread once so rounds run at cluster width, not scan-split
+    // width (the sf10 ritual read cpu/wall ≈ 1.15 here: serialized rounds)
     val v = graft.core.CacheRegistry.persisted(
-      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+      Strata.spreadById(
+        emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+        "vec_id"))
     // per-subspace Lloyd rounds: the same model-iteration shape as
     // trainCentroids — reduce side ≤ m·ksub rows, so scope the loop
     graft.core.ModelLoop.scoped(v.sparkSession) {

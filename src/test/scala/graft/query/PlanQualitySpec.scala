@@ -590,12 +590,12 @@ class PlanQualitySpec extends SparkSpec {
       graft.core.Tables.documents(spark, sf("sf0.001")))
     val plan = executedPlan(df)
     val finalPlan = plan.split("== Initial Plan ==").head
-    // the per-source token aggregate is the only CORPUS hash shuffle; the
-    // threshold side adds one model-sized re-agg, and the keep decision
-    // joins the tiny threshold table via broadcast — the corpus itself is
-    // never re-keyed for the apply
-    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length <= 2,
-      s"corpus agg + model-side agg are the only hash shuffles:\n$plan")
+    // the r16 explode-width spread (one, inside the persisted thin token
+    // table both consumers share) + the per-source token aggregate + one
+    // model-sized re-agg; the keep decision joins the tiny threshold
+    // table via broadcast — the corpus is never re-keyed for the apply
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length <= 3,
+      s"spread + corpus agg + model-side agg are the only hash shuffles:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"thresholds must broadcast to the keep filter:\n$plan")
   }
