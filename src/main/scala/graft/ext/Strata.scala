@@ -70,13 +70,17 @@ private[graft] object Strata {
       thin.repartitionByRange(ord: _*).sortWithinPartitions(ord: _*))
     val kIdx = ranged.schema.fieldIndex(strataCol)
     val vIdx = sumCol.map(ranged.schema.fieldIndex)
+    // a null sum value contributes 0 — the SQL `sum() over` semantics the
+    // helper replaces skip nulls, and null-riddled inputs must stay total
+    // (NullInjectionSpec), not throw on a primitive read
+    def sumAt(r: Row, i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
     // phase 2: per-(partition, stratum) (count, sum) — model-sized
     val parts: Array[(Int, Any, Long, Long)] = ranged.toDF().rdd
       .mapPartitionsWithIndex { (pi, it) =>
         val m = scala.collection.mutable.LinkedHashMap.empty[Any, (Long, Long)]
         it.foreach { r =>
           val k = r.get(kIdx)
-          val v = vIdx.fold(0L)(r.getLong)
+          val v = vIdx.fold(0L)(sumAt(r, _))
           val (c, s) = m.getOrElse(k, (0L, 0L))
           m.update(k, (c + 1L, s + v))
         }
@@ -93,8 +97,14 @@ private[graft] object Strata {
         }
       }
     val bc = spark.sparkContext.broadcast((offsets, totals))
+    // input fields forced nullable: Catalyst's inferred non-nullability is
+    // not a runtime guarantee on adversarial (null-injected) tables, and
+    // the RowEncoder VALIDATES the declared schema — a null in a
+    // "non-nullable" passthrough field must pass through, not throw
     val outSchema = sumCol.foldLeft(
-      ranged.schema.add("__rank", LongType, nullable = false)
+      org.apache.spark.sql.types.StructType(
+          ranged.schema.map(_.copy(nullable = true)))
+        .add("__rank", LongType, nullable = false)
         .add("__cnt", LongType, nullable = false))(
       (sch, _) => sch.add("__run", LongType, nullable = false))
     // phase 3: one streamed pass per sorted partition with carry-in offsets
@@ -103,7 +113,7 @@ private[graft] object Strata {
       val local = scala.collection.mutable.HashMap.empty[Any, (Long, Long)]
       it.map { r =>
         val k = r.get(kIdx)
-        val v = vIdx.fold(0L)(r.getLong)
+        val v = vIdx.fold(0L)(sumAt(r, _))
         val (c0, s0) = local.getOrElse(k, offs.getOrElse((pi, k), (0L, 0L)))
         val c = c0 + 1L
         val s = s0 + v
