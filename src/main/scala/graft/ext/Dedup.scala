@@ -873,15 +873,18 @@ object Dedup {
     // ALIAS self-join (r16), not two pre-projected copies: with identical
     // subtrees under both sides, Spark reuses the (t, bucket) exchange
     // (ReusedExchange) and the n·tables array-carrying rows shuffle ONCE —
-    // the pre-renamed spelling shuffled them once PER SIDE. SHUFFLE_HASH,
-    // not sort-merge: SMJ would SORT both array-carrying sides (GBs of
-    // UnsafeExternalSorter traffic whose spill behavior made identical
-    // runs swing 45→127 s at sf10 depending on leftover heap state); the
-    // hash join builds one side's per-bucket map and streams the other —
-    // same exchanges, no sorts, and it degrades to sort-based per
-    // partition only if a build map genuinely can't fit.
+    // the pre-renamed spelling shuffled them once PER SIDE. The join stays
+    // SORT-MERGE deliberately: a SHUFFLE_HASH hint measured faster in one
+    // window (no sorts of the array-carrying rows) but its hash-relation
+    // build is bounded by per-task execution memory and ABORTS the job
+    // when a partition's build side outgrows it ("Can't acquire ... bytes
+    // to build hash relation", reproduced at sf10 × 32 concurrent build
+    // tasks) — at 100 TB that is a cluster-killing failure mode, while
+    // SMJ's sorts degrade to graceful spill. Run-to-run wall variance on
+    // this gate tracks sort-spill pressure from leftover heap state; the
+    // bench artifact's per-gate gc_ms + window field adjudicate it.
     val sigv = sigs.join(v, Seq("vec_id"))
-    sigv.as("a").join(sigv.as("b").hint("SHUFFLE_HASH"),
+    sigv.as("a").join(sigv.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
