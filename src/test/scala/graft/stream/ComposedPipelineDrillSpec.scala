@@ -90,7 +90,13 @@ class ComposedPipelineDrillSpec extends SparkSpec {
     topo.addNode(StreamNode(NodeName.parse("kafka/raw"), Set.empty, None, None, None))
     topo.addNode(cleanNode("get_json_object(value, '$.text')"))
 
-    val batchesSeen = new java.util.concurrent.atomic.AtomicLong(0L)
+    // DISTINCT data-batch ids, not raw foreachBatch invocations: after the
+    // kill at b=20 the in-flight micro-batch is legitimately REPLAYED on
+    // restart with the same bid (exactly the at-least-once delivery the
+    // ledger dedupes) — a raw counter flakes by +1 whenever the kill lands
+    // between sink work and commit, which only happens under suite load
+    val batchesSeen =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     def startIngest(): StreamingQuery =
       topo.buildPlan("stream/clean").writeStream
         .foreachBatch { (batch: DataFrame, bid: Long) =>
@@ -101,7 +107,7 @@ class ComposedPipelineDrillSpec extends SparkSpec {
           if (!batch.isEmpty) {
             val idx = Dedup.residentShingleIndex(spark, idxPath)
             try {
-              batchesSeen.incrementAndGet()
+              batchesSeen.add(bid)
               val admitted = StreamDedup.admitBatch(
                 batch, idx, textCol = "text_clean", idCol = "uid")
               StoreIngest.ingestBatch(store, "uid", Seq("text_clean", "src"),
@@ -170,8 +176,8 @@ class ComposedPipelineDrillSpec extends SparkSpec {
       // data-batch count is exactly 55 − 15. The ≥50-micro-batch floor of
       // the drill is pinned by the ledger's batch id below (batch ids
       // advance per micro-batch, replays included).
-      assert(batchesSeen.get() == 40L,
-        s"expected exactly 40 data batches (55 rounds − 15 over-quota), saw ${batchesSeen.get()}")
+      assert(batchesSeen.size() == 40,
+        s"expected exactly 40 distinct data batches (55 rounds − 15 over-quota), saw ${batchesSeen.size()}")
 
       // ---- batch replay: the same composed logic over the full input
       val allRows = (1 to NBatches).flatMap(b => Seq("A", "B", "C").map(src =>
