@@ -334,16 +334,15 @@ object Corpus {
                                       threshold: Double = 0.5): DataFrame = {
     import graft.functions.TextHashExpressions.{minhash_sig, word_shingles}
     val rows = numPerm / bands
-    // repartition by id BEFORE shingling (the dsirWeights pattern): the
+    // spread by id BEFORE shingling (the dsirWeights pattern): the
     // shingle arrays + 64-perm signatures are hundreds of times the doc
     // row's cost, so scan-split parallelism starves them (cpu/wall 1.9 on
     // 32 threads at sf10, 3 parquet splits); keying by id also leaves both
     // cached shingle tables id-clustered, so the candidate verify joins
-    // re-attach arrays without shuffling the corpus side
-    val parts = train.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "200").toInt
+    // re-attach arrays without shuffling the corpus side. Width is
+    // [[Strata]]'s scale-adaptive spread (r16).
     def shingled(df: DataFrame) = graft.core.CacheRegistry.persisted(
-      df.repartition(parts, col(idCol)).select(col(idCol).as("id"),
+      Strata.spreadById(df, idCol).select(col(idCol).as("id"),
         word_shingles(TextOps.tokens(col(textCol)), shingleN).as("sh")))
     // signatures persist separately so CollapseProject can't inline the
     // minhash into each band slice (16× recompute — see minhashNearDups)
@@ -1463,19 +1462,17 @@ object Corpus {
                                  textCol: String, idCol: String,
                                  labelCol: String): DataFrame = {
     require(buckets >= 2, "quality classifier: buckets must be >= 2")
-    // Repartition BEFORE the tokenize/explode (the dsirWeights pattern):
-    // spreads the md5 feature hashing across the session width instead of
-    // the scan's split count, and doc_id-clusters the exploded rows so
-    // the count group AND every round's (doc_id,y)/doc_id consumer run
-    // exchange-free. EXPLICIT partition count: with an unspecified count,
-    // AQE's cached-plan coalescing (advisory 64 MB) shrinks the persisted
-    // table to a handful of partitions at bench scale, and every GD round
-    // then runs at that parallelism (measured 1.7× cpu/wall on 32
-    // threads).
-    val parts = labeled.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "200").toInt
+    // Spread BEFORE the tokenize/explode (the dsirWeights pattern):
+    // spreads the md5 feature hashing across [[Strata]]'s scale-adaptive
+    // width instead of the scan's split count, and doc_id-clusters the
+    // exploded rows so the count group AND every round's (doc_id,y)/doc_id
+    // consumer run exchange-free. The spread's EXPLICIT partition count
+    // also matters here: with an unspecified count, AQE's cached-plan
+    // coalescing (advisory 64 MB) shrinks the persisted table to a handful
+    // of partitions at bench scale, and every GD round then runs at that
+    // parallelism (measured 1.7× cpu/wall on 32 threads).
     graft.core.CacheRegistry.persisted(
-      labeled.repartition(parts, col(idCol))
+      Strata.spreadById(labeled, idCol)
         .select(col(idCol).as("doc_id"), col(labelCol).cast("int").as("y"),
           explode(graft.functions.TextHashExpressions.feat_buckets(
             TextOps.tokens(col(textCol)), buckets)).as("b"))
@@ -1618,22 +1615,22 @@ object Corpus {
     // bucket ids come from a native one-pass expression (md5 digest +
     // mod inside the loop) — no per-feature string concat/conv through
     // the Catalyst interpreter, and the explode carries only a LONG.
-    // Repartition BEFORE the tokenize/explode: explode fans one doc row
+    // Spread BEFORE the tokenize/explode: explode fans one doc row
     // into hundreds of feature rows, so scan-width parallelism is wrong
     // for everything downstream of it — a 128 MB parquet split becomes
     // GBs of exploded rows in ONE task (measured cpu/wall 1.6 on 32
     // threads at sf10, where documents.parquet is 3 splits). One cheap
-    // doc-row shuffle spreads the md5 work across the session width, and
-    // keying it by doc_id leaves the exploded rows doc_id-clustered so
-    // the scoring aggregate needs no second corpus exchange.
-    val parts = docs.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "200").toInt
+    // doc-row shuffle spreads the md5 work across [[Strata]]'s
+    // scale-adaptive width (r16: a fixed session-width count here cost
+    // ~100 ms of plan-deserialization cpu per near-empty task at sf0.1),
+    // and keying it by doc_id leaves the exploded rows doc_id-clustered
+    // so the scoring aggregate needs no second corpus exchange.
     def featBuckets(df: DataFrame, withId: Boolean): DataFrame = {
       val bk = graft.functions.TextHashExpressions.feat_buckets(
         TextOps.tokens(col(textCol)), buckets)
-      if (withId) df.repartition(parts, col(idCol))
+      if (withId) Strata.spreadById(df, idCol)
         .select(col(idCol).as("doc_id"), explode(bk).as("b"))
-      else df.repartition(parts).select(explode(bk).as("b"))
+      else Strata.spread(df).select(explode(bk).as("b"))
     }
     // persist the corpus-side feature buckets (thin (doc_id, b) rows —
     // they feed BOTH the raw-distribution count and the scoring pass)

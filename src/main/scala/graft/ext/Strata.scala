@@ -41,8 +41,33 @@ private[graft] object Strata {
     * partition-order-free (counts/sums). */
   def spread(df: DataFrame): DataFrame = df.repartition(width(df))
 
-  private def width(df: DataFrame): Int =
-    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+  /** Spread width is SCALE-ADAPTIVE (guide §2): the session's shuffle
+    * width, capped by the input's estimated bytes at
+    * `spark.graft.spread.targetBytesPerTask` (default 8 MB) per task. An
+    * explicit `repartition(n, id)` is invisible to AQE coalescing (the
+    * partition count is user-pinned), and each near-empty task costs
+    * ~100 ms of plan-deserialization CPU on wide plans — measured r16:
+    * spreading text_top_terms at full width took its sf0.1 cpu 4.6 → 23.4 s
+    * with FLAT wall, pure task overhead. Deriving width from input size
+    * keeps small inputs at few fat tasks (a 35 MB fixture spreads ~5 wide,
+    * not 32) while any real corpus saturates the configured width (at
+    * 100 TB, bytes/8 MB ≫ shuffle.partitions, so this cap never binds).
+    * Stats are plan-time estimates — when absent/absurd the cap simply
+    * doesn't bind and width falls back to the configured shuffle width. */
+  private def width(df: DataFrame): Int = {
+    val conf = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val target = df.sparkSession.conf
+      .get("spark.graft.spread.targetBytesPerTask", (8L << 20).toString).toLong
+    val bytes =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Exception => BigInt(-1) }
+    if (bytes <= 0 || target <= 0) math.max(1, conf)
+    else {
+      val byBytes = (bytes + target - 1) / target
+      math.max(1, BigInt(conf).min(byBytes).toInt)
+    }
+  }
 
   /** Exact per-stratum rank (and optional running sum) WITHOUT a
     * `partitionBy(stratum)` window — the two-phase distributed rank

@@ -610,7 +610,13 @@ class PlanQualitySpec extends SparkSpec {
     // partition — so its presence is pinned here; if a Spark upgrade or a
     // filter rewrite drops it, these must move to Strata.stratumRank like
     // topQualityFrac/ccnetBuckets/tokenBudgetMix did (VERDICT r15 #2).
-    for ((name, df) <- Seq(
+    // Pin the AT-SCALE shape: with r16's byte-adaptive spread width, the
+    // sf0.001 fixture spreads to ONE partition (Exchange SinglePartition),
+    // where Spark rightly plans only the Final group-limit (there is no
+    // exchange for a Partial to run below). Force multi-partition spreads
+    // for this assertion — the production regime the pin protects.
+    spark.conf.set("spark.graft.spread.targetBytesPerTask", "1024")
+    try for ((name, df) <- Seq(
         "corpus_cap_source" -> graft.ext.Corpus.capPerSourceQuery(spark, sf("sf0.001")),
         "corpus_sample_stratified" ->
           graft.ext.Corpus.sampleStratifiedQuery(spark, sf("sf0.001")))) {
@@ -621,7 +627,7 @@ class PlanQualitySpec extends SparkSpec {
         s"$name: the map-side Partial WindowGroupLimit is the skew guard:\n$plan")
       assert(lines.exists(_.contains("Final")),
         s"$name: expected the Final WindowGroupLimit above the exchange:\n$plan")
-    }
+    } finally spark.conf.unset("spark.graft.spread.targetBytesPerTask")
   }
 
   test("non-constant stratum ranks carry no per-stratum Window exec at all") {
