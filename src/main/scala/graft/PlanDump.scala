@@ -29,11 +29,21 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
     val mode = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    // Execute through the noop sink FIRST (guide §1.4) so AQE finalizes:
+    // the pre-execution explain is `isFinalPlan=false` and cannot show
+    // ReusedExchange / AQEShuffleRead / runtime join rewrites — exactly
+    // the facts plan claims cite. Disable with SPARK_GRAFT_PLAN_EXEC=0.
+    val exec = sys.env.getOrElse("SPARK_GRAFT_PLAN_EXEC", "1") != "0"
     names.foreach { n =>
       SparkEntry.queries.get(n) match {
         case Some(fn) =>
           try {
             val df = fn(spark, sfDir)
+            if (exec)
+              try df.write.format("noop").mode("overwrite").save()
+              catch { case e: Throwable =>
+                System.err.println(s"[plandump] $n exec failed (plan still dumped): ${e.getMessage}")
+              }
             val plan = df.queryExecution.explainString(mode)
             Files.write(Paths.get(s"$outDir/${n}_$suffix.txt"),
               plan.getBytes("UTF-8"))

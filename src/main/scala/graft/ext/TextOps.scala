@@ -240,8 +240,17 @@ object TextOps {
                idCol: String = "doc_id", k: Int = 3,
                maxBroadcastCorpusBytes: Long = 4L << 30): DataFrame = {
     val sw = array(stopwords.map(lit): _*)
-    val terms = docs.select(col(idCol).as("doc_id"),
-        explode(tokens(col(textCol))).as("term"))
+    // explode-width law at ADAPTIVE width (r16): tokenize+explode is the
+    // heavy per-doc work and fed the tf aggregate's map side at
+    // SCAN-SPLIT width (sf10 solo probe: 37.9 s wall / cpu/wall 2.5 on 32
+    // threads — split-bound). The byte-capped spread widens real corpora
+    // (sf10 solo 37.9 → 20.0 s at flat cpu) while a fixture-sized input
+    // spreads to a few fat tasks (sf0.1 slightly BETTER; the FIXED-width
+    // spelling of this same spread measured cpu 4.6 → 23.4 s at sf0.1
+    // and was rejected — the adaptive width is what makes it a win).
+    val terms = Strata.spreadById(docs.select(col(idCol).as("doc_id"),
+        col(textCol)), "doc_id")
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
       .filter(!array_contains(sw, col("term")))
     val tf = graft.core.CacheRegistry.persisted(
       terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
