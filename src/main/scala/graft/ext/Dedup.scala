@@ -629,8 +629,18 @@ object Dedup {
                      textCol: String = "text", idCol: String = "doc_id",
                      shingleN: Int = 3, threshold: Double = 0.5,
                      minCommon: Int = 2): DataFrame =
+    // explode-width law at ADAPTIVE width (r16): the incoming side's
+    // shingling is heavy per-doc work running at SCAN-SPLIT width, and
+    // the persisted shingle table is consumed by both the posting probe
+    // and the verify join (warm solo decade read 16x wall at 10x data
+    // before the spread). The id-keyed spread also leaves the cache
+    // id-clustered for the verify join's in_id re-attach. A FIXED-width
+    // spelling of this spread measured WORSE at sf0.1 (near-empty-task
+    // overhead) and was rejected; the byte-adaptive width is what makes
+    // it pay at every SF.
     matchesFromShingles(CacheRegistry.persisted(
-      hashedShingles(incoming, textCol, idCol, shingleN)), index, threshold, minCommon)
+      hashedShingles(Strata.spreadById(incoming, idCol), textCol, idCol, shingleN)),
+      index, threshold, minCommon)
 
   /** [[nearDupMatches]] from a precomputed hashed-shingle table (so one
     * shingling pass can feed both the corpus probe and intra-batch pair
