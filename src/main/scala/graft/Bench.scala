@@ -98,6 +98,28 @@ object Bench {
       spark.range(0L, 2000000L, 1L, 8).selectExpr("sum(id * 2 + 1)").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // Multi-thread CPU canary (r16): 8 threads each run the SAME fixed
+    // kernel; the reported value is the wall until ALL finish. On an
+    // idle many-core box this ≈ the single-thread canary; a co-tenant
+    // occupying a fraction of the cores inflates it even when the
+    // 1-thread canary stays at floor — exactly the gap observed when
+    // five identical-plan full runs read 57.8–102 s, every one labeled
+    // "quiet" by the single-thread canaries (wall +77% at cpu +13%,
+    // threads waiting). The mt/st ratio feeds the window verdict below.
+    def cpuCanaryMt(threads: Int = 8): Double = {
+      val t0 = System.nanoTime()
+      val ts = (1 to threads).map { i =>
+        val t = new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L + i
+          var k = 0
+          while (k < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; k += 1 }
+          if (x == 42L) System.err.println("canary")
+        })
+        t.setDaemon(true); t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
     // Disk-bandwidth canary: write 64 MB to the shuffle-spill filesystem
     // (force=true fsync), read it back, delete. The CPU canary is blind to
     // the failure mode r15 forensics actually caught: thread stacks showed
@@ -156,6 +178,7 @@ object Bench {
     }
     sparkCanary() // untimed: pay range/agg codegen once so pre==post work
     val canaryCpuPre = cpuCanary()
+    val canaryCpuMtPre = cpuCanaryMt()
     val canarySparkPre = sparkCanary()
     val canaryDiskPre = diskCanary()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -205,6 +228,7 @@ object Bench {
     val (jobsTotal, stagesTotal, tasksTotal) =
       (jobs.get - jobsLoop0, stages.get - stagesLoop0, tasks.get - tasksLoop0)
     val canaryCpuPost = cpuCanary()
+    val canaryCpuMtPost = cpuCanaryMt()
     val canarySparkPost = sparkCanary()
     val canaryDiskPost = diskCanary()
     // JVM-wide cpu/wall over the timed loop: on an otherwise-quiet 32-thread
@@ -245,14 +269,25 @@ object Bench {
     val window: String = {
       val cpuMax = math.max(canaryCpuPre, canaryCpuPost)
       val diskMax = math.max(canaryDiskPre, canaryDiskPost)
+      // mt/st ratio: 8 threads of the same fixed kernel vs 1. Idle box
+      // ≈ 1.0–1.3 (scheduler jitter); a co-tenant using a fraction of
+      // the cores pushes it past 1.6 while the 1-thread canary stays at
+      // floor (measured: five identical-plan runs read 57.8–102 s, all
+      // "quiet" under the old single-thread-only classifier).
+      val mtRatio = {
+        val st = math.min(canaryCpuPre, canaryCpuPost)
+        val mt = math.max(canaryCpuMtPre, canaryCpuMtPost)
+        if (st <= 0 || mt <= 0) -1.0 else mt / st
+      }
       if (canaryCpuPre < 0 || canaryDiskPre < 0 ||
-          canaryCpuPost < 0 || canaryDiskPost < 0) "unknown"
+          canaryCpuPost < 0 || canaryDiskPost < 0 ||
+          canaryCpuMtPre < 0 || canaryCpuMtPost < 0) "unknown"
       else if (diskMax >= 1.0) "disk-starved"
-      else if (cpuMax >= 0.9) "cpu-loaded"
+      else if (cpuMax >= 0.9 || mtRatio >= 1.6) "cpu-loaded"
       else "quiet"
     }
     val canaryJson =
-      s""""window":"$window","canary":{"cpu_pre":${s3c(canaryCpuPre)},"spark_pre":${s3c(canarySparkPre)},"disk_pre":${s3c(canaryDiskPre)},"cpu_post":${s3c(canaryCpuPost)},"spark_post":${s3c(canarySparkPost)},"disk_post":${s3c(canaryDiskPost)}}"""
+      s""""window":"$window","canary":{"cpu_pre":${s3c(canaryCpuPre)},"cpu_mt_pre":${s3c(canaryCpuMtPre)},"spark_pre":${s3c(canarySparkPre)},"disk_pre":${s3c(canaryDiskPre)},"cpu_post":${s3c(canaryCpuPost)},"cpu_mt_post":${s3c(canaryCpuMtPost)},"spark_post":${s3c(canarySparkPost)},"disk_post":${s3c(canaryDiskPost)}}"""
     def fmtLine(q: Map[String, String], tot: String) =
       s"""{"metric":"total","value":$tot,"unit":"sec","loadavg":${s1(loadavg)},"cpu_sec":${s1(cpuLoopSec)},"cpu_wall_ratio":${s1(cpuWallRatio)},$canaryJson,"queries":${
         q.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
