@@ -1496,8 +1496,13 @@ object Corpus {
     // GD rounds are model-iteration micro-jobs (broadcast model join +
     // one integer aggregate): AQE's per-round re-planning triples the job
     // count for no plan improvement. Codegen stays ON — unlike the
-    // Lloyd/BPE rounds, corpus-bounded feature rows stream through here.
-    graft.core.ModelLoop.scoped(spark, shufflePartitions = 16,
+    // Lloyd/BPE rounds, corpus-bounded feature rows stream through here,
+    // so the scope width is the MEASURED width of the materialized
+    // feature table — the adaptive spread width its doc_id-clustered
+    // cache was built at (r16): a fixed 16 was both a local task tax
+    // and a scale lid.
+    graft.core.ModelLoop.scoped(spark,
+      shufflePartitions = math.max(1, fb.rdd.getNumPartitions),
       interpretModel = false) {
       for (_ <- 1 to rounds) {
         val g = classifierZ(fb, w).select(col("doc_id"),
