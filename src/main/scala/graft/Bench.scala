@@ -98,7 +98,7 @@ object Bench {
       spark.range(0L, 2000000L, 1L, 8).selectExpr("sum(id * 2 + 1)").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    // Multi-thread CPU canary (r16): 8 threads each run the SAME fixed
+    // Multi-thread CPU canary (r16): N threads each run the SAME fixed
     // kernel; the reported value is the wall until ALL finish. On an
     // idle many-core box this ≈ the single-thread canary; a co-tenant
     // occupying a fraction of the cores inflates it even when the
@@ -106,7 +106,12 @@ object Bench {
     // five identical-plan full runs read 57.8–102 s, every one labeled
     // "quiet" by the single-thread canaries (wall +77% at cpu +13%,
     // threads waiting). The mt/st ratio feeds the window verdict below.
-    def cpuCanaryMt(threads: Int = 8): Double = {
+    // N = min(8, host cores) (ADVICE r16): 8 threads time-slicing a
+    // ≤6-core host would read mt/st ≥ 1.6 on an IDLE box and
+    // misclassify every window as cpu-loaded.
+    val mtThreads = math.max(1,
+      math.min(8, Runtime.getRuntime.availableProcessors))
+    def cpuCanaryMt(threads: Int = mtThreads): Double = {
       val t0 = System.nanoTime()
       val ts = (1 to threads).map { i =>
         val t = new Thread(() => {
@@ -269,15 +274,18 @@ object Bench {
     val window: String = {
       val cpuMax = math.max(canaryCpuPre, canaryCpuPost)
       val diskMax = math.max(canaryDiskPre, canaryDiskPost)
-      // mt/st ratio: 8 threads of the same fixed kernel vs 1. Idle box
+      // mt/st ratio: N threads of the same fixed kernel vs 1. Idle box
       // ≈ 1.0–1.3 (scheduler jitter); a co-tenant using a fraction of
       // the cores pushes it past 1.6 while the 1-thread canary stays at
       // floor (measured: five identical-plan runs read 57.8–102 s, all
-      // "quiet" under the old single-thread-only classifier).
+      // "quiet" under the old single-thread-only classifier). Each
+      // window's mt pairs with ITS OWN st (ADVICE r16 — the old
+      // max(mt)/min(st) mixed windows and overstated the ratio beyond
+      // what either window measured); load in either window still trips
+      // the verdict because we take the worse of the two ratios.
       val mtRatio = {
-        val st = math.min(canaryCpuPre, canaryCpuPost)
-        val mt = math.max(canaryCpuMtPre, canaryCpuMtPost)
-        if (st <= 0 || mt <= 0) -1.0 else mt / st
+        def r(mt: Double, st: Double) = if (st <= 0 || mt <= 0) -1.0 else mt / st
+        math.max(r(canaryCpuMtPre, canaryCpuPre), r(canaryCpuMtPost, canaryCpuPost))
       }
       if (canaryCpuPre < 0 || canaryDiskPre < 0 ||
           canaryCpuPost < 0 || canaryDiskPost < 0 ||
@@ -288,8 +296,12 @@ object Bench {
     }
     val canaryJson =
       s""""window":"$window","canary":{"cpu_pre":${s3c(canaryCpuPre)},"cpu_mt_pre":${s3c(canaryCpuMtPre)},"spark_pre":${s3c(canarySparkPre)},"disk_pre":${s3c(canaryDiskPre)},"cpu_post":${s3c(canaryCpuPost)},"cpu_mt_post":${s3c(canaryCpuMtPost)},"spark_post":${s3c(canarySparkPost)},"disk_post":${s3c(canaryDiskPost)}}"""
+    // "cpus" in BOTH lines (VERDICT r16 #2): the committed record and the
+    // driver tail must say which core count produced them — an 8-core
+    // quiet run is not comparable to a 32-core record, and without the
+    // field a reader cannot even tell they differ.
     def fmtLine(q: Map[String, String], tot: String) =
-      s"""{"metric":"total","value":$tot,"unit":"sec","loadavg":${s1(loadavg)},"cpu_sec":${s1(cpuLoopSec)},"cpu_wall_ratio":${s1(cpuWallRatio)},$canaryJson,"queries":${
+      s"""{"metric":"total","value":$tot,"unit":"sec","cpus":$cpus,"loadavg":${s1(loadavg)},"cpu_sec":${s1(cpuLoopSec)},"cpu_wall_ratio":${s1(cpuWallRatio)},$canaryJson,"queries":${
         q.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       },$statsSchema,"job_stats":$statsJson$errs,"sf":"$sfDir","total_sec":$tot}"""
     // The driver captures only a bounded TAIL (~2000 chars) of this process's
@@ -304,7 +316,7 @@ object Bench {
     val top5 = results.toSeq.sortBy(-_._2).take(5)
     println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":${
       top5.map { case (k, v) => "\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
-    },"n_queries":${results.size},"loadavg":${s1(loadavg)},"cpu_sec":${s1(cpuLoopSec)},"cpu_wall_ratio":${s1(cpuWallRatio)},$canaryJson,"jobs":$jobsTotal,"stages":$stagesTotal,"tasks":$tasksTotal$errs,"sf":"$sfDir","total_sec":${s3(total)}}""")
+    },"n_queries":${results.size},"cpus":$cpus,"loadavg":${s1(loadavg)},"cpu_sec":${s1(cpuLoopSec)},"cpu_wall_ratio":${s1(cpuWallRatio)},$canaryJson,"jobs":$jobsTotal,"stages":$stagesTotal,"tasks":$tasksTotal$errs,"sf":"$sfDir","total_sec":${s3(total)}}""")
     // full precision to a file for round-over-round per-query comparison.
     // SPARK_GRAFT_BENCH_OUT redirects it — side measurements (the scale
     // ritual, subset probes) must not clobber the committed round artifact.
@@ -324,12 +336,33 @@ object Bench {
       case Some(explicit) => writeTo(explicit)
       case None =>
         writeTo("bench_result.latest.json")
-        // promote only FULL-surface quiet runs: a quiet SPARK_GRAFT_BENCH_ONLY
-        // subset must not replace the committed full-registry record either
-        if (window == "quiet" && only.isEmpty) writeTo("bench_result.json")
+        // promote only FULL-surface quiet runs whose CONFIG matches the
+        // committed record's (VERDICT r16 #2): a quiet SPARK_GRAFT_BENCH_ONLY
+        // subset must not replace the full-registry record, and a quiet
+        // 8-core run must not overwrite a 32-core record (or another SF's) —
+        // the r16 driver's local[8] leg did exactly that. A legacy record
+        // without a "cpus" field (pre-r17 format) is upgradeable by any
+        // quiet full run; from then on the config is pinned.
+        val configMatches: Boolean =
+          try {
+            val p = java.nio.file.Paths.get("bench_result.json")
+            if (!java.nio.file.Files.exists(p)) true
+            else {
+              val rec = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+              val cpusRe = """"cpus":(\d+)""".r
+              val sfRe = """"sf":"([^"]*)"""".r
+              val cpusOk = cpusRe.findFirstMatchIn(rec)
+                .forall(_.group(1) == cpus)
+              val sfOk = sfRe.findFirstMatchIn(rec)
+                .forall(_.group(1) == sfDir)
+              cpusOk && sfOk
+            }
+          } catch { case _: Exception => true }
+        if (window == "quiet" && only.isEmpty && configMatches)
+          writeTo("bench_result.json")
         else System.err.println(
-          s"[bench] window=$window, subset=${only.nonEmpty} — NOT promoting to " +
-            "bench_result.json; full line at bench_result.latest.json")
+          s"[bench] window=$window, subset=${only.nonEmpty}, configMatches=$configMatches — " +
+            "NOT promoting to bench_result.json; full line at bench_result.latest.json")
     }
     spark.stop()
   }

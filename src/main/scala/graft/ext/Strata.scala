@@ -54,6 +54,8 @@ private[graft] object Strata {
     * 100 TB, bytes/8 MB ≫ shuffle.partitions, so this cap never binds).
     * Stats are plan-time estimates — when absent/absurd the cap simply
     * doesn't bind and width falls back to the configured shuffle width. */
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.ext.Strata")
+
   private def width(df: DataFrame): Int = {
     val conf = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "200").toInt
@@ -62,8 +64,17 @@ private[graft] object Strata {
     val bytes =
       try df.queryExecution.optimizedPlan.stats.sizeInBytes
       catch { case _: Exception => BigInt(-1) }
-    if (bytes <= 0 || target <= 0) math.max(1, conf)
-    else {
+    // stats absent/absurd (unmaterialized cache, Long.MaxValue relation
+    // default) → the byte cap silently can't bind and the spread falls
+    // back to full session width — the exact near-empty-task tax this
+    // helper exists to avoid. Loud at debug so a width regression is
+    // diagnosable from logs (ADVICE r16).
+    if (bytes <= 0 || bytes >= BigInt(Long.MaxValue) || target <= 0) {
+      if (log.isDebugEnabled) log.debug(
+        s"spread width cap NOT binding (stats=$bytes): falling back to " +
+          s"configured width $conf")
+      math.max(1, conf)
+    } else {
       val byBytes = (bytes + target - 1) / target
       math.max(1, BigInt(conf).min(byBytes).toInt)
     }
@@ -99,8 +110,17 @@ private[graft] object Strata {
     // helper replaces skip nulls, and null-riddled inputs must stay total
     // (NullInjectionSpec), not throw on a primitive read
     def sumAt(r: Row, i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
-    // phase 2: per-(partition, stratum) (count, sum) — model-sized
-    val parts: Array[(Int, Any, Long, Long)] = ranged.toDF().rdd
+    // phase 2: per-(partition, stratum) (count, sum) — model-sized WHEN the
+    // stratum is low-cardinality (languages, buckets). This is a generic
+    // helper: a caller passing a high-cardinality stratum (domain, doc id)
+    // would silently inherit a driver OOM from the collect below, so the
+    // summary row count is guarded (VERDICT r16 #4) — persist the tiny
+    // summary RDD, count it (one micro-job; the heavy scan over the cached
+    // `ranged` input runs once, here), and fail LOUD past the documented
+    // bound (`spark.graft.strata.maxDriverRows`, default 1M ≈ tens of MB
+    // of driver state) instead of collecting an unbounded array.
+    import org.apache.spark.storage.StorageLevel
+    val partsRdd = ranged.toDF().rdd
       .mapPartitionsWithIndex { (pi, it) =>
         val m = scala.collection.mutable.LinkedHashMap.empty[Any, (Long, Long)]
         it.foreach { r =>
@@ -110,7 +130,19 @@ private[graft] object Strata {
           m.update(k, (c + 1L, s + v))
         }
         m.iterator.map { case (k, (c, s)) => (pi, k, c, s) }
-      }.collect()
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    val parts: Array[(Int, Any, Long, Long)] = try {
+      val maxDriverRows = spark.conf
+        .get("spark.graft.strata.maxDriverRows", "1000000").toLong
+      val nSummary = partsRdd.count()
+      if (nSummary > maxDriverRows) throw new IllegalStateException(
+        s"stratumRank: partitions × strata summary is $nSummary rows — past " +
+          s"spark.graft.strata.maxDriverRows=$maxDriverRows. The stratum " +
+          s"column '$strataCol' is too high-cardinality for the two-phase " +
+          "rank's driver-side offsets; use a low-cardinality stratum or a " +
+          "per-stratum window.")
+      partsRdd.collect()
+    } finally partsRdd.unpersist(blocking = false)
     val totals: Map[Any, Long] =
       parts.groupBy(_._2).map { case (k, xs) => k -> xs.map(_._3).sum }
     val offsets: Map[(Int, Any), (Long, Long)] =

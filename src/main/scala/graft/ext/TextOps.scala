@@ -430,33 +430,55 @@ object TextOps {
                textCol: String = "text"): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK: query terms must be non-empty")
     val toksArr = filter(tokens(col(textCol)), t => length(t) > 0)
-    // one tokenization serves dl AND every per-term tf — all map-side.
+    // one tokenization serves dl AND every per-term tf — all map-side, and
+    // the per-term tfs land in ONE fixed-width long array per doc (r17):
+    // the persisted base then carries (doc_id, dl, tfs[|terms|]) — a few
+    // longs per row — instead of the full token arrays (the r16 cache
+    // stored the tokenized text twice over and re-scanned it per term).
     // Spread first (explode-width law: the tokenize + per-term scans
-    // otherwise run at scan-split parallelism) and PERSIST: base feeds
-    // both the dl stats and the tf branch, and without the cache each
-    // branch would re-shuffle the text and re-tokenize
-    val base = graft.core.CacheRegistry.persisted(
+    // otherwise run at scan-split parallelism) and PERSIST: the thin base
+    // feeds the stats aggregate and the scoring pass. The two projections
+    // stay separate so CollapseProject cannot duplicate the tokenize into
+    // each consumer (`toks` is referenced 1+|terms| times).
+    val thin = graft.core.CacheRegistry.persisted(
       Strata.spreadById(docs, "doc_id")
         .select(col("doc_id"), toksArr.as("toks"))
-        .select(col("doc_id"), size(col("toks")).as("dl"), col("toks")))
-    val dl = base.select(col("doc_id"), col("dl")).filter(col("dl") > 0)
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
-    val tf = base
-      .withColumn("term", explode(array(queryTerms.map(lit): _*)))
-      .select(col("doc_id"), col("dl"), col("term"),
-        size(filter(col("toks"), t => t === col("term"))).cast("long").as("tf"))
-      .filter(col("tf") > 0)
-    val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .select(col("doc_id"), size(col("toks")).as("dl"),
+          array(queryTerms.map(t =>
+            size(filter(col("toks"), x => x === lit(t))).cast("long")): _*)
+            .as("tfs")))
+    // corpus stats AND per-term document frequencies in ONE single-row
+    // aggregate over the thin base — the old per-term df shuffle
+    // (groupBy("term")) and its join disappear; every df is a column of
+    // this broadcast row. Same integers: df_i counts docs with tf_i>0,
+    // n/t count/sum dl over dl>0 docs (a dl=0 doc has every tf=0).
+    val aggCols =
+      count(when(col("dl") > 0, lit(1))).as("n") +:
+        sum(when(col("dl") > 0, col("dl"))).as("t") +:
+        queryTerms.indices.map(i =>
+          sum(when(col("tfs")(i) > 0, lit(1L)).otherwise(lit(0L))).as(s"df_$i"))
+    val stats = thin.agg(aggCols.head, aggCols.tail: _*)
     val avgdl = col("t").cast("double") / col("n").cast("double")
-    val idf = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-    val tfPart = (col("tf").cast("double") * lit(2.5)) /
-      (col("tf").cast("double") +
-        lit(1.5) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
-    tf.join(broadcast(dfTbl), Seq("term"))
+    // per-doc score is now MAP-SIDE (each doc is one row carrying all its
+    // tfs — no (doc,term) rows, no groupBy(doc_id) exchange): the q6
+    // contributions sum left-to-right in term order; integer addition is
+    // order-free, so totals equal the old sum-over-shuffled-rows exactly.
+    val scoreCols = queryTerms.indices.map { i =>
+      val tfL = col("tfs")(i)
+      val tfD = tfL.cast("double")
+      val dfI = col(s"df_$i")
+      val idfI = log((col("n") - dfI + lit(0.5)) / (dfI + lit(0.5)) + lit(1.0))
+      val tfPartI = (tfD * lit(2.5)) /
+        (tfD + lit(1.5) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+      when(tfL > 0, floor(idfI * tfPartI * lit(1e6) + lit(0.5)).cast("long"))
+        .otherwise(lit(0L))
+    }
+    // only docs matching ≥1 term score (the old tf>0 filter dropped
+    // no-match docs before the groupBy — they must not appear in the
+    // top-k as zero-score rows)
+    thin.filter(exists(col("tfs"), t => t > 0))
       .crossJoin(broadcast(stats))
-      .withColumn("s_q6", floor(idf * tfPart * lit(1e6) + lit(0.5)).cast("long"))
-      .groupBy("doc_id")
-      .agg(sum(col("s_q6")).as("bm25_q6"))
+      .select(col("doc_id"), scoreCols.reduce(_ + _).as("bm25_q6"))
       .orderBy(col("bm25_q6").desc, col("doc_id"))
       .limit(k)
   }

@@ -28,6 +28,16 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  // quick budget (see TestBudget): CI keeps the gates whose past decade
+  // failures were CODE bugs (LSH resolution, posting-list prune, iterated
+  // joins, GD rounds, window growth); the dropped ones are re-covered by
+  // each optimization round's by-hand sf1→sf10 ritual and come back with
+  // -Dgraft.test.quick=false
+  private val quickPanel = Set(
+    "dedup_ngram_jaccard", "similarity_ivf", "stream_windowed_agg",
+    "corpus_bpe_merges", "text_bm25_topk", "corpus_ccnet_buckets",
+    "corpus_quality_classifier", "graph_pagerank", "corpus_fuzzy_decontam")
+
   // gates chosen per the round-6 brief: dedup / ANN / window-heavy —
   // plus round 7's iterative trainer and synopsis aggregate
   private val gates = Seq(
@@ -48,6 +58,7 @@ class ScaleSpec extends SparkSpec {
     "text_top_terms",         // tf cached once, vocab-sized df broadcast (r7 bench flag)
     "datalog_pull_nested",    // r11 pull cascade: one id equi-join per nesting level
     "datalog_in_rel")         // r11 :in broadcast-join path: binding side stays model-sized
+    .filter(g => !TestBudget.quick || quickPanel(g))
     // NOT gated: join_range_binned — a range join's output is
     // points × interval-density by SEMANTICS (every point matches every
     // covering interval), so 10× both sides is ~100× output; the gate

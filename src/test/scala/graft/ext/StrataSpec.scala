@@ -53,4 +53,27 @@ class StrataSpec extends SparkSpec {
       assert(parts(Strata.spreadById(docs, "id")) === conf)
     } finally spark.conf.unset("spark.graft.spread.targetBytesPerTask")
   }
+
+  test("stratumRank fails LOUD on a high-cardinality stratum (driver-row guard)") {
+    // VERDICT r16 #4: phase 2 collects partitions × strata rows to the
+    // driver — fine for language strata, a silent OOM for a caller who
+    // passes a near-unique stratum. The guard must throw with the knob's
+    // name BEFORE collecting, and a legit stratum must be unaffected.
+    val docs = (1L to 2000L).map(i => (i, s"s$i", i % 7)).toDF("id", "stratum", "v")
+    spark.conf.set("spark.graft.strata.maxDriverRows", "100")
+    try {
+      val e = intercept[IllegalStateException] {
+        Strata.stratumRank(docs, "stratum", Seq(col("id"))).count()
+      }
+      assert(e.getMessage.contains("maxDriverRows"))
+      // a 7-value stratum stays well under the same tiny bound per
+      // partition count — the guard must not fire on the legit shape
+      val low = (1L to 2000L).map(i => (i, s"lang${i % 7}", i)).toDF("id", "stratum", "v")
+      val ranked = Strata.stratumRank(low, "stratum", Seq(col("id")))
+      assert(ranked.count() === 2000L)
+    } finally {
+      spark.conf.unset("spark.graft.strata.maxDriverRows")
+      graft.core.CacheRegistry.unpersistAll()
+    }
+  }
 }

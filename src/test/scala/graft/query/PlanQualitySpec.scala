@@ -528,11 +528,12 @@ class PlanQualitySpec extends SparkSpec {
     val plan = executedPlan(df)
     val finalPlan = plan.split("== Initial Plan ==").head
     // tf and dl are array ops over one tokenization: the corpus never
-    // shuffles as (doc, token) rows — the only hash exchanges are the
-    // r16 explode-width doc-row spread (one, shared via the persisted
-    // base), the |terms|-row df aggregate, and the thin per-doc score sum
-    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length <= 3,
-      s"spread + df agg + score sum are the only shuffles:\n$plan")
+    // shuffles as (doc, token) rows — r17 also folded the per-term df
+    // aggregate and the per-doc score sum into a single-row stats
+    // broadcast + a map-side score over the thin (doc_id, dl, tfs) cache,
+    // so the ONLY hash exchange left is the explode-width doc-row spread
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length <= 1,
+      s"the id spread is the only hash shuffle:\n$plan")
     assert(finalPlan.contains("TakeOrderedAndProject"),
       s"top-k must be a TakeOrdered, not a global sort:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")

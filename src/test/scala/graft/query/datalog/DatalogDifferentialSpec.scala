@@ -292,9 +292,13 @@ class DatalogDifferentialSpec extends SparkSpec {
         else GQuery(fv.toSeq, Nil, where, Nil, None, None)
   } yield q
 
+  // case counts ride the shared quick budget (graft.TestBudget): same
+  // seeds, same generators — quick mode runs the first full/5 cases of
+  // the full run, so a quick-mode failure reproduces identically under
+  // -Dgraft.test.quick=false
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     Iterator.from(0).map(i => g.apply(Gen.Parameters.default, Seed(1234L + i)))
-      .collect { case Some(v) => v }.take(n).toSeq
+      .collect { case Some(v) => v }.take(graft.TestBudget.cases(n)).toSeq
 
   // ------------------------------------------------------ normalization
 
@@ -356,7 +360,11 @@ class DatalogDifferentialSpec extends SparkSpec {
     // chokes on.)
     val rnd = new scala.util.Random(424242L)
     val qs = samples(genQuery, 30).filter(_.order.isEmpty) // bags compare
-    assert(qs.size >= 15, s"need a healthy unordered sample, got ${qs.size}")
+    // healthy-sample floor scales with the quick budget (the generator
+    // yields ~2/3 unordered queries; half the requested budget is the
+    // strength the full run always had)
+    val floor = math.min(15, graft.TestBudget.cases(30) / 2)
+    assert(qs.size >= floor, s"need a healthy unordered sample, got ${qs.size}")
     // statsOff exercises the STATIC ordering heuristic (1e9/|group| +
     // constant boosts) — it is not just a test knob: production falls back
     // to it whenever the stats aggregate throws, so it too must be
@@ -455,7 +463,7 @@ class DatalogDifferentialSpec extends SparkSpec {
         cur = Option(cur.get.manager).filter(_ != null).map(byId) }
       acc
     }
-    for (i <- 0 until 40) {
+    for (i <- 0 until graft.TestBudget.cases(40)) {
       val nBind = rnd.nextInt(21) // 0..20 — crosses the 16-row path threshold
       val depth = rnd.nextInt(3) match { case 0 => "1"; case 1 => "2"; case _ => "..." }
       val maxD = if (depth == "...") 2 else depth.toInt // fixture's longest chain is 2

@@ -195,7 +195,10 @@ class PlannerPropertySpec extends SparkSpec {
   // ---------------------------------------------------------------- tests
 
   test("planner invariance: ≥1k seeded queries, stats-on ≡ stats-off ≡ written order") {
-    val n = sys.env.get("GRAFT_PLANNER_PROP_N").map(_.toInt).getOrElse(1000)
+    // default rides the shared quick budget (same fixed seed prefix — see
+    // graft.TestBudget); GRAFT_PLANNER_PROP_N still overrides outright
+    val n = sys.env.get("GRAFT_PLANNER_PROP_N").map(_.toInt)
+      .getOrElse(graft.TestBudget.cases(1000))
     val statsOn = new DatalogCompiler()
     val statsOff = new DatalogCompiler(useStats = false)
     val written = new DatalogCompiler(useStats = false, reorder = false)
