@@ -148,15 +148,26 @@ class ComposedPipelineDrillSpec extends SparkSpec {
           s"$src$b" ->
             s"""{"src":"$src","uid":"$src-$b","text":"${textFor(src, b)}"}"""))
         awaitBatch(q, at + 2)
-        if (b == 20) { // KILL mid-run; restart resumes from the checkpoint
+        // After a restart the new query's lastProgress is null until its
+        // first batch completes, so the loop's `at = lastBatch(q)` would
+        // read -1 and `awaitBatch(at + 2)` would be satisfied by the
+        // checkpoint-replay batch ALONE — the next two publish rounds can
+        // then merge into one micro-batch (observed once under a slow
+        // host window: 39/40 distinct data batches, the id gap exactly at
+        // the kill point). Batch ids CONTINUE across a restart, so waiting
+        // for the pre-stop id to complete re-establishes real progress
+        // before the next round publishes.
+        def restart(mutate: => Unit = ()): Unit = {
+          val resumeFrom = lastBatch(q)
           q.stop()
+          mutate
           q = startIngest()
+          awaitBatch(q, resumeFrom)
         }
-        if (b == 35) { // HOT-SWAP: semantics-preserving spec rewrite
-          q.stop()
+        if (b == 20) restart() // KILL mid-run; restart resumes from the checkpoint
+        if (b == 35) restart { // HOT-SWAP: semantics-preserving spec rewrite
           topo.addNode(cleanNode("get_json_object(value, concat('$', '.text'))"))
             .fold(e => fail(s"swap rejected: $e"), identity)
-          q = startIngest()
         }
       }
 
